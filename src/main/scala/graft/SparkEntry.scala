@@ -1,13 +1,393 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.expr.FilterExpr
+import graft.expr.FilterExpr._
+import graft.model.GraphStore
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract — one entry per implemented operator from SURVEY.md §2,
+ * each with an ANSI-SQL oracle the driver replays in DuckDB over the same
+ * parquet tables. Column names are aligned on both sides (the driver
+ * hash-compares after sorting columns by name).
+ */
 object SparkEntry {
+
+  private def store(s: SparkSession, dir: String): GraphStore =
+    GraphStore.cached(s, dir)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraphStore.table(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_get_neighbors_out")(spark, "/root/testdata/sf0.001")
+
+  import GetNeighbors.{Request, StatSpec, Out, In, Both}
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- GetNeighbors family (SURVEY.md §2.1/2.5/2.6) ----
+    "q_get_neighbors_out" -> ((s, dir) =>
+      GetNeighbors.flat(store(s, dir), Request(
+        edgeTypes = Seq("placed"),
+        vertexIds = Some(1L to 50L),
+        direction = Out,
+        edgeProps = Seq("o_orderstatus", "o_totalprice"),
+        filter = Some(Cmp(">", Prop("o_totalprice"), Lit(50000.0))),
+        limitPerVertex = Some(5)))),
+
+    "q_get_neighbors_in" -> ((s, dir) =>
+      GetNeighbors.flat(store(s, dir), Request(
+        edgeTypes = Seq("contains"),
+        vertexIds = Some(1L to 30L),
+        direction = In,
+        edgeProps = Seq("l_quantity", "l_extendedprice"),
+        filter = Some(Cmp(">=", Prop("l_quantity"), Lit(25.0))),
+        limitPerVertex = Some(10)))),
+
+    "q_get_neighbors_both" -> ((s, dir) =>
+      GetNeighbors.flat(store(s, dir), Request(
+        edgeTypes = Seq("supplied_by"),
+        vertexIds = Some(1L to 10L),
+        direction = Both,
+        edgeProps = Seq("l_quantity")))),
+
+    "q_get_neighbors_stats" -> ((s, dir) =>
+      GetNeighbors.stats(store(s, dir), Request(
+        edgeTypes = Seq("placed"),
+        direction = Out,
+        edgeProps = Seq("o_totalprice"),
+        filter = Some(Cmp("==", Prop("o_orderstatus"), Lit("F"))),
+        stats = Seq(
+          StatSpec("*", "count", "cnt_edges"),
+          StatSpec("o_totalprice", "sum", "sum_price"),
+          StatSpec("o_totalprice", "min", "min_price"),
+          StatSpec("o_totalprice", "max", "max_price"),
+          StatSpec("o_totalprice", "avg", "avg_price"))))
+        .select(col("_vid"), col("cnt_edges"),
+          round(col("sum_price"), 2).as("sum_price"),
+          col("min_price"), col("max_price"),
+          round(col("avg_price"), 4).as("avg_price"))),
+
+    "q_sample_neighbors" -> ((s, dir) =>
+      GetNeighbors.flat(store(s, dir), Request(
+        edgeTypes = Seq("placed"),
+        vertexIds = Some(1L to 100L),
+        direction = Out,
+        edgeProps = Seq("o_totalprice"),
+        sample = Some(3)))),
+
+    // ---- GetProps point fetch (§2.1) ----
+    "q_get_props" -> ((s, dir) =>
+      GetProps.vertices(store(s, dir), "customer",
+        Seq(1L, 5L, 7L, 11L, 42L, 99L),
+        Seq("c_name", "c_acctbal", "c_mktsegment"))),
+
+    // ---- Lookup / index semantics (§2.4) ----
+    "q_lookup_prefix_range" -> ((s, dir) =>
+      Lookup(t(s, dir, "lineitem"), Lookup.Request(
+        contexts = Seq(Lookup.IndexQueryContext(Seq(
+          Lookup.Prefix("l_returnflag", "R"),
+          Lookup.Prefix("l_linestatus", "F"),
+          Lookup.Range("l_shipdate",
+            lo = Some("1995-03-01 00:00:00"), loInclusive = true,
+            hi = Some("1995-06-01 00:00:00"), hiInclusive = false)))),
+        yieldCols = Seq("l_orderkey", "l_linenumber", "l_quantity"),
+        dedupKeys = Seq("l_orderkey", "l_linenumber", "l_quantity")))),
+
+    "q_lookup_union_dedup" -> ((s, dir) =>
+      Lookup(t(s, dir, "part"), Lookup.Request(
+        contexts = Seq(
+          Lookup.IndexQueryContext(Seq(Lookup.Prefix("p_size", 10))),
+          Lookup.IndexQueryContext(
+            Seq(Lookup.Prefix("p_brand", "Brand#23")),
+            residual = Some(Cmp(">", Prop("p_retailprice"), Lit(1000.0))))),
+        yieldCols = Seq("p_partkey", "p_name", "p_size", "p_brand"),
+        dedupKeys = Seq("p_partkey")))),
+
+    // ---- Paginated scans (§2.1/2.6) ----
+    "q_scan_vertex_page" -> ((s, dir) =>
+      Scan.page(store(s, dir).tag("customer"), GraphStore.VID,
+        Seq("c_name", "c_nationkey"), limit = 40, cursor = Some(50L))),
+
+    "q_scan_edge_page" -> ((s, dir) =>
+      Scan.page(store(s, dir).edge("placed"), GraphStore.RANK,
+        Seq(GraphStore.SRC, "o_totalprice"), limit = 100,
+        cursor = Some(1000L))),
+
+    // ---- Mutations (§2.7) ----
+    "q_add_vertices_ifnotexists" -> ((s, dir) => {
+      val cust = store(s, dir).tag("customer")
+      val incoming = cust.filter(col("_vid") % 3 === 0)
+        .withColumn("c_name", concat(lit("dup:"), col("c_name")))
+        .unionByName(cust
+          .withColumn("_vid", col("_vid") + 100000L)
+          .withColumn("c_name", concat(lit("new:"), col("c_name"))))
+      Mutations.addRows(cust, incoming, Seq("_vid"), ifNotExists = true)
+    }),
+
+    "q_delete_vertices" -> ((s, dir) =>
+      Mutations.deleteWhere(store(s, dir).tag("customer"),
+        Cmp("==", Prop("c_mktsegment"), Lit("BUILDING")))),
+
+    "q_update_vertex" -> ((s, dir) =>
+      Mutations.updateWhere(store(s, dir).tag("customer"),
+        And(Cmp("==", Arith("%", Prop("c_nationkey"), Lit(5)), Lit(0)),
+          Cmp(">", Prop("c_acctbal"), Lit(0.0))),
+        sets = Seq(
+          "c_acctbal" -> (col("c_acctbal") + lit(100.0)),
+          "c_mktsegment" -> when(col("c_acctbal") > 5000.0, lit("PREMIUM"))
+            .otherwise(col("c_mktsegment"))))),
+
+    "q_upsert_vertex" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val cust = store(s, dir).tag("customer")
+      val updates = ((1L to 60L) ++ (200001L to 200020L)).toDF("_vid")
+      Mutations.upsert(cust, updates, Seq("_vid"),
+        condition = Some(Cmp(">=", Prop("c_acctbal"), Lit(0.0))),
+        sets = Seq(
+          "c_acctbal" -> (col("c_acctbal") + lit(50.0)),
+          "c_name" -> concat(col("c_name"), lit("+"))),
+        insertable = true,
+        defaults = Map(
+          "c_name" -> lit("anon"), "c_nationkey" -> lit(0),
+          "c_acctbal" -> lit(0.0), "c_mktsegment" -> lit("NONE")))
+    }),
+
+    // ---- TTL visibility (§2.9) ----
+    "q_ttl_visibility" -> ((s, dir) =>
+      Ttl.visible(graft.sources.Tables.events(s, dir), "ts", 604800L,
+          to_timestamp(lit("2024-01-20 00:00:00")))
+        .select("event_id", "user_id", "event_type", "value")),
+
+    // ---- StatisTask (§2.5) ----
+    "q_stats_task" -> ((s, dir) => {
+      val st = store(s, dir)
+      Stats.tagCounts(st).unionByName(Stats.edgeCounts(st))
+    }),
+
+    "q_stats_part_hist" -> ((s, dir) =>
+      Stats.partHistogram(store(s, dir).edge("contains"), 32)),
+
+    // ---- Expression surface (§2.2) ----
+    "q_expr_filter" -> ((s, dir) => {
+      val filter = And(
+        And(
+          Or(InList(Prop("p_brand"), Seq("Brand#13", "Brand#42")),
+            ContainsOp(Prop("p_type"), Lit("BRASS"))),
+          Cmp("==", Arith("%", Prop("p_size"), Lit(2)), Lit(1))),
+        Xor(Cmp(">", Prop("p_size"), Lit(20)),
+          Cmp(">", Prop("p_retailprice"), Lit(1500.0))))
+      val sizeClass = CaseWhen(Seq(
+        Cmp("<", Prop("p_size"), Lit(10)) -> Lit("small"),
+        Cmp("<", Prop("p_size"), Lit(30)) -> Lit("mid")),
+        default = Some(Lit("big")))
+      t(s, dir, "part")
+        .filter(FilterExpr.predicate(filter))
+        .select(col("p_partkey"), col("p_name"),
+          FilterExpr.compile(sizeClass).as("size_class"),
+          round(col("p_retailprice") * 0.9, 2).as("disc_price"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_get_neighbors_out" ->
+      """SELECT _vid, _type, _rank, _nbr, o_orderstatus, o_totalprice FROM (
+        |  SELECT o_custkey AS _vid, 101 AS _type, o_orderkey AS _rank,
+        |         o_orderkey AS _nbr, o_orderstatus, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderkey, o_orderkey) AS rn
+        |  FROM orders
+        |  WHERE o_custkey BETWEEN 1 AND 50 AND o_totalprice > 50000.0
+        |) t WHERE rn <= 5""".stripMargin,
+
+    "q_get_neighbors_in" ->
+      """SELECT _vid, _type, _rank, _nbr, l_quantity, l_extendedprice FROM (
+        |  SELECT l_partkey AS _vid, -102 AS _type,
+        |         CAST(l_linenumber AS BIGINT) AS _rank,
+        |         l_orderkey AS _nbr, l_quantity, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_partkey
+        |                            ORDER BY CAST(l_linenumber AS BIGINT),
+        |                                     l_orderkey) AS rn
+        |  FROM lineitem
+        |  WHERE l_partkey BETWEEN 1 AND 30 AND l_quantity >= 25.0
+        |) t WHERE rn <= 10""".stripMargin,
+
+    "q_get_neighbors_both" ->
+      """SELECT l_partkey AS _vid, 103 AS _type,
+        |       l_orderkey * 8 + l_linenumber AS _rank,
+        |       l_suppkey AS _nbr, l_quantity
+        |FROM lineitem WHERE l_partkey BETWEEN 1 AND 10
+        |UNION ALL
+        |SELECT l_suppkey AS _vid, -103 AS _type,
+        |       l_orderkey * 8 + l_linenumber AS _rank,
+        |       l_partkey AS _nbr, l_quantity
+        |FROM lineitem WHERE l_suppkey BETWEEN 1 AND 10""".stripMargin,
+
+    "q_get_neighbors_stats" ->
+      """SELECT o_custkey AS _vid, count(*) AS cnt_edges,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       min(o_totalprice) AS min_price,
+        |       max(o_totalprice) AS max_price,
+        |       round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_custkey""".stripMargin,
+
+    "q_sample_neighbors" ->
+      """SELECT _vid, _type, _rank, _nbr, o_totalprice FROM (
+        |  SELECT o_custkey AS _vid, 101 AS _type, o_orderkey AS _rank,
+        |         o_orderkey AS _nbr, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY (o_orderkey * 2654435761) % 4294967296,
+        |                    o_orderkey, o_orderkey) AS rn
+        |  FROM orders WHERE o_custkey BETWEEN 1 AND 100
+        |) t WHERE rn <= 3""".stripMargin,
+
+    "q_get_props" ->
+      """SELECT c_custkey AS _vid, c_name, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey IN (1, 5, 7, 11, 42, 99)""".stripMargin,
+
+    "q_lookup_prefix_range" ->
+      """SELECT DISTINCT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+        |  AND l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1995-06-01 00:00:00'""".stripMargin,
+
+    "q_lookup_union_dedup" ->
+      """SELECT p_partkey, p_name, p_size, p_brand FROM part
+        |WHERE p_size = 10
+        |UNION
+        |SELECT p_partkey, p_name, p_size, p_brand FROM part
+        |WHERE p_brand = 'Brand#23' AND p_retailprice > 1000.0""".stripMargin,
+
+    "q_scan_vertex_page" ->
+      """SELECT c_custkey AS _vid, c_name, c_nationkey
+        |FROM customer WHERE c_custkey > 50
+        |ORDER BY c_custkey LIMIT 40""".stripMargin,
+
+    "q_scan_edge_page" ->
+      """SELECT o_orderkey AS _rank, o_custkey AS _src, o_totalprice
+        |FROM orders WHERE o_orderkey > 1000
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    "q_add_vertices_ifnotexists" ->
+      """WITH existing AS (
+        |  SELECT c_custkey AS _vid, c_name, c_nationkey, c_acctbal,
+        |         c_mktsegment, 0 AS _prio
+        |  FROM customer),
+        |incoming AS (
+        |  SELECT _vid, 'dup:' || c_name AS c_name, c_nationkey, c_acctbal,
+        |         c_mktsegment, 1 AS _prio
+        |  FROM existing WHERE _vid % 3 = 0
+        |  UNION ALL
+        |  SELECT _vid + 100000, 'new:' || c_name, c_nationkey, c_acctbal,
+        |         c_mktsegment, 1
+        |  FROM existing)
+        |SELECT _vid, c_name, c_nationkey, c_acctbal, c_mktsegment FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY _vid ORDER BY _prio) rn
+        |  FROM (SELECT * FROM existing UNION ALL SELECT * FROM incoming)
+        |) WHERE rn = 1""".stripMargin,
+
+    "q_delete_vertices" ->
+      """SELECT c_custkey AS _vid, c_name, c_nationkey, c_acctbal,
+        |       c_mktsegment
+        |FROM customer
+        |WHERE NOT coalesce(c_mktsegment = 'BUILDING', false)""".stripMargin,
+
+    "q_update_vertex" ->
+      """SELECT _vid, c_name, c_nationkey,
+        |  CASE WHEN upd THEN c_acctbal + 100.0 ELSE c_acctbal END
+        |    AS c_acctbal,
+        |  CASE WHEN upd AND (c_acctbal + 100.0) > 5000.0 THEN 'PREMIUM'
+        |       ELSE c_mktsegment END AS c_mktsegment
+        |FROM (
+        |  SELECT c_custkey AS _vid, c_name, c_nationkey, c_acctbal,
+        |         c_mktsegment,
+        |         coalesce(c_nationkey % 5 = 0 AND c_acctbal > 0.0, false)
+        |           AS upd
+        |  FROM customer)""".stripMargin,
+
+    "q_upsert_vertex" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS _vid, c_name, c_nationkey, c_acctbal,
+        |         c_mktsegment FROM customer),
+        |u AS (
+        |  SELECT CAST(range AS BIGINT) AS _vid FROM range(1, 61)
+        |  UNION ALL
+        |  SELECT CAST(range AS BIGINT) FROM range(200001, 200021)),
+        |j AS (
+        |  SELECT coalesce(c._vid, u._vid) AS _vid,
+        |         c._vid IS NOT NULL AS ex, u._vid IS NOT NULL AS tch,
+        |         c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM c FULL JOIN u ON c._vid = u._vid),
+        |d AS (
+        |  SELECT _vid, ex, tch,
+        |         CASE WHEN NOT ex THEN 'anon' ELSE c_name END AS c_name,
+        |         CASE WHEN NOT ex THEN 0 ELSE c_nationkey END
+        |           AS c_nationkey,
+        |         CASE WHEN NOT ex THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+        |         CASE WHEN NOT ex THEN 'NONE' ELSE c_mktsegment END
+        |           AS c_mktsegment,
+        |         (tch AND ex AND coalesce(c_acctbal >= 0.0, false))
+        |           OR (tch AND NOT ex) AS app
+        |  FROM j)
+        |SELECT _vid,
+        |  CASE WHEN app THEN c_name || '+' ELSE c_name END AS c_name,
+        |  c_nationkey,
+        |  CASE WHEN app THEN c_acctbal + 50.0 ELSE c_acctbal END
+        |    AS c_acctbal,
+        |  c_mktsegment,
+        |  (tch AND NOT ex) AS _inserted
+        |FROM d""".stripMargin,
+
+    "q_ttl_visibility" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE ts + INTERVAL 604800 SECOND
+        |      > TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    "q_stats_task" ->
+      """SELECT 'customer' AS entity, count(*) AS row_count,
+        |       count(DISTINCT c_custkey) AS distinct_vids FROM customer
+        |UNION ALL SELECT 'nation', count(*),
+        |       count(DISTINCT n_nationkey) FROM nation
+        |UNION ALL SELECT 'order', count(*),
+        |       count(DISTINCT o_orderkey) FROM orders
+        |UNION ALL SELECT 'part', count(*),
+        |       count(DISTINCT p_partkey) FROM part
+        |UNION ALL SELECT 'region', count(*),
+        |       count(DISTINCT r_regionkey) FROM region
+        |UNION ALL SELECT 'supplier', count(*),
+        |       count(DISTINCT s_suppkey) FROM supplier
+        |UNION ALL SELECT 'contains', count(*),
+        |       count(DISTINCT l_orderkey) FROM lineitem
+        |UNION ALL SELECT 'in_nation', count(*),
+        |       count(DISTINCT c_custkey) FROM customer
+        |UNION ALL SELECT 'in_region', count(*),
+        |       count(DISTINCT n_nationkey) FROM nation
+        |UNION ALL SELECT 'placed', count(*),
+        |       count(DISTINCT o_custkey) FROM orders
+        |UNION ALL SELECT 'supp_nation', count(*),
+        |       count(DISTINCT s_suppkey) FROM supplier
+        |UNION ALL SELECT 'supplied_by', count(*),
+        |       count(DISTINCT l_partkey) FROM lineitem""".stripMargin,
+
+    "q_stats_part_hist" ->
+      """SELECT l_partkey % 32 AS part, count(*) AS edge_count
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_expr_filter" ->
+      """SELECT p_partkey, p_name,
+        |  CASE WHEN p_size < 10 THEN 'small'
+        |       WHEN p_size < 30 THEN 'mid' ELSE 'big' END AS size_class,
+        |  round(p_retailprice * 0.9, 2) AS disc_price
+        |FROM part
+        |WHERE (p_brand IN ('Brand#13', 'Brand#42')
+        |       OR contains(p_type, 'BRASS'))
+        |  AND p_size % 2 = 1
+        |  AND ((p_size > 20) <> (p_retailprice > 1500.0))""".stripMargin
+  )
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.expr.FilterExpr
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Mutation semantics as snapshot-in → snapshot-out table transforms
+ * (SURVEY.md §2.7). The reference's per-key memory locks, index-delta
+ * batches and TOSS cross-part atomicity exist to make concurrent
+ * single-row RPCs safe; a Spark batch write is atomic at job-commit
+ * level, so only the *merge semantics* carry over:
+ *
+ *  - addVertices / addEdges (reference: src/storage/mutate/
+ *    AddVerticesProcessor.cpp:23-341): upsert of incoming rows, with
+ *    `if_not_exists` keeping the first-seen row (visited-set + old-value
+ *    probe, :135-300) and default mode keeping the last write.
+ *  - delete* (Delete{Vertices,Tags,Edges}Processor.cpp): anti-join.
+ *  - update/upsert (src/storage/exec/UpdateNode.h:22-436): read-modify-
+ *    write with a condition filter, dependency-ordered SET evaluation
+ *    (`a = 1, b = a + 1` — :67-118), and insertable mode that fills
+ *    unset props from defaults before applying SETs.
+ */
+object Mutations {
+
+  /**
+   * Merge `incoming` into `existing` on `keys`.
+   * ifNotExists=true → first writer (existing) wins; false → incoming
+   * (last writer) wins. Within `incoming`, later rows win iff
+   * ifNotExists=false, ordered by `incomingOrder` when supplied —
+   * mirroring the reference's in-batch visited-set.
+   */
+  def addRows(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+      ifNotExists: Boolean): DataFrame = {
+    val cols = existing.columns.toSeq
+    val tagged = existing.select(cols.map(col): _*).withColumn("_prio", lit(0))
+      .unionByName(incoming.select(cols.map(col): _*)
+        .withColumn("_prio", lit(1)))
+    val ord = if (ifNotExists) col("_prio").asc else col("_prio").desc
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord)
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_prio", "_rn")
+  }
+
+  /** Delete rows whose key appears in `keys` (anti-join rewrite). */
+  def deleteRows(existing: DataFrame, keys: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    existing.join(broadcast(keys), keyCols, "left_anti")
+
+  /** Delete by predicate (reference's delete-by-lookup composition). */
+  def deleteWhere(existing: DataFrame, pred: FilterExpr): DataFrame =
+    existing.filter(!FilterExpr.predicate(pred))
+
+  /**
+   * Conditional read-modify-write over the whole table: rows matching
+   * `where` get the SET list applied **in order** — each SET sees the
+   * values produced by earlier SETs, the reference's dependency-ordered
+   * evaluation (UpdateNode.h:67-118). Non-matching rows pass through.
+   */
+  def updateWhere(table: DataFrame, where: FilterExpr,
+      sets: Seq[(String, Column)]): DataFrame = {
+    val cond = FilterExpr.predicate(where)
+    // Sequential fold: SET i is expressed over columns already rewritten
+    // by SETs < i, so `a = a + 1, b = a` uses the *new* a.
+    sets.foldLeft(table.withColumn("_upd", cond)) { case (df, (c, v)) =>
+      df.withColumn(c, when(col("_upd"), v).otherwise(col(c)))
+    }.drop("_upd")
+  }
+
+  /**
+   * Upsert: rows of `updates` (keyed by `keys`) merge into `table`.
+   * Existing rows must pass `condition` (over their old values) to be
+   * updated; missing keys are inserted from `defaults` when `insertable`,
+   * then the ordered SET list runs over the merged row. Returns the new
+   * table plus an `_inserted` flag column (the reference's
+   * UpdateResultNode yield, src/storage/exec/UpdateResultNode.h).
+   */
+  def upsert(table: DataFrame, updates: DataFrame, keys: Seq[String],
+      condition: Option[FilterExpr], sets: Seq[(String, Column)],
+      insertable: Boolean, defaults: Map[String, Column]): DataFrame = {
+    val cols = table.columns.toSeq
+    val upd = broadcast(updates.select(keys.map(col): _*)
+      .withColumn("_touched", lit(true)))
+    val joined = table.withColumn("_exists", lit(true))
+      .join(upd, keys, "full_outer")
+    val touched = coalesce(col("_touched"), lit(false))
+    val exists = coalesce(col("_exists"), lit(false))
+    val condOk = condition.map(FilterExpr.predicate).getOrElse(lit(true))
+    // Row states: existing & touched & cond -> update; existing otherwise
+    // -> passthrough; new & insertable -> defaults + SETs.
+    val inserted = touched && !exists
+    val applies = (touched && exists && condOk) || inserted
+    val withDefaults = cols.foldLeft(joined) { case (df, c) =>
+      if (keys.contains(c)) df
+      else df.withColumn(c,
+        when(inserted, defaults.getOrElse(c, lit(null))).otherwise(col(c)))
+    }
+    val afterSets = sets.foldLeft(
+      withDefaults.withColumn("_apply", applies)) { case (df, (c, v)) =>
+      df.withColumn(c, when(col("_apply"), v).otherwise(col(c)))
+    }
+    val kept = if (insertable) afterSets else afterSets.filter(exists)
+    kept.withColumn("_inserted", inserted)
+      .select((cols :+ "_inserted").map(col): _*)
+  }
+}

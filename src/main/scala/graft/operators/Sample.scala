@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/**
+ * Per-vertex edge sampling — the reference samples exactly-k edges per
+ * input vertex with a streaming reservoir when `random=true`
+ * (reference: src/storage/exec/GetNeighborsNode.h:125-189, using
+ * nebula::algorithm::ReservoirSampling).
+ *
+ * Two Spark-first formulations:
+ *  - [[hashSamplePerGroup]]: deterministic "random" top-k by a
+ *    multiplicative hash of the edge key — same selection law
+ *    (uniform-ish over the group), fully reproducible, and expressible in
+ *    ANSI SQL for the DuckDB oracle. One window shuffle, scale-safe.
+ *  - [[ReservoirAgg]]: an exact streaming reservoir as a typed
+ *    `Aggregator`, for callers that want the reference's literal
+ *    algorithm (merge-able across partitions, seeded for test
+ *    determinism).
+ */
+object Sample {
+
+  /** Knuth multiplicative constant; fits comfortably in int64 for the
+    * key ranges in play. */
+  val HashA = 2654435761L
+  val HashM = 4294967296L // 2^32
+
+  /** Deterministic pseudo-random rank: (key * A) mod 2^32. */
+  def hashRank(key: Column): Column = pmod(key * lit(HashA), lit(HashM))
+
+  /**
+   * Exactly-k-per-group deterministic sample: order the group by the
+   * multiplicative hash of the ordering key, take k. `tieBreak` columns
+   * make row_number total.
+   */
+  def hashSamplePerGroup(df: DataFrame, groupCol: String,
+      tieBreak: Seq[Column], k: Int): DataFrame = {
+    val rankKey = hashRank(col("_nbr"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(rankKey +: tieBreak: _*)
+    df.withColumn("_srn", row_number().over(w))
+      .filter(col("_srn") <= k).drop("_srn")
+  }
+
+  /**
+   * Exact streaming reservoir sample of k Long ids, seeded. Partial
+   * reservoirs merge by weighted re-draw, so the aggregate distributes
+   * (unlike the reference's single-threaded reservoir it stays exact per
+   * partition and approximately uniform across merges).
+   */
+  final case class Reservoir(k: Int, seed: Long, seen: Long,
+      items: Vector[Long])
+
+  class ReservoirAgg(k: Int, seed: Long)
+      extends Aggregator[Long, Reservoir, Seq[Long]] {
+    override def zero: Reservoir = Reservoir(k, seed, 0L, Vector.empty)
+
+    override def reduce(b: Reservoir, v: Long): Reservoir = {
+      val seen = b.seen + 1
+      if (b.items.size < k) b.copy(seen = seen, items = b.items :+ v)
+      else {
+        // Deterministic per-element draw: seed ⊕ element ⊕ count.
+        val r = new Random(b.seed ^ v ^ seen)
+        val j = r.nextLong().abs % seen
+        if (j < k) b.copy(seen = seen, items = b.items.updated(j.toInt, v))
+        else b.copy(seen = seen)
+      }
+    }
+
+    override def merge(a: Reservoir, c: Reservoir): Reservoir = {
+      val total = a.seen + c.seen
+      if (a.items.size + c.items.size <= k)
+        a.copy(seen = total, items = a.items ++ c.items)
+      else {
+        // Weighted merge: draw k from the union, weighting each side by
+        // its seen-count, with a deterministic rng.
+        val r = new Random(a.seed ^ total)
+        val pool = a.items.map(v => (v, a.seen)) ++ c.items.map(v => (v, c.seen))
+        val drawn = pool
+          .map { case (v, w) => (v, math.pow(r.nextDouble(), 1.0 / w)) }
+          .sortBy(-_._2).take(k).map(_._1)
+        Reservoir(k, a.seed, total, drawn.toVector)
+      }
+    }
+
+    override def finish(r: Reservoir): Seq[Long] = r.items
+    override def bufferEncoder = Encoders.product[Reservoir]
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column form of the reservoir aggregate. */
+  def reservoir(c: Column, k: Int, seed: Long = 42L): Column =
+    udaf(new ReservoirAgg(k, seed), Encoders.scalaLong)(c)
+}

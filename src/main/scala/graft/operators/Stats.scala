@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.model.GraphStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * StatisTask — whole-space statistics (reference: src/storage/admin/
+ * StatisTask.cpp:105-272): vertices per tag, edges per edge type, space
+ * totals with distinct-vid counting, and per-part in/out "correlativity"
+ * histograms computed as `hash(dst) % parts`.
+ *
+ * Spark-first: per-tag/per-edge counts are map-side-combined `groupBy`
+ * counts; distinct vids use exact `count_distinct` at oracle scale with
+ * `approx_count_distinct` (HLL) offered for the 100 TB path; the
+ * part-correlativity histogram keeps the reference's arithmetic
+ * (`key mod parts`) so it is portable across engines.
+ */
+object Stats {
+
+  /** One summary row per tag: (entity, row_count, distinct_vids). */
+  def tagCounts(store: GraphStore): DataFrame =
+    store.vertices.toSeq.sortBy(_._1).map { case (name, df) =>
+      df.agg(
+        lit(name).as("entity"),
+        count(lit(1)).as("row_count"),
+        count_distinct(col(GraphStore.VID)).as("distinct_vids"))
+        .select("entity", "row_count", "distinct_vids")
+    }.reduce(_ unionByName _)
+
+  /** One summary row per edge type: (entity, row_count, distinct_srcs). */
+  def edgeCounts(store: GraphStore): DataFrame =
+    store.edges.toSeq.sortBy(_._1).map { case (name, df) =>
+      df.agg(
+        lit(name).as("entity"),
+        count(lit(1)).as("row_count"),
+        count_distinct(col(GraphStore.SRC)).as("distinct_vids"))
+        .select("entity", "row_count", "distinct_vids")
+    }.reduce(_ unionByName _)
+
+  /** Scale path: HLL distinct vids per tag (no exact-distinct shuffle). */
+  def tagCountsApprox(store: GraphStore, rsd: Double = 0.02): DataFrame =
+    store.vertices.toSeq.sortBy(_._1).map { case (name, df) =>
+      df.agg(
+        lit(name).as("entity"),
+        count(lit(1)).as("row_count"),
+        approx_count_distinct(col(GraphStore.VID), rsd).as("approx_vids"))
+        .select("entity", "row_count", "approx_vids")
+    }.reduce(_ unionByName _)
+
+  /**
+   * Per-part correlativity histogram of an edge table: how many edges
+   * land in each destination part (reference computes `hash(dst) %
+   * parts`; we use `dst mod parts` — same shape, engine-portable).
+   */
+  def partHistogram(edges: DataFrame, parts: Int,
+      byCol: String = GraphStore.DST): DataFrame =
+    edges.groupBy(pmod(col(byCol), lit(parts)).as("part"))
+      .agg(count(lit(1)).as("edge_count"))
+}
