@@ -1,0 +1,203 @@
+package graft
+
+import graft.expr.FilterExpr
+import graft.expr.FilterExpr._
+import graft.model.GraphStore
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** NULL⇒false filter semantics (reference FilterNode.h:64-77). */
+class FilterExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("null predicate drops the row instead of leaking null") {
+    val df = Seq((1L, Some(5)), (2L, None), (3L, Some(50))).toDF("id", "v")
+    val pred = Cmp(">", Prop("v"), Lit(10))
+    val kept = df.filter(FilterExpr.predicate(pred)).select("id")
+      .as[Long].collect().toSet
+    assert(kept == Set(3L)) // row 2 (null) must be dropped, not error
+  }
+
+  test("NOT over null stays false (no three-valued leak)") {
+    val df = Seq((1L, Some(5)), (2L, None)).toDF("id", "v")
+    // NOT(v > 10): SQL would keep the null row as UNKNOWN; the reference
+    // drops any non-true evaluation.
+    val pred = Not(Cmp(">", Prop("v"), Lit(10)))
+    val kept = df.filter(FilterExpr.predicate(pred)).select("id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("expression surface compiles: case/in/contains/regex/xor/cast") {
+    val df = Seq(("abc", 5), ("xbz", 25)).toDF("s", "n")
+    val e = And(
+      Or(InList(Prop("s"), Seq("abc", "zzz")), RegexMatch(Prop("s"), "^xb")),
+      Cmp("<", Cast("long", Prop("n")), Lit(100L)))
+    assert(df.filter(FilterExpr.predicate(e)).count() == 2)
+    val c = CaseWhen(Seq(Cmp("<", Prop("n"), Lit(10)) -> Lit("lo")), Some(Lit("hi")))
+    val out = df.select(FilterExpr.compile(c).as("cls")).as[String].collect().toSet
+    assert(out == Set("lo", "hi"))
+  }
+}
+
+class GetNeighborsSpec extends SparkSpec {
+  import GetNeighbors._
+
+  lazy val store: GraphStore = GraphStore.cached(spark, sfDir)
+
+  test("out/in duality: every out-edge appears as an in-edge") {
+    val out = GetNeighbors.flat(store, Request(Seq("placed"), direction = Out))
+    val in = GetNeighbors.flat(store, Request(Seq("placed"), direction = In))
+    assert(out.count() == in.count())
+    // the reversed pair sets must match
+    val outPairs = out.select(col("_vid"), col("_nbr")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inPairs = in.select(col("_nbr"), col("_vid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(outPairs == inPairs)
+  }
+
+  test("per-vertex limit bounds each group, in storage-key order") {
+    val df = GetNeighbors.flat(store, Request(Seq("contains"),
+      direction = Out, limitPerVertex = Some(3)))
+    val counts = df.groupBy("_vid").count()
+    assert(counts.agg(max("count")).head.getLong(0) <= 3)
+    // kept edges must be the (type,rank,dst)-smallest of each group
+    val all = GetNeighbors.flat(store, Request(Seq("contains"), direction = Out))
+    val expectFirst = all.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("_vid").orderBy("_type", "_rank", "_nbr")))
+      .filter(col("rn") <= 3).count()
+    assert(df.count() == expectFirst)
+  }
+
+  test("both direction = out ∪ in with signed _type") {
+    val req = Request(Seq("placed"), vertexIds = Some(Seq(1L, 2L, 3L)),
+      direction = Both)
+    val df = GetNeighbors.flat(store, req)
+    val types = df.select("_type").distinct().collect().map(_.getInt(0)).toSet
+    assert(types.subsetOf(Set(101, -101)))
+  }
+
+  test("stats match a manual aggregation") {
+    val req = Request(Seq("placed"), direction = Out,
+      edgeProps = Seq("o_totalprice"),
+      stats = Seq(StatSpec("*", "count", "cnt"),
+        StatSpec("o_totalprice", "sum", "s")))
+    val got = GetNeighbors.stats(store, req)
+    val manual = store.edge("placed").groupBy(col("_src").as("_vid"))
+      .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("s"))
+    assert(got.except(manual).isEmpty && manual.except(got).isEmpty)
+  }
+
+  test("grouped shape: one row per vertex, edges array sorted") {
+    val df = GetNeighbors.grouped(store, Request(Seq("placed"),
+      vertexIds = Some(Seq(1L, 2L)), direction = Out,
+      edgeProps = Seq("o_totalprice")))
+    assert(df.count() <= 2)
+    assert(df.schema("_edges").dataType.typeName == "array")
+  }
+}
+
+class LookupSpec extends SparkSpec {
+
+  test("hint shape validation mirrors IndexScanNode") {
+    // range not last
+    assertThrows[IllegalArgumentException] {
+      Lookup.validateHints(Seq(
+        Lookup.Range("a", Some(1)), Lookup.Prefix("b", 2)))
+    }
+    // two ranges
+    assertThrows[IllegalArgumentException] {
+      Lookup.validateHints(Seq(
+        Lookup.Range("a", Some(1)), Lookup.Range("b", Some(2))))
+    }
+    Lookup.validateHints(Seq(Lookup.Prefix("a", 1), Lookup.Range("b", Some(2))))
+  }
+
+  test("union of contexts dedups on key columns") {
+    val part = GraphStore.table(spark, sfDir, "part")
+    val req = Lookup.Request(
+      contexts = Seq(
+        Lookup.IndexQueryContext(Seq(Lookup.Prefix("p_size", 10))),
+        Lookup.IndexQueryContext(Seq(Lookup.Prefix("p_size", 10)))),
+      yieldCols = Seq("p_partkey"), dedupKeys = Seq("p_partkey"))
+    val once = part.filter(col("p_size") === 10).count()
+    assert(Lookup(part, req).count() == once)
+  }
+}
+
+class MutationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
+
+  test("if_not_exists keeps first-seen; default mode last-writer-wins") {
+    val incoming = Seq((2L, "B", 99.0), (3L, "c", 30.0)).toDF("k", "name", "v")
+    val keep = Mutations.addRows(base, incoming, Seq("k"), ifNotExists = true)
+    assert(keep.filter($"k" === 2L).select("name").as[String].head() == "b")
+    assert(keep.count() == 3)
+    val over = Mutations.addRows(base, incoming, Seq("k"), ifNotExists = false)
+    assert(over.filter($"k" === 2L).select("name").as[String].head() == "B")
+  }
+
+  test("ordered SET evaluation: later set sees earlier set's value") {
+    // v = v + 1; name = concat(name, v)  — name must use the NEW v
+    val out = Mutations.updateWhere(base, Cmp("==", Prop("k"), Lit(1L)),
+      Seq("v" -> ($"v" + 1.0), "name" -> concat($"name", $"v".cast("int"))))
+    val row = out.filter($"k" === 1L).select("name", "v").head()
+    assert(row.getString(0) == "a11" && row.getDouble(1) == 11.0)
+  }
+
+  test("upsert: condition gates updates, insertable fills defaults") {
+    val updates = Seq(1L, 9L).toDF("k")
+    val out = Mutations.upsert(base, updates, Seq("k"),
+      condition = Some(Cmp(">", Prop("v"), Lit(5.0))),
+      sets = Seq("v" -> ($"v" + 1.0)),
+      insertable = true,
+      defaults = Map("name" -> lit("dflt"), "v" -> lit(0.0)))
+    val r1 = out.filter($"k" === 1L).head()
+    assert(r1.getAs[Double]("v") == 11.0 && !r1.getAs[Boolean]("_inserted"))
+    val r9 = out.filter($"k" === 9L).head()
+    assert(r9.getAs[Double]("v") == 1.0 && r9.getAs[Boolean]("_inserted"))
+    assert(r9.getAs[String]("name") == "dflt")
+    assert(out.count() == 3)
+  }
+}
+
+class SampleScanTtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("reservoir sample is exactly k, deterministic under a seed") {
+    val df = (1L to 500L).toDF("v")
+    val agg = Sample.reservoir(col("v"), k = 10, seed = 7L)
+    val a = df.coalesce(1).agg(agg.as("s")).as[Seq[Long]].head()
+    val b = df.coalesce(1).agg(agg.as("s")).as[Seq[Long]].head()
+    assert(a.size == 10 && a == b && a.toSet.subsetOf((1L to 500L).toSet))
+  }
+
+  test("keyset pagination covers the table exactly once") {
+    val cust = GraphStore.cached(spark, sfDir).tag("customer")
+    val total = cust.count()
+    var cursor: Option[Long] = None
+    var seen = 0L
+    var pages = 0
+    var done = false
+    while (!done && pages < 100) {
+      val p = Scan.pageWithCursor(cust, GraphStore.VID, Seq("c_name"), 64, cursor)
+      val n = p.rows.count()
+      seen += n; pages += 1
+      if (n == 0) done = true else cursor = p.nextCursor
+    }
+    assert(seen == total)
+  }
+
+  test("ttl visibility and purge agree") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))).toDF("id", "ts")
+    val now = to_timestamp(lit("2024-01-10 00:00:00"))
+    val vis = Ttl.visible(df, "ts", 86400L * 7, now)
+    assert(vis.select("id").as[Long].collect().toSet == Set(2L))
+  }
+}
