@@ -4,6 +4,8 @@ import graft.expr.FilterExpr
 import graft.expr.FilterExpr._
 import graft.model.GraphStore
 import graft.operators._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -190,8 +192,92 @@ object SparkEntry {
         .select(col("p_partkey"), col("p_name"),
           FilterExpr.compile(sizeClass).as("size_class"),
           round(col("p_retailprice") * 0.9, 2).as("disc_price"))
-    })
+    }),
+
+    // ---- Training-data pipeline: dedup family ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactSummary(t(s, dir, "documents"), "doc_id", "text")),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 4, threshold = 0.5)),
+
+    "q_minhash_signatures" -> ((s, dir) =>
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
+        n = 4, numHashes = 8)),
+
+    "q_lsh_candidates" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
+          n = 4, numHashes = 8),
+        numHashes = 8, bands = 4)),
+
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
+
+    // ---- Text analysis ----
+    "q_text_quality" -> ((s, dir) => {
+      val cols = TextAnalysis.qualityColumns(col("text"))
+        .map { case (n, c) => c.as(n) }
+      t(s, dir, "documents").select(col("doc_id") +: cols: _*)
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      val scores = TextAnalysis.langScores(col("text"))
+        .map { case (n, c) => c.as(n) }
+      t(s, dir, "documents").select(
+        col("doc_id") +:
+          TextAnalysis.predictedLang(col("text")).as("pred_lang") +:
+          scores: _*)
+    }),
+
+    // ---- Similarity search ----
+    "q_ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryIds = (0L to 9L), k = 5)),
+
+    "q_embedding_neardup" -> ((s, dir) =>
+      Similarity.blockedNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", blockCol = "label", threshold = 0.35)),
+
+    // ---- Multimodal plumbing ----
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.ingest(t(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRow](Multimodal.mediaEnc)
+      Multimodal.decode(media).toDF()
+    }),
+
+    // ---- Event stream (batch formulation of the streaming ops) ----
+    "q_events_window" -> ((s, dir) =>
+      EventStream.windowedAgg(graft.sources.Tables.events(s, dir))),
+
+    "q_events_sessions" -> ((s, dir) =>
+      EventStream.sessionize(graft.sources.Tables.events(s, dir),
+        gapMinutes = 30))
   )
+
+  /** Shared DuckDB CTE snippets for the text oracles. */
+  private val TokCte =
+    """toks AS (SELECT doc_id, text,
+      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents)""".stripMargin
+  private val ShingleCte = // word 4-grams, distinct per doc
+    """sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |  range(1, greatest(len(t) - 3, 0) + 1),
+      |  i -> array_to_string(t[i:i+3], ' ')))) AS shingle FROM toks)""".stripMargin
+  private val Stoplist =
+    "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it']"
+
+  private def minhashSigSql: String = {
+    val aggs = Dedup.minhashParams(8).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"min((h * $a + $b) % ${Dedup.MinhashP}) AS mh$i"
+    }.mkString(", ")
+    s"""WITH $TokCte,
+       |$ShingleCte,
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh)
+       |SELECT doc_id AS id, $aggs FROM h GROUP BY doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_get_neighbors_out" ->
@@ -388,6 +474,168 @@ object SparkEntry {
         |WHERE (p_brand IN ('Brand#13', 'Brand#42')
         |       OR contains(p_type, 'BRASS'))
         |  AND p_size % 2 = 1
-        |  AND ((p_size > 20) <> (p_retailprice > 1500.0))""".stripMargin
+        |  AND ((p_size > 20) <> (p_retailprice > 1500.0))""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |         AS fp,
+        |       min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH $TokCte,
+         |$ShingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin,
+
+    "q_minhash_signatures" -> minhashSigSql,
+
+    "q_lsh_candidates" ->
+      s"""WITH sigs AS ($minhashSigSql),
+         |bands AS (
+         |  SELECT id, 0 AS band, concat_ws(':', mh0, mh1) AS sig FROM sigs
+         |  UNION ALL
+         |  SELECT id, 1, concat_ws(':', mh2, mh3) FROM sigs
+         |  UNION ALL
+         |  SELECT id, 2, concat_ws(':', mh4, mh5) FROM sigs
+         |  UNION ALL
+         |  SELECT id, 3, concat_ws(':', mh6, mh7) FROM sigs)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.id < b.id""".stripMargin,
+
+    "q_simhash" -> {
+      val bitCols = (0 until 16).map { b =>
+        s"((CAST('0x' || substr(hx, ${1 + b / 4}, 1) AS BIGINT) // ${1 << (b % 4)}) % 2) AS b$b"
+      }.mkString(", ")
+      val sums = (0 until 16).map(b => s"sum(b$b * 2 - 1) AS s$b")
+        .mkString(", ")
+      val sig = (0 until 16)
+        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $TokCte,
+         |tok AS (SELECT doc_id, md5(unnest(t)) AS hx FROM toks),
+         |b AS (SELECT doc_id, $bitCols FROM tok),
+         |g AS (SELECT doc_id, $sums FROM b GROUP BY doc_id)
+         |SELECT doc_id AS id, CAST($sig AS BIGINT) AS simhash
+         |FROM g""".stripMargin
+    },
+
+    "q_text_quality" ->
+      s"""WITH $TokCte
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_m,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  round(length(text) * 1.0 / greatest(len(t), 1), 4)
+         |    AS mean_tok_len,
+         |  round((length(text)
+         |         - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+         |        * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
+         |  round(len(list_filter(t, x -> list_contains($Stoplist, x)))
+         |        * 1.0 / greatest(len(t), 1), 4) AS stopword_ratio,
+         |  round(0.5 * least(len(t) / 50.0, 1.0)
+         |        + 0.5 * least(
+         |            round(len(list_filter(t,
+         |              x -> list_contains($Stoplist, x)))
+         |              * 1.0 / greatest(len(t), 1), 4) * 10.0, 1.0), 4)
+         |    AS quality_score
+         |FROM toks""".stripMargin,
+
+    "q_lang_id" -> {
+      val markers = TextAnalysis.DefaultMarkers
+      val scoreCols = markers.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(t, x -> list_contains($list, x))) AS INTEGER) AS score_$lang"
+      }.mkString(",\n  ")
+      // replicate the fold's last-strict-winner semantics
+      val langs = markers.map(_._1)
+      val cases = langs.tail.reverse.map { lang =>
+        val prev = langs.takeWhile(_ != lang)
+          .map(l => s"score_$l").mkString(", ")
+        s"WHEN score_$lang > greatest($prev) THEN '$lang'"
+      }.mkString("\n  ")
+      s"""WITH $TokCte,
+         |s AS (SELECT doc_id,
+         |  $scoreCols
+         |FROM toks)
+         |SELECT doc_id,
+         |  CASE $cases ELSE '${langs.head}' END AS pred_lang,
+         |  ${langs.map(l => s"score_$l").mkString(", ")}
+         |FROM s""".stripMargin
+    },
+
+    "q_ann_topk" ->
+      """SELECT query_id, cand_id, sim, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |                                 c.embedding::DOUBLE[]), 6) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |                     c.embedding::DOUBLE[]), 6) DESC, c.vec_id)
+        |      AS rk
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id BETWEEN 0 AND 9
+        |) WHERE rk <= 5""".stripMargin,
+
+    "q_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                               b.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |            b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+        |       WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 16 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2
+        |            THEN octet_length(encode(text)) // 100 + 1
+        |            ELSE 1 END AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
+        |         AS window_start,
+        |       event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, lag(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |n AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM n)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM s GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines, each designed
+ * around one shuffle on a content-derived key so they hold at corpus
+ * scale:
+ *
+ *  - exact: hash-groupBy on a normalized fingerprint;
+ *  - n-gram Jaccard: shingle inverted index -> pair co-counts -> |A∩B| /
+ *    (|A|+|B|-|A∩B|), with a document-frequency cap so stop-shingles
+ *    don't quadratically blow up the pair join;
+ *  - MinHash + LSH: k portable hash functions over shingles, banded
+ *    signatures, bucket join for candidate pairs;
+ *  - SimHash: bitwise majority vote over token hashes — near-dup
+ *    distance = hamming distance of compact ints.
+ *
+ * All hashing goes through md5 hex (via `conv`) rather than Spark's
+ * xxhash64 so every result is reproducible in any engine (the DuckDB
+ * oracle included) — hash quality is equivalent for dedup purposes.
+ */
+object Dedup {
+
+  /** Portable 32-bit token hash: first 8 md5 hex digits as int64. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Exact dedup summary: one row per distinct normalized content with
+    * the surviving (minimum) id and the duplicate count. */
+  def exactSummary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Exact dedup: keep the minimum-id row per normalized content. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // guard: sequence(1, 0) would DESCEND in Spark — short docs must
+    // yield an empty shingle set, not a bogus one.
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array())
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /**
+   * N-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard >=
+   * threshold). `maxDocFreq` drops shingles shared by more than that
+   * many documents before the pair join — the standard guard against
+   * stop-shingle quadratic blowup; 0 disables.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val filtered =
+      if (maxDocFreq <= 0) sh
+      else {
+        val freq = sh.groupBy("shingle")
+          .agg(count(lit(1)).as("df_cnt"))
+          .filter(col("df_cnt") <= maxDocFreq)
+        sh.join(freq.select("shingle"), Seq("shingle"))
+      }
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = filtered.as("a"); val b = filtered.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash parameters: h_i(x) = (a_i * h32(x) + b_i) mod p, with p
+    * prime below 2^31 and a_i < 2^20 so products stay well inside int64
+    * (overflow would throw under ANSI mode). */
+  val MinhashP = 2147483647L
+  def minhashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      // Fixed, seed-free parameter schedule: deterministic across
+      // engines and sessions.
+      ((131071L * (i + 1)) % 1048573L + 1L, (524287L * (i + 7)) % MinhashP)
+    }
+
+  /** Per-document MinHash signature: columns mh0..mh{k-1}. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+      .withColumn("h", hash32(col("shingle")))
+    val aggs = minhashParams(numHashes).zipWithIndex.map {
+      case ((a, b), i) =>
+        min(pmod(col("h") * a + b, lit(MinhashP))).as(s"mh$i")
+    }
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * LSH candidate pairs: band the signature (bands × rowsPerBand =
+   * numHashes), bucket-join on (band, band-signature), distinct pairs.
+   * One shuffle on the band signature; bucket sizes stay bounded because
+   * each band key is a concatenation of `rowsPerBand` minhashes.
+   */
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val banded = (0 until bands).map { bIdx =>
+      val cols = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand)
+        .map(i => col(s"mh$i"))
+      signatures.select(col("id"),
+        lit(bIdx).as("band"), concat_ws(":", cols: _*).as("sig"))
+    }.reduce(_ unionByName _)
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /**
+   * SimHash over whitespace tokens: bit j of the signature is the sign
+   * of the sum over tokens of (2·bit_j(md5(token)) − 1). `bits` ≤ 32
+   * (nibble-extracted from the md5 hex prefix, engine-portable).
+   */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame = {
+    require(bits % 4 == 0 && bits <= 32, "bits must be a multiple of 4 <= 32")
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    // nibble d = hex digit (bits/4 digits used); bit b of the digit via
+    // integer div/mod — portable arithmetic, no bitwise ops needed.
+    val withBits = (0 until bits).foldLeft(
+      tok.withColumn("hx", md5(col("tok")))) { (d, b) =>
+      val nibble = conv(substring(col("hx"), 1 + b / 4, 1), 16, 10)
+        .cast("int")
+      d.withColumn(s"b$b", shiftright(nibble, b % 4) % 2)
+    }
+    val sums = (0 until bits).map(b =>
+      sum(col(s"b$b") * 2 - 1).as(s"s$b"))
+    val grouped = withBits.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+    val sig = (0 until bits).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    grouped.select(col("id"), sig.as("simhash"))
+  }
+}

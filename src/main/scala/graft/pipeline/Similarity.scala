@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/**
+ * Similarity search over an embedding column (`array<float>`):
+ *
+ *  - brute-force cosine top-k — the exact baseline: broadcast the query
+ *    set, score every (query, candidate) pair inside whole-stage codegen
+ *    (`zip_with` + `aggregate`, no UDF), rank per query;
+ *  - LSH (random-hyperplane) bucketed top-k — the scale path: sign-bit
+ *    signatures put near vectors in the same bucket, the pair join runs
+ *    per bucket, recall traded via signature bits;
+ *  - IVF-style blocked near-dup — candidate pairs restricted to a coarse
+ *    partition (here any categorical blocking column), the inverted-file
+ *    pruning pattern.
+ *
+ * At 100 TB the brute-force path is only for broadcast-sized query sets
+ * (cost = |Q| × corpus, embarrassingly parallel, zero shuffle); corpus ×
+ * corpus work must go through LSH/IVF blocking first.
+ */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double.
+    * Sequential left-to-right fold — deterministic across runs. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /**
+   * Exact top-k neighbors for each query id: broadcast the (small) query
+   * side against the full corpus. Ties broken by candidate id.
+   */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, roundTo: Int = 6): DataFrame = {
+    val queries = broadcast(
+      emb.filter(col(idCol).isin(queryIds: _*))
+        .select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val scored = queries.join(emb.select(col(idCol).as("cand_id"),
+        col(vecCol).as("cvec")), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", round(cosine(col("qvec"), col("cvec")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  /** Deterministic random hyperplanes (unit-free; only the sign is
+    * used), seeded for reproducibility. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val r = new Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Sign-bit LSH signature of a vector column under the given planes. */
+  def lshSignature(vec: Column, planes: Seq[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(vec, planeCol,
+        (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /**
+   * Approximate top-k via hyperplane LSH: candidates share a signature
+   * bucket with the query; exact cosine ranks within the bucket.
+   * Smaller `numPlanes` → bigger buckets → higher recall, more work.
+   */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, numPlanes: Int, dim: Int,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val signed = emb.select(col(idCol), col(vecCol),
+      lshSignature(col(vecCol), planes).as("bucket"))
+    val queries = broadcast(signed.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        col("bucket")))
+    val scored = queries.join(
+        signed.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
+          col("bucket")), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "cand_id", "sim")
+  }
+
+  /**
+   * Near-duplicate pairs above a cosine threshold, with candidate
+   * generation restricted to a blocking column (IVF-style coarse
+   * partition: only vectors in the same cell are compared).
+   */
+  def blockedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double, roundTo: Int = 6): DataFrame = {
+    val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
+      col(vecCol).as("va"))
+    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), roundTo))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

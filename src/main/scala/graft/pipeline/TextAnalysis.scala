@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization/counting, quality scoring, language identification, and
+ * document fingerprinting. All are pure `functions._` column programs —
+ * codegen'd, no UDFs — so they stay inside whole-stage codegen and scale
+ * linearly with the corpus (narrow, no shuffle).
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped (leading blanks etc.). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: word-piece regex splits on
+    * non-alphanumerics and splits long runs — a cheap stand-in for a
+    * tokenizer's token count at corpus-statistics accuracy. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[^\\p{L}\\p{N}]+|(?<=\\p{L}{8})"), t => t =!= ""))
+
+  /** Punctuation characters (explicit class, engine-portable). */
+  private val PunctClass = "[.,!?;:]"
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, PunctClass, ""))
+
+  /** Stopword hit-count against a fixed marker list. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
+    val arr = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t)))
+  }
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /**
+   * Quality metrics struct: per-document char/token counts, mean token
+   * length, punctuation ratio, stopword ratio, and a composite score in
+   * [0,1] (heuristics in the spirit of C4/Gopher quality filters:
+   * documents that are too short, punctuation-free or stopword-free are
+   * penalized).
+   */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val meanTokLen = round(nChar / greatest(nTok, lit(1.0)), 4)
+    val punctRatio = round(punctCount(text).cast("double") /
+      greatest(nChar, lit(1.0)), 4)
+    val stopRatio = round(
+      stopwordCount(text, DefaultStopwords).cast("double") /
+        greatest(nTok, lit(1.0)), 4)
+    val lengthScore = least(nTok / lit(50.0), lit(1.0))
+    val stopScore = least(stopRatio * lit(10.0), lit(1.0))
+    val score = round(lit(0.5) * lengthScore + lit(0.5) * stopScore, 4)
+    Seq(
+      "n_chars_m" -> nChar.cast("long"),
+      "n_tokens" -> nTok.cast("long"),
+      "mean_tok_len" -> meanTokLen,
+      "punct_ratio" -> punctRatio,
+      "stopword_ratio" -> stopRatio,
+      "quality_score" -> score)
+  }
+
+  /**
+   * Language-ID by marker-word voting: each candidate language has a
+   * marker lexicon; the prediction is the argmax hit-count with a fixed
+   * tie-break order (first in `markers`). An n-gram heuristic in the
+   * classic "stopword profile" family — deterministic, engine-portable,
+   * no model artifact.
+   */
+  val DefaultMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "value", "table"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "por"),
+    "fr" -> Seq("le", "la", "les", "des", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langScores(text: Column,
+      markers: Seq[(String, Seq[String])] = DefaultMarkers): Seq[(String, Column)] =
+    markers.map { case (lang, words) =>
+      s"score_$lang" -> stopwordCount(text, words)
+    }
+
+  def predictedLang(text: Column,
+      markers: Seq[(String, Seq[String])] = DefaultMarkers): Column = {
+    val scores = markers.map { case (lang, words) =>
+      lang -> stopwordCount(text, words)
+    }
+    // argmax with first-wins tie-break: strictly-greater comparison in
+    // declaration order.
+    scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (greatest(bestScore, score),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Normalized-content fingerprint: md5 over lowercased,
+    * whitespace-collapsed text — the content-defined document key used
+    * by exact dedup and incremental re-crawl diffing. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

