@@ -253,7 +253,97 @@ object SparkEntry {
 
     "q_events_sessions" -> ((s, dir) =>
       EventStream.sessionize(graft.sources.Tables.events(s, dir),
-        gapMinutes = 30))
+        gapMinutes = 30)),
+
+    // ---- Fixed-string semantics (custom codegen Expression, §7.3) ----
+    "q_fixed_string" -> ((s, dir) =>
+      store(s, dir).tag("customer").select(col("_vid"),
+        graft.functions.FixedString.fixedString(col("c_name"), 12, "_")
+          .as("fixed_name"))),
+
+    // ---- Schema evolution: default-expression fill on read (§7.4) ----
+    "q_schema_evolution" -> ((s, dir) => {
+      import graft.catalog.SchemaEvolution
+      val versioned = store(s, dir).tag("customer")
+        .withColumn(SchemaEvolution.VersionCol,
+          (col("_vid") % 2 + 1).cast("int"))
+      SchemaEvolution.applyDefaults(versioned, Seq(
+        SchemaEvolution.EvolvedField("c_mktsegment", 2,
+          concat(lit("SEG_"), col("c_nationkey"))),
+        SchemaEvolution.EvolvedField("c_acctbal", 2, lit(0.0))))
+        .select("_vid", SchemaEvolution.VersionCol, "c_mktsegment",
+          "c_acctbal")
+    }),
+
+    // ---- KV service (GeneralStorageService §2.1) ----
+    "q_kv_ops" -> ((s, dir) => {
+      val space = store(s, dir).tag("customer")
+        .select(col("_vid").as("key"), col("c_name").as("value"))
+      val pairs = space.filter(col("key") % 7 === 0)
+        .withColumn("value", concat(lit("updated:"), col("value")))
+        .unionByName(space.filter(col("key") % 11 === 0)
+          .select((col("key") + 500000L).as("key"), lit("fresh").as("value")))
+      val removeKeys = space.filter(col("key") % 13 === 0).select("key")
+      Kv.remove(Kv.put(space, pairs), removeKeys)
+    }),
+
+    // ---- Edge mutations (§2.7) ----
+    "q_add_edges" -> ((s, dir) => {
+      val placed = store(s, dir).edge("placed")
+      val incoming = placed.filter(col(GraphStore.RANK) % 5 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") + 1000.0, 2))
+      Mutations.addRows(placed, incoming,
+        Seq(GraphStore.SRC, GraphStore.RANK, GraphStore.DST),
+        ifNotExists = false)
+    }),
+
+    "q_delete_edges" -> ((s, dir) => {
+      val contains = store(s, dir).edge("contains")
+      val keys = contains.filter(col(GraphStore.RANK) === 7)
+        .select(GraphStore.SRC, GraphStore.RANK, GraphStore.DST)
+      Mutations.deleteRows(contains, keys,
+        Seq(GraphStore.SRC, GraphStore.RANK, GraphStore.DST))
+    }),
+
+    "q_update_edge" -> ((s, dir) =>
+      Mutations.updateWhere(store(s, dir).edge("supplied_by"),
+        Cmp(">", Prop("l_quantity"), Lit(40.0)),
+        sets = Seq(
+          "l_quantity" -> (col("l_quantity") + 1.0),
+          "l_extendedprice" -> round(col("l_quantity") * 100.0, 2)))),
+
+    // ---- TTL retention rewrite (CompactionFilter analog §2.9) ----
+    "q_ttl_purge" -> ((s, dir) =>
+      graft.sources.Tables.events(s, dir)
+        .filter(!Ttl.alive(col("ts"), 604800L,
+          to_timestamp(lit("2024-01-20 00:00:00"))))
+        .select("event_id", "user_id", "event_type", "value")),
+
+    // ---- GraphX analytics layer ----
+    "q_degrees" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.degrees(store(s, dir),
+        Seq("placed", "contains"))),
+
+    "q_connected_components" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.connectedComponents(store(s, dir),
+        Seq("in_nation", "in_region"))),
+
+    "q_pagerank" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.pageRank(store(s, dir),
+        Seq("contains"), iters = 5)),
+
+    // ---- IVF approximate nearest neighbors ----
+    "q_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = (0L to 9L), k = 5, nCells = 16, nProbe = 4)),
+
+    // ---- Nested reference-shaped GetNeighbors (rows-only check) ----
+    "q_get_neighbors_grouped" -> ((s, dir) =>
+      GetNeighbors.grouped(store(s, dir), Request(
+        edgeTypes = Seq("placed"),
+        vertexIds = Some(1L to 20L),
+        direction = Out,
+        edgeProps = Seq("o_totalprice"))))
   )
 
   /** Shared DuckDB CTE snippets for the text oracles. */
@@ -636,6 +726,87 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
-        |FROM s GROUP BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_fixed_string" ->
+      """SELECT c_custkey AS _vid, rpad(c_name, 12, '_') AS fixed_name
+        |FROM customer""".stripMargin,
+
+    "q_schema_evolution" ->
+      """SELECT c_custkey AS _vid,
+        |  CAST(c_custkey % 2 + 1 AS INTEGER) AS _schemaVer,
+        |  CASE WHEN c_custkey % 2 + 1 < 2 THEN 'SEG_' || c_nationkey
+        |       ELSE c_mktsegment END AS c_mktsegment,
+        |  CASE WHEN c_custkey % 2 + 1 < 2 THEN 0.0 ELSE c_acctbal END
+        |    AS c_acctbal
+        |FROM customer""".stripMargin,
+
+    "q_kv_ops" ->
+      """WITH space AS (
+        |  SELECT c_custkey AS key, c_name AS value FROM customer),
+        |pairs AS (
+        |  SELECT key, 'updated:' || value AS value, 1 AS _prio
+        |  FROM space WHERE key % 7 = 0
+        |  UNION ALL
+        |  SELECT key + 500000, 'fresh', 1 FROM space WHERE key % 11 = 0),
+        |put AS (
+        |  SELECT key, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY _prio DESC) AS rn
+        |    FROM (SELECT key, value, 0 AS _prio FROM space
+        |          UNION ALL SELECT * FROM pairs))
+        |  WHERE rn = 1)
+        |SELECT key, value FROM put
+        |WHERE key NOT IN (SELECT key FROM space WHERE key % 13 = 0)""".stripMargin,
+
+    "q_add_edges" ->
+      """SELECT _src, _dst, _rank, o_orderstatus, o_totalprice,
+        |       o_orderpriority FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY _src, _rank, _dst ORDER BY _prio DESC) AS rn
+        |  FROM (
+        |    SELECT o_custkey AS _src, o_orderkey AS _dst,
+        |           o_orderkey AS _rank, o_orderstatus, o_totalprice,
+        |           o_orderpriority, 0 AS _prio
+        |    FROM orders
+        |    UNION ALL
+        |    SELECT o_custkey, o_orderkey, o_orderkey, o_orderstatus,
+        |           round(o_totalprice + 1000.0, 2), o_orderpriority, 1
+        |    FROM orders WHERE o_orderkey % 5 = 0)
+        |) WHERE rn = 1""".stripMargin,
+
+    "q_delete_edges" ->
+      """SELECT l_orderkey AS _src, l_partkey AS _dst,
+        |       CAST(l_linenumber AS BIGINT) AS _rank,
+        |       l_quantity, l_extendedprice, l_discount, l_tax,
+        |       l_returnflag, l_linestatus
+        |FROM lineitem WHERE l_linenumber <> 7""".stripMargin,
+
+    "q_update_edge" ->
+      """SELECT l_partkey AS _src, l_suppkey AS _dst,
+        |       l_orderkey * 8 + l_linenumber AS _rank,
+        |  CASE WHEN upd THEN l_quantity + 1.0 ELSE l_quantity END
+        |    AS l_quantity,
+        |  CASE WHEN upd THEN round((l_quantity + 1.0) * 100.0, 2)
+        |       ELSE l_extendedprice END AS l_extendedprice
+        |FROM (SELECT *, coalesce(l_quantity > 40.0, false) AS upd
+        |      FROM lineitem)""".stripMargin,
+
+    "q_ttl_purge" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE NOT coalesce(ts + INTERVAL 604800 SECOND
+        |      > TIMESTAMP '2024-01-20 00:00:00', false)""".stripMargin,
+
+    "q_degrees" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS s, o_orderkey AS d FROM orders
+        |  UNION ALL
+        |  SELECT l_orderkey, l_partkey FROM lineitem),
+        |o AS (SELECT s AS _vid, count(*) AS out_deg FROM e GROUP BY 1),
+        |i AS (SELECT d AS _vid, count(*) AS in_deg FROM e GROUP BY 1)
+        |SELECT coalesce(o._vid, i._vid) AS _vid,
+        |       coalesce(out_deg, 0) AS out_deg,
+        |       coalesce(in_deg, 0) AS in_deg
+        |FROM o FULL JOIN i ON o._vid = i._vid""".stripMargin
   )
 }

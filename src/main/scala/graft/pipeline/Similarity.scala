@@ -97,6 +97,53 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) index: deterministic coarse centroids (the
+   * first `nCells` vectors by id — swap for k-means at production
+   * scale), every vector assigned to its nearest centroid. Queries
+   * probe the `nProbe` nearest cells only, so the scored candidate set
+   * shrinks by ~nCells/nProbe versus brute force — the classic
+   * recall/cost dial. Assignment is one broadcast join + window (the
+   * centroid set is tiny); at 100 TB the assignment pass is a single
+   * scan and the cell id becomes a partition column.
+   */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame = {
+    val centroids = broadcast(emb.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cell"), col(vecCol).as("cvec")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("csim").desc, col("cell"))
+    emb.join(centroids)
+      .withColumn("csim", cosine(col(vecCol), col("cvec")))
+      .withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+  }
+
+  /** ANN top-k through the IVF index: probe the nProbe nearest cells. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, vecCol, nCells)
+    val centroids = broadcast(emb.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cell"), col(vecCol).as("cvec")))
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probed = broadcast(queries.join(centroids)
+      .withColumn("csim", cosine(col("qvec"), col("cvec")))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell")))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    probed.join(assigned.select(col(idCol).as("cand_id"),
+        col(vecCol).as("cvec"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("rk", row_number().over(wRank)).filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"))
+  }
+
+  /**
    * Near-duplicate pairs above a cosine threshold, with candidate
    * generation restricted to a blocking column (IVF-style coarse
    * partition: only vectors in the same cell are compared).

@@ -1,0 +1,119 @@
+package graft
+
+import graft.catalog.SchemaEvolution
+import graft.functions.FixedString
+import graft.model.GraphStore
+import graft.operators.Kv
+import graft.pipeline.Similarity
+import org.apache.spark.sql.functions._
+
+class FixedStringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("truncates, pads, preserves exact width — through codegen") {
+    val df = Seq("abcdefghijklmnop", "abc", "12345678", null)
+      .toDF("s")
+    val out = df.select(FixedString.fixedString(col("s"), 8, "_").as("f"))
+      .as[String].collect().toSeq
+    assert(out == Seq("abcdefgh", "abc_____", "12345678", null))
+  }
+
+  test("interpreted eval path agrees with codegen") {
+    val e = FixedString(
+      org.apache.spark.sql.catalyst.expressions.Literal("xy"), 4, "*")
+    assert(e.eval(null).toString == "xy**")
+  }
+}
+
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("old rows get the default expression, new rows keep stored value") {
+    val df = Seq((1L, 1, "stored", 10), (2L, 2, "stored", 20))
+      .toDF("id", SchemaEvolution.VersionCol, "v", "base")
+    val out = SchemaEvolution.applyDefaults(df, Seq(
+      SchemaEvolution.EvolvedField("v", 2,
+        concat(lit("dflt_"), col("base")))))
+    val got = out.select("id", "v").as[(Long, String)].collect().toMap
+    assert(got(1L) == "dflt_10") // v1 row: default expr sees the row
+    assert(got(2L) == "stored")
+  }
+}
+
+class KvSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("put overwrites, get fetches subset, remove deletes") {
+    val space = Seq((1L, "a"), (2L, "b")).toDF("key", "value")
+    val put = Kv.put(space, Seq((2L, "B"), (3L, "c")).toDF("key", "value"))
+    assert(put.count() == 3)
+    assert(put.filter($"key" === 2L).select("value").as[String].head() == "B")
+    val got = Kv.get(put, Seq(1L, 3L, 99L).toDF("key"))
+    assert(got.count() == 2)
+    val removed = Kv.remove(put, Seq(1L).toDF("key"))
+    assert(removed.select("key").as[Long].collect().toSet == Set(2L, 3L))
+  }
+}
+
+class AnalyticsSpec extends SparkSpec {
+  import graft.analytics.GraphAnalytics
+
+  lazy val store: GraphStore = GraphStore.cached(spark, sfDir)
+
+  test("degrees agree with direct counts") {
+    val deg = GraphAnalytics.degrees(store, Seq("placed"))
+    val orders = GraphStore.table(spark, sfDir, "orders")
+    val expect = orders.groupBy(col("o_custkey")).count()
+    val joined = deg.join(expect,
+      deg("_vid") === expect("o_custkey"))
+    assert(joined.filter(col("out_deg") =!= col("count")).count() == 0)
+  }
+
+  test("connected components labels = min vid per component") {
+    // synthetic graph with known components: {1,2,3} and {5,6}.
+    // (On the TPC-H graph tag id-spaces overlap — same-id = same vertex,
+    // which is reference-faithful: a Nebula vertex can hold many tags.)
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 0L), (2L, 3L, 0L), (5L, 6L, 0L))
+      .toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> Seq(1L, 2L, 3L, 5L, 6L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val cc = GraphAnalytics.connectedComponents(tiny, Seq("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("pagerank: sinks rank above sources, mass is finite") {
+    val pr = GraphAnalytics.pageRank(store, Seq("in_region"), iters = 5)
+    // regions (sinks with many in-edges) must outrank nations (sources)
+    val regionIds = store.tag("region").select("_vid")
+      .collect().map(_.getLong(0)).toSet
+    val rows = pr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val regionAvg = rows.filter(kv => regionIds(kv._1)).values.sum /
+      regionIds.size
+    val otherAvg = rows.filterNot(kv => regionIds(kv._1)).values.sum /
+      (rows.size - regionIds.size)
+    assert(regionAvg > otherAvg)
+  }
+}
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivf topk finds the exact neighbor when cells align") {
+    val emb = GraphStore.table(spark, sfDir, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      Seq(20L), k = 10).select("cand_id").as[Long].collect().toSet
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      Seq(20L), k = 10, nCells = 8, nProbe = 8)
+      .select("cand_id").as[Long].collect().toSet
+    // nProbe = nCells probes everything -> recall must be 1
+    assert(approx == exact)
+    val partial = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      Seq(20L), k = 10, nCells = 8, nProbe = 2)
+      .select("cand_id").as[Long].collect().toSet
+    assert(partial.nonEmpty && partial.subsetOf(
+      (0L until 1000L).toSet))
+  }
+}
