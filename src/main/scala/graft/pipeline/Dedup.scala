@@ -115,24 +115,42 @@ object Dedup {
 
   /**
    * LSH candidate pairs: band the signature (bands × rowsPerBand =
-   * numHashes), bucket-join on (band, band-signature), distinct pairs.
-   * One shuffle on the band signature; bucket sizes stay bounded because
-   * each band key is a concatenation of `rowsPerBand` minhashes.
+   * numHashes), group ids per (band, band-signature) bucket, emit
+   * intra-bucket pairs, distinct.
+   *
+   * One pass, one shuffle: bands are exploded from each signature row
+   * (not a per-band union, which would re-execute the whole signature
+   * computation per band), and pairs are generated inside each bucket
+   * with array combinatorics instead of a self-join (a self-join would
+   * recompute the upstream a second time AND quadratically shuffle).
+   * `maxBucketSize` drops degenerate buckets (hot band signatures) the
+   * way the jaccard path caps document frequency; 0 disables.
    */
   def lshCandidatePairs(signatures: DataFrame, numHashes: Int,
-      bands: Int): DataFrame = {
+      bands: Int, maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val banded = (0 until bands).map { bIdx =>
+    val bandStructs = (0 until bands).map { bIdx =>
       val cols = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand)
         .map(i => col(s"mh$i"))
-      signatures.select(col("id"),
-        lit(bIdx).as("band"), concat_ws(":", cols: _*).as("sig"))
-    }.reduce(_ unionByName _)
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      struct(lit(bIdx).as("band"), concat_ws(":", cols: _*).as("sig"))
+    }
+    val banded = signatures
+      .select(col("id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.sig").as("sig"))
+    val buckets = banded.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val capped =
+      if (maxBucketSize <= 0) buckets
+      else buckets.filter(size(col("ids")) <= maxBucketSize)
+    // all (i < j) pairs within the sorted bucket id array
+    val nestedPairs = transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("a"), y.as("b"))))
+    capped
+      .select(explode(flatten(nestedPairs)).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
   }
 
