@@ -343,7 +343,28 @@ object SparkEntry {
         edgeTypes = Seq("placed"),
         vertexIds = Some(1L to 20L),
         direction = Out,
-        edgeProps = Seq("o_totalprice"))))
+        edgeProps = Seq("o_totalprice")))),
+
+    // ---- HashJoinNode: tag props visible to the edge filter ----
+    "q_get_neighbors_tagprops" -> ((s, dir) =>
+      GetNeighbors.flat(store(s, dir), Request(
+        edgeTypes = Seq("placed"),
+        vertexIds = Some(1L to 40L),
+        direction = Out,
+        edgeProps = Seq("o_totalprice"),
+        tagProps = Map("customer" -> Seq("c_mktsegment", "c_acctbal")),
+        filter = Some(And(
+          Cmp(">", Prop("c_acctbal"), Lit(1000.0)),
+          Cmp(">", Prop("o_totalprice"), Lit(10000.0)))),
+        limitPerVertex = Some(5)))),
+
+    // ---- MultiEdgeIterator: several edge types, storage-key order ----
+    "q_get_neighbors_multitype" -> ((s, dir) =>
+      GetNeighbors.flat(store(s, dir), Request(
+        edgeTypes = Seq("placed", "in_nation"),
+        vertexIds = Some(1L to 25L),
+        direction = Out,
+        limitPerVertex = Some(8))))
   )
 
   /** Shared DuckDB CTE snippets for the text oracles. */
@@ -807,6 +828,33 @@ object SparkEntry {
         |SELECT coalesce(o._vid, i._vid) AS _vid,
         |       coalesce(out_deg, 0) AS out_deg,
         |       coalesce(in_deg, 0) AS in_deg
-        |FROM o FULL JOIN i ON o._vid = i._vid""".stripMargin
+        |FROM o FULL JOIN i ON o._vid = i._vid""".stripMargin,
+
+    "q_get_neighbors_tagprops" ->
+      """SELECT _vid, _type, _rank, _nbr, o_totalprice, c_mktsegment,
+        |       c_acctbal FROM (
+        |  SELECT o_custkey AS _vid, 101 AS _type, o_orderkey AS _rank,
+        |         o_orderkey AS _nbr, o_totalprice, c_mktsegment, c_acctbal,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderkey, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  WHERE o_custkey BETWEEN 1 AND 40
+        |    AND coalesce(c_acctbal > 1000.0 AND o_totalprice > 10000.0,
+        |                 false)
+        |) t WHERE rn <= 5""".stripMargin,
+
+    "q_get_neighbors_multitype" ->
+      """SELECT _vid, _type, _rank, _nbr FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY _vid
+        |    ORDER BY _type, _rank, _nbr) AS rn
+        |  FROM (
+        |    SELECT o_custkey AS _vid, 101 AS _type, o_orderkey AS _rank,
+        |           o_orderkey AS _nbr
+        |    FROM orders WHERE o_custkey BETWEEN 1 AND 25
+        |    UNION ALL
+        |    SELECT c_custkey, 104, CAST(0 AS BIGINT),
+        |           CAST(c_nationkey AS BIGINT)
+        |    FROM customer WHERE c_custkey BETWEEN 1 AND 25)
+        |) t WHERE rn <= 8""".stripMargin
   )
 }

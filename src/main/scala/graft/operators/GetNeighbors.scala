@@ -47,6 +47,11 @@ object GetNeighbors {
       vertexIds: Option[Seq[Long]] = None, // None = go over all vertices
       direction: Direction = Out,
       edgeProps: Seq[String] = Nil,
+      /** Tag props of the input vertex, joined into the stream before
+        * the filter runs — the reference's HashJoinNode publishes tag
+        * props into the expression context so filters see tag+edge
+        * together (src/storage/exec/HashJoinNode.h:19-164). */
+      tagProps: Map[String, Seq[String]] = Map.empty,
       filter: Option[FilterExpr] = None,
       limitPerVertex: Option[Int] = None,
       sample: Option[Int] = None, // reservoir size per vertex
@@ -94,9 +99,19 @@ object GetNeighbors {
       }
     }
     val unioned = perType.reduce(_ unionByName _)
+    // vertex ⋈ edge colocated join (HashJoinNode): attach the input
+    // vertex's tag props so the filter can reference them. Missing tag
+    // rows yield nulls (the reference publishes an empty Value).
+    val withTags = req.tagProps.foldLeft(unioned) {
+      case (df, (tag, props)) =>
+        val tagDf = restrict(store.tag(tag), GraphStore.VID, req.vertexIds)
+          .select((GraphStore.VID +: props).map(col): _*)
+          .withColumnRenamed(GraphStore.VID, "_vid")
+        df.join(tagDf, Seq("_vid"), "left_outer")
+    }
     req.filter match {
-      case Some(f) => unioned.filter(FilterExpr.predicate(f))
-      case None => unioned
+      case Some(f) => withTags.filter(FilterExpr.predicate(f))
+      case None => withTags
     }
   }
 

@@ -35,6 +35,34 @@ object EventStream {
       watermark: String = "2 hours"): DataFrame =
     windowedAgg(events.withWatermark("ts", watermark))
 
+  final case class UserEvent(user_id: Long, event_type: String,
+      value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long,
+      total_value: Double)
+
+  /**
+   * Custom keyed state via `mapGroupsWithState`: per-user running
+   * totals that survive across micro-batches — the Structured
+   * Streaming state-store primitive for operators the built-in
+   * aggregations can't express. Runs identically over a batch Dataset
+   * (single "micro-batch").
+   */
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserTotals] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          val next = it.foldLeft(prev) { (acc, e) =>
+            UserTotals(uid, acc.n_events + 1, acc.total_value + e.value)
+          }
+          state.update(next)
+          next
+      }
+  }
+
   /**
    * Gap-based sessionization (batch formulation): a new session starts
    * when a user's inter-event gap exceeds `gapMinutes`. Emits one row

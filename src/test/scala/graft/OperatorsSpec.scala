@@ -201,3 +201,10 @@ class SampleScanTtlSpec extends SparkSpec {
     assert(vis.select("id").as[Long].collect().toSet == Set(2L))
   }
 }
+
+/** Driver smoke contract: entry() must return rows at sf0.001. */
+class EntrySpec extends SparkSpec {
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

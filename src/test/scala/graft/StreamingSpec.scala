@@ -34,6 +34,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState running totals agree with groupBy") {
+    import spark.implicits._
+    import graft.streaming.EventStream.UserEvent
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "value").as[UserEvent]
+    val got = EventStream.runningUserTotals(events)
+      .collect().map(t => t.user_id -> ((t.n_events, t.total_value))).toMap
+    val expect = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (u, (n, v)) =>
+      assert(n == expect(u)._1)
+      assert(math.abs(v - expect(u)._2) < 1e-6)
+    }
+  }
+
   test("sessionize: gaps split sessions, counts cover all events") {
     val events = graft.sources.Tables.events(spark, sfDir)
     val sessions = EventStream.sessionize(events, gapMinutes = 30)
