@@ -22,6 +22,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // the sf fixtures are single small parquet files; with the default
+      // 128 MB split size every scan stage is ONE task and the
+      // compute-heavy pipeline stages (shingle md5, cosine) serialize on
+      // a single core. At production scale file count provides the
+      // parallelism; locally the split size is the equivalent knob.
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

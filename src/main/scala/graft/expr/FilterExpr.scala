@@ -52,6 +52,19 @@ object FilterExpr {
   final case class Cast(to: String, e: FilterExpr) extends FilterExpr
   /** Function call, dispatched to the Spark builtin of the same name. */
   final case class Func(name: String, args: Seq[FilterExpr]) extends FilterExpr
+  /** LIST / MAP literals (the reference's container constructors). */
+  final case class ListLit(items: Seq[FilterExpr]) extends FilterExpr
+  final case class MapLit(pairs: Seq[(FilterExpr, FilterExpr)]) extends FilterExpr
+  /** Predicate over a list: any/all/none (reference `any(x IN l WHERE p)`
+    * etc.) — the lambda is expressed over the bound element column. */
+  final case class AnyMatch(list: FilterExpr, pred: Column => Column) extends FilterExpr
+  final case class AllMatch(list: FilterExpr, pred: Column => Column) extends FilterExpr
+  /** List comprehension `[x IN l WHERE p | f(x)]`: filter then map. */
+  final case class Comprehension(list: FilterExpr, pred: Column => Column,
+      map: Column => Column) extends FilterExpr
+  /** reduce(acc = z, x IN l | merge(acc, x)). */
+  final case class Reduce(list: FilterExpr, zero: FilterExpr,
+      merge: (Column, Column) => Column) extends FilterExpr
 
   def compile(e: FilterExpr): Column = e match {
     case Lit(v) => lit(v)
@@ -89,6 +102,14 @@ object FilterExpr {
       default.map(d => chained.otherwise(compile(d))).getOrElse(chained)
     case Cast(to, x) => compile(x).cast(to)
     case Func(name, args) => call_function(name, args.map(compile): _*)
+    case ListLit(items) => array(items.map(compile): _*)
+    case MapLit(pairs) =>
+      map(pairs.flatMap { case (k, v) => Seq(compile(k), compile(v)) }: _*)
+    case AnyMatch(l, p) => exists(compile(l), p)
+    case AllMatch(l, p) => forall(compile(l), p)
+    case Comprehension(l, p, m) =>
+      transform(filter(compile(l), p), m)
+    case Reduce(l, z, m) => aggregate(compile(l), compile(z), m)
   }
 
   /**

@@ -74,11 +74,21 @@ object Dedup {
         sh.join(freq.select("shingle"), Seq("shingle"))
       }
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
-    val a = filtered.as("a"); val b = filtered.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
-        col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Inverted-index pair counting WITHOUT a self-join: group ids per
+    // shingle, emit intra-bucket (i < j) pairs, count pair occurrences =
+    // |A ∩ B|. A self-join would recompute the shingle frame twice and
+    // shuffle it twice; this shuffles it once.
+    val buckets = filtered.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val nestedPairs = transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("a"), y.as("b"))))
+    val inter = buckets.select(explode(flatten(nestedPairs)).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    // no broadcast hint on `sizes`: it is corpus-sized (one row per
+    // doc) — AQE picks broadcast at runtime when it actually fits.
     inter
       .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sz", "sz_a"), Seq("id_a"))

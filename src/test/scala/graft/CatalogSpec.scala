@@ -1,0 +1,87 @@
+package graft
+
+import graft.catalog.{Catalog, CatalogReader, SchemaEvolution}
+import graft.expr.FilterExpr
+import graft.expr.FilterExpr._
+import graft.model.GraphStore
+import graft.sources.BucketedStore
+import org.apache.spark.sql.functions._
+
+class CatalogReaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("catalog read applies TTL + evolved defaults + fixed width") {
+    val rows = Seq(
+      (1L, 1, "alice_longname", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, 2, "bo", java.sql.Timestamp.valueOf("2024-01-15 00:00:00")),
+      (3L, 2, "expired", java.sql.Timestamp.valueOf("2023-01-01 00:00:00")))
+      .toDF("_vid", SchemaEvolution.VersionCol, "name", "ts")
+    val store = GraphStore(Map("t" -> rows), Map.empty, Map.empty)
+    val space = Catalog.SpaceDef("s",
+      tags = Map("t" -> Catalog.TagDef("t",
+        fields = Seq(
+          Catalog.FieldDef("name", sinceVersion = 2,
+            default = Some(lit("dflt")), fixedWidth = Some(6))),
+        ttl = Some(Catalog.TtlDef("ts", 86400L * 30)))),
+      edges = Map.empty)
+    val now = to_timestamp(lit("2024-01-20 00:00:00"))
+    val out = CatalogReader.readTag(store, space, "t", now)
+      .select("_vid", "name").as[(Long, String)].collect().toMap
+    assert(!out.contains(3L)) // TTL-expired row invisible
+    assert(out(1L) == "dflt  ") // v1 row: default, then fixed to width 6
+    assert(out(2L) == "bo    ") // stored value padded
+  }
+}
+
+class BucketedStoreSpec extends SparkSpec {
+
+  test("bucketed tables join without an exchange (colocated join)") {
+    val store = GraphStore.cached(spark, sfDir)
+    BucketedStore.save(store.tag("customer"), "bk_customer", 4, Seq("_vid"))
+    BucketedStore.save(store.edge("placed"), "bk_placed", 4, Seq("_src"))
+    val c = BucketedStore.load(spark, "bk_customer")
+    val e = BucketedStore.load(spark, "bk_placed")
+    val joined = e.join(c, e("_src") === c("_vid"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // neither side may shuffle: bucket layout == reference's part
+    // colocation of a vertex with its edges
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in:\n$plan")
+    assert(joined.count() == store.edge("placed").count())
+  }
+
+  test("rebuildIndex materializes a covering sorted projection") {
+    val store = GraphStore.cached(spark, sfDir)
+    BucketedStore.rebuildIndex(store.tag("part"), "bk_part_idx", 4,
+      Seq("p_size", "p_brand"))
+    val idx = BucketedStore.load(spark, "bk_part_idx")
+    assert(idx.columns.toSeq == Seq("p_size", "p_brand"))
+    assert(idx.count() == store.tag("part").count())
+  }
+}
+
+class HigherOrderExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  val df = Seq((1L, Seq(1, 2, 3)), (2L, Seq(10, 20))).toDF("id", "xs")
+
+  test("list literal / any / all / comprehension / reduce") {
+    assert(df.filter(FilterExpr.predicate(
+        AnyMatch(Prop("xs"), x => x > 15)))
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(df.filter(FilterExpr.predicate(
+        AllMatch(Prop("xs"), x => x < 5)))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    val comp = df.select(FilterExpr.compile(
+      Comprehension(Prop("xs"), x => x % 2 === 1, x => x * 10)).as("c"))
+      .as[Seq[Int]].collect().toSeq
+    assert(comp == Seq(Seq(10, 30), Seq.empty))
+    val red = df.select(FilterExpr.compile(
+      Reduce(Prop("xs"), Lit(0), (acc, x) => acc + x)).as("r"))
+      .as[Int].collect().toSeq
+    assert(red == Seq(6, 30))
+    val ll = df.select(FilterExpr.compile(
+      ListLit(Seq(Lit(1), Lit(2)))).as("l")).as[Seq[Int]].head()
+    assert(ll == Seq(1, 2))
+  }
+}
