@@ -87,6 +87,7 @@ object SparkEntry {
         Seq(1L, 5L, 7L, 11L, 42L, 99L),
         Seq("c_name", "c_acctbal", "c_mktsegment"))),
 
+
     // ---- Lookup / index semantics (§2.4) ----
     "q_lookup_prefix_range" -> ((s, dir) =>
       Lookup(t(s, dir, "lineitem"), Lookup.Request(

@@ -19,12 +19,14 @@ object BucketedStore {
 
   /** Persist a frame bucketed+sorted on the key columns. */
   def save(df: DataFrame, table: String, buckets: Int,
-      keys: Seq[String]): Unit =
+      keys: Seq[String]): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def load(spark: SparkSession, table: String): DataFrame =
     spark.table(table)

@@ -35,7 +35,22 @@ class CatalogReaderSpec extends SparkSpec {
 
 class BucketedStoreSpec extends SparkSpec {
 
+  // a previous JVM's in-memory catalog forgot these managed tables but
+  // their warehouse directories survive — clear them or saveAsTable
+  // refuses with LOCATION_ALREADY_EXISTS
+  private def clearStale(tables: String*): Unit = tables.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(s"spark-warehouse/$t")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(loc)
+    }
+  }
+
   test("bucketed tables join without an exchange (colocated join)") {
+    clearStale("bk_customer", "bk_placed")
     val store = GraphStore.cached(spark, sfDir)
     BucketedStore.save(store.tag("customer"), "bk_customer", 4, Seq("_vid"))
     BucketedStore.save(store.edge("placed"), "bk_placed", 4, Seq("_src"))
@@ -51,6 +66,7 @@ class BucketedStoreSpec extends SparkSpec {
   }
 
   test("rebuildIndex materializes a covering sorted projection") {
+    clearStale("bk_part_idx")
     val store = GraphStore.cached(spark, sfDir)
     BucketedStore.rebuildIndex(store.tag("part"), "bk_part_idx", 4,
       Seq("p_size", "p_brand"))

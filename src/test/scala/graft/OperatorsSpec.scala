@@ -208,3 +208,19 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 }
+
+/** FetchEdgeNode: point-get edge rows by full (src, rank, dst) key. */
+class FetchEdgeSpec extends SparkSpec {
+  test("fetch by full edge key returns exactly those edges") {
+    val store = GraphStore.cached(spark, sfDir)
+    val sample = store.edge("contains")
+      .orderBy("_src", "_rank", "_dst").limit(3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    val fetched = GetProps.edges(store, "contains", sample.toSeq,
+      props = Seq("l_quantity"))
+    assert(fetched.count() == 3)
+    val got = fetched.select("_src", "_rank", "_dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == sample.toSet)
+  }
+}
