@@ -159,18 +159,44 @@ object GetNeighbors {
   }
 
   /**
-   * Reference-shaped nested result: one row per input vertex, each edge
-   * type's matches collected as an ordered array of structs — the Spark
-   * mapping of the `_edge:e:p1:p2` `List[List]` cell
+   * Reference-shaped nested result: one row per input vertex with the
+   * `_stats` aggregate struct and each edge type's matches collected as
+   * an ordered array of structs — the Spark mapping of the
+   * `_vid, _stats, _edge:e:p1:p2…` response columns
    * (src/storage/exec/GetNeighborsNode.h:50-115, SURVEY.md §1.3).
+   *
+   * Single shuffle: stats aggregate over the full post-filter stream
+   * while the per-vertex limit is applied *inside* the aggregation
+   * (`slice` of the key-ordered collected array) — the plan order the
+   * reference builds (FilterNode → AggregateNode → GetNeighborsNode,
+   * GetNeighborsProcessor.cpp:225-247).
    */
   def grouped(store: GraphStore, req: Request): DataFrame = {
-    val flatDf = flat(store, req)
+    val edges = edgeStream(store, req)
     val payload = struct(
       (Seq("_type", "_rank", "_nbr") ++
-        req.edgeProps.filter(flatDf.columns.contains)).map(col): _*)
-    flatDf
-      .groupBy(col("_vid"))
-      .agg(sort_array(collect_list(payload)).as("_edges"))
+        req.edgeProps.filter(edges.columns.contains)).map(col): _*)
+    val statAggs = req.stats.map { s =>
+      val c = col(s.prop)
+      (s.stat.toLowerCase match {
+        case "sum" => sum(c)
+        case "count" => count(if (s.prop == "*") lit(1) else c)
+        case "avg" => avg(c)
+        case "min" => min(c)
+        case "max" => max(c)
+        case other => throw new IllegalArgumentException(s"stat $other")
+      }).as(s.alias)
+    }
+    val collected = sort_array(collect_list(payload)).as("_all")
+    val base = edges.groupBy(col("_vid"))
+      .agg(collected, statAggs: _*)
+    val limited = req.limitPerVertex match {
+      case Some(k) => base.withColumn("_edges", slice(col("_all"), 1, k))
+      case None => base.withColumn("_edges", col("_all"))
+    }
+    val statsCol =
+      if (req.stats.isEmpty) Seq.empty
+      else Seq(struct(req.stats.map(s => col(s.alias)): _*).as("_stats"))
+    limited.select(col("_vid") +: statsCol :+ col("_edges"): _*)
   }
 }
