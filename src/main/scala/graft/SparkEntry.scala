@@ -216,6 +216,10 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
 
+    "q_simhash_neardup" -> ((s, dir) => // rows-only: 64-bit banded pairs
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        bits = 64, maxHamming = 3)),
+
     // ---- Text analysis ----
     "q_text_quality" -> ((s, dir) => {
       val cols = TextAnalysis.qualityColumns(col("text"))

@@ -21,11 +21,12 @@ object Kv {
     Mutations.addRows(space, pairs, Seq("key"), ifNotExists = false)
 
   /** Fetch values for a key set; missing keys are absent (the
-    * reference returns partial results with a key-not-found code). */
+    * reference returns partial results with a key-not-found code).
+    * Key sides are unhinted — AQE broadcasts them when they fit. */
   def get(space: DataFrame, keys: DataFrame): DataFrame =
-    space.join(broadcast(keys), Seq("key"), "left_semi")
+    space.join(keys, Seq("key"), "left_semi")
 
   /** Remove a key set. */
   def remove(space: DataFrame, keys: DataFrame): DataFrame =
-    space.join(broadcast(keys), Seq("key"), "left_anti")
+    space.join(keys, Seq("key"), "left_anti")
 }

@@ -44,10 +44,12 @@ object Mutations {
       .drop("_prio", "_rn")
   }
 
-  /** Delete rows whose key appears in `keys` (anti-join rewrite). */
+  /** Delete rows whose key appears in `keys` (anti-join rewrite).
+    * No forced broadcast: delete sets can be table-sized; AQE picks
+    * broadcast at runtime when the key side actually fits. */
   def deleteRows(existing: DataFrame, keys: DataFrame,
       keyCols: Seq[String]): DataFrame =
-    existing.join(broadcast(keys), keyCols, "left_anti")
+    existing.join(keys, keyCols, "left_anti")
 
   /** Delete by predicate (reference's delete-by-lookup composition). */
   def deleteWhere(existing: DataFrame, pred: FilterExpr): DataFrame =
@@ -81,8 +83,8 @@ object Mutations {
       condition: Option[FilterExpr], sets: Seq[(String, Column)],
       insertable: Boolean, defaults: Map[String, Column]): DataFrame = {
     val cols = table.columns.toSeq
-    val upd = broadcast(updates.select(keys.map(col): _*)
-      .withColumn("_touched", lit(true)))
+    val upd = updates.select(keys.map(col): _*)
+      .withColumn("_touched", lit(true))
     val joined = table.withColumn("_exists", lit(true))
       .join(upd, keys, "full_outer")
     val touched = coalesce(col("_touched"), lit(false))

@@ -171,7 +171,7 @@ object Dedup {
    */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16): DataFrame = {
-    require(bits % 4 == 0 && bits <= 32, "bits must be a multiple of 4 <= 32")
+    require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4 <= 64")
     val tok = df.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     // nibble d = hex digit (bits/4 digits used); bit b of the digit via
@@ -189,5 +189,50 @@ object Dedup {
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     grouped.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-duplicate pairs with hamming distance ≤ `maxHamming`,
+   * found by signature banding: split the `bits`-wide signature into
+   * `maxHamming + 1` bands — any pair within the distance budget must
+   * agree exactly on at least one band (pigeonhole), so candidates come
+   * from one bucket join instead of an all-pairs scan; the exact
+   * hamming check then filters the bucket.
+   */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandWidth = math.max(bits / nBands, 1)
+    val sigs = simhash(df, idCol, textCol, bits)
+    val bandStructs = (0 until nBands).map { bIdx =>
+      val lo = bIdx * bandWidth
+      val width = if (bIdx == nBands - 1) bits - lo else bandWidth
+      // extract the band: (sig >> lo) mod 2^width
+      val bandVal = pmod(shiftrightunsigned(col("simhash"), lo),
+        lit(math.pow(2, width).toLong))
+      struct(lit(bIdx).as("band"), bandVal.as("sig"))
+    }
+    val banded = sigs
+      .select(col("id"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("id"), col("simhash"),
+        col("b.band").as("band"), col("b.sig").as("sig"))
+    val buckets = banded.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash"))))
+        .as("members"))
+      .filter(size(col("members")) > 1)
+    val nestedPairs = transform(col("members"), (x, i) =>
+      transform(slice(col("members"), i + 2, size(col("members"))),
+        y => struct(x.getField("id").as("id_a"),
+          y.getField("id").as("id_b"),
+          hamming(x.getField("simhash"), y.getField("simhash"))
+            .as("dist"))))
+    buckets.select(explode(flatten(nestedPairs)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.dist").as("dist"))
+      .filter(col("dist") <= maxHamming)
+      .distinct()
   }
 }

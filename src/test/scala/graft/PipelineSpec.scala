@@ -53,6 +53,23 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L) == sh(6L))
     assert(hamming(sh(1L), sh(2L)) <= hamming(sh(1L), sh(3L)))
   }
+
+  test("simhash near-dup banding finds exact duplicates at any budget") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      bits = 64, maxHamming = 3)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 6L))) // hamming 0 pair must always surface
+    // banding is exact w.r.t. the distance bound: verify against the
+    // brute-force distance matrix
+    val sigs = Dedup.simhash(docs, "doc_id", "text", bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
