@@ -260,6 +260,10 @@ object SparkEntry {
       EventStream.sessionize(graft.sources.Tables.events(s, dir),
         gapMinutes = 30)),
 
+    "q_events_session_window" -> ((s, dir) =>
+      EventStream.sessionWindowAgg(graft.sources.Tables.events(s, dir),
+        gap = "30 minutes")),
+
     // ---- Fixed-string semantics (custom codegen Expression, §7.3) ----
     "q_fixed_string" -> ((s, dir) =>
       store(s, dir).tag("customer").select(col("_vid"),
@@ -753,6 +757,31 @@ object SparkEntry {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_events_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value, lag(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |n AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN prev_ts IS NULL OR ts - prev_ts
+        |           >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM n)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+        |    AS session_end,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
 
     "q_fixed_string" ->
       """SELECT c_custkey AS _vid, rpad(c_name, 12, '_') AS fixed_name

@@ -35,6 +35,19 @@ object EventStream {
       watermark: String = "2 hours"): DataFrame =
     windowedAgg(events.withWatermark("ts", watermark))
 
+  /** Native session windows (the streaming formulation of
+    * [[sessionize]]): gap-merged per-user sessions via
+    * `session_window`, usable batch or streaming-with-watermark. */
+  def sessionWindowAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   final case class UserEvent(user_id: Long, event_type: String,
       value: Double)
   final case class UserTotals(user_id: Long, n_events: Long,

@@ -52,6 +52,17 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("session_window agrees with the window-function sessionize") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val native = EventStream.sessionWindowAgg(events, "30 minutes")
+    val manual = EventStream.sessionize(events, 30)
+    assert(native.count() == manual.count())
+    // same multiset of (user, session event-count)
+    val a = native.groupBy("user_id", "n_events").count()
+    val b = manual.groupBy("user_id", "n_events").count()
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("sessionize: gaps split sessions, counts cover all events") {
     val events = graft.sources.Tables.events(spark, sfDir)
     val sessions = EventStream.sessionize(events, gapMinutes = 30)
