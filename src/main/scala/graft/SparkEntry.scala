@@ -195,6 +195,20 @@ object SparkEntry {
           round(col("p_retailprice") * 0.9, 2).as("disc_price"))
     }),
 
+    "q_expr_hof" -> ((s, dir) => {
+      // higher-order expression surface (comprehension/predicate/reduce)
+      val toks = Prop("_toks")
+      t(s, dir, "documents")
+        .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"),
+          size(FilterExpr.compile(Comprehension(toks,
+            x => length(x) > 4, x => x))).as("n_long_tokens"),
+          FilterExpr.compile(AnyMatch(toks, x => x === "the"))
+            .as("has_the"),
+          FilterExpr.compile(Reduce(toks, Lit(0),
+            (acc, x) => acc + length(x))).as("total_tok_chars"))
+    }),
+
     // ---- Training-data pipeline: dedup family ----
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactSummary(t(s, dir, "documents"), "doc_id", "text")),
@@ -595,6 +609,16 @@ object SparkEntry {
         |       OR contains(p_type, 'BRASS'))
         |  AND p_size % 2 = 1
         |  AND ((p_size > 20) <> (p_retailprice > 1500.0))""".stripMargin,
+
+    "q_expr_hof" ->
+      s"""WITH $TokCte
+         |SELECT doc_id,
+         |  CAST(len(list_filter(t, x -> length(x) > 4)) AS INTEGER)
+         |    AS n_long_tokens,
+         |  list_contains(t, 'the') AS has_the,
+         |  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+         |       AS INTEGER) AS total_tok_chars
+         |FROM toks""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))

@@ -197,6 +197,14 @@ object GetNeighbors {
     val statsCol =
       if (req.stats.isEmpty) Seq.empty
       else Seq(struct(req.stats.map(s => col(s.alias)): _*).as("_stats"))
-    limited.select(col("_vid") +: statsCol :+ col("_edges"): _*)
+    val result = limited.select(col("_vid") +: statsCol :+ col("_edges"): _*)
+    // `_tag:t:p1:p2…` cells: one struct column per requested tag with
+    // the input vertex's tag props (null struct when the vertex lacks
+    // the tag — the reference's empty Value).
+    req.tagProps.foldLeft(result) { case (df, (tag, props)) =>
+      val cell = store.tag(tag).select(col(GraphStore.VID).as("_vid"),
+        struct(props.map(col): _*).as(s"_tag_$tag"))
+      df.join(cell, Seq("_vid"), "left_outer")
+    }
   }
 }

@@ -90,12 +90,23 @@ class GetNeighborsSpec extends SparkSpec {
     assert(got.except(manual).isEmpty && manual.except(got).isEmpty)
   }
 
-  test("grouped shape: one row per vertex, edges array sorted") {
+  test("grouped shape: _vid, _stats, _tag cells, ordered _edges array") {
     val df = GetNeighbors.grouped(store, Request(Seq("placed"),
       vertexIds = Some(Seq(1L, 2L)), direction = Out,
-      edgeProps = Seq("o_totalprice")))
+      edgeProps = Seq("o_totalprice"),
+      tagProps = Map("customer" -> Seq("c_name", "c_acctbal")),
+      limitPerVertex = Some(3),
+      stats = Seq(StatSpec("*", "count", "cnt"),
+        StatSpec("o_totalprice", "sum", "s"))))
     assert(df.count() <= 2)
     assert(df.schema("_edges").dataType.typeName == "array")
+    assert(df.schema("_stats").dataType.typeName == "struct")
+    assert(df.schema("_tag_customer").dataType.typeName == "struct")
+    val r = df.filter(col("_vid") === 1L).head()
+    // stats cover the FULL post-filter stream; _edges capped at 3
+    val cnt = r.getAs[org.apache.spark.sql.Row]("_stats").getAs[Long]("cnt")
+    val edges = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("_edges")
+    assert(edges.size <= 3 && cnt >= edges.size)
   }
 }
 
