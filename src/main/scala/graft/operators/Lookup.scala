@@ -75,4 +75,31 @@ object Lookup {
       .dropDuplicates(req.dedupKeys)
       .select(req.yieldCols.map(col): _*)
   }
+
+  /**
+   * Plan shapes 2/4 with a *materialized* index: scan the (sorted,
+   * bucketed) index projection with the hints, then fetch the base rows
+   * the hits point to — the reference's IndexScanNode →
+   * IndexVertexNode/IndexEdgeNode → [IndexFilterNode] → IndexOutputNode
+   * chain (src/storage/index/LookupBaseProcessor.inl:304-439). The
+   * index-hit set is usually tiny relative to the base table, so the
+   * fetch is a semi-join AQE turns into a broadcast.
+   *
+   * Use when yield/residual needs non-indexed columns; when the index
+   * covers them, plain [[apply]] on the index table is shape 1/3.
+   */
+  def viaIndex(indexTable: DataFrame, baseTable: DataFrame,
+      keyCols: Seq[String], req: Request): DataFrame = {
+    val hits = req.contexts.map { ctx =>
+      indexTable.filter(hintPredicate(ctx.hints))
+    }.reduce(_ unionByName _)
+      .select(keyCols.map(col): _*).dropDuplicates(keyCols)
+    val fetched = baseTable.join(hits, keyCols, "left_semi")
+    val residuals = req.contexts.flatMap(_.residual)
+    val filtered = residuals.foldLeft(fetched) { (df, f) =>
+      df.filter(FilterExpr.predicate(f))
+    }
+    filtered.dropDuplicates(req.dedupKeys)
+      .select(req.yieldCols.map(col): _*)
+  }
 }

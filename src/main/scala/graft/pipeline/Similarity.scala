@@ -144,6 +144,19 @@ object Similarity {
   }
 
   /**
+   * Recall@k of an approximate result against the exact one: the
+   * tuning metric for the LSH/IVF dials (share of exact top-k
+   * neighbors the approximate search recovered, averaged over queries).
+   */
+  def recallAtK(exact: DataFrame, approx: DataFrame): Double = {
+    val e = exact.select(col("query_id"), col("cand_id"))
+    val a = approx.select(col("query_id"), col("cand_id"))
+    val hit = e.join(a, Seq("query_id", "cand_id"), "left_semi").count()
+    val total = e.count()
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+
+  /**
    * Near-duplicate pairs above a cosine threshold, with candidate
    * generation restricted to a blocking column (IVF-style coarse
    * partition: only vectors in the same cell are compared).

@@ -101,3 +101,42 @@ class HigherOrderExprSpec extends SparkSpec {
     assert(ll == Seq(1, 2))
   }
 }
+
+/** Plan shapes 2/4: materialized index scan -> base-row fetch. */
+class IndexFetchSpec extends SparkSpec {
+  test("viaIndex returns the same rows as a direct filtered scan") {
+    val part = GraphStore.table(spark, sfDir, "part")
+    val index = part.select("p_size", "p_brand", "p_partkey") // covering proj
+    val req = graft.operators.Lookup.Request(
+      contexts = Seq(graft.operators.Lookup.IndexQueryContext(
+        Seq(graft.operators.Lookup.Prefix("p_size", 10)),
+        residual = Some(graft.expr.FilterExpr.Cmp(">",
+          graft.expr.FilterExpr.Prop("p_retailprice"),
+          graft.expr.FilterExpr.Lit(500.0))))),
+      yieldCols = Seq("p_partkey", "p_name", "p_retailprice"),
+      dedupKeys = Seq("p_partkey"))
+    val got = graft.operators.Lookup.viaIndex(index, part,
+      Seq("p_partkey"), req)
+    val direct = part.filter(col("p_size") === 10 &&
+        col("p_retailprice") > 500.0)
+      .select("p_partkey", "p_name", "p_retailprice")
+    assert(got.except(direct).isEmpty && direct.except(got).isEmpty)
+  }
+}
+
+/** Recall@k: full probe = exact; fewer probes trade recall. */
+class RecallSpec extends SparkSpec {
+  import graft.pipeline.Similarity
+  test("recall@k is 1.0 when probing all cells, <=1 otherwise") {
+    val emb = GraphStore.table(spark, sfDir, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      Seq(5L, 6L), k = 5)
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      Seq(5L, 6L), k = 5, nCells = 8, nProbe = 8)
+    assert(Similarity.recallAtK(exact, full) == 1.0)
+    val partial = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      Seq(5L, 6L), k = 5, nCells = 8, nProbe = 1)
+    val r = Similarity.recallAtK(exact, partial)
+    assert(r >= 0.0 && r <= 1.0)
+  }
+}
