@@ -174,13 +174,15 @@ object Dedup {
     require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4 <= 64")
     val tok = df.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-    // nibble d = hex digit (bits/4 digits used); bit b of the digit via
-    // integer div/mod — portable arithmetic, no bitwise ops needed.
-    val withBits = (0 until bits).foldLeft(
-      tok.withColumn("hx", md5(col("tok")))) { (d, b) =>
-      val nibble = conv(substring(col("hx"), 1 + b / 4, 1), 16, 10)
-        .cast("int")
-      d.withColumn(s"b$b", shiftright(nibble, b % 4) % 2)
+    // decode each needed hex digit ONCE, then derive its 4 bits by
+    // shifts — 16 conv() calls per token instead of 64.
+    val withNibbles = (0 until bits / 4).foldLeft(
+      tok.withColumn("hx", md5(col("tok")))) { (d, i) =>
+      d.withColumn(s"nib$i",
+        conv(substring(col("hx"), 1 + i, 1), 16, 10).cast("int"))
+    }
+    val withBits = (0 until bits).foldLeft(withNibbles) { (d, b) =>
+      d.withColumn(s"b$b", shiftright(col(s"nib${b / 4}"), b % 4) % 2)
     }
     val sums = (0 until bits).map(b =>
       sum(col(s"b$b") * 2 - 1).as(s"s$b"))
