@@ -120,6 +120,12 @@ object SparkEntry {
         Seq(GraphStore.SRC, "o_totalprice"), limit = 100,
         cursor = Some(1000L))),
 
+    "q_scan_multi_tag" -> ((s, dir) =>
+      Scan.multiTagPage(store(s, dir), Map(
+        "customer" -> Seq("c_name", "c_acctbal"),
+        "order" -> Seq("o_orderstatus", "o_totalprice")),
+        GraphStore.VID, limit = 120, cursor = Some(40L))),
+
     // ---- Mutations (§2.7) ----
     "q_add_vertices_ifnotexists" -> ((s, dir) => {
       val cust = store(s, dir).tag("customer")
@@ -493,6 +499,16 @@ object SparkEntry {
       """SELECT o_orderkey AS _rank, o_custkey AS _src, o_totalprice
         |FROM orders WHERE o_orderkey > 1000
         |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    "q_scan_multi_tag" ->
+      """SELECT coalesce(c._vid, o._vid) AS _vid, c_name, c_acctbal,
+        |       o_orderstatus, o_totalprice
+        |FROM (SELECT c_custkey AS _vid, c_name, c_acctbal FROM customer) c
+        |FULL JOIN (SELECT o_orderkey AS _vid, o_orderstatus, o_totalprice
+        |           FROM orders) o
+        |  ON c._vid = o._vid
+        |WHERE coalesce(c._vid, o._vid) > 40
+        |ORDER BY 1 LIMIT 120""".stripMargin,
 
     "q_add_vertices_ifnotexists" ->
       """WITH existing AS (

@@ -30,6 +30,27 @@ object Scan {
       .select((keyCol +: props).map(col): _*)
   }
 
+  /**
+   * Multi-tag vertex scan: one row per vertex holding the requested
+   * props of EVERY tag the vertex has (nulls where a tag is absent) —
+   * the reference's ScanVertexRequest carries a list of tag prop sets
+   * and emits one row per vertex with per-tag columns
+   * (src/storage/query/ScanVertexProcessor.cpp:27-100).
+   */
+  def multiTagPage(store: graft.model.GraphStore,
+      tagProps: Map[String, Seq[String]], keyCol: String, limit: Int,
+      cursor: Option[Long]): DataFrame = {
+    val perTag = tagProps.toSeq.sortBy(_._1).map { case (tag, props) =>
+      store.tag(tag).select((keyCol +: props).map(col): _*)
+    }
+    val joined = perTag.reduce(_.join(_, Seq(keyCol), "full_outer"))
+    val after = cursor match {
+      case Some(k) => joined.filter(col(keyCol) > lit(k))
+      case None => joined
+    }
+    after.orderBy(col(keyCol)).limit(limit)
+  }
+
   /** Page plus the resume cursor (max key of the page), for drivers that
     * loop pages like the reference's client. */
   def pageWithCursor(table: DataFrame, keyCol: String, props: Seq[String],
