@@ -272,6 +272,23 @@ object SparkEntry {
       Multimodal.decode(media).toDF()
     }),
 
+    "q_multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.ingest(t(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRow](Multimodal.mediaEnc)
+      Multimodal.resizePlan(Multimodal.decode(media), maxSide = 64)
+        .select("id", "width", "height", "scale", "out_w", "out_h")
+    }),
+
+    "q_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.ingest(t(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRow](Multimodal.mediaEnc)
+      Multimodal.sampleFrames(Multimodal.decode(media), step = 2)
+    }),
+
+    "q_lsh_ann" -> ((s, dir) => // rows-only: hyperplane-bucketed top-k
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = (0L to 4L), k = 5, numPlanes = 6, dim = 64)),
+
     // ---- Event stream (batch formulation of the streaming ops) ----
     "q_events_window" -> ((s, dir) =>
       EventStream.windowedAgg(graft.sources.Tables.events(s, dir))),
@@ -767,6 +784,33 @@ object SparkEntry {
         |            THEN octet_length(encode(text)) // 100 + 1
         |            ELSE 1 END AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
+
+    "q_multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER)
+        |      AS width,
+        |    CAST(octet_length(encode(text)) % 480 + 16 AS INTEGER)
+        |      AS height
+        |  FROM documents)
+        |SELECT id, width, height,
+        |  least(64.0 / greatest(width, height), 1.0) AS scale,
+        |  CAST(floor(width * least(64.0 / greatest(width, height), 1.0))
+        |       AS INTEGER) AS out_w,
+        |  CAST(floor(height * least(64.0 / greatest(width, height), 1.0))
+        |       AS INTEGER) AS out_h
+        |FROM d""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    CAST(CASE WHEN doc_id % 3 = 2
+        |              THEN octet_length(encode(text)) // 100 + 1
+        |              ELSE 1 END AS INTEGER) AS n_frames
+        |  FROM documents)
+        |SELECT id, CAST(unnest(range(0, n_frames, 2)) AS INTEGER)
+        |         AS frame_idx
+        |FROM d""".stripMargin,
 
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
