@@ -25,14 +25,19 @@ import scala.util.Random
  */
 object Similarity {
 
+  /** Sequential left-to-right dot product in double — deterministic. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity of two float-array columns, computed in double.
     * Sequential left-to-right fold — deterministic across runs. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+
+  /** Per-vector norm, precomputed once before a pair join — inside the
+    * join, cosine would recompute BOTH norms per pair (3× the flops). */
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   /**
    * Exact top-k neighbors for each query id: broadcast the (small) query
@@ -42,10 +47,13 @@ object Similarity {
       queryIds: Seq[Long], k: Int, roundTo: Int = 6): DataFrame = {
     val queries = broadcast(
       emb.filter(col(idCol).isin(queryIds: _*))
-        .select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+        .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+          norm(col(vecCol)).as("qn")))
     val scored = queries.join(emb.select(col(idCol).as("cand_id"),
-        col(vecCol).as("cvec")), col("query_id") =!= col("cand_id"))
-      .withColumn("sim", round(cosine(col("qvec"), col("cvec")), roundTo))
+        col(vecCol).as("cvec"), norm(col(vecCol)).as("cn")),
+        col("query_id") =!= col("cand_id"))
+      .withColumn("sim", round(
+        dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), roundTo))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -164,11 +172,12 @@ object Similarity {
   def blockedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double, roundTo: Int = 6): DataFrame = {
     val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
-      col(vecCol).as("va"))
+      col(vecCol).as("va"), norm(col(vecCol)).as("na"))
     val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
-      col(vecCol).as("vb"))
+      col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), roundTo))
+      .withColumn("sim", round(
+        dot(col("va"), col("vb")) / (col("na") * col("nb")), roundTo))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
