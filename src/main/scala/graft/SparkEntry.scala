@@ -383,13 +383,24 @@ object SparkEntry {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = (0L to 9L), k = 5, nCells = 16, nProbe = 4)),
 
-    // ---- Nested reference-shaped GetNeighbors (rows-only check) ----
+    // ---- Nested reference-shaped GetNeighbors ----
+    // The nested ArrayType(Struct) `_edges` cell is the product shape
+    // (SURVEY.md §1.3); for the oracle hash the array is serialized to a
+    // canonical string (the driver's compare hashes scalar cells only).
     "q_get_neighbors_grouped" -> ((s, dir) =>
       GetNeighbors.grouped(store(s, dir), Request(
         edgeTypes = Seq("placed"),
         vertexIds = Some(1L to 20L),
         direction = Out,
-        edgeProps = Seq("o_totalprice")))),
+        edgeProps = Seq("o_totalprice")))
+        .select(col("_vid"), size(col("_edges")).as("n_edges"),
+          array_join(transform(col("_edges"), e =>
+            concat_ws(",",
+              e.getField("_type").cast("string"),
+              e.getField("_rank").cast("string"),
+              e.getField("_nbr").cast("string"),
+              e.getField("o_totalprice").cast("decimal(12,2)")
+                .cast("string"))), ";").as("edges"))),
 
     // ---- HashJoinNode: tag props visible to the edge filter ----
     "q_get_neighbors_tagprops" -> ((s, dir) =>
@@ -827,8 +838,7 @@ object SparkEntry {
         |n AS (
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN prev_ts IS NULL
-        |           OR CAST(floor(epoch(ts)) AS BIGINT)
-        |              - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |           OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM g),
         |s AS (
@@ -960,6 +970,16 @@ object SparkEntry {
         |    AND coalesce(c_acctbal > 1000.0 AND o_totalprice > 10000.0,
         |                 false)
         |) t WHERE rn <= 5""".stripMargin,
+
+    "q_get_neighbors_grouped" ->
+      """SELECT o_custkey AS _vid, count(*) AS n_edges,
+        |  string_agg(
+        |    '101,' || CAST(o_orderkey AS VARCHAR) || ','
+        |            || CAST(o_orderkey AS VARCHAR) || ','
+        |            || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+        |    ';' ORDER BY o_orderkey) AS edges
+        |FROM orders WHERE o_custkey BETWEEN 1 AND 20
+        |GROUP BY o_custkey""".stripMargin,
 
     "q_get_neighbors_multitype" ->
       """SELECT _vid, _type, _rank, _nbr FROM (

@@ -135,7 +135,8 @@ object GetNeighbors {
       case None => edges
     }
     req.sample match {
-      case Some(k) => Sample.hashSamplePerGroup(limited, "_vid", keyOrder, k)
+      case Some(k) =>
+        Sample.hashSamplePerGroup(limited, "_vid", col("_nbr"), keyOrder, k)
       case None => limited
     }
   }
@@ -143,6 +144,7 @@ object GetNeighbors {
   /** Per-vertex `_stats` aggregates over the post-filter edge stream
     * (reference: src/storage/exec/AggregateNode.h:125-155). */
   def stats(store: GraphStore, req: Request): DataFrame = {
+    require(req.stats.nonEmpty, "stats request needs at least one StatSpec")
     val edges = edgeStream(store, req)
     val aggs = req.stats.map { s =>
       val c = col(s.prop)

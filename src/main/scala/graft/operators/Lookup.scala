@@ -90,16 +90,22 @@ object Lookup {
    */
   def viaIndex(indexTable: DataFrame, baseTable: DataFrame,
       keyCols: Seq[String], req: Request): DataFrame = {
-    val hits = req.contexts.map { ctx =>
-      indexTable.filter(hintPredicate(ctx.hints))
-    }.reduce(_ unionByName _)
-      .select(keyCols.map(col): _*).dropDuplicates(keyCols)
-    val fetched = baseTable.join(hits, keyCols, "left_semi")
-    val residuals = req.contexts.flatMap(_.residual)
-    val filtered = residuals.foldLeft(fetched) { (df, f) =>
-      df.filter(FilterExpr.predicate(f))
+    // Per-context fetch + residual, exactly like apply(): each
+    // IndexQueryContext is its own IndexScanNode → Index{Vertex,Edge}Node
+    // → [IndexFilterNode] branch; only the final DeDupNode is shared.
+    // (Folding every residual over one unioned fetch would AND residuals
+    // across OR-contexts — dropping rows from residual-free contexts.)
+    val perContext = req.contexts.map { ctx =>
+      val hits = indexTable.filter(hintPredicate(ctx.hints))
+        .select(keyCols.map(col): _*).dropDuplicates(keyCols)
+      val fetched = baseTable.join(hits, keyCols, "left_semi")
+      ctx.residual match {
+        case Some(f) => fetched.filter(FilterExpr.predicate(f))
+        case None => fetched
+      }
     }
-    filtered.dropDuplicates(req.dedupKeys)
+    perContext.reduce(_ unionByName _)
+      .dropDuplicates(req.dedupKeys)
       .select(req.yieldCols.map(col): _*)
   }
 }

@@ -27,21 +27,34 @@ object Mutations {
   /**
    * Merge `incoming` into `existing` on `keys`.
    * ifNotExists=true → first writer (existing) wins; false → incoming
-   * (last writer) wins. Within `incoming`, later rows win iff
-   * ifNotExists=false, ordered by `incomingOrder` when supplied —
-   * mirroring the reference's in-batch visited-set.
+   * (last writer) wins. The reference resolves duplicate keys *within*
+   * one batch with an in-order visited-set (first-seen wins under
+   * if_not_exists, last write wins otherwise); batches there arrive as
+   * ordered thrift lists. A DataFrame carries no row order, so callers
+   * with key-duplicate batches must pass `incomingOrder` (e.g. a batch
+   * sequence column) — later-ordered rows win when ifNotExists=false,
+   * earlier when true. Without it, duplicate in-batch keys tie
+   * nondeterministically; key-unique batches (the common case) are
+   * unaffected.
    */
   def addRows(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
-      ifNotExists: Boolean): DataFrame = {
+      ifNotExists: Boolean, incomingOrder: Option[Column] = None): DataFrame = {
     val cols = existing.columns.toSeq
-    val tagged = existing.select(cols.map(col): _*).withColumn("_prio", lit(0))
-      .unionByName(incoming.select(cols.map(col): _*)
+    val batchOrd = incomingOrder.getOrElse(lit(0L)).cast("long")
+    // _bord is computed on the un-projected incoming frame: the order
+    // column need not be part of the table schema.
+    val tagged = existing.select(cols.map(col): _*)
+      .withColumn("_prio", lit(0)).withColumn("_bord", lit(0L))
+      .unionByName(incoming.withColumn("_bord", batchOrd)
+        .select((cols :+ "_bord").map(col): _*)
         .withColumn("_prio", lit(1)))
-    val ord = if (ifNotExists) col("_prio").asc else col("_prio").desc
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord)
+    val ord =
+      if (ifNotExists) Seq(col("_prio").asc, col("_bord").asc)
+      else Seq(col("_prio").desc, col("_bord").desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     tagged.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_prio", "_rn")
+      .drop("_prio", "_bord", "_rn")
   }
 
   /** Delete rows whose key appears in `keys` (anti-join rewrite).

@@ -34,12 +34,13 @@ object Sample {
 
   /**
    * Exactly-k-per-group deterministic sample: order the group by the
-   * multiplicative hash of the ordering key, take k. `tieBreak` columns
-   * make row_number total.
+   * multiplicative hash of `rankOn` (the caller's sampling key — e.g.
+   * the neighbor id for GetNeighbors), take k. `tieBreak` columns make
+   * row_number total.
    */
-  def hashSamplePerGroup(df: DataFrame, groupCol: String,
+  def hashSamplePerGroup(df: DataFrame, groupCol: String, rankOn: Column,
       tieBreak: Seq[Column], k: Int): DataFrame = {
-    val rankKey = hashRank(col("_nbr"))
+    val rankKey = hashRank(rankOn)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(rankKey +: tieBreak: _*)
     df.withColumn("_srn", row_number().over(w))

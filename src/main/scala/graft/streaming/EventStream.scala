@@ -78,9 +78,12 @@ object EventStream {
 
   /**
    * Gap-based sessionization (batch formulation): a new session starts
-   * when a user's inter-event gap exceeds `gapMinutes`. Emits one row
-   * per session with bounds and counts. (The streaming formulation is
-   * `session_window`; this window-function form is the batch oracle.)
+   * when a user's inter-event gap reaches `gapMinutes` (gap >= threshold
+   * splits — the same boundary rule as Spark's `session_window`, whose
+   * half-open [start, start+gap) windows exclude an event landing
+   * exactly at the gap). Emits one row per session with bounds and
+   * counts. (The streaming formulation is `session_window`; this
+   * window-function form is the batch oracle of [[sessionWindowAgg]].)
    */
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -92,8 +95,8 @@ object EventStream {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long")
-            > gapMinutes * 60L, 1L).otherwise(0L))
+          unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+            >= gapMinutes * 60000000L, 1L).otherwise(0L))
       .withColumn("session_idx",
         sum(col("new_session")).over(
           byUser.rowsBetween(Window.unboundedPreceding, 0)))
