@@ -236,7 +236,7 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
 
-    "q_simhash_neardup" -> ((s, dir) => // rows-only: 64-bit banded pairs
+    "q_simhash_neardup" -> ((s, dir) => // 64-bit banded pairs
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         bits = 64, maxHamming = 3)),
 
@@ -285,7 +285,7 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.decode(media), step = 2)
     }),
 
-    "q_lsh_ann" -> ((s, dir) => // rows-only: hyperplane-bucketed top-k
+    "q_lsh_ann" -> ((s, dir) => // hyperplane-bucketed top-k
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = (0L to 4L), k = 5, numPlanes = 6, dim = 64)),
 
@@ -435,6 +435,74 @@ object SparkEntry {
       |  i -> array_to_string(t[i:i+3], ' ')))) AS shingle FROM toks)""".stripMargin
   private val Stoplist =
     "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it']"
+
+  /** DuckDB CTE chain computing the `bits`-wide simhash per document —
+    * the SQL twin of Dedup.simhash (md5-nibble bit extraction, majority
+    * vote, sign bit assembly). Yields a relation `(id, simhash)`. */
+  private def simhashSigSql(bits: Int): String = {
+    val bitCols = (0 until bits).map { b =>
+      s"((CAST('0x' || substr(hx, ${1 + b / 4}, 1) AS BIGINT) // ${1 << (b % 4)}) % 2) AS b$b"
+    }.mkString(", ")
+    val sums = (0 until bits).map(b => s"sum(b$b * 2 - 1) AS s$b")
+      .mkString(", ")
+    val sig = (0 until bits)
+      .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $TokCte,
+       |tok AS (SELECT doc_id, md5(unnest(t)) AS hx FROM toks),
+       |b AS (SELECT doc_id, $bitCols FROM tok),
+       |g AS (SELECT doc_id, $sums FROM b GROUP BY doc_id)
+       |SELECT doc_id AS id, CAST($sig AS BIGINT) AS simhash FROM g""".stripMargin
+  }
+
+  /** Unrolled static-PageRank oracle: GraphX semantics — rank₀ = 1,
+    * rankᵢ₊₁ = 0.15 + 0.85·Σ(in-msgs rank/outdeg), no dangling
+    * redistribution, final ranks normalized to sum = |V|
+    * (SPARK-18847) — over the `contains` edge list. */
+  private def pageRankSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""m$i AS (SELECT e.d AS v, sum(r${i - 1}.r / od.deg) AS ms
+         |  FROM e JOIN r${i - 1} ON r${i - 1}.v = e.s
+         |  JOIN od ON od.s = e.s GROUP BY e.d),
+         |r$i AS (SELECT v.v, 0.15 + 0.85 * coalesce(m$i.ms, 0) AS r
+         |  FROM v LEFT JOIN m$i ON m$i.v = v.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT l_orderkey AS s, l_partkey AS d FROM lineitem),
+       |v AS (SELECT DISTINCT x AS v FROM
+       |  (SELECT s AS x FROM e UNION SELECT d FROM e)),
+       |od AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+       |r0 AS (SELECT v, 1.0 AS r FROM v),
+       |$steps
+       |SELECT v AS _vid,
+       |  round(r / (SELECT sum(r) FROM r$iters)
+       |          * (SELECT count(*) FROM v), 6) AS rank
+       |FROM r$iters""".stripMargin
+  }
+
+  /** Hyperplane-LSH ANN oracle: the deterministic plane matrix is
+    * embedded as literals (same Similarity.hyperplanes(6, 64, 42)
+    * constants the Spark side uses), bucket = packed sign bits. */
+  private def lshAnnSql: String = {
+    val planes = Similarity.hyperplanes(numPlanes = 6, dim = 64, seed = 42L)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(embedding::DOUBLE[], $lits::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("\n  + ")
+    s"""WITH sig AS (SELECT vec_id, embedding, $bucket AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
+       |  FROM sig WHERE vec_id BETWEEN 0 AND 4),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id,
+       |    round(list_cosine_similarity(q.qvec::DOUBLE[],
+       |      c.embedding::DOUBLE[]), 6) AS sim,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY round(list_cosine_similarity(q.qvec::DOUBLE[],
+       |        c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rk
+       |  FROM q JOIN sig c
+       |    ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
+       |SELECT query_id, cand_id, sim FROM scored WHERE rk <= 5""".stripMargin
+  }
 
   private def minhashSigSql: String = {
     val aggs = Dedup.minhashParams(8).zipWithIndex.map {
@@ -702,22 +770,14 @@ object SparkEntry {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.sig = b.sig AND a.id < b.id""".stripMargin,
 
-    "q_simhash" -> {
-      val bitCols = (0 until 16).map { b =>
-        s"((CAST('0x' || substr(hx, ${1 + b / 4}, 1) AS BIGINT) // ${1 << (b % 4)}) % 2) AS b$b"
-      }.mkString(", ")
-      val sums = (0 until 16).map(b => s"sum(b$b * 2 - 1) AS s$b")
-        .mkString(", ")
-      val sig = (0 until 16)
-        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH $TokCte,
-         |tok AS (SELECT doc_id, md5(unnest(t)) AS hx FROM toks),
-         |b AS (SELECT doc_id, $bitCols FROM tok),
-         |g AS (SELECT doc_id, $sums FROM b GROUP BY doc_id)
-         |SELECT doc_id AS id, CAST($sig AS BIGINT) AS simhash
-         |FROM g""".stripMargin
-    },
+    "q_simhash" -> simhashSigSql(16),
+
+    "q_simhash_neardup" ->
+      s"""WITH sigs AS (${simhashSigSql(64)})
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS dist
+         |FROM sigs a JOIN sigs b ON a.id < b.id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH $TokCte
@@ -970,6 +1030,55 @@ object SparkEntry {
         |    AND coalesce(c_acctbal > 1000.0 AND o_totalprice > 10000.0,
         |                 false)
         |) t WHERE rn <= 5""".stripMargin,
+
+    "q_connected_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation),
+        |u AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+        |reach(v, label) AS (
+        |  SELECT s, s FROM u
+        |  UNION
+        |  SELECT u.d, r.label FROM reach r JOIN u ON u.s = r.v)
+        |SELECT v AS _vid, min(label) AS component
+        |FROM reach GROUP BY v""".stripMargin,
+
+    "q_pagerank" -> pageRankSql(5),
+
+    "q_ivf_topk" ->
+      """WITH c AS (SELECT vec_id AS cell, embedding AS cvec
+        |  FROM embeddings WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |          c.cvec::DOUBLE[]) DESC, c.cell) AS crk
+        |    FROM embeddings e CROSS JOIN c) WHERE crk = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qvec
+        |  FROM embeddings WHERE vec_id BETWEEN 0 AND 9),
+        |probed AS (
+        |  SELECT query_id, qvec, cell FROM (
+        |    SELECT q.query_id, q.qvec, c.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qvec::DOUBLE[],
+        |          c.cvec::DOUBLE[]) DESC, c.cell) AS crk
+        |    FROM q CROSS JOIN c) WHERE crk <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS cand_id,
+        |    round(list_cosine_similarity(p.qvec::DOUBLE[],
+        |      a.embedding::DOUBLE[]), 6) AS sim,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY round(list_cosine_similarity(p.qvec::DOUBLE[],
+        |        a.embedding::DOUBLE[]), 6) DESC, a.vec_id) AS rk
+        |  FROM probed p JOIN asg a
+        |    ON a.cell = p.cell AND a.vec_id <> p.query_id)
+        |SELECT query_id, cand_id, sim FROM scored WHERE rk <= 5""".stripMargin,
+
+    "q_lsh_ann" -> lshAnnSql,
 
     "q_get_neighbors_grouped" ->
       """SELECT o_custkey AS _vid, count(*) AS n_edges,
