@@ -88,6 +88,15 @@ object SparkEntry {
         Seq("c_name", "c_acctbal", "c_mktsegment"))),
 
 
+    // FetchEdgeNode: point-get by full edge key (src, rank, dst);
+    // the last key is deliberately absent (missing keys fetch nothing,
+    // not null rows).
+    "q_get_props_edges" -> ((s, dir) =>
+      GetProps.edges(store(s, dir), "contains",
+        Seq((1L, 3L, 1907L), (1L, 7L, 1711L), (2L, 2L, 896L),
+          (2L, 4L, 1114L), (999999L, 1L, 1L)),
+        Seq("l_quantity", "l_extendedprice"))),
+
     // ---- Lookup / index semantics (§2.4) ----
     "q_lookup_prefix_range" -> ((s, dir) =>
       Lookup(t(s, dir, "lineitem"), Lookup.Request(
@@ -109,6 +118,22 @@ object SparkEntry {
             residual = Some(Cmp(">", Prop("p_retailprice"), Lit(1000.0))))),
         yieldCols = Seq("p_partkey", "p_name", "p_size", "p_brand"),
         dedupKeys = Seq("p_partkey")))),
+
+    // Materialized-index plan shapes 2/4 (IndexScanNode → IndexVertex/
+    // EdgeNode → IndexFilterNode per context → shared DeDupNode): two
+    // OR-contexts, one with a residual over a non-indexed column.
+    "q_lookup_via_index" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val index = part.select("p_size", "p_brand", "p_partkey")
+      Lookup.viaIndex(index, part, Seq("p_partkey"), Lookup.Request(
+        contexts = Seq(
+          Lookup.IndexQueryContext(Seq(Lookup.Prefix("p_size", 10))),
+          Lookup.IndexQueryContext(
+            Seq(Lookup.Prefix("p_brand", "Brand#23")),
+            residual = Some(Cmp(">", Prop("p_retailprice"), Lit(1000.0))))),
+        yieldCols = Seq("p_partkey", "p_name", "p_retailprice"),
+        dedupKeys = Seq("p_partkey")))
+    }),
 
     // ---- Paginated scans (§2.1/2.6) ----
     "q_scan_vertex_page" -> ((s, dir) =>
@@ -301,6 +326,19 @@ object SparkEntry {
       EventStream.sessionWindowAgg(graft.sources.Tables.events(s, dir),
         gap = "30 minutes")),
 
+    // mapGroupsWithState keyed state (batch = one micro-batch); the
+    // state-store fold must agree with the plain aggregate.
+    "q_events_running_totals" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val ds = graft.sources.Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .as[EventStream.UserEvent]
+      EventStream.runningUserTotals(ds).toDF()
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+    }),
+
     // ---- Fixed-string semantics (custom codegen Expression, §7.3) ----
     "q_fixed_string" -> ((s, dir) =>
       store(s, dir).tag("customer").select(col("_vid"),
@@ -377,6 +415,10 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) =>
       graft.analytics.GraphAnalytics.pageRank(store(s, dir),
         Seq("contains"), iters = 5)),
+
+    "q_triangle_count" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.triangleCount(store(s, dir),
+        Seq("in_nation", "supp_nation", "in_region"))),
 
     // ---- IVF approximate nearest neighbors ----
     "q_ivf_topk" -> ((s, dir) =>
@@ -571,6 +613,52 @@ object SparkEntry {
     "q_get_props" ->
       """SELECT c_custkey AS _vid, c_name, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey IN (1, 5, 7, 11, 42, 99)""".stripMargin,
+
+    "q_get_props_edges" ->
+      """SELECT l_orderkey AS _src, CAST(l_linenumber AS BIGINT) AS _rank,
+        |       l_partkey AS _dst, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE (l_orderkey = 1 AND l_linenumber = 3 AND l_partkey = 1907)
+        |   OR (l_orderkey = 1 AND l_linenumber = 7 AND l_partkey = 1711)
+        |   OR (l_orderkey = 2 AND l_linenumber = 2 AND l_partkey = 896)
+        |   OR (l_orderkey = 2 AND l_linenumber = 4 AND l_partkey = 1114)
+        |   OR (l_orderkey = 999999 AND l_linenumber = 1 AND l_partkey = 1)"""
+        .stripMargin,
+
+    "q_lookup_via_index" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_size = 10
+        |UNION
+        |SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_brand = 'Brand#23' AND p_retailprice > 1000.0""".stripMargin,
+
+    "q_events_running_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_triangle_count" ->
+      """WITH raw AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation),
+        |e AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        |  FROM raw WHERE s <> d),
+        |tri AS (
+        |  SELECT e1.s AS a, e1.d AS b, e2.d AS c
+        |  FROM e e1 JOIN e e2 ON e2.s = e1.d
+        |  JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d),
+        |verts AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+        |cnt AS (SELECT v, count(*) AS triangles FROM (
+        |  SELECT a AS v FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) GROUP BY v)
+        |SELECT verts.v AS _vid, coalesce(cnt.triangles, 0) AS triangles
+        |FROM verts LEFT JOIN cnt ON cnt.v = verts.v""".stripMargin,
 
     "q_lookup_prefix_range" ->
       """SELECT DISTINCT l_orderkey, l_linenumber, l_quantity
