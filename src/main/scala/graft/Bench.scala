@@ -34,7 +34,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional comma-separated subset for local iteration
+    // (SPARK_GRAFT_ONLY=q_simhash,q_pagerank); driver leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Warmup: materialize each query once (JIT + codegen + parquet
     // footer caches); failures are reported in the timed pass.
     names.foreach { name =>

@@ -47,16 +47,41 @@ object GraphAnalytics {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
 
-  /** Static PageRank (fixed iterations — deterministic structure;
-    * floating-point sums may vary in the last ulp across partitionings,
-    * so results are verified structurally, not hash-exactly). */
+  /** Static PageRank, DataFrame formulation of GraphX's staticPageRank
+    * recurrence: r0 = 1.0; r_i = reset + (1-reset) * Σ_in r_{i-1}/outdeg;
+    * final ranks normalized to sum to |V|. Unrolled fixed iterations keep
+    * the whole computation one Catalyst plan: the edge and vertex scans
+    * are identical across iterations, so their shuffle exchanges are
+    * planned once and reused (ReusedExchange), and each iteration is a
+    * partial-aggregated sum shuffle of vertex-sized data — no GraphX
+    * RDD materialization, no Pregel overhead. AQE converts the
+    * rank-side joins to broadcast when the vertex set fits. */
   def pageRank(store: GraphStore, edgeTypes: Seq[String], iters: Int,
       resetProb: Double = 0.15): DataFrame = {
-    val spark = store.vertices.head._2.sparkSession
-    import spark.implicits._
-    toGraphX(store, edgeTypes).staticPageRank(iters, resetProb)
-      .vertices.toDF("_vid", "rank")
-      .select(col("_vid"), round(col("rank"), 6).as("rank"))
+    val edges = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC).as("s"),
+        col(GraphStore.DST).as("d"))
+    }.reduce(_ unionByName _)
+    val outDeg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
+    val weighted = edges.join(outDeg, "s") // (s, d, deg), loop-invariant
+    val verts = edges.select(col("s").as("v"))
+      .union(edges.select(col("d")))
+      .distinct()
+    var ranks = verts.select(col("v"), lit(1.0).as("r"))
+    for (_ <- 1 to iters) {
+      val msgs = weighted.join(ranks, col("s") === col("v"))
+        .groupBy(col("d").as("mv"))
+        .agg(sum(col("r") / col("deg")).as("ms"))
+      ranks = verts.join(msgs, col("v") === col("mv"), "left")
+        .select(col("v"),
+          (lit(resetProb) + lit(1 - resetProb) *
+            coalesce(col("ms"), lit(0.0))).as("r"))
+    }
+    val totals = ranks.agg(sum(col("r")).as("sr"),
+      count(lit(1)).as("nv"))
+    ranks.crossJoin(broadcast(totals))
+      .select(col("v").as("_vid"),
+        round(col("r") / col("sr") * col("nv"), 6).as("rank"))
   }
 
   /** Connected components (undirected reachability); label = min vid in

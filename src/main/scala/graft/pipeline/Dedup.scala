@@ -174,19 +174,30 @@ object Dedup {
     require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4 <= 64")
     val tok = df.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-    // decode each needed hex digit ONCE, then derive its 4 bits by
-    // shifts — 16 conv() calls per token instead of 64.
-    val withNibbles = (0 until bits / 4).foldLeft(
-      tok.withColumn("hx", md5(col("tok")))) { (d, i) =>
-      d.withColumn(s"nib$i",
-        conv(substring(col("hx"), 1 + i, 1), 16, 10).cast("int"))
+    // Two flat projections (NOT a withColumn-per-bit chain — an 80-deep
+    // Project stack costs quadratic analyzer time and dominated the
+    // query at every scale). The hex prefix is parsed in 8-digit words —
+    // ONE conv() string-parse per 32 bits per token — and each bit is
+    // then a long shift folded into its aggregate expression. Bit b is
+    // bit (b%4) of hex digit b/4, exactly as the nibble-at-a-time
+    // formulation (and the DuckDB oracle) defines it.
+    val nDigits = bits / 4
+    val wordCols = (0 until (nDigits + 7) / 8).map { w =>
+      val width = math.min(8, nDigits - w * 8)
+      conv(substring(col("hx"), 1 + w * 8, width), 16, 10)
+        .cast("long").as(s"w$w")
     }
-    val withBits = (0 until bits).foldLeft(withNibbles) { (d, b) =>
-      d.withColumn(s"b$b", shiftright(col(s"nib${b / 4}"), b % 4) % 2)
+    val words = tok.select(col("id"), md5(col("tok")).as("hx"))
+      .select(col("id") +: wordCols: _*)
+    def bitOf(b: Int): Column = {
+      val i0 = b / 4                         // hex digit index
+      val w = i0 / 8                         // word index
+      val width = math.min(8, nDigits - w * 8)
+      val shift = (width - 1 - (i0 - w * 8)) * 4 + b % 4
+      shiftright(col(s"w$w"), shift) % 2
     }
-    val sums = (0 until bits).map(b =>
-      sum(col(s"b$b") * 2 - 1).as(s"s$b"))
-    val grouped = withBits.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+    val sums = (0 until bits).map(b => sum(bitOf(b) * 2 - 1).as(s"s$b"))
+    val grouped = words.groupBy(col("id")).agg(sums.head, sums.tail: _*)
     val sig = (0 until bits).map(b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
