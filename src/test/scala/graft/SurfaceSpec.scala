@@ -117,3 +117,50 @@ class IvfSpec extends SparkSpec {
       (0L until 1000L).toSet))
   }
 }
+
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.VectorOps.dotp
+
+  // the interpreted HOF formulation DotProduct replaces — the oracle here
+  private def hofDot(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column) =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("dot_product matches the zip_with/aggregate fold on float arrays") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f),
+        Array.fill(64)(rnd.nextFloat() - 0.5f))
+    }.toDF("id", "a", "b")
+    val out = df.select(dotp(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-exact
+  }
+
+  test("dot_product double arrays, null array, length mismatch") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),   // 32.0
+      (Seq(1.0), Seq(1.0, 2.0)),                   // length mismatch -> null
+      (null, Seq(1.0))).toDF("a", "b")             // null array -> null
+    val out = df.select(dotp(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 32.0)
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0))
+  }
+
+  test("dot_product survives interpreted (non-codegen) eval") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(df.select(dotp(col("a"), col("b"))).head.getDouble(0) == 11.0)
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", "true")
+      conf.set("spark.sql.codegen.factoryMode", prev)
+    }
+  }
+}
