@@ -58,6 +58,21 @@ object Profile {
     time("lsh candidates")(
       Dedup.lshCandidatePairs(
         Dedup.minhashSignatures(docs, "doc_id", "text", 4, 8), 8, 4).count())
+
+    // simhash stages
+    val tok = docs.select(col("doc_id").as("id"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    (1 to 2).foreach { _ =>
+      tok.count()
+      Dedup.simhash(docs, "doc_id", "text", 64).count()
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", 64, 3).count()
+    }
+    time("sh: tokens")(tok.count())
+    time("sh: +md5")(tok.select(col("id"), md5(col("tok"))).count())
+    time("sh: sig16")(Dedup.simhash(docs, "doc_id", "text", 16).count())
+    time("sh: sig64")(Dedup.simhash(docs, "doc_id", "text", 64).count())
+    time("sh: neardup64")(
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", 64, 3).count())
     spark.stop()
   }
 }

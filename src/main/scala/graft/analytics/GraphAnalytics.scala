@@ -34,17 +34,21 @@ object GraphAnalytics {
   /** In/out degree per vertex over selected edge types — the DataFrame
     * formulation (keeps the oracle in SQL, no GraphX needed). */
   def degrees(store: GraphStore, edgeTypes: Seq[String]): DataFrame = {
+    // Each edge contributes (src, 1, 0) and (dst, 0, 1) from ONE scan
+    // (explode, not a self-union that reads the edge table twice); one
+    // partial-aggregated sum shuffle replaces the two-agg +
+    // full-outer-join formulation (3 shuffles). Same result: vertices
+    // appear iff they touch an edge.
     val union = edgeTypes.map { et =>
       store.edge(et).select(col(GraphStore.SRC), col(GraphStore.DST))
     }.reduce(_ unionByName _)
-    val out = union.groupBy(col(GraphStore.SRC).as("_vid"))
-      .agg(count(lit(1)).as("out_deg"))
-    val in = union.groupBy(col(GraphStore.DST).as("_vid"))
-      .agg(count(lit(1)).as("in_deg"))
-    out.join(in, Seq("_vid"), "full_outer")
-      .select(col("_vid"),
-        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
-        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+    union.select(explode(array(
+        struct(col(GraphStore.SRC).as("_vid"),
+          lit(1L).as("o"), lit(0L).as("i")),
+        struct(col(GraphStore.DST).as("_vid"),
+          lit(0L).as("o"), lit(1L).as("i")))).as("x"))
+      .groupBy(col("x._vid").as("_vid"))
+      .agg(sum(col("x.o")).as("out_deg"), sum(col("x.i")).as("in_deg"))
   }
 
   /** Static PageRank, DataFrame formulation of GraphX's staticPageRank
