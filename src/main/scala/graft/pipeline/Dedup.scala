@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Deduplication operators for training-data pipelines, each designed
@@ -71,7 +72,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
-    val filtered =
+    val filtered0 =
       if (maxDocFreq <= 0) sh
       else {
         val freq = sh.groupBy("shingle")
@@ -79,7 +80,15 @@ object Dedup {
           .filter(col("df_cnt") <= maxDocFreq)
         sh.join(freq.select("shingle"), Seq("shingle"))
       }
+    // The shingle frame feeds the doc-size aggregate AND the inverted
+    // index, and sizes joins the pair frame twice (a-side, b-side);
+    // without persists the tokenize+shingle scan executes 3x per run
+    // (explain showed the parquet scan tripled). Corpus-sized, so
+    // MEMORY_AND_DISK — recomputing shingles at 100 TB costs more than
+    // spilling them.
+    val filtered = filtered0.persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Inverted-index pair counting WITHOUT a self-join: group ids per
     // shingle, emit intra-bucket (i < j) pairs, count pair occurrences =
     // |A ∩ B|. A self-join would recompute the shingle frame twice and

@@ -171,10 +171,16 @@ object Similarity {
    */
   def blockedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double, roundTo: Int = 6): DataFrame = {
-    val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
-      col(vecCol).as("va"), norm(col(vecCol)).as("na"))
-    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
-      col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
+    // Compute (vector, norm) ONCE and self-join the cached frame: the
+    // two-sided formulation scanned the corpus and evaluated every norm
+    // twice (self-joins duplicate the subtree in the physical plan).
+    val normed = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        col(vecCol).as("v"), norm(col(vecCol)).as("nm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = normed.select(col("blk"), col("id").as("id_a"),
+      col("v").as("va"), col("nm").as("na"))
+    val b = normed.select(col("blk"), col("id").as("id_b"),
+      col("v").as("vb"), col("nm").as("nb"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
       .withColumn("sim", round(
         dot(col("va"), col("vb")) / (col("na") * col("nb")), roundTo))
