@@ -281,6 +281,13 @@ object SparkEntry {
           scores: _*)
     }),
 
+    // ---- Winnowing fingerprints (rolling-hash k-gram window-min) ----
+    "q_winnow_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowingFingerprints(
+          t(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", k = 8, w = 4)
+        .withColumnRenamed("id", "doc_id")),
+
     // ---- Similarity search ----
     "q_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id",
@@ -909,6 +916,33 @@ object SparkEntry {
          |  ${langs.map(l => s"score_$l").mkString(", ")}
          |FROM s""".stripMargin
     },
+
+    // k=8, w=4; rightmost-min ties encoded as hash*10^6 + (10^6 - pos)
+    "q_winnow_fingerprints" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS txt
+        |  FROM documents WHERE doc_id < 100),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    substr(txt, CAST(i AS INTEGER), 8) AS gram
+        |  FROM t CROSS JOIN LATERAL unnest(
+        |    range(1, greatest(CAST(length(txt) AS BIGINT) - 6, 1))) u(i)),
+        |h AS (
+        |  SELECT doc_id, pos,
+        |    CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) * 1000000
+        |      + (1000000 - pos) AS key
+        |  FROM g),
+        |wnd AS (
+        |  SELECT doc_id,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |  FROM h)
+        |SELECT DISTINCT doc_id, mk // 1000000 AS fp_hash,
+        |  1000000 - (mk % 1000000) AS fp_pos
+        |FROM wnd WHERE wn = 4""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT query_id, cand_id, sim, CAST(rk AS INTEGER) AS rk FROM (

@@ -107,4 +107,48 @@ object TextAnalysis {
     * by exact dedup and incremental re-crawl diffing. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /**
+   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+   * every char `k`-gram of the normalized text, slide a window of `w`
+   * consecutive hashes, keep the minimum of each window (rightmost
+   * occurrence on ties), distinct. Guarantees every match of length
+   * ≥ k+w-1 shares a fingerprint — the partial-overlap dedup primitive
+   * (plagiarism/near-dup detection) that whole-doc hashing can't do.
+   *
+   * One narrow gram explode + ONE shuffle (the per-document window).
+   * The rightmost-min-on-ties rule is encoded arithmetically so any
+   * engine agrees: min(hash·10^6 + (10^6 − pos)) picks the smallest
+   * hash, then the largest position. Positions are 1-based gram starts
+   * (requires text length < 10^6 — document-scale, not corpus-scale).
+   *
+   * Returns (id, fp_hash, fp_pos).
+   */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    val txt = col("_txt")
+    // char k-grams; empty array (not a descending sequence) under length k
+    val grams = when(length(txt) >= k,
+      transform(sequence(lit(1), length(txt) - (k - 1)),
+        i => txt.substr(i, lit(k)))).otherwise(array())
+    val posKey = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    df.select(col(idCol).as("id"),
+        trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("_txt"))
+      .select(col("id"), posexplode(grams).as(Seq("pos0", "gram")))
+      .select(col("id"), (col("pos0") + 1).as("pos"),
+        (Dedup.hash32(col("gram")) * 1000000L +
+          (lit(1000000L) - col("pos0") - 1)).as("key"))
+      .select(col("id"), col("pos"),
+        min(col("key")).over(posKey).as("mk"),
+        count(lit(1)).over(posKey).as("wn"))
+      .filter(col("wn") === w) // only full windows select a fingerprint
+      // integral DIV, not double `/`: hash·10^6 + offset is ~2^52, where
+      // a double quotient can round up across the integer boundary
+      .select(col("id"), expr("mk DIV 1000000L").as("fp_hash"),
+        (lit(1000000L) - pmod(col("mk"), lit(1000000L))).as("fp_pos"))
+      .distinct()
+  }
 }

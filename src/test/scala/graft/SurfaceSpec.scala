@@ -164,3 +164,30 @@ class DotProductSpec extends SparkSpec {
     }
   }
 }
+
+class WinnowingSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.pipeline.TextAnalysis
+
+  test("winnowing guarantee: shared run >= k+w-1 chars shares a fingerprint") {
+    val common = "zqxjkwvbnmplfgh" // 15 chars > k+w-1 = 11
+    val df = Seq(
+      (1L, s"aaaa $common bbbb"),
+      (2L, s"cccc dddd $common eeee")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(df, "doc_id", "text", 8, 4)
+      .select("id", "fp_hash").as[(Long, Long)].collect().toSet
+    val shared = fps.collect { case (1L, h) => h }
+      .intersect(fps.collect { case (2L, h) => h })
+    assert(shared.nonEmpty) // at least one fingerprint from the common run
+  }
+
+  test("winnowing: short docs yield no fingerprints, positions valid") {
+    val df = Seq((1L, "tiny"), (2L, "exactly11ch")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(df, "doc_id", "text", 8, 4)
+      .select("id", "fp_pos").as[(Long, Long)].collect()
+    assert(!fps.exists(_._1 == 1L))        // 4 chars < k: nothing
+    val doc2 = fps.filter(_._1 == 2L)      // 11 = k+w-1: exactly one window
+    assert(doc2.length == 1 && doc2.head._2 >= 1 && doc2.head._2 <= 4)
+  }
+}
