@@ -432,6 +432,17 @@ object SparkEntry {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = (0L to 9L), k = 5, nCells = 16, nProbe = 4)),
 
+    // k-means-refined IVF centroids (2 deterministic iterations); the
+    // centroid vector serializes to a canonical decimal string for the
+    // scalar-cell oracle hash.
+    "q_ivf_train" -> ((s, dir) =>
+      Similarity.ivfTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nCells = 16, iters = 2)
+        .select(col("cell"), col("n"),
+          array_join(transform(col("cvec"),
+            x => round(x, 6).cast("decimal(12,6)").cast("string")), ",")
+            .as("centroid"))),
+
     // ---- Nested reference-shaped GetNeighbors ----
     // The nested ArrayType(Struct) `_edges` cell is the product shape
     // (SURVEY.md §1.3); for the oracle hash the array is serialized to a
@@ -526,6 +537,39 @@ object SparkEntry {
        |  round(r / (SELECT sum(r) FROM r$iters)
        |          * (SELECT count(*) FROM v), 6) AS rank
        |FROM r$iters""".stripMargin
+  }
+
+  /** k-means IVF training oracle: unrolled iterations, mirroring
+    * Similarity.ivfTrain (cosine argmax assignment with lowest-cell
+    * ties, element-wise mean, empty cells keep the prior centroid). */
+  private def ivfTrainSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+         |        c.cvec) DESC, c.cell) AS crk
+         |  FROM embeddings e CROSS JOIN c${i - 1} c) WHERE crk = 1),
+         |m$i AS (SELECT cell, i AS pos,
+         |    avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS a
+         |  FROM a$i CROSS JOIN LATERAL unnest(range(1, 65)) u(i)
+         |  GROUP BY cell, i),
+         |l$i AS (SELECT cell, list(a ORDER BY pos) AS mvec
+         |  FROM m$i GROUP BY cell),
+         |n$i AS (SELECT cell, count(*) AS cnt FROM a$i GROUP BY cell),
+         |c$i AS (SELECT c${i - 1}.cell,
+         |    coalesce(l$i.mvec, c${i - 1}.cvec) AS cvec,
+         |    coalesce(n$i.cnt, CAST(0 AS BIGINT)) AS n
+         |  FROM c${i - 1} LEFT JOIN l$i USING (cell)
+         |  LEFT JOIN n$i USING (cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
+       |  FROM embeddings WHERE vec_id < 16),
+       |$steps
+       |SELECT cell, n, array_to_string(list_transform(cvec,
+       |  x -> CAST(CAST(round(x, 6) AS DECIMAL(12,6)) AS VARCHAR)), ',')
+       |  AS centroid
+       |FROM c$iters""".stripMargin
   }
 
   /** Hyperplane-LSH ANN oracle: the deterministic plane matrix is
@@ -1169,6 +1213,8 @@ object SparkEntry {
         |FROM reach GROUP BY v""".stripMargin,
 
     "q_pagerank" -> pageRankSql(5),
+
+    "q_ivf_train" -> ivfTrainSql(2),
 
     "q_ivf_topk" ->
       """WITH c AS (SELECT vec_id AS cell, embedding AS cvec

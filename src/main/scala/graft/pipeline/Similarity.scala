@@ -126,6 +126,56 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("cell"))
   }
 
+  /**
+   * Deterministic k-means refinement of the IVF coarse centroids (the
+   * production path the first-N-by-id init stands in for). Init = the
+   * first `nCells` vectors by id, cast to double. Each iteration:
+   * assign every vector to its nearest centroid by cosine (ties →
+   * lowest cell), recompute each centroid as the element-wise mean of
+   * its assigned vectors; empty cells keep their previous centroid.
+   *
+   * Scale shape per iteration: one broadcast join (centroid set is
+   * `nCells` rows, always bounded) + one (cell,pos) mean shuffle of
+   * dims × corpus narrow rows + one nCells-sized rebuild. Centroids
+   * persist each round — the output of iteration i is consumed by both
+   * the assignment and the empty-cell fallback of iteration i+1, and
+   * lineage would otherwise re-run every prior round per reference.
+   *
+   * Returns (cell, cvec array<double>, n = final-round assignment count).
+   */
+  def ivfTrain(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int): DataFrame = {
+    var centroids = emb.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cell"),
+        col(vecCol).cast("array<double>").as("cvec"),
+        lit(0L).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("csim").desc, col("cell"))
+    for (_ <- 1 to iters) {
+      val assigned = emb.join(broadcast(centroids.select("cell", "cvec")))
+        .withColumn("csim", cosine(col(vecCol), col("cvec")))
+        .withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
+        .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("a"))
+        .groupBy("cell")
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("a")))),
+          e => e.getField("a")).as("mvec"))
+      val counts = assigned.groupBy("cell").agg(count(lit(1)).as("cnt"))
+      centroids = centroids.select("cell", "cvec")
+        .join(means, Seq("cell"), "left")
+        .join(counts, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("mvec"), col("cvec")).as("cvec"),
+          coalesce(col("cnt"), lit(0L)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    centroids
+  }
+
   /** ANN top-k through the IVF index: probe the nProbe nearest cells. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, nCells: Int, nProbe: Int): DataFrame = {

@@ -191,3 +191,47 @@ class WinnowingSpec extends SparkSpec {
     assert(doc2.length == 1 && doc2.head._2 >= 1 && doc2.head._2 <= 4)
   }
 }
+
+class IvfTrainSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("k-means training reduces mean assignment distance, partitions corpus") {
+    // three tight clusters around orthogonal axes (ids 0..2 = one seed
+    // per cluster, so init centroids are single members, not means)
+    val rnd = new scala.util.Random(3)
+    def near(axis: Int): Array[Float] =
+      Array.tabulate(4)(j => (if (j == axis) 1f else 0f) +
+        (rnd.nextFloat() - 0.5f) * 0.2f)
+    val rows = (0 until 30).map(i => (i.toLong, near(i % 3)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val trained = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nCells = 3, iters = 3)
+      .select("cell", "n", "cvec")
+      .as[(Long, Long, Seq[Double])].collect()
+    assert(trained.map(_._2).sum == 30)      // every vector assigned once
+    assert(trained.length == 3)
+    // each trained centroid points dominantly along its cluster axis
+    trained.foreach { case (cell, n, cvec) =>
+      assert(n > 0)
+      val axis = cvec.indexOf(cvec.max)
+      assert(cvec(axis) > 0.8, s"cell $cell centroid $cvec")
+    }
+  }
+
+  test("empty cells keep their previous centroid") {
+    // identical corpus + identical seeds: the lowest-cell tie-break
+    // starves cell 1 every iteration, so the coalesce fallback must keep
+    // its initial centroid and report n = 0
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val trained = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nCells = 2, iters = 2)
+      .select("cell", "n", "cvec").as[(Long, Long, Seq[Double])]
+      .collect().sortBy(_._1)
+    assert(trained(0)._2 == 3)                       // all on cell 0
+    assert(trained(1)._2 == 0)                       // cell 1 starved
+    assert(trained(1)._3 == Seq(1.0, 0.0))           // kept init centroid
+  }
+}
