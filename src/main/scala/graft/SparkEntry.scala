@@ -335,6 +335,35 @@ object SparkEntry {
 
     // mapGroupsWithState keyed state (batch = one micro-batch); the
     // state-store fold must agree with the plain aggregate.
+    // ---- Change-log listener (raft-WAL Listener / ES sync analog) ----
+    // Net-effect replay of an interleaved put/del log over the supplier
+    // snapshot: k%5==0 deleted, k%10==0 revived by a later put,
+    // k%9==0 deleted last — exercises put-after-del and del-after-put.
+    "q_changelog_apply" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("key"), col("s_name"), col("s_acctbal"))
+      val base = t(s, dir, "supplier").filter(col("s_suppkey") <= 40)
+      val c1 = base.select(col("s_suppkey").as("key"),
+        col("s_suppkey").cast("long").as("seq"),
+        when(col("s_suppkey") % 5 === 0, "del").otherwise("put").as("op"),
+        upper(col("s_name")).as("s_name"),
+        (col("s_acctbal") + 100).as("s_acctbal"))
+      val c2 = base.filter(col("s_suppkey") % 10 === 0)
+        .select(col("s_suppkey").as("key"),
+          (col("s_suppkey") + 1000).cast("long").as("seq"),
+          lit("put").as("op"),
+          concat(upper(col("s_name")), lit("-R")).as("s_name"),
+          (col("s_acctbal") + 200).as("s_acctbal"))
+      val c3 = base.filter(col("s_suppkey") % 9 === 0)
+        .select(col("s_suppkey").as("key"),
+          (col("s_suppkey") + 2000).cast("long").as("seq"),
+          lit("del").as("op"),
+          lit(null).cast("string").as("s_name"),
+          lit(null).cast("double").as("s_acctbal"))
+      graft.streaming.ChangeLogListener.applyChanges(
+        sup, c1.unionByName(c2).unionByName(c3), Seq("key"))
+    }),
+
     "q_events_running_totals" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -687,6 +716,29 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         |       round(sum(value), 2) AS total_value
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_changelog_apply" ->
+      """WITH ch AS (
+        |  SELECT s_suppkey AS key, CAST(s_suppkey AS BIGINT) AS seq,
+        |    CASE WHEN s_suppkey % 5 = 0 THEN 'del' ELSE 'put' END AS op,
+        |    upper(s_name) AS s_name, s_acctbal + 100 AS s_acctbal
+        |  FROM supplier WHERE s_suppkey <= 40
+        |  UNION ALL
+        |  SELECT s_suppkey, CAST(s_suppkey + 1000 AS BIGINT), 'put',
+        |    upper(s_name) || '-R', s_acctbal + 200
+        |  FROM supplier WHERE s_suppkey <= 40 AND s_suppkey % 10 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey, CAST(s_suppkey + 2000 AS BIGINT), 'del',
+        |    NULL, NULL
+        |  FROM supplier WHERE s_suppkey <= 40 AND s_suppkey % 9 = 0),
+        |last AS (
+        |  SELECT * FROM (
+        |    SELECT ch.*, row_number() OVER (PARTITION BY key
+        |      ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1)
+        |SELECT e.s_suppkey AS key, e.s_name, e.s_acctbal FROM supplier e
+        |WHERE NOT EXISTS (SELECT 1 FROM last l WHERE l.key = e.s_suppkey)
+        |UNION ALL
+        |SELECT key, s_name, s_acctbal FROM last WHERE op = 'put'""".stripMargin,
 
     "q_triangle_count" ->
       """WITH raw AS (

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.operators.Mutations
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * Change-log listener — the Spark analog of the reference's raft-WAL
+ * Listener (src/kvstore/Listener.h:54-105) and its one production
+ * implementation, the Elasticsearch full-text sync
+ * (src/kvstore/plugins/elasticsearch/ESListener.cpp): tail committed
+ * mutations in log order, decode each batch, apply it to a derived
+ * index table, and durably remember the last applied position.
+ *
+ * Change records carry `(seq bigint, op 'put'|'del', key cols...,
+ * payload cols...)`. Semantics per committed batch match the Listener's
+ * in-order replay: the NET effect of a batch on a key is its LAST
+ * operation by `seq` (an earlier put superseded by a later del deletes;
+ * puts upsert last-writer-wins). [[applyChanges]] is that merge as a
+ * pure snapshot-in → snapshot-out transform (oracle-checkable);
+ * [[ChangeLogListener.listen]] runs it under Structured Streaming:
+ * `foreachBatch` is the committed-batch callback, the stream
+ * checkpoint persists source offsets (the lastApplied-logId the
+ * Listener keeps in its part file), and each batch writes a new
+ * versioned parquet snapshot — re-running a failed batch overwrites
+ * its own version, so recovery is idempotent, the job-commit
+ * atomicity that replaces the reference's bulk-put + commitLogId dance.
+ */
+object ChangeLogListener {
+
+  /** Net-effect merge of one committed change batch into a snapshot. */
+  def applyChanges(existing: DataFrame, changes: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    // last operation per key wins — an interleaved put..del..put replays
+    // to its final state, exactly like the Listener's ordered apply
+    val lastOp = changes.withColumn("_rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("seq").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val dels = lastOp.filter(col("op") === "del")
+      .select(keyCols.map(col): _*)
+    val puts = lastOp.filter(col("op") === "put")
+    Mutations.addRows(
+      Mutations.deleteRows(existing, dels, keyCols),
+      puts, keyCols, ifNotExists = false)
+  }
+}
+
+/** Streaming wrapper: maintains versioned parquet snapshots of the
+  * index table at `indexPath` from a change-record stream. */
+final class ChangeLogListener(indexPath: String,
+    keyCols: Seq[String]) extends Serializable {
+
+  private def versions(spark: SparkSession): Seq[Long] = {
+    val dir = new java.io.File(indexPath)
+    if (!dir.isDirectory) Seq.empty
+    else dir.listFiles().toSeq.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("v"))
+      .map(_.drop(1).toLong).sorted
+  }
+
+  /** Latest committed snapshot (None before the first batch). */
+  def currentIndex(spark: SparkSession): Option[DataFrame] =
+    versions(spark).lastOption.map(v =>
+      spark.read.parquet(s"$indexPath/v$v"))
+
+  def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val payload = batch.drop("seq", "op")
+    val existing = currentIndex(spark)
+      .getOrElse(payload.filter(lit(false)))
+    ChangeLogListener.applyChanges(existing, batch, keyCols)
+      .write.mode("overwrite").parquet(s"$indexPath/v$batchId")
+  }
+
+  /** Start tailing: one foreachBatch call per committed micro-batch. */
+  def listen(changes: DataFrame, checkpoint: String): StreamingQuery =
+    changes.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(applyBatch _)
+      .start()
+}

@@ -72,3 +72,34 @@ class StreamingSpec extends SparkSpec {
       .count() == 0)
   }
 }
+
+class ChangeLogListenerSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.ChangeLogListener
+
+  test("listener replays committed batches into versioned snapshots") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long, String)]
+    val changes = ms.toDF.toDF("seq", "op", "key", "text")
+    val dir = java.nio.file.Files.createTempDirectory("clog").toString
+    val lst = new ChangeLogListener(s"$dir/index", Seq("key"))
+    val q = lst.listen(changes, s"$dir/ckpt")
+    try {
+      // batch 1: two puts + a same-batch overwrite of key 1
+      ms.addData((1L, "put", 1L, "one"), (2L, "put", 2L, "two"),
+        (3L, "put", 1L, "one-v2"))
+      q.processAllAvailable()
+      val v1 = lst.currentIndex(spark).get
+        .as[(Long, String)].collect().toMap
+      assert(v1 == Map(1L -> "one-v2", 2L -> "two"))
+      // batch 2: delete key 2, add key 3, put-then-del key 4 (net: absent)
+      ms.addData((4L, "del", 2L, ""), (5L, "put", 3L, "three"),
+        (6L, "put", 4L, "four"), (7L, "del", 4L, ""))
+      q.processAllAvailable()
+      val v2 = lst.currentIndex(spark).get
+        .as[(Long, String)].collect().toMap
+      assert(v2 == Map(1L -> "one-v2", 3L -> "three"))
+    } finally q.stop()
+  }
+}
