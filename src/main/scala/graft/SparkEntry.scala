@@ -258,6 +258,14 @@ object SparkEntry {
           n = 4, numHashes = 8),
         numHashes = 8, bands = 4)),
 
+    // ---- End-to-end dedup pipeline: LSH proposes, exact Jaccard
+    // disposes, losers (higher id of each verified pair) drop ----
+    "q_dedup_pipeline" -> ((s, dir) =>
+      Dedup.dedupPipeline(t(s, dir, "documents"), "doc_id", "text",
+          n = 4, numHashes = 8, bands = 4, threshold = 0.5)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))),
+
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
 
@@ -928,6 +936,38 @@ object SparkEntry {
         |         AS fp,
         |       min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_pipeline" ->
+      s"""WITH sigs AS ($minhashSigSql),
+         |bands AS (
+         |  SELECT id, 0 AS band, concat_ws(':', mh0, mh1) AS sig FROM sigs
+         |  UNION ALL
+         |  SELECT id, 1, concat_ws(':', mh2, mh3) FROM sigs
+         |  UNION ALL
+         |  SELECT id, 2, concat_ws(':', mh4, mh5) FROM sigs
+         |  UNION ALL
+         |  SELECT id, 3, concat_ws(':', mh6, mh7) FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+         |$TokCte,
+         |$ShingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT c.id_b FROM cand c
+         |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |  JOIN sizes sa ON sa.doc_id = c.id_a
+         |  JOIN sizes sb ON sb.doc_id = c.id_b
+         |  WHERE round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 4) >= 0.5)
+         |SELECT doc_id,
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |FROM documents WHERE doc_id NOT IN (SELECT id_b FROM ver)""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH $TokCte,

@@ -115,6 +115,60 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /**
+   * Exact-Jaccard verification of candidate pairs — the second stage of
+   * the standard MinHash dedup pipeline (LSH proposes, exact similarity
+   * disposes). Each (id_a, id_b) candidate joins the two documents'
+   * distinct shingle sets; jaccard = |A∩B| / (|A|+|B|−|A∩B|). The
+   * shingle-set frame is corpus-sized and consumed by both joins, so it
+   * persists; the candidate side is near-dup-sized and AQE broadcasts it.
+   */
+  def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int, pairs: DataFrame): DataFrame =
+    verifyJaccardFrom(
+      shingleSets(shingles(df, idCol, textCol, n))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      pairs)
+
+  /** Per-document distinct shingle array + size from a (id, shingle)
+    * frame. */
+  def shingleSets(sh: DataFrame): DataFrame =
+    sh.groupBy("id").agg(collect_set(col("shingle")).as("shs"),
+      count(lit(1)).as("sz"))
+
+  /** Verification core over a precomputed (persisted) set frame — the
+    * set frame joins the pair frame on both sides. */
+  def verifyJaccardFrom(sets: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("shs").as("sha"),
+        col("sz").as("sza")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shs").as("shb"),
+        col("sz").as("szb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")), 4).as("jaccard"))
+
+  /**
+   * The end-to-end MinHash dedup pipeline: shingle ONCE (persisted —
+   * the frame feeds both the signature aggregation and the verification
+   * sets), LSH-band for candidates, verify candidates by exact Jaccard,
+   * drop the higher id of each verified pair. Returns the surviving
+   * rows of `df`.
+   */
+  def dedupPipeline(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidatePairs(
+      minhashSignaturesFrom(sh, numHashes), numHashes, bands)
+    val sets = shingleSets(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    val losers = verifyJaccardFrom(sets, cands)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** MinHash parameters: h_i(x) = (a_i * h32(x) + b_i) mod p, with p
     * prime below 2^31 and a_i < 2^20 so products stay well inside int64
     * (overflow would throw under ANSI mode). */
@@ -128,14 +182,17 @@ object Dedup {
 
   /** Per-document MinHash signature: columns mh0..mh{k-1}. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-      .withColumn("h", hash32(col("shingle")))
+      n: Int, numHashes: Int): DataFrame =
+    minhashSignaturesFrom(shingles(df, idCol, textCol, n), numHashes)
+
+  /** Signature aggregation over a prebuilt (id, shingle) frame. */
+  def minhashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
+    val withH = sh.withColumn("h", hash32(col("shingle")))
     val aggs = minhashParams(numHashes).zipWithIndex.map {
       case ((a, b), i) =>
         min(pmod(col("h") * a + b, lit(MinhashP))).as(s"mh$i")
     }
-    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    withH.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /**
