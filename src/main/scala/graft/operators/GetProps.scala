@@ -47,7 +47,14 @@ object GetProps {
     import spark.implicits._
     val keyDf = broadcast(
       keys.toDF(GraphStore.SRC, GraphStore.RANK, GraphStore.DST))
-    df.join(keyDf, Seq(GraphStore.SRC, GraphStore.RANK, GraphStore.DST),
+    // The src set prunes the scan BEFORE the exact key semi-join: isin
+    // on the key prefix pushes to parquet (row-group min/max +
+    // dictionary pruning) — the reference's prefix-scan point get
+    // (src/storage/exec/EdgeNode.h:77-157 seeks a (src, type) prefix,
+    // bloom-filter assisted); the semi-join alone would scan every row.
+    val srcs = keys.map(_._1).distinct
+    df.filter(col(GraphStore.SRC).isin(srcs: _*))
+      .join(keyDf, Seq(GraphStore.SRC, GraphStore.RANK, GraphStore.DST),
         "left_semi")
       .select((Seq(GraphStore.SRC, GraphStore.RANK, GraphStore.DST) ++ props)
         .map(col): _*)
