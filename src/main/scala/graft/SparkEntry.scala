@@ -266,6 +266,17 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // ---- Incremental dedup: new docs vs the stored signature index ----
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existingSigs = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", 4, 8)
+      Dedup.dedupAgainstIndex(existingSigs,
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        n = 4, numHashes = 8, bands = 4, minAgree = 0.5)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
 
@@ -936,6 +947,39 @@ object SparkEntry {
         |         AS fp,
         |       min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_incremental" -> {
+      val agree = (0 until 8)
+        .map(i => s"CASE WHEN n.mh$i = o.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sigs AS ($minhashSigSql),
+         |old AS (SELECT * FROM sigs WHERE id < 250),
+         |new AS (SELECT * FROM sigs WHERE id >= 250),
+         |ob AS (
+         |  SELECT id, 0 AS band, concat_ws(':', mh0, mh1) AS sig FROM old
+         |  UNION ALL SELECT id, 1, concat_ws(':', mh2, mh3) FROM old
+         |  UNION ALL SELECT id, 2, concat_ws(':', mh4, mh5) FROM old
+         |  UNION ALL SELECT id, 3, concat_ws(':', mh6, mh7) FROM old),
+         |nb AS (
+         |  SELECT id, 0 AS band, concat_ws(':', mh0, mh1) AS sig FROM new
+         |  UNION ALL SELECT id, 1, concat_ws(':', mh2, mh3) FROM new
+         |  UNION ALL SELECT id, 2, concat_ws(':', mh4, mh5) FROM new
+         |  UNION ALL SELECT id, 3, concat_ws(':', mh6, mh7) FROM new),
+         |cand AS (
+         |  SELECT DISTINCT nb.id AS id, ob.id AS old_id
+         |  FROM nb JOIN ob ON nb.band = ob.band AND nb.sig = ob.sig),
+         |scored AS (
+         |  SELECT c.id, c.old_id,
+         |    round(($agree) / 8.0, 4) AS agree
+         |  FROM cand c JOIN new n ON n.id = c.id
+         |  JOIN old o ON o.id = c.old_id),
+         |best AS (
+         |  SELECT id, old_id, agree, row_number() OVER (PARTITION BY id
+         |    ORDER BY agree DESC, old_id) AS rk
+         |  FROM scored WHERE agree >= 0.5)
+         |SELECT id AS doc_id, old_id AS dup_of, agree
+         |FROM best WHERE rk = 1""".stripMargin
+    },
 
     "q_dedup_pipeline" ->
       s"""WITH sigs AS ($minhashSigSql),

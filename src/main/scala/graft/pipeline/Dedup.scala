@@ -208,8 +208,9 @@ object Dedup {
    * `maxBucketSize` drops degenerate buckets (hot band signatures) the
    * way the jaccard path caps document frequency; 0 disables.
    */
-  def lshCandidatePairs(signatures: DataFrame, numHashes: Int,
-      bands: Int, maxBucketSize: Int = 0): DataFrame = {
+  /** Explode a signature frame into (id, band, sig) bucket rows. */
+  private def bandFrame(signatures: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val bandStructs = (0 until bands).map { bIdx =>
@@ -217,9 +218,14 @@ object Dedup {
         .map(i => col(s"mh$i"))
       struct(lit(bIdx).as("band"), concat_ws(":", cols: _*).as("sig"))
     }
-    val banded = signatures
+    signatures
       .select(col("id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.sig").as("sig"))
+  }
+
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int,
+      bands: Int, maxBucketSize: Int = 0): DataFrame = {
+    val banded = bandFrame(signatures, numHashes, bands)
     val buckets = banded.groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -234,6 +240,47 @@ object Dedup {
       .select(explode(flatten(nestedPairs)).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
+  }
+
+  /**
+   * Incremental dedup against a stored signature index — the re-crawl
+   * shape: at ingest time only the SIGNATURES of the existing corpus are
+   * kept (numHashes columns per doc, not the text), and each incoming
+   * document is checked against them. Candidates come from the banded
+   * bucket join (same pigeonhole as [[lshCandidatePairs]]); the verdict
+   * is the MinHash jaccard ESTIMATE — the fraction of agreeing signature
+   * components — since the old text is gone. Each flagged incoming doc
+   * reports its best match (highest agreement, lowest existing id on
+   * ties).
+   *
+   * Scale shape: band explode on both sides, one bucket-join shuffle
+   * (the signature index is corpus-sized; the incoming batch is usually
+   * the small side and AQE broadcasts it), one agreement join, one
+   * per-incoming-doc window. Returns (id, dup_of, agree).
+   */
+  def dedupAgainstIndex(existingSigs: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, n: Int, numHashes: Int,
+      bands: Int, minAgree: Double): DataFrame = {
+    val newSigs = minhashSignatures(incoming, idCol, textCol, n, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = bandFrame(newSigs, numHashes, bands)
+      .join(bandFrame(existingSigs, numHashes, bands)
+        .withColumnRenamed("id", "old_id"), Seq("band", "sig"))
+      .select(col("id"), col("old_id")).distinct()
+    val mhEq = (0 until numHashes).map(i =>
+      when(col(s"mh$i") === col(s"omh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val renamedOld = existingSigs.select(
+      col("id").as("old_id") +:
+        (0 until numHashes).map(i => col(s"mh$i").as(s"omh$i")): _*)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("agree").desc, col("old_id"))
+    cand.join(newSigs, "id").join(renamedOld, "old_id")
+      .withColumn("agree",
+        round(mhEq.cast("double") / numHashes, 4))
+      .filter(col("agree") >= minAgree)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("id"), col("old_id").as("dup_of"), col("agree"))
   }
 
   /**

@@ -235,3 +235,24 @@ class IvfTrainSpec extends SparkSpec {
     assert(trained(1)._3 == Seq(1.0, 0.0))           // kept init centroid
   }
 }
+
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.pipeline.Dedup
+
+  test("incoming near-dup of the stored index is flagged with best match") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val existing = Seq((1L, base), (2L, "totally different words here " +
+      "nothing shared with anything else at all okay")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                                  // exact dup of 1
+      (11L, "unrelated fresh content that matches nothing in the corpus " +
+        "because every token is new")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(existing, "doc_id", "text", 4, 8)
+    val out = Dedup.dedupAgainstIndex(sigs, incoming, "doc_id", "text",
+      n = 4, numHashes = 8, bands = 4, minAgree = 0.5)
+      .as[(Long, Long, Double)].collect().toList
+    assert(out == List((10L, 1L, 1.0)))  // 10 flagged vs 1; 11 clean
+  }
+}
