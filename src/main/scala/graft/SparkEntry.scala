@@ -266,6 +266,23 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // ---- Corpus curation: quality + language gate, then dedup ----
+    // The training-data composition: score and language-id every doc,
+    // keep quality >= 0.6 in the target language, then drop near-dups
+    // via the full LSH propose / Jaccard verify pipeline.
+    "q_corpus_curation" -> ((s, dir) => {
+      val qc = TextAnalysis.qualityColumns(col("text")).toMap
+      val curated = t(s, dir, "documents").select(
+          col("doc_id"), col("text"),
+          qc("quality_score").as("quality_score"),
+          qc("n_tokens").as("n_tokens"),
+          TextAnalysis.predictedLang(col("text")).as("pred_lang"))
+        .filter(col("quality_score") >= 0.6 && col("pred_lang") === "en")
+      Dedup.dedupPipeline(curated, "doc_id", "text",
+          n = 4, numHashes = 8, bands = 4, threshold = 0.5)
+        .select("doc_id", "pred_lang", "quality_score", "n_tokens")
+    }),
+
     // ---- Incremental dedup: new docs vs the stored signature index ----
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -947,6 +964,68 @@ object SparkEntry {
         |         AS fp,
         |       min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_corpus_curation" -> {
+      val markers = TextAnalysis.DefaultMarkers
+      val scoreCols = markers.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(t, x -> list_contains($list, x))) AS INTEGER) AS score_$lang"
+      }.mkString(",\n  ")
+      val langs = markers.map(_._1)
+      val cases = langs.tail.reverse.map { lang =>
+        val prev = langs.takeWhile(_ != lang)
+          .map(l => s"score_$l").mkString(", ")
+        s"WHEN score_$lang > greatest($prev) THEN '$lang'"
+      }.mkString("\n  ")
+      val mhAggs = Dedup.minhashParams(8).zipWithIndex.map {
+        case ((a, b), i) => s"min((h * $a + $b) % ${Dedup.MinhashP}) AS mh$i"
+      }.mkString(", ")
+      s"""WITH $TokCte,
+         |cur0 AS (SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  round(0.5 * least(len(t) / 50.0, 1.0)
+         |    + 0.5 * least(round(len(list_filter(t,
+         |        x -> list_contains($Stoplist, x)))
+         |        * 1.0 / greatest(len(t), 1), 4) * 10.0, 1.0), 4)
+         |    AS quality_score,
+         |  $scoreCols
+         |FROM toks),
+         |cur1 AS (SELECT doc_id, text, n_tokens, quality_score,
+         |  CASE $cases ELSE '${langs.head}' END AS pred_lang FROM cur0),
+         |flt AS (SELECT doc_id, text, n_tokens, quality_score, pred_lang
+         |  FROM cur1 WHERE quality_score >= 0.6 AND pred_lang = 'en'),
+         |tf AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM flt),
+         |shf AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  range(1, greatest(len(t) - 3, 0) + 1),
+         |  i -> array_to_string(t[i:i+3], ' ')))) AS shingle FROM tf),
+         |hf AS (SELECT doc_id,
+         |  CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM shf),
+         |sigs AS (SELECT doc_id AS id, $mhAggs FROM hf GROUP BY doc_id),
+         |bands AS (
+         |  SELECT id, 0 AS band, concat_ws(':', mh0, mh1) AS sig FROM sigs
+         |  UNION ALL SELECT id, 1, concat_ws(':', mh2, mh3) FROM sigs
+         |  UNION ALL SELECT id, 2, concat_ws(':', mh4, mh5) FROM sigs
+         |  UNION ALL SELECT id, 3, concat_ws(':', mh6, mh7) FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM shf a JOIN shf b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT c.id_b FROM cand c
+         |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |  JOIN sizes sa ON sa.doc_id = c.id_a
+         |  JOIN sizes sb ON sb.doc_id = c.id_b
+         |  WHERE round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 4) >= 0.5)
+         |SELECT doc_id, pred_lang, quality_score, n_tokens FROM flt
+         |WHERE doc_id NOT IN (SELECT id_b FROM ver)""".stripMargin
+    },
 
     "q_dedup_incremental" -> {
       val agree = (0 until 8)
