@@ -44,7 +44,10 @@ object GetNeighbors {
 
   final case class Request(
       edgeTypes: Seq[String],
-      vertexIds: Option[Seq[Long]] = None, // None = go over all vertices
+      /** None = go over all vertices. Ids are whatever type the store's
+        * `_vid` column carries — the reference supports both int and
+        * fixed-string vids (src/mock/MockData.cpp int-vid variants). */
+      vertexIds: Option[Seq[Any]] = None,
       direction: Direction = Out,
       edgeProps: Seq[String] = Nil,
       /** Tag props of the input vertex, joined into the stream before
@@ -62,14 +65,13 @@ object GetNeighbors {
 
   /** Restrict to the requested vertex set: isin (parquet-prunable) for
     * small sets, broadcast semi-join otherwise. */
-  private def restrict(df: DataFrame, idCol: String, ids: Option[Seq[Long]]): DataFrame =
+  private def restrict(df: DataFrame, idCol: String, ids: Option[Seq[Any]]): DataFrame =
     ids match {
       case None => df
       case Some(vs) if vs.size <= ISIN_MAX => df.filter(col(idCol).isin(vs: _*))
       case Some(vs) =>
-        val spark = df.sparkSession
-        import spark.implicits._
-        df.join(broadcast(vs.toDF(idCol)), Seq(idCol), "left_semi")
+        df.join(broadcast(Keys.frame(df.sparkSession, vs, idCol)),
+          Seq(idCol), "left_semi")
     }
 
   /**
@@ -145,7 +147,14 @@ object GetNeighbors {
     * (reference: src/storage/exec/AggregateNode.h:125-155). */
   def stats(store: GraphStore, req: Request): DataFrame = {
     require(req.stats.nonEmpty, "stats request needs at least one StatSpec")
-    val edges = edgeStream(store, req)
+    // Stat inputs resolve independently of the returned props (the
+    // reference's StatProp list is separate from returned_ flags —
+    // src/storage/exec/AggregateNode.h:17-162): project them through
+    // the edge stream whether or not the caller also yields them.
+    val statProps = req.stats.map(_.prop)
+      .filter(p => p != "*" && !p.startsWith("_"))
+    val edges = edgeStream(store,
+      req.copy(edgeProps = (req.edgeProps ++ statProps).distinct))
     val aggs = req.stats.map { s =>
       val c = col(s.prop)
       (s.stat.toLowerCase match {

@@ -21,18 +21,15 @@ object GetProps {
 
   private val ISIN_MAX = 1024
 
-  /** Fetch tag props for a vertex id set. */
-  def vertices(store: GraphStore, tag: String, ids: Seq[Long],
+  /** Fetch tag props for a vertex id set (int or string vids). */
+  def vertices(store: GraphStore, tag: String, ids: Seq[Any],
       props: Seq[String], filter: Option[FilterExpr] = None): DataFrame = {
     val df = store.tag(tag)
     val keyed =
       if (ids.size <= ISIN_MAX) df.filter(col(GraphStore.VID).isin(ids: _*))
-      else {
-        val spark = df.sparkSession
-        import spark.implicits._
-        df.join(broadcast(ids.toDF(GraphStore.VID)), Seq(GraphStore.VID),
-          "left_semi")
-      }
+      else df.join(
+        broadcast(Keys.frame(df.sparkSession, ids, GraphStore.VID)),
+        Seq(GraphStore.VID), "left_semi")
     val filtered = filter.map(f => keyed.filter(FilterExpr.predicate(f)))
       .getOrElse(keyed)
     filtered.select((GraphStore.VID +: props).map(col): _*)

@@ -1,0 +1,87 @@
+package graft
+
+import graft.expr.FilterExpr._
+import graft.operators.{GetNeighbors, GetProps, Lookup, Mutations}
+import graft.operators.GetNeighbors.{Request, Out, In, StatSpec}
+import org.apache.spark.sql.functions._
+
+/**
+ * Golden tests over the string-vid NBA fixture, mirroring the
+ * reference's own test matrix (GetNeighborsTest / GetPropTest /
+ * LookupIndexTest / UpdateVertexTest run against MockData — SURVEY.md
+ * §5). Exercises the id-type-agnostic request path: vids here are
+ * strings, the TPC-H suite uses longs.
+ */
+class NbaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val nba = NbaFixture.store(spark)
+
+  test("GetNeighbors out over string vids: serve props in key order") {
+    val out = GetNeighbors.flat(nba, Request(
+      edgeTypes = Seq("serve"),
+      vertexIds = Some(Seq("Tracy McGrady", "Tim Duncan")),
+      direction = Out,
+      edgeProps = Seq("teamName", "startYear")))
+      .select("_vid", "_nbr", "teamName", "startYear")
+      .as[(String, String, String, Long)].collect().toList
+    // edges arrive sorted by (type, rank, dst) within each vertex
+    assert(out.filter(_._1 == "Tracy McGrady").map(_._2) ==
+      List("Raptors", "Magic", "Rockets"))
+    assert(out.filter(_._1 == "Tim Duncan") ==
+      List(("Tim Duncan", "Spurs", "Spurs", 1997L)))
+  }
+
+  test("GetNeighbors in: who served at Spurs, with edge filter") {
+    val in = GetNeighbors.flat(nba, Request(
+      edgeTypes = Seq("serve"),
+      vertexIds = Some(Seq("Spurs")),
+      direction = In,
+      edgeProps = Seq("startYear"),
+      filter = Some(Cmp(">=", Prop("startYear"), Lit(2001L)))))
+      .select("_nbr").as[String].collect().toSet
+    assert(in == Set("Tony Parker", "Manu Ginobili", "LaMarcus Aldridge"))
+  }
+
+  test("GetNeighbors per-vertex stats over string vids") {
+    val stats = GetNeighbors.stats(nba, Request(
+      edgeTypes = Seq("serve"),
+      vertexIds = Some(Seq("Tracy McGrady")),
+      direction = Out,
+      stats = Seq(StatSpec("teamGames", "sum", "total_games"),
+        StatSpec("teamAvgScore", "max", "best_avg"))))
+    val row = stats.select("total_games", "best_avg")
+      .as[(Long, Double)].head()
+    assert(row == ((192L + 295L + 303L, 28.1)))
+  }
+
+  test("GetProps point-get on string vid, nullable champions") {
+    val byId = GetProps.vertices(nba, "player",
+      Seq("Tim Duncan", "Tracy McGrady"), Seq("age", "champions"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(byId("Tim Duncan") == ((44L, Some(5L))))
+    assert(byId("Tracy McGrady") == ((41L, None)))
+  }
+
+  test("Lookup with string prefix + int range hints (serve index shape)") {
+    val hits = Lookup(nba.edge("serve"), Lookup.Request(
+      contexts = Seq(Lookup.IndexQueryContext(Seq(
+        Lookup.Prefix("playerName", "Tracy McGrady"),
+        Lookup.Range("startYear", lo = Some(2000L), hi = Some(2005L))))),
+      yieldCols = Seq("playerName", "teamName", "startYear"),
+      dedupKeys = Seq("playerName", "teamName", "startYear")))
+      .select("teamName").as[String].collect().toSet
+    assert(hits == Set("Magic", "Rockets"))
+  }
+
+  test("update on string-keyed tag table (UpdateVertex analog)") {
+    val updated = Mutations.updateWhere(nba.tag("player"),
+      Cmp("==", Prop("playing"), Lit(true)),
+      sets = Seq("age" -> (col("age") + 1)))
+    val ages = updated.select("_vid", "age").as[(String, Long)]
+      .collect().toMap
+    assert(ages("LaMarcus Aldridge") == 36L) // playing: bumped
+    assert(ages("Tim Duncan") == 44L)        // retired: untouched
+  }
+}
