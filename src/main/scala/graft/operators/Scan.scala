@@ -17,11 +17,11 @@ import org.apache.spark.sql.functions._
  */
 object Scan {
 
-  final case class Page(rows: DataFrame, nextCursor: Option[Long])
+  final case class Page(rows: DataFrame, nextCursor: Option[Any])
 
   /** One page of a keyset-paginated scan over `keyCols`-sorted data. */
   def page(table: DataFrame, keyCol: String, props: Seq[String],
-      limit: Int, cursor: Option[Long]): DataFrame = {
+      limit: Int, cursor: Option[Any]): DataFrame = {
     val after = cursor match {
       case Some(k) => table.filter(col(keyCol) > lit(k))
       case None => table
@@ -39,7 +39,7 @@ object Scan {
    */
   def multiTagPage(store: graft.model.GraphStore,
       tagProps: Map[String, Seq[String]], keyCol: String, limit: Int,
-      cursor: Option[Long]): DataFrame = {
+      cursor: Option[Any]): DataFrame = {
     val perTag = tagProps.toSeq.sortBy(_._1).map { case (tag, props) =>
       store.tag(tag).select((keyCol +: props).map(col): _*)
     }
@@ -54,14 +54,10 @@ object Scan {
   /** Page plus the resume cursor (max key of the page), for drivers that
     * loop pages like the reference's client. */
   def pageWithCursor(table: DataFrame, keyCol: String, props: Seq[String],
-      limit: Int, cursor: Option[Long]): Page = {
+      limit: Int, cursor: Option[Any]): Page = {
     val rows = page(table, keyCol, props, limit, cursor)
-    val next = rows.agg(max(col(keyCol))).head.getAs[Any](0) match {
-      case null => None
-      case v: Long => Some(v)
-      case v: Int => Some(v.toLong)
-      case v => Some(v.toString.toLong)
-    }
+    // cursor type follows the key column (int or string vids alike)
+    val next = Option(rows.agg(max(col(keyCol))).head.getAs[Any](0))
     Page(rows, next)
   }
 }

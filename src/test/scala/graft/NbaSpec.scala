@@ -85,3 +85,63 @@ class NbaSpec extends SparkSpec {
     assert(ages("Tim Duncan") == 44L)        // retired: untouched
   }
 }
+
+/** Second half of the reference test matrix over the NBA fixture:
+  * mutations, pagination, direction symmetry (AddVerticesTest,
+  * DeleteEdgesTest, ScanVertexTest analogs). */
+class NbaMutationScanSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{Mutations, Scan}
+  import graft.operators.GetNeighbors.{Request, Both}
+
+  private lazy val nba = NbaFixture.store(spark)
+
+  test("add vertices if-not-exists keeps first-seen (string keys)") {
+    val incoming = Seq(
+      ("Tim Duncan", "Tim Duncan", 99L),   // exists: must keep age 44
+      ("Dirk Nowitzki", "Dirk Nowitzki", 42L)) // new: inserted
+      .toDF("_vid", "name", "age")
+    val base = nba.tag("player").select("_vid", "name", "age")
+    val merged = Mutations.addRows(base, incoming, Seq("_vid"),
+      ifNotExists = true)
+    val ages = merged.select("_vid", "age").as[(String, Long)]
+      .collect().toMap
+    assert(ages("Tim Duncan") == 44L && ages("Dirk Nowitzki") == 42L)
+    assert(merged.count() == 6)
+  }
+
+  test("delete edges by full (src, rank, dst) string key") {
+    val keys = Seq(("Tracy McGrady", 2000L, "Magic"))
+      .toDF("_src", "_rank", "_dst")
+    val left = Mutations.deleteRows(nba.edge("serve"), keys,
+      Seq("_src", "_rank", "_dst"))
+    assert(left.count() == 8)
+    assert(left.filter($"_src" === "Tracy McGrady").count() == 2)
+  }
+
+  test("keyset pagination walks string vids in order") {
+    val p1 = Scan.pageWithCursor(nba.tag("player"), "_vid",
+      Seq("age"), limit = 2, cursor = None)
+    val v1 = p1.rows.select("_vid").as[String].collect().toList
+    assert(v1 == List("LaMarcus Aldridge", "Manu Ginobili"))
+    val p2 = Scan.pageWithCursor(nba.tag("player"), "_vid",
+      Seq("age"), limit = 2, cursor = p1.nextCursor)
+    val v2 = p2.rows.select("_vid").as[String].collect().toList
+    assert(v2 == List("Tim Duncan", "Tony Parker"))
+    val p3 = Scan.pageWithCursor(nba.tag("player"), "_vid",
+      Seq("age"), limit = 2, cursor = p2.nextCursor)
+    assert(p3.rows.select("_vid").as[String].collect().toList ==
+      List("Tracy McGrady"))
+  }
+
+  test("teammate BOTH direction yields the union of signed directions") {
+    val both = GetNeighbors.flat(nba, Request(
+      edgeTypes = Seq("teammate"),
+      vertexIds = Some(Seq("Tim Duncan")),
+      direction = Both))
+      .select("_type", "_nbr").as[(Int, String)].collect().toSet
+    // out rows carry +102, in rows -102 (reference's signed edgeType)
+    assert(both == Set((102, "Tony Parker"), (102, "Manu Ginobili"),
+      (-102, "Tony Parker"), (-102, "Manu Ginobili")))
+  }
+}

@@ -190,7 +190,7 @@ class SampleScanTtlSpec extends SparkSpec {
   test("keyset pagination covers the table exactly once") {
     val cust = GraphStore.cached(spark, sfDir).tag("customer")
     val total = cust.count()
-    var cursor: Option[Long] = None
+    var cursor: Option[Any] = None
     var seen = 0L
     var pages = 0
     var done = false
