@@ -145,3 +145,41 @@ class NbaMutationScanSpec extends SparkSpec {
       (-102, "Tony Parker"), (-102, "Manu Ginobili")))
   }
 }
+
+/** TTL-mode and request-validation analogs (IndexWithTTLTest and the
+  * reference's failure-path tests). */
+class NbaTtlValidationSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{GetNeighbors, Lookup, Ttl}
+  import graft.operators.GetNeighbors.{Request, Out}
+
+  private lazy val nba = NbaFixture.store(spark)
+
+  test("TTL visibility over an insertTime column (mock_ttl_col analog)") {
+    val withTtl = nba.tag("player")
+      .withColumn("insertTime", when($"age" > 40,
+        to_timestamp(lit("2024-01-01 00:00:00")))
+        .otherwise(to_timestamp(lit("2024-01-31 00:00:00"))))
+    val now = to_timestamp(lit("2024-01-20 00:00:00"))
+    val visible = Ttl.visible(withTtl, "insertTime", 86400L * 10, now)
+      .select("_vid").as[String].collect().toSet
+    // rows older than 10 days are invisible: only the age<=40 rows
+    // (inserted day 31, in the future => alive) survive
+    assert(visible == Set("Tony Parker", "LaMarcus Aldridge"))
+  }
+
+  test("invalid requests fail fast with clear messages") {
+    intercept[IllegalArgumentException] {
+      GetNeighbors.stats(nba, Request(edgeTypes = Seq("serve"),
+        vertexIds = Some(Seq("Tim Duncan")), direction = Out))
+    }
+    intercept[IllegalArgumentException] {
+      Lookup.validateHints(Seq(
+        Lookup.Range("startYear", lo = Some(2000L)),
+        Lookup.Prefix("playerName", "x"))) // range not last
+    }
+    intercept[IllegalArgumentException] {
+      Lookup.validateHints(Nil)
+    }
+  }
+}
