@@ -488,6 +488,18 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.pageRank(store(s, dir),
         Seq("contains"), iters = 5)),
 
+    // ---- Salted two-stage aggregation (hot-key mitigation) ----
+    // 3 return-flag groups over the whole lineitem table is the
+    // pathological shape: 3 reducers own everything without salting.
+    // The oracle is the PLAIN group-by — the two-stage result must be
+    // identical (quantities are integer-valued, sums exact in double).
+    "q_skew_salted_agg" -> ((s, dir) =>
+      Skew.saltedAgg(t(s, dir, "lineitem"), key = "l_returnflag",
+        saltOn = "l_partkey", saltFactor = 8,
+        aggs = Seq(Skew.Agg("l_quantity", "sum", "sum_qty"),
+          Skew.Agg("*", "count", "n_rows"),
+          Skew.Agg("l_extendedprice", "max", "max_price")))),
+
     "q_triangle_count" -> ((s, dir) =>
       graft.analytics.GraphAnalytics.triangleCount(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"))),
@@ -1428,6 +1440,11 @@ object SparkEntry {
         |FROM reach GROUP BY v""".stripMargin,
 
     "q_pagerank" -> pageRankSql(5),
+
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows, max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q_ivf_train" -> ivfTrainSql(2),
 
