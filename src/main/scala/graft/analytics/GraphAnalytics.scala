@@ -67,10 +67,17 @@ object GraphAnalytics {
         col(GraphStore.DST).as("d"))
     }.reduce(_ unionByName _)
     val outDeg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
-    val weighted = edges.join(outDeg, "s") // (s, d, deg), loop-invariant
+    // Loop invariants PERSIST (the GraphX pattern: edge state cached
+    // across supersteps). Without it the 10x amplification smoke showed
+    // ~150x cost for 10x edges: the unrolled plan re-derived the
+    // edge⋈outdeg join and the distinct-vertex frame inside every
+    // iteration's lineage instead of reading them once.
+    val weighted = edges.join(outDeg, "s") // (s, d, deg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val verts = edges.select(col("s").as("v"))
       .union(edges.select(col("d")))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = verts.select(col("v"), lit(1.0).as("r"))
     for (_ <- 1 to iters) {
       val msgs = weighted.join(ranks, col("s") === col("v"))
@@ -80,17 +87,17 @@ object GraphAnalytics {
         .select(col("v"),
           (lit(resetProb) + lit(1 - resetProb) *
             coalesce(col("ms"), lit(0.0))).as("r"))
+        // vertex-sized; truncates the growing iteration lineage so each
+        // superstep reads the previous ranks, not the whole history
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
-    // The final ranks feed BOTH the normalization scalar and the output
-    // rows; without a persist the crossJoin would re-execute the whole
-    // unrolled iteration chain a second time (verified via explain:
-    // 331-node plan collapses to half). Vertex-sized, so MEMORY_AND_DISK
-    // is safe at cluster scale — the standard iterative-algorithm
-    // pattern (GraphX persists per-iteration state the same way).
-    val finalRanks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-    val totals = finalRanks.agg(sum(col("r")).as("sr"),
+    // The final ranks (already persisted) feed BOTH the normalization
+    // scalar and the output rows — without the persist the crossJoin
+    // would re-execute the whole iteration chain a second time
+    // (verified via explain: 331-node plan collapses to half).
+    val totals = ranks.agg(sum(col("r")).as("sr"),
       count(lit(1)).as("nv"))
-    finalRanks.crossJoin(broadcast(totals))
+    ranks.crossJoin(broadcast(totals))
       .select(col("v").as("_vid"),
         round(col("r") / col("sr") * col("nv"), 6).as("rank"))
   }

@@ -335,7 +335,7 @@ object Dedup {
    * hamming check then filters the bucket.
    */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      bits: Int, maxHamming: Int): DataFrame = {
+      bits: Int, maxHamming: Int, maxBucketSize: Int = 0): DataFrame = {
     val nBands = maxHamming + 1
     val bandWidth = math.max(bits / nBands, 1)
     val sigs = simhash(df, idCol, textCol, bits)
@@ -351,10 +351,17 @@ object Dedup {
       .select(col("id"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("simhash"),
         col("b.band").as("band"), col("b.sig").as("sig"))
-    val buckets = banded.groupBy(col("band"), col("sig"))
+    val buckets0 = banded.groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(struct(col("id"), col("simhash"))))
         .as("members"))
       .filter(size(col("members")) > 1)
+    // hot band-signature buckets generate |bucket|^2 pairs — the 10x
+    // amplification smoke went quadratic without this cap, the same
+    // stop-shingle guard the jaccard/LSH paths have; 0 disables (the
+    // oracle query runs uncapped at fixture scale).
+    val buckets =
+      if (maxBucketSize <= 0) buckets0
+      else buckets0.filter(size(col("members")) <= maxBucketSize)
     val nestedPairs = transform(col("members"), (x, i) =>
       transform(slice(col("members"), i + 2, size(col("members"))),
         y => struct(x.getField("id").as("id_a"),
