@@ -369,6 +369,39 @@ object SparkEntry {
       EventStream.sessionWindowAgg(graft.sources.Tables.events(s, dir),
         gap = "30 minutes")),
 
+    // ---- Temporal joins (as-of + banded range; event attribution) ----
+    // Each purchase gets the same user's latest at-or-before 'view'
+    // (backward as-of, single-shuffle union-window plan).
+    "q_asof_join" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      TemporalJoin.asOfBackward(
+        ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("buy_id"), col("user_id"),
+            col("ts").as("buy_ts"), col("value").as("buy_value")),
+        ev.where(col("event_type") === "view")
+          .select(col("user_id").as("_vu"), col("ts").as("view_ts"),
+            col("event_id").as("view_id")),
+        leftKey = "user_id", rightKey = "_vu",
+        leftTime = "buy_ts", rightTime = "view_ts",
+        rightTieBreak = "view_id", rightCols = Seq("view_id"))
+        .select(col("buy_id"), col("user_id"), col("buy_value"),
+          col("view_id"))
+    }),
+
+    // view -> purchase pairs within 6 hours (time-bucketed band join:
+    // a hot user costs rows-per-window, not rows-per-user squared).
+    "q_range_join" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      TemporalJoin.banded(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"),
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        loUs = 1L, hiUs = 6L * 3600 * 1000000,
+        leftCols = Seq("event_id" -> "view_id", "user_id" -> "user_id"),
+        rightCols = Seq("event_id" -> "buy_id", "value" -> "buy_value"))
+    }),
+
     // mapGroupsWithState keyed state (batch = one micro-batch); the
     // state-store fold must agree with the plain aggregate.
     // ---- Change-log listener (raft-WAL Listener / ES sync analog) ----
@@ -1304,6 +1337,27 @@ object SparkEntry {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT buy_id, user_id, buy_value, view_id FROM (
+        |  SELECT b.event_id AS buy_id, b.user_id, b.value AS buy_value,
+        |         v.event_id AS view_id,
+        |         row_number() OVER (PARTITION BY b.event_id
+        |           ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM events b LEFT JOIN events v
+        |    ON v.user_id = b.user_id AND v.event_type = 'view'
+        |       AND v.ts <= b.ts
+        |  WHERE b.event_type = 'purchase') t
+        |WHERE rn = 1""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT a.event_id AS view_id, a.user_id AS user_id,
+        |       b.event_id AS buy_id, b.value AS buy_value,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 1 AND 21600000000
+        |""".stripMargin,
 
     "q_events_session_window" ->
       """WITH g AS (
