@@ -317,6 +317,35 @@ object SparkEntry {
           scores: _*)
     }),
 
+    // ---- TF-IDF term scoring (one corpus scan; persisted tf frame) ----
+    "q_tfidf_topterms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"),
+        "doc_id", "text", k = 3)),
+
+    // ---- Gopher-style repetition quality signals ----
+    "q_repetition_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"),
+        "doc_id", "text")),
+
+    // ---- Stratified sampling (exact per-stratum quota, replayable) ----
+    "q_stratified_sample" -> ((s, dir) =>
+      Sample.stratified(t(s, dir, "documents")
+          .select("doc_id", "lang", "source"),
+        strataCol = "lang", idCol = "doc_id", k = 20)),
+
+    // ---- Full-text match surface (ES query-DSL analog, plan-native) ----
+    "q_text_search" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextSearch.prefix(d, "source", "src1")
+        .select(lit("prefix").as("mode"), col("doc_id"))
+        .unionAll(TextSearch.wildcard(d, "source", "src%2")
+          .select(lit("wildcard").as("mode"), col("doc_id")))
+        .unionAll(TextSearch.regexp(d, "text", "vector (fast|slow)")
+          .select(lit("regexp").as("mode"), col("doc_id")))
+        .unionAll(TextSearch.fuzzy(d, "text", "tabel", maxDist = 1)
+          .select(lit("fuzzy").as("mode"), col("doc_id")))
+    }),
+
     // ---- Winnowing fingerprints (rolling-hash k-gram window-min) ----
     "q_winnow_fingerprints" -> ((s, dir) =>
       TextAnalysis.winnowingFingerprints(
@@ -1220,6 +1249,73 @@ object SparkEntry {
          |  ${langs.map(l => s"score_$l").mkString(", ")}
          |FROM s""".stripMargin
     },
+
+    "q_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, round(tf * ln(n.n / df), 6) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(tf * ln(n.n / df), 6) DESC, term) AS rk
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, score FROM scored WHERE rk <= 3""".stripMargin,
+
+    "q_repetition_stats" ->
+      """WITH tarr AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    t -> t <> '') AS toks
+        |  FROM documents),
+        |wtf AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tarr)
+        |  GROUP BY 1, 2),
+        |words AS (
+        |  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+        |         max(c) AS top_c
+        |  FROM wtf GROUP BY 1),
+        |btf AS (
+        |  SELECT doc_id, bg, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |          i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |        FROM tarr)
+        |  GROUP BY 1, 2),
+        |bgs AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg
+        |        FROM btf GROUP BY 1)
+        |SELECT w.doc_id, CAST(w.n_tokens AS BIGINT) AS n_tokens,
+        |  round(1 - w.n_distinct / CAST(w.n_tokens AS DOUBLE), 6)
+        |    AS dup_word_frac,
+        |  round(w.top_c / CAST(w.n_tokens AS DOUBLE), 6) AS top_word_frac,
+        |  round(b.top_bg / CAST(b.n_bg AS DOUBLE), 6) AS top_bigram_frac
+        |FROM words w LEFT JOIN bgs b ON w.doc_id = b.doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 20""".stripMargin,
+
+    "q_text_search" ->
+      """SELECT 'prefix' AS mode, doc_id FROM documents
+        |  WHERE starts_with(source, 'src1')
+        |UNION ALL
+        |SELECT 'wildcard', doc_id FROM documents WHERE source LIKE 'src%2'
+        |UNION ALL
+        |SELECT 'regexp', doc_id FROM documents
+        |  WHERE regexp_matches(text, 'vector (fast|slow)')
+        |UNION ALL
+        |SELECT 'fuzzy', doc_id FROM documents
+        |  WHERE len(list_filter(
+        |    list_distinct(string_split_regex(lower(text), '[^a-z0-9]+')),
+        |    t -> t <> '' AND levenshtein(t, 'tabel') <= 1)) > 0""".stripMargin,
 
     // k=8, w=4; rightmost-min ties encoded as hash*10^6 + (10^6 - pos)
     "q_winnow_fingerprints" ->

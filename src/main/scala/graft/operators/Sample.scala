@@ -97,4 +97,21 @@ object Sample {
   /** Column form of the reservoir aggregate. */
   def reservoir(c: Column, k: Int, seed: Long = 42L): Column =
     udaf(new ReservoirAgg(k, seed), Encoders.scalaLong)(c)
+
+  /**
+   * Exactly-k-per-stratum deterministic sample: rank rows inside each
+   * stratum by the md5 of their id (a uniform, engine-portable,
+   * replayable ordering — no `rand()`, so retries and the SQL oracle see
+   * the identical sample) and keep the first k. Plans as
+   * WindowGroupLimit: each map task keeps at most k rows per stratum
+   * before the shuffle, so quota sampling a 100 TB corpus moves only
+   * ~k·|strata| rows per task, not the corpus.
+   */
+  def stratified(df: DataFrame, strataCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_srn", row_number().over(w))
+      .filter(col("_srn") <= k).drop("_srn")
+  }
 }

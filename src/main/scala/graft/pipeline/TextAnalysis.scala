@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -150,5 +151,75 @@ object TextAnalysis {
       .select(col("id"), expr("mk DIV 1000000L").as("fp_hash"),
         (lit(1000000L) - pmod(col("mk"), lit(1000000L))).as("fp_pos"))
       .distinct()
+  }
+
+  /** Lower-cased alphanumeric terms (portable split: `[^a-z0-9]+` is the
+    * same regex class in Spark and the DuckDB oracle). */
+  def terms(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /**
+   * Top-k TF-IDF terms per document (score = tf · ln(N/df), ties to the
+   * lexicographically smaller term).
+   *
+   * Scale shape: ONE corpus scan builds the (doc, term, tf) frame — it
+   * is persisted because both the document-frequency aggregate and the
+   * final join consume it — then a term-keyed shuffle join attaches df.
+   * The per-doc top-k is a WindowGroupLimit (map-side partial top-k), so
+   * no reducer ever holds a whole document's term list unsorted.
+   */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val n = df.count()
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(terms(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val score = round(col("tf") * log(lit(n.toDouble) / col("df")), 6)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(score.desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("term"), score.as("score"))
+  }
+
+  /**
+   * Gopher-style repetition signals per document: token count, duplicate
+   * -word fraction (1 − distinct/total), top-word fraction, and
+   * top-bigram fraction. High values flag boilerplate/spam for corpus
+   * filtering.
+   *
+   * Explode + groupBy (linear, shuffle on doc_id) rather than per-row
+   * array lambdas: counting occurrences inside a HOF is O(tokens²) per
+   * document in interpreted lambda evaluation.
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      terms(col(textCol)).as("_toks"))
+    val wordTf = base
+      .select(col("doc_id"), explode(col("_toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val words = wordTf.groupBy("doc_id").agg(
+      sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+      max("c").as("top_c"))
+    val bigrams = base
+      .select(col("doc_id"), explode(when(size(col("_toks")) >= 2,
+        transform(sequence(lit(1), size(col("_toks")) - 1),
+          i => concat(element_at(col("_toks"), i), lit(" "),
+            element_at(col("_toks"), i + 1))))
+        .otherwise(array())).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_bg"), max("c").as("top_bg"))
+    words.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("dup_word_frac"),
+        round(col("top_c").cast("double") / col("n_tokens"), 6)
+          .as("top_word_frac"),
+        round(col("top_bg").cast("double") / col("n_bg"), 6)
+          .as("top_bigram_frac"))
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{Sample, TextSearch}
+import graft.pipeline.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "cat dog cat bird", "en"),
+    (2L, "dog dog dog dog", "en"),
+    (3L, "cat fish", "fr"),
+    (4L, "unique words only here", "fr"))
+    .toDF("doc_id", "text", "lang")
+
+  test("tfidfTopTerms scores and ranks with deterministic ties") {
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toList).toMap
+    // doc 2: only term "dog" (df=2) -> 4 * ln(4/2)
+    assert(out(2L) == List("dog" -> math.round(4 * math.log(2) * 1e6) / 1e6))
+    // doc 1: cat tf=2 df=2 -> 2ln2 ; bird tf=1 df=1 -> ln4 ; dog tf=1 df=2 -> ln2
+    // top2 = cat (1.386294) then bird (1.386294) — tie broken by term asc
+    val d1 = out(1L)
+    assert(d1.map(_._1) == List("bird", "cat") ||
+      d1.map(_._1) == List("cat", "bird"))
+    assert(d1.map(_._2).distinct == List(math.round(math.log(4) * 1e6) / 1e6))
+  }
+
+  test("repetitionStats flags repeated words and bigrams") {
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n2, dup2, topw2, topb2) = out(2L)
+    assert(n2 == 4 && dup2 == 0.75 && topw2 == 1.0 && topb2 == 1.0)
+    val (_, n4, dup4, topw4, _) = out(4L)
+    assert(n4 == 4 && dup4 == 0.0 && topw4 == 0.25)
+    val (_, _, _, _, topb1) = out(1L)
+    assert(topb1 == math.round(1.0 / 3 * 1e6) / 1e6) // 3 distinct bigrams
+  }
+
+  test("stratified takes exactly k per stratum, deterministically") {
+    val big = spark.range(1000).select(col("id"),
+      (col("id") % 3).cast("string").as("lang"))
+    val s1 = Sample.stratified(big, "lang", "id", 7)
+      .as[(Long, String)].collect().toSet
+    val s2 = Sample.stratified(big, "lang", "id", 7)
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2)
+    assert(s1.groupBy(_._2).values.forall(_.size == 7))
+  }
+
+  test("text search: prefix/wildcard/regexp/fuzzy semantics") {
+    val d = Seq((1L, "the quick table", "alpha"),
+      (2L, "a tabel typo here", "beta"),
+      (3L, "nothing relevant", "alphabet"))
+      .toDF("doc_id", "text", "source")
+    assert(TextSearch.prefix(d, "source", "alpha")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(TextSearch.wildcard(d, "source", "%bet_")
+      .select("doc_id").as[Long].collect().toSet == Set(2L))
+    assert(TextSearch.wildcard(d, "source", "%bet")
+      .select("doc_id").as[Long].collect().toSet == Set(3L))
+    assert(TextSearch.regexp(d, "text", "qu[io]ck")
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+    // plain Levenshtein: the "table"/"tabel" transposition is 2 edits
+    assert(TextSearch.fuzzy(d, "text", "tabel", 1)
+      .select("doc_id").as[Long].collect().toSet == Set(2L))
+    assert(TextSearch.fuzzy(d, "text", "tabel", 2)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+}
