@@ -398,6 +398,14 @@ object SparkEntry {
       EventStream.sessionWindowAgg(graft.sources.Tables.events(s, dir),
         gap = "30 minutes")),
 
+    // ---- Streaming ingest dedup (batch statement; stream variant
+    // is dropDuplicatesWithinWatermark, StreamingSpec) ----
+    "q_events_dedup_first" -> ((s, dir) =>
+      EventStream.firstEventPerKey(graft.sources.Tables.events(s, dir),
+          Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"))),
+
     // ---- Temporal joins (as-of + banded range; event attribution) ----
     // Each purchase gets the same user's latest at-or-before 'view'
     // (backward as-of, single-shuffle union-window plan).
@@ -565,6 +573,14 @@ object SparkEntry {
     "q_triangle_count" -> ((s, dir) =>
       graft.analytics.GraphAnalytics.triangleCount(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"))),
+
+    // ---- k-hop BFS traversal (GO n STEPS storage half) ----
+    // customer -> order -> part -> supplier; vids are the global id
+    // space (reference semantics), min distance per reached vertex.
+    "q_khop" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.kHop(store(s, dir),
+        Seq("placed", "contains", "supplied_by"),
+        seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3)),
 
     // ---- IVF approximate nearest neighbors ----
     "q_ivf_topk" -> ((s, dir) =>
@@ -872,6 +888,29 @@ object SparkEntry {
         |  UNION ALL SELECT c FROM tri) GROUP BY v)
         |SELECT verts.v AS _vid, coalesce(cnt.triangles, 0) AS triangles
         |FROM verts LEFT JOIN cnt ON cnt.v = verts.v""".stripMargin,
+
+    "q_khop" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS src, o_orderkey AS dst FROM orders
+        |  UNION ALL SELECT l_orderkey, l_partkey FROM lineitem
+        |  UNION ALL SELECT l_partkey, l_suppkey FROM lineitem),
+        |l0 AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS vid),
+        |l1 AS (SELECT DISTINCT e.dst AS vid FROM e
+        |       JOIN l0 ON e.src = l0.vid
+        |       WHERE e.dst NOT IN (SELECT vid FROM l0)),
+        |l2 AS (SELECT DISTINCT e.dst AS vid FROM e
+        |       JOIN l1 ON e.src = l1.vid
+        |       WHERE e.dst NOT IN (SELECT vid FROM l0
+        |                           UNION ALL SELECT vid FROM l1)),
+        |l3 AS (SELECT DISTINCT e.dst AS vid FROM e
+        |       JOIN l2 ON e.src = l2.vid
+        |       WHERE e.dst NOT IN (SELECT vid FROM l0
+        |                           UNION ALL SELECT vid FROM l1
+        |                           UNION ALL SELECT vid FROM l2))
+        |SELECT vid AS _vid, 0 AS dist FROM l0
+        |UNION ALL SELECT vid, 1 FROM l1
+        |UNION ALL SELECT vid, 2 FROM l2
+        |UNION ALL SELECT vid, 3 FROM l3""".stripMargin,
 
     "q_lookup_prefix_range" ->
       """SELECT DISTINCT l_orderkey, l_linenumber, l_quantity
@@ -1433,6 +1472,14 @@ object SparkEntry {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_events_dedup_first" ->
+      """SELECT user_id, event_type, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
 
     "q_asof_join" ->
       """SELECT buy_id, user_id, buy_value, view_id FROM (

@@ -129,4 +129,45 @@ object GraphAnalytics {
       union.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 0)), 0L)
     g.triangleCount().vertices.toDF("_vid", "triangles")
   }
+
+  /**
+   * Min-distance k-hop BFS from seed vertices over directed edges of the
+   * given types — the storage half of a `GO <n> STEPS` traversal (each
+   * hop is the reference's GetNeighbors fan-out,
+   * src/storage/query/GetNeighborsProcessor.cpp; the multi-step loop
+   * lives in the graph layer there, here it is unrolled into one plan).
+   * Returns (`_vid`, `dist`) for every vertex within `maxHops`, seeds at
+   * dist 0.
+   *
+   * Scale shape: the edge frame is persisted once and re-joined per hop;
+   * each frontier is dist-i-only (anti-joined against all previous
+   * levels, so a vertex is expanded exactly once — no exponential walk
+   * re-expansion) and persisted because it feeds the next hop's join,
+   * the anti-join, and the final union. Frontier joins shuffle on `src`;
+   * AQE broadcasts the frontier side while it fits.
+   */
+  def kHop(store: GraphStore, edgeTypes: Seq[String], seeds: Seq[Long],
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val spark = store.vertices.head._2.sparkSession
+    import spark.implicits._
+    val e = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC).as("src"),
+        col(GraphStore.DST).as("dst"))
+    }.reduce(_ unionByName _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var levels = List(seeds.toDF("_vid")
+      .withColumn("dist", lit(0)).persist(StorageLevel.MEMORY_AND_DISK))
+    for (i <- 1 to maxHops) {
+      val visited = levels.map(_.select("_vid")).reduce(_ unionByName _)
+      val next = e.join(levels.head.select(col("_vid")),
+          e("src") === col("_vid"))
+        .select(col("dst").as("_vid")).distinct()
+        .join(visited, Seq("_vid"), "left_anti")
+        .withColumn("dist", lit(i))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      levels = next :: levels
+    }
+    levels.reduce(_ unionByName _)
+  }
 }

@@ -77,6 +77,31 @@ object EventStream {
   }
 
   /**
+   * First-arrival dedup per key (batch formulation): keep each key's
+   * earliest event by (ts, event_id) — the replayable batch statement of
+   * streaming ingest dedup. The streaming formulation is
+   * [[streamingDedup]]; both keep exactly one row per key, and when the
+   * stream arrives in (ts, event_id) order they keep the same row.
+   * Top-1-per-key plans as WindowGroupLimit (map-side prune before the
+   * shuffle) — dedup of a 100 TB ingest moves one row per key per task.
+   */
+  def firstEventPerKey(events: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("ts"), col("event_id"))
+    events.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Streaming ingest dedup: `dropDuplicatesWithinWatermark` bounds the
+    * key state to the watermark horizon — the unbounded-state
+    * `dropDuplicates` is a leak on an infinite stream. */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /**
    * Gap-based sessionization (batch formulation): a new session starts
    * when a user's inter-event gap reaches `gapMinutes` (gap >= threshold
    * splits — the same boundary rule as Spark's `session_window`, whose

@@ -52,6 +52,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup keeps one row per key, same keys as batch") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val batchKeys = EventStream
+      .firstEventPerKey(events, Seq("user_id", "event_type"))
+      .select("user_id", "event_type").collect().map(_.toSeq).toSet
+
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-dedup-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val streamed = spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStream
+      .streamingDedup(streamed, Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+        .select("user_id", "event_type").collect().map(_.toSeq)
+      assert(got.length == got.toSet.size) // exactly one row per key
+      assert(got.toSet == batchKeys)
+    } finally q.stop()
+  }
+
   test("session_window agrees with the window-function sessionize") {
     val events = graft.sources.Tables.events(spark, sfDir)
     val native = EventStream.sessionWindowAgg(events, "30 minutes")

@@ -84,6 +84,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("kHop returns min distance, expands each vertex once") {
+    import spark.implicits._
+    // 1 -> 2 -> 3 -> 4, plus shortcut 1 -> 3 and a back-edge 3 -> 1:
+    // min-dist must win (3 at dist 1, not 2) and the cycle must not
+    // re-emit visited vertices.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (3L, 1L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> Seq(1L, 2L, 3L, 4L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val out = GraphAnalytics.kHop(tiny, Seq("e"), Seq(1L), maxHops = 3)
+      .as[(Long, Int)].collect().toSeq.sorted
+    assert(out == Seq(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
   test("pagerank: sinks rank above sources, mass is finite") {
     val pr = GraphAnalytics.pageRank(store, Seq("in_region"), iters = 5)
     // regions (sinks with many in-edges) must outrank nations (sources)
