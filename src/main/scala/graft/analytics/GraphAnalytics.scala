@@ -73,23 +73,30 @@ object GraphAnalytics {
     // edge⋈outdeg join and the distinct-vertex frame inside every
     // iteration's lineage instead of reading them once.
     val weighted = edges.join(outDeg, "s") // (s, d, deg)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist(_))
     val verts = edges.select(col("s").as("v"))
       .union(edges.select(col("d")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist(_))
     var ranks = verts.select(col("v"), lit(1.0).as("r"))
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val msgs = weighted.join(ranks, col("s") === col("v"))
         .groupBy(col("d").as("mv"))
         .agg(sum(col("r") / col("deg")).as("ms"))
-      ranks = verts.join(msgs, col("v") === col("mv"), "left")
+      val next = verts.join(msgs, col("v") === col("mv"), "left")
         .select(col("v"),
           (lit(resetProb) + lit(1 - resetProb) *
             coalesce(col("ms"), lit(0.0))).as("r"))
         // vertex-sized; truncates the growing iteration lineage so each
         // superstep reads the previous ranks, not the whole history
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.persist(_))
+      // Materialize the superstep, then release the superseded rank
+      // frame — a 100-iteration run pins 1 vertex-sized frame, not 100.
+      next.count()
+      prev.foreach(graft.CacheScope.unpersist)
+      prev = Some(next)
+      ranks = next
     }
     // The final ranks (already persisted) feed BOTH the normalization
     // scalar and the output rows — without the persist the crossJoin
@@ -155,9 +162,9 @@ object GraphAnalytics {
       store.edge(et).select(col(GraphStore.SRC).as("src"),
         col(GraphStore.DST).as("dst"))
     }.reduce(_ unionByName _)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist(_))
     var levels = List(seeds.toDF("_vid")
-      .withColumn("dist", lit(0)).persist(StorageLevel.MEMORY_AND_DISK))
+      .withColumn("dist", lit(0)).transform(graft.CacheScope.persist(_)))
     for (i <- 1 to maxHops) {
       val visited = levels.map(_.select("_vid")).reduce(_ unionByName _)
       val next = e.join(levels.head.select(col("_vid")),
@@ -165,7 +172,7 @@ object GraphAnalytics {
         .select(col("dst").as("_vid")).distinct()
         .join(visited, Seq("_vid"), "left_anti")
         .withColumn("dist", lit(i))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.persist(_))
       levels = next :: levels
     }
     levels.reduce(_ unionByName _)

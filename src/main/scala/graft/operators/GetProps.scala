@@ -49,8 +49,16 @@ object GetProps {
     // dictionary pruning) — the reference's prefix-scan point get
     // (src/storage/exec/EdgeNode.h:77-157 seeks a (src, type) prefix,
     // bloom-filter assisted); the semi-join alone would scan every row.
+    // Large batches skip the isin (an unbounded In literal blows up the
+    // driver/analyzer) and prefix-prune with a broadcast semi-join on
+    // the src column instead, same as vertices() above.
     val srcs = keys.map(_._1).distinct
-    df.filter(col(GraphStore.SRC).isin(srcs: _*))
+    val pruned =
+      if (srcs.size <= ISIN_MAX) df.filter(col(GraphStore.SRC).isin(srcs: _*))
+      else df.join(
+        broadcast(Keys.frame(spark, srcs, GraphStore.SRC)),
+        Seq(GraphStore.SRC), "left_semi")
+    pruned
       .join(keyDf, Seq(GraphStore.SRC, GraphStore.RANK, GraphStore.DST),
         "left_semi")
       .select((Seq(GraphStore.SRC, GraphStore.RANK, GraphStore.DST) ++ props)

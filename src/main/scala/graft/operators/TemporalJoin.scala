@@ -45,13 +45,17 @@ object TemporalJoin {
     val rStruct = struct(rightCols.map(col): _*)
     val lType = left.select(lStruct).schema.fields(0).dataType
     val rType = right.select(rStruct).schema.fields(0).dataType
+    // the tiebreak keeps its NATIVE orderable type — a cast("long")
+    // would turn e.g. a string event id into null and silently make the
+    // documented last-writer tie-break nondeterministic
+    val tbType = right.schema(rightTieBreak).dataType
     val l = left.select(
       col(leftKey).as("_k"), col(leftTime).as("_t"),
-      lit(1).as("_side"), lit(null).cast("long").as("_tb"),
+      lit(1).as("_side"), lit(null).cast(tbType).as("_tb"),
       lStruct.as("_lrow"), lit(null).cast(rType).as("_rrow"))
     val r = right.select(
       col(rightKey).as("_k"), col(rightTime).as("_t"),
-      lit(0).as("_side"), col(rightTieBreak).cast("long").as("_tb"),
+      lit(0).as("_side"), col(rightTieBreak).as("_tb"),
       lit(null).cast(lType).as("_lrow"), rStruct.as("_rrow"))
     // At equal timestamps right rows (_side=0) sort first, so a left row
     // sees right rows with rightTime == leftTime (<= semantics).

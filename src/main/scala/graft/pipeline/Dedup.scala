@@ -86,9 +86,9 @@ object Dedup {
     // (explain showed the parquet scan tripled). Corpus-sized, so
     // MEMORY_AND_DISK — recomputing shingles at 100 TB costs more than
     // spilling them.
-    val filtered = filtered0.persist(StorageLevel.MEMORY_AND_DISK)
+    val filtered = filtered0.transform(graft.CacheScope.persist(_))
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist(_))
     // Inverted-index pair counting WITHOUT a self-join: group ids per
     // shingle, emit intra-bucket (i < j) pairs, count pair occurrences =
     // |A ∩ B|. A self-join would recompute the shingle frame twice and
@@ -127,7 +127,7 @@ object Dedup {
       n: Int, pairs: DataFrame): DataFrame =
     verifyJaccardFrom(
       shingleSets(shingles(df, idCol, textCol, n))
-        .persist(StorageLevel.MEMORY_AND_DISK),
+        .transform(graft.CacheScope.persist(_)),
       pairs)
 
   /** Per-document distinct shingle array + size from a (id, shingle)
@@ -159,10 +159,10 @@ object Dedup {
   def dedupPipeline(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist(_))
     val cands = lshCandidatePairs(
       minhashSignaturesFrom(sh, numHashes), numHashes, bands)
-    val sets = shingleSets(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = shingleSets(sh).transform(graft.CacheScope.persist(_))
     val losers = verifyJaccardFrom(sets, cands)
       .filter(col("jaccard") >= threshold)
       .select(col("id_b").as(idCol)).distinct()
@@ -262,7 +262,7 @@ object Dedup {
       idCol: String, textCol: String, n: Int, numHashes: Int,
       bands: Int, minAgree: Double): DataFrame = {
     val newSigs = minhashSignatures(incoming, idCol, textCol, n, numHashes)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist(_))
     val cand = bandFrame(newSigs, numHashes, bands)
       .join(bandFrame(existingSigs, numHashes, bands)
         .withColumnRenamed("id", "old_id"), Seq("band", "sig"))

@@ -149,7 +149,7 @@ object Similarity {
       .select(col(idCol).as("cell"),
         col(vecCol).cast("array<double>").as("cvec"),
         lit(0L).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist(_))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("csim").desc, col("cell"))
     for (_ <- 1 to iters) {
@@ -157,7 +157,7 @@ object Similarity {
         .withColumn("csim", cosine(col(vecCol), col("cvec")))
         .withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
         .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.persist(_))
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("a"))
@@ -166,12 +166,20 @@ object Similarity {
           sort_array(collect_list(struct(col("pos"), col("a")))),
           e => e.getField("a")).as("mvec"))
       val counts = assigned.groupBy("cell").agg(count(lit(1)).as("cnt"))
-      centroids = centroids.select("cell", "cvec")
+      val next = centroids.select("cell", "cvec")
         .join(means, Seq("cell"), "left")
         .join(counts, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("mvec"), col("cvec")).as("cvec"),
           coalesce(col("cnt"), lit(0L)).as("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.persist(_))
+      // Materialize this round (nCells rows), then RELEASE the round's
+      // corpus-sized assignment and the superseded centroids — a long
+      // training run pins O(1) frames, not O(iterations). This is the
+      // MLlib iteration pattern (action per round + unpersist previous).
+      next.count()
+      graft.CacheScope.unpersist(assigned)
+      graft.CacheScope.unpersist(centroids)
+      centroids = next
     }
     centroids
   }
@@ -226,7 +234,7 @@ object Similarity {
     // twice (self-joins duplicate the subtree in the physical plan).
     val normed = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
         col(vecCol).as("v"), norm(col(vecCol)).as("nm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist(_))
     val a = normed.select(col("blk"), col("id").as("id_a"),
       col("v").as("va"), col("nm").as("na"))
     val b = normed.select(col("blk"), col("id").as("id_b"),

@@ -170,16 +170,23 @@ object TextAnalysis {
    */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val n = df.count()
     val tf = df
       .select(col(idCol).as("doc_id"), explode(terms(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist(_))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val score = round(col("tf") * log(lit(n.toDouble) / col("df")), 6)
+    // N for the IDF term comes from the persisted tf frame as an
+    // in-plan broadcast scalar (N = docs with >= 1 term; termless docs
+    // can't appear in the output and would only shift every score by a
+    // constant). A driver-side df.count() here would be a SECOND full
+    // corpus scan before the real job — at 100 TB, a pass over
+    // everything just to fetch one number.
+    val nDocs = tf.agg(count_distinct(col("doc_id")).as("_n"))
+    val score = round(col("tf") * log(col("_n").cast("double") / col("df")), 6)
     val w = Window.partitionBy("doc_id")
       .orderBy(score.desc, col("term"))
     tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("doc_id"), col("term"), score.as("score"))

@@ -53,12 +53,23 @@ object ChangeLogListener {
 final class ChangeLogListener(indexPath: String,
     keyCols: Seq[String]) extends Serializable {
 
+  /** Committed snapshot versions. Listing goes through the Hadoop
+    * FileSystem of the path's own scheme (java.io.File would silently
+    * return empty on hdfs:// or s3://, making every batch merge into an
+    * empty base). A version counts as committed only once the job
+    * committer's _SUCCESS marker exists — a write that died mid-batch
+    * leaves no marker and is invisible to readers and to the next
+    * merge. */
   private def versions(spark: SparkSession): Seq[Long] = {
-    val dir = new java.io.File(indexPath)
-    if (!dir.isDirectory) Seq.empty
-    else dir.listFiles().toSeq.filter(_.isDirectory)
-      .map(_.getName).filter(_.startsWith("v"))
-      .map(_.drop(1).toLong).sorted
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.matches("v\\d+"))
+      .map(_.drop(1).toLong)
+      .filter(v => fs.exists(
+        new org.apache.hadoop.fs.Path(root, s"v$v/_SUCCESS")))
+      .sorted
   }
 
   /** Latest committed snapshot (None before the first batch). */
@@ -69,7 +80,15 @@ final class ChangeLogListener(indexPath: String,
   def applyBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val payload = batch.drop("seq", "op")
-    val existing = currentIndex(spark)
+    // The merge base is the latest committed version STRICTLY BELOW
+    // this batch: after a failure between the parquet write and the
+    // stream-checkpoint commit, foreachBatch replays batchId with
+    // v<batchId> already on disk — taking currentIndex as the base
+    // would read from and overwrite the same path (Spark refuses:
+    // permanent crash-loop). Versions < batchId replay to the identical
+    // result, which is the idempotence the Listener contract needs.
+    val existing = versions(spark).filter(_ < batchId).lastOption
+      .map(v => spark.read.parquet(s"$indexPath/v$v"))
       .getOrElse(payload.filter(lit(false)))
     ChangeLogListener.applyChanges(existing, batch, keyCols)
       .write.mode("overwrite").parquet(s"$indexPath/v$batchId")
