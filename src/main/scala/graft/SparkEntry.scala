@@ -4,7 +4,7 @@ import graft.expr.FilterExpr
 import graft.expr.FilterExpr._
 import graft.model.GraphStore
 import graft.operators._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -640,7 +640,84 @@ object SparkEntry {
         edgeTypes = Seq("placed", "in_nation"),
         vertexIds = Some(1L to 25L),
         direction = Out,
-        limitPerVertex = Some(8))))
+        limitPerVertex = Some(8)))),
+
+    // ---- DeleteTags (§2.7): one tag's rows go, the vertex's other
+    // tags survive (the semantics DeleteVertices does NOT have) ----
+    "q_delete_tags" -> ((s, dir) => {
+      val st = store(s, dir)
+      val tags = Map("customer" -> st.tag("customer"),
+        "order" -> st.tag("order"))
+      val delVids = st.tag("customer")
+        .filter(col("c_mktsegment") === "AUTOMOBILE").select("_vid")
+      val after = Mutations.deleteTags(tags, "_vid", delVids,
+        tagsToDelete = Set("customer"))
+      after("customer").select(lit("customer").as("_tag"), col("_vid"))
+        .unionByName(
+          after("order").select(lit("order").as("_tag"), col("_vid")))
+    }),
+
+    // ---- Exact reservoir sample (§2.6/§2.11) facing the oracle via
+    // its invariants: exactly min(k, deg) picks per group, every pick a
+    // real member, no duplicates. The reservoir itself is the seeded
+    // ReservoirAgg — the reference's literal algorithm ----
+    "q_sample_reservoir" -> ((s, dir) => {
+      // `placed` edges: _rank = o_orderkey, unique per _src, so the
+      // no-duplicates invariant is exact (contains._rank = linenumber
+      // repeats in the fixture).
+      val edges = store(s, dir).edge("placed")
+        .select(col("_src"), col("_rank"))
+      val picks = edges.groupBy(col("_src"))
+        .agg(Sample.reservoir(col("_rank"), k = 3, seed = 42L).as("picks"))
+        .select(col("_src"), explode(col("picks")).as("_rank"))
+      picks.join(edges, Seq("_src", "_rank"), "left_semi")
+        .groupBy(col("_src"))
+        .agg(count(lit(1)).as("n_sampled"),
+          count_distinct(col("_rank")).as("n_distinct"))
+    }),
+
+    // ---- TIME property type (§1.2): µs-of-day long + components ----
+    "q_time_type" -> ((s, dir) => {
+      import graft.functions.TimeOfDay
+      graft.sources.Tables.events(s, dir)
+        .filter(col("event_id") % 17 === 0)
+        .select(col("event_id"),
+          TimeOfDay.fromTimestamp(col("ts")).as("t_us"),
+          TimeOfDay.hourOf(TimeOfDay.fromTimestamp(col("ts"))).as("t_hour"),
+          TimeOfDay.minuteOf(TimeOfDay.fromTimestamp(col("ts"))).as("t_min"),
+          TimeOfDay.secondOf(TimeOfDay.fromTimestamp(col("ts"))).as("t_sec"),
+          TimeOfDay.formatTime(TimeOfDay.fromTimestamp(col("ts"))).as("t_str"))
+    }),
+
+    // ---- Training-data curation: benchmark decontamination ----
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.decontaminate(
+        corpus = docs.filter(col("doc_id") % 29 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 29 === 0),
+        "doc_id", "text", n = 4, minShared = 3)
+    }),
+
+    // ---- Dup-cluster canonicalization (keep best doc per cluster) ----
+    "q_dup_clusters" -> ((s, dir) =>
+      Curation.dupClusters(t(s, dir, "documents"), "doc_id", "text",
+        n = 4, numHashes = 8, bands = 4, threshold = 0.5)),
+
+    // ---- PII redaction (emails/phones synthesized deterministically —
+    // the fixture corpus carries none) ----
+    "q_pii_scrub" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+          lit(" or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+          .as("text"))
+      Curation.piiScrub(withPii, "doc_id", "text")
+    }),
+
+    // ---- Token-distribution entropy / type-token ratio ----
+    "q_token_entropy" -> ((s, dir) =>
+      Curation.tokenEntropy(t(s, dir, "documents"), "doc_id", "text"))
   )
 
   /** Shared DuckDB CTE snippets for the text oracles. */
@@ -1703,6 +1780,123 @@ object SparkEntry {
         |    SELECT c_custkey, 104, CAST(0 AS BIGINT),
         |           CAST(c_nationkey AS BIGINT)
         |    FROM customer WHERE c_custkey BETWEEN 1 AND 25)
-        |) t WHERE rn <= 8""".stripMargin
+        |) t WHERE rn <= 8""".stripMargin,
+
+    "q_delete_tags" ->
+      """SELECT 'customer' AS _tag, c_custkey AS _vid FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |UNION ALL
+        |SELECT 'order' AS _tag, o_orderkey FROM orders""".stripMargin,
+
+    // Reservoir invariants: exactly min(k, deg) valid, distinct picks
+    // per group — holds for ANY correct reservoir, so the oracle needs
+    // no replay of the seeded draw sequence.
+    "q_sample_reservoir" ->
+      """SELECT o_custkey AS _src,
+        |       least(3, count(*)) AS n_sampled,
+        |       least(3, count(*)) AS n_distinct
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_time_type" ->
+      """SELECT event_id,
+        |  epoch_us(ts) % 86400000000 AS t_us,
+        |  CAST(hour(ts) AS INTEGER) AS t_hour,
+        |  CAST(minute(ts) AS INTEGER) AS t_min,
+        |  CAST(CAST(epoch_us(ts) % 60000000 AS BIGINT) // 1000000
+        |       AS INTEGER) AS t_sec,
+        |  lpad(CAST(hour(ts) AS VARCHAR), 2, '0') || ':' ||
+        |  lpad(CAST(minute(ts) AS VARCHAR), 2, '0') || ':' ||
+        |  lpad(CAST(CAST(epoch_us(ts) % 60000000 AS BIGINT) // 1000000
+        |            AS VARCHAR), 2, '0') || '.' ||
+        |  lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') AS t_str
+        |FROM events WHERE event_id % 17 = 0""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH $TokCte,
+         |$ShingleCte,
+         |corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 <> 0),
+         |bench AS (SELECT doc_id AS bench_id, shingle FROM sh
+         |          WHERE doc_id % 29 = 0),
+         |shared AS (
+         |  SELECT c.doc_id, b.bench_id, count(*) AS shared_ngrams
+         |  FROM corp c JOIN bench b ON c.shingle = b.shingle
+         |  GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT doc_id, bench_id, shared_ngrams FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY shared_ngrams DESC, bench_id) AS rk
+         |  FROM shared) WHERE rk = 1""".stripMargin,
+
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE sigs AS ($minhashSigSql),
+         |bands AS (
+         |  SELECT id, 0 AS band, concat_ws(':', mh0, mh1) AS sig FROM sigs
+         |  UNION ALL SELECT id, 1, concat_ws(':', mh2, mh3) FROM sigs
+         |  UNION ALL SELECT id, 2, concat_ws(':', mh4, mh5) FROM sigs
+         |  UNION ALL SELECT id, 3, concat_ws(':', mh6, mh7) FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+         |$TokCte,
+         |$ShingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |  JOIN sizes sa ON sa.doc_id = c.id_a
+         |  JOIN sizes sb ON sb.doc_id = c.id_b
+         |  WHERE round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 4) >= 0.5),
+         |u AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |reach(v, label) AS (
+         |  SELECT s, s FROM u
+         |  UNION
+         |  SELECT u.d, r.label FROM reach r JOIN u ON u.s = r.v),
+         |comp AS (SELECT v AS doc_id, min(label) AS cluster
+         |         FROM reach GROUP BY v)
+         |SELECT comp.doc_id, comp.cluster, canon.canonical
+         |FROM comp JOIN (
+         |  SELECT cluster, doc_id AS canonical FROM (
+         |    SELECT comp.cluster, comp.doc_id,
+         |      row_number() OVER (PARTITION BY comp.cluster
+         |        ORDER BY length(d.text) DESC, comp.doc_id) AS rk
+         |    FROM comp JOIN documents d ON d.doc_id = comp.doc_id)
+         |  WHERE rk = 1) canon ON canon.cluster = comp.cluster""".stripMargin,
+
+    "q_pii_scrub" -> {
+      // Java regex and RE2 read these character-class-only patterns
+      // identically, so the Scala constants embed verbatim.
+      val emailRe = Curation.EmailRe
+      s"""WITH withpii AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@mail.example.com or +1-555-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+         |    '${Curation.PhoneRe}', '<PHONE>', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(text, '$emailRe')) AS INTEGER)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${Curation.PhoneRe}'))
+         |    AS INTEGER) AS n_phones
+         |FROM withpii""".stripMargin
+    },
+
+    "q_token_entropy" ->
+      s"""WITH $TokCte,
+         |pt AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |cnt AS (SELECT doc_id, tok, count(*) AS c FROM pt GROUP BY 1, 2)
+         |SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+         |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy,
+         |  round(count(*) * 1.0 / sum(c), 4) AS ttr
+         |FROM cnt GROUP BY doc_id""".stripMargin
   )
 }

@@ -113,7 +113,9 @@ object GraphAnalytics {
     * the component — deterministic. */
   def connectedComponents(store: GraphStore,
       edgeTypes: Seq[String]): DataFrame = {
-    val spark = store.vertices.head._2.sparkSession
+    // edge-only stores (e.g. a dup-pair graph) carry no vertex tables
+    val spark = (store.vertices.valuesIterator ++ store.edges.valuesIterator)
+      .next().sparkSession
     import spark.implicits._
     toGraphX(store, edgeTypes).connectedComponents()
       .vertices.toDF("_vid", "component")

@@ -69,6 +69,26 @@ object Mutations {
     existing.filter(!FilterExpr.predicate(pred))
 
   /**
+   * DeleteTags (reference: src/storage/mutate/DeleteTagsProcessor.cpp):
+   * remove only the named tags' rows for the given vertex ids — the
+   * vertex's rows under every *other* tag survive untouched. This is the
+   * semantics DeleteVertices does NOT have (that one removes every tag
+   * row of the vid). Each tag is an independent DataFrame in our model,
+   * so the per-tag delete is an anti-join on the tag's own frame and
+   * non-targeted tags pass through by identity — no cross-tag shuffle
+   * at all, which is exactly the reference's per-tag key delete.
+   */
+  def deleteTags(tags: Map[String, DataFrame], vidCol: String,
+      deleteVids: DataFrame, tagsToDelete: Set[String]): Map[String, DataFrame] = {
+    val keySide = deleteVids.select(vidCol).distinct()
+    tags.map { case (name, df) =>
+      name -> (if (tagsToDelete(name))
+        df.join(keySide, Seq(vidCol), "left_anti")
+      else df)
+    }
+  }
+
+  /**
    * Conditional read-modify-write over the whole table: rows matching
    * `where` get the SET list applied **in order** — each SET sees the
    * values produced by earlier SETs, the reference's dependency-ordered

@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import graft.model.GraphStore
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators beyond the dedup family: benchmark
+ * decontamination, duplicate-cluster canonicalization, PII redaction,
+ * and token-distribution statistics. These are the remaining standard
+ * stages of a large-scale training-data pipeline (the reference engine
+ * stops at storage-level scans/mutations — SURVEY.md §2 — so these are
+ * additive capabilities, designed Spark-first).
+ */
+object Curation {
+
+  /**
+   * Benchmark decontamination: flag corpus documents sharing at least
+   * `minShared` distinct word n-grams with any benchmark document —
+   * the standard n-gram-overlap test (GPT-3 appendix C / PaLM style)
+   * run before training so eval data doesn't leak into the corpus.
+   *
+   * Shape at scale: the benchmark side is eval-suite-sized (thousands
+   * of docs, not billions), so its shingle frame is broadcast; the
+   * corpus-side shingle frame streams through one hash join keyed on
+   * the shingle and one (doc, bench) count shuffle — no corpus
+   * self-join anywhere. Returns one row per contaminated corpus doc:
+   * the best-matching benchmark doc (max shared n-grams, ties to the
+   * smaller bench id) and the overlap count.
+   */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int, minShared: Int): DataFrame = {
+    val corpusSh = Dedup.shingles(corpus, idCol, textCol, n)
+    val benchSh = Dedup.shingles(benchmark, idCol, textCol, n)
+      .withColumnRenamed("id", "bench_id")
+    val shared = corpusSh
+      .join(broadcast(benchSh), "shingle")
+      .groupBy(col("id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+    // per-doc argmax: plans as map-side WindowGroupLimit, so only one
+    // row per (doc) survives each task before the shuffle
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("shared_ngrams").desc, col("bench_id"))
+    shared.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("id").as(idCol), col("bench_id"), col("shared_ngrams"))
+  }
+
+  /**
+   * Duplicate-cluster canonicalization: run the LSH→exact-Jaccard dedup
+   * pipeline's pair stage, treat verified near-dup pairs as undirected
+   * edges, find connected components, and elect one canonical document
+   * per cluster (longest text wins, ties to the smallest id) — the
+   * "keep best, map the rest" step a curation pipeline runs instead of
+   * blind drop-higher-id.
+   *
+   * Scale shape: the pair graph is near-dup-sized (orders of magnitude
+   * below the corpus); components come from GraphX's Pregel CC over
+   * that small graph, and the only corpus-sized work is the one
+   * length-lookup join at the end.
+   */
+  def dupClusters(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val sh = Dedup.shingles(df, idCol, textCol, n)
+      .transform(graft.CacheScope.persist(_))
+    val cands = Dedup.lshCandidatePairs(
+      Dedup.minhashSignaturesFrom(sh, numHashes), numHashes, bands)
+    val pairs = Dedup.verifyJaccardFrom(
+        Dedup.shingleSets(sh).transform(graft.CacheScope.persist(_)), cands)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val pairStore = GraphStore(
+      Map.empty,
+      Map("dup" -> pairs.select(col("id_a").as(GraphStore.SRC),
+        col("id_b").as(GraphStore.DST), lit(0L).as(GraphStore.RANK))),
+      Map("dup" -> 1))
+    val comps = graft.analytics.GraphAnalytics
+      .connectedComponents(pairStore, Seq("dup"))
+      .select(col("_vid").as(idCol), col("component").as("cluster"))
+    val lens = df.select(col(idCol), length(col(textCol)).as("_len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("_len").desc, col(idCol))
+    comps.join(lens, idCol)
+      .withColumn("canonical",
+        first(col(idCol)).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(col(idCol), col("cluster"), col("canonical"))
+  }
+
+  /** Email pattern shared with the SQL oracle — plain character
+    * classes only, so Java regex and RE2 (DuckDB) agree exactly. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** North-American-style phone pattern, same dialect-neutral style. */
+  val PhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /**
+   * PII redaction: replace email addresses and phone numbers with
+   * typed placeholder tokens and report per-document redaction counts.
+   * Pure codegen'd string expressions (regexp_replace/regexp_count) —
+   * a narrow map over the corpus, no shuffle at all; at 100 TB this is
+   * scan-bound, exactly as a redaction pass should be.
+   */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("scrubbed"),
+      regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
+      regexp_count(col(textCol), lit(PhoneRe)).as("n_phones"))
+
+  /**
+   * Token-distribution statistics per document: Shannon entropy of the
+   * token frequency distribution (bits) and type-token ratio — cheap,
+   * strong quality signals (low entropy = repetitive/generated text).
+   * One explode + one two-level aggregation; the per-(doc, token)
+   * partial aggregate is map-side combinable so the shuffle carries
+   * vocabulary-sized rows per doc, not token instances.
+   */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perTok = df
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    perTok.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * log2(col("c"))).as("_clog"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        round(log2(col("n_tokens")) - col("_clog") / col("n_tokens"), 4)
+          .as("entropy"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4)
+          .as("ttr"))
+  }
+}

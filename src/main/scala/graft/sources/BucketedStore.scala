@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /**
@@ -30,6 +31,51 @@ object BucketedStore {
 
   def load(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /**
+   * CompactTask / FlushTask analog (reference:
+   * src/storage/admin/CompactTask.cpp — a manual RocksDB full
+   * compaction merging many small L0 SSTs into few sorted files).
+   * The Spark-side failure mode it addresses is the same: continuous
+   * `addRows` micro-batches leave a parquet directory with thousands
+   * of KB-sized files, and at 100 TB the scan cost is dominated by
+   * per-file open/footer overhead, not bytes.
+   *
+   * Rewrites the directory to ~`ceil(totalBytes / targetFileBytes)`
+   * files (data unchanged). Writes to a sibling temp dir first, then
+   * atomically swaps via rename — the compacted snapshot replaces the
+   * fragmented one only after a complete successful write, the same
+   * publish-then-swap discipline the reference gets from RocksDB's
+   * compaction output versioning. Returns the resulting file count.
+   */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(hp).filter { st =>
+      st.isFile && !st.getPath.getName.startsWith("_")
+    }
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new Path(hp.getParent, hp.getName + "._compact_tmp")
+    fs.delete(tmp, true)
+    // coalesce, not repartition: merging files needs no shuffle — each
+    // output task reads a run of input files locally.
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new Path(hp.getParent, hp.getName + "._compact_old")
+    fs.delete(old, true)
+    if (!fs.rename(hp, old))
+      throw new java.io.IOException(s"compact: cannot stage $path")
+    if (!fs.rename(tmp, hp)) {
+      fs.rename(old, hp) // roll back — original snapshot still intact
+      throw new java.io.IOException(s"compact: cannot publish $path")
+    }
+    fs.delete(old, true)
+    fs.listStatus(hp).count { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")
+    }
+  }
 
   /** RebuildIndexTask analog: materialize a sorted, bucketed projection
     * over selected columns (a covering "index" table). One job over an

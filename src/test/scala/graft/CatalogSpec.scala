@@ -65,6 +65,27 @@ class BucketedStoreSpec extends SparkSpec {
     assert(joined.count() == store.edge("placed").count())
   }
 
+  test("compact merges small files, preserving rows (CompactTask)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .resolve("frag").toString
+    val store = GraphStore.cached(spark, sfDir)
+    // simulate small-file proliferation: 24 one-partition micro-batches
+    store.tag("customer").repartition(24)
+      .write.mode("overwrite").parquet(dir)
+    val before = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(before >= 20, s"fixture not fragmented: $before files")
+    val sumBefore = spark.read.parquet(dir)
+      .agg(org.apache.spark.sql.functions.sum("_vid")).head.getLong(0)
+    val nBefore = spark.read.parquet(dir).count()
+    val after = BucketedStore.compact(spark, dir, targetFileBytes = 64L << 20)
+    assert(after <= 2, s"still fragmented after compact: $after files")
+    assert(spark.read.parquet(dir).count() == nBefore)
+    assert(spark.read.parquet(dir)
+      .agg(org.apache.spark.sql.functions.sum("_vid")).head.getLong(0)
+      == sumBefore)
+  }
+
   test("rebuildIndex materializes a covering sorted projection") {
     clearStale("bk_part_idx")
     val store = GraphStore.cached(spark, sfDir)

@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.TimeOfDay
+import graft.model.GraphStore
+import graft.operators.Mutations
+import graft.pipeline.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = GraphStore.table(spark, sfDir, "documents")
+
+  test("deleteTags removes only the targeted tag's rows") {
+    val store = GraphStore.cached(spark, sfDir)
+    val tags = Map("customer" -> store.tag("customer"),
+      "order" -> store.tag("order"))
+    val del = store.tag("customer").filter($"_vid" <= 10).select("_vid")
+    val after = Mutations.deleteTags(tags, "_vid", del, Set("customer"))
+    assert(after("customer").filter($"_vid" <= 10).count() == 0)
+    assert(after("customer").count() == tags("customer").count() - del.count())
+    // the other tag of the same vid universe is untouched
+    assert(after("order").count() == tags("order").count())
+  }
+
+  test("decontaminate flags exactly the docs sharing >= minShared ngrams") {
+    val bench = docs.filter($"doc_id" % 29 === 0)
+    val corpus = docs.filter($"doc_id" % 29 =!= 0)
+      // plant an exact copy of a benchmark doc under a fresh id
+      .unionByName(bench.limit(1).select(
+        lit(900001L).as("doc_id"), $"text", $"lang", $"source", $"n_chars"))
+    val out = Curation.decontaminate(corpus, bench, "doc_id", "text",
+      n = 4, minShared = 3).cache()
+    val planted = out.filter($"doc_id" === 900001L).collect()
+    assert(planted.length == 1, "planted copy must be flagged")
+    // every flagged doc really shares >= 3 distinct 4-grams
+    assert(out.agg(min($"shared_ngrams")).head.getLong(0) >= 3L)
+    out.unpersist()
+  }
+
+  test("dupClusters: every cluster's canonical is its longest member") {
+    val out = Curation.dupClusters(docs, "doc_id", "text",
+      n = 4, numHashes = 8, bands = 4, threshold = 0.5).cache()
+    assert(out.count() > 0)
+    val lens = docs.select($"doc_id", length($"text").as("len"))
+    val joined = out.join(lens, "doc_id")
+    val canonLen = out.select($"canonical".as("doc_id"), $"cluster")
+      .distinct().join(lens, "doc_id")
+      .select($"cluster", $"len".as("canon_len"))
+    // no member is longer than its cluster's canonical
+    val viol = joined.join(canonLen, "cluster")
+      .filter($"len" > $"canon_len").count()
+    assert(viol == 0)
+    // cluster label is the min doc_id of the cluster (GraphX CC law)
+    val badLabel = out.groupBy("cluster").agg(min("doc_id").as("mn"))
+      .filter($"cluster" =!= $"mn").count()
+    assert(badLabel == 0)
+    out.unpersist()
+    CacheScope.drain(spark)
+  }
+
+  test("piiScrub redacts emails and phones, counts match") {
+    val in = Seq(
+      (1L, "mail me at a.b+c@x-mail.example.org today"),
+      (2L, "call +1-555-0199 or +1-555-0200"),
+      (3L, "no pii here")).toDF("doc_id", "text")
+    val out = Curation.piiScrub(in, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L)._1 == "mail me at <EMAIL> today")
+    assert(out(1L)._2 == 1 && out(1L)._3 == 0)
+    assert(out(2L)._1 == "call <PHONE> or <PHONE>")
+    assert(out(2L)._3 == 2)
+    assert(out(3L) == ("no pii here", 0, 0))
+  }
+
+  test("tokenEntropy: uniform text hits log2(n), repeated text hits 0") {
+    val in = Seq(
+      (1L, "a b c d"),      // 4 distinct: H = 2 bits, ttr = 1
+      (2L, "x x x x")       // 1 type:     H = 0,      ttr = 0.25
+    ).toDF("doc_id", "text")
+    val out = Curation.tokenEntropy(in, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((4L, 4L, 2.0, 1.0)))
+    assert(out(2L) == ((4L, 1L, 0.0, 0.25)))
+  }
+
+  test("TIME type round-trips components and orders like the codec") {
+    val in = Seq(
+      (1L, 13, 5, 9, 123456),
+      (2L, 0, 0, 0, 0),
+      (3L, 23, 59, 59, 999999)).toDF("id", "h", "m", "s", "us")
+    val enc = in.select($"id",
+      TimeOfDay.makeTime($"h", $"m", $"s", $"us").as("t"))
+    val back = enc.select($"id", TimeOfDay.hourOf($"t").as("h"),
+        TimeOfDay.minuteOf($"t").as("m"), TimeOfDay.secondOf($"t").as("s"),
+        TimeOfDay.microOf($"t").as("us"),
+        TimeOfDay.formatTime($"t").as("str"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5)))
+      .toMap
+    assert(back(1L) == ((13, 5, 9, 123456, "13:05:09.123456")))
+    assert(back(2L) == ((0, 0, 0, 0, "00:00:00.000000")))
+    assert(back(3L) == ((23, 59, 59, 999999, "23:59:59.999999")))
+    // long order == (h, m, s, us) lexicographic order
+    val ts = enc.orderBy($"t").select("id").as[Long].collect().toSeq
+    assert(ts == Seq(2L, 1L, 3L))
+  }
+}
