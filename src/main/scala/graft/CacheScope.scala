@@ -41,11 +41,17 @@ object CacheScope {
     frames.remove(ds)
   }
 
+  /** Release only the registered operator-internal frames — harness-
+    * owned persists (e.g. ScaleSmoke's amplified fixtures) survive. */
+  def drainRegistered(): Unit = {
+    var d = frames.poll()
+    while (d != null) { d.unpersist(blocking = false); d = frames.poll() }
+  }
+
   /** Release every registered frame plus anything else in the session
     * cache (SQL-cached tables, third-party persists). */
   def drain(spark: SparkSession): Unit = {
-    var d = frames.poll()
-    while (d != null) { d.unpersist(blocking = false); d = frames.poll() }
+    drainRegistered()
     spark.catalog.clearCache()
   }
 }

@@ -17,6 +17,9 @@ object ScaleSmoke {
     val t0 = System.nanoTime()
     val n = f
     println(f"SMOKE $label%-30s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+    // operator-internal persists must not accrete into the next
+    // measurement; the smoke's own amplified fixtures stay cached
+    CacheScope.drainRegistered()
   }
 
   def main(args: Array[String]): Unit = {
@@ -81,6 +84,64 @@ object ScaleSmoke {
       Map("amp" -> 1))
     time(s"pagerank 5 iters ${factor}x")(
       graft.analytics.GraphAnalytics.pageRank(store, Seq("amp"), 5).count())
+
+    // kHop with the seed set replicated into every copy: frontier AND
+    // edge list both scale by `factor`, so linear cost == linear time
+    val seeds = (0 until factor).flatMap(c =>
+      Seq(1L, 2L, 3L, 4L, 5L).map(_ + c * 10000000L))
+    time(s"khop 3 hops ${factor}x")(
+      graft.analytics.GraphAnalytics.kHop(store, Seq("amp"), seeds, 3).count())
+
+    time(s"tfidf topterms ${factor}x")(
+      graft.pipeline.TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 5)
+        .count())
+
+    // incremental dedup: fixed stored index, amplified incoming batch
+    val baseSigs = Dedup.minhashSignatures(docs0, "doc_id", "text", 4, 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    baseSigs.count()
+    time(s"dedup vs index ${factor}x incoming")(
+      Dedup.dedupAgainstIndex(baseSigs,
+        docs.withColumn("doc_id", col("doc_id") + 1000000000L),
+        "doc_id", "text", 4, 8, 4, 0.5).count())
+
+    // banded temporal join under a HOT TIME BUCKET: copies keep the
+    // original time range, so every copy lands in the same w-buckets —
+    // per-bucket row count scales by `factor` on both sides
+    val ev0 = graft.sources.Tables.events(spark, sfDir)
+    val ev = amplify(ev0.select(col("event_id"), col("user_id"),
+        col("ts"), col("event_type"), col("value")),
+        Seq("event_id"), None)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("events materialize")(ev.count())
+    time(s"banded range join ${factor}x")(
+      graft.operators.TemporalJoin.banded(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"),
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        loUs = 1L, hiUs = 6L * 3600 * 1000000,
+        leftCols = Seq("event_id" -> "view_id", "user_id" -> "user_id"),
+        rightCols = Seq("event_id" -> "buy_id", "value" -> "buy_value"))
+        .count())
+
+    // round-3 curation operators
+    time(s"decontaminate ${factor}x corpus")(
+      graft.pipeline.Curation.decontaminate(
+        docs, docs0.filter(col("doc_id") % 29 === 0),
+        "doc_id", "text", 4, 3).count())
+    time(s"dup clusters ${factor}x")(
+      graft.pipeline.Curation.dupClusters(docs, "doc_id", "text",
+        4, 8, 4, 0.5).count())
+    time(s"line dedup ${factor}x")(
+      graft.pipeline.Curation.lineDedup(
+        docs.select(col("doc_id"),
+          graft.pipeline.TextAnalysis.tokens(col("text")).as("_toks"))
+          .select(col("doc_id"),
+            graft.pipeline.Curation.chunkLines(col("_toks"), 8).as("lines")),
+        "doc_id", "lines").count())
+    time(s"token entropy ${factor}x")(
+      graft.pipeline.Curation.tokenEntropy(docs, "doc_id", "text").count())
 
     spark.stop()
   }

@@ -717,7 +717,25 @@ object SparkEntry {
 
     // ---- Token-distribution entropy / type-token ratio ----
     "q_token_entropy" -> ((s, dir) =>
-      Curation.tokenEntropy(t(s, dir, "documents"), "doc_id", "text"))
+      Curation.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- Line-level exact dedup (CCNet/C4): global first-occurrence
+    // wins; "lines" = 8-token windows (fixture text has no newlines) ----
+    "q_line_dedup" -> ((s, dir) =>
+      Curation.lineDedup(
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+          .select(col("doc_id"), Curation.chunkLines(col("_toks"), 8).as("lines")),
+        "doc_id", "lines")),
+
+    // ---- StatisTask extensions: exact group quantiles + ROLLUP ----
+    "q_quantiles" -> ((s, dir) =>
+      Stats.quantiles(t(s, dir, "lineitem"), "l_extendedprice",
+        Seq("l_returnflag"), Seq(0.25, 0.5, 0.75, 0.9))),
+
+    "q_rollup_stats" -> ((s, dir) =>
+      Stats.rollupStats(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity"))
   )
 
   /** Shared DuckDB CTE snippets for the text oracles. */
@@ -1897,6 +1915,41 @@ object SparkEntry {
          |SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
          |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy,
          |  round(count(*) * 1.0 / sum(c), 4) AS ttr
-         |FROM cnt GROUP BY doc_id""".stripMargin
+         |FROM cnt GROUP BY doc_id""".stripMargin,
+
+    "q_line_dedup" ->
+      s"""WITH $TokCte,
+         |lines AS (
+         |  SELECT doc_id, u.i AS pos,
+         |    array_to_string(t[u.i * 8 + 1 : u.i * 8 + 8], ' ') AS line
+         |  FROM toks CROSS JOIN LATERAL
+         |    unnest(range(0, greatest((len(t) - 1) // 8 + 1, 0))) u(i)
+         |  WHERE len(t) > 0),
+         |kept AS (
+         |  SELECT doc_id, pos, line FROM (
+         |    SELECT doc_id, pos, line, row_number() OVER (
+         |      PARTITION BY line ORDER BY doc_id, pos) AS rk
+         |    FROM lines) WHERE rk = 1)
+         |SELECT doc_id,
+         |  string_agg(line, ' ' ORDER BY pos) AS cleaned_text,
+         |  count(*) AS n_lines_kept
+         |FROM kept GROUP BY doc_id""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_rollup_stats" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_value,
+        |  round(avg(l_quantity), 4) AS avg_value
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
   )
 }

@@ -123,7 +123,8 @@ object GraphAnalytics {
 
   /** Triangle count per vertex (GraphX canonical algorithm). */
   def triangleCount(store: GraphStore, edgeTypes: Seq[String]): DataFrame = {
-    val spark = store.vertices.head._2.sparkSession
+    val spark = (store.vertices.valuesIterator ++ store.edges.valuesIterator)
+      .next().sparkSession
     import spark.implicits._
     // GraphX triangleCount requires canonical orientation; build a
     // deduped, canonicalized edge set first.
@@ -158,7 +159,9 @@ object GraphAnalytics {
   def kHop(store: GraphStore, edgeTypes: Seq[String], seeds: Seq[Long],
       maxHops: Int): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
-    val spark = store.vertices.head._2.sparkSession
+    // edge-only stores work too (cf. connectedComponents)
+    val spark = (store.vertices.valuesIterator ++ store.edges.valuesIterator)
+      .next().sparkSession
     import spark.implicits._
     val e = edgeTypes.map { et =>
       store.edge(et).select(col(GraphStore.SRC).as("src"),

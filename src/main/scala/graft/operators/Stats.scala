@@ -57,4 +57,45 @@ object Stats {
       byCol: String = GraphStore.DST): DataFrame =
     edges.groupBy(pmod(col(byCol), lit(parts)).as("part"))
       .agg(count(lit(1)).as("edge_count"))
+
+  /**
+   * Exact per-group quantiles of a numeric column (linear
+   * interpolation — the `percentile` aggregate, same law as SQL
+   * `quantile_cont`). Exact quantiles need the group's values sorted
+   * somewhere; that is inherent. The scale path is
+   * [[quantilesApprox]] — one pass, fixed-size t-digest-style sketch
+   * per group, mergeable map-side.
+   */
+  def quantiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      probs: Seq[Double]): DataFrame = {
+    val exact = probs.map(p =>
+      round(expr(s"percentile($valueCol, $p)"), 4).as(s"p${(p * 100).toInt}"))
+    df.groupBy(groupCols.map(col): _*).agg(exact.head, exact.tail: _*)
+  }
+
+  /** One-pass mergeable approximate quantiles for the 100 TB path. */
+  def quantilesApprox(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], probs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    val aggs = probs.map(p =>
+      percentile_approx(col(valueCol), lit(p), lit(accuracy))
+        .as(s"p${(p * 100).toInt}"))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * ROLLUP statistics over a dimension hierarchy: per-(d1,d2,...)
+   * subtotals at every prefix granularity plus the grand total — the
+   * multi-granularity version of StatisTask's space totals. Aggregated-
+   * out dimensions surface as 'ALL' so the result is join/oracle-stable
+   * (no NULL-vs-absent ambiguity).
+   */
+  def rollupStats(df: DataFrame, dims: Seq[String],
+      valueCol: String): DataFrame =
+    df.rollup(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col(valueCol)), 2).as("sum_value"),
+        round(avg(col(valueCol)), 4).as("avg_value"))
+      .select(dims.map(d => coalesce(col(d), lit("ALL")).as(d)) ++
+        Seq(col("n_rows"), col("sum_value"), col("avg_value")): _*)
 }

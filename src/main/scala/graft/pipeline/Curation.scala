@@ -91,6 +91,46 @@ object Curation {
       .select(col(idCol), col("cluster"), col("canonical"))
   }
 
+  /**
+   * Line-level exact dedup (CCNet/C4 style): across the WHOLE corpus,
+   * each distinct line survives only in the first document containing
+   * it (doc order, then position order); documents are reassembled
+   * from their surviving lines. `linesCol` is an already-split
+   * ArrayType(String) column — splitting policy (newlines, sentences,
+   * fixed token windows) stays with the caller.
+   *
+   * Scale shape: one explode (corpus-sized, but narrow: line + two
+   * longs), ONE window shuffle keyed on the line text to pick each
+   * line's global first occurrence, one groupBy(doc) to reassemble.
+   * No joins, no corpus self-join — this is the shape that survives
+   * 100 TB, where the line universe is far larger than memory and
+   * must stream through a hash shuffle.
+   */
+  def lineDedup(df: DataFrame, idCol: String, linesCol: String): DataFrame = {
+    val lines = df.select(col(idCol), posexplode(col(linesCol)))
+      .toDF(idCol, "pos", "line")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("line")).orderBy(col(idCol), col("pos"))
+    lines.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .groupBy(col(idCol))
+      .agg(array_join(array_sort(collect_list(struct(col("pos"), col("line"))))
+        .getField("line"), " ").as("cleaned_text"),
+        count(lit(1)).as("n_lines_kept"))
+  }
+
+  /** Fixed-width token windows as synthetic "lines" for corpora whose
+    * text carries no newlines (chunk i = tokens [i*n+1, i*n+n]).
+    * Takes a MATERIALIZED token-array column — HOF lambdas evaluate
+    * interpreted without subexpression elimination, so inlining the
+    * tokenizer here would re-split the text once per chunk (see
+    * Dedup.shingles). */
+  def chunkLines(toks: Column, n: Int): Column =
+    when(size(toks) > 0,
+      transform(sequence(lit(0), ((size(toks) - 1) / n).cast("int")),
+        i => concat_ws(" ", slice(toks, i * n + 1, lit(n)))))
+      .otherwise(array())
+
   /** Email pattern shared with the SQL oracle — plain character
     * classes only, so Java regex and RE2 (DuckDB) agree exactly. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

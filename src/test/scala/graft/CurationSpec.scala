@@ -59,6 +59,29 @@ class CurationSpec extends SparkSpec {
     CacheScope.drain(spark)
   }
 
+  test("lineDedup keeps each line's global first occurrence only") {
+    val in = Seq(
+      (1L, Seq("alpha beta", "gamma delta")),
+      (2L, Seq("gamma delta", "epsilon zeta")), // first line is doc 1's
+      (3L, Seq("alpha beta"))                   // fully duplicated
+    ).toDF("doc_id", "lines")
+    val out = Curation.lineDedup(in, "doc_id", "lines")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == (("alpha beta gamma delta", 2L)))
+    assert(out(2L) == (("epsilon zeta", 1L)))
+    assert(!out.contains(3L), "doc of only-duplicate lines must vanish")
+  }
+
+  test("chunkLines windows tokens in order, last chunk ragged") {
+    val in = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val lines = in.select(
+        Curation.chunkLines(pipeline.TextAnalysis.tokens($"text"), 4)
+          .as("lines"))
+      .head.getSeq[String](0)
+    assert(lines == Seq("a b c d", "e f g h", "i"))
+  }
+
   test("piiScrub redacts emails and phones, counts match") {
     val in = Seq(
       (1L, "mail me at a.b+c@x-mail.example.org today"),
