@@ -735,7 +735,28 @@ object SparkEntry {
 
     "q_rollup_stats" -> ((s, dir) =>
       Stats.rollupStats(t(s, dir, "lineitem"),
-        Seq("l_returnflag", "l_linestatus"), "l_quantity"))
+        Seq("l_returnflag", "l_linestatus"), "l_quantity")),
+
+    // ---- Int8 scalar quantization (ANN serving-tier compression) ----
+    "q_vector_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("qvec"), x => x.cast("string")), ",")
+            .as("qvec"), col("max_err"))),
+
+    // ---- Weighted shortest paths (Bellman-Ford, 3 relaxation rounds)
+    // over placed(w=1) + contains(w=l_quantity) + supplied_by(w=1) ----
+    "q_shortest_paths" -> ((s, dir) => {
+      val st = store(s, dir)
+      val edges = st.edge("placed")
+        .select(col("_src"), col("_dst"), lit(1.0).as("w"))
+        .unionByName(st.edge("contains")
+          .select(col("_src"), col("_dst"), col("l_quantity").cast("double").as("w")))
+        .unionByName(st.edge("supplied_by")
+          .select(col("_src"), col("_dst"), lit(1.0).as("w")))
+      graft.analytics.GraphAnalytics.shortestPaths(edges,
+        seeds = Seq(1L, 2L, 3L, 4L, 5L), iters = 3)
+    })
   )
 
   /** Shared DuckDB CTE snippets for the text oracles. */
@@ -1950,6 +1971,46 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_value,
         |  round(avg(l_quantity), 4) AS avg_value
         |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    // floor(x + 0.5) instead of round(): identical half-up law in Java
+    // and DuckDB, so the int8 codes hash-match bit-for-bit.
+    "q_vector_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x,
+        |  list_max(list_transform(embedding::DOUBLE[], e -> abs(e)))
+        |    AS maxabs
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(maxabs / 127.0, 6) AS scale,
+        |  CASE WHEN maxabs = 0 THEN
+        |    array_to_string(list_transform(x, e -> 0), ',')
+        |  ELSE array_to_string(list_transform(x,
+        |    e -> CAST(floor(e * 127.0 / maxabs + 0.5) AS BIGINT)), ',')
+        |  END AS qvec,
+        |  CASE WHEN maxabs = 0 THEN 0.0
+        |  ELSE round(list_max(list_transform(x,
+        |    e -> abs(e - floor(e * 127.0 / maxabs + 0.5)
+        |             * (maxabs / 127.0)))), 6)
+        |  END AS max_err
+        |FROM v""".stripMargin,
+
+    "q_shortest_paths" -> {
+      val steps = (1 to 3).map { i =>
+        s"""d$i AS (SELECT v, min(dist) AS dist FROM (
+           |  SELECT v, dist FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT e.d, d${i - 1}.dist + e.w FROM d${i - 1}
+           |  JOIN e ON e.s = d${i - 1}.v) GROUP BY v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT o_custkey AS s, o_orderkey AS d, 1.0 AS w FROM orders
+         |  UNION ALL SELECT l_orderkey, l_partkey,
+         |    CAST(l_quantity AS DOUBLE) FROM lineitem
+         |  UNION ALL SELECT l_partkey, l_suppkey, 1.0 FROM lineitem),
+         |d0 AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS v,
+         |       0.0 AS dist),
+         |$steps
+         |SELECT v AS _vid, round(dist, 4) AS dist FROM d3""".stripMargin
+    }
   )
 }

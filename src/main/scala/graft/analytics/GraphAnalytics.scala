@@ -182,4 +182,42 @@ object GraphAnalytics {
     }
     levels.reduce(_ unionByName _)
   }
+
+  /**
+   * Weighted multi-source shortest paths, Bellman-Ford relaxed for a
+   * fixed `iters` rounds (= cheapest path using ≤ iters edges; runs of
+   * |V|−1 rounds give the exact answer on any non-negative-weight
+   * graph). `edges` carries (src, dst, w).
+   *
+   * Scale shape (same law as pageRank): the edge frame persists once;
+   * each round is ONE edge⋈frontier join plus a min-combine aggregate —
+   * partial min runs map-side, so the shuffle carries one candidate row
+   * per (reducer, vertex), not per path. Superseded distance frames are
+   * released as soon as the next round materializes (O(1) pinned
+   * frames). Candidate distances accumulate by the same left-fold
+   * (d_prev + w) in every engine, so min() picks bit-identical doubles
+   * and the result is oracle-exact.
+   */
+  def shortestPaths(edges: DataFrame, seeds: Seq[Long],
+      iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.toDF("s", "d", "w")
+      .transform(graft.CacheScope.persist(_))
+    var dist = seeds.toDF("v").withColumn("dist", lit(0.0))
+      .transform(graft.CacheScope.persist(_))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val relaxed = e.join(dist, e("s") === dist("v"))
+        .select(col("d").as("v"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy("v").agg(min(col("dist")).as("dist"))
+        .transform(graft.CacheScope.persist(_))
+      relaxed.count()
+      prev.foreach(graft.CacheScope.unpersist)
+      prev = Some(relaxed)
+      dist = relaxed
+    }
+    dist.select(col("v").as("_vid"), round(col("dist"), 4).as("dist"))
+  }
 }

@@ -245,4 +245,32 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /**
+   * Symmetric per-vector int8 scalar quantization — the standard 4×
+   * memory-compression step for serving/ANN at scale (float32 corpus →
+   * int8 + one float scale per vector). `q_i = ⌊x_i·127/maxabs + 0.5⌋`
+   * (floor(+0.5) rather than a round() builtin: identical
+   * half-up-toward-+∞ law in every engine, so the quantized codes are
+   * bit-portable and oracle-checkable). Zero vectors quantize to scale
+   * 0 / all-zero codes.
+   *
+   * Pure narrow projection — no shuffle; at 100 TB this is a scan-bound
+   * rewrite producing a quarter-size corpus, exactly what you want
+   * before loading an ANN serving tier. Returns (id, scale, qvec,
+   * max_err) with max_err = ‖x − q·scale‖∞, the reconstruction bound.
+   */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val maxabs = array_max(transform(v, x => abs(x)))
+    val q = when(maxabs === 0.0,
+        transform(v, _ => lit(0L)))
+      .otherwise(transform(v,
+        x => floor(x * 127.0 / maxabs + 0.5).cast("long")))
+    val err = when(maxabs === 0.0, lit(0.0)).otherwise(
+      array_max(transform(v,
+        x => abs(x - floor(x * 127.0 / maxabs + 0.5) * (maxabs / 127.0)))))
+    emb.select(col(idCol), round(maxabs / 127.0, 6).as("scale"),
+      q.as("qvec"), round(err, 6).as("max_err"))
+  }
 }

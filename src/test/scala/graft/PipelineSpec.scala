@@ -133,6 +133,25 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((0L, 1L), (2L, 3L)))
   }
+
+  test("int8 quantization: codes, scale, and error bound") {
+    val in = Seq(
+      (0L, Array(0.0f, 1.27f, -0.635f)),
+      (1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(in, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Long](2), r.getDouble(3))).toMap
+    assert(out(0L)._1 == 0.01)
+    assert(out(0L)._2 == Seq(0L, 127L, -63L)) // floor(-63.5+0.5) = -63
+    assert(out(0L)._3 <= 0.01 / 2 + 1e-9) // within half a step
+    assert(out(1L) == ((0.0, Seq(0L, 0L, 0L), 0.0)))
+    // codes stay in int8 range on real data
+    val emb = graft.model.GraphStore.table(spark, sfDir, "embeddings")
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    import org.apache.spark.sql.functions.{array_max => amax, array_min => amin, col => c}
+    val bad = q.filter(amax(c("qvec")) > 127 || amin(c("qvec")) < -127)
+    assert(bad.count() == 0)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -111,6 +111,17 @@ class AnalyticsSpec extends SparkSpec {
       (rows.size - regionIds.size)
     assert(regionAvg > otherAvg)
   }
+
+  test("shortestPaths relaxes through the cheaper multi-hop route") {
+    import spark.implicits._
+    // 1->2 direct costs 5; 1->3->2 costs 2; 2->4 extends the cheap path
+    val edges = Seq((1L, 2L, 5.0), (1L, 3L, 1.0), (3L, 2L, 1.0),
+      (2L, 4L, 1.0)).toDF("s", "d", "w")
+    val out = GraphAnalytics.shortestPaths(edges, Seq(1L), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 0.0, 2L -> 2.0, 3L -> 1.0, 4L -> 3.0))
+    CacheScope.drain(spark)
+  }
 }
 
 class IvfSpec extends SparkSpec {
