@@ -65,19 +65,29 @@ object Bench {
       name -> sec
     }
     CacheScope.drain(spark)
-    def render(prec: String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + prec.format(v) }
+    // trailing zeros carry no information but cost tail budget
+    // ("0.500" -> "0.5") — with 80+ queries the saved chars decide
+    // whether the metric line survives the driver's tail capture
+    def fmt(v: Double, dec: Int): String = {
+      val s = s"%.${dec}f".format(v)
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      } else s
+    }
+    def render(dec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
-      val total = prec.format(results.map(_._2).sum)
+      val total = fmt(results.map(_._2).sum, dec)
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_local.json"), render("%.9f") + "\n")
+      java.nio.file.Paths.get("bench_local.json"), render(9) + "\n")
     spark.stop()
     // last line out — finest precision that still survives a 2000-char
     // output tail alongside sbt's own epilogue lines
-    val line = Seq("%.3f", "%.2f", "%.1f").map(render)
-      .find(_.length <= 1850).getOrElse(render("%.1f"))
+    val line = Seq(3, 2, 1).map(render)
+      .find(_.length <= 1850).getOrElse(render(0))
     println(line)
   }
 }

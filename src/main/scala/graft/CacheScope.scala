@@ -49,9 +49,15 @@ object CacheScope {
   }
 
   /** Release every registered frame plus anything else in the session
-    * cache (SQL-cached tables, third-party persists). */
+    * cache (SQL-cached tables, third-party persists). RDD-level caches
+    * are released too: `catalog.clearCache` only covers SQL-cached
+    * plans, and the GraphX operators (connected components, triangle
+    * count) pin raw vertex/edge RDDs that would otherwise accrete
+    * across queries exactly like round 2's DataFrame persists did. */
   def drain(spark: SparkSession): Unit = {
     drainRegistered()
     spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
   }
 }

@@ -756,7 +756,18 @@ object SparkEntry {
           .select(col("_src"), col("_dst"), lit(1.0).as("w")))
       graft.analytics.GraphAnalytics.shortestPaths(edges,
         seeds = Seq(1L, 2L, 3L, 4L, 5L), iters = 3)
-    })
+    }),
+
+    // ---- Label propagation communities (deterministic sync rounds) ----
+    "q_label_propagation" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.labelPropagation(store(s, dir),
+        Seq("in_nation", "in_region"), iters = 2)),
+
+    // ---- Weighted sampling without replacement (A-ES, replayable) ----
+    "q_weighted_sample" -> ((s, dir) =>
+      Sample.weightedByGroup(t(s, dir, "part"), "p_brand", "p_partkey",
+          "p_retailprice", k = 5)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice")))
   )
 
   /** Shared DuckDB CTE snippets for the text oracles. */
@@ -2011,6 +2022,38 @@ object SparkEntry {
          |       0.0 AS dist),
          |$steps
          |SELECT v AS _vid, round(dist, 4) AS dist FROM d3""".stripMargin
-    }
+    },
+
+    "q_label_propagation" -> {
+      val steps = (1 to 2).map { i =>
+        s"""v$i AS (SELECT e.s, l${i - 1}.label, count(*) AS n
+           |  FROM e JOIN l${i - 1} ON l${i - 1}.v = e.d GROUP BY 1, 2),
+           |l$i AS (SELECT s AS v, label FROM (
+           |  SELECT s, label, row_number() OVER (PARTITION BY s
+           |    ORDER BY n DESC, label) AS rk FROM v$i) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH de AS (
+         |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+         |  FROM nation),
+         |e AS (SELECT DISTINCT s, d FROM
+         |  (SELECT s, d FROM de UNION ALL SELECT d, s FROM de)),
+         |l0 AS (SELECT v, v AS label FROM
+         |  (SELECT DISTINCT s AS v FROM e)),
+         |$steps
+         |SELECT v AS _vid, label AS community FROM l2""".stripMargin
+    },
+
+    "q_weighted_sample" ->
+      """SELECT p_brand, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY
+        |      ln((CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 13)
+        |           AS BIGINT) + 1.0) / 4503599627370496.0)
+        |        / CAST(p_retailprice AS DOUBLE) DESC,
+        |      p_partkey) AS rk
+        |  FROM part) WHERE rk <= 5""".stripMargin
   )
 }

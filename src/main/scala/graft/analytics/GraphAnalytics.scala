@@ -3,6 +3,7 @@ package graft.analytics
 import graft.model.GraphStore
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -181,6 +182,56 @@ object GraphAnalytics {
       levels = next :: levels
     }
     levels.reduce(_ unionByName _)
+  }
+
+  /**
+   * Synchronous label propagation (community detection), `iters` fixed
+   * rounds: every vertex starts labeled with its own id; each round it
+   * adopts the most frequent label among its (undirected) neighbors,
+   * ties to the SMALLEST label — fully deterministic, so the oracle can
+   * replay the identical recurrence. Unlike GraphX's LPA (whose hashmap
+   * merge order is nondeterministic under ties) this DataFrame
+   * formulation is reproducible run-to-run — determinism is what makes
+   * incremental recomputes diffable at 100 TB.
+   *
+   * Scale shape per round: one edge⋈labels join (labels are
+   * vertex-sized; AQE broadcasts while they fit), a (vertex, label)
+   * count aggregate with map-side partials, and a per-vertex argmax
+   * window that plans as WindowGroupLimit. Superseded label frames are
+   * released as soon as the next round materializes.
+   */
+  def labelPropagation(store: GraphStore, edgeTypes: Seq[String],
+      iters: Int): DataFrame = {
+    val dirEdges = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC).as("s"),
+        col(GraphStore.DST).as("d"))
+    }.reduce(_ unionByName _)
+    // undirected adjacency, parallel edges collapsed (a neighbor votes
+    // once per adjacency, the standard LPA formulation)
+    val e = dirEdges.select(col("s"), col("d"))
+      .unionByName(dirEdges.select(col("d").as("s"), col("s").as("d")))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    var labels = e.select(col("s").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .transform(graft.CacheScope.persist(_))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val votes = e.join(labels, e("d") === labels("v"))
+        .groupBy(col("s"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("s"))
+        .orderBy(col("n").desc, col("label"))
+      val next = votes.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("s").as("v"), col("label"))
+        .transform(graft.CacheScope.persist(_))
+      next.count()
+      prev.foreach(graft.CacheScope.unpersist)
+      prev = Some(next)
+      labels = next
+    }
+    labels.select(col("v").as("_vid"), col("label").as("community"))
   }
 
   /**

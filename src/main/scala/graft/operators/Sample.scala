@@ -114,4 +114,28 @@ object Sample {
     df.withColumn("_srn", row_number().over(w))
       .filter(col("_srn") <= k).drop("_srn")
   }
+
+  /**
+   * Weighted sampling without replacement, k per group — the
+   * Efraimidis–Spirakis A-ES scheme: each row draws u ∈ (0,1] and the
+   * k rows maximizing u^(1/w) win; inclusion probability is
+   * proportional to weight. We rank by the monotone-equivalent
+   * ln(u)/w (avoids pow) and derive u from md5(id) — 52 hash bits →
+   * exact double — so the draw is replayable, retry-stable, and
+   * engine-portable like [[stratified]]. Plans as WindowGroupLimit:
+   * map-side top-k per group before the single shuffle, the property
+   * that makes weighted corpus sampling move k·|groups| rows, not the
+   * corpus. Weights must be > 0.
+   */
+  def weightedByGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("double")
+    val u = (h + 1.0) / 4503599627370496.0 // (0,1], 2^52 buckets
+    val key = log(u) / col(weightCol).cast("double")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(key.desc, col(idCol))
+    df.withColumn("_srn", row_number().over(w))
+      .filter(col("_srn") <= k).drop("_srn")
+  }
 }

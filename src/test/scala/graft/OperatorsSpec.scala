@@ -211,6 +211,21 @@ class SampleScanTtlSpec extends SparkSpec {
     val vis = Ttl.visible(df, "ts", 86400L * 7, now)
     assert(vis.select("id").as[Long].collect().toSet == Set(2L))
   }
+
+  test("weighted sample: exact k, replayable, heavy weights dominate") {
+    val rows = (1L to 50L).map(i =>
+      ("g", i, if (i == 17L) 1e12 else 0.001)) ++
+      (51L to 60L).map(i => ("h", i, 1.0))
+    val df = rows.toDF("grp", "id", "w")
+    val a = Sample.weightedByGroup(df, "grp", "id", "w", k = 3)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    val b = Sample.weightedByGroup(df, "grp", "id", "w", k = 3)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(a == b, "A-ES draw must be replayable")
+    assert(a.count(_._1 == "g") == 3 && a.count(_._1 == "h") == 3)
+    // ln(u)/1e12 ~ -1e-11 beats ln(u)/0.001 ~ -1e4 for any u
+    assert(a.contains(("g", 17L)), "dominant weight must be sampled")
+  }
 }
 
 /** Driver smoke contract: entry() must return rows at sf0.001. */

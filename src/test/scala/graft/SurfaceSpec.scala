@@ -112,6 +112,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(regionAvg > otherAvg)
   }
 
+  test("labelPropagation: triangle converges, pair oscillates — both deterministic") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (8L, 9L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> Seq(1L, 2L, 3L, 8L, 9L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val out = GraphAnalytics.labelPropagation(tiny, Seq("e"), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // triangle: round 1 -> (2,1,1), round 2 -> all 1 (min-label ties)
+    // pair 8-9: swap, swap back — sync LPA's classic bipartite cycle
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 9L))
+    CacheScope.drain(spark)
+  }
+
   test("shortestPaths relaxes through the cheaper multi-hop route") {
     import spark.implicits._
     // 1->2 direct costs 5; 1->3->2 costs 2; 2->4 extends the cheap path
