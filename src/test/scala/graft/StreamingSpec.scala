@@ -130,4 +130,36 @@ class ChangeLogListenerSpec extends SparkSpec {
       assert(v2 == Map(1L -> "one-v2", 3L -> "three"))
     } finally q.stop()
   }
+
+  test("ingest snapshots compact in place; committed reads unchanged") {
+    // the CompactTask workflow a continuous-ingest user runs: micro-
+    // batches fragment the snapshot dir; compact rewrites it without
+    // breaking the committed-version protocol (_SUCCESS survives)
+    val dir = java.nio.file.Files.createTempDirectory("clogc").toString
+    val lst = new ChangeLogListener(s"$dir/index", Seq("key"))
+    def batch(seqs: Range, tag: String) = seqs.map(i =>
+      (i.toLong, "put", (i % 50).toLong, s"$tag$i"))
+      .toDF("seq", "op", "key", "text")
+    // AQE would coalesce the toy batches to one output file; a real
+    // micro-batch stream fragments by (batches x shuffle partitions)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      lst.applyBatch(batch(1 to 200, "a").repartition(8), 1L)
+      lst.applyBatch(batch(201 to 400, "b").repartition(8), 2L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val before = lst.currentIndex(spark).get
+      .as[(Long, String)].collect().toMap
+    val v2dir = new java.io.File(s"$dir/index/v2")
+    val fragged = v2dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(fragged >= 2, s"fixture not fragmented: $fragged")
+    val after = graft.sources.BucketedStore.compact(spark,
+      s"$dir/index/v2", targetFileBytes = 64L << 20)
+    assert(after < fragged)
+    assert(new java.io.File(s"$dir/index/v2/_SUCCESS").exists(),
+      "compacted snapshot must stay committed")
+    val re = lst.currentIndex(spark).get
+      .as[(Long, String)].collect().toMap
+    assert(re == before)
+  }
 }
