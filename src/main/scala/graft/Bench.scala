@@ -75,19 +75,29 @@ object Bench {
         if (t.endsWith(".")) t.dropRight(1) else t
       } else s
     }
-    def render(dec: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+    // At 84 queries even 2-decimal values overflow the tail budget with
+    // full names, so the ladder also drops the uniform "q_" prefix
+    // (names stay unambiguous; bench_local.json keeps the full
+    // names + nanosecond precision and is committed per round as
+    // BENCH_LOCAL_r<N>.json for analysis beyond the tail limit).
+    def render(dec: Int, dropPrefix: Boolean): String = {
+      def nm(k: String) = if (dropPrefix) k.stripPrefix("q_") else k
+      val qs = results.map { case (k, v) => "\"" + nm(k) + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
       val total = fmt(results.map(_._2).sum, dec)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val sf = if (dropPrefix) sfDir.split('/').last else sfDir
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf"}"""
     }
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_local.json"), render(9) + "\n")
+      java.nio.file.Paths.get("bench_local.json"),
+      render(9, dropPrefix = false) + "\n")
     spark.stop()
     // last line out — finest precision that still survives a 2000-char
-    // output tail alongside sbt's own epilogue lines
-    val line = Seq(3, 2, 1).map(render)
-      .find(_.length <= 1850).getOrElse(render(0))
+    // output tail (sbt batch prints nothing after it: showSuccess is
+    // off in build.sbt; verified against a full 84-query run)
+    val line = Seq((3, false), (2, false), (2, true), (1, true))
+      .map { case (d, p) => render(d, p) }
+      .find(_.length <= 1950).getOrElse(render(0, dropPrefix = true))
     println(line)
   }
 }
