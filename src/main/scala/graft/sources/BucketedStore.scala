@@ -52,7 +52,17 @@ object BucketedStore {
       targetFileBytes: Long = 128L << 20): Int = {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(hp).filter { st =>
+    val entries = fs.listStatus(hp)
+    // A Hive-partitioned dir (key=value subdirs) must be compacted per
+    // leaf: reading it whole would surface the partition columns as
+    // data and write back a silently FLATTENED, unpartitioned layout.
+    val subdirs = entries.filter(st =>
+      st.isDirectory && !st.getPath.getName.startsWith("_"))
+    require(subdirs.isEmpty,
+      s"compact: $path contains partition subdirectories " +
+        s"(${subdirs.take(3).map(_.getPath.getName).mkString(", ")}...); " +
+        "compact each leaf directory instead")
+    val dataFiles = entries.filter { st =>
       st.isFile && !st.getPath.getName.startsWith("_")
     }
     val totalBytes = dataFiles.map(_.getLen).sum

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/**
+ * Plan-shape regression guards: PLANS.md's scale claims as executable
+ * assertions. These don't run the queries — they inspect the physical
+ * plan — so a future refactor that silently drops a pushdown, a
+ * map-side group limit, or a broadcast (the properties that matter at
+ * 100 TB) fails the suite instead of only showing up as a slow bench.
+ */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    val s = df.queryExecution.explainString(FormattedMode)
+    CacheScope.drain(spark)
+    s
+  }
+
+  test("get_neighbors_out: seed pushdown + map-side per-vertex limit") {
+    val p = plan("q_get_neighbors_out")
+    assert(p.contains("PushedFilters") && p.contains("In(o_custkey"),
+      "vertex seed set must reach the parquet scan")
+    assert(p.contains("WindowGroupLimit"),
+      "per-vertex limit must partial-apply before the shuffle")
+  }
+
+  test("scan_vertex_page: keyset cursor is a pushed scan, no exchange") {
+    val p = plan("q_scan_vertex_page")
+    assert(p.contains("GreaterThan(c_custkey,50"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"pagination must not shuffle:\n$p")
+  }
+
+  test("decontaminate: benchmark side broadcasts, corpus never self-joins") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("WindowGroupLimit"))
+    // exactly two parquet scans (corpus shingles + bench shingles) —
+    // a third would mean the corpus subtree got duplicated
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 2, p)
+  }
+
+  test("ann_topk: broadcast query side, codegen'd dot product") {
+    val p = plan("q_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("dotp") || p.contains("DotProduct") ||
+      p.toLowerCase.contains("dot"), "native DotProduct in the plan")
+  }
+
+  test("weighted_sample + stratified: map-side WindowGroupLimit") {
+    assert(plan("q_weighted_sample").contains("WindowGroupLimit"))
+    assert(plan("q_stratified_sample").contains("WindowGroupLimit"))
+  }
+
+  test("token_entropy: both aggregations partial-apply before exchanges") {
+    val p = plan("q_token_entropy")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"token entropy needs exactly two shuffles:\n$p")
+  }
+
+  test("lookup_prefix_range: hints become pushed conjunctive predicates") {
+    val p = plan("q_lookup_prefix_range")
+    assert(p.contains("EqualTo(l_returnflag,R)"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+  }
+}

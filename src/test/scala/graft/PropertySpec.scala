@@ -87,4 +87,45 @@ class PropertySpec extends SparkSpec {
       assert(counts(0) == counts(1))
     }
   }
+
+  test("int8 quantization error never exceeds half a step") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
+    forAll(Gen.listOfN(10, vecGen)) { vs =>
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val bad = graft.pipeline.Similarity.quantizeInt8(df, "vec_id", "embedding")
+        .filter(col("max_err") > col("scale") / 2 + 1e-9).count()
+      assert(bad == 0)
+    }
+  }
+
+  test("line dedup: no line text survives twice across the corpus") {
+    val lineGen = Gen.listOfN(4,
+      Gen.oneOf("a b", "c d", "e f", "g h", "i j"))
+    forAll(Gen.listOfN(8, lineGen)) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ls, i) => (i.toLong, ls) }.toDF("doc_id", "lines")
+      val out = graft.pipeline.Curation.lineDedup(df, "doc_id", "lines")
+      // reconstructed corpus keeps each distinct line exactly once =>
+      // total kept lines == distinct lines in the input
+      val keptTotal = out.agg(sum("n_lines_kept")).head.getLong(0)
+      val distinctIn = docs.flatten.distinct.size.toLong
+      assert(keptTotal == distinctIn)
+    }
+  }
+
+  test("weighted sample: exactly min(k, group size) rows per group") {
+    forAll(Gen.choose(1, 8), Gen.choose(1, 30)) { (k, n) =>
+      val df = (1L to n.toLong).map(i => (s"g${i % 3}", i, i.toDouble))
+        .toDF("grp", "id", "w")
+      val got = Sample.weightedByGroup(df, "grp", "id", "w", k)
+        .groupBy("grp").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sizes = (1L to n.toLong).groupBy(i => s"g${i % 3}")
+        .map { case (g, xs) => g -> xs.size.toLong }
+      sizes.foreach { case (g, sz) =>
+        assert(got(g) == math.min(k.toLong, sz)) }
+    }
+  }
 }
