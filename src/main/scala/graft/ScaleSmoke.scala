@@ -143,6 +143,29 @@ object ScaleSmoke {
     time(s"token entropy ${factor}x")(
       graft.pipeline.Curation.tokenEntropy(docs, "doc_id", "text").count())
 
+    // weighted shortest paths + LPA over the amplified edge list,
+    // seeds/vertices scaling with the copies
+    val wEdges = edges.select(col("l_orderkey").as("s"),
+      col("l_partkey").as("d"), (col("l_partkey") % 5 + 1).cast("double").as("w"))
+    time(s"shortest paths 3 iters ${factor}x")(
+      graft.analytics.GraphAnalytics.shortestPaths(wEdges, seeds, 3).count())
+    time(s"label propagation 2 iters ${factor}x")(
+      graft.analytics.GraphAnalytics.labelPropagation(store, Seq("amp"), 2)
+        .count())
+
+    time(s"weighted sample ${factor}x")(
+      graft.operators.Sample.weightedByGroup(
+        docs.withColumn("grp", col("doc_id") % 64),
+        "grp", "doc_id", "n_chars", 10).count())
+
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = amplify(emb0, Seq("vec_id"), None)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("embeddings materialize")(emb.count())
+    time(s"int8 quantize ${factor}x")(
+      graft.pipeline.Similarity.quantizeInt8(emb, "vec_id", "embedding")
+        .count())
+
     spark.stop()
   }
 }

@@ -100,20 +100,23 @@ object Curation {
    * fixed token windows) stays with the caller.
    *
    * Scale shape: one explode (corpus-sized, but narrow: line + two
-   * longs), ONE window shuffle keyed on the line text to pick each
-   * line's global first occurrence, one groupBy(doc) to reassemble.
-   * No joins, no corpus self-join — this is the shape that survives
-   * 100 TB, where the line universe is far larger than memory and
-   * must stream through a hash shuffle.
+   * longs), then the first occurrence per line is a `min(struct(doc,
+   * pos))` AGGREGATE, not a window: partial min combines map-side, so
+   * a pathologically hot line (empty string, boilerplate header
+   * repeated across 1% of a 100 TB corpus) shrinks to one row per map
+   * task instead of flooding a single window reducer. One groupBy(doc)
+   * reassembles. No joins, no corpus self-join.
    */
   def lineDedup(df: DataFrame, idCol: String, linesCol: String): DataFrame = {
     val lines = df.select(col(idCol), posexplode(col(linesCol)))
       .toDF(idCol, "pos", "line")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("line")).orderBy(col(idCol), col("pos"))
-    lines.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .groupBy(col(idCol))
+    // lexicographic struct min == (doc order, then position) — the
+    // same deterministic first-occurrence law a window would give
+    val kept = lines.groupBy(col("line"))
+      .agg(min(struct(col(idCol), col("pos"))).as("f"))
+      .select(col(s"f.$idCol").as(idCol), col("f.pos").as("pos"),
+        col("line"))
+    kept.groupBy(col(idCol))
       .agg(array_join(array_sort(collect_list(struct(col("pos"), col("line"))))
         .getField("line"), " ").as("cleaned_text"),
         count(lit(1)).as("n_lines_kept"))
