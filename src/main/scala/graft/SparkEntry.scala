@@ -767,7 +767,17 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, dir) =>
       Sample.weightedByGroup(t(s, dir, "part"), "p_brand", "p_partkey",
           "p_retailprice", k = 5)
-        .select(col("p_brand"), col("p_partkey"), col("p_retailprice")))
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))),
+
+    // ---- recall@k: IVF search quality vs the exact top-k, per query ----
+    "q_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 9L), k = 5),
+        Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 9L), k = 5, nCells = 16, nProbe = 4))
+    })
   )
 
   /** Shared DuckDB CTE snippets for the text oracles. */
@@ -882,6 +892,38 @@ object SparkEntry {
        |    ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
        |SELECT query_id, cand_id, sim FROM scored WHERE rk <= 5""".stripMargin
   }
+
+  /** IVF top-k oracle (16 cells = vec_id<16 seeds, nProbe 4, k 5,
+    * queries 0..9) — shared by q_ivf_topk and q_ivf_recall. */
+  private val IvfTopKSql: String =
+    """WITH c AS (SELECT vec_id AS cell, embedding AS cvec
+      |  FROM embeddings WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT e.vec_id, e.embedding, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+      |          c.cvec::DOUBLE[]) DESC, c.cell) AS crk
+      |    FROM embeddings e CROSS JOIN c) WHERE crk = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qvec
+      |  FROM embeddings WHERE vec_id BETWEEN 0 AND 9),
+      |probed AS (
+      |  SELECT query_id, qvec, cell FROM (
+      |    SELECT q.query_id, q.qvec, c.cell,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_cosine_similarity(q.qvec::DOUBLE[],
+      |          c.cvec::DOUBLE[]) DESC, c.cell) AS crk
+      |    FROM q CROSS JOIN c) WHERE crk <= 4),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id AS cand_id,
+      |    round(list_cosine_similarity(p.qvec::DOUBLE[],
+      |      a.embedding::DOUBLE[]), 6) AS sim,
+      |    row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY round(list_cosine_similarity(p.qvec::DOUBLE[],
+      |        a.embedding::DOUBLE[]), 6) DESC, a.vec_id) AS rk
+      |  FROM probed p JOIN asg a
+      |    ON a.cell = p.cell AND a.vec_id <> p.query_id)
+      |SELECT query_id, cand_id, sim FROM scored WHERE rk <= 5""".stripMargin
 
   private def minhashSigSql: String = {
     val aggs = Dedup.minhashParams(8).zipWithIndex.map {
@@ -1776,35 +1818,29 @@ object SparkEntry {
 
     "q_ivf_train" -> ivfTrainSql(2),
 
-    "q_ivf_topk" ->
-      """WITH c AS (SELECT vec_id AS cell, embedding AS cvec
-        |  FROM embeddings WHERE vec_id < 16),
-        |asg AS (
-        |  SELECT vec_id, embedding, cell FROM (
-        |    SELECT e.vec_id, e.embedding, c.cell,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
-        |          c.cvec::DOUBLE[]) DESC, c.cell) AS crk
-        |    FROM embeddings e CROSS JOIN c) WHERE crk = 1),
-        |q AS (SELECT vec_id AS query_id, embedding AS qvec
-        |  FROM embeddings WHERE vec_id BETWEEN 0 AND 9),
-        |probed AS (
-        |  SELECT query_id, qvec, cell FROM (
-        |    SELECT q.query_id, q.qvec, c.cell,
-        |      row_number() OVER (PARTITION BY q.query_id
-        |        ORDER BY list_cosine_similarity(q.qvec::DOUBLE[],
-        |          c.cvec::DOUBLE[]) DESC, c.cell) AS crk
-        |    FROM q CROSS JOIN c) WHERE crk <= 4),
-        |scored AS (
-        |  SELECT p.query_id, a.vec_id AS cand_id,
-        |    round(list_cosine_similarity(p.qvec::DOUBLE[],
-        |      a.embedding::DOUBLE[]), 6) AS sim,
-        |    row_number() OVER (PARTITION BY p.query_id
-        |      ORDER BY round(list_cosine_similarity(p.qvec::DOUBLE[],
-        |        a.embedding::DOUBLE[]), 6) DESC, a.vec_id) AS rk
-        |  FROM probed p JOIN asg a
-        |    ON a.cell = p.cell AND a.vec_id <> p.query_id)
-        |SELECT query_id, cand_id, sim FROM scored WHERE rk <= 5""".stripMargin,
+    "q_ivf_topk" -> IvfTopKSql,
+
+    // recall@k of the IVF search vs the exact top-k, per query — both
+    // result sets are the proven oracle CTEs above, composed
+    "q_ivf_recall" ->
+      s"""WITH exact AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(list_cosine_similarity(
+         |          q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+         |          DESC, c.vec_id) AS rk
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id BETWEEN 0 AND 9) WHERE rk <= 5),
+         |approx AS ($IvfTopKSql)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  round(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1.0 / count(*), 4) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+         |GROUP BY e.query_id""".stripMargin,
 
     "q_lsh_ann" -> lshAnnSql,
 

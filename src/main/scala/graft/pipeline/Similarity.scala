@@ -222,6 +222,23 @@ object Similarity {
     if (total == 0) 1.0 else hit.toDouble / total
   }
 
+  /** Per-query recall as a frame (the distributed form of
+    * [[recallAtK]] — one semi-join + two small aggregates, no
+    * driver-side counts, so the metric itself scales with the query
+    * batch). */
+  def recallPerQuery(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = exact.select(col("query_id"), col("cand_id"))
+      .join(approx.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact"), 4).as("recall"))
+  }
+
   /**
    * Near-duplicate pairs above a cosine threshold, with candidate
    * generation restricted to a blocking column (IVF-style coarse

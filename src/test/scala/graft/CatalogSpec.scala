@@ -159,5 +159,10 @@ class RecallSpec extends SparkSpec {
       Seq(5L, 6L), k = 5, nCells = 8, nProbe = 1)
     val r = Similarity.recallAtK(exact, partial)
     assert(r >= 0.0 && r <= 1.0)
+    // the distributed per-query frame averages to the scalar metric
+    val perQ = Similarity.recallPerQuery(exact, partial)
+      .agg(org.apache.spark.sql.functions.sum("n_hit"),
+        org.apache.spark.sql.functions.sum("n_exact")).head
+    assert(math.abs(perQ.getLong(0).toDouble / perQ.getLong(1) - r) < 1e-9)
   }
 }
