@@ -777,7 +777,11 @@ object SparkEntry {
           queryIds = (0L to 9L), k = 5),
         Similarity.ivfTopK(emb, "vec_id", "embedding",
           queryIds = (0L to 9L), k = 5, nCells = 16, nProbe = 4))
-    })
+    }),
+
+    // ---- Corpus-trained unigram log-prob (perplexity-filter analog) ----
+    "q_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text"))
   )
 
   /** Shared DuckDB CTE snippets for the text oracles. */
@@ -1975,6 +1979,16 @@ object SparkEntry {
          |    AS INTEGER) AS n_phones
          |FROM withpii""".stripMargin
     },
+
+    "q_unigram_logprob" ->
+      s"""WITH $TokCte,
+         |pt AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |freq AS (SELECT tok, count(*) AS tf FROM pt GROUP BY tok),
+         |total AS (SELECT sum(tf) AS tot FROM freq)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(sum(log2(tf * 1.0 / tot)) / count(*), 4) AS mean_log2p
+         |FROM pt JOIN freq USING (tok) CROSS JOIN total
+         |GROUP BY doc_id""".stripMargin,
 
     "q_token_entropy" ->
       s"""WITH $TokCte,

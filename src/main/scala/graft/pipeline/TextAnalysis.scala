@@ -229,4 +229,33 @@ object TextAnalysis {
         round(col("top_bg").cast("double") / col("n_bg"), 6)
           .as("top_bigram_frac"))
   }
+
+  /**
+   * Corpus-trained unigram log-probability score per document — the
+   * cheap analog of CCNet's LM-perplexity quality filter: score =
+   * mean over tokens of log2 P(token), P from the corpus's own
+   * unigram frequencies. Atypical/garbled documents score far below
+   * the corpus mode and are filtered by thresholding, no external
+   * model needed.
+   *
+   * Scale shape: ONE token explode feeds (a) the unigram table (one
+   * map-side-combined shuffle, vocabulary-sized output) and (b) the
+   * per-doc score join — the token frame persists so the corpus scan
+   * runs once; the corpus-total token count rides an in-plan
+   * broadcast scalar (no driver count()).
+   */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tok = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .transform(graft.CacheScope.persist(_))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = freq.agg(sum(col("tf")).as("_total"))
+    tok.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(log2(col("tf").cast("double") / col("_total")))
+          / count(lit(1)), 4).as("mean_log2p"))
+  }
 }

@@ -97,6 +97,21 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ("no pii here", 0, 0))
   }
 
+  test("unigramLogProb: common-word docs outscore rare-word docs") {
+    val in = Seq(
+      (1L, "the the the the"),   // only the corpus's most common token
+      (2L, "zyx the the the")    // one rare token drags the mean down
+    ).toDF("doc_id", "text")
+    val out = pipeline.TextAnalysis.unigramLogProb(in, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L)._1 == 4L && out(2L)._1 == 4L)
+    // P(the)=7/8, P(zyx)=1/8: doc 1 mean = log2(7/8), doc 2 lower
+    assert(math.abs(out(1L)._2 - math.log(7.0 / 8) / math.log(2)) < 1e-3)
+    assert(out(2L)._2 < out(1L)._2)
+    CacheScope.drain(spark)
+  }
+
   test("tokenEntropy: uniform text hits log2(n), repeated text hits 0") {
     val in = Seq(
       (1L, "a b c d"),      // 4 distinct: H = 2 bits, ttr = 1
