@@ -35,12 +35,18 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Exact dedup: keep the minimum-id row per normalized content. */
+  /** Exact dedup: keep the minimum-id row per normalized content.
+    * Winner election is a map-side-combinable `min` aggregate plus a
+    * semi-join on (fingerprint, id) — NOT a window over the
+    * fingerprint: a boilerplate document duplicated across millions of
+    * rows would land that fingerprint's every full-width row on one
+    * window reducer, while the aggregate shrinks it to one row per map
+    * task and the semi-join shuffle keys on (fp, id), which hot
+    * fingerprints spread across their many distinct ids. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn")
+    val withFp = df.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+    val winners = withFp.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    withFp.join(winners, Seq("_fp", idCol), "left_semi").drop("_fp")
   }
 
   /** Distinct word n-gram shingles per document: (id, shingle). */
