@@ -29,12 +29,16 @@ object Curation {
    * smaller bench id) and the overlap count.
    */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, n: Int, minShared: Int): DataFrame = {
+      idCol: String, textCol: String, n: Int, minShared: Int,
+      broadcastBench: Boolean = true): DataFrame = {
     val corpusSh = Dedup.shingles(corpus, idCol, textCol, n)
-    val benchSh = Dedup.shingles(benchmark, idCol, textCol, n)
+    val benchSh0 = Dedup.shingles(benchmark, idCol, textCol, n)
       .withColumnRenamed("id", "bench_id")
+    // eval suites are broadcast-sized by nature; callers decontaminating
+    // against something corpus-like opt out and get a shuffled hash join
+    val benchSh = if (broadcastBench) broadcast(benchSh0) else benchSh0
     val shared = corpusSh
-      .join(broadcast(benchSh), "shingle")
+      .join(benchSh, "shingle")
       .groupBy(col("id"), col("bench_id"))
       .agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)

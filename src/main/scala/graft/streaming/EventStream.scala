@@ -102,6 +102,32 @@ object EventStream {
       .dropDuplicatesWithinWatermark(keys)
 
   /**
+   * Stream-stream interval join — the streaming form of
+   * [[graft.operators.TemporalJoin.banded]]: every (left, right) pair
+   * with equal keys and `right.ts − left.ts` within (0, `window`].
+   * Both sides carry watermarks and the join condition bounds the time
+   * range in BOTH directions, which is what lets Spark expire buffered
+   * state instead of holding each side forever (the unbounded
+   * stream-stream join is rejected in append mode for exactly that
+   * reason). Works identically on batch frames — the spec drives it
+   * both ways and cross-checks against the batch banded join.
+   */
+  def intervalJoinStreaming(left: DataFrame, right: DataFrame,
+      key: String, window: String, watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col(key).as("_lk"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(key).as("_rk"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"""_lk = _rk AND r_ts > l_ts AND r_ts <= l_ts + interval $window"""))
+      .select(col("_lk").as(key), col("l_id"), col("r_id"),
+        col("r_value"), (unix_micros(col("r_ts")) -
+          unix_micros(col("l_ts"))).as("gap_us"))
+  }
+
+  /**
    * Gap-based sessionization (batch formulation): a new session starts
    * when a user's inter-event gap reaches `gapMinutes` (gap >= threshold
    * splits — the same boundary rule as Spark's `session_window`, whose

@@ -34,6 +34,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch banded join") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val views = events.where(col("event_type") === "view")
+    val buys = events.where(col("event_type") === "purchase")
+    val batch = graft.operators.TemporalJoin.banded(
+      views, buys, "user_id", "user_id", "ts", "ts",
+      loUs = 1L, hiUs = 6L * 3600 * 1000000,
+      leftCols = Seq("event_id" -> "l_id", "user_id" -> "user_id"),
+      rightCols = Seq("event_id" -> "r_id", "value" -> "r_value"))
+      .select("user_id", "l_id", "r_id", "r_value", "gap_us")
+      .collect().map(_.toSeq).toSet
+
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-ssj").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def streamed = spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val joined = EventStream.intervalJoinStreaming(
+      streamed.where(col("event_type") === "view"),
+      streamed.where(col("event_type") === "purchase"),
+      key = "user_id", window = "6 hours")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssj").collect().map(_.toSeq).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals agree with groupBy") {
     import spark.implicits._
     import graft.streaming.EventStream.UserEvent
