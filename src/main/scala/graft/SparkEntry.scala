@@ -781,7 +781,18 @@ object SparkEntry {
 
     // ---- Corpus-trained unigram log-prob (perplexity-filter analog) ----
     "q_unigram_logprob" -> ((s, dir) =>
-      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text"))
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- Interval join, batch execution of the STREAMING operator:
+    // the same code path runs under Structured Streaming (watermarked,
+    // append mode — StreamingSpec) and here against the oracle ----
+    "q_interval_join" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      EventStream.intervalJoinStreaming(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"),
+        key = "user_id", window = "6 hours")
+    })
   )
 
   /** Shared DuckDB CTE snippets for the text oracles. */
@@ -1979,6 +1990,16 @@ object SparkEntry {
          |    AS INTEGER) AS n_phones
          |FROM withpii""".stripMargin
     },
+
+    "q_interval_join" ->
+      """SELECT v.user_id, v.event_id AS l_id, p.event_id AS r_id,
+        |  p.value AS r_value,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts > v.ts
+        | AND p.ts <= v.ts + INTERVAL 6 HOUR""".stripMargin,
 
     "q_unigram_logprob" ->
       s"""WITH $TokCte,
