@@ -380,6 +380,19 @@ object SparkEntry {
         .select("id", "width", "height", "scale", "out_w", "out_h")
     }),
 
+    // byte-level payload features: the non-stubbed feature-extract
+    // stage (no codec needed; the oracle recomputes from the source
+    // text's ASCII codes since ingest() packs utf-8 bytes)
+    "q_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.ingest(t(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRow](Multimodal.mediaEnc)
+      Multimodal.features(media).toDF()
+        .filter(col("n_bytes") > 0)
+        .select(col("id"), col("n_bytes"),
+          round(col("mean_byte"), 4).as("mean_byte"),
+          round(col("byte_entropy"), 4).as("byte_entropy"))
+    }),
+
     "q_frame_sample" -> ((s, dir) => {
       val media = Multimodal.ingest(t(s, dir, "documents"), "doc_id", "text")
         .as[Multimodal.MediaRow](Multimodal.mediaEnc)
@@ -1990,6 +2003,19 @@ object SparkEntry {
          |    AS INTEGER) AS n_phones
          |FROM withpii""".stripMargin
     },
+
+    "q_multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, ascii(substr(text, CAST(u.i AS INTEGER), 1)) AS v
+        |  FROM documents CROSS JOIN LATERAL
+        |    unnest(range(1, length(text) + 1)) u(i)
+        |  WHERE length(text) > 0),
+        |cnt AS (SELECT doc_id, v, count(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT doc_id AS id, sum(c) AS n_bytes,
+        |  round(sum(v * c) * 1.0 / sum(c), 4) AS mean_byte,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4)
+        |    AS byte_entropy
+        |FROM cnt GROUP BY doc_id""".stripMargin,
 
     "q_interval_join" ->
       """SELECT v.user_id, v.event_id AS l_id, p.event_id AS r_id,

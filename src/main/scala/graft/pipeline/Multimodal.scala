@@ -71,4 +71,43 @@ object Multimodal {
     decoded.toDF().select(col("id"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(step)))
         .as("frame_idx"))
+
+  final case class MediaFeatures(id: Long, n_bytes: Long,
+      mean_byte: Double, byte_entropy: Double)
+  implicit val featEnc: Encoder[MediaFeatures] =
+    Encoders.product[MediaFeatures]
+
+  /**
+   * Payload feature extraction — and unlike [[decode]], NOT a stub:
+   * byte-level statistics (mean byte value, Shannon entropy of the
+   * byte histogram) need no codec and are the standard cheap filters
+   * for corrupt/padded/low-information media payloads (a truncated
+   * JPEG or zero-padded buffer shows up immediately in entropy).
+   * Same iterator-to-iterator partition batch shape as decode: one
+   * pass, constant memory (256-long histogram per row).
+   */
+  def features(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
+    media.mapPartitions(_.map { m =>
+      val n = m.media.length
+      if (n == 0) MediaFeatures(m.id, 0L, 0.0, 0.0)
+      else {
+        val hist = new Array[Long](256)
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          val u = m.media(i) & 0xff
+          hist(u) += 1; sum += u; i += 1
+        }
+        val ln2 = math.log(2)
+        var clog = 0.0
+        var j = 0
+        while (j < 256) {
+          val c = hist(j)
+          if (c > 0) clog += c * (math.log(c.toDouble) / ln2)
+          j += 1
+        }
+        MediaFeatures(m.id, n.toLong, sum.toDouble / n,
+          math.log(n.toDouble) / ln2 - clog / n)
+      }
+    })
 }

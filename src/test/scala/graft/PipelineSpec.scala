@@ -171,4 +171,16 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(decoded, step = 2)
     assert(frames.filter(col("id") === 2L).count() == 3) // frames 0,2,4
   }
+
+  test("byte features: mean and entropy on known payloads") {
+    val docs = Seq((0L, "ab"), (1L, "aaaa"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.ingest(docs, "doc_id", "text")
+      .as[Multimodal.MediaRow](Multimodal.mediaEnc)
+    val f = Multimodal.features(media).collect()
+      .map(r => r.id -> ((r.n_bytes, r.mean_byte, r.byte_entropy))).toMap
+    assert(f(0L)._1 == 2L && f(0L)._2 == 97.5) // 'a'=97, 'b'=98
+    assert(math.abs(f(0L)._3 - 1.0) < 1e-12)   // two equiprobable bytes
+    assert(f(1L) == ((4L, 97.0, 0.0)))          // constant payload
+    assert(f(2L) == ((0L, 0.0, 0.0)))           // empty payload guarded
+  }
 }
