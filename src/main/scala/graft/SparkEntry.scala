@@ -2,6 +2,7 @@ package graft
 
 import graft.expr.FilterExpr
 import graft.expr.FilterExpr._
+import graft.functions.Portable
 import graft.model.GraphStore
 import graft.operators._
 import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -69,9 +70,9 @@ object SparkEntry {
           StatSpec("o_totalprice", "max", "max_price"),
           StatSpec("o_totalprice", "avg", "avg_price"))))
         .select(col("_vid"), col("cnt_edges"),
-          round(col("sum_price"), 2).as("sum_price"),
+          Portable.quant(col("sum_price"), 2).as("sum_price"),
           col("min_price"), col("max_price"),
-          round(col("avg_price"), 4).as("avg_price"))),
+          Portable.quant(col("avg_price"), 4).as("avg_price"))),
 
     "q_sample_neighbors" -> ((s, dir) =>
       GetNeighbors.flat(store(s, dir), Request(
@@ -223,7 +224,7 @@ object SparkEntry {
         .filter(FilterExpr.predicate(filter))
         .select(col("p_partkey"), col("p_name"),
           FilterExpr.compile(sizeClass).as("size_class"),
-          round(col("p_retailprice") * 0.9, 2).as("disc_price"))
+          Portable.quant(col("p_retailprice") * 0.9, 2).as("disc_price"))
     }),
 
     "q_expr_hof" -> ((s, dir) => {
@@ -389,8 +390,11 @@ object SparkEntry {
       Multimodal.features(media).toDF()
         .filter(col("n_bytes") > 0)
         .select(col("id"), col("n_bytes"),
-          round(col("mean_byte"), 4).as("mean_byte"),
-          round(col("byte_entropy"), 4).as("byte_entropy"))
+          // Portable.quant, not round(): mean_byte = byte_sum/n_bytes
+          // ties the 4-decimal half exactly for 32-divisible lengths
+          // (the round-3 oracle failure, e.g. 95.09375)
+          Portable.quant(col("mean_byte"), 4).as("mean_byte"),
+          Portable.quant(col("byte_entropy"), 4).as("byte_entropy"))
     }),
 
     "q_frame_sample" -> ((s, dir) => {
@@ -495,7 +499,7 @@ object SparkEntry {
         .as[EventStream.UserEvent]
       EventStream.runningUserTotals(ds).toDF()
         .select(col("user_id"), col("n_events"),
-          round(col("total_value"), 2).as("total_value"))
+          Portable.quant(col("total_value"), 2).as("total_value"))
     }),
 
     // ---- Fixed-string semantics (custom codegen Expression, §7.3) ----
@@ -534,7 +538,8 @@ object SparkEntry {
     "q_add_edges" -> ((s, dir) => {
       val placed = store(s, dir).edge("placed")
       val incoming = placed.filter(col(GraphStore.RANK) % 5 === 0)
-        .withColumn("o_totalprice", round(col("o_totalprice") + 1000.0, 2))
+        .withColumn("o_totalprice",
+          Portable.quant(col("o_totalprice") + 1000.0, 2))
       Mutations.addRows(placed, incoming,
         Seq(GraphStore.SRC, GraphStore.RANK, GraphStore.DST),
         ifNotExists = false)
@@ -553,7 +558,7 @@ object SparkEntry {
         Cmp(">", Prop("l_quantity"), Lit(40.0)),
         sets = Seq(
           "l_quantity" -> (col("l_quantity") + 1.0),
-          "l_extendedprice" -> round(col("l_quantity") * 100.0, 2)))),
+          "l_extendedprice" -> Portable.quant(col("l_quantity") * 100.0, 2)))),
 
     // ---- TTL retention rewrite (CompactionFilter analog §2.9) ----
     "q_ttl_purge" -> ((s, dir) =>
@@ -612,7 +617,7 @@ object SparkEntry {
           nCells = 16, iters = 2)
         .select(col("cell"), col("n"),
           array_join(transform(col("cvec"),
-            x => round(x, 6).cast("decimal(12,6)").cast("string")), ",")
+            x => Portable.quant(x, 6).cast("decimal(12,6)").cast("string")), ",")
             .as("centroid"))),
 
     // ---- Nested reference-shaped GetNeighbors ----
@@ -858,8 +863,8 @@ object SparkEntry {
        |r0 AS (SELECT v, 1.0 AS r FROM v),
        |$steps
        |SELECT v AS _vid,
-       |  round(r / (SELECT sum(r) FROM r$iters)
-       |          * (SELECT count(*) FROM v), 6) AS rank
+       |  floor((r / (SELECT sum(r) FROM r$iters)
+       |          * (SELECT count(*) FROM v)) * 1000000.0 + 0.5) / 1000000.0 AS rank
        |FROM r$iters""".stripMargin
   }
 
@@ -891,7 +896,7 @@ object SparkEntry {
        |  FROM embeddings WHERE vec_id < 16),
        |$steps
        |SELECT cell, n, array_to_string(list_transform(cvec,
-       |  x -> CAST(CAST(round(x, 6) AS DECIMAL(12,6)) AS VARCHAR)), ',')
+       |  x -> CAST(CAST(floor((x) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(12,6)) AS VARCHAR)), ',')
        |  AS centroid
        |FROM c$iters""".stripMargin
   }
@@ -911,11 +916,11 @@ object SparkEntry {
        |  FROM sig WHERE vec_id BETWEEN 0 AND 4),
        |scored AS (
        |  SELECT q.query_id, c.vec_id AS cand_id,
-       |    round(list_cosine_similarity(q.qvec::DOUBLE[],
-       |      c.embedding::DOUBLE[]), 6) AS sim,
+       |    floor((list_cosine_similarity(q.qvec::DOUBLE[],
+       |      c.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS sim,
        |    row_number() OVER (PARTITION BY q.query_id
-       |      ORDER BY round(list_cosine_similarity(q.qvec::DOUBLE[],
-       |        c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rk
+       |      ORDER BY floor((list_cosine_similarity(q.qvec::DOUBLE[],
+       |        c.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 DESC, c.vec_id) AS rk
        |  FROM q JOIN sig c
        |    ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
        |SELECT query_id, cand_id, sim FROM scored WHERE rk <= 5""".stripMargin
@@ -944,11 +949,11 @@ object SparkEntry {
       |    FROM q CROSS JOIN c) WHERE crk <= 4),
       |scored AS (
       |  SELECT p.query_id, a.vec_id AS cand_id,
-      |    round(list_cosine_similarity(p.qvec::DOUBLE[],
-      |      a.embedding::DOUBLE[]), 6) AS sim,
+      |    floor((list_cosine_similarity(p.qvec::DOUBLE[],
+      |      a.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS sim,
       |    row_number() OVER (PARTITION BY p.query_id
-      |      ORDER BY round(list_cosine_similarity(p.qvec::DOUBLE[],
-      |        a.embedding::DOUBLE[]), 6) DESC, a.vec_id) AS rk
+      |      ORDER BY floor((list_cosine_similarity(p.qvec::DOUBLE[],
+      |        a.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 DESC, a.vec_id) AS rk
       |  FROM probed p JOIN asg a
       |    ON a.cell = p.cell AND a.vec_id <> p.query_id)
       |SELECT query_id, cand_id, sim FROM scored WHERE rk <= 5""".stripMargin
@@ -1000,10 +1005,10 @@ object SparkEntry {
 
     "q_get_neighbors_stats" ->
       """SELECT o_custkey AS _vid, count(*) AS cnt_edges,
-        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS sum_price,
         |       min(o_totalprice) AS min_price,
         |       max(o_totalprice) AS max_price,
-        |       round(avg(o_totalprice), 4) AS avg_price
+        |       floor((avg(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_custkey""".stripMargin,
 
@@ -1041,7 +1046,7 @@ object SparkEntry {
 
     "q_events_running_totals" ->
       """SELECT user_id, count(*) AS n_events,
-        |       round(sum(value), 2) AS total_value
+        |       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
         |FROM events GROUP BY user_id""".stripMargin,
 
     "q_changelog_apply" ->
@@ -1256,7 +1261,7 @@ object SparkEntry {
       """SELECT p_partkey, p_name,
         |  CASE WHEN p_size < 10 THEN 'small'
         |       WHEN p_size < 30 THEN 'mid' ELSE 'big' END AS size_class,
-        |  round(p_retailprice * 0.9, 2) AS disc_price
+        |  floor((p_retailprice * 0.9) * 100.0 + 0.5) / 100.0 AS disc_price
         |FROM part
         |WHERE (p_brand IN ('Brand#13', 'Brand#42')
         |       OR contains(p_type, 'BRASS'))
@@ -1296,10 +1301,10 @@ object SparkEntry {
       }.mkString(", ")
       s"""WITH $TokCte,
          |cur0 AS (SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_tokens,
-         |  round(0.5 * least(len(t) / 50.0, 1.0)
-         |    + 0.5 * least(round(len(list_filter(t,
+         |  floor((0.5 * least(len(t) / 50.0, 1.0)
+         |    + 0.5 * least(floor((len(list_filter(t,
          |        x -> list_contains($Stoplist, x)))
-         |        * 1.0 / greatest(len(t), 1), 4) * 10.0, 1.0), 4)
+         |        * 1.0 / greatest(len(t), 1)) * 10000.0 + 0.5) / 10000.0 * 10.0, 1.0)) * 10000.0 + 0.5) / 10000.0
          |    AS quality_score,
          |  $scoreCols
          |FROM toks),
@@ -1336,7 +1341,7 @@ object SparkEntry {
          |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
          |  JOIN sizes sa ON sa.doc_id = c.id_a
          |  JOIN sizes sb ON sb.doc_id = c.id_b
-         |  WHERE round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 4) >= 0.5)
+         |  WHERE floor((i.i * 1.0 / (sa.sz + sb.sz - i.i)) * 10000.0 + 0.5) / 10000.0 >= 0.5)
          |SELECT doc_id, pred_lang, quality_score, n_tokens FROM flt
          |WHERE doc_id NOT IN (SELECT id_b FROM ver)""".stripMargin
     },
@@ -1363,7 +1368,7 @@ object SparkEntry {
          |  FROM nb JOIN ob ON nb.band = ob.band AND nb.sig = ob.sig),
          |scored AS (
          |  SELECT c.id, c.old_id,
-         |    round(($agree) / 8.0, 4) AS agree
+         |    floor((($agree) / 8.0) * 10000.0 + 0.5) / 10000.0 AS agree
          |  FROM cand c JOIN new n ON n.id = c.id
          |  JOIN old o ON o.id = c.old_id),
          |best AS (
@@ -1401,7 +1406,7 @@ object SparkEntry {
          |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
          |  JOIN sizes sa ON sa.doc_id = c.id_a
          |  JOIN sizes sb ON sb.doc_id = c.id_b
-         |  WHERE round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 4) >= 0.5)
+         |  WHERE floor((i.i * 1.0 / (sa.sz + sb.sz - i.i)) * 10000.0 + 0.5) / 10000.0 >= 0.5)
          |SELECT doc_id,
          |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
          |FROM documents WHERE doc_id NOT IN (SELECT id_b FROM ver)""".stripMargin,
@@ -1416,11 +1421,11 @@ object SparkEntry {
          |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b,
-         |       round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+         |       floor((i * 1.0 / (sa.sz + sb.sz - i)) * 10000.0 + 0.5) / 10000.0 AS jaccard
          |FROM inter
          |JOIN sizes sa ON sa.doc_id = id_a
          |JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin,
+         |WHERE floor((i * 1.0 / (sa.sz + sb.sz - i)) * 10000.0 + 0.5) / 10000.0 >= 0.5""".stripMargin,
 
     "q_minhash_signatures" -> minhashSigSql,
 
@@ -1452,18 +1457,18 @@ object SparkEntry {
          |SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars_m,
          |  CAST(len(t) AS BIGINT) AS n_tokens,
-         |  round(length(text) * 1.0 / greatest(len(t), 1), 4)
+         |  floor((length(text) * 1.0 / greatest(len(t), 1)) * 10000.0 + 0.5) / 10000.0
          |    AS mean_tok_len,
-         |  round((length(text)
+         |  floor(((length(text)
          |         - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-         |        * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
-         |  round(len(list_filter(t, x -> list_contains($Stoplist, x)))
-         |        * 1.0 / greatest(len(t), 1), 4) AS stopword_ratio,
-         |  round(0.5 * least(len(t) / 50.0, 1.0)
+         |        * 1.0 / greatest(length(text), 1)) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+         |  floor((len(list_filter(t, x -> list_contains($Stoplist, x)))
+         |        * 1.0 / greatest(len(t), 1)) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+         |  floor((0.5 * least(len(t) / 50.0, 1.0)
          |        + 0.5 * least(
-         |            round(len(list_filter(t,
+         |            floor((len(list_filter(t,
          |              x -> list_contains($Stoplist, x)))
-         |              * 1.0 / greatest(len(t), 1), 4) * 10.0, 1.0), 4)
+         |              * 1.0 / greatest(len(t), 1)) * 10000.0 + 0.5) / 10000.0 * 10.0, 1.0)) * 10000.0 + 0.5) / 10000.0
          |    AS quality_score
          |FROM toks""".stripMargin,
 
@@ -1500,9 +1505,9 @@ object SparkEntry {
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
         |scored AS (
-        |  SELECT doc_id, term, round(tf * ln(n.n / df), 6) AS score,
+        |  SELECT doc_id, term, floor((tf * ln(n.n / df)) * 1000000.0 + 0.5) / 1000000.0 AS score,
         |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY round(tf * ln(n.n / df), 6) DESC, term) AS rk
+        |      ORDER BY floor((tf * ln(n.n / df)) * 1000000.0 + 0.5) / 1000000.0 DESC, term) AS rk
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, score FROM scored WHERE rk <= 3""".stripMargin,
 
@@ -1529,10 +1534,10 @@ object SparkEntry {
         |bgs AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg
         |        FROM btf GROUP BY 1)
         |SELECT w.doc_id, CAST(w.n_tokens AS BIGINT) AS n_tokens,
-        |  round(1 - w.n_distinct / CAST(w.n_tokens AS DOUBLE), 6)
+        |  floor((1 - w.n_distinct / CAST(w.n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
         |    AS dup_word_frac,
-        |  round(w.top_c / CAST(w.n_tokens AS DOUBLE), 6) AS top_word_frac,
-        |  round(b.top_bg / CAST(b.n_bg AS DOUBLE), 6) AS top_bigram_frac
+        |  floor((w.top_c / CAST(w.n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS top_word_frac,
+        |  floor((b.top_bg / CAST(b.n_bg AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac
         |FROM words w LEFT JOIN bgs b ON w.doc_id = b.doc_id""".stripMargin,
 
     "q_stratified_sample" ->
@@ -1587,11 +1592,11 @@ object SparkEntry {
     "q_ann_topk" ->
       """SELECT query_id, cand_id, sim, CAST(rk AS INTEGER) AS rk FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-        |    round(list_cosine_similarity(q.embedding::DOUBLE[],
-        |                                 c.embedding::DOUBLE[]), 6) AS sim,
+        |    floor((list_cosine_similarity(q.embedding::DOUBLE[],
+        |                                 c.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS sim,
         |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
-        |                     c.embedding::DOUBLE[]), 6) DESC, c.vec_id)
+        |      ORDER BY floor((list_cosine_similarity(q.embedding::DOUBLE[],
+        |                     c.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 DESC, c.vec_id)
         |      AS rk
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id BETWEEN 0 AND 9
@@ -1599,12 +1604,12 @@ object SparkEntry {
 
     "q_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
-        |                               b.embedding::DOUBLE[]), 6) AS sim
+        |  floor((list_cosine_similarity(a.embedding::DOUBLE[],
+        |                               b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS sim
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-        |            b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin,
+        |WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[],
+        |            b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 >= 0.35""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS id,
@@ -1649,7 +1654,7 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
         |         AS window_start,
         |       event_type, count(*) AS n_events,
-        |       round(sum(value), 2) AS sum_value
+        |       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_events_sessions" ->
@@ -1725,7 +1730,7 @@ object SparkEntry {
         |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
         |    AS session_end,
         |  count(*) AS n_events,
-        |  round(sum(value), 2) AS sum_value
+        |  floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
 
     "q_fixed_string" ->
@@ -1771,7 +1776,7 @@ object SparkEntry {
         |    FROM orders
         |    UNION ALL
         |    SELECT o_custkey, o_orderkey, o_orderkey, o_orderstatus,
-        |           round(o_totalprice + 1000.0, 2), o_orderpriority, 1
+        |           floor((o_totalprice + 1000.0) * 100.0 + 0.5) / 100.0, o_orderpriority, 1
         |    FROM orders WHERE o_orderkey % 5 = 0)
         |) WHERE rn = 1""".stripMargin,
 
@@ -1787,7 +1792,7 @@ object SparkEntry {
         |       l_orderkey * 8 + l_linenumber AS _rank,
         |  CASE WHEN upd THEN l_quantity + 1.0 ELSE l_quantity END
         |    AS l_quantity,
-        |  CASE WHEN upd THEN round((l_quantity + 1.0) * 100.0, 2)
+        |  CASE WHEN upd THEN floor(((l_quantity + 1.0) * 100.0) * 100.0 + 0.5) / 100.0
         |       ELSE l_extendedprice END AS l_extendedprice
         |FROM (SELECT *, coalesce(l_quantity > 40.0, false) AS upd
         |      FROM lineitem)""".stripMargin,
@@ -1855,8 +1860,8 @@ object SparkEntry {
          |  SELECT query_id, cand_id FROM (
          |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY round(list_cosine_similarity(
-         |          q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+         |        ORDER BY floor((list_cosine_similarity(
+         |          q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0
          |          DESC, c.vec_id) AS rk
          |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
          |    WHERE q.vec_id BETWEEN 0 AND 9) WHERE rk <= 5),
@@ -1864,8 +1869,8 @@ object SparkEntry {
          |SELECT e.query_id, count(*) AS n_exact,
          |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_hit,
-         |  round(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
-         |    * 1.0 / count(*), 4) AS recall
+         |  floor((sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS recall
          |FROM exact e LEFT JOIN approx a
          |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
          |GROUP BY e.query_id""".stripMargin,
@@ -1965,7 +1970,7 @@ object SparkEntry {
          |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
          |  JOIN sizes sa ON sa.doc_id = c.id_a
          |  JOIN sizes sb ON sb.doc_id = c.id_b
-         |  WHERE round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 4) >= 0.5),
+         |  WHERE floor((i.i * 1.0 / (sa.sz + sb.sz - i.i)) * 10000.0 + 0.5) / 10000.0 >= 0.5),
          |u AS (SELECT id_a AS s, id_b AS d FROM pairs
          |      UNION SELECT id_b, id_a FROM pairs),
          |reach(v, label) AS (
@@ -2012,8 +2017,8 @@ object SparkEntry {
         |  WHERE length(text) > 0),
         |cnt AS (SELECT doc_id, v, count(*) AS c FROM b GROUP BY 1, 2)
         |SELECT doc_id AS id, sum(c) AS n_bytes,
-        |  round(sum(v * c) * 1.0 / sum(c), 4) AS mean_byte,
-        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4)
+        |  floor((sum(v * c) * 1.0 / sum(c)) * 10000.0 + 0.5) / 10000.0 AS mean_byte,
+        |  floor((log2(sum(c)) - sum(c * log2(c)) / sum(c)) * 10000.0 + 0.5) / 10000.0
         |    AS byte_entropy
         |FROM cnt GROUP BY doc_id""".stripMargin,
 
@@ -2033,7 +2038,7 @@ object SparkEntry {
          |freq AS (SELECT tok, count(*) AS tf FROM pt GROUP BY tok),
          |total AS (SELECT sum(tf) AS tot FROM freq)
          |SELECT doc_id, count(*) AS n_tokens,
-         |  round(sum(log2(tf * 1.0 / tot)) / count(*), 4) AS mean_log2p
+         |  floor((sum(log2(tf * 1.0 / tot)) / count(*)) * 10000.0 + 0.5) / 10000.0 AS mean_log2p
          |FROM pt JOIN freq USING (tok) CROSS JOIN total
          |GROUP BY doc_id""".stripMargin,
 
@@ -2042,8 +2047,8 @@ object SparkEntry {
          |pt AS (SELECT doc_id, unnest(t) AS tok FROM toks),
          |cnt AS (SELECT doc_id, tok, count(*) AS c FROM pt GROUP BY 1, 2)
          |SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
-         |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy,
-         |  round(count(*) * 1.0 / sum(c), 4) AS ttr
+         |  floor((log2(sum(c)) - sum(c * log2(c)) / sum(c)) * 10000.0 + 0.5) / 10000.0 AS entropy,
+         |  floor((count(*) * 1.0 / sum(c)) * 10000.0 + 0.5) / 10000.0 AS ttr
          |FROM cnt GROUP BY doc_id""".stripMargin,
 
     "q_line_dedup" ->
@@ -2066,18 +2071,18 @@ object SparkEntry {
 
     "q_quantiles" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
-        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |  floor((quantile_cont(l_extendedprice, 0.25)) * 10000.0 + 0.5) / 10000.0 AS p25,
+        |  floor((quantile_cont(l_extendedprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |  floor((quantile_cont(l_extendedprice, 0.75)) * 10000.0 + 0.5) / 10000.0 AS p75,
+        |  floor((quantile_cont(l_extendedprice, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_rollup_stats" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
         |  count(*) AS n_rows,
-        |  round(sum(l_quantity), 2) AS sum_value,
-        |  round(avg(l_quantity), 4) AS avg_value
+        |  floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_value,
+        |  floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_value
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
@@ -2089,16 +2094,16 @@ object SparkEntry {
         |    AS maxabs
         |  FROM embeddings)
         |SELECT vec_id,
-        |  round(maxabs / 127.0, 6) AS scale,
+        |  floor((maxabs / 127.0) * 1000000.0 + 0.5) / 1000000.0 AS scale,
         |  CASE WHEN maxabs = 0 THEN
         |    array_to_string(list_transform(x, e -> 0), ',')
         |  ELSE array_to_string(list_transform(x,
         |    e -> CAST(floor(e * 127.0 / maxabs + 0.5) AS BIGINT)), ',')
         |  END AS qvec,
         |  CASE WHEN maxabs = 0 THEN 0.0
-        |  ELSE round(list_max(list_transform(x,
+        |  ELSE floor((list_max(list_transform(x,
         |    e -> abs(e - floor(e * 127.0 / maxabs + 0.5)
-        |             * (maxabs / 127.0)))), 6)
+        |             * (maxabs / 127.0))))) * 1000000.0 + 0.5) / 1000000.0
         |  END AS max_err
         |FROM v""".stripMargin,
 
@@ -2118,7 +2123,7 @@ object SparkEntry {
          |d0 AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS v,
          |       0.0 AS dist),
          |$steps
-         |SELECT v AS _vid, round(dist, 4) AS dist FROM d3""".stripMargin
+         |SELECT v AS _vid, floor((dist) * 10000.0 + 0.5) / 10000.0 AS dist FROM d3""".stripMargin
     },
 
     "q_label_propagation" -> {

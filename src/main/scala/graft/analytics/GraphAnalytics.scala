@@ -107,7 +107,8 @@ object GraphAnalytics {
       count(lit(1)).as("nv"))
     ranks.crossJoin(broadcast(totals))
       .select(col("v").as("_vid"),
-        round(col("r") / col("sr") * col("nv"), 6).as("rank"))
+        graft.functions.Portable.quant(
+          col("r") / col("sr") * col("nv"), 6).as("rank"))
   }
 
   /** Connected components (undirected reachability); label = min vid in
@@ -269,6 +270,7 @@ object GraphAnalytics {
       prev = Some(relaxed)
       dist = relaxed
     }
-    dist.select(col("v").as("_vid"), round(col("dist"), 4).as("dist"))
+    dist.select(col("v").as("_vid"),
+      graft.functions.Portable.quant(col("dist"), 4).as("dist"))
   }
 }

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{floor, lit}
+
+/**
+ * Boundary-proof decimal quantization, shared by every oracle-faced
+ * rational output (Spark query side and DuckDB oracle side alike).
+ *
+ * `round(p/q, k)` is NOT portable across engines when `p/q * 10^k`
+ * lands exactly on a half — possible iff the reduced denominator q
+ * divides 2*10^k but not 10^k (i.e. q carries a 2^(k+1) factor; e.g.
+ * 23/32 at k=4 -> 7187.5). Spark's round() is BigDecimal HALF_UP over
+ * the double's decimal expansion, DuckDB's round() resolves the binary
+ * tie differently, and the round-3 correctness gate failed on exactly
+ * this (q_token_entropy ttr = n_types/n_tokens, q_multimodal_features
+ * mean_byte = byte_sum/n_bytes — VERDICT.md round 3).
+ *
+ * `floor(x * 10^k + 0.5) / 10^k` is the identical IEEE-double
+ * computation on both engines: at a true rational tie, x*10^k is
+ * dyadic, hence exactly representable, and both floors agree; away
+ * from the tie it equals round(). The same trick was already proven
+ * in-repo for int8 quantization (Similarity.quantizeInt8).
+ *
+ * Law recorded for future rounds: NEVER use round() in an oracle-faced
+ * output or threshold — use [[quant]] / [[quantSql]] on BOTH sides.
+ * PortableQuantSpec enforces the SQL half by scanning oracleSql.
+ */
+object Portable {
+
+  private def pow10(k: Int): Double = math.pow(10.0, k)
+
+  /** Half-up quantization of a double column to `k` decimals with the
+    * identical computation law in Spark, Java, and DuckDB. */
+  def quant(c: Column, k: Int): Column =
+    floor(c * lit(pow10(k)) + lit(0.5)) / lit(pow10(k))
+
+  /** Same law on a raw double (driver-side conveniences, specs). */
+  def quant(x: Double, k: Int): Double =
+    math.floor(x * pow10(k) + 0.5) / pow10(k)
+
+  /** The same law as a DuckDB SQL fragment for SparkEntry.oracleSql. */
+  def sql(expr: String, k: Int): String = {
+    val s = pow10(k).toLong
+    s"floor(($expr) * $s.0 + 0.5) / $s.0"
+  }
+}

@@ -69,7 +69,8 @@ object Stats {
   def quantiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
       probs: Seq[Double]): DataFrame = {
     val exact = probs.map(p =>
-      round(expr(s"percentile($valueCol, $p)"), 4).as(s"p${(p * 100).toInt}"))
+      graft.functions.Portable.quant(expr(s"percentile($valueCol, $p)"), 4)
+        .as(s"p${(p * 100).toInt}"))
     df.groupBy(groupCols.map(col): _*).agg(exact.head, exact.tail: _*)
   }
 
@@ -94,8 +95,10 @@ object Stats {
       valueCol: String): DataFrame =
     df.rollup(dims.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        round(sum(col(valueCol)), 2).as("sum_value"),
-        round(avg(col(valueCol)), 4).as("avg_value"))
+        // quant, not round(): avg = sum/n ties the 4-decimal half when
+        // n is 32-divisible (VERDICT r3 latent-trap list)
+        graft.functions.Portable.quant(sum(col(valueCol)), 2).as("sum_value"),
+        graft.functions.Portable.quant(avg(col(valueCol)), 4).as("avg_value"))
       .select(dims.map(d => coalesce(col(d), lit("ALL")).as(d)) ++
         Seq(col("n_rows"), col("sum_value"), col("avg_value")): _*)
 }

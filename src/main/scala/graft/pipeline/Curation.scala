@@ -176,9 +176,15 @@ object Curation {
         count(lit(1)).as("n_types"),
         sum(col("c") * log2(col("c"))).as("_clog"))
       .select(col(idCol), col("n_tokens"), col("n_types"),
-        round(log2(col("n_tokens")) - col("_clog") / col("n_tokens"), 4)
+        // Portable.quant, not round(): ttr = n_types/n_tokens ties the
+        // 4-decimal half exactly when the reduced denominator is
+        // 32-divisible (round-3 oracle failure) — entropy gets the same
+        // law for uniformity
+        graft.functions.Portable.quant(
+          log2(col("n_tokens")) - col("_clog") / col("n_tokens"), 4)
           .as("entropy"),
-        round(col("n_types").cast("double") / col("n_tokens"), 4)
+        graft.functions.Portable.quant(
+          col("n_types").cast("double") / col("n_tokens"), 4)
           .as("ttr"))
   }
 }

@@ -115,8 +115,11 @@ object Dedup {
         .withColumnRenamed("sz", "sz_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("id", "id_b")
         .withColumnRenamed("sz", "sz_b"), Seq("id_b"))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")), 4))
+      // Portable.quant, not round(): i/union can tie the 4-decimal half
+      // exactly (32-divisible union), where round() is engine-dependent
+      .withColumn("jaccard", graft.functions.Portable.quant(
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -152,7 +155,7 @@ object Dedup {
         col("sz").as("szb")), "id_b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .select(col("id_a"), col("id_b"),
-        round(col("inter").cast("double") /
+        graft.functions.Portable.quant(col("inter").cast("double") /
           (col("sza") + col("szb") - col("inter")), 4).as("jaccard"))
 
   /**
@@ -283,7 +286,7 @@ object Dedup {
       .orderBy(col("agree").desc, col("old_id"))
     cand.join(newSigs, "id").join(renamedOld, "old_id")
       .withColumn("agree",
-        round(mhEq.cast("double") / numHashes, 4))
+        graft.functions.Portable.quant(mhEq.cast("double") / numHashes, 4))
       .filter(col("agree") >= minAgree)
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("id"), col("old_id").as("dup_of"), col("agree"))

@@ -54,7 +54,9 @@ object Similarity {
     val scored = queries.join(emb.select(col(idCol).as("cand_id"),
         col(vecCol).as("cvec"), norm(col(vecCol)).as("cn")),
         col("query_id") =!= col("cand_id"))
-      .withColumn("sim", round(
+      // Portable.quant, not round(): identical half-tie law in the
+      // DuckDB oracle (Portable.scala)
+      .withColumn("sim", graft.functions.Portable.quant(
         dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), roundTo))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id"))
@@ -97,7 +99,8 @@ object Similarity {
         signed.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
           col("bucket")), Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("sim",
+        graft.functions.Portable.quant(cosine(col("qvec"), col("cvec")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -204,7 +207,8 @@ object Similarity {
     probed.join(assigned.select(col(idCol).as("cand_id"),
         col(vecCol).as("cvec"), col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("sim", round(cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("sim",
+        graft.functions.Portable.quant(cosine(col("qvec"), col("cvec")), 6))
       .withColumn("rk", row_number().over(wRank)).filter(col("rk") <= k)
       .select(col("query_id"), col("cand_id"), col("sim"))
   }
@@ -235,8 +239,11 @@ object Similarity {
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"), col("n_exact"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
-          col("n_exact"), 4).as("recall"))
+        // quant: recall = n_hit/n_exact ties the half exactly when
+        // n_exact is 32-divisible (VERDICT r3 latent-trap list)
+        graft.functions.Portable.quant(
+          coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_exact"), 4).as("recall"))
   }
 
   /**
@@ -257,7 +264,7 @@ object Similarity {
     val b = normed.select(col("blk"), col("id").as("id_b"),
       col("v").as("vb"), col("nm").as("nb"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(
+      .withColumn("sim", graft.functions.Portable.quant(
         dot(col("va"), col("vb")) / (col("na") * col("nb")), roundTo))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
@@ -287,7 +294,8 @@ object Similarity {
     val err = when(maxabs === 0.0, lit(0.0)).otherwise(
       array_max(transform(v,
         x => abs(x - floor(x * 127.0 / maxabs + 0.5) * (maxabs / 127.0)))))
-    emb.select(col(idCol), round(maxabs / 127.0, 6).as("scale"),
-      q.as("qvec"), round(err, 6).as("max_err"))
+    emb.select(col(idCol),
+      graft.functions.Portable.quant(maxabs / 127.0, 6).as("scale"),
+      q.as("qvec"), graft.functions.Portable.quant(err, 6).as("max_err"))
   }
 }

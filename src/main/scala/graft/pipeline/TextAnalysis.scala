@@ -48,18 +48,22 @@ object TextAnalysis {
    * penalized).
    */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
+    import graft.functions.Portable.quant
     val toks = tokens(text)
     val nTok = size(toks).cast("double")
     val nChar = length(text).cast("double")
-    val meanTokLen = round(nChar / greatest(nTok, lit(1.0)), 4)
-    val punctRatio = round(punctCount(text).cast("double") /
+    // quant, not round(): these are rationals with arbitrary token/char
+    // denominators — round()'s half-tie resolution is engine-dependent
+    // (Portable.scala); the DuckDB oracles apply the identical law
+    val meanTokLen = quant(nChar / greatest(nTok, lit(1.0)), 4)
+    val punctRatio = quant(punctCount(text).cast("double") /
       greatest(nChar, lit(1.0)), 4)
-    val stopRatio = round(
+    val stopRatio = quant(
       stopwordCount(text, DefaultStopwords).cast("double") /
         greatest(nTok, lit(1.0)), 4)
     val lengthScore = least(nTok / lit(50.0), lit(1.0))
     val stopScore = least(stopRatio * lit(10.0), lit(1.0))
-    val score = round(lit(0.5) * lengthScore + lit(0.5) * stopScore, 4)
+    val score = quant(lit(0.5) * lengthScore + lit(0.5) * stopScore, 4)
     Seq(
       "n_chars_m" -> nChar.cast("long"),
       "n_tokens" -> nTok.cast("long"),
@@ -182,7 +186,8 @@ object TextAnalysis {
     // corpus scan before the real job — at 100 TB, a pass over
     // everything just to fetch one number.
     val nDocs = tf.agg(count_distinct(col("doc_id")).as("_n"))
-    val score = round(col("tf") * log(col("_n").cast("double") / col("df")), 6)
+    val score = graft.functions.Portable.quant(
+      col("tf") * log(col("_n").cast("double") / col("df")), 6)
     val w = Window.partitionBy("doc_id")
       .orderBy(score.desc, col("term"))
     tf.join(dfreq, "term")
@@ -220,13 +225,14 @@ object TextAnalysis {
         .otherwise(array())).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(sum("c").as("n_bg"), max("c").as("top_bg"))
+    import graft.functions.Portable.quant
     words.join(bigrams, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        round(lit(1) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+        quant(lit(1) - col("n_distinct").cast("double") / col("n_tokens"), 6)
           .as("dup_word_frac"),
-        round(col("top_c").cast("double") / col("n_tokens"), 6)
+        quant(col("top_c").cast("double") / col("n_tokens"), 6)
           .as("top_word_frac"),
-        round(col("top_bg").cast("double") / col("n_bg"), 6)
+        quant(col("top_bg").cast("double") / col("n_bg"), 6)
           .as("top_bigram_frac"))
   }
 
@@ -255,7 +261,8 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(log2(col("tf").cast("double") / col("_total")))
-          / count(lit(1)), 4).as("mean_log2p"))
+        graft.functions.Portable.quant(
+          sum(log2(col("tf").cast("double") / col("_total")))
+            / count(lit(1)), 4).as("mean_log2p"))
   }
 }

@@ -25,7 +25,7 @@ object EventStream {
         window(col("ts"), "1 hour").as("w"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        graft.functions.Portable.quant(sum(col("value")), 2).as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm")
         .as("window_start"), col("event_type"), col("n_events"),
         col("sum_value"))
@@ -42,7 +42,7 @@ object EventStream {
     events
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        graft.functions.Portable.quant(sum(col("value")), 2).as("sum_value"))
       .select(col("user_id"),
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),

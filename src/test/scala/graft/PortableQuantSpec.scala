@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.Portable
+
+/**
+ * Guards the repo-wide quantization law (Portable.scala): every
+ * oracle-faced rational output is quantized with floor(x*10^k + 0.5),
+ * never round(), because round()'s exact-half resolution differs
+ * between Spark (BigDecimal HALF_UP) and DuckDB at values p/q whose
+ * reduced denominator divides 2*10^k but not 10^k — the round-3
+ * CORRECTNESS failures (q_token_entropy ttr, q_multimodal_features
+ * mean_byte).
+ */
+class PortableQuantSpec extends SparkSpec {
+
+  test("quant matches HALF_UP at exact 4-decimal half ties") {
+    // the two round-3 failure values: 23/32 (ttr) and 95.09375 (mean_byte)
+    assert(Portable.quant(23.0 / 32.0, 4) == 0.7188)
+    assert(Portable.quant(95.09375, 4) == 95.0938)
+    // dyadic ties across the 32-divisible family
+    for (p <- 1 to 200 if p % 2 == 1) {
+      val x = p / 32.0
+      val q = Portable.quant(x, 4)
+      val exp = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(q == exp, s"p/32 tie $p: quant=$q halfUp=$exp")
+    }
+  }
+
+  test("quant equals round() away from ties") {
+    val xs = Seq(0.0, 1.0, 0.123456, 3.14159, 12.34, 99.99995,
+      0.33333333, 2.0 / 3.0, 1e7 + 0.12345)
+    for (x <- xs; k <- Seq(2, 4, 6)) {
+      val exp = BigDecimal(x).setScale(k, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      val got = Portable.quant(x, k)
+      assert(math.abs(got - exp) < 1e-9, s"x=$x k=$k got=$got exp=$exp")
+    }
+  }
+
+  test("quant handles negative rationals consistently (toward +inf at tie)") {
+    // mean_log2p is negative; both engines apply the identical formula
+    assert(Portable.quant(-23.0 / 32.0, 4) == -0.7187)
+    assert(Portable.quant(-1.23456, 4) == -1.2346)
+  }
+
+  test("Column quant agrees with scalar quant on fixture-like values") {
+    val s = spark
+    import s.implicits._
+    val xs = Seq(23.0 / 32.0, 95.09375, 0.123456, -0.71875, 2.0 / 3.0)
+    val got = xs.toDF("x")
+      .select(Portable.quant(org.apache.spark.sql.functions.col("x"), 4))
+      .as[Double].collect().toSeq
+    assert(got == xs.map(Portable.quant(_, 4)))
+  }
+
+  test("no oracle SQL uses round() — the law is enforced, not advisory") {
+    val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
+      "(?<![A-Za-z0-9_.])round\\(".r.findFirstIn(sql).isDefined
+    }.keys.toSeq.sorted
+    assert(offenders.isEmpty,
+      s"oracle SQL must use Portable.sql-style floor quantization: $offenders")
+  }
+}
