@@ -1,35 +1,102 @@
 package graft.pipeline
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream,
+  AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
 /**
- * Multimodal column plumbing: image/audio/video payloads as opaque
- * `binary` columns with typed metadata, processed in partition-level
- * batches.
+ * Multimodal column plumbing: image/audio payloads as opaque `binary`
+ * columns with typed metadata, processed in partition-level batches.
  *
- * The Spark-side mechanics are real and tested — schema, partitioning,
- * batched iterator-to-iterator transforms (`mapPartitions` on a typed
- * Dataset, the Scala analogue of `mapInPandas` batch UDFs) — while the
- * actual codec work is STUBBED with a deterministic fake (this
- * environment has no image/audio libraries): `decodeStub` derives
- * width/height/duration from the payload bytes, so every downstream
- * stage (resize planning, frame sampling, feature shape) exercises the
- * true data flow with reproducible values. Swap `fakeDecode` for a real
- * codec call to productionize; nothing else changes.
+ * Decode is REAL, not stubbed: PNG/BMP payloads parse through
+ * `javax.imageio` and WAV through `javax.sound.sampled` — both JDK
+ * built-ins, no external codec libraries. The oracle story is a
+ * deterministic payload spec ([[specFormat]]/[[specWidth]]/…): fixtures
+ * are synthesized from id-derived dimensions and pixel values, encoded
+ * through the actual codec, then decoded back — so width/height/frames
+ * /pixel statistics verify the full encode→container→decode round trip
+ * against SQL recomputing the spec formulas.
+ *
+ * All per-row work is iterator-to-iterator `mapPartitions` (constant
+ * memory, pipelined) — the batch shape a production codec stage (GPU
+ * decode, ffmpeg subprocess) plugs into unchanged.
  */
 object Multimodal {
 
   final case class MediaRow(id: Long, media: Array[Byte], format: String)
   final case class DecodedRow(id: Long, format: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int)
+  final case class PixelStats(id: Long, n_px: Long, mean_px: Double,
+      px_entropy: Double)
 
   implicit val mediaEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
   implicit val decodedEnc: Encoder[DecodedRow] = Encoders.product[DecodedRow]
+  implicit val pixelEnc: Encoder[PixelStats] = Encoders.product[PixelStats]
 
-  /** Wrap a text corpus as fake media payloads: utf-8 bytes as the
-    * binary column, format assigned round-robin. Stands in for
-    * `spark.read.format("binaryFile")` at the same schema. */
+  // ---- Deterministic payload spec (mirrored by the SQL oracles) ----
+  // Images stay tiny (8..31 px sides) so fixture synthesis is cheap;
+  // the codec path is identical at any size.
+  def specFormat(id: Long): String =
+    (id % 3) match { case 0 => "png"; case 1 => "bmp"; case _ => "wav" }
+  def specWidth(id: Long): Int = (id % 24 + 8).toInt
+  def specHeight(id: Long): Int = (id * 7 % 24 + 8).toInt
+  def specFrames(id: Long): Int = (id % 50 + 1).toInt
+  def specPixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  private val WavFormat =
+    new AudioFormat(8000f, 8, 1, /*signed=*/ false, /*bigEndian=*/ false)
+
+  /** Encode one spec-derived payload through the REAL codec. */
+  private def makeMedia(id: Long): MediaRow = {
+    val fmt = specFormat(id)
+    val out = new ByteArrayOutputStream()
+    fmt match {
+      case "wav" =>
+        val n = specFrames(id)
+        val pcm = Array.tabulate[Byte](n)(i => specPixel(id, i, 0).toByte)
+        val ais = new AudioInputStream(
+          new ByteArrayInputStream(pcm), WavFormat, n.toLong)
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      case _ =>
+        val (w, h) = (specWidth(id), specHeight(id))
+        // gray PNG writes single-band; BMP rides 24-bit BGR with r=g=b
+        val img =
+          if (fmt == "png") new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+          else new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = specPixel(id, x, y)
+            if (fmt == "png") img.getRaster.setSample(x, y, 0, v)
+            else img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        ImageIO.write(img, fmt, out)
+    }
+    MediaRow(id, out.toByteArray, fmt)
+  }
+
+  /** Synthesize real PNG/BMP/WAV payloads from an id column — the
+    * fixture stand-in for `spark.read.format("binaryFile")` with the
+    * same (id, media, format) schema. One codec encode per row inside
+    * a partition batch. */
+  def synthesize(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val ids = df.select(col(idCol).cast("long")).as(Encoders.scalaLong)
+    ids.mapPartitions(_.map(makeMedia))(mediaEnc)
+  }
+
+  /** Wrap a text corpus as opaque payloads (utf-8 bytes as the binary
+    * column) — the generic binary-column ingest used by byte-level
+    * [[features]]; container formats use [[synthesize]]. */
   def ingest(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol).cast("long").as("id"),
@@ -37,23 +104,83 @@ object Multimodal {
       element_at(array(lit("png"), lit("jpeg"), lit("wav")),
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("format"))
 
-  /** STUB decode: deterministic pseudo-metadata from the payload. A
-    * real implementation would parse the container header here. */
-  private def fakeDecode(m: MediaRow): DecodedRow = {
-    val n = m.media.length.toLong
-    val w = (n % 640 + 16).toInt
-    val h = (n % 480 + 16).toInt
-    val frames = if (m.format == "wav") (n / 100 + 1).toInt else 1
-    DecodedRow(m.id, m.format, n, w, h, frames)
+  /** REAL container decode: PNG/BMP headers+pixels via javax.imageio,
+    * WAV frame counts via javax.sound.sampled. Images report
+    * n_frames=1; audio reports width=height=0. */
+  private def decodeOne(m: MediaRow): DecodedRow = m.format match {
+    case "wav" =>
+      val ais = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(m.media))
+      try DecodedRow(m.id, m.format, m.media.length.toLong, 0, 0,
+        ais.getFrameLength.toInt)
+      finally ais.close()
+    case _ =>
+      val img = ImageIO.read(new ByteArrayInputStream(m.media))
+      require(img != null, s"undecodable ${m.format} payload for id ${m.id}")
+      DecodedRow(m.id, m.format, m.media.length.toLong,
+        img.getWidth, img.getHeight, 1)
   }
 
   /**
    * Batched decode over partitions: one iterator pass per partition
-   * (constant memory, pipelined) — the shape a real codec batch (GPU
-   * decode, ffmpeg subprocess) plugs into.
+   * (constant memory, pipelined).
    */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] =
-    media.mapPartitions(_.map(fakeDecode))
+    media.mapPartitions(_.map(decodeOne))
+
+  /** Per-image pixel statistics computed from the DECODED raster (the
+    * round-trip proof: synthesize wrote spec pixels through the codec,
+    * this reads them back out of it). Audio rows pass through with the
+    * PCM samples as the "pixels" — same histogram law. */
+  def pixelStats(media: Dataset[MediaRow]): Dataset[PixelStats] =
+    media.mapPartitions(_.map { m =>
+      val samples: Array[Int] = m.format match {
+        case "wav" =>
+          val ais = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(m.media))
+          try ais.readAllBytes().map(_ & 0xff)
+          finally ais.close()
+        case _ =>
+          val img = ImageIO.read(new ByteArrayInputStream(m.media))
+          require(img != null, s"undecodable ${m.format} for id ${m.id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val out = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              // raw raster sample, NOT getRGB: gray->sRGB conversion is
+              // non-identity; band 0 suffices since synthesis uses r=g=b
+              out(y * w + x) = img.getRaster.getSample(x, y, 0)
+              x += 1
+            }
+            y += 1
+          }
+          out
+      }
+      histStats(m.id, samples)
+    })
+
+  private def histStats(id: Long, samples: Array[Int]): PixelStats = {
+    val n = samples.length
+    if (n == 0) PixelStats(id, 0L, 0.0, 0.0)
+    else {
+      val hist = new Array[Long](256)
+      var sum = 0L
+      var i = 0
+      while (i < n) { hist(samples(i)) += 1; sum += samples(i); i += 1 }
+      val ln2 = math.log(2)
+      var clog = 0.0
+      var j = 0
+      while (j < 256) {
+        val c = hist(j)
+        if (c > 0) clog += c * (math.log(c.toDouble) / ln2)
+        j += 1
+      }
+      PixelStats(id, n.toLong, sum.toDouble / n,
+        math.log(n.toDouble) / ln2 - clog / n)
+    }
+  }
 
   /** Resize planning: clamp decoded dims to a max side, preserving
     * aspect (metadata-only — the byte transform is the codec's job). */
@@ -78,36 +205,17 @@ object Multimodal {
     Encoders.product[MediaFeatures]
 
   /**
-   * Payload feature extraction — and unlike [[decode]], NOT a stub:
-   * byte-level statistics (mean byte value, Shannon entropy of the
-   * byte histogram) need no codec and are the standard cheap filters
-   * for corrupt/padded/low-information media payloads (a truncated
-   * JPEG or zero-padded buffer shows up immediately in entropy).
-   * Same iterator-to-iterator partition batch shape as decode: one
-   * pass, constant memory (256-long histogram per row).
+   * Payload byte-level feature extraction: mean byte value and Shannon
+   * entropy of the byte histogram — the standard cheap filters for
+   * corrupt/padded/low-information media payloads (a truncated JPEG or
+   * zero-padded buffer shows up immediately in entropy). Works on ANY
+   * binary payload, no codec involved. Same iterator-to-iterator
+   * partition batch shape as decode: one pass, constant memory
+   * (256-long histogram per row).
    */
   def features(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
     media.mapPartitions(_.map { m =>
-      val n = m.media.length
-      if (n == 0) MediaFeatures(m.id, 0L, 0.0, 0.0)
-      else {
-        val hist = new Array[Long](256)
-        var sum = 0L
-        var i = 0
-        while (i < n) {
-          val u = m.media(i) & 0xff
-          hist(u) += 1; sum += u; i += 1
-        }
-        val ln2 = math.log(2)
-        var clog = 0.0
-        var j = 0
-        while (j < 256) {
-          val c = hist(j)
-          if (c > 0) clog += c * (math.log(c.toDouble) / ln2)
-          j += 1
-        }
-        MediaFeatures(m.id, n.toLong, sum.toDouble / n,
-          math.log(n.toDouble) / ln2 - clog / n)
-      }
+      val st = histStats(m.id, m.media.map(_ & 0xff))
+      MediaFeatures(m.id, st.n_px, st.mean_px, st.px_entropy)
     })
 }
