@@ -29,18 +29,23 @@ def frame_hash(rows, cols):
     return h.hexdigest()
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = skipped = 0
     for name, sql in sorted(oracle.items()):
-        # Verify subset runs dump only the selected queries' parquet but
-        # always the full oracle map — absent dumps are "not run", not
-        # failures (the driver's full run has a dump for every entry)
+        # A dump may legitimately be absent only in an explicit subset
+        # run (3rd arg = comma-separated names). In a full run a missing
+        # dump means Verify crashed mid-flight — that is a FAILURE, not
+        # a skip (a crashed Verify must not false-green the gate).
         if not os.path.isdir(f"{out_dir}/{name}"):
-            skipped += 1
+            if only is not None and name not in only:
+                skipped += 1
+                continue
+            print(f"FAIL {name}: result dump missing (Verify crashed?)")
+            fail += 1
             continue
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -83,4 +88,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    subset = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], subset))

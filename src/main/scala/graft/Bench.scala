@@ -56,13 +56,18 @@ object Bench {
       // No cross-query cache inheritance; the warmup's own caches stay
       // hot for the timed run (steady-state measurement).
       CacheScope.drain(spark)
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      def run(): Option[String] =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      run() // warmup
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      val err = run()
       val sec = (System.nanoTime() - t0) / 1e9
-      name -> sec
+      // A crashed query must NOT record as a fast success (round-4
+      // postmortem: three aborting queries hid inside a 35s total as
+      // 0.1s entries). It renders as "err:<class>" and is excluded
+      // from the headline total.
+      (name, sec, err)
     }
     CacheScope.drain(spark)
     // trailing zeros carry no information but cost tail budget
@@ -82,11 +87,15 @@ object Bench {
     // BENCH_LOCAL_r<N>.json for analysis beyond the tail limit).
     def render(dec: Int, dropPrefix: Boolean): String = {
       def nm(k: String) = if (dropPrefix) k.stripPrefix("q_") else k
-      val qs = results.map { case (k, v) => "\"" + nm(k) + "\":" + fmt(v, dec) }
-        .mkString("{", ",", "}")
-      val total = fmt(results.map(_._2).sum, dec)
+      val qs = results.map {
+        case (k, _, Some(err)) => "\"" + nm(k) + "\":\"err:" + err + "\""
+        case (k, v, None) => "\"" + nm(k) + "\":" + fmt(v, dec)
+      }.mkString("{", ",", "}")
+      val total = fmt(results.collect { case (_, v, None) => v }.sum, dec)
+      val nErr = results.count(_._3.isDefined)
       val sf = if (dropPrefix) sfDir.split('/').last else sfDir
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      val errField = if (nErr > 0) s""","errors":$nErr""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sf"}"""
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_local.json"),

@@ -322,10 +322,13 @@ object SparkEntry {
           scores: _*)
     }),
 
-    // ---- TF-IDF term scoring (one corpus scan; persisted tf frame) ----
+    // ---- TF-IDF term scoring (one corpus scan; persisted tf frame).
+    // Oracle faces term identity + exact tf/df/rk; the ln-based score
+    // column is dropped from the hash (libm portability class) ----
     "q_tfidf_topterms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"),
-        "doc_id", "text", k = 3)),
+        "doc_id", "text", k = 3)
+        .select("doc_id", "term", "tf", "df", "rk")),
 
     // ---- Gopher-style repetition quality signals ----
     "q_repetition_stats" -> ((s, dir) =>
@@ -367,40 +370,95 @@ object SparkEntry {
       Similarity.blockedNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", blockCol = "label", threshold = 0.35)),
 
-    // ---- Multimodal plumbing ----
+    // ---- Multimodal plumbing: REAL codec round trip. synthesize()
+    // encodes spec-derived payloads through the actual PNG/BMP/WAV
+    // writers; decode() reads them back through javax.imageio /
+    // javax.sound.sampled; the oracles recompute the spec formulas
+    // (Multimodal.specWidth/specHeight/specFrames/specFormat) in SQL,
+    // so a green row proves the full encode→container→decode path ----
     "q_multimodal_meta" -> ((s, dir) => {
-      val media = Multimodal.ingest(t(s, dir, "documents"), "doc_id", "text")
-        .as[Multimodal.MediaRow](Multimodal.mediaEnc)
+      val media = Multimodal.synthesize(t(s, dir, "documents"), "doc_id")
+      // n_bytes is the container size — PNG deflate output is not
+      // SQL-recomputable, so the oracle faces the decoded dims only
       Multimodal.decode(media).toDF()
+        .select("id", "format", "width", "height", "n_frames")
     }),
 
     "q_multimodal_resize" -> ((s, dir) => {
-      val media = Multimodal.ingest(t(s, dir, "documents"), "doc_id", "text")
-        .as[Multimodal.MediaRow](Multimodal.mediaEnc)
-      Multimodal.resizePlan(Multimodal.decode(media), maxSide = 64)
+      val media = Multimodal.synthesize(t(s, dir, "documents"), "doc_id")
+      // maxSide=16 sits inside the spec's 8..31 px range so both
+      // branches of the clamp are exercised; audio rows (width=0)
+      // have no raster to resize
+      Multimodal.resizePlan(Multimodal.decode(media), maxSide = 16)
+        .filter(col("width") > 0)
         .select("id", "width", "height", "scale", "out_w", "out_h")
     }),
 
-    // byte-level payload features: the non-stubbed feature-extract
-    // stage (no codec needed; the oracle recomputes from the source
-    // text's ASCII codes since ingest() packs utf-8 bytes)
+    // byte-level payload features over generic binary ingest (no codec
+    // involved): exact-integer surrogates face the hash; mean_byte is
+    // an exact rational (byte_sum/n_bytes, floor-quantized); entropy
+    // stays OUT of the hash (libm-dependent float — MultimodalSpec
+    // asserts it instead)
     "q_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.ingest(t(s, dir, "documents"), "doc_id", "text")
         .as[Multimodal.MediaRow](Multimodal.mediaEnc)
       Multimodal.features(media).toDF()
         .filter(col("n_bytes") > 0)
-        .select(col("id"), col("n_bytes"),
-          // Portable.quant, not round(): mean_byte = byte_sum/n_bytes
-          // ties the 4-decimal half exactly for 32-divisible lengths
-          // (the round-3 oracle failure, e.g. 95.09375)
-          Portable.quant(col("mean_byte"), 4).as("mean_byte"),
-          Portable.quant(col("byte_entropy"), 4).as("byte_entropy"))
+        .select(col("id"), col("n_bytes"), col("byte_sum"),
+          Portable.quant(
+            col("byte_sum").cast("double") / col("n_bytes"), 4)
+            .as("mean_byte"))
     }),
 
     "q_frame_sample" -> ((s, dir) => {
-      val media = Multimodal.ingest(t(s, dir, "documents"), "doc_id", "text")
-        .as[Multimodal.MediaRow](Multimodal.mediaEnc)
+      val media = Multimodal.synthesize(t(s, dir, "documents"), "doc_id")
       Multimodal.sampleFrames(Multimodal.decode(media), step = 2)
+    }),
+
+    // pixel-level round-trip proof: synthesize wrote spec pixel values
+    // through the real encoders; pixelStats reads them back out of the
+    // decoded rasters; the oracle recomputes Σ specPixel(id,x,y) in SQL.
+    // Exact integers only — n_px and px_sum survive any libm.
+    "q_multimodal_pixels" -> ((s, dir) => {
+      val media = Multimodal.synthesize(t(s, dir, "documents"), "doc_id")
+      Multimodal.pixelStats(media).toDF()
+        .select("id", "n_px", "px_sum")
+    }),
+
+    // ---- Store admin tasks (§2.9), oracle-faced via their contracts:
+    // CompactTask = same row set, fewer files; ingest/save + load =
+    // lossless round trip; RebuildIndexTask = index projection equals
+    // the base table's ----
+    "q_compact_preserves" -> ((s, dir) => {
+      import graft.sources.BucketedStore
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_compact").toString
+      val storePath = tmp + "/customer_store"
+      // fragment into 16 micro-batch-sized files — the post-continuous-
+      // ingest state CompactTask exists to clean up
+      t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+        .repartition(16).write.mode("overwrite").parquet(storePath)
+      val nFiles = BucketedStore.compact(s, storePath,
+        targetFileBytes = 512L << 20)
+      // hash gate proves the row set survived the rewrite; n_files
+      // proves the files actually merged (512 MB target -> 1 file)
+      s.read.parquet(storePath).withColumn("n_files", lit(nFiles))
+    }),
+
+    "q_store_ingest" -> ((s, dir) => {
+      import graft.sources.BucketedStore
+      BucketedStore.save(
+        t(s, dir, "part").select("p_partkey", "p_name", "p_brand"),
+        "graft_q_store_part", buckets = 4, keys = Seq("p_partkey"))
+      BucketedStore.load(s, "graft_q_store_part")
+    }),
+
+    "q_index_rebuild" -> ((s, dir) => {
+      import graft.sources.BucketedStore
+      BucketedStore.rebuildIndex(t(s, dir, "supplier"),
+        "graft_q_idx_supplier", buckets = 4,
+        indexCols = Seq("s_nationkey", "s_suppkey"))
+      BucketedStore.load(s, "graft_q_idx_supplier")
     }),
 
     "q_lsh_ann" -> ((s, dir) => // hyperplane-bucketed top-k
@@ -733,9 +791,12 @@ object SparkEntry {
       Curation.piiScrub(withPii, "doc_id", "text")
     }),
 
-    // ---- Token-distribution entropy / type-token ratio ----
+    // ---- Token-distribution stats (oracle faces the exact columns
+    // only: n_tokens/n_types/Σc² integers + the exact-rational ttr;
+    // the float entropy is spec-tested in sbt, not hashed) ----
     "q_token_entropy" -> ((s, dir) =>
-      Curation.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")),
+      Curation.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "n_tokens", "n_types", "sum_c2", "ttr")),
 
     // ---- Line-level exact dedup (CCNet/C4): global first-occurrence
     // wins; "lines" = 8-token windows (fixture text has no newlines) ----
@@ -797,9 +858,12 @@ object SparkEntry {
           queryIds = (0L to 9L), k = 5, nCells = 16, nProbe = 4))
     }),
 
-    // ---- Corpus-trained unigram log-prob (perplexity-filter analog) ----
+    // ---- Corpus-trained unigram log-prob (perplexity-filter analog).
+    // Oracle faces the exact-integer columns; the log2 score itself is
+    // spec-tested (same libm-portability law as q_token_entropy) ----
     "q_unigram_logprob" -> ((s, dir) =>
-      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "n_tokens", "sum_tf")),
 
     // ---- Interval join, batch execution of the STREAMING operator:
     // the same code path runs under Structured Streaming (watermarked,
@@ -1505,11 +1569,11 @@ object SparkEntry {
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
         |scored AS (
-        |  SELECT doc_id, term, floor((tf * ln(n.n / df)) * 1000000.0 + 0.5) / 1000000.0 AS score,
+        |  SELECT doc_id, term, tf, df,
         |    row_number() OVER (PARTITION BY doc_id
         |      ORDER BY floor((tf * ln(n.n / df)) * 1000000.0 + 0.5) / 1000000.0 DESC, term) AS rk
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
-        |SELECT doc_id, term, score FROM scored WHERE rk <= 3""".stripMargin,
+        |SELECT doc_id, term, tf, df, rk FROM scored WHERE rk <= 3""".stripMargin,
 
     "q_repetition_stats" ->
       """WITH tarr AS (
@@ -1611,44 +1675,78 @@ object SparkEntry {
         |WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[],
         |            b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 >= 0.35""".stripMargin,
 
+    // Spec formulas mirrored from Multimodal.specFormat/specWidth/
+    // specHeight/specFrames — a green hash proves the decoded values
+    // survived the real PNG/BMP/WAV encode→decode round trip.
     "q_multimodal_meta" ->
       """SELECT doc_id AS id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
-        |       WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width,
-        |  CAST(octet_length(encode(text)) % 480 + 16 AS INTEGER) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 2
-        |            THEN octet_length(encode(text)) // 100 + 1
+        |       WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |            ELSE doc_id % 24 + 8 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |            ELSE (doc_id * 7) % 24 + 8 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 50 + 1
         |            ELSE 1 END AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
 
     "q_multimodal_resize" ->
       """WITH d AS (
         |  SELECT doc_id AS id,
-        |    CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER)
-        |      AS width,
-        |    CAST(octet_length(encode(text)) % 480 + 16 AS INTEGER)
-        |      AS height
-        |  FROM documents)
+        |    CAST(doc_id % 24 + 8 AS INTEGER) AS width,
+        |    CAST((doc_id * 7) % 24 + 8 AS INTEGER) AS height
+        |  FROM documents WHERE doc_id % 3 <> 2)
         |SELECT id, width, height,
-        |  least(64.0 / greatest(width, height), 1.0) AS scale,
-        |  CAST(floor(width * least(64.0 / greatest(width, height), 1.0))
+        |  least(16.0 / greatest(width, height), 1.0) AS scale,
+        |  CAST(floor(width * least(16.0 / greatest(width, height), 1.0))
         |       AS INTEGER) AS out_w,
-        |  CAST(floor(height * least(64.0 / greatest(width, height), 1.0))
+        |  CAST(floor(height * least(16.0 / greatest(width, height), 1.0))
         |       AS INTEGER) AS out_h
         |FROM d""".stripMargin,
 
     "q_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id AS id,
-        |    CAST(CASE WHEN doc_id % 3 = 2
-        |              THEN octet_length(encode(text)) // 100 + 1
+        |    CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 50 + 1
         |              ELSE 1 END AS INTEGER) AS n_frames
         |  FROM documents)
         |SELECT id, CAST(unnest(range(0, n_frames, 2)) AS INTEGER)
         |         AS frame_idx
         |FROM d""".stripMargin,
+
+    // Σ specPixel(id,x,y) over every raster/sample position — the
+    // pixel VALUES round trip, not just the dims.
+    "q_multimodal_pixels" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, CAST(doc_id % 3 AS INTEGER) AS m,
+        |    doc_id % 24 + 8 AS w, (doc_id * 7) % 24 + 8 AS h,
+        |    doc_id % 50 + 1 AS nf
+        |  FROM documents),
+        |img AS (
+        |  SELECT id, (id * 31 + 7 * x.i + 13 * y.j) % 256 AS v
+        |  FROM d
+        |  CROSS JOIN LATERAL unnest(range(0, w)) x(i)
+        |  CROSS JOIN LATERAL unnest(range(0, h)) y(j)
+        |  WHERE m <> 2),
+        |wav AS (
+        |  SELECT id, (id * 31 + 7 * f.i) % 256 AS v
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, nf)) f(i)
+        |  WHERE m = 2),
+        |px AS (SELECT * FROM img UNION ALL SELECT * FROM wav)
+        |SELECT id, count(*) AS n_px, sum(v) AS px_sum
+        |FROM px GROUP BY id""".stripMargin,
+
+    // Store-admin contracts: compaction/ingest/index-rebuild must be
+    // invisible to readers — the oracle is simply the source table.
+    "q_compact_preserves" ->
+      """SELECT c_custkey, c_name, c_nationkey, 1 AS n_files
+        |FROM customer""".stripMargin,
+
+    "q_store_ingest" ->
+      "SELECT p_partkey, p_name, p_brand FROM part",
+
+    "q_index_rebuild" ->
+      "SELECT s_nationkey, s_suppkey FROM supplier",
 
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
@@ -2009,18 +2107,20 @@ object SparkEntry {
          |FROM withpii""".stripMargin
     },
 
+    // Exact integers + one exact rational; per-character ascii() is
+    // byte-exact because the fixture corpus is ASCII-only (verified:
+    // length(text) = octet_length(encode(text)) on every sf) — a
+    // non-ASCII corpus would need blob-level byte extraction here.
     "q_multimodal_features" ->
       """WITH b AS (
         |  SELECT doc_id, ascii(substr(text, CAST(u.i AS INTEGER), 1)) AS v
         |  FROM documents CROSS JOIN LATERAL
         |    unnest(range(1, length(text) + 1)) u(i)
-        |  WHERE length(text) > 0),
-        |cnt AS (SELECT doc_id, v, count(*) AS c FROM b GROUP BY 1, 2)
-        |SELECT doc_id AS id, sum(c) AS n_bytes,
-        |  floor((sum(v * c) * 1.0 / sum(c)) * 10000.0 + 0.5) / 10000.0 AS mean_byte,
-        |  floor((log2(sum(c)) - sum(c * log2(c)) / sum(c)) * 10000.0 + 0.5) / 10000.0
-        |    AS byte_entropy
-        |FROM cnt GROUP BY doc_id""".stripMargin,
+        |  WHERE length(text) > 0)
+        |SELECT doc_id AS id, count(*) AS n_bytes, sum(v) AS byte_sum,
+        |  floor((sum(v) * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0
+        |    AS mean_byte
+        |FROM b GROUP BY doc_id""".stripMargin,
 
     "q_interval_join" ->
       """SELECT v.user_id, v.event_id AS l_id, p.event_id AS r_id,
@@ -2035,11 +2135,9 @@ object SparkEntry {
     "q_unigram_logprob" ->
       s"""WITH $TokCte,
          |pt AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-         |freq AS (SELECT tok, count(*) AS tf FROM pt GROUP BY tok),
-         |total AS (SELECT sum(tf) AS tot FROM freq)
-         |SELECT doc_id, count(*) AS n_tokens,
-         |  floor((sum(log2(tf * 1.0 / tot)) / count(*)) * 10000.0 + 0.5) / 10000.0 AS mean_log2p
-         |FROM pt JOIN freq USING (tok) CROSS JOIN total
+         |freq AS (SELECT tok, count(*) AS tf FROM pt GROUP BY tok)
+         |SELECT doc_id, count(*) AS n_tokens, sum(tf) AS sum_tf
+         |FROM pt JOIN freq USING (tok)
          |GROUP BY doc_id""".stripMargin,
 
     "q_token_entropy" ->
@@ -2047,7 +2145,7 @@ object SparkEntry {
          |pt AS (SELECT doc_id, unnest(t) AS tok FROM toks),
          |cnt AS (SELECT doc_id, tok, count(*) AS c FROM pt GROUP BY 1, 2)
          |SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
-         |  floor((log2(sum(c)) - sum(c * log2(c)) / sum(c)) * 10000.0 + 0.5) / 10000.0 AS entropy,
+         |  sum(c * c) AS sum_c2,
          |  floor((count(*) * 1.0 / sum(c)) * 10000.0 + 0.5) / 10000.0 AS ttr
          |FROM cnt GROUP BY doc_id""".stripMargin,
 

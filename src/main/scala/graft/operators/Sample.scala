@@ -65,8 +65,10 @@ object Sample {
       if (b.items.size < k) b.copy(seen = seen, items = b.items :+ v)
       else {
         // Deterministic per-element draw: seed ⊕ element ⊕ count.
+        // floorMod, not .abs%: Long.MinValue.abs is negative, and
+        // abs-then-mod doubles the low residues' probability.
         val r = new Random(b.seed ^ v ^ seen)
-        val j = r.nextLong().abs % seen
+        val j = Math.floorMod(r.nextLong(), seen)
         if (j < k) b.copy(seen = seen, items = b.items.updated(j.toInt, v))
         else b.copy(seen = seen)
       }

@@ -174,15 +174,21 @@ object Curation {
     perTok.groupBy(col(idCol))
       .agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_types"),
+        // Σc² — the exact-integer concentration stat (Simpson/
+        // Herfindahl numerator): carries the same "repetitive corpus"
+        // signal as entropy but hashes bit-identically on any engine
+        sum(col("c") * col("c")).as("sum_c2"),
         sum(col("c") * log2(col("c"))).as("_clog"))
-      .select(col(idCol), col("n_tokens"), col("n_types"),
-        // Portable.quant, not round(): ttr = n_types/n_tokens ties the
-        // 4-decimal half exactly when the reduced denominator is
-        // 32-divisible (round-3 oracle failure) — entropy gets the same
-        // law for uniformity
-        graft.functions.Portable.quant(
-          log2(col("n_tokens")) - col("_clog") / col("n_tokens"), 4)
+      .select(col(idCol), col("n_tokens"), col("n_types"), col("sum_c2"),
+        // entropy is a libm-dependent irrational (log2 sums): kept for
+        // API users and spec-tested in sbt, but NOT oracle-hashed — a
+        // 1-ulp libm difference across DuckDB builds can straddle any
+        // quantization boundary (round-3/4 driver-only hash failures)
+        (log2(col("n_tokens")) - col("_clog") / col("n_tokens"))
           .as("entropy"),
+        // ttr = n_types/n_tokens: one IEEE division of exact integers —
+        // bit-identical in any engine; floor-quant ties the 4-decimal
+        // half exactly (round-3 oracle failure law)
         graft.functions.Portable.quant(
           col("n_types").cast("double") / col("n_tokens"), 4)
           .as("ttr"))

@@ -31,8 +31,8 @@ object Multimodal {
   final case class MediaRow(id: Long, media: Array[Byte], format: String)
   final case class DecodedRow(id: Long, format: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int)
-  final case class PixelStats(id: Long, n_px: Long, mean_px: Double,
-      px_entropy: Double)
+  final case class PixelStats(id: Long, n_px: Long, px_sum: Long,
+      mean_px: Double, px_entropy: Double)
 
   implicit val mediaEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
   implicit val decodedEnc: Encoder[DecodedRow] = Encoders.product[DecodedRow]
@@ -96,17 +96,20 @@ object Multimodal {
 
   /** Wrap a text corpus as opaque payloads (utf-8 bytes as the binary
     * column) — the generic binary-column ingest used by byte-level
-    * [[features]]; container formats use [[synthesize]]. */
+    * [[features]] (no codec touches these); container formats use
+    * [[synthesize]]. The format label set matches [[specFormat]] so
+    * every label corresponds to a codec this module can read/write. */
   def ingest(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol).cast("long").as("id"),
       encode(col(textCol), "UTF-8").as("media"),
-      element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+      element_at(array(lit("png"), lit("bmp"), lit("wav")),
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("format"))
 
   /** REAL container decode: PNG/BMP headers+pixels via javax.imageio,
     * WAV frame counts via javax.sound.sampled. Images report
-    * n_frames=1; audio reports width=height=0. */
+    * n_frames=1; audio reports width=height=0. Unknown labels fail
+    * fast instead of routing into the wrong codec branch. */
   private def decodeOne(m: MediaRow): DecodedRow = m.format match {
     case "wav" =>
       val ais = AudioSystem.getAudioInputStream(
@@ -114,11 +117,14 @@ object Multimodal {
       try DecodedRow(m.id, m.format, m.media.length.toLong, 0, 0,
         ais.getFrameLength.toInt)
       finally ais.close()
-    case _ =>
+    case "png" | "bmp" =>
       val img = ImageIO.read(new ByteArrayInputStream(m.media))
       require(img != null, s"undecodable ${m.format} payload for id ${m.id}")
       DecodedRow(m.id, m.format, m.media.length.toLong,
         img.getWidth, img.getHeight, 1)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported media format '$other' for id ${m.id}")
   }
 
   /**
@@ -163,7 +169,7 @@ object Multimodal {
 
   private def histStats(id: Long, samples: Array[Int]): PixelStats = {
     val n = samples.length
-    if (n == 0) PixelStats(id, 0L, 0.0, 0.0)
+    if (n == 0) PixelStats(id, 0L, 0L, 0.0, 0.0)
     else {
       val hist = new Array[Long](256)
       var sum = 0L
@@ -177,7 +183,7 @@ object Multimodal {
         if (c > 0) clog += c * (math.log(c.toDouble) / ln2)
         j += 1
       }
-      PixelStats(id, n.toLong, sum.toDouble / n,
+      PixelStats(id, n.toLong, sum, sum.toDouble / n,
         math.log(n.toDouble) / ln2 - clog / n)
     }
   }
@@ -186,8 +192,12 @@ object Multimodal {
     * aspect (metadata-only — the byte transform is the codec's job). */
   def resizePlan(decoded: Dataset[DecodedRow], maxSide: Int): DataFrame =
     decoded.toDF().withColumn("scale",
-        least(lit(maxSide) / greatest(col("width"), col("height")),
-          lit(1.0)))
+        // audio rows decode to width=height=0: no raster to scale (and
+        // ANSI mode makes the unguarded division a hard error)
+        when(greatest(col("width"), col("height")) > 0,
+          least(lit(maxSide) / greatest(col("width"), col("height")),
+            lit(1.0)))
+          .otherwise(lit(1.0)))
       .withColumn("out_w", floor(col("width") * col("scale")).cast("int"))
       .withColumn("out_h", floor(col("height") * col("scale")).cast("int"))
 
@@ -199,7 +209,7 @@ object Multimodal {
       explode(sequence(lit(0), col("n_frames") - 1, lit(step)))
         .as("frame_idx"))
 
-  final case class MediaFeatures(id: Long, n_bytes: Long,
+  final case class MediaFeatures(id: Long, n_bytes: Long, byte_sum: Long,
       mean_byte: Double, byte_entropy: Double)
   implicit val featEnc: Encoder[MediaFeatures] =
     Encoders.product[MediaFeatures]
@@ -211,11 +221,14 @@ object Multimodal {
    * zero-padded buffer shows up immediately in entropy). Works on ANY
    * binary payload, no codec involved. Same iterator-to-iterator
    * partition batch shape as decode: one pass, constant memory
-   * (256-long histogram per row).
+   * (256-long histogram per row). `byte_sum` is the exact-integer
+   * surrogate the oracle hashes (entropy is a libm-dependent float —
+   * bit-portable across engines only by luck, so it is spec-tested in
+   * sbt instead of oracle-hashed).
    */
   def features(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
     media.mapPartitions(_.map { m =>
       val st = histStats(m.id, m.media.map(_ & 0xff))
-      MediaFeatures(m.id, st.n_px, st.mean_px, st.px_entropy)
+      MediaFeatures(m.id, st.n_px, st.px_sum, st.mean_px, st.px_entropy)
     })
 }

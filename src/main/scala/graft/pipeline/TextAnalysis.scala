@@ -194,7 +194,10 @@ object TextAnalysis {
       .crossJoin(broadcast(nDocs))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
-      .select(col("doc_id"), col("term"), score.as("score"))
+      // tf/df/rk are the exact columns the oracle hashes; the ln-based
+      // score is for API users (libm floats don't hash portably)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("rk"), score.as("score"))
   }
 
   /**
@@ -261,8 +264,14 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        graft.functions.Portable.quant(
-          sum(log2(col("tf").cast("double") / col("_total")))
-            / count(lit(1)), 4).as("mean_log2p"))
+        // Σ tf over the doc's token instances — the exact-integer
+        // surrogate the oracle hashes: it exercises the same
+        // tokenize→count→join pipeline, but unlike the log2 score it
+        // is bit-portable across engines (libm log2 can differ by an
+        // ulp between DuckDB builds — the round-4 driver-only failure
+        // class on q_token_entropy)
+        sum(col("tf")).as("sum_tf"),
+        (sum(log2(col("tf").cast("double") / col("_total")))
+          / count(lit(1))).as("mean_log2p"))
   }
 }

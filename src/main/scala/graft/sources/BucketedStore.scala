@@ -21,7 +21,15 @@ object BucketedStore {
   /** Persist a frame bucketed+sorted on the key columns. */
   def save(df: DataFrame, table: String, buckets: Int,
       keys: Seq[String]): Unit = {
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // A managed-table directory from a PRIOR session survives the
+    // in-memory catalog (DROP above only sees this session's entries),
+    // and CREATE then fails with LOCATION_ALREADY_EXISTS — clear it.
+    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

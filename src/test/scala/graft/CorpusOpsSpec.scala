@@ -16,6 +16,7 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("tfidfTopTerms scores and ranks with deterministic ties") {
     val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .select("doc_id", "term", "score")
       .as[(Long, String, Double)].collect()
       .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toList).toMap
     // doc 2: only term "dog" (df=2) -> 4 * ln(4/2)

@@ -103,12 +103,15 @@ class CurationSpec extends SparkSpec {
       (2L, "zyx the the the")    // one rare token drags the mean down
     ).toDF("doc_id", "text")
     val out = pipeline.TextAnalysis.unigramLogProb(in, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toMap
     assert(out(1L)._1 == 4L && out(2L)._1 == 4L)
+    // exact surrogate: doc 1 = 4 tokens × tf(the)=7; doc 2 = 1 + 3×7
+    assert(out(1L)._2 == 28L && out(2L)._2 == 22L)
     // P(the)=7/8, P(zyx)=1/8: doc 1 mean = log2(7/8), doc 2 lower
-    assert(math.abs(out(1L)._2 - math.log(7.0 / 8) / math.log(2)) < 1e-3)
-    assert(out(2L)._2 < out(1L)._2)
+    assert(math.abs(out(1L)._3 - math.log(7.0 / 8) / math.log(2)) < 1e-3)
+    assert(out(2L)._3 < out(1L)._3)
     CacheScope.drain(spark)
   }
 
@@ -119,9 +122,10 @@ class CurationSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val out = Curation.tokenEntropy(in, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
-    assert(out(1L) == ((4L, 4L, 2.0, 1.0)))
-    assert(out(2L) == ((4L, 1L, 0.0, 0.25)))
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out(1L) == ((4L, 4L, 4L, 2.0, 1.0)))   // Σc² = 4×1²
+    assert(out(2L) == ((4L, 1L, 16L, 0.0, 0.25))) // Σc² = 4²
   }
 
   test("TIME type round-trips components and orders like the codec") {

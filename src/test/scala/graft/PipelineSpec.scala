@@ -157,30 +157,72 @@ class SimilaritySpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("ingest -> decode -> resize/frame-sample plumbing is lossless") {
-    val docs = Seq((0L, "hello world"), (1L, "tiny"), (2L, "x" * 500))
-      .toDF("doc_id", "text")
-    val media = Multimodal.ingest(docs, "doc_id", "text")
-      .as[Multimodal.MediaRow](Multimodal.mediaEnc)
+  test("synthesize -> decode round-trips spec dims through real codecs") {
+    val docs = (0L to 11L).toDF("doc_id") // 4 of each: png/bmp/wav
+    val media = Multimodal.synthesize(docs, "doc_id")
     val decoded = Multimodal.decode(media)
     val rows = decoded.collect().map(d => d.id -> d).toMap
-    assert(rows(0L).n_bytes == 11 && rows(0L).format == "png")
-    assert(rows(2L).format == "wav" && rows(2L).n_frames == 6)
-    val resized = Multimodal.resizePlan(decoded, maxSide = 64)
-    assert(resized.filter(col("out_w") > 64 || col("out_h") > 64).count() == 0)
+    for (id <- 0L to 11L) {
+      val d = rows(id)
+      assert(d.format == Multimodal.specFormat(id))
+      assert(d.n_bytes > 0)
+      if (d.format == "wav") {
+        assert(d.width == 0 && d.height == 0)
+        assert(d.n_frames == Multimodal.specFrames(id))
+      } else {
+        assert(d.width == Multimodal.specWidth(id))
+        assert(d.height == Multimodal.specHeight(id))
+        assert(d.n_frames == 1)
+      }
+    }
+    val resized = Multimodal.resizePlan(decoded, maxSide = 16)
+    assert(resized.filter(col("out_w") > 16 || col("out_h") > 16)
+      .count() == 0)
     val frames = Multimodal.sampleFrames(decoded, step = 2)
-    assert(frames.filter(col("id") === 2L).count() == 3) // frames 0,2,4
+    // id=2 is wav with specFrames(2)=3 -> sampled frames 0,2
+    assert(frames.filter(col("id") === 2L).count() == 2)
   }
 
-  test("byte features: mean and entropy on known payloads") {
+  test("pixelStats recovers exact spec pixel sums from decoded rasters") {
+    val docs = (0L to 11L).toDF("doc_id")
+    val st = Multimodal.pixelStats(Multimodal.synthesize(docs, "doc_id"))
+      .collect().map(p => p.id -> p).toMap
+    for (id <- 0L to 11L) {
+      val (n, s) =
+        if (Multimodal.specFormat(id) == "wav") {
+          val nf = Multimodal.specFrames(id)
+          (nf.toLong,
+            (0 until nf).map(i => Multimodal.specPixel(id, i, 0).toLong).sum)
+        } else {
+          val (w, h) = (Multimodal.specWidth(id), Multimodal.specHeight(id))
+          (w.toLong * h,
+            (for (x <- 0 until w; y <- 0 until h)
+              yield Multimodal.specPixel(id, x, y).toLong).sum)
+        }
+      assert(st(id).n_px == n && st(id).px_sum == s,
+        s"id=$id: got (${st(id).n_px}, ${st(id).px_sum}), want ($n, $s)")
+    }
+  }
+
+  test("byte features: exact sums, mean and entropy on known payloads") {
     val docs = Seq((0L, "ab"), (1L, "aaaa"), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.ingest(docs, "doc_id", "text")
       .as[Multimodal.MediaRow](Multimodal.mediaEnc)
     val f = Multimodal.features(media).collect()
-      .map(r => r.id -> ((r.n_bytes, r.mean_byte, r.byte_entropy))).toMap
-    assert(f(0L)._1 == 2L && f(0L)._2 == 97.5) // 'a'=97, 'b'=98
-    assert(math.abs(f(0L)._3 - 1.0) < 1e-12)   // two equiprobable bytes
-    assert(f(1L) == ((4L, 97.0, 0.0)))          // constant payload
-    assert(f(2L) == ((0L, 0.0, 0.0)))           // empty payload guarded
+      .map(r => r.id ->
+        ((r.n_bytes, r.byte_sum, r.mean_byte, r.byte_entropy))).toMap
+    assert(f(0L)._1 == 2L && f(0L)._2 == 195L && f(0L)._3 == 97.5)
+    assert(math.abs(f(0L)._4 - 1.0) < 1e-12)   // two equiprobable bytes
+    assert(f(1L) == ((4L, 388L, 97.0, 0.0)))    // constant payload
+    assert(f(2L) == ((0L, 0L, 0.0, 0.0)))       // empty payload guarded
+  }
+
+  test("ingest format labels all route to a real codec branch") {
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("doc_id", "text")
+    val fmts = Multimodal.ingest(docs, "doc_id", "text")
+      .select("id", "format").as[(Long, String)].collect().toMap
+    assert(fmts == Map(0L -> "png", 1L -> "bmp", 2L -> "wav"))
+    assert(fmts.values.toSet subsetOf
+      (0L to 2L).map(Multimodal.specFormat).toSet)
   }
 }
