@@ -61,4 +61,23 @@ class PortableQuantSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"oracle SQL must use Portable.sql-style floor quantization: $offenders")
   }
+
+  test("every hand-written quant fragment is internally consistent") {
+    // The silent-drift hazard ADVICE flagged on Portable.sql being
+    // unused: a hand-inlined `floor((x) * A + 0.5) / B` with A != B,
+    // or a non-power-of-10 scale, quantizes to a different lattice
+    // than any Spark-side Portable.quant(_, k) can produce. Parse
+    // every fragment and check A == B == 10^k.
+    val frag =
+      raw"(?s)floor\(\(.*?\)\s*\*\s*([0-9.]+)\s*\+\s*0\.5\)\s*/\s*([0-9.]+)".r
+    val bad = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+      frag.findAllMatchIn(sql).collect {
+        case m if m.group(1) != m.group(2) =>
+          s"$name: *${m.group(1)} vs /${m.group(2)}"
+        case m if !math.log10(m.group(1).toDouble).isWhole =>
+          s"$name: non-power-of-10 scale ${m.group(1)}"
+      }
+    }
+    assert(bad.isEmpty, s"drifted quant fragments: $bad")
+  }
 }
