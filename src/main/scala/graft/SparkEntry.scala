@@ -913,21 +913,29 @@ object SparkEntry {
     * redistribution, final ranks normalized to sum = |V|
     * (SPARK-18847) — over the `contains` edge list. */
   private def pageRankSql(iters: Int): String = {
+    // Messages and normalization summands ride the dyadic 2^-30 grid
+    // (Portable.dyadic): float sums are otherwise order-dependent, and
+    // 5 chained iterations drift past the 1e-6 quant boundary (seen at
+    // sf0.1). On the grid every sum is exact, so the recurrence is
+    // bit-identical to the Spark side regardless of summation order.
+    val dy = graft.functions.Portable.dyadicSql _
     val steps = (1 to iters).map { i =>
-      s"""m$i AS (SELECT e.d AS v, sum(r${i - 1}.r / od.deg) AS ms
+      s"""m$i AS (SELECT e.d AS v, sum(${dy(s"r${i - 1}.r / od.deg")}) AS ms
          |  FROM e JOIN r${i - 1} ON r${i - 1}.v = e.s
          |  JOIN od ON od.s = e.s GROUP BY e.d),
-         |r$i AS (SELECT v.v, 0.15 + 0.85 * coalesce(m$i.ms, 0) AS r
+         |r$i AS (SELECT v.v,
+         |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+         |      * coalesce(m$i.ms, 0) AS r
          |  FROM v LEFT JOIN m$i ON m$i.v = v.v)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT l_orderkey AS s, l_partkey AS d FROM lineitem),
        |v AS (SELECT DISTINCT x AS v FROM
        |  (SELECT s AS x FROM e UNION SELECT d FROM e)),
        |od AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
-       |r0 AS (SELECT v, 1.0 AS r FROM v),
+       |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM v),
        |$steps
        |SELECT v AS _vid,
-       |  floor((r / (SELECT sum(r) FROM r$iters)
+       |  floor((${dy("r")} / (SELECT sum(${dy("r")}) FROM r$iters)
        |          * (SELECT count(*) FROM v)) * 1000000.0 + 0.5) / 1000000.0 AS rank
        |FROM r$iters""".stripMargin
   }
@@ -944,7 +952,9 @@ object SparkEntry {
          |        c.cvec) DESC, c.cell) AS crk
          |  FROM embeddings e CROSS JOIN c${i - 1} c) WHERE crk = 1),
          |m$i AS (SELECT cell, i AS pos,
-         |    avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS a
+         |    sum(${graft.functions.Portable.dyadicSql(
+              "CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)")})
+         |      / count(*) AS a
          |  FROM a$i CROSS JOIN LATERAL unnest(range(1, 65)) u(i)
          |  GROUP BY cell, i),
          |l$i AS (SELECT cell, list(a ORDER BY pos) AS mvec

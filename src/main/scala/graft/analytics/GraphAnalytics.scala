@@ -82,9 +82,14 @@ object GraphAnalytics {
     var ranks = verts.select(col("v"), lit(1.0).as("r"))
     var prev: Option[DataFrame] = None
     for (_ <- 1 to iters) {
+      // dyadic-floor each message BEFORE the sum: the aggregation is
+      // then exact (order-independent), so the superstep is bit-
+      // reproducible across partitionings and engines — the oracle
+      // replays the identical recurrence (Portable.dyadic scaladoc)
       val msgs = weighted.join(ranks, col("s") === col("v"))
         .groupBy(col("d").as("mv"))
-        .agg(sum(col("r") / col("deg")).as("ms"))
+        .agg(sum(graft.functions.Portable.dyadic(
+          col("r") / col("deg"))).as("ms"))
       val next = verts.join(msgs, col("v") === col("mv"), "left")
         .select(col("v"),
           (lit(resetProb) + lit(1 - resetProb) *
@@ -103,12 +108,14 @@ object GraphAnalytics {
     // scalar and the output rows — without the persist the crossJoin
     // would re-execute the whole iteration chain a second time
     // (verified via explain: 331-node plan collapses to half).
-    val totals = ranks.agg(sum(col("r")).as("sr"),
-      count(lit(1)).as("nv"))
+    // dyadic-floor the summands of the normalization total too — same
+    // order-independence requirement as the superstep sums
+    val rq = graft.functions.Portable.dyadic(col("r"))
+    val totals = ranks.agg(sum(rq).as("sr"), count(lit(1)).as("nv"))
     ranks.crossJoin(broadcast(totals))
       .select(col("v").as("_vid"),
         graft.functions.Portable.quant(
-          col("r") / col("sr") * col("nv"), 6).as("rank"))
+          rq / col("sr") * col("nv"), 6).as("rank"))
   }
 
   /** Connected components (undirected reachability); label = min vid in

@@ -44,4 +44,30 @@ object Portable {
     val s = pow10(k).toLong
     s"floor(($expr) * $s.0 + 0.5) / $s.0"
   }
+
+  /** 2^30 — the order-independent summation grid (see [[dyadic]]). */
+  val DyadicScale: Double = 1073741824.0
+
+  /**
+   * Floor onto the dyadic 2^-30 lattice — the ORDER-INDEPENDENT float
+   * summation law. A float groupBy-sum is not reproducible across
+   * engines (or even Spark runs): partial-aggregation order differs,
+   * and IEEE addition doesn't associate, so iterative pipelines
+   * (PageRank supersteps, k-means centroids) drift by an ulp per
+   * round and eventually straddle a [[quant]] boundary (observed:
+   * q_pagerank at sf0.1, one vertex off by 1e-6). Summands floored to
+   * multiples of 2^-30 fix this: every partial sum of <2^23 terms
+   * with |x| < 2^10 is an exact multiple of 2^-30 below 2^53, so NO
+   * addition ever rounds — any summation order, any partitioning, any
+   * engine produces the identical bit pattern. (At larger per-group
+   * cardinality×magnitude, widen the grid: exactness needs
+   * n·max|x|·2^30 < 2^53.)
+   */
+  def dyadic(c: Column): Column =
+    floor(c * lit(DyadicScale)) / lit(DyadicScale)
+
+  /** The dyadic law as a DuckDB fragment (use on the summand INSIDE
+    * the oracle's sum, mirroring the Spark side). */
+  def dyadicSql(expr: String): String =
+    s"floor(($expr) * 1073741824.0) / 1073741824.0"
 }

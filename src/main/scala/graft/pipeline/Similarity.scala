@@ -163,7 +163,13 @@ object Similarity {
         .transform(graft.CacheScope.persist(_))
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("a"))
+        // order-independent mean (Portable.dyadic): avg()'s float sum
+        // depends on partial-aggregation order, and the k-means
+        // recurrence feeds it back through the next assignment round —
+        // dyadic summands make each round bit-reproducible
+        .groupBy("cell", "pos")
+        .agg((sum(graft.functions.Portable.dyadic(
+          col("x").cast("double"))) / count(lit(1))).as("a"))
         .groupBy("cell")
         .agg(transform(
           sort_array(collect_list(struct(col("pos"), col("a")))),

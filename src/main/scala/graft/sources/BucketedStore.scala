@@ -60,6 +60,7 @@ object BucketedStore {
       targetFileBytes: Long = 128L << 20): Int = {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, path)
     val entries = fs.listStatus(hp)
     // A Hive-partitioned dir (key=value subdirs) must be compacted per
     // leaf: reading it whole would surface the partition columns as
@@ -93,6 +94,35 @@ object BucketedStore {
     fs.listStatus(hp).count { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")
     }
+  }
+
+  /**
+   * Crash recovery for the two-rename publish window. The swap
+   * sequence leaves exactly three observable crash states, each
+   * resolvable without data loss because a complete snapshot always
+   * exists on disk:
+   *
+   *  1. crash before `rename(hp, old)` completes: main dir intact,
+   *     maybe a `._compact_tmp` — drop the tmp.
+   *  2. crash between the two renames: main dir ABSENT, `._compact_old`
+   *     holds the original, `._compact_tmp` holds the compacted copy —
+   *     restore the original (the conservative choice: the tmp is
+   *     complete too, but the original is the snapshot readers saw).
+   *  3. crash after `rename(tmp, hp)`: main dir is the compacted
+   *     snapshot, a stale `._compact_old` remains — drop it.
+   *
+   * Idempotent; called automatically at the start of [[compact]], and
+   * safe to invoke on any store directory at open time.
+   */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(hp.getParent, hp.getName + "._compact_tmp")
+    val old = new Path(hp.getParent, hp.getName + "._compact_old")
+    if (!fs.exists(hp) && fs.exists(old) && !fs.rename(old, hp))
+      throw new java.io.IOException(s"recover: cannot restore $path")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
   }
 
   /** RebuildIndexTask analog: materialize a sorted, bucketed projection

@@ -196,4 +196,42 @@ class ChangeLogListenerSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(re == before)
   }
+
+  test("compact crash states all recover without data loss") {
+    import graft.sources.BucketedStore
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("crashrec").toString
+    val fs = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def write(p: String): Unit = spark.range(100).toDF("id")
+      .coalesce(2).write.mode("overwrite").parquet(p)
+    def rows(p: String): Set[Long] =
+      spark.read.parquet(p).as[Long].collect().toSet
+    val all = (0L until 100).toSet
+
+    // state 1: crash before the stage rename — stale tmp, intact main
+    val s1 = s"$base/s1"; write(s1); write(s1 + "._compact_tmp")
+    BucketedStore.recover(spark, s1)
+    assert(rows(s1) == all)
+    assert(!fs.exists(new Path(s1 + "._compact_tmp")))
+
+    // state 2: crash between the renames — main ABSENT, old holds the
+    // original, tmp holds the compacted copy; original is restored
+    val s2 = s"$base/s2"
+    write(s2 + "._compact_old"); write(s2 + "._compact_tmp")
+    BucketedStore.recover(spark, s2)
+    assert(rows(s2) == all)
+    assert(!fs.exists(new Path(s2 + "._compact_old")))
+
+    // state 3: crash after publish — compacted main, stale old
+    val s3 = s"$base/s3"; write(s3); write(s3 + "._compact_old")
+    BucketedStore.recover(spark, s3)
+    assert(rows(s3) == all)
+    assert(!fs.exists(new Path(s3 + "._compact_old")))
+
+    // compact() self-heals state 2 inline, then compacts normally
+    val s4 = s"$base/s4"; write(s4 + "._compact_old")
+    val n = BucketedStore.compact(spark, s4, targetFileBytes = 512L << 20)
+    assert(n == 1 && rows(s4) == all)
+  }
 }
