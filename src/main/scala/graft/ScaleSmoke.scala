@@ -143,6 +143,13 @@ object ScaleSmoke {
     time(s"token entropy ${factor}x")(
       graft.pipeline.Curation.tokenEntropy(docs, "doc_id", "text").count())
 
+    // real-codec multimodal path: encode + decode + raster stats per
+    // row, iterator-to-iterator — must scale linearly with row count
+    time(s"multimodal codec roundtrip ${factor}x")(
+      graft.pipeline.Multimodal.pixelStats(
+        graft.pipeline.Multimodal.synthesize(
+          docs.select("doc_id"), "doc_id")).count())
+
     // weighted shortest paths + LPA over the amplified edge list,
     // seeds/vertices scaling with the copies
     val wEdges = edges.select(col("l_orderkey").as("s"),

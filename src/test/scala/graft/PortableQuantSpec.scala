@@ -62,6 +62,34 @@ class PortableQuantSpec extends SparkSpec {
       s"oracle SQL must use Portable.sql-style floor quantization: $offenders")
   }
 
+  test("dyadic summands sum to the identical bits in ANY order") {
+    // the law PageRank/k-means rely on: floored to the 2^-30 lattice,
+    // partial sums never round, so accumulation order cannot matter
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill(20000)(rnd.nextDouble() * 100 - 50)
+      .map(x => math.floor(x * Portable.DyadicScale) / Portable.DyadicScale)
+    def sumIn(order: Seq[Int]): Double = {
+      var s = 0.0
+      order.foreach(i => s += xs(i))
+      s
+    }
+    val fwd = sumIn(xs.indices)
+    val rev = sumIn(xs.indices.reverse)
+    val shuf = sumIn(rnd.shuffle(xs.indices.toVector))
+    // paired partials, like Spark's partial/final aggregation
+    val parts = xs.indices.grouped(97).map(sumIn).toSeq
+    val merged = parts.sum
+    assert(fwd == rev && fwd == shuf && fwd == merged,
+      s"order-dependent: $fwd $rev $shuf $merged")
+    // the UNfloored originals genuinely disagree across orders (the
+    // hazard is real, not hypothetical)
+    val raw = Array.fill(20000)(rnd.nextDouble() * 100 - 50)
+    val rawFwd = raw.foldLeft(0.0)(_ + _)
+    val rawRev = raw.reverse.foldLeft(0.0)(_ + _)
+    assert(rawFwd != rawRev || rawFwd == 0.0,
+      "fixture failed to exhibit order dependence (astronomically rare)")
+  }
+
   test("every hand-written quant fragment is internally consistent") {
     // The silent-drift hazard ADVICE flagged on Portable.sql being
     // unused: a hand-inlined `floor((x) * A + 0.5) / B` with A != B,
