@@ -798,6 +798,12 @@ object SparkEntry {
       Curation.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "n_tokens", "n_types", "sum_c2", "ttr")),
 
+    // ---- GPT-style sequence packing: concat-then-chunk index over
+    // sharded token streams (all-integer output) ----
+    "q_sequence_pack" -> ((s, dir) =>
+      Curation.sequencePack(t(s, dir, "documents"), "doc_id", "text",
+        targetTokens = 512, nShards = 8)),
+
     // ---- Line-level exact dedup (CCNet/C4): global first-occurrence
     // wins; "lines" = 8-token windows (fixture text has no newlines) ----
     "q_line_dedup" -> ((s, dir) =>
@@ -2158,6 +2164,19 @@ object SparkEntry {
          |  sum(c * c) AS sum_c2,
          |  floor((count(*) * 1.0 / sum(c)) * 10000.0 + 0.5) / 10000.0 AS ttr
          |FROM cnt GROUP BY doc_id""".stripMargin,
+
+    "q_sequence_pack" ->
+      s"""WITH $TokCte,
+         |b AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+         |  CAST(len(t) AS BIGINT) AS n_tok FROM toks),
+         |c AS (SELECT doc_id, shard, n_tok,
+         |  coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    CAST(0 AS BIGINT)) AS start_tok
+         |  FROM b)
+         |SELECT doc_id, shard, n_tok, start_tok,
+         |  start_tok // 512 AS seq_id, start_tok % 512 AS tok_offset
+         |FROM c""".stripMargin,
 
     "q_line_dedup" ->
       s"""WITH $TokCte,

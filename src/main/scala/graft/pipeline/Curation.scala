@@ -126,6 +126,42 @@ object Curation {
         count(lit(1)).as("n_lines_kept"))
   }
 
+  /**
+   * GPT-style sequence-packing index: concatenate each shard's
+   * documents in id order and cut the token stream into fixed
+   * `targetTokens` windows — the standard "concat then chunk" packing
+   * a causal-LM dataloader applies (documents straddle sequence
+   * boundaries). Emits each document's position in the packed stream:
+   * `(shard, n_tok, start_tok, seq_id, tok_offset)` with
+   * `seq_id = start_tok div target`, `tok_offset = start_tok mod
+   * target` — everything an indexed loader needs to locate any
+   * document, or any sequence's documents, without materializing the
+   * packed text.
+   *
+   * Scale shape: ONE shuffle, keyed on the deterministic shard
+   * (`id mod nShards`); the running total is a window sum inside each
+   * shard, so no global sort and no single-partition window exists
+   * anywhere. `nShards` is the parallelism knob — at 100 TB set it to
+   * O(cores) and each shard's prefix sum streams independently. All
+   * outputs are exact integers (oracle-hashable on any engine).
+   */
+  def sequencePack(df: DataFrame, idCol: String, textCol: String,
+      targetTokens: Int, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol),
+      pmod(col(idCol), lit(nShards)).cast("int").as("shard"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+    val before = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tok")).over(before), lit(0L)))
+      // `div`, not `/`: Spark's / is double division; these must stay
+      // exact integers
+      .withColumn("seq_id", expr(s"start_tok div $targetTokens"))
+      .withColumn("tok_offset", pmod(col("start_tok"), lit(targetTokens.toLong)))
+  }
+
   /** Fixed-width token windows as synthetic "lines" for corpora whose
     * text carries no newlines (chunk i = tokens [i*n+1, i*n+n]).
     * Takes a MATERIALIZED token-array column — HOF lambdas evaluate

@@ -128,6 +128,30 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == ((4L, 1L, 16L, 0.0, 0.25))) // Σc² = 4²
   }
 
+  test("sequencePack: concat-then-chunk indices are exact per shard") {
+    // one shard (nShards=1) so the packing math is hand-checkable
+    val in = Seq(
+      (0L, "a b c"),       // 3 toks, start 0  -> seq 0, off 0
+      (1L, "d e f g"),     // 4 toks, start 3  -> seq 0, off 3
+      (2L, "h i"),         // 2 toks, start 7  -> seq 1, off 2 (straddle)
+      (3L, "j"))           // 1 tok,  start 9  -> seq 1, off 4
+      .toDF("doc_id", "text")
+    val out = Curation.sequencePack(in, "doc_id", "text",
+      targetTokens = 5, nShards = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(0L) == ((3L, 0L, 0L, 0L)))
+    assert(out(1L) == ((4L, 3L, 0L, 3L)))
+    assert(out(2L) == ((2L, 7L, 1L, 2L)))
+    assert(out(3L) == ((1L, 9L, 1L, 4L)))
+    // sharded: per-shard streams are independent (doc 0,2 vs 1,3)
+    val sh = Curation.sequencePack(in, "doc_id", "text",
+      targetTokens = 5, nShards = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(sh(0L) == 0L && sh(2L) == 3L) // shard 0: doc0(3) then doc2
+    assert(sh(1L) == 0L && sh(3L) == 4L) // shard 1: doc1(4) then doc3
+  }
+
   test("TIME type round-trips components and orders like the codec") {
     val in = Seq(
       (1L, 13, 5, 9, 123456),
