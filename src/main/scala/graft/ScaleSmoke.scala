@@ -73,6 +73,11 @@ object ScaleSmoke {
     time(s"simhash neardup ${factor}x")(
       Dedup.simhashNearDupPairs(docs, "doc_id", "text", 64, 3,
         maxBucketSize = 64).count())
+    // copy-amplified corpus: every copy's every window duplicates the
+    // original's — dup-position volume is ~(factor-1)/factor of all
+    // windows, the worst case for the span merge
+    time(s"dup spans ${factor}x")(
+      Dedup.dupSpans(docs, "doc_id", "text", 8).count())
 
     // pagerank over the amplified edge list (disconnected copies —
     // structurally the same graph x N)

@@ -804,6 +804,12 @@ object SparkEntry {
       Curation.sequencePack(t(s, dir, "documents"), "doc_id", "text",
         targetTokens = 512, nShards = 8)),
 
+    // ---- ExactSubstr duplicate spans (Lee et al. 2022): k-token
+    // windows seen earlier in the corpus, merged into maximal
+    // per-doc spans (all-integer output) ----
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)),
+
     // ---- Line-level exact dedup (CCNet/C4): global first-occurrence
     // wins; "lines" = 8-token windows (fixture text has no newlines) ----
     "q_line_dedup" -> ((s, dir) =>
@@ -2164,6 +2170,28 @@ object SparkEntry {
          |  sum(c * c) AS sum_c2,
          |  floor((count(*) * 1.0 / sum(c)) * 10000.0 + 0.5) / 10000.0 AS ttr
          |FROM cnt GROUP BY doc_id""".stripMargin,
+
+    "q_dup_spans" ->
+      s"""WITH $TokCte,
+         |sh AS (SELECT doc_id AS id, CAST(u.i AS INTEGER) AS pos,
+         |  array_to_string(t[u.i:u.i+7], ' ') AS shingle
+         |  FROM toks CROSS JOIN LATERAL
+         |    unnest(range(1, greatest(len(t) - 7, 0) + 1)) u(i)),
+         |d AS (SELECT id, pos, row_number() OVER
+         |    (PARTITION BY shingle ORDER BY id, pos) AS rk FROM sh),
+         |dup AS (SELECT id, pos FROM d WHERE rk > 1),
+         |m AS (SELECT id, pos,
+         |  CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos)
+         |         IS NULL
+         |    OR pos > lag(pos) OVER (PARTITION BY id ORDER BY pos) + 7
+         |    THEN 1 ELSE 0 END AS is_new FROM dup),
+         |sp AS (SELECT id, pos, sum(is_new) OVER (PARTITION BY id
+         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    CURRENT ROW) AS span_id FROM m)
+         |SELECT id, span_id, min(pos) AS span_start,
+         |  max(pos) + 7 AS span_end,
+         |  max(pos) + 7 - min(pos) + 1 AS n_dup_tokens
+         |FROM sp GROUP BY id, span_id""".stripMargin,
 
     "q_sequence_pack" ->
       s"""WITH $TokCte,

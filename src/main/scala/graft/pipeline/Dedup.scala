@@ -70,6 +70,61 @@ object Dedup {
   }
 
   /**
+   * Exact-substring duplicate SPANS — the ExactSubstr dedup of
+   * "Deduplicating Training Data Makes Language Models Better" (Lee
+   * et al. 2022), re-expressed relationally: any k-token window whose
+   * content appears earlier in the corpus (global first occurrence =
+   * minimum (doc, pos)) marks its positions as duplicated; per
+   * document, overlapping marked windows merge into maximal spans
+   * `(span_start, span_end)` (1-based token positions, inclusive) a
+   * cleaner can cut out. The suffix-array machinery of the paper is a
+   * single-machine construction; the relational form is three linear
+   * passes that shuffle on shingle content and doc id respectively.
+   *
+   * Scale shape: positioned k-gram frame is token-count-sized (narrow
+   * rows, one explode); first-occurrence election is a map-side-
+   * combinable `min` aggregate (no window over hot shingle groups —
+   * same law as [[exact]]); the join back keys on the shingle; the
+   * interval merge is a per-doc window over only the DUPLICATED
+   * positions (output-sized, not corpus-sized). All-integer output.
+   */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = col("_toks")
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array())
+    // positioned (NOT distinct) shingles: pos is the 1-based token
+    // index of the window start
+    val sh = df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), posexplode(grams).as(Seq("pos0", "shingle")))
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("shingle"))
+      .transform(graft.CacheScope.persist(_))
+    val firsts = sh.groupBy(col("shingle"))
+      .agg(min(struct(col("id"), col("pos"))).as("keeper"))
+    val dups = sh.join(firsts, Seq("shingle"))
+      .filter(struct(col("id"), col("pos")) =!= col("keeper"))
+      .select(col("id"), col("pos"))
+    // merge overlapping/touching windows: ends are monotone in pos, so
+    // the running max end is just the previous row's pos + k - 1
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    dups
+      .withColumn("_new",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + (k - 1), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("id"), col("span_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_dup_tokens"))
+  }
+
+  /**
    * N-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard >=
    * threshold). `maxDocFreq` drops shingles shared by more than that
    * many documents before the pair join — the standard guard against

@@ -29,6 +29,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dupSpans: first occurrence survives, later windows merge") {
+    val corpus = Seq(
+      (0L, "w1 w2 w3 w4 w5"),       // all windows first occurrences
+      (1L, "z w1 w2 w3 w4 w5"),     // windows @2,@3 duplicate doc0's
+      (2L, "w1 w2 w3 w4"),          // single window, dup of doc0 @1
+      (3L, "totally novel text here with nothing repeated at all"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(corpus, "doc_id", "text", k = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    // doc1: dup windows at pos 2 and 3 overlap -> one span [2, 6]
+    assert(spans(1L) == ((2, 6, 5)))
+    // doc2: the whole doc is an earlier-seen window -> span [1, 4]
+    assert(spans(2L) == ((1, 4, 4)))
+    assert(!spans.contains(0L) && !spans.contains(3L))
+    CacheScope.drain(spark)
+  }
+
   test("minhash signatures: identical shingle sets -> identical rows") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 2, 8)
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
