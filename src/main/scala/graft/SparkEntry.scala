@@ -810,6 +810,16 @@ object SparkEntry {
     "q_dup_spans" -> ((s, dir) =>
       Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)),
 
+    // ---- Bloom-prefiltered incremental dedup (exact output; the
+    // bloom replaces shipping the stored fingerprint set) ----
+    "q_bloom_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.bloomDedupNew(
+        stored = docs.filter(col("doc_id") < 400),
+        incoming = docs.filter(col("doc_id") >= 300),
+        "doc_id", "text")
+    }),
+
     // ---- Line-level exact dedup (CCNet/C4): global first-occurrence
     // wins; "lines" = 8-token windows (fixture text has no newlines) ----
     "q_line_dedup" -> ((s, dir) =>
@@ -2170,6 +2180,17 @@ object SparkEntry {
          |  sum(c * c) AS sum_c2,
          |  floor((count(*) * 1.0 / sum(c)) * 10000.0 + 0.5) / 10000.0 AS ttr
          |FROM cnt GROUP BY doc_id""".stripMargin,
+
+    // Bloom prunes only the verify join's input, so the oracle is the
+    // plain exact semantics: incoming rows whose fingerprint is absent
+    // from the stored slice.
+    "q_bloom_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT i.doc_id, i.fp FROM f i
+        |WHERE i.doc_id >= 300 AND NOT EXISTS (
+        |  SELECT 1 FROM f s WHERE s.doc_id < 400 AND s.fp = i.fp)""".stripMargin,
 
     "q_dup_spans" ->
       s"""WITH $TokCte,

@@ -70,6 +70,52 @@ object Dedup {
   }
 
   /**
+   * Bloom-prefiltered incremental exact dedup — the re-crawl shape at
+   * corpus scale. Joining an incoming batch against a 100 TB stored
+   * corpus's fingerprint set shuffles the whole batch; instead, build
+   * ONE compact Bloom filter over the stored fingerprints (Spark's
+   * native `bloom_filter_agg`, the same structure RocksDB uses to
+   * prefilter every point lookup in the reference's storage engine,
+   * rocksdb block-based-table bloom) and broadcast it. Incoming rows
+   * the bloom rejects are DEFINITELY new (no false negatives) and
+   * bypass the join; only the "maybe" rows — true dups plus the
+   * configured false-positive sliver — verify against the stored set
+   * with an exact anti-join. The OUTPUT is exact (the bloom only
+   * prunes the verify join's input); the shuffled volume drops to
+   * ~(dup rate + fpp) of the batch.
+   *
+   * Returns the genuinely-new incoming rows as (idCol, fp).
+   */
+  def bloomDedupNew(stored: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, expectedItems: Long = 1000000L,
+      numBits: Long = 8388608L): DataFrame = {
+    val sFp = stored
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .transform(graft.CacheScope.persist(_)) // feeds bloom + verify join
+    // One numBits/8-byte scalar fetched to the driver and embedded as
+    // a constant: might_contain requires a constant/scalar-subquery
+    // bloom, and this IS the production shape — the corpus bloom is a
+    // precomputed artifact shipped with the fingerprint index, not a
+    // per-query join side. (The fetch is a single aggregated row, not
+    // a data collect.)
+    val bfBytes = sFp.agg(graft.functions.BloomOps.bloomAgg(
+        xxhash64(col("fp")), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val inc = incoming.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val flagged = inc
+      .withColumn("_maybe", graft.functions.BloomOps.mightContain(
+        lit(bfBytes), xxhash64(col("fp"))))
+    val definitelyNew = flagged.filter(!col("_maybe"))
+      .select(col(idCol), col("fp"))
+    val verified = flagged.filter(col("_maybe"))
+      .select(col(idCol), col("fp"))
+      .join(sFp.distinct(), Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+    definitelyNew.unionByName(verified)
+  }
+
+  /**
    * Exact-substring duplicate SPANS — the ExactSubstr dedup of
    * "Deduplicating Training Data Makes Language Models Better" (Lee
    * et al. 2022), re-expressed relationally: any k-token window whose

@@ -29,6 +29,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("bloomDedupNew: exact new-rows output, dup fingerprints dropped") {
+    val stored = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "ALPHA   beta"),  // normalized dup of stored 1
+      (11L, "epsilon zeta"),  // new
+      (12L, "gamma delta"),   // exact dup of stored 2
+      (13L, "eta theta"))     // new
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomDedupNew(stored, incoming, "doc_id", "text",
+        expectedItems = 100L, numBits = 8000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L))
+    CacheScope.drain(spark)
+  }
+
   test("dupSpans: first occurrence survives, later windows merge") {
     val corpus = Seq(
       (0L, "w1 w2 w3 w4 w5"),       // all windows first occurrences
