@@ -85,8 +85,22 @@ object Bench {
     // (names stay unambiguous; bench_local.json keeps the full
     // names + nanosecond precision and is committed per round as
     // BENCH_LOCAL_r<N>.json for analysis beyond the tail limit).
-    def render(dec: Int, dropPrefix: Boolean): String = {
-      def nm(k: String) = if (dropPrefix) k.stripPrefix("q_") else k
+    // Name abbreviations for the tightest ladder steps (95+ queries no
+    // longer fit at any precision with full names). BENCH_LOCAL_r<N>
+    // .json always carries full names + nanosecond precision; the
+    // driver-tail line is for the round-over-round total + hot spots.
+    val Abbrev = Seq("get_neighbors_" -> "gn_", "multimodal_" -> "mm_",
+      "events_" -> "ev_", "lookup_" -> "lk_", "sample_" -> "smp_",
+      "delete_" -> "del_", "dedup_" -> "dd_", "scan_" -> "sc_")
+    def render(dec: Int, dropPrefix: Boolean,
+        abbrev: Boolean = false): String = {
+      def nm(k: String) = {
+        val base = if (dropPrefix) k.stripPrefix("q_") else k
+        if (!abbrev) base
+        else Abbrev.foldLeft(base) { case (s, (full, short)) =>
+          if (s.startsWith(full)) short + s.substring(full.length) else s
+        }
+      }
       val qs = results.map {
         case (k, _, Some(err)) => "\"" + nm(k) + "\":\"err:" + err + "\""
         case (k, v, None) => "\"" + nm(k) + "\":" + fmt(v, dec)
@@ -103,10 +117,12 @@ object Bench {
     spark.stop()
     // last line out — finest precision that still survives a 2000-char
     // output tail (sbt batch prints nothing after it: showSuccess is
-    // off in build.sbt; verified against a full 84-query run)
-    val line = Seq((3, false), (2, false), (2, true), (1, true))
-      .map { case (d, p) => render(d, p) }
-      .find(_.length <= 1950).getOrElse(render(0, dropPrefix = true))
+    // off in build.sbt)
+    val line = Seq((3, false, false), (2, false, false), (2, true, false),
+      (1, true, false), (2, true, true), (1, true, true))
+      .map { case (d, p, a) => render(d, p, a) }
+      .find(_.length <= 1950)
+      .getOrElse(render(0, dropPrefix = true, abbrev = true))
     println(line)
   }
 }
