@@ -461,6 +461,28 @@ object SparkEntry {
       BucketedStore.load(s, "graft_q_idx_supplier")
     }),
 
+    // ---- Interchange formats: JSONL / CSV round trips read with an
+    // explicit schema (no inference pass) must be lossless ----
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      import graft.sources.TextFormats
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_jsonl").toString + "/docs"
+      TextFormats.writeJsonl(docs, tmp)
+      TextFormats.readJsonl(s, tmp, docs.schema)
+    }),
+
+    "q_csv_roundtrip" -> ((s, dir) => {
+      import graft.sources.TextFormats
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv").toString + "/docs"
+      TextFormats.writeCsv(docs, tmp)
+      TextFormats.readCsv(s, tmp, docs.schema)
+    }),
+
     "q_lsh_ann" -> ((s, dir) => // hyperplane-bucketed top-k
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = (0L to 4L), k = 5, numPlanes = 6, dim = 64)),
@@ -1779,6 +1801,12 @@ object SparkEntry {
 
     "q_index_rebuild" ->
       "SELECT s_nationkey, s_suppkey FROM supplier",
+
+    "q_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "q_csv_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Interchange text formats for the corpus pipeline. Training-data
+ * corpora move as JSONL (one JSON object per line — every public
+ * dataset release, crawl dump, and labeling tool speaks it) and CSV;
+ * parquet is the processing-side format. These helpers pin the
+ * round-trip discipline:
+ *
+ *  - ALWAYS read with an explicit schema. Schema inference is a full
+ *    extra pass over 100 TB before the real job, and its type guesses
+ *    (ints vs longs, empty string vs null) are corpus-dependent —
+ *    silently different schemas per partition of a growing dataset.
+ *  - CSV writes with explicit quote/escape settings so embedded
+ *    delimiters round-trip; JSONL is structurally lossless for
+ *    string/numeric columns.
+ *
+ * Both paths are plain Spark text sources: fully parallel line-split
+ * reads (gzip-free large files split by range), codegen'd parsing.
+ */
+object TextFormats {
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      // write empty strings QUOTED: the reader's nullValue matches the
+      // bare empty field, so an unquoted empty would come back null —
+      // the classic CSV round-trip corruption
+      .option("emptyValue", "\"\"")
+      // the WRITER trims by default (univocity ignore*WhiteSpace=true
+      // on write) — "  padded  " must not come back "padded"
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      // a parsed empty string equals the default nullValue ("") and
+      // silently becomes null; point nullValue at a sentinel that
+      // cannot occur so "" survives as ""
+      .option("nullValue", "\u0000")
+      .option("emptyValue", "")
+      .csv(path)
+}
