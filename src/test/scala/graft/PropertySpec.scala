@@ -115,6 +115,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dupSpans: spans are disjoint, ordered, in-bounds, >= k long") {
+    forAll(Gen.listOfN(12, textGen), n = 3) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val nTok = df.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val k = 3
+      val spans = Dedup.dupSpans(df, "doc_id", "text", k).collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+        .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).sorted)
+      spans.foreach { case (id, ss) =>
+        ss.foreach { case (a, b) =>
+          assert(a >= 1 && b <= nTok(id), s"doc $id span [$a,$b] oob")
+          assert(b - a + 1 >= k, s"doc $id span [$a,$b] shorter than k")
+        }
+        ss.toList.sliding(2).foreach {
+          case List((_, b1), (a2, _)) =>
+            assert(a2 > b1, s"doc $id spans overlap: ${ss.toList}")
+          case _ =>
+        }
+      }
+      CacheScope.drain(spark)
+    }
+  }
+
+  test("sequencePack: offsets in range, per-shard stream is gapless") {
+    forAll(Gen.listOfN(15, textGen), n = 3) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val target = 7
+      val out = graft.pipeline.Curation
+        .sequencePack(df, "doc_id", "text", target, nShards = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      out.foreach { case (_, _, nTok, start, seqId, off) =>
+        assert(off >= 0 && off < target)
+        assert(seqId == start / target && off == start % target)
+        assert(nTok >= 0)
+      }
+      // gapless: within a shard, each doc starts where the previous
+      // ended — the packed stream has no holes and no overlaps
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_._1)
+        sorted.foldLeft(0L) { case (expectStart, (_, _, nTok, start, _, _)) =>
+          assert(start == expectStart, s"hole in packed stream at $start")
+          expectStart + nTok
+        }
+      }
+    }
+  }
+
+  test("bloomDedupNew output equals the plain exact anti-join") {
+    forAll(Gen.listOfN(24, textGen), n = 3) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val stored = df.filter(col("doc_id") < 16)
+      val incoming = df.filter(col("doc_id") >= 8)
+      val got = Dedup.bloomDedupNew(stored, incoming, "doc_id", "text",
+          expectedItems = 100L, numBits = 4096L)
+        .select("doc_id").as[Long].collect().toSet
+      val fp = TextAnalysis.fingerprint(col("text"))
+      val want = incoming.select(col("doc_id"), fp.as("f"))
+        .join(stored.select(fp.as("f")).distinct(), Seq("f"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want)
+      CacheScope.drain(spark)
+    }
+  }
+
   test("weighted sample: exactly min(k, group size) rows per group") {
     forAll(Gen.choose(1, 8), Gen.choose(1, 30)) { (k, n) =>
       val df = (1L to n.toLong).map(i => (s"g${i % 3}", i, i.toDouble))
