@@ -197,6 +197,40 @@ class ChangeLogListenerSpec extends SparkSpec {
     assert(re == before)
   }
 
+  test("multimodal codec stage runs unchanged under structured streaming") {
+    // the iterator-to-iterator mapPartitions decode is exactly the
+    // batch shape streaming micro-batches execute — prove it: stream
+    // ids through synthesize -> decode -> running decoded-dims agg
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.Multimodal
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Long]
+    val decoded = Multimodal.decode(
+      Multimodal.synthesize(ms.toDF.toDF("doc_id"), "doc_id"))
+    val q = decoded.toDF()
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n"), sum(col("width")).as("w_sum"))
+      .writeStream.format("memory").queryName("mm_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData(0L to 5L)
+      q.processAllAvailable()
+      ms.addData(6L to 11L)
+      q.processAllAvailable()
+      val got = spark.table("mm_stream").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // 12 ids -> 4 of each format; image width sums match the spec
+      val wantPng = (0L to 11L).filter(Multimodal.specFormat(_) == "png")
+      val wantBmp = (0L to 11L).filter(Multimodal.specFormat(_) == "bmp")
+      assert(got("png") ==
+        ((4L, wantPng.map(Multimodal.specWidth(_).toLong).sum)))
+      assert(got("bmp") ==
+        ((4L, wantBmp.map(Multimodal.specWidth(_).toLong).sum)))
+      assert(got("wav") == ((4L, 0L)))
+    } finally q.stop()
+  }
+
   test("compact crash states all recover without data loss") {
     import graft.sources.BucketedStore
     import org.apache.hadoop.fs.Path
