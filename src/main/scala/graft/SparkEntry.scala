@@ -826,6 +826,12 @@ object SparkEntry {
       Curation.sequencePack(t(s, dir, "documents"), "doc_id", "text",
         targetTokens = 512, nShards = 8)),
 
+    // ---- Source-mixture weighting: epoch counts per source, exact
+    // deterministic fractional upsampling (no rand()) ----
+    "q_mixture_sample" -> ((s, dir) =>
+      Curation.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+        MixtureWeights)),
+
     // ---- ExactSubstr duplicate spans (Lee et al. 2022): k-token
     // windows seen earlier in the corpus, merged into maximal
     // per-doc spans (all-integer output) ----
@@ -920,6 +926,18 @@ object SparkEntry {
         key = "user_id", window = "6 hours")
     })
   )
+
+  /** Mixture weights for q_mixture_sample: by source index mod 4 —
+    * drop (0.0), half-epoch (0.5), keep (1.0), upsample (2.5). The
+    * oracle SQL is generated from this same map so the CASE constants
+    * can never drift. */
+  private val MixtureWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (i % 4 match {
+      case 0 => 0.0
+      case 1 => 0.5
+      case 2 => 1.0
+      case _ => 2.5
+    })).toMap
 
   /** Shared DuckDB CTE snippets for the text oracles. */
   private val TokCte =
@@ -2241,6 +2259,27 @@ object SparkEntry {
          |  max(pos) + 7 AS span_end,
          |  max(pos) + 7 - min(pos) + 1 AS n_dup_tokens
          |FROM sp GROUP BY id, span_id""".stripMargin,
+
+    "q_mixture_sample" -> {
+      val whole = MixtureWeights.map { case (s, w) =>
+        s -> math.floor(w).toLong }
+      val thresh = MixtureWeights.map { case (s, w) =>
+        s -> math.floor((w - math.floor(w)) * 4294967296.0).toLong }
+      def cases(m: Map[String, Long], d: Long): String =
+        "CASE " + m.toSeq.sortBy(_._1)
+          .map { case (s, v) => s"WHEN source = '$s' THEN $v" }
+          .mkString(" ") + s" ELSE $d END"
+      // same integer arithmetic as Sample.hashRank / mixtureSample
+      s"""WITH n AS (SELECT doc_id, source,
+         |  ${cases(whole, 1L)}
+         |  + CASE WHEN (doc_id * 2654435761) % 4294967296
+         |           < ${cases(thresh, 0L)}
+         |         THEN 1 ELSE 0 END AS n
+         |  FROM documents)
+         |SELECT doc_id, source,
+         |  CAST(unnest(range(1, n + 1)) AS BIGINT) AS copy_idx
+         |FROM n WHERE n >= 1""".stripMargin
+    },
 
     "q_sequence_pack" ->
       s"""WITH $TokCte,

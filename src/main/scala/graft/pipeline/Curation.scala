@@ -162,6 +162,39 @@ object Curation {
       .withColumn("tok_offset", pmod(col("start_tok"), lit(targetTokens.toLong)))
   }
 
+  /**
+   * Data-mixture weighting — the source-epoch stage of training-data
+   * composition (upsample high-quality sources, downsample or drop
+   * noisy ones). Each source's weight w is an epoch count: every doc
+   * emits `floor(w)` copies, plus one more iff its deterministic
+   * 32-bit multiplicative hash falls below `frac(w)·2^32` — the exact
+   * per-source expected share with NO rand(): reproducible across
+   * runs, partitionings, and engines (the SQL oracle replays the same
+   * integer arithmetic). Sources absent from `weights` pass through
+   * at 1.0. Output rows carry `copy_idx` (1..n) so downstream packing
+   * can interleave epochs deterministically.
+   *
+   * Scale shape: a narrow map + explode — NO shuffle anywhere; the
+   * weight table compiles into the projection as a CASE chain.
+   */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    val whole = weights.map { case (s, w) => s -> math.floor(w).toLong }
+    val thresh = weights.map { case (s, w) =>
+      s -> math.floor((w - math.floor(w)) * 4294967296.0).toLong }
+    def caseChain(m: Map[String, Long], default: Long): Column =
+      m.toSeq.sortBy(_._1).foldLeft(lit(default)) { case (acc, (s, v)) =>
+        when(col(sourceCol) === s, lit(v)).otherwise(acc)
+      }
+    df.withColumn("_n",
+        caseChain(whole, 1L) +
+          when(graft.operators.Sample.hashRank(col(idCol)) <
+            caseChain(thresh, 0L), 1L).otherwise(0L))
+      .filter(col("_n") >= 1)
+      .select(col(idCol), col(sourceCol),
+        explode(sequence(lit(1L), col("_n"))).as("copy_idx"))
+  }
+
   /** Fixed-width token windows as synthetic "lines" for corpora whose
     * text carries no newlines (chunk i = tokens [i*n+1, i*n+n]).
     * Takes a MATERIALIZED token-array column — HOF lambdas evaluate

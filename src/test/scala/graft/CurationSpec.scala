@@ -152,6 +152,31 @@ class CurationSpec extends SparkSpec {
     assert(sh(1L) == 0L && sh(3L) == 4L) // shard 1: doc1(4) then doc3
   }
 
+  test("mixtureSample: exact epoch counts, deterministic fractions") {
+    val in = (0L to 19L).map(i =>
+      (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val w = Map("s0" -> 0.0, "s1" -> 0.5, "s2" -> 2.0, "s3" -> 2.5)
+    val out = Curation.mixtureSample(in, "doc_id", "source", w)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    def hash(id: Long) = (id * 2654435761L) % 4294967296L
+    for (id <- 0L to 19L) {
+      val src = s"s${id % 4}"
+      val expectN = math.floor(w(src)).toLong +
+        (if (hash(id) <
+          math.floor((w(src) - math.floor(w(src))) * 4294967296.0).toLong)
+          1L else 0L)
+      val got = out.getOrElse(id, Nil)
+      assert(got == (1L to expectN).toList,
+        s"doc $id ($src, w=${w(src)}): got $got want 1..$expectN")
+    }
+    // source absent from the map passes through once
+    val thru = Curation.mixtureSample(
+      Seq((99L, "unmapped")).toDF("doc_id", "source"),
+      "doc_id", "source", w).count()
+    assert(thru == 1L)
+  }
+
   test("TIME type round-trips components and orders like the codec") {
     val in = Seq(
       (1L, 13, 5, 9, 123456),
