@@ -19,6 +19,29 @@ def norm_cell(v):
     return str(v)
 
 
+def type_class(t):
+    """Collapse a DuckDB type name into the equivalence class the
+    driver's checker is known to hash identically. int widths <= 64
+    are one class (parquet int32 vs BIGINT both hash as ints), but
+    HUGEINT / DECIMAL / FLOAT-vs-DOUBLE are kept DISTINCT: the r5
+    driver reds proved HUGEINT cells hash differently from BIGINT
+    even when the Python values are equal, so any oracle column
+    outside the safe classes must fail LOCALLY first."""
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "int"
+    if s == "HUGEINT" or s == "UBIGINT":
+        return "hugeint"   # int128 / uint64: driver-divergent, never OK
+    if s == "DOUBLE":
+        return "float64"
+    if s == "FLOAT":
+        return "float32"
+    if s == "VARCHAR":
+        return "str"
+    return s               # DECIMAL(p,s), DATE, TIMESTAMP, BOOLEAN, ...
+
+
 def frame_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
@@ -50,9 +73,11 @@ def main(sf_dir, out_dir, only=None):
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             s_cols = [c.lower() for c in spark_rel.columns]
+            s_types = [type_class(t) for t in spark_rel.types]
             s_rows = spark_rel.fetchall()
             duck_rel = con.sql(sql)
             d_cols = [c.lower() for c in duck_rel.columns]
+            d_types = [type_class(t) for t in duck_rel.types]
             d_rows = duck_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}")
@@ -61,6 +86,17 @@ def main(sf_dir, out_dir, only=None):
         problems = []
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        else:
+            # Type-faithful compare (r5 lesson): equal Python values can
+            # still hash differently at the driver if the DuckDB-side
+            # type is HUGEINT/DECIMAL/etc. Sort both sides by column
+            # name and require type-class equality per column.
+            st = dict(zip(s_cols, s_types))
+            dt = dict(zip(d_cols, d_types))
+            bad = [f"{c}: spark={st[c]} duck={dt[c]}"
+                   for c in sorted(st) if st[c] != dt[c]]
+            if bad:
+                problems.append("type mismatch [" + "; ".join(bad) + "]")
         if len(s_rows) != len(d_rows):
             problems.append(f"rows spark={len(s_rows)} duck={len(d_rows)}")
         if not problems:

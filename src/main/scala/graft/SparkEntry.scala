@@ -1805,7 +1805,8 @@ object SparkEntry {
         |  FROM d CROSS JOIN LATERAL unnest(range(0, nf)) f(i)
         |  WHERE m = 2),
         |px AS (SELECT * FROM img UNION ALL SELECT * FROM wav)
-        |SELECT id, count(*) AS n_px, sum(v) AS px_sum
+        |SELECT id, count(*) AS n_px,
+        |  CAST(sum(v) AS BIGINT) AS px_sum
         |FROM px GROUP BY id""".stripMargin,
 
     // Store-admin contracts: compaction/ingest/index-rebuild must be
@@ -2195,7 +2196,8 @@ object SparkEntry {
         |  FROM documents CROSS JOIN LATERAL
         |    unnest(range(1, length(text) + 1)) u(i)
         |  WHERE length(text) > 0)
-        |SELECT doc_id AS id, count(*) AS n_bytes, sum(v) AS byte_sum,
+        |SELECT doc_id AS id, count(*) AS n_bytes,
+        |  CAST(sum(v) AS BIGINT) AS byte_sum,
         |  floor((sum(v) * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0
         |    AS mean_byte
         |FROM b GROUP BY doc_id""".stripMargin,
@@ -2214,7 +2216,8 @@ object SparkEntry {
       s"""WITH $TokCte,
          |pt AS (SELECT doc_id, unnest(t) AS tok FROM toks),
          |freq AS (SELECT tok, count(*) AS tf FROM pt GROUP BY tok)
-         |SELECT doc_id, count(*) AS n_tokens, sum(tf) AS sum_tf
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(tf) AS BIGINT) AS sum_tf
          |FROM pt JOIN freq USING (tok)
          |GROUP BY doc_id""".stripMargin,
 
@@ -2222,8 +2225,9 @@ object SparkEntry {
       s"""WITH $TokCte,
          |pt AS (SELECT doc_id, unnest(t) AS tok FROM toks),
          |cnt AS (SELECT doc_id, tok, count(*) AS c FROM pt GROUP BY 1, 2)
-         |SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
-         |  sum(c * c) AS sum_c2,
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_types,
+         |  CAST(sum(c * c) AS BIGINT) AS sum_c2,
          |  floor((count(*) * 1.0 / sum(c)) * 10000.0 + 0.5) / 10000.0 AS ttr
          |FROM cnt GROUP BY doc_id""".stripMargin,
 
@@ -2252,9 +2256,9 @@ object SparkEntry {
          |         IS NULL
          |    OR pos > lag(pos) OVER (PARTITION BY id ORDER BY pos) + 7
          |    THEN 1 ELSE 0 END AS is_new FROM dup),
-         |sp AS (SELECT id, pos, sum(is_new) OVER (PARTITION BY id
+         |sp AS (SELECT id, pos, CAST(sum(is_new) OVER (PARTITION BY id
          |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
-         |    CURRENT ROW) AS span_id FROM m)
+         |    CURRENT ROW) AS BIGINT) AS span_id FROM m)
          |SELECT id, span_id, min(pos) AS span_start,
          |  max(pos) + 7 AS span_end,
          |  max(pos) + 7 - min(pos) + 1 AS n_dup_tokens
@@ -2286,12 +2290,14 @@ object SparkEntry {
          |b AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
          |  CAST(len(t) AS BIGINT) AS n_tok FROM toks),
          |c AS (SELECT doc_id, shard, n_tok,
-         |  coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |    CAST(0 AS BIGINT)) AS start_tok
+         |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) AS start_tok
          |  FROM b)
          |SELECT doc_id, shard, n_tok, start_tok,
-         |  start_tok // 512 AS seq_id, start_tok % 512 AS tok_offset
+         |  CAST(start_tok // 512 AS BIGINT) AS seq_id,
+         |  CAST(start_tok % 512 AS BIGINT) AS tok_offset
          |FROM c""".stripMargin,
 
     "q_line_dedup" ->
