@@ -30,7 +30,8 @@ object SparkEntry {
 
   import GetNeighbors.{Request, StatSpec, Out, In, Both}
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private[graft] def rawQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- GetNeighbors family (SURVEY.md §2.1/2.5/2.6) ----
     "q_get_neighbors_out" -> ((s, dir) =>
       GetNeighbors.flat(store(s, dir), Request(
@@ -958,7 +959,8 @@ object SparkEntry {
     val bitCols = (0 until bits).map { b =>
       s"((CAST('0x' || substr(hx, ${1 + b / 4}, 1) AS BIGINT) // ${1 << (b % 4)}) % 2) AS b$b"
     }.mkString(", ")
-    val sums = (0 until bits).map(b => s"sum(b$b * 2 - 1) AS s$b")
+    val sums = (0 until bits)
+      .map(b => s"CAST(sum(b$b * 2 - 1) AS BIGINT) AS s$b")
       .mkString(", ")
     val sig = (0 until bits)
       .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
@@ -1105,7 +1107,7 @@ object SparkEntry {
        |SELECT doc_id AS id, $aggs FROM h GROUP BY doc_id""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  private[graft] def rawOracleSql: Map[String, String] = Map(
     "q_get_neighbors_out" ->
       """SELECT _vid, _type, _rank, _nbr, o_orderstatus, o_totalprice FROM (
         |  SELECT o_custkey AS _vid, 101 AS _type, o_orderkey AS _rank,
@@ -1658,7 +1660,8 @@ object SparkEntry {
         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tarr)
         |  GROUP BY 1, 2),
         |words AS (
-        |  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_distinct,
         |         max(c) AS top_c
         |  FROM wtf GROUP BY 1),
         |btf AS (
@@ -1667,7 +1670,8 @@ object SparkEntry {
         |          i -> toks[i] || ' ' || toks[i + 1])) AS bg
         |        FROM tarr)
         |  GROUP BY 1, 2),
-        |bgs AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg
+        |bgs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+        |               max(c) AS top_bg
         |        FROM btf GROUP BY 1)
         |SELECT w.doc_id, CAST(w.n_tokens AS BIGINT) AS n_tokens,
         |  floor((1 - w.n_distinct / CAST(w.n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
@@ -1898,9 +1902,9 @@ object SparkEntry {
         |  FROM g),
         |s AS (
         |  SELECT user_id, ts, value,
-        |    sum(new_session) OVER (PARTITION BY user_id
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         |  FROM n)
         |SELECT user_id,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -2407,4 +2411,115 @@ object SparkEntry {
         |      p_partkey) AS rk
         |  FROM part) WHERE rk <= 5""".stripMargin
   )
+
+  /**
+   * Gate-boundary de-float (round-6 law). The driver's checker hashes
+   * cells through engine-specific normalization, and the round-5
+   * HUGEINT episode (VERDICT.md r5 "What's wrong" #1) proved only
+   * 64-bit integers are guaranteed to normalize identically across the
+   * Spark-parquet and DuckDB fetch paths. Every DOUBLE column a gate
+   * query surfaces is therefore replaced AT THE GATE BOUNDARY by its
+   * scaled-integer surrogate `CAST(floor(x * 10^6 + 0.5) AS BIGINT)` —
+   * the identical IEEE-754 computation on both engines (the
+   * [[graft.functions.Portable.quant]] law minus the divide-back that
+   * reintroduced a float). Both sides start from bit-identical doubles
+   * (they hash-matched for five rounds), so the identical deterministic
+   * map keeps them equal; integers are then the only hash currency.
+   * The library API itself still returns real doubles — only the
+   * oracle-faced gate selects are scaled. NoFloatGateSpec enforces
+   * that no query schema carries a DOUBLE/FLOAT column.
+   */
+  private val GateScaleK = 6
+
+  /** Query -> the DOUBLE columns its raw select surfaces. */
+  private[graft] val GateScale: Map[String, Seq[String]] = Map(
+    "q_add_edges" -> Seq("o_totalprice"),
+    "q_add_vertices_ifnotexists" -> Seq("c_acctbal"),
+    "q_ann_topk" -> Seq("sim"),
+    "q_asof_join" -> Seq("buy_value"),
+    "q_changelog_apply" -> Seq("s_acctbal"),
+    "q_corpus_curation" -> Seq("quality_score"),
+    "q_dedup_incremental" -> Seq("agree"),
+    "q_delete_edges" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "q_delete_vertices" -> Seq("c_acctbal"),
+    "q_embedding_neardup" -> Seq("sim"),
+    "q_events_running_totals" -> Seq("total_value"),
+    "q_events_session_window" -> Seq("sum_value"),
+    "q_events_window" -> Seq("sum_value"),
+    "q_expr_filter" -> Seq("disc_price"),
+    "q_get_neighbors_both" -> Seq("l_quantity"),
+    "q_get_neighbors_in" -> Seq("l_quantity", "l_extendedprice"),
+    "q_get_neighbors_out" -> Seq("o_totalprice"),
+    "q_get_neighbors_stats" ->
+      Seq("sum_price", "min_price", "max_price", "avg_price"),
+    "q_get_neighbors_tagprops" -> Seq("o_totalprice", "c_acctbal"),
+    "q_get_props" -> Seq("c_acctbal"),
+    "q_get_props_edges" -> Seq("l_quantity", "l_extendedprice"),
+    "q_interval_join" -> Seq("r_value"),
+    "q_ivf_recall" -> Seq("recall"),
+    "q_ivf_topk" -> Seq("sim"),
+    "q_lookup_prefix_range" -> Seq("l_quantity"),
+    "q_lookup_via_index" -> Seq("p_retailprice"),
+    "q_lsh_ann" -> Seq("sim"),
+    "q_multimodal_features" -> Seq("mean_byte"),
+    "q_multimodal_resize" -> Seq("scale"),
+    "q_ngram_jaccard" -> Seq("jaccard"),
+    "q_pagerank" -> Seq("rank"),
+    "q_quantiles" -> Seq("p25", "p50", "p75", "p90"),
+    "q_range_join" -> Seq("buy_value"),
+    "q_repetition_stats" ->
+      Seq("dup_word_frac", "top_word_frac", "top_bigram_frac"),
+    "q_rollup_stats" -> Seq("sum_value", "avg_value"),
+    "q_sample_neighbors" -> Seq("o_totalprice"),
+    "q_scan_edge_page" -> Seq("o_totalprice"),
+    "q_scan_multi_tag" -> Seq("c_acctbal", "o_totalprice"),
+    "q_schema_evolution" -> Seq("c_acctbal"),
+    "q_shortest_paths" -> Seq("dist"),
+    "q_skew_salted_agg" -> Seq("sum_qty", "max_price"),
+    "q_text_quality" ->
+      Seq("mean_tok_len", "punct_ratio", "stopword_ratio", "quality_score"),
+    "q_token_entropy" -> Seq("ttr"),
+    "q_ttl_purge" -> Seq("value"),
+    "q_ttl_visibility" -> Seq("value"),
+    "q_update_edge" -> Seq("l_quantity", "l_extendedprice"),
+    "q_update_vertex" -> Seq("c_acctbal"),
+    "q_upsert_vertex" -> Seq("c_acctbal"),
+    "q_vector_quantize" -> Seq("scale", "max_err"),
+    "q_weighted_sample" -> Seq("p_retailprice")
+  )
+
+  /** Spark half of the law: floor(x*10^6 + 0.5) is LongType already
+    * (Spark's floor(double) returns LONG); column order preserved. */
+  private def descale(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val s = math.pow(10.0, GateScaleK)
+    val todo = cols.toSet
+    df.select(df.columns.toIndexedSeq.map { c =>
+      if (todo(c)) floor(col(c) * lit(s) + lit(0.5)).cast("long").as(c)
+      else col(c)
+    }: _*)
+  }
+
+  /** DuckDB half: star-REPLACE wrapper so the raw oracle stays intact
+    * and only the listed columns swap to the scaled-BIGINT surrogate. */
+  private def descaleSql(sql: String, cols: Seq[String]): String = {
+    val s = math.pow(10.0, GateScaleK).toLong
+    val reps = cols
+      .map(c => s"CAST(floor(($c) * $s.0 + 0.5) AS BIGINT) AS $c")
+      .mkString(", ")
+    s"SELECT * REPLACE ($reps) FROM (\n$sql\n) __g"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (n, f) =>
+      n -> ((s: SparkSession, dir: String) => {
+        val df = f(s, dir)
+        GateScale.get(n).fold(df)(descale(df, _))
+      })
+    }
+
+  def oracleSql: Map[String, String] =
+    rawOracleSql.map { case (n, sql) =>
+      n -> GateScale.get(n).fold(sql)(descaleSql(sql, _))
+    }
 }
