@@ -2258,7 +2258,7 @@ object SparkEntry {
          |m AS (SELECT id, pos,
          |  CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos)
          |         IS NULL
-         |    OR pos > lag(pos) OVER (PARTITION BY id ORDER BY pos) + 7
+         |    OR pos > lag(pos) OVER (PARTITION BY id ORDER BY pos) + 8
          |    THEN 1 ELSE 0 END AS is_new FROM dup),
          |sp AS (SELECT id, pos, CAST(sum(is_new) OVER (PARTITION BY id
          |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND

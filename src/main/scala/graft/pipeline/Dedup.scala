@@ -103,6 +103,10 @@ object Dedup {
       .head().getAs[Array[Byte]]("bf")
     val inc = incoming.select(col(idCol),
       TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    // bloom_filter_agg over ZERO rows yields null (ADVICE r5): a null
+    // bloom constant would make might_contain null and both branches
+    // below drop every row — with nothing stored, everything is new
+    if (bfBytes == null) return inc
     val flagged = inc
       .withColumn("_maybe", graft.functions.BloomOps.mightContain(
         lit(bfBytes), xxhash64(col("fp"))))
@@ -153,13 +157,15 @@ object Dedup {
     val dups = sh.join(firsts, Seq("shingle"))
       .filter(struct(col("id"), col("pos")) =!= col("keeper"))
       .select(col("id"), col("pos"))
-    // merge overlapping/touching windows: ends are monotone in pos, so
-    // the running max end is just the previous row's pos + k - 1
+    // merge overlapping/touching windows into maximal spans: the
+    // previous window covers tokens [prev, prev+k-1], so the next
+    // window starts a NEW span only past prev+k (pos == prev+k means
+    // the covered ranges touch exactly and still merge — ADVICE r5)
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     dups
       .withColumn("_new",
         when(lag(col("pos"), 1).over(w).isNull ||
-          col("pos") > lag(col("pos"), 1).over(w) + (k - 1), 1L)
+          col("pos") > lag(col("pos"), 1).over(w) + k, 1L)
           .otherwise(0L))
       .withColumn("span_id", sum(col("_new")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

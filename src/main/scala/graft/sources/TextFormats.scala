@@ -42,6 +42,11 @@ object TextFormats {
       // on write) — "  padded  " must not come back "padded"
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
+      // nulls write as the same \u0000 sentinel the reader's nullValue
+      // maps back to null — otherwise null emits as a bare empty field
+      // and reads back as "" (ADVICE r5: null and "" must BOTH survive;
+      // precondition: \u0000 never occurs in real data)
+      .option("nullValue", "\u0000")
       .csv(path)
 
   def readCsv(spark: SparkSession, path: String,

@@ -45,6 +45,36 @@ class DedupSpec extends SparkSpec {
     CacheScope.drain(spark)
   }
 
+  test("bloomDedupNew: empty stored side means everything is new") {
+    // bloom_filter_agg over zero rows returns a null bloom — without
+    // the guard both filter branches drop every row (ADVICE r5)
+    val stored = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val incoming = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomDedupNew(stored, incoming, "doc_id", "text",
+        expectedItems = 100L, numBits = 8000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+    CacheScope.drain(spark)
+  }
+
+  test("dupSpans: exactly-touching duplicate windows merge into one span") {
+    // doc1's only dup windows are pos 2 ("a b c d", covers [2,5]) and
+    // pos 6 ("e f g h", covers [6,9]) — the intermediate windows
+    // ("b c d e", "c d e f", "d e f g") occur nowhere in doc0. The two
+    // covered ranges touch exactly (6 == 2 + k) and must merge into
+    // the single maximal span [2, 9] (ADVICE r5)
+    val corpus = Seq(
+      (0L, "a b c d z z e f g h"),
+      (1L, "y a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(corpus, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4))).toList
+    assert(spans == List(1L -> ((2, 9, 8))), s"got $spans")
+    CacheScope.drain(spark)
+  }
+
   test("dupSpans: first occurrence survives, later windows merge") {
     val corpus = Seq(
       (0L, "w1 w2 w3 w4 w5"),       // all windows first occurrences
@@ -191,6 +221,24 @@ class SimilaritySpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+
+  test("fixture text is pure ASCII at every scale (oracle byte=char law)") {
+    // q_multimodal_features' oracle reads bytes as ascii(substr(text,i))
+    // per CHARACTER while the Spark side sums UTF-8 encode() BYTES —
+    // byte-exact only while the fixture is pure ASCII (VERDICT.md r5
+    // minor #5). Assert it at every generated scale so a testdata
+    // regeneration cannot silently split the two.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(s"$dir/documents.parquet").exists()) {
+        val nonAscii = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+        assert(nonAscii == 0, s"$sf has $nonAscii non-ASCII documents — " +
+          "q_multimodal_features' ascii(substr()) oracle is no longer " +
+          "byte-exact; switch the oracle to a UTF-8 byte expansion")
+      }
+    }
+  }
 
   test("synthesize -> decode round-trips spec dims through real codecs") {
     val docs = (0L to 11L).toDF("doc_id") // 4 of each: png/bmp/wav

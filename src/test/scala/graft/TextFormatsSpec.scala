@@ -11,7 +11,8 @@ class TextFormatsSpec extends SparkSpec {
       (2L, "comma, semi; tab\there", 20L),
       (3L, "unicode: café – 日本語", 30L),
       (4L, "", 0L),
-      (5L, "  leading and trailing  ", 5L))
+      (5L, "  leading and trailing  ", 5L),
+      (6L, null, 60L)) // null and "" must round-trip DISTINCT
       .toDF("id", "text", "n")
     def roundTrip(fmt: String): Map[Long, (String, Long)] = {
       val tmp = java.nio.file.Files
