@@ -38,7 +38,8 @@ object Bench {
       // compute-heavy pipeline stages (shingle md5, cosine) serialize on
       // a single core. At production scale file count provides the
       // parallelism; locally the split size is the equivalent knob.
-      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", "1m"))
       .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -948,7 +948,7 @@ object SparkEntry {
   private val ShingleCte = // word 4-grams, distinct per doc
     """sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |  range(1, greatest(len(t) - 3, 0) + 1),
-      |  i -> array_to_string(t[i:i+3], ' ')))) AS shingle FROM toks)""".stripMargin
+      |  i -> array_to_string(list_slice(t, i, i + 3), ' ')))) AS shingle FROM toks)""".stripMargin
   private val Stoplist =
     "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it']"
 
@@ -1455,7 +1455,7 @@ object SparkEntry {
          |  FROM flt),
          |shf AS (SELECT doc_id, unnest(list_distinct(list_transform(
          |  range(1, greatest(len(t) - 3, 0) + 1),
-         |  i -> array_to_string(t[i:i+3], ' ')))) AS shingle FROM tf),
+         |  i -> array_to_string(list_slice(t, i, i + 3), ' ')))) AS shingle FROM tf),
          |hf AS (SELECT doc_id,
          |  CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM shf),
          |sigs AS (SELECT doc_id AS id, $mhAggs FROM hf GROUP BY doc_id),
@@ -2249,7 +2249,7 @@ object SparkEntry {
     "q_dup_spans" ->
       s"""WITH $TokCte,
          |sh AS (SELECT doc_id AS id, CAST(u.i AS INTEGER) AS pos,
-         |  array_to_string(t[u.i:u.i+7], ' ') AS shingle
+         |  array_to_string(list_slice(t, u.i, u.i + 7), ' ') AS shingle
          |  FROM toks CROSS JOIN LATERAL
          |    unnest(range(1, greatest(len(t) - 7, 0) + 1)) u(i)),
          |d AS (SELECT id, pos, row_number() OVER
@@ -2308,7 +2308,7 @@ object SparkEntry {
       s"""WITH $TokCte,
          |lines AS (
          |  SELECT doc_id, u.i AS pos,
-         |    array_to_string(t[u.i * 8 + 1 : u.i * 8 + 8], ' ') AS line
+         |    array_to_string(list_slice(t, u.i * 8 + 1, u.i * 8 + 8), ' ') AS line
          |  FROM toks CROSS JOIN LATERAL
          |    unnest(range(0, greatest((len(t) - 1) // 8 + 1, 0))) u(i)
          |  WHERE len(t) > 0),
