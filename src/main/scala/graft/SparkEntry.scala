@@ -916,6 +916,30 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "n_tokens", "sum_tf")),
 
+    // ---- SemDeDup (Abbas et al. 2023): coarse-codebook clustering +
+    // intra-cluster cosine prune, first occurrence survives. Pairs
+    // are generated per cell only (IVF blocking) — all-integer output ----
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nCells = 16, threshold = 0.35)),
+
+    // ---- Sliding-window chunking with overlap (RAG / context-window
+    // prep): 64-token windows every 48 tokens, clipped tail, 1-based
+    // provenance. Pure narrow map, no shuffle ----
+    "q_chunk_windows" -> ((s, dir) =>
+      Curation.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+        size = 64, stride = 48)),
+
+    // ---- Stream-static dimension enrichment: events left-joined to
+    // the broadcast customer dim; identical plan runs under
+    // readStream (stateless stream-static join, StreamingSpec) ----
+    "q_events_enrich" -> ((s, dir) =>
+      EventStream.enrich(graft.sources.Tables.events(s, dir),
+        t(s, dir, "customer"), eventKey = "user_id",
+        dimKey = "c_custkey", dimCols = Seq("c_name", "c_mktsegment"))
+        .select("event_id", "user_id", "event_type", "value",
+          "c_name", "c_mktsegment")),
+
     // ---- Interval join, batch execution of the STREAMING operator:
     // the same code path runs under Structured Streaming (watermarked,
     // append mode — StreamingSpec) and here against the oracle ----
@@ -2401,6 +2425,45 @@ object SparkEntry {
          |SELECT v AS _vid, label AS community FROM l2""".stripMargin
     },
 
+    "q_semdedup" ->
+      """WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
+        |  FROM embeddings WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |          c.cvec) DESC, c.cell) AS crk
+        |    FROM embeddings e CROSS JOIN c) WHERE crk = 1),
+        |drp AS (SELECT DISTINCT b.vec_id AS did
+        |  FROM asg a JOIN asg b ON a.cell = b.cell
+        |    AND a.vec_id < b.vec_id
+        |  WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[],
+        |      b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0
+        |    >= 0.35)
+        |SELECT vec_id, cell FROM asg
+        |WHERE vec_id NOT IN (SELECT did FROM drp)""".stripMargin,
+
+    "q_chunk_windows" ->
+      s"""WITH $TokCte,
+         |nn AS (SELECT doc_id, t, len(t) AS n FROM toks
+         |  WHERE len(t) > 0),
+         |w AS (SELECT doc_id, t, n, CAST(u.i AS BIGINT) AS w0
+         |  FROM nn CROSS JOIN LATERAL unnest(range(0,
+         |    (CASE WHEN n > 64 THEN n - 64 ELSE 0 END + 47) // 48 + 1))
+         |    u(i))
+         |SELECT doc_id, w0 + 1 AS chunk_id, w0 * 48 + 1 AS start_tok,
+         |  least(w0 * 48 + 64, n) - (w0 * 48 + 1) + 1 AS n_tok,
+         |  array_to_string(
+         |    list_slice(t, w0 * 48 + 1, least(w0 * 48 + 64, n)), ' ')
+         |    AS chunk_text
+         |FROM w""".stripMargin,
+
+    "q_events_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value,
+        |       c.c_name, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c
+        |  ON c.c_custkey = e.user_id""".stripMargin,
+
     "q_weighted_sample" ->
       """SELECT p_brand, p_partkey, p_retailprice FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,
@@ -2444,6 +2507,7 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
     "q_delete_vertices" -> Seq("c_acctbal"),
     "q_embedding_neardup" -> Seq("sim"),
+    "q_events_enrich" -> Seq("value"),
     "q_events_running_totals" -> Seq("total_value"),
     "q_events_session_window" -> Seq("sum_value"),
     "q_events_window" -> Seq("sum_value"),

@@ -207,6 +207,44 @@ object Curation {
         i => concat_ws(" ", slice(toks, i * n + 1, lit(n)))))
       .otherwise(array())
 
+  /**
+   * Sliding-window token chunking with overlap — the RAG / context-
+   * window preparation step: windows of `size` tokens every `stride`
+   * tokens (stride < size ⇒ overlapping chunks), the final window
+   * clipped to the document end, empty documents dropped. Emits
+   * ceil(max(nTok−size,0)/stride)+1 chunks per non-empty doc with
+   * 1-based provenance (chunk_id, start_tok, n_tok, chunk_text).
+   *
+   * Scale shape: a pure narrow map — tokenize once (materialized
+   * array), compute the window count arithmetically, posexplode. No
+   * shuffle anywhere; at 100 TB this is scan-bound with an output
+   * amplification of ~size/stride, exactly what a chunker must be.
+   */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val n = org.apache.spark.sql.functions.size(col("_toks"))
+    // ceil((n - size) / stride) in exact integer arithmetic: operands
+    // are nonnegative ints, so double division never rounds (< 2^53)
+    val nWin = (when(n > size, n - size).otherwise(0)
+      + (stride - 1)).cast("long") / stride
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .filter(n > 0)
+      .withColumn("_nw", floor(nWin).cast("int") + 1)
+      .select(col(idCol), col("_toks"),
+        posexplode(sequence(lit(0), col("_nw") - 1)).as(Seq("_w", "_d")))
+      .select(col(idCol),
+        (col("_w") + 1).cast("long").as("chunk_id"),
+        (col("_w") * stride + 1).cast("long").as("start_tok"),
+        (least(col("_w") * stride + size,
+          org.apache.spark.sql.functions.size(col("_toks")))
+          - (col("_w") * stride + 1) + 1).cast("long").as("n_tok"),
+        concat_ws(" ", slice(col("_toks"), col("_w") * stride + 1,
+          least(col("_w") * stride + size,
+            org.apache.spark.sql.functions.size(col("_toks")))
+            - (col("_w") * stride + 1) + 1)).as("chunk_text"))
+  }
+
   /** Email pattern shared with the SQL oracle — plain character
     * classes only, so Java regex and RE2 (DuckDB) agree exactly. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

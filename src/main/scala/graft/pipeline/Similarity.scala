@@ -277,6 +277,35 @@ object Similarity {
   }
 
   /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+   * deduplication of an embedding corpus — cluster with a coarse
+   * codebook, then within each cluster drop every vector whose cosine
+   * similarity to an earlier (lower-id) cluster member reaches the
+   * threshold; the first occurrence survives. The paper's k-means step
+   * is [[ivfAssign]]'s nearest-seed-centroid assignment (the same
+   * coarse quantizer IVF uses); the intra-cluster prune reuses
+   * [[blockedNearDupPairs]] so the pair generation stays bucketed —
+   * pairs are only formed INSIDE a cell, never across the corpus.
+   *
+   * Scale shape: one broadcast-join assignment scan + per-cell pair
+   * join + one anti-join. Cell sizes bound the quadratic term exactly
+   * as in IVF search; at 100 TB the cell id doubles as the partition
+   * key so the prune never shuffles the corpus twice.
+   *
+   * Returns surviving (idCol, cell) — all-integer output.
+   */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, threshold: Double): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, vecCol, nCells)
+      .transform(graft.CacheScope.persist(_)) // feeds pairs + anti-join
+    val dropIds = blockedNearDupPairs(assigned, idCol, vecCol,
+        blockCol = "cell", threshold = threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(dropIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
+  /**
    * Symmetric per-vector int8 scalar quantization — the standard 4×
    * memory-compression step for serving/ANN at scale (float32 corpus →
    * int8 + one float scale per vector). `q_i = ⌊x_i·127/maxabs + 0.5⌋`

@@ -17,6 +17,23 @@ import org.apache.spark.sql.functions._
  */
 object EventStream {
 
+  /**
+   * Stream-static dimension enrichment: every event left-joined to a
+   * broadcast static dimension table. This exact plan runs unchanged
+   * under Structured Streaming (stream-static equi-joins are natively
+   * supported, stateless, no watermark needed) — the streaming twin is
+   * asserted in StreamingSpec. At scale the dimension side is the
+   * broadcast-able one by construction (users/customers, not events);
+   * the event stream itself never shuffles.
+   */
+  def enrich(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String,
+      dimCols: Seq[String]): DataFrame = {
+    val d = dim.select((dimKey +: dimCols).map(col): _*)
+    events.join(broadcast(d), events(eventKey) === d(dimKey), "left")
+      .drop(dimKey)
+  }
+
   /** Tumbling-window counts/sums per event type. Window start is
     * emitted as a formatted string key so results are portable. */
   def windowedAgg(events: DataFrame): DataFrame =

@@ -82,6 +82,28 @@ class CurationSpec extends SparkSpec {
     assert(lines == Seq("a b c d", "e f g h", "i"))
   }
 
+  test("chunkWindows: overlap, clipped tail, full coverage") {
+    // 10 tokens, size 4, stride 3 -> starts 1,4,7 cover [1,4][4,7][7,10]
+    val in = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "a b"),   // shorter than one window -> single clipped chunk
+      (3L, ""))      // empty -> no chunks
+      .toDF("doc_id", "text")
+    val got = Curation.chunkWindows(in, "doc_id", "text",
+        size = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got.keySet.map(_._1) == Set(1L, 2L))
+    assert(got((1L, 1L)) == ((1L, 4L, "t1 t2 t3 t4")))
+    assert(got((1L, 2L)) == ((4L, 4L, "t4 t5 t6 t7")))
+    assert(got((1L, 3L)) == ((7L, 4L, "t7 t8 t9 t10")))
+    assert(got((2L, 1L)) == ((1L, 2L, "a b")))
+    // every token position is covered by at least one chunk
+    val covered = got.collect { case ((1L, _), (s, n, _)) =>
+      (s to s + n - 1) }.flatten.toSet
+    assert(covered == (1L to 10L).toSet)
+  }
+
   test("piiScrub redacts emails and phones, counts match") {
     val in = Seq(
       (1L, "mail me at a.b+c@x-mail.example.org today"),

@@ -199,6 +199,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("semDedup: first occurrence survives, near-dup cluster-mates drop") {
+    // centroids = vec_id < 2: cell 0 ~ x-axis, cell 1 ~ y-axis.
+    // vec 2 duplicates vec 0's direction (same cell, cosine 1) -> drops;
+    // vec 3 lands in cell 0 but nearly orthogonal to 0 -> survives;
+    // vec 4 duplicates vec 1 in cell 1 -> drops.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(2.0f, 0.0f)),
+      (3L, Array(1.0f, 0.9f)),
+      (4L, Array(0.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(vecs, "vec_id", "embedding",
+        nCells = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == Set(0L, 1L, 3L), s"got $kept")
+    assert(kept(0L) == 0L && kept(3L) == 0L && kept(1L) == 1L)
+    CacheScope.drain(spark)
+  }
+
   test("int8 quantization: codes, scale, and error bound") {
     val in = Seq(
       (0L, Array(0.0f, 1.27f, -0.635f)),

@@ -61,6 +61,20 @@ class PlanShapeSpec extends SparkSpec {
       s"token entropy needs exactly two shuffles:\n$p")
   }
 
+  test("events_enrich: dim side broadcasts, event side never shuffles") {
+    val p = plan("q_events_enrich")
+    assert(p.contains("BroadcastHashJoin"),
+      "dimension enrichment must broadcast the dim table")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the event stream must not shuffle for a broadcast join:\n$p")
+  }
+
+  test("chunk_windows: pure narrow map, no exchange at all") {
+    val p = plan("q_chunk_windows")
+    assert(!p.contains("Exchange"),
+      s"chunking must be shuffle-free:\n$p")
+  }
+
   test("lookup_prefix_range: hints become pushed conjunctive predicates") {
     val p = plan("q_lookup_prefix_range")
     assert(p.contains("EqualTo(l_returnflag,R)"))

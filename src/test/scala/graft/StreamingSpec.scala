@@ -34,6 +34,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment equals the batch broadcast join") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val dim = graft.model.GraphStore.table(spark, sfDir, "customer")
+    def cols(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "c_mktsegment")
+    val batch = cols(EventStream.enrich(events, dim,
+        "user_id", "c_custkey", Seq("c_name", "c_mktsegment")))
+      .collect().map(_.toSeq).toSet
+
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-enrich").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val streamed = spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // stateless stream-static join: append mode, no watermark needed
+    val q = cols(EventStream.enrich(streamed, dim,
+        "user_id", "c_custkey", Seq("c_name", "c_mktsegment")))
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich").collect().map(_.toSeq).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch banded join") {
     val events = graft.sources.Tables.events(spark, sfDir)
     val views = events.where(col("event_type") === "view")
