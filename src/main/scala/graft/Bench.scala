@@ -92,7 +92,30 @@ object Bench {
     // driver-tail line is for the round-over-round total + hot spots.
     val Abbrev = Seq("get_neighbors_" -> "gn_", "multimodal_" -> "mm_",
       "events_" -> "ev_", "lookup_" -> "lk_", "sample_" -> "smp_",
-      "delete_" -> "del_", "dedup_" -> "dd_", "scan_" -> "sc_")
+      "delete_" -> "del_", "dedup_" -> "dd_", "scan_" -> "sc_",
+      // longest-first where one name prefixes another
+      "simhash_neardup" -> "sh_nd", "simhash" -> "sh",
+      "winnow_fingerprints" -> "winnow", "repetition_stats" -> "rep_stats",
+      "stratified_sample" -> "strat_smp",
+      "connected_components" -> "conn_comp",
+      "label_propagation" -> "label_prop",
+      "schema_evolution" -> "schema_evo", "token_entropy" -> "tok_entropy",
+      "unigram_logprob" -> "unigram_lp", "weighted_sample" -> "wt_sample",
+      "vector_quantize" -> "vec_quant", "triangle_count" -> "tri_count",
+      "shortest_paths" -> "short_paths", "stats_part_hist" -> "stats_hist",
+      "mixture_sample" -> "mix_sample", "sequence_pack" -> "seq_pack",
+      "embedding_neardup" -> "emb_nd", "jsonl_roundtrip" -> "jsonl_rt",
+      "csv_roundtrip" -> "csv_rt",
+      "add_vertices_ifnotexists" -> "add_vtx_ine",
+      "compact_preserves" -> "compact", "corpus_curation" -> "curation",
+      "decontaminate" -> "decontam", "chunk_windows" -> "chunk_win",
+      "minhash_signatures" -> "minhash_sig",
+      "lsh_candidates" -> "lsh_cand", "ngram_jaccard" -> "ngram_jac",
+      "tfidf_topterms" -> "tfidf_top", "index_rebuild" -> "idx_rebuild",
+      "interval_join" -> "ival_join", "skew_salted_agg" -> "skew_agg",
+      "store_ingest" -> "ingest", "expr_filter" -> "expr_filt",
+      "fixed_string" -> "fixed_str", "frame_sample" -> "frame_smp",
+      "update_" -> "upd_", "upsert_" -> "ups_")
     def render(dec: Int, dropPrefix: Boolean,
         abbrev: Boolean = false): String = {
       def nm(k: String) = {

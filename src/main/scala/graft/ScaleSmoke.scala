@@ -178,6 +178,32 @@ object ScaleSmoke {
       graft.pipeline.Similarity.quantizeInt8(emb, "vec_id", "embedding")
         .count())
 
+    // round-6 operators
+    time(s"chunk windows ${factor}x")(
+      graft.pipeline.Curation.chunkWindows(docs, "doc_id", "text",
+        size = 64, stride = 48).count())
+
+    // SemDeDup law: the coarse codebook scales WITH the corpus (the
+    // paper's k ∝ corpus size), keeping cell sizes constant and the
+    // intra-cell pair volume linear. Dense re-keying so `vec_id <
+    // nCells` still selects real vectors as centroids.
+    val nEmb0 = emb0.count()
+    val embDense = emb0
+      .crossJoin(spark.range(factor).select(col("id").as("_copy")))
+      .withColumn("vec_id", col("vec_id") + col("_copy") * nEmb0)
+      .drop("_copy")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("dense embeddings materialize")(embDense.count())
+    time(s"semdedup ${factor}x (cells x$factor)")(
+      graft.pipeline.Similarity.semDedup(embDense, "vec_id", "embedding",
+        nCells = 16 * factor, threshold = 0.35).count())
+
+    time(s"stream-static enrich ${factor}x events")(
+      graft.streaming.EventStream.enrich(ev,
+        spark.read.parquet(s"$sfDir/customer.parquet"),
+        eventKey = "user_id", dimKey = "c_custkey",
+        dimCols = Seq("c_name", "c_mktsegment")).count())
+
     spark.stop()
   }
 }
