@@ -916,6 +916,19 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "n_tokens", "sum_tf")),
 
+    // ---- Bigram LM counts (KenLM-style): joint + history counts for
+    // every adjacent token pair, min-count tail cutoff applied after
+    // both aggregates. All-integer output ----
+    "q_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramCounts(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 5)),
+
+    // ---- Common-neighbor count per edge (link-prediction support /
+    // k-truss quantity) over the small-graph edge types ----
+    "q_common_neighbors" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.commonNeighbors(store(s, dir),
+        Seq("in_nation", "supp_nation", "in_region"))),
+
     // ---- SemDeDup (Abbas et al. 2023): coarse-codebook clustering +
     // intra-cluster cosine prune, first occurrence survives. Pairs
     // are generated per cell only (IVF blocking) — all-integer output ----
@@ -2424,6 +2437,38 @@ object SparkEntry {
          |$steps
          |SELECT v AS _vid, label AS community FROM l2""".stripMargin
     },
+
+    "q_bigram_lm" ->
+      s"""WITH $TokCte,
+         |pr AS (SELECT
+         |    list_extract(t, CAST(u.i AS INTEGER)) AS w1,
+         |    list_extract(t, CAST(u.i AS INTEGER) + 1) AS w2
+         |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(t))) u(i)
+         |  WHERE len(t) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY 1)
+         |SELECT w1, w2, c12, c1 FROM c12 JOIN c1 USING (w1)
+         |WHERE c12 >= 5""".stripMargin,
+
+    "q_common_neighbors" ->
+      """WITH raw AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation),
+        |e AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        |  FROM raw WHERE s <> d),
+        |adj AS (SELECT s AS v, d AS n FROM e
+        |  UNION ALL SELECT d, s FROM e),
+        |w AS (SELECT e.s, e.d, count(*) AS common
+        |  FROM e JOIN adj x ON x.v = e.s
+        |         JOIN adj y ON y.v = e.d AND y.n = x.n
+        |  GROUP BY e.s, e.d)
+        |SELECT e.s AS a, e.d AS b, coalesce(w.common, 0) AS common
+        |FROM e LEFT JOIN w ON w.s = e.s AND w.d = e.d""".stripMargin,
 
     "q_semdedup" ->
       """WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec

@@ -150,6 +150,43 @@ object GraphAnalytics {
   }
 
   /**
+   * Common-neighbor count per edge — the classic link-prediction /
+   * edge-support feature (|N(a) ∩ N(b)| for every canonical undirected
+   * edge (a,b); an edge's support is also its triangle count, the
+   * k-truss quantity). Declarative two-hop formulation: the canonical
+   * edge set joins the undirected adjacency on each endpoint and
+   * counts shared neighbors; edges with no common neighbor survive via
+   * the left join with support 0.
+   *
+   * Scale shape: candidate volume is Σ_(a,b)∈E deg(a) — the same
+   * wedge-count term every triangle enumeration pays; both joins are
+   * equi-joins Catalyst shuffles on the endpoint, partial-agg counts
+   * before the final exchange. No all-pairs term anywhere.
+   */
+  def commonNeighbors(store: GraphStore,
+      edgeTypes: Seq[String]): DataFrame = {
+    val union = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC), col(GraphStore.DST))
+    }.reduce(_ unionByName _)
+      .filter(col(GraphStore.SRC) =!= col(GraphStore.DST))
+      .select(least(col(GraphStore.SRC), col(GraphStore.DST)).as("s"),
+        greatest(col(GraphStore.SRC), col(GraphStore.DST)).as("d"))
+      .distinct()
+      .transform(graft.CacheScope.persist(_)) // edge set + both adj sides
+    val adj = union.select(col("s").as("v"), col("d").as("n"))
+      .unionByName(union.select(col("d").as("v"), col("s").as("n")))
+    val wedges = union
+      .join(adj.select(col("v").as("s"), col("n").as("na")), Seq("s"))
+      .join(adj.select(col("v").as("d"), col("n").as("nb")), Seq("d"))
+      .filter(col("na") === col("nb"))
+      .groupBy(col("s"), col("d"))
+      .agg(count(lit(1)).as("common"))
+    union.join(wedges, Seq("s", "d"), "left")
+      .select(col("s").as("a"), col("d").as("b"),
+        coalesce(col("common"), lit(0L)).as("common"))
+  }
+
+  /**
    * Min-distance k-hop BFS from seed vertices over directed edges of the
    * given types — the storage half of a `GO <n> STEPS` traversal (each
    * hop is the reference's GetNeighbors fan-out,

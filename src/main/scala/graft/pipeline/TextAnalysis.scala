@@ -274,4 +274,36 @@ object TextAnalysis {
         (sum(log2(col("tf").cast("double") / col("_total")))
           / count(lit(1))).as("mean_log2p"))
   }
+
+  /**
+   * Corpus bigram language-model counts — the KenLM-style n-gram
+   * statistics a perplexity filter trains on: for every adjacent token
+   * pair (w1, w2) the joint count c12 and the history count c1, from
+   * which P(w2|w1) = c12/c1 derives exactly. `minCount` prunes the
+   * long tail (the standard LM count cutoff) AFTER both aggregates, so
+   * c1 still reflects every occurrence of the history word.
+   *
+   * Scale shape: one bigram explode (corpus-sized narrow rows,
+   * persisted — it feeds BOTH aggregates), two map-side-combinable
+   * count shuffles, one vocabulary-sized join on w1 (AQE broadcasts
+   * the history side when it fits). Hot history words ("the") cost one
+   * combined partial per partition, never a single-reducer funnel.
+   * All-integer output — gate-portable by construction.
+   */
+  def bigramCounts(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int): DataFrame = {
+    val pairs = df
+      .select(tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("_t")) - 1),
+        i => struct(element_at(col("_t"), i).as("w1"),
+          element_at(col("_t"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .transform(graft.CacheScope.persist(_))
+    val joint = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val hist = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    joint.join(hist, "w1")
+      .filter(col("c12") >= minCount)
+      .select("w1", "w2", "c12", "c1")
+  }
 }

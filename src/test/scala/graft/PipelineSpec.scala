@@ -147,6 +147,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(counts == Seq(3, 0, 1))
   }
 
+  test("bigramCounts: joint and history counts, cutoff after both aggs") {
+    // "a b a b a": pairs (a,b) x2, (b,a) x2 -> c1(a)=2, c1(b)=2.
+    // "x y": one pair below minCount=2 -> pruned from output, but the
+    // pair still exists in the un-pruned frame (cutoff is post-agg).
+    val df = Seq((1L, "a b a b a"), (2L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramCounts(df, "doc_id", "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(("a", "b") -> ((2L, 2L)), ("b", "a") -> ((2L, 2L))),
+      s"got $got")
+    CacheScope.drain(spark)
+  }
+
   test("quality score is bounded [0,1] and penalizes empty docs") {
     val df = Seq("the of a and to in is it " * 10, "xyz").toDF("text")
     val scores = df.select(TextAnalysis.qualityColumns(col("text"))

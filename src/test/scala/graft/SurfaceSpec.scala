@@ -84,6 +84,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("commonNeighbors: per-edge support, zero-support edges survive") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant edge 3-4: each triangle edge has
+    // exactly one common neighbor, the pendant edge has none
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> Seq(1L, 2L, 3L, 4L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val got = GraphAnalytics.commonNeighbors(tiny, Seq("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L,
+      (2L, 3L) -> 1L, (3L, 4L) -> 0L), s"got $got")
+    CacheScope.drain(spark)
+  }
+
   test("kHop returns min distance, expands each vertex once") {
     import spark.implicits._
     // 1 -> 2 -> 3 -> 4, plus shortcut 1 -> 3 and a back-edge 3 -> 1:
