@@ -115,7 +115,9 @@ object Bench {
       "interval_join" -> "ival_join", "skew_salted_agg" -> "skew_agg",
       "store_ingest" -> "ingest", "expr_filter" -> "expr_filt",
       "fixed_string" -> "fixed_str", "frame_sample" -> "frame_smp",
-      "common_neighbors" -> "comm_nbrs",
+      "common_neighbors" -> "comm_nbrs", "random_walks" -> "rnd_walks",
+      "bigram_score" -> "bg_score", "oov_rate" -> "oov",
+      "quality_classifier" -> "qual_clf",
       "update_" -> "upd_", "upsert_" -> "ups_")
     def render(dec: Int, dropPrefix: Boolean,
         abbrev: Boolean = false): String = {

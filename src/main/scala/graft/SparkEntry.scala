@@ -929,6 +929,35 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.commonNeighbors(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"))),
 
+    // ---- Deterministic uniform random walks (DeepWalk corpus
+    // generation): md5-indexed neighbor choice, oracle replays the
+    // exact walks with a recursive CTE. All-integer output ----
+    "q_random_walks" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.randomWalks(store(s, dir),
+        Seq("in_nation", "supp_nation", "in_region"),
+        seeds = (0L to 9L), nWalks = 4, steps = 6, maxDeg = 64)),
+
+    // ---- Bigram-LM document scoring (KenLM/CCNet perplexity-filter
+    // analog): LM trained on the corpus itself (cutoff 5), every doc
+    // scored against it. Oracle faces the exact-integer evidence;
+    // the log2 score derives from sum_c12/sum_c1 (libm law) ----
+    "q_bigram_score" -> ((s, dir) =>
+      TextAnalysis.bigramDocScore(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 5)),
+
+    // ---- OOV rate vs a top-K frequency vocab (tokenizer coverage
+    // check); integer-division permille, all-integer output ----
+    "q_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 20)),
+
+    // ---- All-integer linear quality classifier (fastText-style
+    // filter head; integer features/weights so the decision boundary
+    // is bit-portable — no float dot product to drift) ----
+    "q_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.qualityClassifier(t(s, dir, "documents"), "doc_id",
+        "text", threshold = 300L)),
+
     // ---- SemDeDup (Abbas et al. 2023): coarse-codebook clustering +
     // intra-cluster cosine prune, first occurrence survives. Pairs
     // are generated per cell only (IVF blocking) — all-integer output ----
@@ -2469,6 +2498,100 @@ object SparkEntry {
         |  GROUP BY e.s, e.d)
         |SELECT e.s AS a, e.d AS b, coalesce(w.common, 0) AS common
         |FROM e LEFT JOIN w ON w.s = e.s AND w.d = e.d""".stripMargin,
+
+    // Replays the exact walks: the per-step choice is a pure function
+    // of (walk_id, step, vertex) via md5, so the recursive CTE and the
+    // unrolled Spark plan agree bit-for-bit. Adjacency = capped sorted
+    // distinct undirected neighbors, same law as the Spark side.
+    "q_random_walks" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation),
+        |e AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        |  FROM raw WHERE s <> d),
+        |adj AS (SELECT v, list_slice(list_sort(list(n)), 1, 64) AS nbrs
+        |  FROM (SELECT s AS v, d AS n FROM e
+        |        UNION ALL SELECT d, s FROM e)
+        |  GROUP BY v),
+        |walk(walk_id, step, cur) AS (
+        |  SELECT CAST(sd.seed * 4 + u.w AS BIGINT), 0,
+        |    CAST(sd.seed AS BIGINT)
+        |  FROM (SELECT unnest(range(0, 10)) AS seed) sd
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS w) u
+        |  UNION ALL
+        |  SELECT w.walk_id, w.step + 1,
+        |    list_extract(a.nbrs, CAST(1 +
+        |      CAST('0x' || substr(md5(w.walk_id || '#' || (w.step + 1)
+        |        || '#' || w.cur), 1, 8) AS BIGINT) % len(a.nbrs)
+        |      AS INTEGER))
+        |  FROM walk w JOIN adj a ON a.v = w.cur
+        |  WHERE w.step < 6)
+        |SELECT walk_id, step, cur AS vid FROM walk""".stripMargin,
+
+    "q_bigram_score" ->
+      s"""WITH $TokCte,
+         |pr AS (SELECT doc_id,
+         |    list_extract(t, CAST(u.i AS INTEGER)) AS w1,
+         |    list_extract(t, CAST(u.i AS INTEGER) + 1) AS w2
+         |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(t))) u(i)
+         |  WHERE len(t) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY 1),
+         |lm AS (SELECT w1, w2, c12, c1 FROM c12 JOIN c1 USING (w1)
+         |  WHERE c12 >= 5)
+         |SELECT pr.doc_id, count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN lm.c12 IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_known,
+         |  CAST(coalesce(sum(lm.c12), 0) AS BIGINT) AS sum_c12,
+         |  CAST(coalesce(sum(lm.c1), 0) AS BIGINT) AS sum_c1
+         |FROM pr LEFT JOIN lm USING (w1, w2)
+         |GROUP BY pr.doc_id""".stripMargin,
+
+    "q_oov_rate" ->
+      s"""WITH $TokCte,
+         |pt AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |vocab AS (SELECT tok, tf FROM (
+         |    SELECT tok, count(*) AS tf,
+         |      row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+         |    FROM pt GROUP BY tok)
+         |  WHERE rk <= 20)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.tf IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(sum(CASE WHEN v.tf IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000 // greatest(count(*), 1) AS oov_permille
+         |FROM pt LEFT JOIN vocab v USING (tok)
+         |GROUP BY doc_id""".stripMargin,
+
+    // Integer features + integer weights: the score and boundary are
+    // exact on both engines (// == Spark div for these nonnegative
+    // operands); no float path anywhere.
+    "q_quality_classifier" ->
+      s"""WITH $TokCte,
+         |f AS (SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tok,
+         |  CAST(length(text) AS BIGINT) AS n_char,
+         |  CAST(length(text)
+         |    - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+         |    AS BIGINT) AS n_punct,
+         |  CAST(len(list_filter(t, x -> list_contains($Stoplist, x)))
+         |    AS BIGINT) AS n_stop
+         |  FROM toks),
+         |g AS (SELECT doc_id, n_tok,
+         |  n_stop * 1000 // greatest(n_tok, 1) AS stop_permille,
+         |  n_punct * 1000 // greatest(n_char, 1) AS punct_permille,
+         |  least(n_tok, 200) AS len_score
+         |  FROM f)
+         |SELECT doc_id, n_tok, stop_permille, punct_permille,
+         |  3 * len_score + 2 * stop_permille - 4 * punct_permille AS score,
+         |  CASE WHEN 3 * len_score + 2 * stop_permille
+         |    - 4 * punct_permille >= 300 THEN 1 ELSE 0 END AS label
+         |FROM g""".stripMargin,
 
     "q_semdedup" ->
       """WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec

@@ -187,6 +187,64 @@ object GraphAnalytics {
   }
 
   /**
+   * Deterministic uniform random walks (DeepWalk; node2vec at p=q=1) —
+   * the corpus generator for graph-embedding training: `nWalks` walks
+   * of `steps` steps from every seed over the undirected graph of the
+   * given edge types. The "random" choice at step s of walk w standing
+   * at vertex v is index md5(w#s#v) mod degree into the vertex's sorted
+   * neighbor list — fully replayable (the oracle recomputes the exact
+   * walks with a recursive CTE) and shardable (no RNG state; any
+   * executor can score any (walk, step) pair). A walk that reaches a
+   * vertex with no neighbors halts; its shorter prefix is kept.
+   *
+   * Scale shape: adjacency is built once (one agg shuffle), capped at
+   * `maxDeg` sorted neighbors per vertex so celebrity vertices cannot
+   * blow up the per-row array (the standard degree-cap trick in
+   * production walk engines); each step is one equi-join of the
+   * walk frontier (|seeds|·nWalks rows) against it, unrolled into a
+   * single Catalyst plan so the adjacency exchange is planned once and
+   * reused across steps. Output rows are (walk_id, step, vid) —
+   * all-integer, corpus-order-free.
+   */
+  def randomWalks(store: GraphStore, edgeTypes: Seq[String],
+      seeds: Seq[Long], nWalks: Int, steps: Int, maxDeg: Int): DataFrame = {
+    val spark = (store.vertices.valuesIterator ++ store.edges.valuesIterator)
+      .next().sparkSession
+    import spark.implicits._
+    val canon = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC), col(GraphStore.DST))
+    }.reduce(_ unionByName _)
+      .filter(col(GraphStore.SRC) =!= col(GraphStore.DST))
+      .select(least(col(GraphStore.SRC), col(GraphStore.DST)).as("s"),
+        greatest(col(GraphStore.SRC), col(GraphStore.DST)).as("d"))
+      .distinct()
+    val adj = canon.select(col("s").as("v"), col("d").as("n"))
+      .unionByName(canon.select(col("d").as("v"), col("s").as("n")))
+      .groupBy("v")
+      .agg(slice(sort_array(collect_list(col("n"))), 1, maxDeg).as("nbrs"))
+      .transform(graft.CacheScope.persist(_)) // re-joined every step
+    val start = seeds.flatMap(v => (0 until nWalks).map(w =>
+        (v * nWalks + w, v))).toDF("walk_id", "cur")
+    var frontier = start
+    var out = List(start.select(col("walk_id"), lit(0).as("step"),
+      col("cur").as("vid")))
+    for (s <- 1 to steps) {
+      // choice = md5(walk_id#step#cur) first 8 hex chars mod degree;
+      // element_at is 1-based on both engines' sorted lists
+      val h = conv(substring(md5(concat_ws("#", col("walk_id"), lit(s),
+        col("cur"))), 1, 8), 16, 10).cast("long")
+      frontier = frontier.join(adj, frontier("cur") === adj("v"))
+        .select(col("walk_id"),
+          element_at(col("nbrs"),
+            (h % size(col("nbrs"))).cast("int") + 1).as("cur"))
+        .transform(graft.CacheScope.persist(_)) // feeds next step + union
+      out = frontier.select(col("walk_id"), lit(s).as("step"),
+        col("cur").as("vid")) :: out
+    }
+    out.reduce(_ unionByName _)
+  }
+
+  /**
    * Min-distance k-hop BFS from seed vertices over directed edges of the
    * given types — the storage half of a `GO <n> STEPS` traversal (each
    * hop is the reference's GetNeighbors fan-out,

@@ -306,4 +306,113 @@ object TextAnalysis {
       .filter(col("c12") >= minCount)
       .select("w1", "w2", "c12", "c1")
   }
+
+  /**
+   * Per-document bigram-LM score — the train-then-score half of a
+   * KenLM-style perplexity filter (CCNet's filtering stage): the LM is
+   * the corpus's own bigram table (joint count c12, history count c1,
+   * tail cut at `minCount`, same law as [[bigramCounts]]); every
+   * document is then scored against it. Output is the exact-integer
+   * evidence the gate can hash — pair coverage (`n_pairs`/`n_known`)
+   * and the summed joint/history counts from which the conditional
+   * log-prob Σ log2(c12/c1) derives; the float score itself stays out
+   * of the hashed surface (libm-portability law, see
+   * [[unigramLogProb]]). Documents with fewer than two tokens emit no
+   * pairs and are absent, as in the oracle.
+   *
+   * Scale shape: ONE doc-keyed pair explode is persisted and feeds all
+   * three consumers (joint agg, history agg, scoring join) — the corpus
+   * is tokenized once. The two count shuffles are map-side combinable;
+   * the scoring join's LM side is cutoff-pruned (vocabulary-sized, AQE
+   * broadcasts while it fits). Hot bigrams cost partial-agg rows, never
+   * a single-reducer funnel.
+   */
+  def bigramDocScore(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int): DataFrame = {
+    val pairs = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("_t")) - 1),
+          i => struct(element_at(col("_t"), i).as("w1"),
+            element_at(col("_t"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .transform(graft.CacheScope.persist(_))
+    val joint = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val hist = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val lm = joint.join(hist, "w1")
+      .filter(col("c12") >= minCount)
+      .select("w1", "w2", "c12", "c1")
+    pairs.join(lm, Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("c12").isNotNull, 1L).otherwise(0L)).as("n_known"),
+        coalesce(sum(col("c12")), lit(0L)).as("sum_c12"),
+        coalesce(sum(col("c1")), lit(0L)).as("sum_c1"))
+  }
+
+  /**
+   * Out-of-vocabulary rate per document against a top-`vocabSize`
+   * frequency vocabulary — the tokenizer-coverage check run before
+   * committing a vocab to a training run: vocab = the `vocabSize` most
+   * frequent corpus tokens (ties to the lexicographically smaller
+   * token, so the vocab is deterministic); per doc, how many token
+   * instances fall outside it. A top-K vocab (not a frequency cutoff)
+   * is the scale-invariant framing — absolute counts grow with the
+   * corpus, vocab size is what a tokenizer actually fixes. All-integer
+   * output (`oov_permille` is an exact integer division, portable for
+   * these nonnegative operands).
+   *
+   * Scale shape: one persisted token explode feeds the vocab aggregate
+   * and the coverage join; the top-K runs on the vocabulary-sized
+   * aggregate (orderBy+limit over |vocab| rows, not the corpus) and
+   * the pruned vocab side broadcasts; per-doc agg is map-side
+   * combinable.
+   */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .transform(graft.CacheScope.persist(_))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(vocabSize).select("tok", "tf")
+    tok.join(vocab, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tf").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_permille",
+        expr("n_oov * 1000L div greatest(n_tokens, 1L)"))
+  }
+
+  /**
+   * All-integer linear quality classifier — a fastText-style filter
+   * head over the same heuristics as [[qualityColumns]], arithmetic
+   * restricted to integers so the decision boundary is bit-portable
+   * across engines (no float dot product to drift): features are the
+   * capped token count plus stopword/punctuation rates in permille
+   * (integer division — exact for these nonnegative operands), the
+   * score their fixed integer-weighted sum, the label a threshold on
+   * it. Pure narrow scan, zero shuffle, whole-stage codegen.
+   */
+  def qualityClassifier(df: DataFrame, idCol: String, textCol: String,
+      threshold: Long): DataFrame = {
+    val text = col(textCol)
+    df.select(col(idCol).as("doc_id"),
+        tokenCount(text).cast("long").as("n_tok"),
+        length(text).cast("long").as("n_char"),
+        punctCount(text).cast("long").as("n_punct"),
+        stopwordCount(text, DefaultStopwords).cast("long").as("n_stop"))
+      .withColumn("len_score", least(col("n_tok"), lit(200L)))
+      .withColumn("stop_permille",
+        expr("n_stop * 1000L div greatest(n_tok, 1L)"))
+      .withColumn("punct_permille",
+        expr("n_punct * 1000L div greatest(n_char, 1L)"))
+      .withColumn("score",
+        lit(3L) * col("len_score") + lit(2L) * col("stop_permille")
+          - lit(4L) * col("punct_permille"))
+      .withColumn("label", when(col("score") >= threshold, 1L).otherwise(0L))
+      .select("doc_id", "n_tok", "stop_permille", "punct_permille",
+        "score", "label")
+  }
 }

@@ -175,6 +175,45 @@ class TextAnalysisSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(langs == Seq("de", "en", "en")) // en = tie-break default
   }
+
+  test("bigramDocScore: per-doc LM coverage against the corpus bigrams") {
+    // corpus pairs: (a,b)x3 [2 from doc1, 1 from doc2], (b,a)x2, (b,x)x1
+    // -> c1(a)=3, c1(b)=3; minCount=2 prunes (b,x) from the LM.
+    // doc1 "a b a b a": 4 pairs, all known: sum_c12=3+2+3+2=10, sum_c1=12
+    // doc2 "a b x": 2 pairs, (b,x) unknown: sum_c12=3, sum_c1=3
+    val df = Seq((1L, "a b a b a"), (2L, "a b x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramDocScore(df, "doc_id", "text", minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(1L -> ((4L, 4L, 10L, 12L)),
+      2L -> ((2L, 1L, 3L, 3L))), s"got $got")
+    CacheScope.drain(spark)
+  }
+
+  test("oovRate: top-K vocab, frequency then lexicographic tie-break") {
+    // tfs: a=3, b=2, c=2, z=1; vocabSize=2 -> {a, b} (b beats c on tok)
+    val df = Seq((1L, "a a b c"), (2L, "a b c z")).toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((4L, 1L, 250L)), 2L -> ((4L, 2L, 500L))),
+      s"got $got")
+    CacheScope.drain(spark)
+  }
+
+  test("qualityClassifier: exact integer scores on both sides of the " +
+      "boundary") {
+    // "the of and to": n_tok=4 n_char=13 n_punct=0 n_stop=4 ->
+    //   score = 3*4 + 2*1000 - 4*0 = 2012 -> label 1
+    // ".,!?;:": one 6-char all-punct token ->
+    //   score = 3*1 + 0 - 4*1000 = -3997 -> label 0
+    val df = Seq((1L, "the of and to"), (2L, ".,!?;:")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityClassifier(df, "doc_id", "text",
+        threshold = 300L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("score"), r.getAs[Long]("label")))).toMap
+    assert(got == Map(1L -> ((2012L, 1L)), 2L -> ((-3997L, 0L))), s"got $got")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

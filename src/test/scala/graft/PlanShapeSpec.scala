@@ -80,4 +80,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("EqualTo(l_returnflag,R)"))
     assert(p.contains("GreaterThanOrEqual(l_shipdate"))
   }
+
+  test("quality_classifier: pure narrow scan, zero exchanges") {
+    val p = plan("q_quality_classifier")
+    assert(!p.contains("Exchange"),
+      s"the classifier is a per-row scorer — it must not shuffle:\n$p")
+  }
+
+  test("bigram_score: one tokenize (persisted pair frame feeds LM + score)") {
+    val p = plan("q_bigram_score")
+    // the pair explode must come from the InMemoryRelation, not three
+    // re-reads of documents.parquet
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 1,
+      s"corpus must be tokenized once via the persisted pair frame:\n$p")
+  }
 }

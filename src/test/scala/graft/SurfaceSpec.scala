@@ -101,6 +101,37 @@ class AnalyticsSpec extends SparkSpec {
     CacheScope.drain(spark)
   }
 
+  test("randomWalks: deterministic, edge-respecting, isolated seeds halt") {
+    import spark.implicits._
+    // triangle 1-2-3; vertex 9 is isolated (no adjacency row)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> Seq(1L, 2L, 3L, 9L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    def run() = GraphAnalytics
+      .randomWalks(tiny, Seq("e"), Seq(1L, 9L), nWalks = 2, steps = 4,
+        maxDeg = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val w1 = run(); CacheScope.drain(spark)
+    val w2 = run(); CacheScope.drain(spark)
+    assert(w1 == w2) // hash-seeded: bit-identical across runs
+    // isolated seed 9 (walk_ids 18, 19): exactly the step-0 row each
+    assert(w1.filter(_._1 >= 18L) ==
+      Set((18L, 0, 9L), (19L, 0, 9L)))
+    // triangle walks never halt: 2 walks x steps 0..4
+    assert(w1.count(_._1 < 18L) == 10)
+    // every consecutive (vid, next) pair is a triangle edge
+    val und = Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+    val byWalk = w1.filter(_._1 < 18L).groupBy(_._1)
+    byWalk.values.foreach { rows =>
+      rows.toSeq.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Seq(a, b) => assert(und((a, b)), s"non-edge hop $a->$b")
+        case _         =>
+      }
+    }
+  }
+
   test("kHop returns min distance, expands each vertex once") {
     import spark.implicits._
     // 1 -> 2 -> 3 -> 4, plus shortcut 1 -> 3 and a back-edge 3 -> 1:
