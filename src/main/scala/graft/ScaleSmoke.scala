@@ -204,6 +204,22 @@ object ScaleSmoke {
         eventKey = "user_id", dimKey = "c_custkey",
         dimCols = Seq("c_name", "c_mktsegment")).count())
 
+    // bigram LM train+score: corpus and LM vocabulary both grow with
+    // the copies ("copytagN" tokens make each copy's tail bigrams
+    // distinct) — the scoring join must stay corpus-linear
+    time(s"bigram doc score ${factor}x")(
+      graft.pipeline.TextAnalysis.bigramDocScore(docs, "doc_id", "text",
+        minCount = 5).count())
+    time(s"oov rate ${factor}x")(
+      graft.pipeline.TextAnalysis.oovRate(docs, "doc_id", "text",
+        vocabSize = 20).count())
+
+    // random walks: seed set replicated into every copy (like kHop) —
+    // walk count AND adjacency size both scale by `factor`
+    time(s"random walks ${factor}x seeds")(
+      graft.analytics.GraphAnalytics.randomWalks(store, Seq("amp"),
+        seeds, nWalks = 4, steps = 6, maxDeg = 64).count())
+
     spark.stop()
   }
 }

@@ -929,6 +929,13 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.commonNeighbors(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"))),
 
+    // ---- k-core peeling (3 fixed rounds, k=3) over the part⋈supplier
+    // bipartite graph — degeneracy summary; oracle replays the exact
+    // peel rounds via a generated CTE chain ----
+    "q_kcore" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.kCore(store(s, dir),
+        Seq("supplied_by"), k = 3, rounds = 3)),
+
     // ---- Deterministic uniform random walks (DeepWalk corpus
     // generation): md5-indexed neighbor choice, oracle replays the
     // exact walks with a recursive CTE. All-integer output ----
@@ -1017,6 +1024,31 @@ object SparkEntry {
       |  i -> array_to_string(list_slice(t, i, i + 3), ' ')))) AS shingle FROM toks)""".stripMargin
   private val Stoplist =
     "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it']"
+
+  /** DuckDB CTE chain replaying `GraphAnalytics.kCore` over the
+    * part⋈supplier bipartite graph: per round, a degree CTE over the
+    * surviving edge set and a semi-filtered edge CTE — the exact
+    * fixed-round peel, then the final deg >= k output filter. */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT v, count(*) AS deg FROM (
+         |    SELECT s AS v FROM e${i - 1}
+         |    UNION ALL SELECT d FROM e${i - 1}) GROUP BY v),
+         |e$i AS (SELECT s, d FROM e${i - 1}
+         |  WHERE s IN (SELECT v FROM d$i WHERE deg >= $k)
+         |    AND d IN (SELECT v FROM d$i WHERE deg >= $k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT
+       |    least(l_partkey, l_suppkey) AS s,
+       |    greatest(l_partkey, l_suppkey) AS d
+       |  FROM lineitem WHERE l_partkey <> l_suppkey),
+       |$peels
+       |SELECT v AS _vid, deg FROM (
+       |  SELECT v, count(*) AS deg FROM (
+       |    SELECT s AS v FROM e$rounds
+       |    UNION ALL SELECT d FROM e$rounds) GROUP BY v)
+       |WHERE deg >= $k""".stripMargin
+  }
 
   /** DuckDB CTE chain computing the `bits`-wide simhash per document —
     * the SQL twin of Dedup.simhash (md5-nibble bit extraction, majority
@@ -2498,6 +2530,11 @@ object SparkEntry {
         |  GROUP BY e.s, e.d)
         |SELECT e.s AS a, e.d AS b, coalesce(w.common, 0) AS common
         |FROM e LEFT JOIN w ON w.s = e.s AND w.d = e.d""".stripMargin,
+
+    // Replays the exact peel rounds: per round one degree CTE over the
+    // surviving edges and one semi-filtered edge CTE; the final output
+    // applies the same deg >= k filter as the Spark side.
+    "q_kcore" -> kCoreSql(k = 3, rounds = 3),
 
     // Replays the exact walks: the per-step choice is a pure function
     // of (walk_id, step, vertex) via md5, so the recursive CTE and the

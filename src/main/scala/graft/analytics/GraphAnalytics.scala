@@ -187,6 +187,51 @@ object GraphAnalytics {
   }
 
   /**
+   * k-core peeling, `rounds` fixed iterations — the degeneracy-based
+   * graph summary (nebula-algorithm ships KCore over the same stored
+   * graph): each round drops every vertex whose degree in the
+   * surviving undirected graph is < k, together with its edges. A
+   * fixed unrolled round count (not loop-until-fixpoint) keeps the
+   * semantics deterministic and oracle-replayable — the spec asserts
+   * convergence on a known fixture, and callers pick `rounds` ≥ the
+   * graph's peel depth. Returns surviving vertices with their final
+   * degrees (all ≥ k once converged).
+   *
+   * Scale shape per round: one explode+count degree aggregate
+   * (map-side combinable) and two semi-joins of the edge frame against
+   * the vertex-sized survivor set (AQE broadcasts while it fits).
+   * Each round's edge frame persists (it feeds the next round's degree
+   * agg AND both semi-joins); superseded frames would be freed by the
+   * round-scoped CacheScope drain at query end.
+   */
+  def kCore(store: GraphStore, edgeTypes: Seq[String], k: Int,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    var edges = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC), col(GraphStore.DST))
+    }.reduce(_ unionByName _)
+      .filter(col(GraphStore.SRC) =!= col(GraphStore.DST))
+      .select(least(col(GraphStore.SRC), col(GraphStore.DST)).as("s"),
+        greatest(col(GraphStore.SRC), col(GraphStore.DST)).as("d"))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    def degrees(e: DataFrame): DataFrame = e
+      .select(explode(array(col("s"), col("d"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(edges).filter(col("deg") >= k)
+        .select(col("v")).transform(graft.CacheScope.persist(_))
+      edges = edges
+        .join(keep.select(col("v").as("s")), Seq("s"), "left_semi")
+        .join(keep.select(col("v").as("d")), Seq("d"), "left_semi")
+        .select("s", "d")
+        .transform(graft.CacheScope.persist(_))
+    }
+    degrees(edges).filter(col("deg") >= k)
+      .select(col("v").as("_vid"), col("deg"))
+  }
+
+  /**
    * Deterministic uniform random walks (DeepWalk; node2vec at p=q=1) —
    * the corpus generator for graph-embedding training: `nWalks` walks
    * of `steps` steps from every seed over the undirected graph of the

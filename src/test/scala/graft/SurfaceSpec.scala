@@ -101,6 +101,25 @@ class AnalyticsSpec extends SparkSpec {
     CacheScope.drain(spark)
   }
 
+  test("kCore: pendant peels away, triangle survives, fixpoint stable") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 3-4: k=2 peels vertex 4 in round 1,
+    // then the triangle is stable (all degrees exactly 2)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> Seq(1L, 2L, 3L, 4L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    def core(rounds: Int) = GraphAnalytics.kCore(tiny, Seq("e"), k = 2,
+        rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = core(2); CacheScope.drain(spark)
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $got")
+    // converged: more rounds change nothing
+    val more = core(5); CacheScope.drain(spark)
+    assert(more == got)
+  }
+
   test("randomWalks: deterministic, edge-respecting, isolated seeds halt") {
     import spark.implicits._
     // triangle 1-2-3; vertex 9 is isolated (no adjacency row)
