@@ -116,6 +116,7 @@ object Bench {
       "store_ingest" -> "ingest", "expr_filter" -> "expr_filt",
       "fixed_string" -> "fixed_str", "frame_sample" -> "frame_smp",
       "common_neighbors" -> "comm_nbrs", "random_walks" -> "rnd_walks",
+      "semantic_decontam" -> "sem_decon",
       "bigram_score" -> "bg_score", "oov_rate" -> "oov",
       "quality_classifier" -> "qual_clf",
       "update_" -> "upd_", "upsert_" -> "ups_")

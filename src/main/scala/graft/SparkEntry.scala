@@ -965,6 +965,18 @@ object SparkEntry {
       TextAnalysis.qualityClassifier(t(s, dir, "documents"), "doc_id",
         "text", threshold = 300L)),
 
+    // ---- Semantic decontamination: corpus vectors too close (cosine)
+    // to a held-out benchmark slice, cell-blocked so the corpus never
+    // joins the bench all-pairs. Integer pair output ----
+    "q_semantic_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        corpus = emb.filter(col("vec_id") % 97 =!= 0),
+        bench = emb.filter(col("vec_id") % 97 === 0),
+        centroids = emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", threshold = 0.28)
+    }),
+
     // ---- SemDeDup (Abbas et al. 2023): coarse-codebook clustering +
     // intra-cluster cosine prune, first occurrence survives. Pairs
     // are generated per cell only (IVF blocking) — all-integer output ----
@@ -2629,6 +2641,29 @@ object SparkEntry {
          |  CASE WHEN 3 * len_score + 2 * stop_permille
          |    - 4 * punct_permille >= 300 THEN 1 ELSE 0 END AS label
          |FROM g""".stripMargin,
+
+    "q_semantic_decontam" ->
+      """WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
+        |  FROM embeddings WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |          c.cvec) DESC, c.cell) AS crk
+        |    FROM embeddings e CROSS JOIN c
+        |    WHERE e.vec_id % 97 <> 0) WHERE crk = 1),
+        |bsg AS (SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |          c.cvec) DESC, c.cell) AS crk
+        |    FROM embeddings e CROSS JOIN c
+        |    WHERE e.vec_id % 97 = 0) WHERE crk = 1)
+        |SELECT a.vec_id, b.vec_id AS bench_id
+        |FROM asg a JOIN bsg b ON a.cell = b.cell
+        |WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0
+        |  >= 0.28""".stripMargin,
 
     "q_semdedup" ->
       """WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec

@@ -306,6 +306,47 @@ object Similarity {
   }
 
   /**
+   * Semantic decontamination — the embedding-space twin of the n-gram
+   * `Curation.decontaminate` stage: flag every corpus vector whose
+   * cosine similarity to ANY benchmark/eval vector reaches `threshold`
+   * (paraphrased eval leakage that n-gram overlap misses). Both sides
+   * are assigned to the same coarse codebook (`centroids`, nearest by
+   * cosine, ties to the lowest cell — the [[ivfAssign]] law), and
+   * pairs are formed only INSIDE a cell, so the corpus never joins the
+   * bench set all-pairs. Returns (idCol, bench_id) contaminated pairs —
+   * all-integer, order-free; similarity is quantized (Portable law)
+   * before the threshold so the cut is engine-portable.
+   *
+   * Scale shape: one broadcast-join assignment scan per side (the
+   * codebook is bounded); the bench side is benchmark-sized so its
+   * assigned frame broadcasts into the cell join; per-pair cosine is a
+   * codegen'd zip_with fold. The corpus is scanned once, shuffled
+   * never (cell join is broadcast); the quadratic term is
+   * |cell ∩ corpus| × |cell ∩ bench|, bounded by the bench size.
+   */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, roundTo: Int = 6): DataFrame = {
+    val cents = broadcast(centroids
+      .select(col(idCol).as("cell"), col(vecCol).as("cvec")))
+    def assign(df: DataFrame, outId: String, outVec: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("csim").desc, col("cell"))
+      df.join(cents)
+        .withColumn("csim", cosine(col(vecCol), col("cvec")))
+        .withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
+        .select(col(idCol).as(outId), col(vecCol).as(outVec), col("cell"))
+    }
+    val ca = assign(corpus, "_cid", "_cv")
+    val ba = broadcast(assign(bench, "bench_id", "_bv"))
+    ca.join(ba, Seq("cell"))
+      .withColumn("sim", graft.functions.Portable.quant(
+        cosine(col("_cv"), col("_bv")), roundTo))
+      .filter(col("sim") >= threshold)
+      .select(col("_cid").as(idCol), col("bench_id"))
+  }
+
+  /**
    * Symmetric per-vector int8 scalar quantization — the standard 4×
    * memory-compression step for serving/ANN at scale (float32 corpus →
    * int8 + one float scale per vector). `q_i = ⌊x_i·127/maxabs + 0.5⌋`

@@ -271,6 +271,27 @@ class SimilaritySpec extends SparkSpec {
     CacheScope.drain(spark)
   }
 
+  test("semanticDecontaminate: cell-blocked cross-set pairs only") {
+    // centroids: cell 0 ~ x-axis, cell 1 ~ y-axis. Bench = {10, 11}.
+    // corpus 2 (x-dir) ~ bench 10 (x-dir, cell 0): contaminated.
+    // corpus 3 (y-dir) ~ bench 11 (y-dir, cell 1): contaminated.
+    // corpus 4 lands in cell 0 but near-orthogonal to bench 10: clean.
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (2L, Array(2.0f, 0.1f)),
+      (3L, Array(0.1f, 2.0f)),
+      (4L, Array(1.0f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((10L, Array(3.0f, 0.0f)), (11L, Array(0.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(corpus, bench, cents,
+        "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 10L), (3L, 11L)), s"got $got")
+    CacheScope.drain(spark)
+  }
+
   test("int8 quantization: codes, scale, and error bound") {
     val in = Seq(
       (0L, Array(0.0f, 1.27f, -0.635f)),
