@@ -220,6 +220,19 @@ object ScaleSmoke {
       graft.analytics.GraphAnalytics.randomWalks(store, Seq("amp"),
         seeds, nWalks = 4, steps = 6, maxDeg = 64).count())
 
+    time(s"kcore 3 rounds ${factor}x")(
+      graft.analytics.GraphAnalytics.kCore(store, Seq("amp"), k = 3,
+        rounds = 3).count())
+
+    // semantic decontam: bench slice fixed-rate (1/97 of the corpus),
+    // codebook fixed — corpus side scales, bench broadcast grows with it
+    time(s"semantic decontam ${factor}x")(
+      graft.pipeline.Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") % 97 =!= 0),
+        emb.filter(col("vec_id") % 97 === 0),
+        emb0.filter(col("vec_id") < 16),
+        "vec_id", "embedding", threshold = 0.28).count())
+
     spark.stop()
   }
 }
