@@ -64,6 +64,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation scorers run unchanged under streaming (stream == batch)") {
+    // the stateless curation heads (quality classifier, lang id, PII
+    // scrub) are pure narrow maps, so the SAME column program runs
+    // under readStream in append mode with no watermark — the
+    // streaming ingest-filter deployment shape
+    val docsPath = s"$sfDir/documents.parquet"
+    def score(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TextAnalysis.qualityClassifier(
+        df, "doc_id", "text", threshold = 300L)
+    val batch = score(spark.read.parquet(docsPath))
+      .collect().map(_.toSeq).toSet
+
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-curation").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(docsPath),
+      java.nio.file.Paths.get(s"$streamDir/documents.parquet"))
+    val schema = spark.read.parquet(docsPath).schema
+    val q = score(spark.readStream.schema(schema).parquet(streamDir))
+      .writeStream.format("memory").queryName("curation_scores")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("curation_scores").collect().map(_.toSeq).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch banded join") {
     val events = graft.sources.Tables.events(spark, sfDir)
     val views = events.where(col("event_type") === "view")
