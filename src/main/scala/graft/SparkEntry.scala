@@ -661,6 +661,13 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.pageRank(store(s, dir),
         Seq("contains"), iters = 5)),
 
+    // ---- Personalized PageRank: teleport restricted to the seed
+    // orders — proximity-to-seed-set ranking (recommendation feature);
+    // same dyadic-grid recurrence as q_pagerank ----
+    "q_ppr" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.personalizedPageRank(store(s, dir),
+        Seq("contains"), seeds = Seq(1L, 2L, 3L, 4L, 5L), iters = 5)),
+
     // ---- Salted two-stage aggregation (hot-key mitigation) ----
     // 3 return-flag groups over the whole lineitem table is the
     // pathological shape: 3 reducers own everything without salting.
@@ -1111,6 +1118,34 @@ object SparkEntry {
        |SELECT v AS _vid,
        |  floor((${dy("r")} / (SELECT sum(${dy("r")}) FROM r$iters)
        |          * (SELECT count(*) FROM v)) * 1000000.0 + 0.5) / 1000000.0 AS rank
+       |FROM r$iters""".stripMargin
+  }
+
+  /** Personalized-PageRank oracle: the [[pageRankSql]] recurrence with
+    * the teleport term gated to the seed set and no final
+    * normalization — mirrors GraphAnalytics.personalizedPageRank. */
+  private def pprSql(iters: Int, seeds: Seq[Long]): String = {
+    val dy = graft.functions.Portable.dyadicSql _
+    val seedList = seeds.mkString("(", ", ", ")")
+    val steps = (1 to iters).map { i =>
+      s"""m$i AS (SELECT e.d AS v, sum(${dy(s"r${i - 1}.r / od.deg")}) AS ms
+         |  FROM e JOIN r${i - 1} ON r${i - 1}.v = e.s
+         |  JOIN od ON od.s = e.s GROUP BY e.d),
+         |r$i AS (SELECT v.v,
+         |    CASE WHEN v.v IN $seedList THEN CAST(0.15 AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END
+         |    + CAST(0.85 AS DOUBLE) * coalesce(m$i.ms, 0) AS r
+         |  FROM v LEFT JOIN m$i ON m$i.v = v.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT l_orderkey AS s, l_partkey AS d FROM lineitem),
+       |v AS (SELECT DISTINCT x AS v FROM
+       |  (SELECT s AS x FROM e UNION SELECT d FROM e)),
+       |od AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+       |r0 AS (SELECT v, CASE WHEN v IN $seedList THEN CAST(1.0 AS DOUBLE)
+       |  ELSE CAST(0.0 AS DOUBLE) END AS r FROM v),
+       |$steps
+       |SELECT v AS _vid,
+       |  floor((${dy("r")}) * 1000000.0 + 0.5) / 1000000.0 AS rank
        |FROM r$iters""".stripMargin
   }
 
@@ -2134,6 +2169,7 @@ object SparkEntry {
         |FROM reach GROUP BY v""".stripMargin,
 
     "q_pagerank" -> pageRankSql(5),
+    "q_ppr" -> pprSql(5, Seq(1L, 2L, 3L, 4L, 5L)),
 
     "q_skew_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
@@ -2770,6 +2806,7 @@ object SparkEntry {
     "q_multimodal_resize" -> Seq("scale"),
     "q_ngram_jaccard" -> Seq("jaccard"),
     "q_pagerank" -> Seq("rank"),
+    "q_ppr" -> Seq("rank"),
     "q_quantiles" -> Seq("p25", "p50", "p75", "p90"),
     "q_range_join" -> Seq("buy_value"),
     "q_repetition_stats" ->

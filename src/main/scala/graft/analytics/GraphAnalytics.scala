@@ -118,6 +118,55 @@ object GraphAnalytics {
           rq / col("sr") * col("nv"), 6).as("rank"))
   }
 
+  /**
+   * Personalized PageRank from a seed set (nebula-algorithm's PPR; the
+   * standard graph feature for recommendation / related-entity
+   * ranking): the random surfer teleports only to seeds, so rank mass
+   * measures proximity to the seed set. Same dyadic-grid recurrence as
+   * [[pageRank]] — messages floored to the 2^-30 grid BEFORE summing,
+   * so every superstep is order-independent and the oracle replays the
+   * identical recurrence; same loop-invariant persists (weighted edge
+   * frame, vertex frame), same O(1) pinned rank frames. No final
+   * normalization (PPR mass is meaningful relative to the seed set);
+   * ranks are quantized for the gate.
+   */
+  def personalizedPageRank(store: GraphStore, edgeTypes: Seq[String],
+      seeds: Seq[Long], iters: Int, resetProb: Double = 0.15): DataFrame = {
+    val edges = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC).as("s"),
+        col(GraphStore.DST).as("d"))
+    }.reduce(_ unionByName _)
+    val outDeg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
+    val weighted = edges.join(outDeg, "s")
+      .transform(graft.CacheScope.persist(_))
+    val verts = edges.select(col("s").as("v"))
+      .union(edges.select(col("d")))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    val isSeed = col("v").isin(seeds: _*)
+    var ranks = verts.select(col("v"),
+      when(isSeed, lit(1.0)).otherwise(lit(0.0)).as("r"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val msgs = weighted.join(ranks, col("s") === col("v"))
+        .groupBy(col("d").as("mv"))
+        .agg(sum(graft.functions.Portable.dyadic(
+          col("r") / col("deg"))).as("ms"))
+      val next = verts.join(msgs, col("v") === col("mv"), "left")
+        .select(col("v"),
+          (when(isSeed, lit(resetProb)).otherwise(lit(0.0)) +
+            lit(1 - resetProb) * coalesce(col("ms"), lit(0.0))).as("r"))
+        .transform(graft.CacheScope.persist(_))
+      next.count()
+      prev.foreach(graft.CacheScope.unpersist)
+      prev = Some(next)
+      ranks = next
+    }
+    ranks.select(col("v").as("_vid"),
+      graft.functions.Portable.quant(
+        graft.functions.Portable.dyadic(col("r")), 6).as("rank"))
+  }
+
   /** Connected components (undirected reachability); label = min vid in
     * the component — deterministic. */
   def connectedComponents(store: GraphStore,

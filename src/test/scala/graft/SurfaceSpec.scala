@@ -101,6 +101,22 @@ class AnalyticsSpec extends SparkSpec {
     CacheScope.drain(spark)
   }
 
+  test("personalizedPageRank: mass decays from seeds, unreachable = 0") {
+    import spark.implicits._
+    // chain 1 -> 2 -> 3 seeded at 1; disconnected edge 5 -> 6
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> Seq(1L, 2L, 3L, 5L, 6L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val pr = GraphAnalytics.personalizedPageRank(tiny, Seq("e"),
+        seeds = Seq(1L), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    CacheScope.drain(spark)
+    assert(pr(1L) > pr(2L) && pr(2L) > pr(3L) && pr(3L) > 0.0, s"got $pr")
+    assert(pr(5L) == 0.0 && pr(6L) == 0.0, s"got $pr")
+  }
+
   test("kCore: pendant peels away, triangle survives, fixpoint stable") {
     import spark.implicits._
     // triangle 1-2-3 plus pendant 3-4: k=2 peels vertex 4 in round 1,
