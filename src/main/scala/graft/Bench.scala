@@ -116,7 +116,7 @@ object Bench {
       "store_ingest" -> "ingest", "expr_filter" -> "expr_filt",
       "fixed_string" -> "fixed_str", "frame_sample" -> "frame_smp",
       "common_neighbors" -> "comm_nbrs", "random_walks" -> "rnd_walks",
-      "semantic_decontam" -> "sem_decon",
+      "semantic_decontam" -> "sem_decon", "hll_registers" -> "hll",
       "bigram_score" -> "bg_score", "oov_rate" -> "oov",
       "quality_classifier" -> "qual_clf",
       "update_" -> "upd_", "upsert_" -> "ups_")

@@ -668,6 +668,13 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.personalizedPageRank(store(s, dir),
         Seq("contains"), seeds = Seq(1L, 2L, 3L, 4L, 5L), iters = 5)),
 
+    // ---- Engine-portable HyperLogLog registers (white-box distinct
+    // sketch; registers hash-gated, estimate spec-tested). Mergeable by
+    // max — the partial-stats re-aggregation law ----
+    "q_hll_registers" -> ((s, dir) =>
+      graft.operators.Stats.hllRegisters(t(s, dir, "lineitem"),
+        "l_partkey", b = 6)),
+
     // ---- Salted two-stage aggregation (hot-key mitigation) ----
     // 3 return-flag groups over the whole lineitem table is the
     // pathological shape: 3 reducers own everything without salting.
@@ -2170,6 +2177,17 @@ object SparkEntry {
 
     "q_pagerank" -> pageRankSql(5),
     "q_ppr" -> pprSql(5, Seq(1L, 2L, 3L, 4L, 5L)),
+
+    // bin() prints minimal binary in both engines, so the leading-zero
+    // rank is pure integer arithmetic — the registers hash-match.
+    "q_hll_registers" ->
+      """WITH h AS (SELECT CAST('0x' ||
+        |    substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        |  FROM lineitem),
+        |r AS (SELECT h // 67108864 AS reg, h % 67108864 AS rem FROM h)
+        |SELECT reg, max(CASE WHEN rem = 0 THEN 27
+        |  ELSE 27 - length(bin(rem)) END) AS max_rho
+        |FROM r GROUP BY reg""".stripMargin,
 
     "q_skew_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty,

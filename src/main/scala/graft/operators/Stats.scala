@@ -101,4 +101,57 @@ object Stats {
         graft.functions.Portable.quant(avg(col(valueCol)), 4).as("avg_value"))
       .select(dims.map(d => coalesce(col(d), lit("ALL")).as(d)) ++
         Seq(col("n_rows"), col("sum_value"), col("avg_value")): _*)
+
+  /**
+   * Engine-portable HyperLogLog registers (Flajolet et al. 2007) — the
+   * WHITE-BOX version of the distinct-vid sketch `tagCountsApprox`
+   * delegates to Spark's opaque `approx_count_distinct` for: hash =
+   * first 32 bits of md5 (the corpus-wide portable-hash idiom), top
+   * `b` bits pick the register, the leading-zero rank of the low
+   * `32-b` bits is `rho`, registers keep `max(rho)`. Leading zeros are
+   * counted with `length(bin(x))` — both Spark and DuckDB print
+   * minimal binary, so the sketch is bit-identical across engines and
+   * the gate can hash the registers themselves. Mergeability is the
+   * production property: register frames from independent partitions /
+   * days / shards combine by max — the same re-aggregation law as the
+   * reference's partial stats.
+   *
+   * Scale shape: one narrow hash projection + one `m`-register max
+   * aggregate (map-side combinable, output ≤ 2^b rows regardless of
+   * corpus size). All-integer output (max() never widens).
+   */
+  def hllRegisters(df: DataFrame, valueCol: String, b: Int): DataFrame = {
+    require(b >= 4 && b <= 16, "register-index width b must be in [4,16]")
+    val w = 32 - b
+    val twoW = 1L << w
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.select(h.as("_h"))
+      .select(expr(s"_h div ${twoW}L").as("reg"),
+        (col("_h") % twoW).as("rem"))
+      .select(col("reg"),
+        when(col("rem") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(col("rem")))).cast("long")
+          .as("rho"))
+      .groupBy("reg").agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Cardinality estimate from [[hllRegisters]] output (standard HLL
+    * bias-corrected harmonic mean + linear-counting small-range
+    * correction). Spec-tested against exact distincts; the registers —
+    * not this float — are the gate surface. */
+  def hllEstimate(registers: DataFrame, b: Int): Double = {
+    val m = 1 << b
+    val row = registers.agg(
+      sum(pow(lit(2.0), -col("max_rho"))).as("s"),
+      count(lit(1)).as("n")).head() // one aggregated scalar row
+    val present = row.getLong(1)
+    val s = (if (row.isNullAt(0)) 0.0 else row.getDouble(0)) +
+      (m - present) // absent registers contribute 2^0
+    val zeros = m - present
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val raw = alpha * m * m / s
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else raw
+  }
 }

@@ -250,3 +250,45 @@ class FetchEdgeSpec extends SparkSpec {
     assert(got == sample.toSet)
   }
 }
+
+/** White-box HyperLogLog: portable registers + estimate quality. */
+class HllSpec extends SparkSpec {
+  import graft.operators.Stats
+
+  test("hll estimate within 3 sigma of exact on 10k distincts (b=10)") {
+    import spark.implicits._
+    val df = spark.range(10000).select(col("id"))
+    val est = Stats.hllEstimate(Stats.hllRegisters(df, "id", b = 10), 10)
+    // m=1024 -> sigma ~ 1.04/sqrt(1024) ~ 3.25%; allow 3 sigma
+    assert(math.abs(est - 10000) / 10000.0 < 0.10, s"est $est")
+  }
+
+  test("hll small-range linear counting is near-exact") {
+    val df = spark.range(30).select(col("id"))
+    val est = Stats.hllEstimate(Stats.hllRegisters(df, "id", b = 10), 10)
+    assert(math.abs(est - 30) / 30.0 < 0.10, s"est $est")
+  }
+
+  test("hll registers merge by max (shard-parallel law)") {
+    val all = spark.range(5000).select(col("id"))
+    val a = Stats.hllRegisters(all.filter(col("id") < 2500), "id", b = 6)
+    val b = Stats.hllRegisters(all.filter(col("id") >= 2500), "id", b = 6)
+    val merged = a.unionByName(b).groupBy("reg")
+      .agg(max(col("max_rho")).as("max_rho"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = Stats.hllRegisters(all, "id", b = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == whole)
+  }
+
+  test("duplicates do not move the registers (distinct-ness)") {
+    import spark.implicits._
+    val once = Seq("a", "b", "c").toDF("v")
+    val tripled = Seq("a", "a", "a", "b", "b", "c").toDF("v")
+    val r1 = Stats.hllRegisters(once, "v", b = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r2 = Stats.hllRegisters(tripled, "v", b = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r1 == r2)
+  }
+}
