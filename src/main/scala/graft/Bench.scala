@@ -117,6 +117,7 @@ object Bench {
       "fixed_string" -> "fixed_str", "frame_sample" -> "frame_smp",
       "common_neighbors" -> "comm_nbrs", "random_walks" -> "rnd_walks",
       "semantic_decontam" -> "sem_decon", "hll_registers" -> "hll",
+      "hll_by_group" -> "hll_grp",
       "bigram_score" -> "bg_score", "oov_rate" -> "oov",
       "quality_classifier" -> "qual_clf",
       "update_" -> "upd_", "upsert_" -> "ups_")

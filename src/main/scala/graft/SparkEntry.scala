@@ -675,6 +675,12 @@ object SparkEntry {
       graft.operators.Stats.hllRegisters(t(s, dir, "lineitem"),
         "l_partkey", b = 6)),
 
+    // ---- Per-group HLL: distinct-part sketch per supplier (the
+    // distinct-neighbors-per-vertex / docs-per-domain shape) ----
+    "q_hll_by_group" -> ((s, dir) =>
+      graft.operators.Stats.hllRegistersBy(t(s, dir, "lineitem"),
+        Seq("l_suppkey"), "l_partkey", b = 4)),
+
     // ---- Salted two-stage aggregation (hot-key mitigation) ----
     // 3 return-flag groups over the whole lineitem table is the
     // pathological shape: 3 reducers own everything without salting.
@@ -2188,6 +2194,16 @@ object SparkEntry {
         |SELECT reg, max(CASE WHEN rem = 0 THEN 27
         |  ELSE 27 - length(bin(rem)) END) AS max_rho
         |FROM r GROUP BY reg""".stripMargin,
+
+    "q_hll_by_group" ->
+      """WITH h AS (SELECT l_suppkey, CAST('0x' ||
+        |    substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_suppkey, h // 268435456 AS reg,
+        |  h % 268435456 AS rem FROM h)
+        |SELECT l_suppkey, reg, max(CASE WHEN rem = 0 THEN 29
+        |  ELSE 29 - length(bin(rem)) END) AS max_rho
+        |FROM r GROUP BY l_suppkey, reg""".stripMargin,
 
     "q_skew_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty,

@@ -120,20 +120,29 @@ object Stats {
    * aggregate (map-side combinable, output ≤ 2^b rows regardless of
    * corpus size). All-integer output (max() never widens).
    */
-  def hllRegisters(df: DataFrame, valueCol: String, b: Int): DataFrame = {
+  def hllRegisters(df: DataFrame, valueCol: String, b: Int): DataFrame =
+    hllRegistersBy(df, Nil, valueCol, b)
+
+  /** Per-group [[hllRegisters]] — one register frame per key (distinct
+    * neighbors per vertex, distinct docs per domain, ...): output is
+    * |groups| × ≤2^b rows, merged shard-wise by the same max law. */
+  def hllRegistersBy(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, b: Int): DataFrame = {
     require(b >= 4 && b <= 16, "register-index width b must be in [4,16]")
     val w = 32 - b
     val twoW = 1L << w
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
-    df.select(h.as("_h"))
-      .select(expr(s"_h div ${twoW}L").as("reg"),
-        (col("_h") % twoW).as("rem"))
-      .select(col("reg"),
+    df.select(groupCols.map(col) :+ h.as("_h"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        expr(s"_h div ${twoW}L").as("reg"),
+        (col("_h") % twoW).as("rem")): _*)
+      .select(groupCols.map(col) ++ Seq(col("reg"),
         when(col("rem") === 0, lit(w + 1))
           .otherwise(lit(w + 1) - length(bin(col("rem")))).cast("long")
-          .as("rho"))
-      .groupBy("reg").agg(max(col("rho")).as("max_rho"))
+          .as("rho")): _*)
+      .groupBy((groupCols :+ "reg").map(col): _*)
+      .agg(max(col("rho")).as("max_rho"))
   }
 
   /** Cardinality estimate from [[hllRegisters]] output (standard HLL

@@ -292,3 +292,23 @@ class HllSpec extends SparkSpec {
     assert(r1 == r2)
   }
 }
+
+/** Grouped HLL: per-key registers agree with per-key filtering. */
+class HllGroupSpec extends SparkSpec {
+  import graft.operators.Stats
+
+  test("per-group registers == single-frame registers of that group") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "c"), (2L, "c"))
+      .toDF("g", "v")
+    val grouped = Stats.hllRegistersBy(df, Seq("g"), "v", b = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    for (g <- Seq(1L, 2L)) {
+      val solo = Stats.hllRegisters(df.filter(col("g") === g), "v", b = 4)
+        .collect().map(r => (g, r.getLong(0)) -> r.getLong(1)).toMap
+      assert(solo.forall { case (k, v) => grouped.get(k).contains(v) },
+        s"group $g mismatch")
+    }
+  }
+}
