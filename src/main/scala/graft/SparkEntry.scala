@@ -668,6 +668,13 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.personalizedPageRank(store(s, dir),
         Seq("contains"), seeds = Seq(1L, 2L, 3L, 4L, 5L), iters = 5)),
 
+    // ---- HITS hubs & authorities, L1-normalized each half-step;
+    // dyadic-grid messages and on-grid totals keep the recurrence
+    // bit-reproducible for the oracle replay ----
+    "q_hits" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.hits(store(s, dir),
+        Seq("contains"), iters = 5)),
+
     // ---- Engine-portable HyperLogLog registers (white-box distinct
     // sketch; registers hash-gated, estimate spec-tested). Mergeable by
     // max — the partial-stats re-aggregation law ----
@@ -1160,6 +1167,49 @@ object SparkEntry {
        |SELECT v AS _vid,
        |  floor((${dy("r")}) * 1000000.0 + 0.5) / 1000000.0 AS rank
        |FROM r$iters""".stripMargin
+  }
+
+  /** HITS oracle: unrolled iterations mirroring GraphAnalytics.hits —
+    * dyadic-floored messages, exact on-grid totals, re-floored
+    * normalized scores; authority from the previous hubs, hubs from
+    * the just-updated authorities. Every step CTE is MATERIALIZED:
+    * DuckDB inlines CTEs by default, and each HITS step references the
+    * previous one twice (score column + messages), so the inlined tree
+    * — like the Spark-side recompiled lineage (GraphAnalytics.hits
+    * scaladoc) — would grow 2^iters and exhaust file handles on the
+    * repeated base scans. The L1 totals ride `sum(..) OVER ()` windows
+    * instead of scalar subqueries for the same single-reference reason
+    * (sum ignores the LEFT-JOIN nulls, so the window total equals the
+    * receipts-frame total the Spark side fetches). */
+  private def hitsSql(iters: Int): String = {
+    val dy = graft.functions.Portable.dyadicSql _
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.d AS v, sum(${dy(s"s${i - 1}.h")}) AS ar
+         |  FROM e JOIN s${i - 1} ON s${i - 1}.v = e.s GROUP BY e.d),
+         |a$i AS MATERIALIZED (
+         |  SELECT v.v, ${dy(
+        s"coalesce(ar$i.ar, 0) / sum(ar$i.ar) OVER ()")} AS a
+         |  FROM v LEFT JOIN ar$i ON ar$i.v = v.v),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.s AS v, sum(${dy(s"a$i.a")}) AS hr
+         |  FROM e JOIN a$i ON a$i.v = e.d GROUP BY e.s),
+         |s$i AS MATERIALIZED (
+         |  SELECT a$i.v, a$i.a, ${dy(
+        s"coalesce(hr$i.hr, 0) / sum(hr$i.hr) OVER ()")} AS h
+         |  FROM a$i LEFT JOIN hr$i ON hr$i.v = a$i.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT l_orderkey AS s, l_partkey AS d FROM lineitem),
+       |v AS MATERIALIZED (SELECT DISTINCT x AS v FROM
+       |  (SELECT s AS x FROM e UNION SELECT d FROM e)),
+       |s0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE) AS a,
+       |  CAST(1.0 AS DOUBLE) AS h FROM v),
+       |$steps
+       |SELECT v AS _vid,
+       |  floor(a * 1000000.0 + 0.5) / 1000000.0 AS auth,
+       |  floor(h * 1000000.0 + 0.5) / 1000000.0 AS hub
+       |FROM s$iters""".stripMargin
   }
 
   /** k-means IVF training oracle: unrolled iterations, mirroring
@@ -2183,6 +2233,7 @@ object SparkEntry {
 
     "q_pagerank" -> pageRankSql(5),
     "q_ppr" -> pprSql(5, Seq(1L, 2L, 3L, 4L, 5L)),
+    "q_hits" -> hitsSql(5),
 
     // bin() prints minimal binary in both engines, so the leading-zero
     // rank is pure integer arithmetic — the registers hash-match.
@@ -2841,6 +2892,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> Seq("jaccard"),
     "q_pagerank" -> Seq("rank"),
     "q_ppr" -> Seq("rank"),
+    "q_hits" -> Seq("auth", "hub"),
     "q_quantiles" -> Seq("p25", "p50", "p75", "p90"),
     "q_range_join" -> Seq("buy_value"),
     "q_repetition_stats" ->

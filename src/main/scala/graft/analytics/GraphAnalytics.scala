@@ -167,6 +167,92 @@ object GraphAnalytics {
         graft.functions.Portable.dyadic(col("r")), 6).as("rank"))
   }
 
+  /**
+   * HITS (Kleinberg hubs & authorities), `iters` fixed rounds with L1
+   * normalization each half-step — the link-analysis complement to
+   * PageRank (nebula-algorithm ships it too): authority = Σ hub of
+   * in-neighbors, hub = Σ authority of out-neighbors, each vector
+   * divided by its total so scores stay bounded. Portability law: every
+   * message is floored to the dyadic 2^-30 grid BEFORE summing (sums
+   * are then exact and order-independent), totals are sums of on-grid
+   * values (exact), and the normalized score is re-floored — so the
+   * whole recurrence is bit-reproducible and the oracle replays it.
+   *
+   * Scale shape per round: two edge⋈score joins + two partial-agg
+   * shuffles (the PageRank superstep twice), one broadcast scalar each.
+   * O(1) pinned score frames via the same persist/unpersist rotation.
+   *
+   * Unlike PageRank's single-chain recurrence, each HITS round
+   * references the fresh authority frame TWICE (the output `a` column
+   * and the hub messages). `unpersist(cascade = false)` recompiles
+   * every cached plan that referenced the released frame, re-inlining
+   * its subtree at each occurrence — with a doubly-referenced frame the
+   * stored plans expand 2x per round and the plan tree (and its UI
+   * string) grows exponentially: 5 rounds OOMed an 8g driver purely in
+   * `explainString`. So each round's result is re-exposed as an opaque
+   * scan of its own materialized rows (`createDataFrame(rdd, schema)`):
+   * the next round's plan bottoms out there, nothing references the
+   * released frames' SQL plans, and no recompile can expand anything.
+   */
+  def hits(store: GraphStore, edgeTypes: Seq[String], iters: Int)
+      : DataFrame = {
+    import graft.functions.Portable.dyadic
+    val edges = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC).as("s"),
+        col(GraphStore.DST).as("d"))
+    }.reduce(_ unionByName _)
+      .transform(graft.CacheScope.persist(_))
+    val verts = edges.select(col("s").as("v"))
+      .union(edges.select(col("d")))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    var scores = verts.select(col("v"), lit(1.0).as("a"), lit(1.0).as("h"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      // The L1 totals are fetched as one-row scalars and re-injected as
+      // literals (the broadcast-able-constant shape, cf. the bloom
+      // filter in Dedup): totals are exact on-grid sums, so the value
+      // is engine- and order-independent. Referencing them in-plan as
+      // crossJoin(broadcast(agg)) instead multiplies the upstream
+      // subtree 3x per half-step — the analyzed plan grows 9x per
+      // iteration and planning OOMs at 5 iterations.
+      val aRaw = edges.join(scores, col("s") === col("v"))
+        .groupBy(col("d").as("av")).agg(sum(dyadic(col("h"))).as("ar"))
+        .transform(graft.CacheScope.persist(_))
+      val at = aRaw.agg(sum(col("ar"))).head().getDouble(0)
+      val auth = verts.join(aRaw, col("v") === col("av"), "left")
+        .select(col("v"),
+          dyadic(coalesce(col("ar"), lit(0.0)) / lit(at)).as("a"))
+        .transform(graft.CacheScope.persist(_)) // feeds hRaw + next
+      val hRaw = edges.join(auth.select(col("v").as("dv"), col("a")),
+          col("d") === col("dv"))
+        .groupBy(col("s").as("hv")).agg(sum(dyadic(col("a"))).as("hr"))
+        .transform(graft.CacheScope.persist(_))
+      val ht = hRaw.agg(sum(col("hr"))).head().getDouble(0)
+      val round = auth.join(hRaw, col("v") === col("hv"), "left")
+        .select(col("v"), col("a"),
+          dyadic(coalesce(col("hr"), lit(0.0)) / lit(ht)).as("h"))
+      // Lineage break (scaladoc): materialized rows behind an opaque
+      // scan, so releasing this round's scaffolding can't recompile it.
+      val next = round.sparkSession.createDataFrame(round.rdd, round.schema)
+        .transform(graft.CacheScope.persist(_))
+      next.count()
+      // Release order matters for the recompile rule: auth first (only
+      // hRaw's cached plan references it; that expansion is one small
+      // already-aggregated subtree), then the rest — nothing cached
+      // references aRaw or hRaw anymore.
+      graft.CacheScope.unpersist(auth)
+      graft.CacheScope.unpersist(hRaw)
+      graft.CacheScope.unpersist(aRaw)
+      prev.foreach(graft.CacheScope.unpersist)
+      prev = Some(next)
+      scores = next
+    }
+    scores.select(col("v").as("_vid"),
+      graft.functions.Portable.quant(col("a"), 6).as("auth"),
+      graft.functions.Portable.quant(col("h"), 6).as("hub"))
+  }
+
   /** Connected components (undirected reachability); label = min vid in
     * the component — deterministic. */
   def connectedComponents(store: GraphStore,

@@ -117,6 +117,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(pr(5L) == 0.0 && pr(6L) == 0.0, s"got $pr")
   }
 
+  test("hits: fan-out hub and shared authority dominate, L1-normalized") {
+    import spark.implicits._
+    // 1 -> {2,3,4} (fan-out hub) and 5 -> 2 (2 = strongest authority)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 2L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> Seq(1L, 2L, 3L, 4L, 5L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val got = GraphAnalytics.hits(tiny, Seq("e"), iters = 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    CacheScope.drain(spark)
+    val auth = got.view.mapValues(_._1).toMap
+    val hub = got.view.mapValues(_._2).toMap
+    assert(auth(2L) > auth(3L) && auth(3L) == auth(4L) &&
+      auth(1L) == 0.0 && auth(5L) == 0.0, s"auth $auth")
+    assert(hub(1L) > hub(5L) && hub(5L) > 0.0 &&
+      hub(2L) == 0.0 && hub(3L) == 0.0, s"hub $hub")
+    // L1 normalization: each score vector sums to ~1 (quantized 1e-6)
+    assert(math.abs(auth.values.sum - 1.0) < 1e-4, s"auth $auth")
+    assert(math.abs(hub.values.sum - 1.0) < 1e-4, s"hub $hub")
+  }
+
   test("kCore: pendant peels away, triangle survives, fixpoint stable") {
     import spark.implicits._
     // triangle 1-2-3 plus pendant 3-4: k=2 peels vertex 4 in round 1,
