@@ -119,6 +119,9 @@ object Bench {
       "semantic_decontam" -> "sem_decon", "hll_registers" -> "hll",
       "hll_by_group" -> "hll_grp",
       "bigram_score" -> "bg_score", "oov_rate" -> "oov",
+      "cms_registers" -> "cms_reg", "cms_lookup" -> "cms_look",
+      "link_predict" -> "lnk_pred", "cohort_retention" -> "cohort",
+      "ttl_visibility" -> "ttl_vis", "ev_running_totals" -> "ev_run_tot",
       "quality_classifier" -> "qual_clf",
       "update_" -> "upd_", "upsert_" -> "ups_")
     def render(dec: Int, dropPrefix: Boolean,

@@ -688,6 +688,37 @@ object SparkEntry {
       graft.operators.Stats.hllRegistersBy(t(s, dir, "lineitem"),
         Seq("l_suppkey"), "l_partkey", b = 4)),
 
+    // ---- Count-Min Sketch registers (white-box frequency sketch; the
+    // companion to the HLL distinct sketch). Mergeable by element-wise
+    // sum — the partial-stats re-aggregation law ----
+    "q_cms_registers" -> ((s, dir) =>
+      graft.operators.Stats.cmsRegisters(t(s, dir, "lineitem"),
+        "l_partkey", depth = 4, width = 256)),
+
+    // ---- CMS point-frequency lookups for a deterministic key sample,
+    // paired with the exact counts: est_cnt >= exact_cnt always (the
+    // CMS guarantee), equality when the key's registers are
+    // collision-free. Sketch side always broadcast ----
+    "q_cms_lookup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sk = graft.operators.Stats.cmsRegisters(li, "l_partkey",
+        depth = 4, width = 256)
+      val est = graft.operators.Stats.cmsLookup(sk,
+        t(s, dir, "part").filter(col("p_partkey") % 50 === 0),
+        "p_partkey", depth = 4, width = 256)
+      val exact = li.groupBy(col("l_partkey").as("pkey"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, Seq("pkey"), "left")
+        .select(col("pkey"), col("est_cnt"),
+          coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+    }),
+
+    // ---- Cohort retention over the event stream (first-week cohorts
+    // × week offsets; weeks = integer epoch-microsecond arithmetic) ----
+    "q_cohort_retention" -> ((s, dir) =>
+      graft.operators.Stats.cohortRetention(
+        graft.sources.Tables.events(s, dir), "user_id", "ts")),
+
     // ---- Salted two-stage aggregation (hot-key mitigation) ----
     // 3 return-flag groups over the whole lineitem table is the
     // pathological shape: 3 reducers own everything without salting.
@@ -954,6 +985,13 @@ object SparkEntry {
     // k-truss quantity) over the small-graph edge types ----
     "q_common_neighbors" -> ((s, dir) =>
       graft.analytics.GraphAnalytics.commonNeighbors(store(s, dir),
+        Seq("in_nation", "supp_nation", "in_region"))),
+
+    // ---- Link-prediction features per existing edge: common
+    // neighbors, neighborhood-union size (the Jaccard denominator),
+    // preferential attachment — all integers ----
+    "q_link_predict" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.linkPredict(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"))),
 
     // ---- k-core peeling (3 fixed rounds, k=3) over the part⋈supplier
@@ -2256,6 +2294,50 @@ object SparkEntry {
         |  ELSE 29 - length(bin(rem)) END) AS max_rho
         |FROM r GROUP BY l_suppkey, reg""".stripMargin,
 
+    // row-salted md5 hash ("i#v", the portable-hash idiom); count(*)
+    // is BIGINT in both engines — no HUGEINT widening.
+    "q_cms_registers" ->
+      """WITH d AS (SELECT i FROM (VALUES (0),(1),(2),(3)) AS t(i))
+        |SELECT d.i AS hrow,
+        |  CAST('0x' || substr(md5(CAST(d.i AS VARCHAR) || '#' ||
+        |    CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS reg,
+        |  count(*) AS cnt
+        |FROM lineitem CROSS JOIN d GROUP BY 1, 2""".stripMargin,
+
+    "q_cms_lookup" ->
+      """WITH d AS (SELECT i FROM (VALUES (0),(1),(2),(3)) AS t(i)),
+        |sk AS MATERIALIZED (SELECT d.i AS hrow,
+        |    CAST('0x' || substr(md5(CAST(d.i AS VARCHAR) || '#' ||
+        |      CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS reg,
+        |    count(*) AS cnt
+        |  FROM lineitem CROSS JOIN d GROUP BY 1, 2),
+        |k AS (SELECT p_partkey AS pkey FROM part WHERE p_partkey % 50 = 0),
+        |probe AS (SELECT k.pkey, d.i AS hrow,
+        |    CAST('0x' || substr(md5(CAST(d.i AS VARCHAR) || '#' ||
+        |      CAST(k.pkey AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS reg
+        |  FROM k CROSS JOIN d),
+        |est AS (SELECT probe.pkey, min(coalesce(sk.cnt, 0)) AS est_cnt
+        |  FROM probe LEFT JOIN sk
+        |    ON sk.hrow = probe.hrow AND sk.reg = probe.reg
+        |  GROUP BY probe.pkey),
+        |ex AS (SELECT l_partkey AS pkey, count(*) AS exact_cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT est.pkey, est.est_cnt,
+        |  coalesce(ex.exact_cnt, 0) AS exact_cnt
+        |FROM est LEFT JOIN ex ON ex.pkey = est.pkey""".stripMargin,
+
+    // weeks = epoch_us // (7*86400e6), pure integer arithmetic (no
+    // calendar functions on either side); sum of counts is CAST to
+    // BIGINT per the HUGEINT law.
+    "q_cohort_retention" ->
+      """WITH uw AS (SELECT user_id AS u,
+        |    epoch_us(ts) // 604800000000 AS wk, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT u, min(wk) AS cwk FROM uw GROUP BY u)
+        |SELECT c.cwk AS cohort_week, uw.wk - c.cwk AS week_offset,
+        |  count(*) AS users, CAST(sum(uw.n_events) AS BIGINT) AS n_events
+        |FROM uw JOIN c ON c.u = uw.u GROUP BY 1, 2""".stripMargin,
+
     "q_skew_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
         |  count(*) AS n_rows, max(l_extendedprice) AS max_price
@@ -2663,6 +2745,33 @@ object SparkEntry {
         |  GROUP BY e.s, e.d)
         |SELECT e.s AS a, e.d AS b, coalesce(w.common, 0) AS common
         |FROM e LEFT JOIN w ON w.s = e.s AND w.d = e.d""".stripMargin,
+
+    // commonNeighbors oracle + a degree CTE joined at both endpoints;
+    // count(*) and its products stay BIGINT — no HUGEINT widening.
+    "q_link_predict" ->
+      """WITH raw AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation),
+        |e AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        |  FROM raw WHERE s <> d),
+        |adj AS (SELECT s AS v, d AS n FROM e
+        |  UNION ALL SELECT d, s FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v),
+        |w AS (SELECT e.s, e.d, count(*) AS common
+        |  FROM e JOIN adj x ON x.v = e.s
+        |         JOIN adj y ON y.v = e.d AND y.n = x.n
+        |  GROUP BY e.s, e.d)
+        |SELECT e.s AS a, e.d AS b, coalesce(w.common, 0) AS common,
+        |  da.deg + db.deg - coalesce(w.common, 0) AS union_cnt,
+        |  da.deg * db.deg AS pref_attach
+        |FROM e LEFT JOIN w ON w.s = e.s AND w.d = e.d
+        |JOIN deg da ON da.v = e.s
+        |JOIN deg db ON db.v = e.d""".stripMargin,
 
     // Replays the exact peel rounds: per round one degree CTE over the
     // surviving edges and one semi-filtered edge CTE; the final output

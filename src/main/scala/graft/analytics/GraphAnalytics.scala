@@ -322,6 +322,52 @@ object GraphAnalytics {
   }
 
   /**
+   * Link-prediction scores for every existing undirected edge — the
+   * classic neighborhood features (Liben-Nowell & Kleinberg 2003):
+   * common-neighbor count, neighborhood-union size, and preferential
+   * attachment deg(a)·deg(b). Jaccard similarity is `common /
+   * union_cnt`; the integer (numerator, denominator) pair is emitted
+   * instead of the quotient — integers are the gate currency and the
+   * caller divides. Same simple-graph normalization as
+   * [[commonNeighbors]] (self-loops dropped, direction collapsed,
+   * parallel edges deduped).
+   *
+   * Scale shape: the commonNeighbors wedge join (adjacency joined at
+   * both endpoints, bounded by real degree) plus one degree frame
+   * joined at both endpoints; a single persisted simple-edge set feeds
+   * every side, and the degree frame (one row per vertex) rides AQE
+   * broadcast when it fits.
+   */
+  def linkPredict(store: GraphStore, edgeTypes: Seq[String]): DataFrame = {
+    val union = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC), col(GraphStore.DST))
+    }.reduce(_ unionByName _)
+      .filter(col(GraphStore.SRC) =!= col(GraphStore.DST))
+      .select(least(col(GraphStore.SRC), col(GraphStore.DST)).as("s"),
+        greatest(col(GraphStore.SRC), col(GraphStore.DST)).as("d"))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    val adj = union.select(col("s").as("v"), col("d").as("n"))
+      .unionByName(union.select(col("d").as("v"), col("s").as("n")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .transform(graft.CacheScope.persist(_)) // joined at both endpoints
+    val wedges = union
+      .join(adj.select(col("v").as("s"), col("n").as("na")), Seq("s"))
+      .join(adj.select(col("v").as("d"), col("n").as("nb")), Seq("d"))
+      .filter(col("na") === col("nb"))
+      .groupBy(col("s"), col("d"))
+      .agg(count(lit(1)).as("common"))
+    union.join(wedges, Seq("s", "d"), "left")
+      .join(deg.select(col("v").as("s"), col("deg").as("dega")), Seq("s"))
+      .join(deg.select(col("v").as("d"), col("deg").as("degb")), Seq("d"))
+      .select(col("s").as("a"), col("d").as("b"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        (col("dega") + col("degb") -
+          coalesce(col("common"), lit(0L))).as("union_cnt"),
+        (col("dega") * col("degb")).as("pref_attach"))
+  }
+
+  /**
    * k-core peeling, `rounds` fixed iterations — the degeneracy-based
    * graph summary (nebula-algorithm ships KCore over the same stored
    * graph): each round drops every vertex whose degree in the

@@ -145,6 +145,84 @@ object Stats {
       .agg(max(col("rho")).as("max_rho"))
   }
 
+  /**
+   * Engine-portable Count-Min Sketch registers (Cormode &
+   * Muthukrishnan 2005) — the FREQUENCY companion to [[hllRegisters]]:
+   * `depth` independent hash rows, each hashing a value occurrence to
+   * one of `width` counters; a point-frequency estimate is the min of
+   * the value's `depth` counters ([[cmsLookup]]) and never
+   * underestimates. Hash i of value v = first 32 md5 bits of "i#v" —
+   * the corpus-wide portable-hash idiom, so the registers are
+   * bit-identical across engines and the gate hashes them directly.
+   * Like the HLL registers, sketches from independent shards / days
+   * merge by element-wise SUM — the partial-stats re-aggregation law.
+   *
+   * Scale shape: one narrow `depth`-way explode projection + one
+   * (row,reg) count aggregate (map-side combinable); output ≤
+   * depth × width rows regardless of corpus size. All-integer output.
+   */
+  def cmsRegisters(df: DataFrame, valueCol: String, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8, "depth must be in [1,8]")
+    require(width >= 16, "width must be >= 16")
+    df.select(col(valueCol).cast("string").as("_v"))
+      .select(col("_v"),
+        explode(array((0 until depth).map(i => lit(i.toLong)): _*))
+          .as("hrow"))
+      .select(col("hrow"), (cmsHash % width).as("reg"))
+      .groupBy("hrow", "reg").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates through a [[cmsRegisters]] sketch: for
+    * each distinct key, min over its `depth` counters (absent counter =
+    * 0). The sketch is ≤ depth×width rows — always broadcast, so the
+    * lookup is a shuffle-free map-side join however many keys probe. */
+  def cmsLookup(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame =
+    keys.select(col(keyCol).as("pkey")).distinct()
+      .select(col("pkey"), col("pkey").cast("string").as("_v"))
+      .select(col("pkey"),
+        explode(array((0 until depth).map(i => lit(i.toLong)): _*))
+          .as("hrow"),
+        col("_v"))
+      .select(col("pkey"), col("hrow"), (cmsHash % width).as("reg"))
+      .join(broadcast(sketch), Seq("hrow", "reg"), "left")
+      .groupBy("pkey").agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+
+  /**
+   * Cohort-retention rollup over an event table (the user-activity /
+   * data-freshness shape of StatisTask): users are cohorted by the
+   * week of their first event; each (cohort_week, week_offset) cell
+   * counts that cohort's users still active in that week and their
+   * events. Weeks are pure integer arithmetic on epoch microseconds
+   * (`unix_micros div 604800000000`) — engine-portable by
+   * construction, no calendar functions, all-integer output.
+   *
+   * Scale shape: one (user, week) pre-aggregation shuffle (map-side
+   * combinable — the raw event volume collapses before anything
+   * else), a per-user min for the cohort week over that reduced
+   * frame, one join back (user-week-sized, AQE-broadcastable cohort
+   * side), one rollup aggregate of ≤ |weeks|² cells.
+   */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val uw = events.select(col(userCol).as("u"),
+        expr(s"unix_micros($tsCol) div 604800000000").as("wk"))
+      .groupBy("u", "wk").agg(count(lit(1)).as("n_events"))
+      .transform(graft.CacheScope.persist(_)) // feeds cohort min + cells
+    val cohort = uw.groupBy("u").agg(min(col("wk")).as("cwk"))
+    uw.join(cohort, Seq("u"))
+      .groupBy(col("cwk").as("cohort_week"),
+        (col("wk") - col("cwk")).as("week_offset"))
+      .agg(count(lit(1)).as("users"), sum(col("n_events")).as("n_events"))
+  }
+
+  /** First 32 md5 bits of "hrow#_v" as a nonnegative long — row-salted
+    * portable hash (Spark `conv` ↔ DuckDB `CAST('0x'||substr(md5(..`). */
+  private def cmsHash =
+    conv(substring(md5(concat_ws("#", col("hrow"), col("_v"))), 1, 8),
+      16, 10).cast("long")
+
   /** Cardinality estimate from [[hllRegisters]] output (standard HLL
     * bias-corrected harmonic mean + linear-counting small-range
     * correction). Spec-tested against exact distincts; the registers —

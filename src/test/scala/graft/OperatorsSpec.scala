@@ -293,6 +293,73 @@ class HllSpec extends SparkSpec {
   }
 }
 
+/** Cohort retention: first-week cohorts, offset cells, event sums. */
+class CohortSpec extends SparkSpec {
+  import graft.operators.Stats
+
+  test("cohort cells count retained users and their events") {
+    import spark.implicits._
+    val wkUs = 604800000000L // one week of microseconds
+    // u1 first week 0 (2 events), active week 1 (1 event);
+    // u2 first week 1 (1 event) — distinct cohort
+    val df = Seq((1L, 0L), (1L, 1000L), (1L, wkUs), (2L, wkUs + 5L))
+      .toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val got = Stats.cohortRetention(df, "user_id", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    CacheScope.drain(spark)
+    assert(got == Map(
+      (0L, 0L) -> ((1L, 2L)),   // cohort 0, offset 0: u1, 2 events
+      (0L, 1L) -> ((1L, 1L)),   // cohort 0 retained into week 1
+      (1L, 0L) -> ((1L, 1L))),  // cohort 1, offset 0: u2
+      s"got $got")
+  }
+}
+
+/** White-box Count-Min Sketch: never-underestimate + merge law. */
+class CmsSpec extends SparkSpec {
+  import graft.operators.Stats
+
+  test("cms point estimates never underestimate; exact when roomy") {
+    import spark.implicits._
+    // 3 keys with known multiplicities, width 1024 >> 3 keys: with
+    // overwhelming probability no register collides, so est == exact
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("v")
+    val sk = Stats.cmsRegisters(df, "v", depth = 4, width = 1024)
+    val keys = Seq("a", "b", "c", "zzz_absent").toDF("k")
+    val est = Stats.cmsLookup(sk, keys, "k", depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("a" -> 5L, "b" -> 3L, "c" -> 1L,
+      "zzz_absent" -> 0L), s"got $est")
+  }
+
+  test("cms overestimates under collision pressure, never under") {
+    // 500 distinct keys into width 16: heavy collisions by design
+    val df = spark.range(500).select(col("id"))
+    val sk = Stats.cmsRegisters(df, "id", depth = 3, width = 16)
+    val est = Stats.cmsLookup(sk, df, "id", depth = 3, width = 16)
+      .collect().map(r => r.getLong(1))
+    assert(est.forall(_ >= 1L), "an estimate fell below the true count")
+    assert(est.exists(_ > 1L), "width 16 with 500 keys must collide")
+  }
+
+  test("cms registers merge by element-wise sum (shard-parallel law)") {
+    val all = spark.range(2000).select(col("id"))
+    val a = Stats.cmsRegisters(all.filter(col("id") < 1000), "id", 4, 64)
+    val b = Stats.cmsRegisters(all.filter(col("id") >= 1000), "id", 4, 64)
+    val merged = a.unionByName(b).groupBy("hrow", "reg")
+      .agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val whole = Stats.cmsRegisters(all, "id", 4, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(merged == whole)
+  }
+}
+
 /** Grouped HLL: per-key registers agree with per-key filtering. */
 class HllGroupSpec extends SparkSpec {
   import graft.operators.Stats

@@ -117,6 +117,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(pr(5L) == 0.0 && pr(6L) == 0.0, s"got $pr")
   }
 
+  test("linkPredict: triangle + pendant feature triple") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 3-4: every triangle edge has one
+    // common neighbor; degrees 2/2/3/1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> Seq(1L, 2L, 3L, 4L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val got = GraphAnalytics.linkPredict(tiny, Seq("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    CacheScope.drain(spark)
+    assert(got == Map(
+      (1L, 2L) -> ((1L, 3L, 4L)),   // common 3; deg 2+2-1; 2*2
+      (1L, 3L) -> ((1L, 4L, 6L)),   // common 2; deg 2+3-1; 2*3
+      (2L, 3L) -> ((1L, 4L, 6L)),
+      (3L, 4L) -> ((0L, 4L, 3L))),  // no common; deg 3+1-0; 3*1
+      s"got $got")
+  }
+
   test("hits: fan-out hub and shared authority dominate, L1-normalized") {
     import spark.implicits._
     // 1 -> {2,3,4} (fan-out hub) and 5 -> 2 (2 = strongest authority)
