@@ -122,6 +122,9 @@ object Bench {
       "cms_registers" -> "cms_reg", "cms_lookup" -> "cms_look",
       "link_predict" -> "lnk_pred", "cohort_retention" -> "cohort",
       "ttl_visibility" -> "ttl_vis", "ev_running_totals" -> "ev_run_tot",
+      "clustering_coef" -> "clust_coef",
+      "ev_session_window" -> "ev_sess_win",
+      "changelog_apply" -> "chlog_apply",
       "quality_classifier" -> "qual_clf",
       "update_" -> "upd_", "upsert_" -> "ups_")
     def render(dec: Int, dropPrefix: Boolean,

@@ -994,6 +994,12 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.linkPredict(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"))),
 
+    // ---- Local clustering coefficient as the exact integer pair
+    // (tri_cnt, wedge_cnt); the quotient is the caller's division ----
+    "q_clustering_coef" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.clusteringCoef(store(s, dir),
+        Seq("in_nation", "supp_nation", "in_region"))),
+
     // ---- k-core peeling (3 fixed rounds, k=3) over the part⋈supplier
     // bipartite graph — degeneracy summary; oracle replays the exact
     // peel rounds via a generated CTE chain ----
@@ -2772,6 +2778,35 @@ object SparkEntry {
         |FROM e LEFT JOIN w ON w.s = e.s AND w.d = e.d
         |JOIN deg da ON da.v = e.s
         |JOIN deg db ON db.v = e.d""".stripMargin,
+
+    // Σ incident common = 2·triangles exactly (each triangle shows up
+    // in two incident edges' supports), so // 2 is exact; likewise
+    // deg·(deg−1) is always even. sum() CAST per the HUGEINT law.
+    "q_clustering_coef" ->
+      """WITH raw AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation),
+        |e AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        |  FROM raw WHERE s <> d),
+        |adj AS (SELECT s AS v, d AS n FROM e
+        |  UNION ALL SELECT d, s FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v),
+        |w AS (SELECT e.s, e.d, count(*) AS common
+        |  FROM e JOIN adj x ON x.v = e.s
+        |         JOIN adj y ON y.v = e.d AND y.n = x.n
+        |  GROUP BY e.s, e.d),
+        |inc AS (SELECT v, CAST(sum(common) AS BIGINT) AS c2
+        |  FROM (SELECT s AS v, common FROM w
+        |        UNION ALL SELECT d, common FROM w)
+        |  GROUP BY v)
+        |SELECT deg.v AS _vid, coalesce(inc.c2, 0) // 2 AS tri_cnt,
+        |  (deg.deg * (deg.deg - 1)) // 2 AS wedge_cnt
+        |FROM deg LEFT JOIN inc ON inc.v = deg.v""".stripMargin,
 
     // Replays the exact peel rounds: per round one degree CTE over the
     // surviving edges and one semi-filtered edge CTE; the final output

@@ -300,25 +300,45 @@ object GraphAnalytics {
    */
   def commonNeighbors(store: GraphStore,
       edgeTypes: Seq[String]): DataFrame = {
-    val union = edgeTypes.map { et =>
+    val union = simpleEdges(store, edgeTypes)
+    val wedges = wedgeCounts(union)
+    union.join(wedges, Seq("s", "d"), "left")
+      .select(col("s").as("a"), col("d").as("b"),
+        coalesce(col("common"), lit(0L)).as("common"))
+  }
+
+  /** Canonical simple undirected edge set (self-loops dropped,
+    * direction collapsed least/greatest, parallel edges deduped) —
+    * persisted: it feeds the edge side and both adjacency sides of
+    * every neighborhood operator built on it. */
+  private def simpleEdges(store: GraphStore,
+      edgeTypes: Seq[String]): DataFrame =
+    edgeTypes.map { et =>
       store.edge(et).select(col(GraphStore.SRC), col(GraphStore.DST))
     }.reduce(_ unionByName _)
       .filter(col(GraphStore.SRC) =!= col(GraphStore.DST))
       .select(least(col(GraphStore.SRC), col(GraphStore.DST)).as("s"),
         greatest(col(GraphStore.SRC), col(GraphStore.DST)).as("d"))
       .distinct()
-      .transform(graft.CacheScope.persist(_)) // edge set + both adj sides
-    val adj = union.select(col("s").as("v"), col("d").as("n"))
+      .transform(graft.CacheScope.persist(_))
+
+  /** Both-direction adjacency view of [[simpleEdges]] output. */
+  private def undirAdj(union: DataFrame): DataFrame =
+    union.select(col("s").as("v"), col("d").as("n"))
       .unionByName(union.select(col("d").as("v"), col("s").as("n")))
-    val wedges = union
+
+  /** Common-neighbor (wedge) count per canonical edge; edges with no
+    * common neighbor are absent (callers left-join + coalesce 0).
+    * Candidate volume is Σ_(a,b)∈E deg(a) — the wedge-count term every
+    * triangle enumeration pays; no all-pairs term. */
+  private def wedgeCounts(union: DataFrame): DataFrame = {
+    val adj = undirAdj(union)
+    union
       .join(adj.select(col("v").as("s"), col("n").as("na")), Seq("s"))
       .join(adj.select(col("v").as("d"), col("n").as("nb")), Seq("d"))
       .filter(col("na") === col("nb"))
       .groupBy(col("s"), col("d"))
       .agg(count(lit(1)).as("common"))
-    union.join(wedges, Seq("s", "d"), "left")
-      .select(col("s").as("a"), col("d").as("b"),
-        coalesce(col("common"), lit(0L)).as("common"))
   }
 
   /**
@@ -339,24 +359,11 @@ object GraphAnalytics {
    * broadcast when it fits.
    */
   def linkPredict(store: GraphStore, edgeTypes: Seq[String]): DataFrame = {
-    val union = edgeTypes.map { et =>
-      store.edge(et).select(col(GraphStore.SRC), col(GraphStore.DST))
-    }.reduce(_ unionByName _)
-      .filter(col(GraphStore.SRC) =!= col(GraphStore.DST))
-      .select(least(col(GraphStore.SRC), col(GraphStore.DST)).as("s"),
-        greatest(col(GraphStore.SRC), col(GraphStore.DST)).as("d"))
-      .distinct()
-      .transform(graft.CacheScope.persist(_))
-    val adj = union.select(col("s").as("v"), col("d").as("n"))
-      .unionByName(union.select(col("d").as("v"), col("s").as("n")))
-    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val union = simpleEdges(store, edgeTypes)
+    val deg = undirAdj(union).groupBy(col("v"))
+      .agg(count(lit(1)).as("deg"))
       .transform(graft.CacheScope.persist(_)) // joined at both endpoints
-    val wedges = union
-      .join(adj.select(col("v").as("s"), col("n").as("na")), Seq("s"))
-      .join(adj.select(col("v").as("d"), col("n").as("nb")), Seq("d"))
-      .filter(col("na") === col("nb"))
-      .groupBy(col("s"), col("d"))
-      .agg(count(lit(1)).as("common"))
+    val wedges = wedgeCounts(union)
     union.join(wedges, Seq("s", "d"), "left")
       .join(deg.select(col("v").as("s"), col("deg").as("dega")), Seq("s"))
       .join(deg.select(col("v").as("d"), col("deg").as("degb")), Seq("d"))
@@ -365,6 +372,35 @@ object GraphAnalytics {
         (col("dega") + col("degb") -
           coalesce(col("common"), lit(0L))).as("union_cnt"),
         (col("dega") * col("degb")).as("pref_attach"))
+  }
+
+  /**
+   * Local clustering coefficient per vertex, as the exact integer pair
+   * (tri_cnt, wedge_cnt): the coefficient is tri_cnt / wedge_cnt and
+   * the division is left to the caller — integers are the gate
+   * currency. tri_cnt falls out of the edge-support counts: every
+   * triangle {a,b,c} contributes its third vertex to the common count
+   * of BOTH edges incident to a, so Σ_{edges at v} common(e) = 2·tri_v
+   * exactly and the halving integer division is exact; wedge_cnt =
+   * deg·(deg−1)/2 is exact for the same parity reason.
+   *
+   * Scale shape: the [[wedgeCounts]] join (the unavoidable wedge term)
+   * + one edge-sized explode + one vertex-sized sum shuffle, degree
+   * frame joined once. Vertices touching no edge are absent (same
+   * domain as [[degrees]]).
+   */
+  def clusteringCoef(store: GraphStore,
+      edgeTypes: Seq[String]): DataFrame = {
+    val union = simpleEdges(store, edgeTypes)
+    val deg = undirAdj(union).groupBy(col("v"))
+      .agg(count(lit(1)).as("deg"))
+    val inc = wedgeCounts(union)
+      .select(explode(array(col("s"), col("d"))).as("v"), col("common"))
+      .groupBy(col("v")).agg(sum(col("common")).as("c2"))
+    deg.join(inc, Seq("v"), "left")
+      .select(col("v").as("_vid"),
+        expr("coalesce(c2, 0L) div 2").as("tri_cnt"),
+        expr("(deg * (deg - 1)) div 2").as("wedge_cnt"))
   }
 
   /**

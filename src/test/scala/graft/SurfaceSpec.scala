@@ -138,6 +138,24 @@ class AnalyticsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("clusteringCoef: exact integer (triangle, wedge) pairs") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 3-4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> Seq(1L, 2L, 3L, 4L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val got = GraphAnalytics.clusteringCoef(tiny, Seq("e"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    CacheScope.drain(spark)
+    assert(got == Map(
+      1L -> ((1L, 1L)), 2L -> ((1L, 1L)),  // in the triangle, deg 2
+      3L -> ((1L, 3L)),                    // deg 3: one closed wedge of 3
+      4L -> ((0L, 0L))), s"got $got")      // pendant: no wedges
+  }
+
   test("hits: fan-out hub and shared authority dominate, L1-normalized") {
     import spark.implicits._
     // 1 -> {2,3,4} (fan-out hub) and 5 -> 2 (2 = strongest authority)
