@@ -1000,6 +1000,16 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.clusteringCoef(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"))),
 
+    // ---- Degree-assortativity sufficient statistics (one row of
+    // exact integer sums; shard statistics add) ----
+    "q_assortativity" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.assortativityStats(store(s, dir),
+        Seq("in_nation", "supp_nation", "in_region"))),
+
+    // ---- Zipf rank-frequency spectrum of the corpus vocabulary ----
+    "q_zipf_table" -> ((s, dir) =>
+      TextAnalysis.zipfTable(t(s, dir, "documents"), "text")),
+
     // ---- k-core peeling (3 fixed rounds, k=3) over the part⋈supplier
     // bipartite graph — degeneracy summary; oracle replays the exact
     // peel rounds via a generated CTE chain ----
@@ -2544,6 +2554,15 @@ object SparkEntry {
          |FROM pt JOIN freq USING (tok)
          |GROUP BY doc_id""".stripMargin,
 
+    // global vocab spectrum; row_number CAST matches Spark's long rnk
+    "q_zipf_table" ->
+      s"""WITH $TokCte,
+         |pt AS (SELECT unnest(t) AS tok FROM toks),
+         |f AS (SELECT tok, count(*) AS freq FROM pt GROUP BY tok)
+         |SELECT tok, freq, CAST(row_number() OVER
+         |  (ORDER BY freq DESC, tok) AS BIGINT) AS rnk
+         |FROM f""".stripMargin,
+
     "q_token_entropy" ->
       s"""WITH $TokCte,
          |pt AS (SELECT doc_id, unnest(t) AS tok FROM toks),
@@ -2807,6 +2826,27 @@ object SparkEntry {
         |SELECT deg.v AS _vid, coalesce(inc.c2, 0) // 2 AS tri_cnt,
         |  (deg.deg * (deg.deg - 1)) // 2 AS wedge_cnt
         |FROM deg LEFT JOIN inc ON inc.v = deg.v""".stripMargin,
+
+    "q_assortativity" ->
+      """WITH raw AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation),
+        |e AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        |  FROM raw WHERE s <> d),
+        |adj AS (SELECT s AS v, d AS n FROM e
+        |  UNION ALL SELECT d, s FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v)
+        |SELECT count(*) AS m_arcs,
+        |  CAST(sum(dx.deg) AS BIGINT) AS s_x,
+        |  CAST(sum(dx.deg * dx.deg) AS BIGINT) AS s_xx,
+        |  CAST(sum(dx.deg * dy.deg) AS BIGINT) AS s_xy
+        |FROM adj JOIN deg dx ON dx.v = adj.v
+        |JOIN deg dy ON dy.v = adj.n""".stripMargin,
 
     // Replays the exact peel rounds: per round one degree CTE over the
     // surviving edges and one semi-filtered edge CTE; the final output

@@ -375,6 +375,34 @@ object GraphAnalytics {
   }
 
   /**
+   * Degree-assortativity sufficient statistics — ONE row of exact
+   * integer sums over the undirected adjacency arcs ((x,y) = endpoint
+   * degrees of each arc; both orientations, so Σy = Σx and Σy² = Σx²
+   * by symmetry): m_arcs = 2|E|, s_x = Σx, s_xx = Σx², s_xy = Σxy.
+   * Pearson r = (m·Σxy − Σx²ᵗᵒᵗ…) is the caller's float division —
+   * the gate hashes the integer statistics themselves. This is the
+   * partial-aggregation law as an operator: shard statistics ADD, so
+   * per-day / per-shard frames combine exactly.
+   *
+   * Scale shape: degree frame joined at both arc endpoints (each join
+   * a vertex-keyed shuffle or AQE broadcast), then one single-row
+   * total aggregate — no all-pairs term, no window.
+   */
+  def assortativityStats(store: GraphStore,
+      edgeTypes: Seq[String]): DataFrame = {
+    val union = simpleEdges(store, edgeTypes)
+    val deg = undirAdj(union).groupBy(col("v"))
+      .agg(count(lit(1)).as("deg"))
+      .transform(graft.CacheScope.persist(_)) // joined at both endpoints
+    undirAdj(union)
+      .join(deg.select(col("v"), col("deg").as("x")), Seq("v"))
+      .join(deg.select(col("v").as("n"), col("deg").as("y")), Seq("n"))
+      .agg(count(lit(1)).as("m_arcs"), sum(col("x")).as("s_x"),
+        sum(col("x") * col("x")).as("s_xx"),
+        sum(col("x") * col("y")).as("s_xy"))
+  }
+
+  /**
    * Local clustering coefficient per vertex, as the exact integer pair
    * (tri_cnt, wedge_cnt): the coefficient is tri_cnt / wedge_cnt and
    * the division is left to the caller — integers are the gate

@@ -19,6 +19,26 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /**
+   * Zipf rank–frequency table over the corpus vocabulary: global token
+   * frequency with a deterministic ranking (freq desc, token asc
+   * tie-break) — the classic corpus sanity diagnostic (rank·freq ≈
+   * const for natural text; a flat or cliffed spectrum flags synthetic
+   * or templated data). All-integer output.
+   *
+   * Scale shape: the corpus collapses in one map-side-combinable
+   * vocab-sized count shuffle; the rank window then sorts only the
+   * VOCABULARY (bounded — millions of rows at web scale, not the
+   * corpus), the smallest frame in the pipeline. The unpartitioned
+   * window is deliberate: a global rank needs a global order, and
+   * paying it on the vocab frame is the cheapest place it can live.
+   */
+  def zipfTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok"))).cast("long"))
+
   /** BPE-ish subword count estimate: word-piece regex splits on
     * non-alphanumerics and splits long runs — a cheap stand-in for a
     * tokenizer's token count at corpus-statistics accuracy. */

@@ -29,6 +29,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(d1.map(_._2).distinct == List(math.round(math.log(4) * 1e6) / 1e6))
   }
 
+  test("zipfTable ranks by freq desc with token tie-break") {
+    val got = TextAnalysis.zipfTable(docs, "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    // dog 5, cat 3, then six singletons ranked alphabetically
+    assert(got("dog") == ((5L, 1L)) && got("cat") == ((3L, 2L)), s"$got")
+    assert(got("bird") == ((1L, 3L)) && got("fish") == ((1L, 4L)), s"$got")
+    assert(got.size == 8 && got.values.map(_._2).toSet == (1L to 8L).toSet)
+  }
+
   test("repetitionStats flags repeated words and bigrams") {
     val out = TextAnalysis.repetitionStats(docs, "doc_id", "text")
       .as[(Long, Long, Double, Double, Double)].collect()

@@ -138,6 +138,20 @@ class AnalyticsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("assortativityStats: hand-computed sums on triangle + pendant") {
+    import spark.implicits._
+    // degrees 2/2/3/1; 8 arcs, Σx=18, Σx²=44, Σxy=38
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> Seq(1L, 2L, 3L, 4L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val r = GraphAnalytics.assortativityStats(tiny, Seq("e")).head()
+    CacheScope.drain(spark)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((8L, 18L, 44L, 38L)), s"got $r")
+  }
+
   test("clusteringCoef: exact integer (triangle, wedge) pairs") {
     import spark.implicits._
     // triangle 1-2-3 plus pendant 3-4
