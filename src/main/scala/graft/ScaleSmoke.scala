@@ -233,6 +233,27 @@ object ScaleSmoke {
         emb0.filter(col("vec_id") < 16),
         "vec_id", "embedding", threshold = 0.28).count())
 
+    // round-6-late operators: HITS (the PageRank superstep twice per
+    // round), the wedge-join family, the sketches, and the rollups
+    time(s"hits 5 iters ${factor}x")(
+      graft.analytics.GraphAnalytics.hits(store, Seq("amp"), 5).count())
+    // disconnected copies keep wedge volume factor-linear — the term
+    // the smoke must confirm (Σ deg² would go quadratic on a FUSED
+    // graph; copies are the honest model of a bigger corpus)
+    time(s"clustering coef ${factor}x")(
+      graft.analytics.GraphAnalytics.clusteringCoef(store, Seq("amp"))
+        .count())
+    time(s"assortativity stats ${factor}x")(
+      graft.analytics.GraphAnalytics.assortativityStats(store, Seq("amp"))
+        .count())
+    time(s"cms registers ${factor}x")(
+      graft.operators.Stats.cmsRegisters(edges, "l_partkey", 4, 256)
+        .count())
+    time(s"zipf table ${factor}x")(
+      graft.pipeline.TextAnalysis.zipfTable(docs, "text").count())
+    time(s"cohort retention ${factor}x")(
+      graft.operators.Stats.cohortRetention(ev, "user_id", "ts").count())
+
     spark.stop()
   }
 }

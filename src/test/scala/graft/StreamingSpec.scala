@@ -92,6 +92,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS registers equal the batch sketch (stream == batch)") {
+    // the Count-Min registers are a pure groupBy count, so the SAME
+    // column program maintains the sketch incrementally under
+    // readStream in complete mode — the live-frequency-monitor
+    // deployment shape; its final state must equal the batch sketch
+    val liPath = s"$sfDir/lineitem.parquet"
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Stats.cmsRegisters(df, "l_partkey",
+        depth = 4, width = 256)
+    val batch = sketch(spark.read.parquet(liPath))
+      .collect().map(_.toSeq).toSet
+
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-cms").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(liPath),
+      java.nio.file.Paths.get(s"$streamDir/lineitem.parquet"))
+    val schema = spark.read.parquet(liPath).schema
+    val q = sketch(spark.readStream.schema(schema).parquet(streamDir))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cms_stream").collect().map(_.toSeq).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch banded join") {
     val events = graft.sources.Tables.events(spark, sfDir)
     val views = events.where(col("event_type") === "view")
