@@ -124,6 +124,7 @@ object Bench {
       "ttl_visibility" -> "ttl_vis", "ev_running_totals" -> "ev_run_tot",
       "clustering_coef" -> "clust_coef",
       "zipf_table" -> "zipf", "assortativity" -> "assort",
+      "component_stats" -> "comp_stats",
       "ev_session_window" -> "ev_sess_win",
       "changelog_apply" -> "chlog_apply",
       "quality_classifier" -> "qual_clf",

@@ -246,6 +246,11 @@ object ScaleSmoke {
     time(s"assortativity stats ${factor}x")(
       graft.analytics.GraphAnalytics.assortativityStats(store, Seq("amp"))
         .count())
+    // per-component rollup: CC dominates; the two count shuffles must
+    // stay vertex-/edge-linear on the copy-disconnected graph
+    time(s"component stats ${factor}x")(
+      graft.analytics.GraphAnalytics.componentStats(store, Seq("amp"))
+        .count())
     time(s"cms registers ${factor}x")(
       graft.operators.Stats.cmsRegisters(edges, "l_partkey", 4, 256)
         .count())

@@ -1000,11 +1000,56 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.clusteringCoef(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"))),
 
+    // ---- Per-component summary rollup (vertex + stored-arc counts
+    // over the reachability partition) ----
+    "q_component_stats" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.componentStats(store(s, dir),
+        Seq("in_nation", "in_region"))),
+
     // ---- Degree-assortativity sufficient statistics (one row of
     // exact integer sums; shard statistics add) ----
     "q_assortativity" -> ((s, dir) =>
       graft.analytics.GraphAnalytics.assortativityStats(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"))),
+
+    // ---- Bipartite projection: parts co-ordered within an order,
+    // hot-order cap 8, co-count >= 2 ----
+    "q_cooccurrence" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.cooccurrence(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        maxPerLeft = 8, minCount = 2)),
+
+    // ---- Butterfly (bipartite 4-cycle) census over the same
+    // order⋈part graph — one row of exact integer counts ----
+    "q_butterflies" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.butterflyStats(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        maxPerLeft = 8)),
+
+    // ---- Snapshot diff release gate: customer v2 derived
+    // deterministically (delete %13, renation %7, append %11 with
+    // offset keys), per-status counts ----
+    "q_snapshot_diff" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val v2 = cust.filter(col("c_custkey") % 13 =!= 0)
+        .withColumn("c_nationkey",
+          when(col("c_custkey") % 7 === 0, (col("c_nationkey") + 1) % 25)
+            .otherwise(col("c_nationkey")))
+        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_nationkey")))
+      graft.operators.Audit.diffSummary(cust, v2,
+        Seq("c_custkey"), Seq("c_nationkey"))
+    }),
+
+    // ---- Referential audit: lineitem part references vs a 90%
+    // partial-ingest vertex set — dangling ids with arc counts ----
+    "q_dangling_refs" -> ((s, dir) =>
+      graft.operators.Audit.danglingRefs(
+        t(s, dir, "lineitem"), "l_partkey",
+        t(s, dir, "part").filter(col("p_partkey") % 10 =!= 0),
+        "p_partkey")),
 
     // ---- Zipf rank-frequency spectrum of the corpus vocabulary ----
     "q_zipf_table" -> ((s, dir) =>
@@ -2284,6 +2329,28 @@ object SparkEntry {
         |  SELECT u.d, r.label FROM reach r JOIN u ON u.s = r.v)
         |SELECT v AS _vid, min(label) AS component
         |FROM reach GROUP BY v""".stripMargin,
+
+    // CC reach CTE + two rollup counts; count(*) stays BIGINT
+    "q_component_stats" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation),
+        |u AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+        |reach(v, label) AS (
+        |  SELECT s, s FROM u
+        |  UNION
+        |  SELECT u.d, r.label FROM reach r JOIN u ON u.s = r.v),
+        |lab AS (SELECT v, min(label) AS component FROM reach GROUP BY v),
+        |cv AS (SELECT component, count(*) AS n_vertices
+        |  FROM lab GROUP BY 1),
+        |ce AS (SELECT lab.component, count(*) AS n_edges
+        |  FROM e JOIN lab ON lab.v = e.s GROUP BY 1)
+        |SELECT cv.component, cv.n_vertices,
+        |  coalesce(ce.n_edges, 0) AS n_edges
+        |FROM cv LEFT JOIN ce USING (component)""".stripMargin,
 
     "q_pagerank" -> pageRankSql(5),
     "q_ppr" -> pprSql(5, Seq(1L, 2L, 3L, 4L, 5L)),

@@ -265,6 +265,35 @@ object GraphAnalytics {
       .vertices.toDF("_vid", "component")
   }
 
+  /**
+   * Per-component summary — the whole-graph statistics rollup over the
+   * reachability partition: component label (GraphX CC = min vid,
+   * deterministic), vertex count, and stored-arc count (every stored
+   * arc is internal to its component by definition of reachability).
+   * All-integer output.
+   *
+   * Scale shape: the GraphX CC cost is the dominant term; on top of it
+   * one vertex-sized count shuffle and one edge⋈label equi-join
+   * (label side AQE-broadcast when the vertex frame fits) feeding a
+   * map-side-combinable count.
+   */
+  def componentStats(store: GraphStore,
+      edgeTypes: Seq[String]): DataFrame = {
+    val cc = connectedComponents(store, edgeTypes)
+      .transform(graft.CacheScope.persist(_)) // feeds both counts
+    val srcs = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC).as("s"))
+    }.reduce(_ unionByName _)
+    val cv = cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_vertices"))
+    val ce = srcs
+      .join(cc.select(col("_vid").as("s"), col("component")), Seq("s"))
+      .groupBy(col("component")).agg(count(lit(1)).as("n_edges"))
+    cv.join(ce, Seq("component"), "left")
+      .select(col("component"), col("n_vertices"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+  }
+
   /** Triangle count per vertex (GraphX canonical algorithm). */
   def triangleCount(store: GraphStore, edgeTypes: Seq[String]): DataFrame = {
     val spark = (store.vertices.valuesIterator ++ store.edges.valuesIterator)
@@ -665,4 +694,54 @@ object GraphAnalytics {
     dist.select(col("v").as("_vid"),
       graft.functions.Portable.quant(col("dist"), 4).as("dist"))
   }
+
+  /**
+   * Bipartite projection / co-occurrence graph — the "items bought
+   * together" shape: for every pair of right-side vertices sharing a
+   * left-side neighbor, the number of shared left neighbors. The
+   * classic quadratic trap is a hot left vertex (a basket containing
+   * the whole catalog explodes to C(n,2) pairs); `maxPerLeft` drops
+   * left vertices above the cap BEFORE pair generation — the same
+   * deterministic hot-bucket law as the LSH `maxBucketSize` — bounding
+   * per-bucket fan-out at C(cap,2).
+   *
+   * Scale shape: distinct + one groupBy-left shuffle building the
+   * bounded neighbor array, intra-bucket (i<j) pair explode (NO
+   * self-join — the arc frame shuffles once, not twice), then one
+   * map-side-combinable pair count. All-integer output.
+   */
+  def cooccurrence(edges: DataFrame, leftCol: String, rightCol: String,
+      maxPerLeft: Int, minCount: Int): DataFrame = {
+    val e = edges.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .distinct()
+    val buckets = e.groupBy(col("l"))
+      .agg(sort_array(collect_list(col("r"))).as("rs"))
+      .filter(size(col("rs")).between(2, maxPerLeft))
+    val nestedPairs = transform(col("rs"), (x, i) =>
+      transform(slice(col("rs"), i + 2, size(col("rs"))),
+        y => struct(x.as("a"), y.as("b"))))
+    buckets.select(explode(flatten(nestedPairs)).as("p"))
+      .groupBy(col("p.a").as("r1"), col("p.b").as("r2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /**
+   * Butterfly (bipartite 4-cycle) census — the bipartite analog of the
+   * triangle count (Sanei-Mehri et al. 2018, "Butterfly Counting in
+   * Bipartite Networks"): a butterfly is two left and two right
+   * vertices forming a complete 2x2 biclique. Counted via the
+   * co-occurrence rollup: a right pair sharing c left neighbors closes
+   * C(c,2) butterflies, so the census is ONE aggregate over the
+   * [[cooccurrence]] frame — n_copairs (co-occurring right pairs),
+   * n_copairs_multi (pairs sharing >= 2, each closing >= 1 butterfly),
+   * n_butterflies = Σ c·(c−1)/2 (exact integer: consecutive-product
+   * parity). Same `maxPerLeft` hot-vertex cap.
+   */
+  def butterflyStats(edges: DataFrame, leftCol: String, rightCol: String,
+      maxPerLeft: Int): DataFrame =
+    cooccurrence(edges, leftCol, rightCol, maxPerLeft, minCount = 1)
+      .agg(count(lit(1)).as("n_copairs"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_copairs_multi"),
+        sum(expr("cnt * (cnt - 1) div 2")).as("n_butterflies"))
 }

@@ -84,6 +84,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("componentStats: vertex and arc counts per component") {
+    import spark.implicits._
+    // components {1,2,3} (2 arcs) and {5,6} (1 arc)
+    val edges = Seq((1L, 2L, 0L), (2L, 3L, 0L), (5L, 6L, 0L))
+      .toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> Seq(1L, 2L, 3L, 5L, 6L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val got = GraphAnalytics.componentStats(tiny, Seq("e"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    CacheScope.drain(spark)
+    assert(got == Map(1L -> ((3L, 2L)), 5L -> ((2L, 1L))), s"got $got")
+  }
+
   test("commonNeighbors: per-edge support, zero-support edges survive") {
     import spark.implicits._
     // triangle 1-2-3 plus pendant edge 3-4: each triangle edge has
