@@ -2621,6 +2621,35 @@ object SparkEntry {
          |FROM pt JOIN freq USING (tok)
          |GROUP BY doc_id""".stripMargin,
 
+    // snapshot diff: replay the deterministic v2 derivation, classify
+    // via full-outer join; count(*) is BIGINT on both engines
+    "q_snapshot_diff" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey FROM customer),
+        |v2 AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25
+        |              ELSE c_nationkey END AS c_nationkey
+        |  FROM cust WHERE c_custkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_nationkey
+        |  FROM cust WHERE c_custkey % 11 = 0
+        |)
+        |SELECT CASE WHEN b.c_custkey IS NULL THEN 'added'
+        |            WHEN v.c_custkey IS NULL THEN 'deleted'
+        |            WHEN b.c_nationkey IS DISTINCT FROM v.c_nationkey
+        |              THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       count(*) AS n
+        |FROM cust b FULL OUTER JOIN v2 v ON b.c_custkey = v.c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_dangling_refs" ->
+      """SELECT l_partkey AS ref_id, count(*) AS n_arcs
+        |FROM lineitem
+        |WHERE l_partkey NOT IN
+        |  (SELECT p_partkey FROM part WHERE p_partkey % 10 <> 0)
+        |GROUP BY 1""".stripMargin,
+
     // global vocab spectrum; row_number CAST matches Spark's long rnk
     "q_zipf_table" ->
       s"""WITH $TokCte,

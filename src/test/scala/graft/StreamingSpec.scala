@@ -23,7 +23,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val streamed = spark.readStream.schema(schema)
       .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeTs)
     val q = EventStream.windowedAggStreaming(streamed)
       .writeStream.format("memory").queryName("win_agg")
       .outputMode("complete").start()
@@ -51,7 +51,7 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val streamed = spark.readStream.schema(schema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeTs)
     // stateless stream-static join: append mode, no watermark needed
     val q = cols(EventStream.enrich(streamed, dim,
         "user_id", "c_custkey", Seq("c_name", "c_mktsegment")))
@@ -140,7 +140,7 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def streamed = spark.readStream.schema(schema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeTs)
     val joined = EventStream.intervalJoinStreaming(
       streamed.where(col("event_type") === "view"),
       streamed.where(col("event_type") === "purchase"),
@@ -186,7 +186,7 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val streamed = spark.readStream.schema(schema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.Tables.normalizeTs)
     val q = EventStream
       .streamingDedup(streamed, Seq("user_id", "event_type"))
       .writeStream.format("memory").queryName("dedup_stream")
