@@ -189,54 +189,71 @@ object GraphAnalytics {
    * its subtree at each occurrence — with a doubly-referenced frame the
    * stored plans expand 2x per round and the plan tree (and its UI
    * string) grows exponentially: 5 rounds OOMed an 8g driver purely in
-   * `explainString`. So each round's result is re-exposed as an opaque
-   * scan of its own materialized rows (`createDataFrame(rdd, schema)`):
-   * the next round's plan bottoms out there, nothing references the
-   * released frames' SQL plans, and no recompile can expand anything.
+   * `explainString`. So each round's result is re-exposed behind an
+   * opaque `LogicalRDD` scan via `localCheckpoint(eager)`: the next
+   * round's plan bottoms out there, nothing references the released
+   * frames' SQL plans, and no recompile can expand anything.
+   * (`localCheckpoint` materializes InternalRows directly — the earlier
+   * `createDataFrame(round.rdd, schema)` break paid a full
+   * decode-to-Row + re-encode per round.)
+   *
+   * The edge frame is kept in TWO loop-invariant copies, one hash-
+   * partitioned by src and one by dst: the authority superstep joins on
+   * src, the hub superstep on dst, so with the copies pinned each round
+   * shuffles only vertex-sized score frames — the edge relation (the
+   * 100 TB side) is shuffled once per key for the whole run instead of
+   * twice per round.
    */
   def hits(store: GraphStore, edgeTypes: Seq[String], iters: Int)
       : DataFrame = {
     import graft.functions.Portable.dyadic
-    val edges = edgeTypes.map { et =>
+    val edges0 = edgeTypes.map { et =>
       store.edge(et).select(col(GraphStore.SRC).as("s"),
         col(GraphStore.DST).as("d"))
     }.reduce(_ unionByName _)
+    val edgesBySrc = edges0.repartition(col("s"))
       .transform(graft.CacheScope.persist(_))
-    val verts = edges.select(col("s").as("v"))
-      .union(edges.select(col("d")))
+    val edgesByDst = edges0.repartition(col("d"))
+      .transform(graft.CacheScope.persist(_))
+    val verts = edgesBySrc.select(col("s").as("v"))
+      .union(edgesByDst.select(col("d")))
       .distinct()
       .transform(graft.CacheScope.persist(_))
     var scores = verts.select(col("v"), lit(1.0).as("a"), lit(1.0).as("h"))
-    var prev: Option[DataFrame] = None
     for (_ <- 1 to iters) {
-      // The L1 totals are fetched as one-row scalars and re-injected as
-      // literals (the broadcast-able-constant shape, cf. the bloom
-      // filter in Dedup): totals are exact on-grid sums, so the value
-      // is engine- and order-independent. Referencing them in-plan as
-      // crossJoin(broadcast(agg)) instead multiplies the upstream
-      // subtree 3x per half-step — the analyzed plan grows 9x per
-      // iteration and planning OOMs at 5 iterations.
-      val aRaw = edges.join(scores, col("s") === col("v"))
+      // The L1 totals ride in-plan as broadcast one-row scalars
+      // (crossJoin(broadcast(agg)), cf. PageRank's normalization):
+      // totals are exact on-grid sums, so the value is engine- and
+      // order-independent. In-plan scalars USED to be banned here —
+      // each reference multiplied the upstream subtree 3x per
+      // half-step and planning OOMed at 5 iterations — but the
+      // per-round localCheckpoint now bottoms every subtree out at a
+      // LogicalRDD, so within-round duplication is a constant factor.
+      // Net effect: ONE Spark job per round (the eager checkpoint),
+      // not three (cache-fill + two scalar fetches); the persisted
+      // aRaw/auth/hRaw fill as the job's shared stages.
+      val aRaw = edgesBySrc.join(scores, col("s") === col("v"))
         .groupBy(col("d").as("av")).agg(sum(dyadic(col("h"))).as("ar"))
         .transform(graft.CacheScope.persist(_))
-      val at = aRaw.agg(sum(col("ar"))).head().getDouble(0)
+      val atDF = aRaw.agg(sum(col("ar")).as("at"))
       val auth = verts.join(aRaw, col("v") === col("av"), "left")
+        .crossJoin(broadcast(atDF))
         .select(col("v"),
-          dyadic(coalesce(col("ar"), lit(0.0)) / lit(at)).as("a"))
+          dyadic(coalesce(col("ar"), lit(0.0)) / col("at")).as("a"))
         .transform(graft.CacheScope.persist(_)) // feeds hRaw + next
-      val hRaw = edges.join(auth.select(col("v").as("dv"), col("a")),
+      val hRaw = edgesByDst.join(auth.select(col("v").as("dv"), col("a")),
           col("d") === col("dv"))
         .groupBy(col("s").as("hv")).agg(sum(dyadic(col("a"))).as("hr"))
         .transform(graft.CacheScope.persist(_))
-      val ht = hRaw.agg(sum(col("hr"))).head().getDouble(0)
+      val htDF = hRaw.agg(sum(col("hr")).as("ht"))
       val round = auth.join(hRaw, col("v") === col("hv"), "left")
+        .crossJoin(broadcast(htDF))
         .select(col("v"), col("a"),
-          dyadic(coalesce(col("hr"), lit(0.0)) / lit(ht)).as("h"))
+          dyadic(coalesce(col("hr"), lit(0.0)) / col("ht")).as("h"))
       // Lineage break (scaladoc): materialized rows behind an opaque
       // scan, so releasing this round's scaffolding can't recompile it.
-      val next = round.sparkSession.createDataFrame(round.rdd, round.schema)
-        .transform(graft.CacheScope.persist(_))
-      next.count()
+      // Eager, so the scaffolding unpersists below see no live readers.
+      val next = round.localCheckpoint(true)
       // Release order matters for the recompile rule: auth first (only
       // hRaw's cached plan references it; that expansion is one small
       // already-aggregated subtree), then the rest — nothing cached
@@ -244,8 +261,9 @@ object GraphAnalytics {
       graft.CacheScope.unpersist(auth)
       graft.CacheScope.unpersist(hRaw)
       graft.CacheScope.unpersist(aRaw)
-      prev.foreach(graft.CacheScope.unpersist)
-      prev = Some(next)
+      // Superseded checkpoint blocks (vertex-sized) are swept by the
+      // harness's CacheScope.drain via getPersistentRDDs; a very long
+      // run would release them per-round by RDD id instead.
       scores = next
     }
     scores.select(col("v").as("_vid"),
