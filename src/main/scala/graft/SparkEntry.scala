@@ -371,6 +371,13 @@ object SparkEntry {
       Similarity.blockedNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", blockCol = "label", threshold = 0.35)),
 
+    // ---- Contrastive pair mining: top-k cosine neighbors per anchor,
+    // labeled positive/negative by class — hard-negative generation
+    // for embedding-model training ----
+    "q_contrastive_pairs" -> ((s, dir) =>
+      Similarity.contrastivePairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", anchorMod = 25L, k = 5)),
+
     // ---- Multimodal plumbing: REAL codec round trip. synthesize()
     // encodes spec-derived payloads through the actual PNG/BMP/WAV
     // writers; decode() reads them back through javax.imageio /
@@ -980,6 +987,24 @@ object SparkEntry {
     "q_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramCounts(t(s, dir, "documents"), "doc_id", "text",
         minCount = 5)),
+
+    // ---- PMI collocation mining: bigrams beating the independence
+    // expectation; integer-scaled ratio keeps the gate float-free ----
+    "q_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"), "text",
+        minCount = 5)),
+
+    // ---- Per-doc n-gram novelty vs the earlier corpus (first-owner
+    // election on the shingle key): the marginal-new-data curve ----
+    "q_doc_novelty" -> ((s, dir) =>
+      Curation.docNovelty(t(s, dir, "documents"), "doc_id", "text",
+        n = 4)),
+
+    // ---- Leakage-safe train/val/test split: split keyed on the
+    // exact-dup fingerprint so duplicate texts co-locate ----
+    "q_split_assign" -> ((s, dir) =>
+      Curation.splitAssign(t(s, dir, "documents"), "doc_id", "text",
+        testPermille = 100, valPermille = 100)),
 
     // ---- Common-neighbor count per edge (link-prediction support /
     // k-truss quantity) over the small-graph edge types ----
@@ -2847,6 +2872,66 @@ object SparkEntry {
          |SELECT w1, w2, c12, c1 FROM c12 JOIN c1 USING (w1)
          |WHERE c12 >= 5""".stripMargin,
 
+    // integer-scaled PMI: identical op order (parenthesized) on both
+    // engines; corpus total CAST to BIGINT (HUGEINT law)
+    "q_collocations" ->
+      s"""WITH $TokCte,
+         |uni AS (SELECT unnest(t) AS w FROM toks),
+         |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uc),
+         |pr AS (SELECT
+         |    list_extract(t, CAST(u.i AS INTEGER)) AS w1,
+         |    list_extract(t, CAST(u.i AS INTEGER) + 1) AS w2
+         |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(t))) u(i)
+         |  WHERE len(t) >= 2),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY 1, 2
+         |       HAVING count(*) >= 5)
+         |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+         |  ((c12 * 1000000 // u1.c) * n_tok) // u2.c AS pmi_scaled
+         |FROM bc JOIN uc u1 ON bc.w1 = u1.w
+         |        JOIN uc u2 ON bc.w2 = u2.w
+         |CROSS JOIN tot""".stripMargin,
+
+    // first-owner election per shingle; integer sums CAST (HUGEINT law)
+    "q_doc_novelty" ->
+      s"""WITH $TokCte, $ShingleCte,
+         |own AS (SELECT shingle, min(doc_id) AS owner
+         |        FROM sh GROUP BY shingle)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  (CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000) // count(*) AS novelty_permille
+         |FROM sh JOIN own USING (shingle)
+         |GROUP BY doc_id""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT doc_id, md5(text) AS fingerprint,
+        |  CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1000
+        |    AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)
+        |            % 1000 < 100 THEN 'test'
+        |       WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)
+        |            % 1000 < 200 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
+    "q_contrastive_pairs" ->
+      """SELECT anchor_id, cand_id, sim, CAST(rk AS INTEGER) AS rk,
+        |       is_positive FROM (
+        |  SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+        |    floor((list_cosine_similarity(a.embedding::DOUBLE[],
+        |      c.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0
+        |      AS sim,
+        |    CAST(a.label = c.label AS INTEGER) AS is_positive,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY floor((list_cosine_similarity(a.embedding::DOUBLE[],
+        |        c.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0
+        |        DESC, c.vec_id) AS rk
+        |  FROM embeddings a JOIN embeddings c ON a.vec_id <> c.vec_id
+        |  WHERE a.vec_id % 25 = 0
+        |) WHERE rk <= 5""".stripMargin,
+
     "q_common_neighbors" ->
       """WITH raw AS (
         |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
@@ -3140,6 +3225,7 @@ object SparkEntry {
     "q_add_edges" -> Seq("o_totalprice"),
     "q_add_vertices_ifnotexists" -> Seq("c_acctbal"),
     "q_ann_topk" -> Seq("sim"),
+    "q_contrastive_pairs" -> Seq("sim"),
     "q_asof_join" -> Seq("buy_value"),
     "q_changelog_apply" -> Seq("s_acctbal"),
     "q_corpus_curation" -> Seq("quality_score"),

@@ -177,6 +177,62 @@ object Curation {
    * Scale shape: a narrow map + explode — NO shuffle anywhere; the
    * weight table compiles into the projection as a CASE chain.
    */
+  /**
+   * Per-document n-gram novelty vs the earlier corpus (doc-id order):
+   * the fraction of a document's distinct word n-grams whose FIRST
+   * corpus occurrence is this document. A redundancy/contamination
+   * curve — freshly-crawled shards with low novelty are mostly
+   * re-crawls; a training mixture can budget by marginal novel tokens
+   * instead of raw tokens (the "how much new data is this really"
+   * question at 100 TB).
+   *
+   * Scale shape: the same laws as line dedup — first-owner election is
+   * a `min(id)` AGGREGATE on the shingle key (map-side combinable; a
+   * boilerplate shingle occurring in millions of docs costs one
+   * partial per partition, never a single-reducer window), then one
+   * shingle-keyed join back and one doc-keyed count shuffle.
+   * All-integer output (permille by integer division); docs too short
+   * for a single n-gram are absent, as in the oracle.
+   */
+  def docNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = Dedup.shingles(df, idCol, textCol, n)
+      .transform(graft.CacheScope.persist(_)) // feeds owners + join back
+    val owners = sh.groupBy("shingle").agg(min(col("id")).as("owner"))
+    sh.join(owners, "shingle")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_permille",
+        expr("(n_novel * 1000) div n_shingles"))
+  }
+
+  /**
+   * Leakage-safe train/val/test split assignment: the split is decided
+   * by a hash of the exact-dup FINGERPRINT (md5 of the text), not of
+   * the document id — so byte-identical duplicates land in the same
+   * split by construction and a train-side copy of a test document
+   * cannot exist. Deterministic, shuffle-free (one narrow scan, no
+   * joins), and stable under re-runs and corpus growth: a document's
+   * split never changes when other documents are added — the property
+   * that lets a 100 TB corpus be split incrementally, shard by shard.
+   *
+   * The first 8 md5 hex chars convert to an integer (the established
+   * portable-hash idiom, cf. [[graft.operators.Sample.stratified]]);
+   * permille thresholds carve test/val/train.
+   */
+  def splitAssign(df: DataFrame, idCol: String, textCol: String,
+      testPermille: Int, valPermille: Int): DataFrame = {
+    val fp = md5(col(textCol))
+    val bucket = pmod(
+      conv(substring(fp, 1, 8), 16, 10).cast("long"), lit(1000L))
+    df.select(col(idCol), fp.as("fingerprint"), bucket.as("bucket"),
+      when(bucket < testPermille, "test")
+        .when(bucket < testPermille + valPermille, "val")
+        .otherwise("train").as("split"))
+  }
+
   def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
       weights: Map[String, Double]): DataFrame = {
     val whole = weights.map { case (s, w) => s -> math.floor(w).toLong }

@@ -65,6 +65,42 @@ object Similarity {
         col("rk").cast("int").as("rk"))
   }
 
+  /**
+   * Contrastive pair mining for embedding-model training (SimCSE/CLIP
+   * hard-negative style): for every anchor vector, its top-k cosine
+   * neighbors, each labeled positive (same class) or negative
+   * (different class) — high-similarity negatives are exactly the hard
+   * negatives a contrastive loss wants.
+   *
+   * Scale shape follows [[bruteForceTopK]]: the anchor set is bounded
+   * (every `anchorMod`-th vector) and BROADCAST; the corpus streams
+   * through once (never an all-pairs self-join), per-anchor top-k
+   * plans as a map-side WindowGroupLimit before the single anchor-
+   * keyed shuffle. At larger scale the scored join swaps for
+   * [[ivfTopK]]'s cell-blocked candidate generation unchanged — the
+   * labeling projection composes with either.
+   */
+  def contrastivePairs(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchorMod: Long, k: Int,
+      roundTo: Int = 6): DataFrame = {
+    val anchors = broadcast(
+      emb.filter(pmod(col(idCol), lit(anchorMod)) === 0)
+        .select(col(idCol).as("anchor_id"), col(vecCol).as("avec"),
+          norm(col(vecCol)).as("an"), col(labelCol).as("albl")))
+    val scored = anchors.join(
+        emb.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
+          norm(col(vecCol)).as("cn"), col(labelCol).as("clbl")),
+        col("anchor_id") =!= col("cand_id"))
+      .withColumn("sim", graft.functions.Portable.quant(
+        dot(col("avec"), col("cvec")) / (col("an") * col("cn")), roundTo))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("anchor_id"), col("cand_id"), col("sim"),
+        col("rk").cast("int").as("rk"),
+        (col("albl") === col("clbl")).cast("int").as("is_positive"))
+  }
+
   /** Deterministic random hyperplanes (unit-free; only the sign is
     * used), seeded for reproducibility. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {

@@ -328,6 +328,48 @@ object TextAnalysis {
   }
 
   /**
+   * PMI collocation mining — the classic corpus-linguistics signal for
+   * multiword expressions ("new york", "machine learning"): bigrams
+   * whose joint frequency beats the independence expectation. PMI =
+   * log(c12·N / (c1·c2)); the log is monotone, so the gate surface
+   * carries the exact-integer evidence (c12, c1, c2) plus an
+   * integer-scaled ratio `pmi_scaled = ((c12·10^6) div c1 · N) div c2`
+   * — same ordering, no libm float in the hash (the log itself is a
+   * client-side presentation concern).
+   *
+   * Scale shape: one persisted token-array scan feeds the unigram and
+   * bigram explodes (two map-side-combinable count shuffles); the
+   * `minCount` cutoff prunes the candidate set BEFORE the two
+   * vocabulary-sized count joins (AQE broadcasts the unigram side when
+   * it fits); the corpus total rides in-plan as a broadcast one-row
+   * scalar. The scaled ratio keeps exact integer semantics through
+   * c12·10^6·N ≤ 2^63; a corpus past ~10^12 tokens would lower the
+   * scale constant on both engine and oracle sides together.
+   */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Int): DataFrame = {
+    val toksArr = df.select(tokens(col(textCol)).as("_t"))
+      .transform(graft.CacheScope.persist(_)) // feeds unigrams + bigrams
+    val uni = toksArr.select(explode(col("_t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .transform(graft.CacheScope.persist(_)) // joined on w1 AND w2
+    val total = uni.agg(sum(col("c")).as("n_tok"))
+    val joint = toksArr.filter(size(col("_t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("_t")) - 1),
+        i => struct(element_at(col("_t"), i).as("w1"),
+          element_at(col("_t"), i + 1).as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    joint
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        expr("((c12 * 1000000 div c1) * n_tok) div c2").as("pmi_scaled"))
+  }
+
+  /**
    * Per-document bigram-LM score — the train-then-score half of a
    * KenLM-style perplexity filter (CCNet's filtering stage): the LM is
    * the corpus's own bigram table (joint count c12, history count c1,

@@ -220,4 +220,36 @@ class CurationSpec extends SparkSpec {
     val ts = enc.orderBy($"t").select("id").as[Long].collect().toSeq
     assert(ts == Seq(2L, 1L, 3L))
   }
+
+  test("docNovelty: first doc fully novel, exact duplicate fully stale") {
+    val in = Seq(
+      (1L, "a b c d e f"),         // first owner of all its 4-grams
+      (2L, "a b c d e f"),         // exact dup of 1 -> zero novelty
+      (3L, "p q r s t u")          // disjoint -> fully novel
+    ).toDF("doc_id", "text")
+    val out = Curation.docNovelty(in, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 3L, 1000L)))
+    assert(out(2L) == ((3L, 0L, 0L)))
+    assert(out(3L) == ((3L, 3L, 1000L)))
+  }
+
+  test("splitAssign: dup texts co-locate, thresholds carve permille") {
+    val out = Curation.splitAssign(docs, "doc_id", "text", 100, 100)
+      .cache()
+    // identical fingerprints -> identical split (leakage-safe law)
+    assert(out.groupBy("fingerprint")
+      .agg(countDistinct($"split").as("k"))
+      .filter($"k" > 1).count() == 0)
+    // split is exactly the bucket threshold function
+    assert(out.filter(
+      ($"bucket" < 100 && $"split" =!= "test") ||
+      ($"bucket" >= 100 && $"bucket" < 200 && $"split" =!= "val") ||
+      ($"bucket" >= 200 && $"split" =!= "train")).count() == 0)
+    assert(out.agg(min($"bucket"), max($"bucket")).head match {
+      case r => r.getLong(0) >= 0L && r.getLong(1) <= 999L
+    })
+    out.unpersist()
+  }
 }

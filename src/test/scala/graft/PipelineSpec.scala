@@ -214,6 +214,25 @@ class TextAnalysisSpec extends SparkSpec {
         ((r.getAs[Long]("score"), r.getAs[Long]("label")))).toMap
     assert(got == Map(1L -> ((2012L, 1L)), 2L -> ((-3997L, 0L))), s"got $got")
   }
+
+  test("collocations: bound pairs outscore frequent-word chance pairs") {
+    // "x y" always co-occur (true collocation); "a" is everywhere, so
+    // "a a" has high joint count but low PMI.
+    val df = Seq.tabulate(10)(i => (i.toLong, "a a a x y a a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(df, "text", minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // N = 70 tokens: a=50, x=10, y=10
+    val (c12xy, c1x, c2y, pmiXY) = out(("x", "y"))
+    assert((c12xy, c1x, c2y) == ((10L, 10L, 10L)))
+    // exact integer law: ((10*10^6 div 10) * 70) div 10
+    assert(pmiXY == ((10L * 1000000L / 10L) * 70L) / 10L)
+    val pmiAA = out(("a", "a"))._4
+    assert(pmiXY > pmiAA, s"PMI must rank x-y over a-a: $pmiXY vs $pmiAA")
+    // cutoff: every surviving pair has c12 >= 5
+    assert(out.values.forall(_._1 >= 5L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -309,6 +328,29 @@ class SimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.functions.{array_max => amax, array_min => amin, col => c}
     val bad = q.filter(amax(c("qvec")) > 127 || amin(c("qvec")) < -127)
     assert(bad.count() == 0)
+  }
+
+  test("contrastivePairs: hard negatives surface, labels mark polarity") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),  // anchor (0 % 5 == 0)
+      (1L, Array(0.99f, 0.14f, 0.0f), 0), // near-parallel, same class
+      (2L, Array(0.98f, 0.2f, 0.0f), 1),  // near-parallel, OTHER class
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),   // orthogonal
+      (5L, Array(0.0f, 0.0f, 1.0f), 2)    // anchor too (5 % 5 == 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.contrastivePairs(emb, "vec_id", "embedding",
+      "label", anchorMod = 5L, k = 2)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(3), r.getInt(4)))
+    // two anchors, k pairs each, never self-paired
+    assert(rows.map(_._1).toSet == Set(0L, 5L))
+    assert(rows.count(_._1 == 0L) == 2 && rows.count(_._1 == 5L) == 2)
+    assert(rows.forall(r => r._1 != r._2))
+    // anchor 0's top-2 are the near-parallel vectors in sim order;
+    // the same-class one is positive, the cross-class one a hard negative
+    val a0 = rows.filter(_._1 == 0L).sortBy(_._3)
+    assert(a0.map(_._2).toSeq == Seq(1L, 2L))
+    assert(a0.map(_._4).toSeq == Seq(1, 0))
   }
 }
 
