@@ -128,6 +128,10 @@ object Bench {
       "ev_session_window" -> "ev_sess_win",
       "changelog_apply" -> "chlog_apply",
       "quality_classifier" -> "qual_clf",
+      "contrastive_pairs" -> "contr_pairs",
+      "collocations" -> "colloc", "doc_novelty" -> "doc_nov",
+      "split_assign" -> "split", "batch_plan" -> "batch",
+      "budget_trim" -> "budget",
       "update_" -> "upd_", "upsert_" -> "ups_")
     def render(dec: Int, dropPrefix: Boolean,
         abbrev: Boolean = false): String = {

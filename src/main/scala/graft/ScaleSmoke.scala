@@ -258,6 +258,23 @@ object ScaleSmoke {
       graft.pipeline.TextAnalysis.zipfTable(docs, "text").count())
     time(s"cohort retention ${factor}x")(
       graft.operators.Stats.cohortRetention(ev, "user_id", "ts").count())
+    // round-8 ops: collocation joins are vocab-sized (corpus collapses
+    // in the two count shuffles); novelty rides the shingle key like
+    // line dedup; split is a pure narrow scan and must stay flat-linear
+    time(s"collocations ${factor}x")(
+      graft.pipeline.TextAnalysis.collocations(docs, "text", 5).count())
+    time(s"doc novelty ${factor}x")(
+      graft.pipeline.Curation.docNovelty(docs, "doc_id", "text", 4)
+        .count())
+    time(s"split assign ${factor}x")(
+      graft.pipeline.Curation.splitAssign(docs, "doc_id", "text", 100, 100)
+        .count())
+    time(s"batch plan ${factor}x")(
+      graft.pipeline.Curation.batchPlan(docs, "doc_id", "text", 8, 4, 4)
+        .count())
+    time(s"budget trim ${factor}x")(
+      graft.pipeline.Curation.tokenBudgetTrim(docs, "doc_id", "text",
+        "source", 2000L * factor, 16).count())
 
     spark.stop()
   }

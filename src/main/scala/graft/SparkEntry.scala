@@ -1006,6 +1006,18 @@ object SparkEntry {
       Curation.splitAssign(t(s, dir, "documents"), "doc_id", "text",
         testPermille = 100, valPermille = 100)),
 
+    // ---- Length-bucketed batch planning: deterministic (shard,
+    // bucket, batch, pos) address per doc; shard-keyed windows ----
+    "q_batch_plan" -> ((s, dir) =>
+      Curation.batchPlan(t(s, dir, "documents"), "doc_id", "text",
+        bucketWidth = 8, batchSize = 4, numShards = 4)),
+
+    // ---- Per-source token-budget trim: scalable two-level prefix
+    // sum; oracle replays the equivalent one-window formulation ----
+    "q_budget_trim" -> ((s, dir) =>
+      Curation.tokenBudgetTrim(t(s, dir, "documents"), "doc_id", "text",
+        "source", budget = 2000L, numBuckets = 16)),
+
     // ---- Common-neighbor count per edge (link-prediction support /
     // k-truss quantity) over the small-graph edge types ----
     "q_common_neighbors" -> ((s, dir) =>
@@ -2904,6 +2916,36 @@ object SparkEntry {
          |    AS BIGINT) * 1000) // count(*) AS novelty_permille
          |FROM sh JOIN own USING (shingle)
          |GROUP BY doc_id""".stripMargin,
+
+    "q_batch_plan" ->
+      s"""WITH $TokCte,
+         |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM toks),
+         |b AS (SELECT doc_id, n_tok, doc_id % 4 AS shard,
+         |    n_tok // 8 AS bucket,
+         |    row_number() OVER (PARTITION BY doc_id % 4, n_tok // 8
+         |      ORDER BY doc_id) AS rn
+         |  FROM n)
+         |SELECT doc_id, n_tok, shard, bucket,
+         |  (rn - 1) // 4 AS batch_idx, (rn - 1) % 4 AS pos
+         |FROM b""".stripMargin,
+
+    // one-window formulation — provably equal to the engine's
+    // two-level decomposition (same (bkt, doc_id) order per source);
+    // windowed integer sum CAST (HUGEINT law)
+    "q_budget_trim" ->
+      s"""WITH $TokCte,
+         |n AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |      AS BIGINT) % 16 AS bkt
+         |  FROM toks JOIN documents USING (doc_id))
+         |SELECT doc_id, source, n_tok,
+         |  CAST(sum(n_tok) OVER (PARTITION BY source
+         |    ORDER BY bkt, doc_id ROWS UNBOUNDED PRECEDING)
+         |    AS BIGINT) AS cum_tok,
+         |  CAST(CAST(sum(n_tok) OVER (PARTITION BY source
+         |    ORDER BY bkt, doc_id ROWS UNBOUNDED PRECEDING)
+         |    AS BIGINT) <= 2000 AS INTEGER) AS kept
+         |FROM n""".stripMargin,
 
     "q_split_assign" ->
       """SELECT doc_id, md5(text) AS fingerprint,

@@ -233,6 +233,76 @@ object Curation {
         .otherwise("train").as("split"))
   }
 
+  /**
+   * Length-bucketed batch planning for training dataloaders: documents
+   * of similar token length batch together (minimizing pad waste), and
+   * every doc gets a deterministic (bucket, batch_idx, pos) address.
+   * Sharding by `idCol % numShards` bounds every window partition:
+   * batches form within (shard, length-bucket), so the plan
+   * parallelizes across shards×buckets instead of funneling a hot
+   * length bucket (most web text is short) through one reducer — the
+   * same shard-keyed law as [[sequencePack]]. A dataloader reads
+   * (shard, bucket, batch_idx) groups; determinism makes the plan
+   * resumable and oracle-replayable.
+   */
+  def batchPlan(df: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Int, batchSize: Int, numShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    val w = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(col(idCol))
+    df.select(col(idCol), nTok.as("n_tok"),
+        pmod(col(idCol), lit(numShards.toLong)).as("shard"))
+      .withColumn("bucket", expr(s"n_tok div $bucketWidth"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col(idCol), col("n_tok"), col("shard"), col("bucket"),
+        expr(s"(rn - 1) div $batchSize").as("batch_idx"),
+        expr(s"(rn - 1) % $batchSize").as("pos"))
+  }
+
+  /**
+   * Per-source token-budget trim — "take the first B tokens of each
+   * source, in deterministic hash order": the data-budgeting step of a
+   * mixture recipe (cap a huge crawl at B tokens, keep a smaller
+   * source whole). A document is kept iff its INCLUSIVE cumulative
+   * token count within its source stays ≤ B; the crossing document is
+   * dropped, not split.
+   *
+   * The naive formulation is one prefix-sum window per source — and
+   * sources are FEW, so at 100 TB that funnels the whole corpus
+   * through |sources| reducers. Instead the standard scalable prefix
+   * sum: (1) hash-bucket each doc (md5 idiom, `numBuckets` buckets);
+   * (2) aggregate per-(source, bucket) token totals — a tiny frame;
+   * (3) one window over that TINY frame turns totals into exclusive
+   * bucket offsets; (4) join offsets back (AQE-broadcast) and run the
+   * local prefix window per (source, bucket) — parallel across
+   * buckets. The ORDER (bucket, then doc id) is identical in the
+   * one-window formulation, so the oracle replays it with a single
+   * window and the results agree exactly.
+   */
+  def tokenBudgetTrim(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budget: Long, numBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(sourceCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tok"),
+        pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(numBuckets.toLong)).as("bkt"))
+      .transform(graft.CacheScope.persist(_)) // feeds totals + local scan
+    val offsets = base.groupBy(col(sourceCol), col("bkt"))
+      .agg(sum(col("n_tok")).as("bkt_tok"))
+      .withColumn("offset", coalesce(sum(col("bkt_tok")).over(
+        Window.partitionBy(col(sourceCol)).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("bkt_tok")
+    val localW = Window.partitionBy(col(sourceCol), col("bkt"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(offsets, Seq(sourceCol, "bkt"))
+      .withColumn("cum_tok", col("offset") + sum(col("n_tok")).over(localW))
+      .select(col(idCol), col(sourceCol), col("n_tok"), col("cum_tok"),
+        (col("cum_tok") <= budget).cast("int").as("kept"))
+  }
+
   def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
       weights: Map[String, Double]): DataFrame = {
     val whole = weights.map { case (s, w) => s -> math.floor(w).toLong }

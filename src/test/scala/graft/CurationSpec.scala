@@ -235,6 +235,50 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ((3L, 3L, 1000L)))
   }
 
+  test("batchPlan: bounded batches, dense deterministic addresses") {
+    val out = Curation.batchPlan(docs, "doc_id", "text",
+      bucketWidth = 8, batchSize = 4, numShards = 4).cache()
+    // every doc addressed exactly once
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+    // positions dense in [0, batchSize) and batches never overfull
+    assert(out.filter($"pos" < 0 || $"pos" >= 4).count() == 0)
+    assert(out.groupBy("shard", "bucket", "batch_idx")
+      .count().filter($"count" > 4).count() == 0)
+    // only the LAST batch of a (shard,bucket) group may be partial
+    val partial = out.groupBy("shard", "bucket", "batch_idx")
+      .agg(count(lit(1)).as("n"), max($"batch_idx").as("bi"))
+    val maxBi = out.groupBy("shard", "bucket")
+      .agg(max($"batch_idx").as("last_bi"))
+    assert(partial.join(maxBi, Seq("shard", "bucket"))
+      .filter($"n" < 4 && $"batch_idx" =!= $"last_bi").count() == 0)
+    out.unpersist()
+  }
+
+  test("tokenBudgetTrim: two-level prefix sum == one-window prefix sum") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Curation.tokenBudgetTrim(docs, "doc_id", "text", "source",
+      budget = 2000L, numBuckets = 16).cache()
+    // kept set is exactly the prefix with cum <= B; drops start after
+    assert(out.filter($"kept" === 1 && $"cum_tok" > 2000).count() == 0)
+    assert(out.filter($"kept" === 0 && $"cum_tok" <= 2000).count() == 0)
+    // engine decomposition equals the naive single-window formulation
+    val bkt = pmod(conv(substring(md5($"doc_id".cast("string")), 1, 8),
+      16, 10).cast("long"), lit(16L))
+    val naive = docs.select($"doc_id", $"source",
+        size(graft.pipeline.TextAnalysis.tokens($"text")).cast("long")
+          .as("n_tok"), bkt.as("bkt"))
+      .withColumn("cum_tok", sum($"n_tok").over(
+        Window.partitionBy($"source").orderBy($"bkt", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"doc_id", $"cum_tok")
+    val mismatch = out.select($"doc_id", $"cum_tok".as("c1"))
+      .join(naive.withColumnRenamed("cum_tok", "c2"), "doc_id")
+      .filter($"c1" =!= $"c2")
+    assert(mismatch.count() == 0)
+    out.unpersist()
+  }
+
   test("splitAssign: dup texts co-locate, thresholds carve permille") {
     val out = Curation.splitAssign(docs, "doc_id", "text", 100, 100)
       .cache()

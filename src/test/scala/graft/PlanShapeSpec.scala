@@ -94,4 +94,26 @@ class PlanShapeSpec extends SparkSpec {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 1,
       s"corpus must be tokenized once via the persisted pair frame:\n$p")
   }
+
+  test("split_assign: zero-shuffle narrow scan (incremental-split law)") {
+    val p = plan("q_split_assign")
+    assert(!p.contains("Exchange"),
+      s"split assignment must be a pure per-row map:\n$p")
+  }
+
+  test("contrastive_pairs: anchors broadcast, corpus never self-joins") {
+    val p = plan("q_contrastive_pairs")
+    assert(p.contains("BroadcastExchange"),
+      s"the bounded anchor side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized join may appear:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-anchor top-k must partial-apply map-side:\n$p")
+  }
+
+  test("collocations: token arrays materialize once for both explodes") {
+    val p = plan("q_collocations")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 1,
+      s"unigram and bigram explodes must share the persisted token frame:\n$p")
+  }
 }
