@@ -371,6 +371,12 @@ object SparkEntry {
       Similarity.blockedNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", blockCol = "label", threshold = 0.35)),
 
+    // ---- Product quantization: per-subspace dyadic k-means codebooks
+    // + final-codebook codes; the billion-scale ANN compression ----
+    "q_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 2, k = 4, iters = 2, dim = 64)),
+
     // ---- Contrastive pair mining: top-k cosine neighbors per anchor,
     // labeled positive/negative by class — hard-negative generation
     // for embedding-model training ----
@@ -1381,6 +1387,54 @@ object SparkEntry {
        |  x -> CAST(CAST(floor((x) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(12,6)) AS VARCHAR)), ',')
        |  AS centroid
        |FROM c$iters""".stripMargin
+  }
+
+  /** Product-quantization oracle: per subspace, replay the sliced
+    * dyadic k-means chain (same laws as [[ivfTrainSql]]) and the final
+    * encode against the trained codebook. L2² distance is pure +·−
+    * over list_dot_product — bit-identical to the Spark side's dot
+    * Expression, so the argmin ranks agree exactly. */
+  private def pqSql(m: Int, k: Int, iters: Int, dim: Int): String = {
+    val subDim = dim / m
+    def d2(v: String, c: String) =
+      s"list_dot_product($v, $v) - 2 * list_dot_product($v, $c)" +
+        s" + list_dot_product($c, $c)"
+    val subs = (0 until m).map { s =>
+      val chain = (1 to iters).map { i =>
+        s"""a${s}_$i AS (SELECT id, v, cell FROM (
+           |  SELECT sv$s.id, sv$s.v, c.cell,
+           |    row_number() OVER (PARTITION BY sv$s.id
+           |      ORDER BY ${d2("v", "c.cvec")} ASC, c.cell) AS crk
+           |  FROM sv$s CROSS JOIN c${s}_${i - 1} c) WHERE crk = 1),
+           |m${s}_$i AS (SELECT cell, i AS pos,
+           |    sum(${graft.functions.Portable.dyadicSql(
+                "v[CAST(i AS INTEGER)]")}) / count(*) AS a
+           |  FROM a${s}_$i CROSS JOIN LATERAL
+           |    unnest(range(1, ${subDim + 1})) u(i)
+           |  GROUP BY cell, i),
+           |l${s}_$i AS (SELECT cell, list(a ORDER BY pos) AS mvec
+           |  FROM m${s}_$i GROUP BY cell),
+           |c${s}_$i AS (SELECT c${s}_${i - 1}.cell,
+           |    coalesce(l${s}_$i.mvec, c${s}_${i - 1}.cvec) AS cvec
+           |  FROM c${s}_${i - 1} LEFT JOIN l${s}_$i USING (cell))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""sv$s AS (SELECT vec_id AS id,
+         |    list_slice(embedding::DOUBLE[], ${s * subDim + 1},
+         |      ${(s + 1) * subDim}) AS v
+         |  FROM embeddings),
+         |c${s}_0 AS (SELECT id AS cell, v AS cvec FROM sv$s
+         |  WHERE id < $k),
+         |$chain,
+         |f$s AS (SELECT id AS vec_id, $s AS sub, cell AS code FROM (
+         |  SELECT sv$s.id, c.cell,
+         |    row_number() OVER (PARTITION BY sv$s.id
+         |      ORDER BY ${d2("v", "c.cvec")} ASC, c.cell) AS crk
+         |  FROM sv$s CROSS JOIN c${s}_$iters c) WHERE crk = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"WITH $subs\n" + (0 until m).map(s => s"SELECT * FROM f$s")
+      .mkString("\nUNION ALL\n")
   }
 
   /** Hyperplane-LSH ANN oracle: the deterministic plane matrix is
@@ -2957,6 +3011,8 @@ object SparkEntry {
         |            % 1000 < 200 THEN 'val'
         |       ELSE 'train' END AS split
         |FROM documents""".stripMargin,
+
+    "q_pq_codes" -> pqSql(m = 2, k = 4, iters = 2, dim = 64),
 
     "q_contrastive_pairs" ->
       """SELECT anchor_id, cand_id, sim, CAST(rk AS INTEGER) AS rk,

@@ -101,6 +101,78 @@ object Similarity {
         (col("albl") === col("clbl")).cast("int").as("is_positive"))
   }
 
+  /**
+   * Product quantization (Jégou et al. 2011, the workhorse of
+   * billion-scale ANN): the vector splits into `m` subspaces, each
+   * with its own k-means codebook; a vector compresses to m small
+   * codes (here one per subspace), and queries later score against
+   * codes via per-subspace lookup tables instead of raw vectors —
+   * 64-dim float32 → m bytes.
+   *
+   * Returns (id, sub, code): the final-codebook assignment per
+   * subspace. Training follows [[ivfTrain]]'s laws — dyadic-grid
+   * means so every round is order-independent and bit-reproducible,
+   * deterministic argmin ties (smaller cell wins), O(1) pinned frames
+   * per round — with L2² distance (`dot(v,v) − 2·dot(v,c) +
+   * dot(c,c)`: pure +·− arithmetic, no libm, so the oracle's
+   * list_dot_product replay is bit-identical).
+   *
+   * Scale: codebook training is sample-sized by nature (k·m ≪
+   * corpus; in production you'd train on a sample and encode the full
+   * corpus); ENCODING is the corpus-scale pass and is one broadcast
+   * join (m·k codebook rows) + a per-vector bounded window — narrow,
+   * no corpus shuffle.
+   */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int, dim: Int): DataFrame = {
+    import graft.functions.Portable.dyadic
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val l2 = (v: Column, c: Column) =>
+      dot(v, v) - lit(2.0) * dot(v, c) + dot(c, c)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("d2").asc, col("cell"))
+    val perSub = (0 until m).map { s =>
+      val sv = emb.select(col(idCol).as("id"),
+          slice(col(vecCol).cast("array<double>"),
+            s * subDim + 1, subDim).as("v"))
+        .transform(graft.CacheScope.persist(_)) // scanned every round
+      var centroids = sv.filter(col("id") < k)
+        .select(col("id").as("cell"), col("v").as("cvec"))
+        .transform(graft.CacheScope.persist(_))
+      def assign(cb: DataFrame): DataFrame =
+        sv.join(broadcast(cb))
+          .withColumn("d2", l2(col("v"), col("cvec")))
+          .withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
+      for (_ <- 1 to iters) {
+        val assigned = assign(centroids)
+          .select(col("id"), col("v"), col("cell"))
+          .transform(graft.CacheScope.persist(_))
+        val means = assigned
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg((sum(dyadic(col("x"))) / count(lit(1))).as("a"))
+          .groupBy("cell")
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("a")))),
+            e => e.getField("a")).as("mvec"))
+        val next = centroids.select("cell", "cvec")
+          .join(means, Seq("cell"), "left")
+          .select(col("cell"),
+            coalesce(col("mvec"), col("cvec")).as("cvec"))
+          .transform(graft.CacheScope.persist(_))
+        next.count()
+        graft.CacheScope.unpersist(assigned)
+        graft.CacheScope.unpersist(centroids)
+        centroids = next
+      }
+      assign(centroids)
+        .select(col("id").as(idCol), lit(s).as("sub"),
+          col("cell").as("code"))
+    }
+    perSub.reduce(_ unionByName _)
+  }
+
   /** Deterministic random hyperplanes (unit-free; only the sign is
     * used), seeded for reproducibility. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {

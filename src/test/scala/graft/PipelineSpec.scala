@@ -330,6 +330,24 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("pqCodes: every vector coded per subspace, codes spread over cells") {
+    val emb = graft.model.GraphStore.table(spark, sfDir, "embeddings")
+    val n = emb.count()
+    val out = Similarity.pqCodes(emb, "vec_id", "embedding",
+      m = 2, k = 4, iters = 2, dim = 64).cache()
+    assert(out.count() == n * 2) // one code per (vector, subspace)
+    assert(out.groupBy("vec_id").count().filter($"count" =!= 2)
+      .count() == 0)
+    // codes are valid cell ids
+    assert(out.filter($"code" < 0 || $"code" >= 4).count() == 0)
+    // quantizer actually discriminates: >1 distinct code per subspace
+    val spread = out.groupBy("sub")
+      .agg(countDistinct($"code").as("k")).collect()
+    assert(spread.forall(_.getAs[Long]("k") > 1L),
+      s"degenerate codebook: ${spread.mkString(",")}")
+    out.unpersist()
+  }
+
   test("contrastivePairs: hard negatives surface, labels mark polarity") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),  // anchor (0 % 5 == 0)
