@@ -377,6 +377,18 @@ object SparkEntry {
       Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
         m = 2, k = 4, iters = 2, dim = 64)),
 
+    // ---- PQ asymmetric-distance top-k: per-query distance tables
+    // against the codebooks, vectors scored via m code lookups ----
+    "q_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 2, k = 4, iters = 2, dim = 64)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding",
+        cb, m = 2, dim = 64)
+      Similarity.pqAdcTopK(codes, cb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", m = 2, dim = 64, k = 5)
+    }),
+
     // ---- Contrastive pair mining: top-k cosine neighbors per anchor,
     // labeled positive/negative by class — hard-negative generation
     // for embedding-model training ----
@@ -1394,17 +1406,21 @@ object SparkEntry {
     * encode against the trained codebook. L2² distance is pure +·−
     * over list_dot_product — bit-identical to the Spark side's dot
     * Expression, so the argmin ranks agree exactly. */
-  private def pqSql(m: Int, k: Int, iters: Int, dim: Int): String = {
+  private def pqD2Sql(v: String, c: String) =
+    s"list_dot_product($v, $v) - 2 * list_dot_product($v, $c)" +
+      s" + list_dot_product($c, $c)"
+
+  /** Shared WITH-body for the PQ oracles: per subspace, the sliced
+    * dyadic k-means chain (c{s}_{iters} = trained codebook) and the
+    * final-codebook encode (f{s} = codes). */
+  private def pqChainsSql(m: Int, k: Int, iters: Int, dim: Int): String = {
     val subDim = dim / m
-    def d2(v: String, c: String) =
-      s"list_dot_product($v, $v) - 2 * list_dot_product($v, $c)" +
-        s" + list_dot_product($c, $c)"
-    val subs = (0 until m).map { s =>
+    (0 until m).map { s =>
       val chain = (1 to iters).map { i =>
         s"""a${s}_$i AS (SELECT id, v, cell FROM (
            |  SELECT sv$s.id, sv$s.v, c.cell,
            |    row_number() OVER (PARTITION BY sv$s.id
-           |      ORDER BY ${d2("v", "c.cvec")} ASC, c.cell) AS crk
+           |      ORDER BY ${pqD2Sql("v", "c.cvec")} ASC, c.cell) AS crk
            |  FROM sv$s CROSS JOIN c${s}_${i - 1} c) WHERE crk = 1),
            |m${s}_$i AS (SELECT cell, i AS pos,
            |    sum(${graft.functions.Portable.dyadicSql(
@@ -1429,12 +1445,46 @@ object SparkEntry {
          |f$s AS (SELECT id AS vec_id, $s AS sub, cell AS code FROM (
          |  SELECT sv$s.id, c.cell,
          |    row_number() OVER (PARTITION BY sv$s.id
-         |      ORDER BY ${d2("v", "c.cvec")} ASC, c.cell) AS crk
+         |      ORDER BY ${pqD2Sql("v", "c.cvec")} ASC, c.cell) AS crk
          |  FROM sv$s CROSS JOIN c${s}_$iters c) WHERE crk = 1)"""
         .stripMargin
     }.mkString(",\n")
-    s"WITH $subs\n" + (0 until m).map(s => s"SELECT * FROM f$s")
-      .mkString("\nUNION ALL\n")
+  }
+
+  private def pqSql(m: Int, k: Int, iters: Int, dim: Int): String =
+    s"WITH ${pqChainsSql(m, k, iters, dim)}\n" +
+      (0 until m).map(s => s"SELECT * FROM f$s").mkString("\nUNION ALL\n")
+
+  /** ADC oracle: per-query m·k distance tables (dyadic-floored entries,
+    * so the m-way sum is exact and order-independent), summed by code
+    * lookup, top-k ascending. */
+  private def pqAdcSql(m: Int, k: Int, iters: Int, dim: Int,
+      nQueries: Int, topK: Int): String = {
+    val subDim = dim / m
+    val tabs = (0 until m).map { s =>
+      s"""t$s AS (SELECT q.vec_id AS query_id, $s AS sub,
+         |    c.cell AS code,
+         |    ${graft.functions.Portable.dyadicSql(
+              pqD2Sql(
+                s"list_slice(q.embedding::DOUBLE[], ${s * subDim + 1}, " +
+                  s"${(s + 1) * subDim})", "c.cvec"))} AS td
+         |  FROM embeddings q CROSS JOIN c${s}_$iters c
+         |  WHERE q.vec_id < $nQueries)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${pqChainsSql(m, k, iters, dim)},
+       |$tabs,
+       |codes AS (${(0 until m).map(s => s"SELECT * FROM f$s")
+          .mkString(" UNION ALL ")}),
+       |tabs AS (${(0 until m).map(s => s"SELECT * FROM t$s")
+          .mkString(" UNION ALL ")}),
+       |scored AS (SELECT query_id, vec_id AS cand_id, sum(td) AS d2
+       |  FROM codes JOIN tabs USING (sub, code) GROUP BY 1, 2)
+       |SELECT query_id, cand_id,
+       |  floor((d2) * 1000000.0 + 0.5) / 1000000.0 AS d2,
+       |  CAST(rk AS INTEGER) AS rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2 ASC, cand_id) AS rk FROM scored)
+       |WHERE rk <= $topK""".stripMargin
   }
 
   /** Hyperplane-LSH ANN oracle: the deterministic plane matrix is
@@ -3014,6 +3064,9 @@ object SparkEntry {
 
     "q_pq_codes" -> pqSql(m = 2, k = 4, iters = 2, dim = 64),
 
+    "q_pq_adc" -> pqAdcSql(m = 2, k = 4, iters = 2, dim = 64,
+      nQueries = 5, topK = 5),
+
     "q_contrastive_pairs" ->
       """SELECT anchor_id, cand_id, sim, CAST(rk AS INTEGER) AS rk,
         |       is_positive FROM (
@@ -3324,6 +3377,7 @@ object SparkEntry {
     "q_add_vertices_ifnotexists" -> Seq("c_acctbal"),
     "q_ann_topk" -> Seq("sim"),
     "q_contrastive_pairs" -> Seq("sim"),
+    "q_pq_adc" -> Seq("d2"),
     "q_asof_join" -> Seq("buy_value"),
     "q_changelog_apply" -> Seq("s_acctbal"),
     "q_corpus_curation" -> Seq("quality_score"),

@@ -123,29 +123,34 @@ object Similarity {
    * join (m·k codebook rows) + a per-vector bounded window — narrow,
    * no corpus shuffle.
    */
-  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+  private def l2sq(v: Column, c: Column): Column =
+    dot(v, v) - lit(2.0) * dot(v, c) + dot(c, c)
+
+  /** Slice subspace `s` (0-based) of a vector column. */
+  private def subVec(vecCol: Column, s: Int, subDim: Int): Column =
+    slice(vecCol.cast("array<double>"), s * subDim + 1, subDim)
+
+  /** Train the m per-subspace codebooks; returns (sub, cell, cvec).
+    * Same dyadic-mean k-means laws as [[ivfTrain]] (see [[pqCodes]]). */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int, dim: Int): DataFrame = {
     import graft.functions.Portable.dyadic
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
-    val l2 = (v: Column, c: Column) =>
-      dot(v, v) - lit(2.0) * dot(v, c) + dot(c, c)
     val w = Window.partitionBy(col("id"))
       .orderBy(col("d2").asc, col("cell"))
-    val perSub = (0 until m).map { s =>
+    (0 until m).map { s =>
       val sv = emb.select(col(idCol).as("id"),
-          slice(col(vecCol).cast("array<double>"),
-            s * subDim + 1, subDim).as("v"))
+          subVec(col(vecCol), s, subDim).as("v"))
         .transform(graft.CacheScope.persist(_)) // scanned every round
       var centroids = sv.filter(col("id") < k)
         .select(col("id").as("cell"), col("v").as("cvec"))
         .transform(graft.CacheScope.persist(_))
-      def assign(cb: DataFrame): DataFrame =
-        sv.join(broadcast(cb))
-          .withColumn("d2", l2(col("v"), col("cvec")))
-          .withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
       for (_ <- 1 to iters) {
-        val assigned = assign(centroids)
+        val assigned = sv.join(broadcast(centroids))
+          .withColumn("d2", l2sq(col("v"), col("cvec")))
+          .withColumn("crk", row_number().over(w))
+          .filter(col("crk") === 1)
           .select(col("id"), col("v"), col("cell"))
           .transform(graft.CacheScope.persist(_))
         val means = assigned
@@ -166,11 +171,70 @@ object Similarity {
         graft.CacheScope.unpersist(centroids)
         centroids = next
       }
-      assign(centroids)
-        .select(col("id").as(idCol), lit(s).as("sub"),
-          col("cell").as("code"))
-    }
-    perSub.reduce(_ unionByName _)
+      centroids.select(lit(s).as("sub"), col("cell"), col("cvec"))
+    }.reduce(_ unionByName _)
+      .transform(graft.CacheScope.persist(_)) // m·k rows, reused freely
+  }
+
+  /** Encode every vector against trained codebooks: one broadcast join
+    * (m·k codebook rows) + a per-vector bounded argmin window — the
+    * corpus-scale pass, narrow, no corpus shuffle. */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    val w = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("d2").asc, col("cell"))
+    (0 until m).map { s =>
+      emb.select(col(idCol).as("id"),
+          subVec(col(vecCol), s, subDim).as("v"), lit(s).as("sub"))
+        .join(broadcast(codebooks.filter(col("sub") === s)
+          .select(col("cell"), col("cvec"))))
+        .withColumn("d2", l2sq(col("v"), col("cvec")))
+        .withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
+        .select(col("id").as(idCol), col("sub"), col("cell").as("code"))
+    }.reduce(_ unionByName _)
+  }
+
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int, dim: Int): DataFrame =
+    pqEncode(emb, idCol, vecCol,
+      pqTrain(emb, idCol, vecCol, m, k, iters, dim), m, dim)
+
+  /**
+   * PQ asymmetric-distance top-k (the ADC serving path): each query
+   * computes one m·k distance TABLE against the codebooks (dyadic-
+   * floored entries), and every stored vector scores as the SUM of m
+   * table lookups keyed by its codes — the corpus is never touched
+   * beyond its m-byte codes. Dyadic flooring makes the m-way sum
+   * exact, hence order-independent — the property that lets the
+   * oracle replay the sum in SQL and the executor add partials in any
+   * order.
+   *
+   * Scale: the query set is bounded (broadcast, like
+   * [[bruteForceTopK]]'s query side); per (query, vector) work is m
+   * integer lookups; top-k plans as map-side WindowGroupLimit.
+   */
+  def pqAdcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, m: Int, dim: Int, k: Int,
+      roundTo: Int = 6): DataFrame = {
+    import graft.functions.Portable.dyadic
+    val subDim = dim / m
+    val tables = (0 until m).map { s =>
+      queries.select(col(idCol).as("query_id"),
+          subVec(col(vecCol), s, subDim).as("qv"), lit(s).as("sub"))
+        .join(codebooks.filter(col("sub") === s).select("cell", "cvec"))
+        .select(col("query_id"), col("sub"), col("cell").as("code"),
+          dyadic(l2sq(col("qv"), col("cvec"))).as("td"))
+    }.reduce(_ unionByName _)
+    val scored = codes.join(broadcast(tables), Seq("sub", "code"))
+      .groupBy(col("query_id"), col(idCol).as("cand_id"))
+      .agg(sum(col("td")).as("d2")) // on-grid summands: exact sum
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.Portable.quant(col("d2"), roundTo).as("d2"),
+        col("rk").cast("int").as("rk"))
   }
 
   /** Deterministic random hyperplanes (unit-free; only the sign is

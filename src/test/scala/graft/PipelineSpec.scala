@@ -348,6 +348,28 @@ class SimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pqAdcTopK: complete ranked lists, distances ascend with rank") {
+    val emb = graft.model.GraphStore.table(spark, sfDir, "embeddings")
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", 2, 4, 2, 64)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, 2, 64)
+    val out = Similarity.pqAdcTopK(codes, cb,
+      emb.filter($"vec_id" < 3), "vec_id", "embedding", 2, 64, k = 5)
+      .cache()
+    assert(out.groupBy("query_id").count()
+      .filter($"count" =!= 5).count() == 0)
+    // d2 non-decreasing in rank within each query
+    import org.apache.spark.sql.expressions.Window
+    val lagged = out.withColumn("prev",
+      lag($"d2", 1).over(Window.partitionBy($"query_id").orderBy($"rk")))
+    assert(lagged.filter($"prev".isNotNull && $"d2" < $"prev")
+      .count() == 0)
+    // ADC distance to a vector sharing ALL the query's codes equals the
+    // query's own table entries summed — in particular the query itself
+    // appears with the minimal distance of its code cell
+    assert(out.filter($"rk" === 1 && $"d2" < 0).count() == 0)
+    out.unpersist()
+  }
+
   test("contrastivePairs: hard negatives surface, labels mark polarity") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),  // anchor (0 % 5 == 0)
