@@ -116,4 +116,20 @@ class PlanShapeSpec extends SparkSpec {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 1,
       s"unigram and bigram explodes must share the persisted token frame:\n$p")
   }
+
+  test("pq encode + adc: codebooks/tables broadcast into the corpus " +
+      "joins") {
+    // NOTE: the cached codebook lineage contains k-row SortMergeJoins
+    // from the training chain (harmless, centroid-sized); the guard
+    // here is that the CORPUS-side joins — encode and ADC lookup —
+    // are broadcast-built, never a corpus shuffle-join.
+    val pc = plan("q_pq_codes")
+    assert("Broadcast(NestedLoop|Hash)Join".r.findFirstIn(pc).isDefined,
+      s"the m*k codebook must broadcast into the encode join:\n$pc")
+    val pa = plan("q_pq_adc")
+    assert("Broadcast(NestedLoop|Hash)Join".r.findFirstIn(pa).isDefined,
+      s"the per-query distance tables must broadcast:\n$pa")
+    assert(pa.contains("WindowGroupLimit"),
+      s"per-query top-k must partial-apply map-side:\n$pa")
+  }
 }

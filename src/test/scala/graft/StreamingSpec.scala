@@ -92,6 +92,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("splitAssign streams unchanged (incremental corpus split)") {
+    // the leakage-safe split is a pure narrow map on the text
+    // fingerprint, so arriving shards are assigned identically to a
+    // batch run — the property that lets a growing corpus be split
+    // shard-by-shard with no reshuffling of past assignments
+    val docsPath = s"$sfDir/documents.parquet"
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Curation.splitAssign(df, "doc_id", "text", 100, 100)
+    val batch = assign(spark.read.parquet(docsPath))
+      .collect().map(_.toSeq).toSet
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-split").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(docsPath),
+      java.nio.file.Paths.get(s"$streamDir/documents.parquet"))
+    val schema = spark.read.parquet(docsPath).schema
+    val q = assign(spark.readStream.schema(schema).parquet(streamDir))
+      .writeStream.format("memory").queryName("split_assign")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("split_assign").collect().map(_.toSeq).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming CMS registers equal the batch sketch (stream == batch)") {
     // the Count-Min registers are a pure groupBy count, so the SAME
     // column program maintains the sketch incrementally under
