@@ -275,6 +275,11 @@ object ScaleSmoke {
     time(s"budget trim ${factor}x")(
       graft.pipeline.Curation.tokenBudgetTrim(docs, "doc_id", "text",
         "source", 2000L * factor, 16).count())
+    // training cost is sample-sized by design; the term to watch is
+    // the ENCODE pass (corpus × m broadcast lookups) staying linear
+    time(s"pq codes ${factor}x")(
+      graft.pipeline.Similarity.pqCodes(emb, "vec_id", "embedding",
+        2, 4, 2, 64).count())
 
     spark.stop()
   }

@@ -1477,7 +1477,8 @@ object SparkEntry {
           .mkString(" UNION ALL ")}),
        |tabs AS (${(0 until m).map(s => s"SELECT * FROM t$s")
           .mkString(" UNION ALL ")}),
-       |scored AS (SELECT query_id, vec_id AS cand_id, sum(td) AS d2
+       |scored AS (SELECT query_id, vec_id AS cand_id,
+       |    CAST(sum(td) AS DOUBLE) AS d2
        |  FROM codes JOIN tabs USING (sub, code) GROUP BY 1, 2)
        |SELECT query_id, cand_id,
        |  floor((d2) * 1000000.0 + 0.5) / 1000000.0 AS d2,
