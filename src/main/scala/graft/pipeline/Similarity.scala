@@ -130,50 +130,58 @@ object Similarity {
   private def subVec(vecCol: Column, s: Int, subDim: Int): Column =
     slice(vecCol.cast("array<double>"), s * subDim + 1, subDim)
 
+  /** One exploded (id, sub, subvector) frame — all m subspaces ride
+    * the same jobs instead of m sequential driver loops. */
+  private def subVecFrame(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame =
+    emb.select(col(idCol).as("id"),
+      posexplode(array((0 until m).map(s =>
+        subVec(col(vecCol), s, subDim)): _*)).as(Seq("sub", "v")))
+
   /** Train the m per-subspace codebooks; returns (sub, cell, cvec).
-    * Same dyadic-mean k-means laws as [[ivfTrain]] (see [[pqCodes]]). */
+    * Same dyadic-mean k-means laws as [[ivfTrain]] (see [[pqCodes]]).
+    * The subspaces are independent but advance TOGETHER: centroids are
+    * keyed (sub, cell) and every round is one assignment + one mean
+    * update over the exploded frame — iters driver jobs total,
+    * regardless of m (m=8, 16 codebooks train as cheaply as m=2). */
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int, dim: Int): DataFrame = {
     import graft.functions.Portable.dyadic
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
-    val subDim = dim / m
-    val w = Window.partitionBy(col("id"))
+    val sv = subVecFrame(emb, idCol, vecCol, m, dim / m)
+      .transform(graft.CacheScope.persist(_)) // scanned every round
+    var centroids = sv.filter(col("id") < k)
+      .select(col("sub"), col("id").as("cell"), col("v").as("cvec"))
+      .transform(graft.CacheScope.persist(_))
+    val w = Window.partitionBy(col("id"), col("sub"))
       .orderBy(col("d2").asc, col("cell"))
-    (0 until m).map { s =>
-      val sv = emb.select(col(idCol).as("id"),
-          subVec(col(vecCol), s, subDim).as("v"))
-        .transform(graft.CacheScope.persist(_)) // scanned every round
-      var centroids = sv.filter(col("id") < k)
-        .select(col("id").as("cell"), col("v").as("cvec"))
+    for (_ <- 1 to iters) {
+      val assigned = sv.join(broadcast(centroids), Seq("sub"))
+        .withColumn("d2", l2sq(col("v"), col("cvec")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") === 1)
+        .select(col("id"), col("sub"), col("v"), col("cell"))
         .transform(graft.CacheScope.persist(_))
-      for (_ <- 1 to iters) {
-        val assigned = sv.join(broadcast(centroids))
-          .withColumn("d2", l2sq(col("v"), col("cvec")))
-          .withColumn("crk", row_number().over(w))
-          .filter(col("crk") === 1)
-          .select(col("id"), col("v"), col("cell"))
-          .transform(graft.CacheScope.persist(_))
-        val means = assigned
-          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos")
-          .agg((sum(dyadic(col("x"))) / count(lit(1))).as("a"))
-          .groupBy("cell")
-          .agg(transform(
-            sort_array(collect_list(struct(col("pos"), col("a")))),
-            e => e.getField("a")).as("mvec"))
-        val next = centroids.select("cell", "cvec")
-          .join(means, Seq("cell"), "left")
-          .select(col("cell"),
-            coalesce(col("mvec"), col("cvec")).as("cvec"))
-          .transform(graft.CacheScope.persist(_))
-        next.count()
-        graft.CacheScope.unpersist(assigned)
-        graft.CacheScope.unpersist(centroids)
-        centroids = next
-      }
-      centroids.select(lit(s).as("sub"), col("cell"), col("cvec"))
-    }.reduce(_ unionByName _)
-      .transform(graft.CacheScope.persist(_)) // m·k rows, reused freely
+      val means = assigned
+        .select(col("sub"), col("cell"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("sub", "cell", "pos")
+        .agg((sum(dyadic(col("x"))) / count(lit(1))).as("a"))
+        .groupBy("sub", "cell")
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("a")))),
+          e => e.getField("a")).as("mvec"))
+      val next = centroids.select("sub", "cell", "cvec")
+        .join(means, Seq("sub", "cell"), "left")
+        .select(col("sub"), col("cell"),
+          coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .transform(graft.CacheScope.persist(_))
+      next.count()
+      graft.CacheScope.unpersist(assigned)
+      graft.CacheScope.unpersist(centroids)
+      centroids = next
+    }
+    centroids
   }
 
   /** Encode every vector against trained codebooks: one broadcast join
@@ -181,18 +189,13 @@ object Similarity {
     * corpus-scale pass, narrow, no corpus shuffle. */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
-    val subDim = dim / m
     val w = Window.partitionBy(col("id"), col("sub"))
       .orderBy(col("d2").asc, col("cell"))
-    (0 until m).map { s =>
-      emb.select(col(idCol).as("id"),
-          subVec(col(vecCol), s, subDim).as("v"), lit(s).as("sub"))
-        .join(broadcast(codebooks.filter(col("sub") === s)
-          .select(col("cell"), col("cvec"))))
-        .withColumn("d2", l2sq(col("v"), col("cvec")))
-        .withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
-        .select(col("id").as(idCol), col("sub"), col("cell").as("code"))
-    }.reduce(_ unionByName _)
+    subVecFrame(emb, idCol, vecCol, m, dim / m)
+      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("d2", l2sq(col("v"), col("cvec")))
+      .withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
+      .select(col("id").as(idCol), col("sub"), col("cell").as("code"))
   }
 
   def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
