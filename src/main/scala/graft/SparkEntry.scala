@@ -1117,6 +1117,12 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.kCore(store(s, dir),
         Seq("supplied_by"), k = 3, rounds = 3)),
 
+    // ---- k-truss peel (edge-support analog of k-core) over the
+    // small-graph edge types; oracle replays the exact rounds ----
+    "q_ktruss" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.kTruss(store(s, dir),
+        Seq("in_nation", "supp_nation", "in_region"), k = 3, rounds = 2)),
+
     // ---- Deterministic uniform random walks (DeepWalk corpus
     // generation): md5-indexed neighbor choice, oracle replays the
     // exact walks with a recursive CTE. All-integer output ----
@@ -1222,6 +1228,46 @@ object SparkEntry {
     * part⋈supplier bipartite graph: per round, a degree CTE over the
     * surviving edge set and a semi-filtered edge CTE — the exact
     * fixed-round peel, then the final deg >= k output filter. */
+  /** k-truss oracle: replay the exact peel rounds over the same
+    * small-graph edge derivation as q_common_neighbors. MATERIALIZED
+    * on the per-round edge/adjacency CTEs — each is referenced 3×
+    * per round, the documented DuckDB inline-blowup shape (PLANS.md
+    * dialect audit, q_hits precedent). */
+  private def kTrussSql(k: Int, rounds: Int): String = {
+    def wedge(i: Int, e: String) =
+      s"""adj$i AS MATERIALIZED (SELECT s AS v, d AS n FROM $e
+         |  UNION ALL SELECT d, s FROM $e),
+         |w$i AS (SELECT $e.s, $e.d, count(*) AS common
+         |  FROM $e JOIN adj$i x ON x.v = $e.s
+         |          JOIN adj$i y ON y.v = $e.d AND y.n = x.n
+         |  GROUP BY $e.s, $e.d)""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      s"""${wedge(i, s"e${i - 1}")},
+         |e$i AS MATERIALIZED (SELECT e${i - 1}.s, e${i - 1}.d
+         |  FROM e${i - 1} LEFT JOIN w$i
+         |    ON w$i.s = e${i - 1}.s AND w$i.d = e${i - 1}.d
+         |  WHERE coalesce(w$i.common, 0) >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+       |  UNION ALL
+       |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+       |  FROM nation),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS s,
+       |    greatest(s, d) AS d
+       |  FROM raw WHERE s <> d),
+       |$peels,
+       |${wedge(rounds + 1, s"e$rounds")}
+       |SELECT e$rounds.s AS a, e$rounds.d AS b,
+       |  coalesce(w${rounds + 1}.common, 0) AS support
+       |FROM e$rounds LEFT JOIN w${rounds + 1}
+       |  ON w${rounds + 1}.s = e$rounds.s
+       |    AND w${rounds + 1}.d = e$rounds.d""".stripMargin
+  }
+
   private def kCoreSql(k: Int, rounds: Int): String = {
     val peels = (1 to rounds).map { i =>
       s"""d$i AS (SELECT v, count(*) AS deg FROM (
@@ -3185,6 +3231,7 @@ object SparkEntry {
     // surviving edges and one semi-filtered edge CTE; the final output
     // applies the same deg >= k filter as the Spark side.
     "q_kcore" -> kCoreSql(k = 3, rounds = 3),
+    "q_ktruss" -> kTrussSql(k = 3, rounds = 2),
 
     // Replays the exact walks: the per-step choice is a pure function
     // of (walk_id, step, vertex) via md5, so the recursive CTE and the

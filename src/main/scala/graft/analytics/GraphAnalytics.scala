@@ -354,6 +354,34 @@ object GraphAnalytics {
         coalesce(col("common"), lit(0L)).as("common"))
   }
 
+  /**
+   * k-truss peeling (fixed rounds): every surviving edge must sit in
+   * at least k−2 triangles of the CURRENT subgraph — the edge-support
+   * analog of [[kCore]] and the standard cohesive-subgraph operator
+   * (nebula-algorithm ships it alongside KCore). Each round computes
+   * per-edge support (one wedge join, the same Σdeg(a) candidate
+   * volume as [[commonNeighbors]] — no all-pairs term) and drops
+   * under-supported edges; the oracle replays the exact rounds via a
+   * generated CTE chain. Returns surviving edges with their final
+   * support — all-integer output.
+   */
+  def kTruss(store: GraphStore, edgeTypes: Seq[String], k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    require(rounds >= 1, "rounds must be >= 1")
+    var edges = simpleEdges(store, edgeTypes)
+    for (_ <- 1 to rounds) {
+      val sup = wedgeCounts(edges)
+      edges = edges.join(sup, Seq("s", "d"), "left")
+        .filter(coalesce(col("common"), lit(0L)) >= k - 2)
+        .select("s", "d")
+        .transform(graft.CacheScope.persist(_))
+    }
+    edges.join(wedgeCounts(edges), Seq("s", "d"), "left")
+      .select(col("s").as("a"), col("d").as("b"),
+        coalesce(col("common"), lit(0L)).as("support"))
+  }
+
   /** Canonical simple undirected edge set (self-loops dropped,
     * direction collapsed least/greatest, parallel edges deduped) —
     * persisted: it feeds the edge side and both adjacency sides of

@@ -227,6 +227,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(more == got)
   }
 
+  test("kTruss: pendant edge peels, triangle edges survive with support") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 3-4: k=3 requires support >= 1, so
+    // the pendant edge (support 0) peels in round 1; the triangle is
+    // stable with every edge at support 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> Seq(1L, 2L, 3L, 4L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    def truss(rounds: Int) = GraphAnalytics.kTruss(tiny, Seq("e"), k = 3,
+        rounds = rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val got = truss(1); CacheScope.drain(spark)
+    assert(got == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L),
+      s"got $got")
+    // fixpoint: more rounds change nothing
+    val more = truss(3); CacheScope.drain(spark)
+    assert(more == got)
+  }
+
   test("randomWalks: deterministic, edge-respecting, isolated seeds halt") {
     import spark.implicits._
     // triangle 1-2-3; vertex 9 is isolated (no adjacency row)
