@@ -389,6 +389,20 @@ object SparkEntry {
         "vec_id", "embedding", m = 2, dim = 64, k = 5)
     }),
 
+    // ---- PQ recall@k: ADC ranked lists vs exact-L2 ground truth ----
+    "q_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 4, k = 16, iters = 2, dim = 64)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding",
+        cb, m = 4, dim = 64)
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopKL2(emb, "vec_id", "embedding",
+          queryIds = (0L to 4L), k = 5),
+        Similarity.pqAdcTopK(codes, cb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", m = 4, dim = 64, k = 5))
+    }),
+
     // ---- Contrastive pair mining: top-k cosine neighbors per anchor,
     // labeled positive/negative by class — hard-negative generation
     // for embedding-model training ----
@@ -1501,11 +1515,12 @@ object SparkEntry {
     s"WITH ${pqChainsSql(m, k, iters, dim)}\n" +
       (0 until m).map(s => s"SELECT * FROM f$s").mkString("\nUNION ALL\n")
 
-  /** ADC oracle: per-query m·k distance tables (dyadic-floored entries,
-    * so the m-way sum is exact and order-independent), summed by code
-    * lookup, top-k ascending. */
-  private def pqAdcSql(m: Int, k: Int, iters: Int, dim: Int,
-      nQueries: Int, topK: Int): String = {
+  /** Shared ADC CTEs (per-query dyadic distance tables, code-lookup
+    * sums, ranked lists) over [[pqChainsSql]]; corpus-internal queries
+    * exclude self. Yields a relation `ranked(query_id, cand_id, d2,
+    * rk)`. */
+  private def pqAdcRankedCtes(m: Int, k: Int, iters: Int, dim: Int,
+      nQueries: Int): String = {
     val subDim = dim / m
     val tabs = (0 until m).map { s =>
       s"""t$s AS (SELECT q.vec_id AS query_id, $s AS sub,
@@ -1517,7 +1532,7 @@ object SparkEntry {
          |  FROM embeddings q CROSS JOIN c${s}_$iters c
          |  WHERE q.vec_id < $nQueries)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${pqChainsSql(m, k, iters, dim)},
+    s"""${pqChainsSql(m, k, iters, dim)},
        |$tabs,
        |codes AS (${(0 until m).map(s => s"SELECT * FROM f$s")
           .mkString(" UNION ALL ")}),
@@ -1525,14 +1540,45 @@ object SparkEntry {
           .mkString(" UNION ALL ")}),
        |scored AS (SELECT query_id, vec_id AS cand_id,
        |    CAST(sum(td) AS DOUBLE) AS d2
-       |  FROM codes JOIN tabs USING (sub, code) GROUP BY 1, 2)
+       |  FROM codes JOIN tabs USING (sub, code)
+       |  WHERE vec_id <> query_id GROUP BY 1, 2),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2 ASC, cand_id) AS rk FROM scored)""".stripMargin
+  }
+
+  /** ADC oracle: per-query m·k distance tables (dyadic-floored entries,
+    * so the m-way sum is exact and order-independent), summed by code
+    * lookup, top-k ascending. */
+  private def pqAdcSql(m: Int, k: Int, iters: Int, dim: Int,
+      nQueries: Int, topK: Int): String =
+    s"""WITH ${pqAdcRankedCtes(m, k, iters, dim, nQueries)}
        |SELECT query_id, cand_id,
        |  floor((d2) * 1000000.0 + 0.5) / 1000000.0 AS d2,
-       |  CAST(rk AS INTEGER) AS rk FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY d2 ASC, cand_id) AS rk FROM scored)
-       |WHERE rk <= $topK""".stripMargin
-  }
+       |  CAST(rk AS INTEGER) AS rk
+       |FROM ranked WHERE rk <= $topK""".stripMargin
+
+  /** PQ recall oracle: ADC top-k vs exact-L2² top-k, per query —
+    * mirrors the q_ivf_recall recall computation. */
+  private def pqRecallSql(m: Int, k: Int, iters: Int, dim: Int,
+      nQueries: Int, topK: Int): String =
+    s"""WITH ${pqAdcRankedCtes(m, k, iters, dim, nQueries)},
+       |approx AS (SELECT query_id, cand_id FROM ranked
+       |  WHERE rk <= $topK),
+       |exact AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${pqD2Sql("q.embedding::DOUBLE[]",
+                "c.embedding::DOUBLE[]")} ASC, c.vec_id) AS rk
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $nQueries) WHERE rk <= $topK)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  floor((sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |GROUP BY e.query_id""".stripMargin
 
   /** Hyperplane-LSH ANN oracle: the deterministic plane matrix is
     * embedded as literals (same Similarity.hyperplanes(6, 64, 42)
@@ -3114,6 +3160,9 @@ object SparkEntry {
     "q_pq_adc" -> pqAdcSql(m = 2, k = 4, iters = 2, dim = 64,
       nQueries = 5, topK = 5),
 
+    "q_pq_recall" -> pqRecallSql(m = 4, k = 16, iters = 2, dim = 64,
+      nQueries = 5, topK = 5),
+
     "q_contrastive_pairs" ->
       """SELECT anchor_id, cand_id, sim, CAST(rk AS INTEGER) AS rk,
         |       is_positive FROM (
@@ -3426,6 +3475,7 @@ object SparkEntry {
     "q_ann_topk" -> Seq("sim"),
     "q_contrastive_pairs" -> Seq("sim"),
     "q_pq_adc" -> Seq("d2"),
+    "q_pq_recall" -> Seq("recall"),
     "q_asof_join" -> Seq("buy_value"),
     "q_changelog_apply" -> Seq("s_acctbal"),
     "q_corpus_curation" -> Seq("quality_score"),

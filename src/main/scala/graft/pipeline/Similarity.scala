@@ -230,6 +230,7 @@ object Similarity {
           dyadic(l2sq(col("qv"), col("cvec"))).as("td"))
     }.reduce(_ unionByName _)
     val scored = codes.join(broadcast(tables), Seq("sub", "code"))
+      .filter(col(idCol) =!= col("query_id")) // corpus-internal queries
       .groupBy(col("query_id"), col(idCol).as("cand_id"))
       .agg(sum(col("td")).as("d2")) // on-grid summands: exact sum
     val w = Window.partitionBy(col("query_id"))
@@ -238,6 +239,25 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         graft.functions.Portable.quant(col("d2"), roundTo).as("d2"),
         col("rk").cast("int").as("rk"))
+  }
+
+  /** Exact L2² brute-force top-k — the ground truth for PQ/ADC recall:
+    * same broadcast-query law as [[bruteForceTopK]], ranked by the
+    * same pure-arithmetic L2² the ADC path approximates. */
+  def bruteForceTopKL2(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = broadcast(emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv")))
+    val scored = queries.join(
+        emb.select(col(idCol).as("cand_id"),
+          col(vecCol).cast("array<double>").as("cv")),
+        col("query_id") =!= col("cand_id"))
+      .withColumn("d2", l2sq(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"))
   }
 
   /** Deterministic random hyperplanes (unit-free; only the sign is
