@@ -692,6 +692,11 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.degrees(store(s, dir),
         Seq("placed", "contains"))),
 
+    // ---- Degree-distribution histogram (power-law shape check) ----
+    "q_degree_hist" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.degreeHistogram(store(s, dir),
+        Seq("placed", "contains"))),
+
     "q_connected_components" -> ((s, dir) =>
       graft.analytics.GraphAnalytics.connectedComponents(store(s, dir),
         Seq("in_nation", "in_region"))),
@@ -2535,6 +2540,18 @@ object SparkEntry {
         |       coalesce(out_deg, 0) AS out_deg,
         |       coalesce(in_deg, 0) AS in_deg
         |FROM o FULL JOIN i ON o._vid = i._vid""".stripMargin,
+
+    "q_degree_hist" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS s, o_orderkey AS d FROM orders
+        |  UNION ALL
+        |  SELECT l_orderkey, l_partkey FROM lineitem),
+        |o AS (SELECT s AS _vid, count(*) AS out_deg FROM e GROUP BY 1),
+        |i AS (SELECT d AS _vid, count(*) AS in_deg FROM e GROUP BY 1),
+        |dg AS (SELECT coalesce(out_deg, 0) + coalesce(in_deg, 0) AS deg
+        |  FROM o FULL JOIN i ON o._vid = i._vid)
+        |SELECT deg, count(*) AS n_vertices FROM dg GROUP BY deg"""
+      .stripMargin,
 
     "q_get_neighbors_tagprops" ->
       """SELECT _vid, _type, _rank, _nbr, o_totalprice, c_mktsegment,

@@ -52,6 +52,18 @@ object GraphAnalytics {
       .agg(sum(col("x.o")).as("out_deg"), sum(col("x.i")).as("in_deg"))
   }
 
+  /** Degree-distribution histogram — the graph-shape diagnostic (the
+    * degree analog of TextAnalysis.zipfTable: a power-law corpus graph
+    * shows a straight log-log tail, a cliff flags synthetic or
+    * truncated data). Rides [[degrees]]' single pre-aggregated shuffle
+    * plus one histogram-sized recount; output is |distinct degrees|
+    * rows, never corpus-sized. */
+  def degreeHistogram(store: GraphStore,
+      edgeTypes: Seq[String]): DataFrame =
+    degrees(store, edgeTypes)
+      .select((col("out_deg") + col("in_deg")).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
+
   /** Static PageRank, DataFrame formulation of GraphX's staticPageRank
     * recurrence: r0 = 1.0; r_i = reset + (1-reset) * Σ_in r_{i-1}/outdeg;
     * final ranks normalized to sum to |V|. Unrolled fixed iterations keep
