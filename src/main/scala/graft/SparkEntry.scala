@@ -1110,8 +1110,11 @@ object SparkEntry {
         .withColumn("c_nationkey",
           when(col("c_custkey") % 7 === 0, (col("c_nationkey") + 1) % 25)
             .otherwise(col("c_nationkey")))
+        // Appended keys live past 10^15 so they can never collide with
+        // real keys at any scale factor (1M collided at SF >= 7 —
+        // customer is 150K rows/SF).
         .unionByName(cust.filter(col("c_custkey") % 11 === 0)
-          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          .select((col("c_custkey") + 1000000000000000L).as("c_custkey"),
             col("c_nationkey")))
       graft.operators.Audit.diffSummary(cust, v2,
         Seq("c_custkey"), Seq("c_nationkey"))
@@ -1480,7 +1483,15 @@ object SparkEntry {
     * final-codebook encode (f{s} = codes). */
   private def pqChainsSql(m: Int, k: Int, iters: Int, dim: Int): String = {
     val subDim = dim / m
-    (0 until m).map { s =>
+    // Rank-based seeding, mirroring pqTrain: the k smallest ids get
+    // dense cell labels 0..k-1 (an id-value filter would under-seed on
+    // a sparse/offset id space).
+    val seedCte =
+      s"""pqseed AS (SELECT id,
+         |    CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cell
+         |  FROM (SELECT DISTINCT vec_id AS id FROM embeddings
+         |        ORDER BY id LIMIT $k))""".stripMargin
+    seedCte + ",\n" + (0 until m).map { s =>
       val chain = (1 to iters).map { i =>
         s"""a${s}_$i AS (SELECT id, v, cell FROM (
            |  SELECT sv$s.id, sv$s.v, c.cell,
@@ -1504,8 +1515,8 @@ object SparkEntry {
          |    list_slice(embedding::DOUBLE[], ${s * subDim + 1},
          |      ${(s + 1) * subDim}) AS v
          |  FROM embeddings),
-         |c${s}_0 AS (SELECT id AS cell, v AS cvec FROM sv$s
-         |  WHERE id < $k),
+         |c${s}_0 AS (SELECT pqseed.cell, sv$s.v AS cvec
+         |  FROM sv$s JOIN pqseed USING (id)),
          |$chain,
          |f$s AS (SELECT id AS vec_id, $s AS sub, cell AS code FROM (
          |  SELECT sv$s.id, c.cell,
@@ -2882,7 +2893,7 @@ object SparkEntry {
         |              ELSE c_nationkey END AS c_nationkey
         |  FROM cust WHERE c_custkey % 13 <> 0
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_nationkey
+        |  SELECT c_custkey + 1000000000000000, c_nationkey
         |  FROM cust WHERE c_custkey % 11 = 0
         |)
         |SELECT CASE WHEN b.c_custkey IS NULL THEN 'added'
@@ -3292,6 +3303,41 @@ object SparkEntry {
         |  CAST(sum(dx.deg * dy.deg) AS BIGINT) AS s_xy
         |FROM adj JOIN deg dx ON dx.v = adj.v
         |JOIN deg dy ON dy.v = adj.n""".stripMargin,
+
+    // Replays the capped-bucket pair generation as a self-join: the
+    // Spark side sorts each order's distinct part list and emits
+    // (i < j) pairs, which for a sorted distinct list is exactly
+    // r1 < r2 — so the join `a.r < b.r` over orders whose distinct
+    // part count is in [2, 8] reproduces the pair set verbatim.
+    "q_cooccurrence" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r
+        |  FROM lineitem),
+        |ok AS (SELECT l FROM e GROUP BY l
+        |       HAVING count(*) BETWEEN 2 AND 8)
+        |SELECT a.r AS r1, b.r AS r2, count(*) AS cnt
+        |FROM e a JOIN e b ON a.l = b.l AND a.r < b.r
+        |WHERE a.l IN (SELECT l FROM ok)
+        |GROUP BY a.r, b.r
+        |HAVING count(*) >= 2""".stripMargin,
+
+    // Butterfly census = one aggregate over the minCount=1
+    // co-occurrence CTE: each right pair sharing c left neighbors
+    // closes C(c,2) butterflies (exact integer via consecutive-
+    // product parity, same `div 2` as the Spark side).
+    "q_butterflies" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r
+        |  FROM lineitem),
+        |ok AS (SELECT l FROM e GROUP BY l
+        |       HAVING count(*) BETWEEN 2 AND 8),
+        |co AS (SELECT a.r AS r1, b.r AS r2, count(*) AS cnt
+        |  FROM e a JOIN e b ON a.l = b.l AND a.r < b.r
+        |  WHERE a.l IN (SELECT l FROM ok)
+        |  GROUP BY a.r, b.r)
+        |SELECT count(*) AS n_copairs,
+        |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_copairs_multi,
+        |  CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS n_butterflies
+        |FROM co""".stripMargin,
 
     // Replays the exact peel rounds: per round one degree CTE over the
     // surviving edges and one semi-filtered edge CTE; the final output

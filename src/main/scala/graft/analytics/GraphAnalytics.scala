@@ -215,6 +215,14 @@ object GraphAnalytics {
    * shuffles only vertex-sized score frames — the edge relation (the
    * 100 TB side) is shuffled once per key for the whole run instead of
    * twice per round.
+   *
+   * Contract: because `localCheckpoint` truncates lineage, the returned
+   * frame is NOT recomputable once its blocks are released — consume
+   * (write/collect) the result BEFORE `CacheScope.drain`, which is the
+   * harness protocol already (Verify/Bench drain only after the dump).
+   * localCheckpoint blocks also don't survive executor loss; a fault-
+   * tolerant cluster run would swap in `checkpoint(eager = true)` with
+   * a checkpoint dir at the same call site.
    */
   def hits(store: GraphStore, edgeTypes: Seq[String], iters: Int)
       : DataFrame = {
@@ -231,7 +239,11 @@ object GraphAnalytics {
       .union(edgesByDst.select(col("d")))
       .distinct()
       .transform(graft.CacheScope.persist(_))
+    val sc = verts.sparkSession.sparkContext
     var scores = verts.select(col("v"), lit(1.0).as("a"), lit(1.0).as("h"))
+    // Previous round's localCheckpoint RDD id: released per-round below,
+    // so checkpoint blocks stay O(1) for the run instead of O(iters).
+    var prevCkptId: Option[Int] = None
     for (_ <- 1 to iters) {
       // The L1 totals ride in-plan as broadcast one-row scalars
       // (crossJoin(broadcast(agg)), cf. PageRank's normalization):
@@ -265,7 +277,17 @@ object GraphAnalytics {
       // Lineage break (scaladoc): materialized rows behind an opaque
       // scan, so releasing this round's scaffolding can't recompile it.
       // Eager, so the scaffolding unpersists below see no live readers.
+      // The checkpointed Dataset wraps its blocks in a LogicalRDD, so
+      // Dataset.unpersist can't reach them — diff getPersistentRDDs
+      // around the call to learn the block RDD's id, then release the
+      // SUPERSEDED round's id (safe: `next` is eagerly materialized and
+      // no longer reads the previous round's blocks).
+      val before = sc.getPersistentRDDs.keySet
       val next = round.localCheckpoint(true)
+      val ckptId = (sc.getPersistentRDDs.keySet -- before).headOption
+      prevCkptId.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkptId = ckptId
       // Release order matters for the recompile rule: auth first (only
       // hRaw's cached plan references it; that expansion is one small
       // already-aggregated subtree), then the rest — nothing cached
@@ -384,10 +406,16 @@ object GraphAnalytics {
     var edges = simpleEdges(store, edgeTypes)
     for (_ <- 1 to rounds) {
       val sup = wedgeCounts(edges)
-      edges = edges.join(sup, Seq("s", "d"), "left")
+      val next = edges.join(sup, Seq("s", "d"), "left")
         .filter(coalesce(col("common"), lit(0L)) >= k - 2)
         .select("s", "d")
         .transform(graft.CacheScope.persist(_))
+      // Materialize-then-rotate (same law as pageRank/labelPropagation):
+      // only the current survivor frame stays pinned, so peel depth 50
+      // holds O(1) cache instead of O(rounds) frames.
+      next.count()
+      graft.CacheScope.unpersist(edges)
+      edges = next
     }
     edges.join(wedgeCounts(edges), Seq("s", "d"), "left")
       .select(col("s").as("a"), col("d").as("b"),

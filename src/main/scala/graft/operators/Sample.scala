@@ -80,7 +80,13 @@ object Sample {
         a.copy(seen = total, items = a.items ++ c.items)
       else {
         // Weighted merge: draw k from the union, weighting each side by
-        // its seen-count, with a deterministic rng.
+        // its seen-count, with a deterministic rng. NOTE: the rng
+        // stream is consumed in pool order, so the draw is
+        // deterministic for a FIXED partitioning but not
+        // partition-count-invariant (statistically sound either way);
+        // the hash-rank sampler below is the invariant, gate-checked
+        // path — use it when bit-stable output across repartitions
+        // matters.
         val r = new Random(a.seed ^ total)
         val pool = a.items.map(v => (v, a.seen)) ++ c.items.map(v => (v, c.seen))
         val drawn = pool

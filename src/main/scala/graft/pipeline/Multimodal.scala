@@ -28,6 +28,16 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
+  // javax.imageio defaults to a DISK-BACKED stream cache: every
+  // ImageIO.read/write spills through a temp file (two create/delete
+  // syscalls per row). On a contended /tmp that per-row I/O dominates
+  // the decode itself (BENCH_r08: mm_resize 67 s driver vs 1.2 s on a
+  // quiet host, same commit). All payloads here are in-memory byte
+  // arrays, so the in-memory cache is strictly better at any scale.
+  // Object-body placement runs this once per JVM — the codec closures
+  // reference this object, so executors initialize it too.
+  ImageIO.setUseCache(false)
+
   final case class MediaRow(id: Long, media: Array[Byte], format: String)
   final case class DecodedRow(id: Long, format: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int)

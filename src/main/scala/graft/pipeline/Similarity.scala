@@ -150,8 +150,19 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sv = subVecFrame(emb, idCol, vecCol, m, dim / m)
       .transform(graft.CacheScope.persist(_)) // scanned every round
-    var centroids = sv.filter(col("id") < k)
-      .select(col("sub"), col("id").as("cell"), col("v").as("cvec"))
+    // Seed by RANK, not by id value: the k smallest ids via
+    // TakeOrderedAndProject (scale-safe — only ids travel), then dense
+    // cell labels 0..k-1 from a row_number over those k rows. An
+    // id-value filter (`id < k`) silently under-seeds — possibly to
+    // zero cells — on any sparse or offset id space.
+    val seeds = emb.select(col(idCol).as("id")).distinct()
+      .orderBy(col("id")).limit(k)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("id"))) - 1).cast("long"))
+    require(seeds.count() == k,
+      s"pqTrain needs $k distinct ids to seed the codebook")
+    var centroids = sv.join(broadcast(seeds), Seq("id"))
+      .select(col("sub"), col("cell"), col("v").as("cvec"))
       .transform(graft.CacheScope.persist(_))
     val w = Window.partitionBy(col("id"), col("sub"))
       .orderBy(col("d2").asc, col("cell"))

@@ -361,12 +361,24 @@ object TextAnalysis {
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minCount)
+    // The documented exact-integer bound, ENFORCED in-plan: past
+    // n_tok ~ 9.2e12 the scaled product would wrap silently in Spark's
+    // non-ANSI Long arithmetic while DuckDB raises — so the engine now
+    // raises too (same observable behavior on both sides) instead of
+    // emitting wrapped values. The guard rides the same when() as the
+    // value, so column pruning can't elide it.
+    val maxNTok = Long.MaxValue / 1000000L
     joint
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
-        expr("((c12 * 1000000 div c1) * n_tok) div c2").as("pmi_scaled"))
+        when(col("n_tok") > maxNTok, raise_error(lit(
+          s"collocations: n_tok exceeds the exact-integer PMI bound " +
+            s"$maxNTok — lower the 10^6 scale constant on BOTH sides"))
+          .cast("long"))
+          .otherwise(expr("((c12 * 1000000 div c1) * n_tok) div c2"))
+          .as("pmi_scaled"))
   }
 
   /**

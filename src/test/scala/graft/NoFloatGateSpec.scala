@@ -23,6 +23,20 @@ import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType}
  */
 class NoFloatGateSpec extends SparkSpec {
 
+  // Round-9 law (VERDICT.md r8 "What's wrong" #1): every declared query
+  // MUST carry a DuckDB oracle and vice versa — r8 was the first round
+  // an ungated query landed (q_cooccurrence/q_butterflies ran but were
+  // untested). A keyset mismatch is now a build failure, not a silent
+  // `err: no_oracle` row in the driver report.
+  test("every query has an oracle and every oracle names a query") {
+    val unoracled = SparkEntry.rawQueries.keySet -- SparkEntry.rawOracleSql.keySet
+    val orphaned = SparkEntry.rawOracleSql.keySet -- SparkEntry.rawQueries.keySet
+    assert(unoracled.isEmpty,
+      s"queries with no DuckDB oracle (would land ungated): $unoracled")
+    assert(orphaned.isEmpty,
+      s"oracle SQL naming no query (dead gate): $orphaned")
+  }
+
   private def isFloaty(dt: DataType): Boolean = dt match {
     case DoubleType | FloatType => true
     case _: DecimalType         => true
