@@ -13,7 +13,14 @@ import graft.pipeline.Dedup
  * bench can't see. Results recorded in PLANS.md.
  */
 object ScaleSmoke {
+  /** Optional substring filter (SPARK_GRAFT_SMOKE_ONLY=ktruss,hits)
+    * for isolating rows during iteration; fixtures still materialize. */
+  private val only: Option[Seq[String]] =
+    sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.split(",").toSeq)
+
   def time(label: String)(f: => Long): Unit = {
+    if (only.exists(pats => !pats.exists(label.contains) &&
+        !label.contains("materialize"))) return
     val t0 = System.nanoTime()
     val n = f
     println(f"SMOKE $label%-30s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
@@ -223,6 +230,22 @@ object ScaleSmoke {
     time(s"kcore 3 rounds ${factor}x")(
       graft.analytics.GraphAnalytics.kCore(store, Seq("amp"), k = 3,
         rounds = 3).count())
+
+    // k-truss: per-round wedge join — Σdeg(a) candidate volume, which
+    // the copy-disconnected graph keeps factor-linear (a fused graph
+    // would square it; copies are the honest model of a bigger corpus)
+    time(s"ktruss 2 rounds ${factor}x")(
+      graft.analytics.GraphAnalytics.kTruss(store, Seq("amp"), k = 3,
+        rounds = 2).count())
+    // bipartite co-occurrence + butterfly census: copies keep each
+    // order's bucket size unchanged, so capped pair fan-out C(8,2)
+    // stays per-bucket constant and total volume factor-linear
+    time(s"cooccurrence ${factor}x")(
+      graft.analytics.GraphAnalytics.cooccurrence(edges,
+        "l_orderkey", "l_partkey", maxPerLeft = 8, minCount = 2).count())
+    time(s"butterflies ${factor}x")(
+      graft.analytics.GraphAnalytics.butterflyStats(edges,
+        "l_orderkey", "l_partkey", maxPerLeft = 8).count())
 
     // semantic decontam: bench slice fixed-rate (1/97 of the corpus),
     // codebook fixed — corpus side scales, bench broadcast grows with it
