@@ -250,6 +250,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 4, threshold = 0.5)),
 
+    // ---- Asymmetric containment |A∩B|/min(|A|,|B|): catches small-
+    // doc-embedded-in-large where symmetric Jaccard stays low ----
+    "q_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 4, threshold = 0.5)),
+
     "q_minhash_signatures" -> ((s, dir) =>
       Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
         n = 4, numHashes = 8)),
@@ -523,9 +529,25 @@ object SparkEntry {
       TextFormats.readCsv(s, tmp, docs.schema)
     }),
 
+    "q_orc_roundtrip" -> ((s, dir) => {
+      import graft.sources.TextFormats
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_orc").toString + "/docs"
+      TextFormats.writeOrc(docs, tmp)
+      TextFormats.readOrc(s, tmp, docs.schema)
+    }),
+
     "q_lsh_ann" -> ((s, dir) => // hyperplane-bucketed top-k
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = (0L to 4L), k = 5, numPlanes = 6, dim = 64)),
+
+    // ---- Approximate kNN graph: every vector a query, LSH-bucketed
+    // candidates (cap 128), top-3 exact-cosine edges per vector ----
+    "q_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, numPlanes = 6, dim = 64, maxBucketSize = 128)),
 
     // ---- Event stream (batch formulation of the streaming ops) ----
     "q_events_window" -> ((s, dir) =>
@@ -1036,6 +1058,24 @@ object SparkEntry {
     "q_doc_novelty" -> ((s, dir) =>
       Curation.docNovelty(t(s, dir, "documents"), "doc_id", "text",
         n = 4)),
+
+    // ---- Source-pair vocabulary overlap: shared-token counts per
+    // source pair — corpus-composition / mixture-design diagnostic ----
+    "q_source_overlap" -> ((s, dir) =>
+      TextAnalysis.sourceVocabOverlap(t(s, dir, "documents"), "source",
+        "text")),
+
+    // ---- DSIR-style importance evidence: per-doc scaled unigram
+    // likelihood-ratio sum vs the src0 target slice ----
+    "q_dsir_evidence" -> ((s, dir) =>
+      TextAnalysis.dsirEvidence(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("source") === "src0")),
+
+    // ---- Per-source exact-dedup rate rollup: winners by global
+    // min-id fingerprint election, losses charged per source ----
+    "q_dedup_by_source" -> ((s, dir) =>
+      Curation.dedupRateBySource(t(s, dir, "documents"), "doc_id",
+        "text", "source")),
 
     // ---- Leakage-safe train/val/test split: split keyed on the
     // exact-dup fingerprint so duplicate texts co-locate ----
@@ -1621,6 +1661,34 @@ object SparkEntry {
        |SELECT query_id, cand_id, sim FROM scored WHERE rk <= 5""".stripMargin
   }
 
+  /** kNN-graph oracle: same plane literals as [[lshAnnSql]]
+    * (Similarity.hyperplanes(6, 64, 42)), bucket-size window [2, 128],
+    * both-direction candidates, per-vector cosine top-3. */
+  private def knnGraphSql: String = {
+    val planes = Similarity.hyperplanes(numPlanes = 6, dim = 64, seed = 42L)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(embedding::DOUBLE[], $lits::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("\n  + ")
+    s"""WITH sig AS (SELECT vec_id, embedding, $bucket AS bucket
+       |  FROM embeddings),
+       |ok AS (SELECT bucket FROM sig GROUP BY bucket
+       |       HAVING count(*) BETWEEN 2 AND 128),
+       |ib AS (SELECT s.* FROM sig s JOIN ok USING (bucket)),
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |    floor((list_cosine_similarity(a.embedding::DOUBLE[],
+       |      b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS sim,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY floor((list_cosine_similarity(a.embedding::DOUBLE[],
+       |        b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 DESC,
+       |        b.vec_id) AS rk
+       |  FROM ib a JOIN ib b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, nbr_id, CAST(rk AS BIGINT) AS rk, sim
+       |FROM scored WHERE rk <= 3""".stripMargin
+  }
+
   /** IVF top-k oracle (16 cells = vec_id<16 seeds, nProbe 4, k 5,
     * queries 0..9) — shared by q_ivf_topk and q_ivf_recall. */
   private val IvfTopKSql: String =
@@ -2122,6 +2190,25 @@ object SparkEntry {
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE floor((i * 1.0 / (sa.sz + sb.sz - i)) * 10000.0 + 0.5) / 10000.0 >= 0.5""".stripMargin,
 
+    // containment = |A∩B| / min(|A|,|B|) over the same distinct-shingle
+    // CTEs as the Jaccard oracle; evidence integers ride alongside
+    "q_containment" ->
+      s"""WITH $TokCte,
+         |$ShingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         count(*) AS n_shared
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared, sa.sz AS sz_a, sb.sz AS sz_b,
+         |  floor((n_shared * 1.0 / least(sa.sz, sb.sz)) * 10000.0 + 0.5) / 10000.0 AS containment
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE floor((n_shared * 1.0 / least(sa.sz, sb.sz)) * 10000.0 + 0.5) / 10000.0 >= 0.5""".stripMargin,
+
     "q_minhash_signatures" -> minhashSigSql,
 
     "q_lsh_candidates" ->
@@ -2386,6 +2473,9 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "q_csv_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "q_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "q_events_window" ->
@@ -2715,6 +2805,8 @@ object SparkEntry {
          |GROUP BY e.query_id""".stripMargin,
 
     "q_lsh_ann" -> lshAnnSql,
+
+    "q_knn_graph" -> knnGraphSql,
 
     "q_get_neighbors_grouped" ->
       """SELECT o_custkey AS _vid, count(*) AS n_edges,
@@ -3128,6 +3220,62 @@ object SparkEntry {
          |FROM bc JOIN uc u1 ON bc.w1 = u1.w
          |        JOIN uc u2 ON bc.w2 = u2.w
          |CROSS JOIN tot""".stripMargin,
+
+    // vocabulary overlap per source pair: the corpus collapses in the
+    // distinct (src, tok) CTE; src_a < src_b is lexicographic on both
+    // engines (ASCII source names)
+    "q_source_overlap" ->
+      s"""WITH $TokCte,
+         |t0 AS (SELECT d.source AS src, unnest(k.t) AS tok
+         |  FROM documents d JOIN toks k USING (doc_id)),
+         |v AS (SELECT DISTINCT src, tok FROM t0),
+         |sz AS (SELECT src, count(*) AS vsz FROM v GROUP BY src),
+         |c AS (SELECT a.src AS src_a, b.src AS src_b,
+         |    count(*) AS n_common
+         |  FROM v a JOIN v b ON a.tok = b.tok AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT c.src_a, c.src_b, c.n_common,
+         |  sa.vsz AS v_a, sb.vsz AS v_b
+         |FROM c JOIN sz sa ON sa.src = c.src_a
+         |       JOIN sz sb ON sb.src = c.src_b""".stripMargin,
+
+    // DSIR scaled likelihood-ratio evidence: same parenthesized
+    // integer-div order as the engine; sums CAST (HUGEINT law)
+    "q_dsir_evidence" ->
+      s"""WITH $TokCte,
+         |t0 AS (SELECT k.doc_id, d.source = 'src0' AS tgt,
+         |    unnest(k.t) AS w
+         |  FROM documents d JOIN toks k USING (doc_id)),
+         |cnt AS (SELECT w, count(*) AS c_all,
+         |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+         |  FROM t0 GROUP BY w),
+         |tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all,
+         |    CAST(sum(c_tgt) AS BIGINT) AS n_tgt FROM cnt),
+         |r AS (SELECT w,
+         |    ((c_tgt * 1000000 // c_all) * n_all) // n_tgt AS r_scaled
+         |  FROM cnt CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_tok,
+         |  CAST(sum(r_scaled) AS BIGINT) AS dsir_scaled
+         |FROM t0 JOIN r USING (w)
+         |GROUP BY doc_id""".stripMargin,
+
+    // per-source dedup rollup: global min-id winner per fingerprint,
+    // same md5 normalization as q_dedup_exact
+    "q_dedup_by_source" ->
+      """WITH f AS (SELECT doc_id AS id, source,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |g AS (SELECT fp, min(id) AS win_id, count(*) AS grp_sz
+        |  FROM f GROUP BY fp)
+        |SELECT f.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN f.id = g.win_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN f.id <> g.win_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN g.grp_sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_in_dup_groups
+        |FROM f JOIN g USING (fp)
+        |GROUP BY f.source""".stripMargin,
 
     // first-owner election per shingle; integer sums CAST (HUGEINT law)
     "q_doc_novelty" ->
@@ -3565,6 +3713,8 @@ object SparkEntry {
     "q_ivf_topk" -> Seq("sim"),
     "q_lookup_prefix_range" -> Seq("l_quantity"),
     "q_lookup_via_index" -> Seq("p_retailprice"),
+    "q_knn_graph" -> Seq("sim"),
+    "q_containment" -> Seq("containment"),
     "q_lsh_ann" -> Seq("sim"),
     "q_multimodal_features" -> Seq("mean_byte"),
     "q_multimodal_resize" -> Seq("scale"),

@@ -426,4 +426,37 @@ object Curation {
           col("n_types").cast("double") / col("n_tokens"), 4)
           .as("ttr"))
   }
+
+  /**
+   * Per-source exact-dedup rate rollup — the release-note table every
+   * curation run publishes ("src X lost 40% to dedup") and the first
+   * place feed-level pathologies show up (a mirror site, a template
+   * farm). Winner election is the global min-id per content
+   * fingerprint (the [[Dedup.exactSummary]] law — cross-source dups
+   * are charged to every source that carried a loser). Output per
+   * source: n_docs, n_kept (winners), n_removed, n_in_dup_groups
+   * (docs whose fingerprint occurs >1 anywhere) — all exact integers.
+   *
+   * Scale shape: one fingerprint scan (narrow, codegen'd md5), one
+   * group-sized aggregate electing winners (min + count, map-side
+   * combinable — never a window over a hot fingerprint), one join
+   * back, one source-sized rollup.
+   */
+  def dedupRateBySource(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), col(srcCol).as("source"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .transform(graft.CacheScope.persist(_)) // feeds election + rollup
+    val groups = fp.groupBy("fp")
+      .agg(min(col("id")).as("win_id"), count(lit(1)).as("grp_sz"))
+    fp.join(groups, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("id") === col("win_id"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("id") =!= col("win_id"), 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("grp_sz") > 1, 1L).otherwise(0L))
+          .as("n_in_dup_groups"))
+  }
 }

@@ -232,6 +232,57 @@ object Dedup {
   }
 
   /**
+   * Shingle CONTAINMENT pairs — the asymmetric twin of
+   * [[ngramJaccardPairs]] (Broder 1997's "containment"): |A∩B| /
+   * min(|A|, |B|), the signal that catches a small document EMBEDDED in
+   * a large one (quote farms, boilerplate wrappers, doc-in-doc crawl
+   * artifacts) where symmetric Jaccard stays low because the union is
+   * dominated by the big side. Returns (id_a < id_b, n_shared, sz_a,
+   * sz_b) plus the quantized containment ratio, cut at `threshold`.
+   *
+   * Scale shape: identical to the Jaccard path — one persisted shingle
+   * frame feeds the doc-size aggregate and the inverted index;
+   * `maxDocFreq` drops stop-shingles before pair generation; pair
+   * counting is the intra-bucket (i < j) explode, never a self-join.
+   * The exact-integer evidence (n_shared, sz_a, sz_b) rides the gate;
+   * the ratio is Portable-quantized.
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val filtered0 =
+      if (maxDocFreq <= 0) sh
+      else {
+        val freq = sh.groupBy("shingle")
+          .agg(count(lit(1)).as("df_cnt"))
+          .filter(col("df_cnt") <= maxDocFreq)
+        sh.join(freq.select("shingle"), Seq("shingle"))
+      }
+    val filtered = filtered0.transform(graft.CacheScope.persist(_))
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
+      .transform(graft.CacheScope.persist(_))
+    val buckets = filtered.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val nestedPairs = transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("a"), y.as("b"))))
+    val inter = buckets.select(explode(flatten(nestedPairs)).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("id_b"))
+      .withColumn("containment", graft.functions.Portable.quant(
+        col("n_shared").cast("double") /
+          least(col("sz_a"), col("sz_b")), 4))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_shared", "sz_a", "sz_b", "containment")
+  }
+
+  /**
    * Exact-Jaccard verification of candidate pairs — the second stage of
    * the standard MinHash dedup pipeline (LSH proposes, exact similarity
    * disposes). Each (id_a, id_b) candidate joins the two documents'

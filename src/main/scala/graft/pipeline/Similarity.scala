@@ -314,6 +314,50 @@ object Similarity {
   }
 
   /**
+   * Approximate k-nearest-neighbor GRAPH over the whole corpus — the
+   * backbone structure for graph-based dedup clustering, label
+   * propagation over embeddings, and kNN-classifier curation. Unlike
+   * [[lshTopK]] (a bounded QUERY set against the corpus), every vector
+   * is simultaneously a query, so the quadratic trap is the corpus
+   * joining itself; the same hyperplane-signature bucketing bounds it:
+   * candidates share a bucket, and `maxBucketSize` drops over-dense
+   * buckets BEFORE pair generation (the deterministic hot-bucket law —
+   * LSH `maxBucketSize`, cooccurrence `maxPerLeft`). Per-bucket work is
+   * then ≤ C(cap, 2) exact cosines; vectors in dropped or singleton
+   * buckets emit no edges (documented recall trade of every
+   * single-table LSH index; more tables = union of several plane seeds).
+   *
+   * Scale shape: one signature scan, one groupBy-bucket shuffle for the
+   * cap, the intra-bucket pair explode (both directions — each vector
+   * ranks its OWN neighbors), one per-vector top-k window bounded by
+   * cap-1 candidates. No all-pairs term anywhere.
+   */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, numPlanes: Int, dim: Int, maxBucketSize: Int,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val signed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        lshSignature(col(vecCol), planes).as("bucket"))
+      .transform(graft.CacheScope.persist(_)) // feeds cap agg + both join sides
+    val okBuckets = signed.groupBy("bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucketSize))
+      .select("bucket")
+    val inBucket = signed.join(okBuckets, Seq("bucket"))
+    val scored = inBucket
+      .join(inBucket.select(col("bucket"), col("id").as("nbr_id"),
+        col("v").as("nv")), Seq("bucket"))
+      .filter(col("id") =!= col("nbr_id"))
+      .withColumn("sim",
+        graft.functions.Portable.quant(cosine(col("v"), col("nv")), 6))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("id").as(idCol), col("nbr_id"), col("rk").cast("long"),
+        col("sim"))
+  }
+
+  /**
    * IVF (inverted-file) index: deterministic coarse centroids (the
    * first `nCells` vectors by id — swap for k-means at production
    * scale), every vector assigned to its nearest centroid. Queries

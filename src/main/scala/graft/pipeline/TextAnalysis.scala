@@ -382,6 +382,92 @@ object TextAnalysis {
   }
 
   /**
+   * Source-pair vocabulary overlap — the corpus-composition diagnostic
+   * for mixture design: per pair of sources, the shared distinct-token
+   * count plus each side's vocabulary size (Jaccard/containment are
+   * client-side divisions of the exact-integer evidence). Surfaces
+   * near-duplicate source feeds and domain drift between crawl
+   * snapshots before they skew mixture weights.
+   *
+   * Scale shape: the corpus collapses in ONE distinct (source, token)
+   * shuffle — everything after is vocabulary-sized. Pair generation is
+   * the intra-bucket explode over each token's source list (bounded by
+   * the source COUNT, a handful, so no cap is needed — the bucket is
+   * small by construction, not by luck).
+   */
+  def sourceVocabOverlap(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val vocab = docs.select(col(srcCol).as("src"),
+        explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+      .transform(graft.CacheScope.persist(_)) // feeds sizes + buckets
+    val sizes = vocab.groupBy("src").agg(count(lit(1)).as("vsz"))
+    val nestedPairs = transform(col("srcs"), (x, i) =>
+      transform(slice(col("srcs"), i + 2, size(col("srcs"))),
+        y => struct(x.as("a"), y.as("b"))))
+    val common = vocab.groupBy(col("tok"))
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(flatten(nestedPairs)).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("src").as("src_a"), col("vsz").as("v_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("src").as("src_b"), col("vsz").as("v_b")),
+        Seq("src_b"))
+      .select("src_a", "src_b", "n_common", "v_a", "v_b")
+  }
+
+  /**
+   * DSIR-style importance evidence (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling"): score every
+   * document by how much its unigram distribution looks like a TARGET
+   * subset versus the whole corpus. DSIR's weight is
+   * Σ_w c_doc(w)·log(p_tgt(w)/p_all(w)); the log is monotone per term,
+   * so the gate surface carries the log-free exact-integer analog —
+   * `dsir_scaled` = Σ_w c_doc(w)·r_scaled(w) with r_scaled =
+   * ((c_tgt·10^6 div c_all)·N_all) div N_tgt, the same scaled-ratio
+   * currency as [[collocations]]' PMI (c_tgt ≤ c_all keeps the first
+   * factor ≤ 10^6; the same ~9.2e12-token bound is enforced in-plan).
+   * Tokens absent from the target contribute 0 — the hard version of
+   * DSIR's smoothing, stated rather than hidden. Ranking by
+   * `dsir_scaled/n_tok` is the resampling key; the division is the
+   * client's.
+   *
+   * Scale shape: two map-side-combinable vocab-sized count shuffles
+   * (target + corpus) build the ratio table; the corpus-scale pass is
+   * one explode + one join against that vocab-sized table (AQE
+   * broadcasts it while it fits) + one per-doc sum. The corpus is
+   * never joined with itself.
+   */
+  def dsirEvidence(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("_tgt"),
+        explode(tokens(col(textCol))).as("w"))
+      .transform(graft.CacheScope.persist(_)) // feeds both counts + scoring
+    val counts = toks.groupBy("w").agg(
+        count(lit(1)).as("c_all"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+      .transform(graft.CacheScope.persist(_))
+    val totals = counts.agg(sum(col("c_all")).as("n_all"),
+      sum(col("c_tgt")).as("n_tgt"))
+    val maxN = Long.MaxValue / 1000000L
+    val ratio = counts.crossJoin(broadcast(totals))
+      .select(col("w"),
+        when(col("n_all") > maxN, raise_error(lit(
+          s"dsirEvidence: corpus exceeds the exact-integer ratio bound " +
+            s"$maxN tokens — lower the 10^6 scale constant")).cast("long"))
+          .otherwise(expr(
+            "((c_tgt * 1000000 div c_all) * n_all) div n_tgt"))
+          .as("r_scaled"))
+    toks.join(ratio, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("r_scaled")).as("dsir_scaled"))
+  }
+
+  /**
    * Per-document bigram-LM score — the train-then-score half of a
    * KenLM-style perplexity filter (CCNet's filtering stage): the LM is
    * the corpus's own bigram table (joint count c12, history count c1,

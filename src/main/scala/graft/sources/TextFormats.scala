@@ -60,4 +60,22 @@ object TextFormats {
       .option("nullValue", "\u0000")
       .option("emptyValue", "")
       .csv(path)
+
+  /**
+   * ORC round trip — the second columnar interchange format big data
+   * estates actually run (Hive/Trino warehouses are ORC-first; a corpus
+   * engine that can only ingest parquet can't read their tables). ORC
+   * is typed and self-describing, so unlike the text formats there is
+   * no null/empty-string ambiguity to defend against; snappy + the
+   * vectorized reader are Spark defaults. Schema is still passed on
+   * read — same no-inference discipline as every other source here
+   * (schema drift across a 100 TB partition set must fail loudly, not
+   * unify quietly).
+   */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

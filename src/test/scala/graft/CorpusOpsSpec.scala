@@ -51,6 +51,51 @@ class CorpusOpsSpec extends SparkSpec {
     assert(topb1 == math.round(1.0 / 3 * 1e6) / 1e6) // 3 distinct bigrams
   }
 
+  test("sourceVocabOverlap counts shared distinct tokens per pair") {
+    val d = Seq(
+      (1L, "cat dog", "a"), (2L, "dog fish", "a"),
+      (3L, "dog bird", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceVocabOverlap(d, "source", "text")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[String]("src_a"), r.getAs[String]("src_b")) == ("a", "b"))
+    assert(r.getAs[Long]("n_common") == 1L) // {dog}
+    assert((r.getAs[Long]("v_a"), r.getAs[Long]("v_b")) == (3L, 2L))
+  }
+
+  test("dsirEvidence: hand-computed scaled likelihood-ratio sums") {
+    val d = Seq(
+      (1L, "x x y", "src0"),
+      (2L, "y z", "src1"))
+      .toDF("doc_id", "text", "source")
+    // c_all: x=2 y=2 z=1; c_tgt: x=2 y=1 z=0; N_all=5, N_tgt=3
+    // r(x) = ((2e6 div 2) * 5) div 3 = 1666666
+    // r(y) = ((1e6 div 2) * 5) div 3 = 833333 ; r(z) = 0
+    val out = TextAnalysis.dsirEvidence(d, "doc_id", "text",
+        isTarget = col("source") === "src0")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("dsir_scaled")))).toMap
+    assert(out(1L) == ((3L, 2L * 1666666L + 833333L)))
+    assert(out(2L) == ((2L, 833333L)))
+  }
+
+  test("dedupRateBySource charges losers to their own source") {
+    val d = Seq(
+      (1L, "same text", "a"), (2L, "same text", "b"),
+      (3L, "unique", "a"), (4L, "same text", "a"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Curation
+      .dedupRateBySource(d, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed"), r.getAs[Long]("n_in_dup_groups"))))
+      .toMap
+    assert(out("a") == ((3L, 2L, 1L, 2L))) // doc 4 lost to doc 1
+    assert(out("b") == ((1L, 0L, 1L, 1L))) // doc 2 lost cross-source
+  }
+
   test("stratified takes exactly k per stratum, deterministically") {
     val big = spark.range(1000).select(col("id"),
       (col("id") % 3).cast("string").as("lang"))

@@ -29,6 +29,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containment flags the embedded doc where jaccard stays low") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta x1 x2 x3 x4 x5 x6 x7 x8"),
+      (3L, "totally unrelated content here now"))
+      .toDF("doc_id", "text")
+    // doc 1's three 2-gram shingles all occur in doc 2 (12 tokens ->
+    // 11 shingles): containment = 3/min(3,11) = 1.0, jaccard = 3/11
+    val cont = Dedup.containmentPairs(d, "doc_id", "text",
+        n = 2, threshold = 0.9).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) == (1L, 2L))
+    assert(r.getAs[Long]("n_shared") == 3L)
+    assert((r.getAs[Long]("sz_a"), r.getAs[Long]("sz_b")) == (3L, 11L))
+    assert(r.getAs[Double]("containment") == 1.0)
+    // the symmetric metric misses the same pair at the same cut
+    assert(Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      n = 2, threshold = 0.9).count() == 0L)
+  }
+
   test("bloomDedupNew: exact new-rows output, dup fingerprints dropped") {
     val stored = Seq((1L, "alpha beta"), (2L, "gamma delta"))
       .toDF("doc_id", "text")
@@ -260,6 +281,43 @@ class SimilaritySpec extends SparkSpec {
     // recall is approximate; the parallel vector must be present when
     // bucketed together under any plane set that keeps them adjacent
     assert(res.count() <= 2)
+  }
+
+  test("knnGraph: bounded degree, no self edges, deterministic") {
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding",
+      k = 2, numPlanes = 2, dim = 3, maxBucketSize = 10)
+    val rows = g.collect()
+    assert(rows.forall(r =>
+      r.getAs[Long]("vec_id") != r.getAs[Long]("nbr_id")))
+    val perId = rows.groupBy(_.getAs[Long]("vec_id"))
+    assert(perId.values.forall(_.length <= 2))
+    // rank is dense 1..deg per vector and sims descend with it
+    perId.values.foreach { es =>
+      val sorted = es.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to sorted.length).toSeq)
+      val sims = sorted.map(_.getAs[Double]("sim")).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+    // fixed planes (seeded) => bit-stable output across runs
+    val again = Similarity.knnGraph(vecs, "vec_id", "embedding",
+      k = 2, numPlanes = 2, dim = 3, maxBucketSize = 10).collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
+
+  test("knnGraph: maxBucketSize drops over-dense buckets entirely") {
+    // all four vectors share the all-positive orthant direction =>
+    // one bucket of 4 under any plane set; cap 3 must emit NO edges
+    val tight = Seq(
+      (0L, Array(1.0f, 0.9f, 1.1f)),
+      (1L, Array(1.1f, 1.0f, 0.9f)),
+      (2L, Array(0.9f, 1.1f, 1.0f)),
+      (3L, Array(1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.knnGraph(tight, "vec_id", "embedding",
+      k = 2, numPlanes = 2, dim = 3, maxBucketSize = 3).count() == 0L)
+    assert(Similarity.knnGraph(tight, "vec_id", "embedding",
+      k = 2, numPlanes = 2, dim = 3, maxBucketSize = 4).count() > 0L)
   }
 
   test("blocked near-dup only compares within a block") {

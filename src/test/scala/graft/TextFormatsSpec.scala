@@ -35,4 +35,23 @@ class TextFormatsSpec extends SparkSpec {
     assert(csv == expected,
       s"csv corrupted: ${csv.toSeq.diff(expected.toSeq)}")
   }
+
+  test("orc round-trips the same adversarial strings losslessly") {
+    val in = Seq(
+      (1L, "he said \"hi\", then left", 10L),
+      (2L, "comma, semi; tab\there", 20L),
+      (3L, "unicode: café – 日本語", 30L),
+      (4L, "", 0L),
+      (5L, "  leading and trailing  ", 5L),
+      (6L, null, 60L))
+      .toDF("id", "text", "n")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_orc_spec").toString + "/d"
+    TextFormats.writeOrc(in, tmp)
+    val back = TextFormats.readOrc(spark, tmp, in.schema).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val expected = in.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(back == expected)
+  }
 }
