@@ -444,15 +444,57 @@ object GraphAnalytics {
 
   /** Common-neighbor (wedge) count per canonical edge; edges with no
     * common neighbor are absent (callers left-join + coalesce 0).
-    * Candidate volume is Σ_(a,b)∈E deg(a) — the wedge-count term every
-    * triangle enumeration pays; no all-pairs term. */
+    *
+    * Degree-ordered triangle enumeration (the MapReduce-triangles law,
+    * Suri & Vassilvitskii WWW'11; reference ships triangle counting in
+    * nebula-algorithm): every edge is oriented low→high under the
+    * total order (degree, id), wedges are generated only from each
+    * vertex's OUTGOING arcs (intra-bucket i<j explode — the same
+    * pattern as the LSH pair-gen, no self-join), and a candidate pair
+    * closes a triangle iff it is itself an edge (one semi-join against
+    * the canonical edge set). Each triangle is found exactly once — at
+    * its lowest-ordered vertex — then distributed to its three edges.
+    *
+    * Candidate volume is Σ_v C(outdeg(v), 2) with outdeg bounded by
+    * the orientation at O(√m) for any graph (a hot vertex's arcs point
+    * INTO it from its low-degree neighbors, so its bucket stays small —
+    * the degeneracy argument). The previous formulation joined full
+    * adjacency at both endpoints and filtered equality AFTER the join:
+    * Σ_(s,d)∈E deg(s)·deg(d) intermediate rows, quadratic in the hot
+    * vertex's degree — a scale-killer this rewrite removes for all
+    * four wedge-family operators (commonNeighbors, kTruss, linkPredict,
+    * clusteringCoef). Output contract unchanged.
+    */
   private def wedgeCounts(union: DataFrame): DataFrame = {
     val adj = undirAdj(union)
-    union
-      .join(adj.select(col("v").as("s"), col("n").as("na")), Seq("s"))
-      .join(adj.select(col("v").as("d"), col("n").as("nb")), Seq("d"))
-      .filter(col("na") === col("nb"))
-      .groupBy(col("s"), col("d"))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val e = union
+      .join(deg.select(col("v").as("s"), col("dg").as("dg_s")), Seq("s"))
+      .join(deg.select(col("v").as("d"), col("dg").as("dg_d")), Seq("d"))
+    val sFirst = col("dg_s") < col("dg_d") ||
+      (col("dg_s") === col("dg_d") && col("s") < col("d"))
+    val arcs = e.select(
+      when(sFirst, col("s")).otherwise(col("d")).as("lo"),
+      when(sFirst, col("d")).otherwise(col("s")).as("hi"))
+    // hs sorted by VALUE, so the (i < j) explode yields x < y — the
+    // canonical key the edge semi-join expects
+    val nestedPairs = transform(col("hs"), (x, i) =>
+      transform(slice(col("hs"), i + 2, size(col("hs"))),
+        y => struct(x.as("x"), y.as("y"))))
+    val cand = arcs.groupBy(col("lo"))
+      .agg(sort_array(collect_list(col("hi"))).as("hs"))
+      .filter(size(col("hs")) > 1)
+      .select(col("lo").as("a"), explode(flatten(nestedPairs)).as("p"))
+      .select(col("a"), col("p.x").as("x"), col("p.y").as("y"))
+    val tri = cand.join(
+      union.select(col("s").as("x"), col("d").as("y")), Seq("x", "y"))
+    tri.select(explode(array(
+        struct(least(col("a"), col("x")).as("s"),
+          greatest(col("a"), col("x")).as("d")),
+        struct(least(col("a"), col("y")).as("s"),
+          greatest(col("a"), col("y")).as("d")),
+        struct(col("x").as("s"), col("y").as("d")))).as("e"))
+      .groupBy(col("e.s").as("s"), col("e.d").as("d"))
       .agg(count(lit(1)).as("common"))
   }
 
