@@ -549,6 +549,30 @@ object SparkEntry {
       Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, numPlanes = 6, dim = 64, maxBucketSize = 128)),
 
+    // ---- Matryoshka-prefix retrieval eval: recall@5 of dim-16-prefix
+    // exact search vs full-dim exact search ----
+    "q_matryoshka_recall" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryIds = (0L to 9L), k = 5, prefixDim = 16)),
+
+    // ---- Per-label centroid cohesion without a pair join: mean
+    // pairwise dot via the ||Σv||² − Σ||v||² identity ----
+    "q_group_centroids" -> ((s, dir) =>
+      Similarity.groupCentroidStats(t(s, dir, "embeddings"), "embedding",
+        "label")),
+
+    // ---- Partitioned sink + partition-pruned scan: write split by
+    // source, read back ONE partition (plan prunes at the source) ----
+    "q_partitioned_scan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_part").toString + "/docs"
+      docs.write.mode("overwrite").partitionBy("source").parquet(tmp)
+      s.read.parquet(tmp).filter(col("source") === "src3")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // ---- Event stream (batch formulation of the streaming ops) ----
     "q_events_window" -> ((s, dir) =>
       EventStream.windowedAgg(graft.sources.Tables.events(s, dir))),
@@ -778,6 +802,12 @@ object SparkEntry {
         .select(col("pkey"), col("est_cnt"),
           coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
     }),
+
+    // ---- Sketch-gated heavy hitters: CMS estimate as the candidate
+    // filter (never misses a true heavy key), exact count verdict ----
+    "q_cms_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Stats.cmsHeavyHitters(t(s, dir, "lineitem"),
+        "l_partkey", depth = 4, width = 4096, minFreq = 45L)),
 
     // ---- Cohort retention over the event stream (first-week cohorts
     // × week offsets; weeks = integer epoch-microsecond arithmetic) ----
@@ -2478,6 +2508,10 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
+    "q_partitioned_scan" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE source = 'src3'""".stripMargin,
+
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
         |         AS window_start,
@@ -2761,6 +2795,30 @@ object SparkEntry {
         |  coalesce(ex.exact_cnt, 0) AS exact_cnt
         |FROM est LEFT JOIN ex ON ex.pkey = est.pkey""".stripMargin,
 
+    // heavy hitters: CMS candidate filter + exact-count verdict, the
+    // same register/probe CTEs as q_cms_lookup over ALL distinct keys
+    "q_cms_heavy_hitters" ->
+      """WITH d AS (SELECT i FROM (VALUES (0),(1),(2),(3)) AS t(i)),
+        |sk AS MATERIALIZED (SELECT d.i AS hrow,
+        |    CAST('0x' || substr(md5(CAST(d.i AS VARCHAR) || '#' ||
+        |      CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 4096 AS reg,
+        |    count(*) AS cnt
+        |  FROM lineitem CROSS JOIN d GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT l_partkey AS pkey FROM lineitem),
+        |probe AS (SELECT k.pkey, d.i AS hrow,
+        |    CAST('0x' || substr(md5(CAST(d.i AS VARCHAR) || '#' ||
+        |      CAST(k.pkey AS VARCHAR)), 1, 8) AS BIGINT) % 4096 AS reg
+        |  FROM k CROSS JOIN d),
+        |est AS (SELECT probe.pkey, min(coalesce(sk.cnt, 0)) AS est_cnt
+        |  FROM probe LEFT JOIN sk
+        |    ON sk.hrow = probe.hrow AND sk.reg = probe.reg
+        |  GROUP BY probe.pkey),
+        |ex AS (SELECT l_partkey AS pkey, count(*) AS true_cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT est.pkey, est.est_cnt, ex.true_cnt
+        |FROM est JOIN ex ON ex.pkey = est.pkey
+        |WHERE est.est_cnt >= 45""".stripMargin,
+
     // weeks = epoch_us // (7*86400e6), pure integer arithmetic (no
     // calendar functions on either side); sum of counts is CAST to
     // BIGINT per the HUGEINT law.
@@ -2807,6 +2865,63 @@ object SparkEntry {
     "q_lsh_ann" -> lshAnnSql,
 
     "q_knn_graph" -> knnGraphSql,
+
+    // recall of the dim-16 prefix ranking vs the full-dim exact top-5
+    // (the ivf_recall composition with a sliced approx side)
+    "q_matryoshka_recall" ->
+      s"""WITH exact AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY floor((list_cosine_similarity(
+         |          q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0
+         |          DESC, c.vec_id) AS rk
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id BETWEEN 0 AND 9) WHERE rk <= 5),
+         |approx AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY floor((list_cosine_similarity(
+         |          list_slice(q.embedding::DOUBLE[], 1, 16),
+         |          list_slice(c.embedding::DOUBLE[], 1, 16))) * 1000000.0 + 0.5) / 1000000.0
+         |          DESC, c.vec_id) AS rk
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id BETWEEN 0 AND 9) WHERE rk <= 5)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  floor((sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+         |GROUP BY e.query_id""".stripMargin,
+
+    // cohesion identity mean_pair_dot = (||Σv||² − Σ||v||²)/(n(n−1));
+    // every float sum rides the dyadic grid (PageRank summation law)
+    "q_group_centroids" ->
+      s"""WITH b AS (SELECT label, embedding::DOUBLE[] AS v,
+         |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+         |      AS nsq
+         |  FROM embeddings),
+         |el AS (SELECT label, u.i AS pos,
+         |    sum(${graft.functions.Portable.dyadicSql(
+              "v[CAST(u.i AS INTEGER)]")}) AS sx
+         |  FROM b CROSS JOIN LATERAL unnest(range(1, 65)) u(i)
+         |  GROUP BY label, u.i),
+         |s2 AS (SELECT label,
+         |    sum(${graft.functions.Portable.dyadicSql("sx * sx")}) AS s2
+         |  FROM el GROUP BY label),
+         |sc AS (SELECT label, count(*) AS n_vecs,
+         |    sum(${graft.functions.Portable.dyadicSql("nsq")}) AS snorm
+         |  FROM b GROUP BY label)
+         |SELECT sc.label, sc.n_vecs,
+         |  ${graft.functions.Portable.sql("s2.s2", 4)} AS s2,
+         |  ${graft.functions.Portable.sql("sc.snorm", 4)} AS snorm,
+         |  CASE WHEN sc.n_vecs > 1 THEN ${graft.functions.Portable.sql(
+              "(s2.s2 - sc.snorm) / (sc.n_vecs * (sc.n_vecs - 1))", 6)}
+         |       ELSE 0.0 END AS mean_pair_dot
+         |FROM sc JOIN s2 USING (label)""".stripMargin,
 
     "q_get_neighbors_grouped" ->
       """SELECT o_custkey AS _vid, count(*) AS n_edges,
@@ -3715,6 +3830,8 @@ object SparkEntry {
     "q_lookup_via_index" -> Seq("p_retailprice"),
     "q_knn_graph" -> Seq("sim"),
     "q_containment" -> Seq("containment"),
+    "q_matryoshka_recall" -> Seq("recall"),
+    "q_group_centroids" -> Seq("s2", "snorm", "mean_pair_dot"),
     "q_lsh_ann" -> Seq("sim"),
     "q_multimodal_features" -> Seq("mean_byte"),
     "q_multimodal_resize" -> Seq("scale"),

@@ -190,6 +190,33 @@ object Stats {
       .groupBy("pkey").agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
 
   /**
+   * Sketch-gated heavy hitters — the classic CMS use (Cormode &
+   * Muthukrishnan 2005 §4): find keys whose frequency clears
+   * `minFreq`, using the sketch's never-underestimates guarantee as
+   * the candidate filter. Each distinct key probes the broadcast
+   * sketch; keys whose CMS estimate clears the bar join their exact
+   * count for the verdict (`true_cnt` may fall below `minFreq` — a
+   * collision-inflated false candidate; no true heavy hitter is ever
+   * missed). Output carries both counts so the gate checks the
+   * overestimate law row by row.
+   *
+   * Scale shape: one map-side-combinable distinct-key count (the exact
+   * side), one shuffle-free broadcast probe (sketch ≤ depth×width
+   * rows); the candidate filter happens BEFORE the join with exact
+   * counts, so the joined frame is heavy-hitter-sized, not vocab-sized.
+   */
+  def cmsHeavyHitters(df: DataFrame, valueCol: String, depth: Int,
+      width: Int, minFreq: Long): DataFrame = {
+    val sketch = cmsRegisters(df, valueCol, depth, width)
+    val est = cmsLookup(sketch, df, valueCol, depth, width)
+      .filter(col("est_cnt") >= minFreq)
+    val exact = df.groupBy(col(valueCol).as("pkey"))
+      .agg(count(lit(1)).as("true_cnt"))
+    est.join(exact, Seq("pkey"))
+      .select(col("pkey"), col("est_cnt"), col("true_cnt"))
+  }
+
+  /**
    * Cohort-retention rollup over an event table (the user-activity /
    * data-freshness shape of StatisTask): users are cohorted by the
    * week of their first event; each (cohort_week, week_offset) cell

@@ -66,6 +66,67 @@ object Similarity {
   }
 
   /**
+   * Matryoshka-prefix retrieval eval (Kusupati et al. 2022, "Matryoshka
+   * Representation Learning"): recall@k of exact search over only the
+   * FIRST `prefixDim` dimensions against exact search over the full
+   * vector — the measurement that decides how far a serving tier can
+   * truncate its embeddings (a dim/4 prefix at recall 0.95 is a 4×
+   * memory/bandwidth cut at 100 TB). Both sides are
+   * [[bruteForceTopK]]; the prefix side just slices the vector column
+   * (a narrow projection — the scan reads the same column, the slice
+   * is codegen'd). A vector whose prefix is all-zero has no cosine;
+   * under ANSI arithmetic the job fails loudly (SparkException) rather
+   * than ranking on NaN — real embedding prefixes are never zero.
+   */
+  def matryoshkaRecall(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, prefixDim: Int): DataFrame = {
+    val full = bruteForceTopK(emb, idCol, vecCol, queryIds, k)
+    val prefix = bruteForceTopK(
+      emb.select(col(idCol), slice(col(vecCol), 1, prefixDim).as(vecCol)),
+      idCol, vecCol, queryIds, k)
+    recallPerQuery(full, prefix)
+  }
+
+  /**
+   * Per-group embedding centroid statistics WITHOUT a pair join — the
+   * cluster-cohesion rollup (class separability, source drift, dedup-
+   * cluster tightness) at corpus scale. Per label: n_vecs, ‖Σv‖²
+   * (`s2`), Σ‖v‖² (`snorm`) — from which the mean pairwise dot product
+   * is the algebraic identity (‖Σv‖² − Σ‖v‖²) / (n·(n−1)), emitted as
+   * `mean_pair_dot`. The naive formulation joins every pair within a
+   * label (quadratic in the hot class); this one is two aggregates.
+   *
+   * Scale shape: one posexplode + one (label, pos) sum shuffle
+   * (map-side combinable, output = labels × dim rows) + one label-sized
+   * rollup. Float sums ride the dyadic grid on both engines (the
+   * PageRank summation law) so the quantized outputs hash identically.
+   */
+  def groupCentroidStats(emb: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    import graft.functions.Portable.{dyadic, quant}
+    val base = emb.select(col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nsq", dot(col("v"), col("v")))
+      .transform(graft.CacheScope.persist(_)) // feeds element + scalar sums
+    val s2 = base
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(dyadic(col("x"))).as("sx"))
+      .groupBy(col("label"))
+      .agg(sum(dyadic(col("sx") * col("sx"))).as("s2"))
+    base.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(dyadic(col("nsq"))).as("snorm"))
+      .join(s2, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        quant(col("s2"), 4).as("s2"),
+        quant(col("snorm"), 4).as("snorm"),
+        when(col("n_vecs") > 1,
+          quant((col("s2") - col("snorm")) /
+            (col("n_vecs") * (col("n_vecs") - lit(1L))), 6))
+          .otherwise(lit(0.0)).as("mean_pair_dot"))
+  }
+
+  /**
    * Contrastive pair mining for embedding-model training (SimCSE/CLIP
    * hard-negative style): for every anchor vector, its top-k cosine
    * neighbors, each labeled positive (same class) or negative

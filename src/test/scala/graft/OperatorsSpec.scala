@@ -335,6 +335,21 @@ class CmsSpec extends SparkSpec {
       "zzz_absent" -> 0L), s"got $est")
   }
 
+  test("cms heavy hitters: no true heavy key missed, est >= true") {
+    import spark.implicits._
+    // key frequencies 1..20; bar at 10 -> true heavies are 10..20
+    val df = (1 to 20).flatMap(k => Seq.fill(k)(s"k$k")).toDF("v")
+    val hh = Stats.cmsHeavyHitters(df, "v", depth = 4, width = 1024,
+      minFreq = 10L).collect()
+    val got = hh.map(r => r.getAs[String]("pkey") ->
+      ((r.getAs[Long]("est_cnt"), r.getAs[Long]("true_cnt")))).toMap
+    // CMS never underestimates, so every key with true_cnt >= bar is in
+    val trueHeavy = (10 to 20).map(k => s"k$k").toSet
+    assert(trueHeavy.subsetOf(got.keySet),
+      s"missed heavy keys: ${trueHeavy -- got.keySet}")
+    assert(got.values.forall { case (est, t) => est >= t })
+  }
+
   test("cms overestimates under collision pressure, never under") {
     // 500 distinct keys into width 16: heavy collisions by design
     val df = spark.range(500).select(col("id"))

@@ -320,6 +320,34 @@ class SimilaritySpec extends SparkSpec {
       k = 2, numPlanes = 2, dim = 3, maxBucketSize = 4).count() > 0L)
   }
 
+  test("matryoshkaRecall: full-width prefix is a perfect retriever") {
+    val r = Similarity.matryoshkaRecall(vecs, "vec_id", "embedding",
+      queryIds = Seq(0L, 2L), k = 2, prefixDim = 3).collect()
+    assert(r.length == 2)
+    assert(r.forall(_.getAs[Double]("recall") == 1.0))
+    // an all-zero prefix (axis vector sliced before its axis) has no
+    // cosine: the op fails LOUDLY under ANSI division, not quietly
+    intercept[org.apache.spark.SparkThrowable] {
+      Similarity.matryoshkaRecall(vecs, "vec_id", "embedding",
+        queryIds = Seq(0L, 2L), k = 2, prefixDim = 1).collect()
+    }
+  }
+
+  test("groupCentroidStats: pair-free cohesion matches hand algebra") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 0), // orthogonal pair -> mean dot 0
+      (2L, Array(2.0f, 0.0f), 1)) // singleton -> mean dot defined 0
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.groupCentroidStats(e, "embedding", "label")
+      .collect().map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("s2"),
+          r.getAs[Double]("snorm"), r.getAs[Double]("mean_pair_dot"))))
+      .toMap
+    assert(out(0) == ((2L, 2.0, 2.0, 0.0))) // ||(1,1)||²=2, Σ||v||²=2
+    assert(out(1) == ((1L, 4.0, 4.0, 0.0)))
+  }
+
   test("blocked near-dup only compares within a block") {
     val pairs = Similarity.blockedNearDupPairs(vecs, "vec_id", "embedding",
       "label", threshold = -1.0) // accept all, check candidate set

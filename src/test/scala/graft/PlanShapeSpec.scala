@@ -27,6 +27,14 @@ class PlanShapeSpec extends SparkSpec {
       "per-vertex limit must partial-apply before the shuffle")
   }
 
+  test("partitioned_scan: source filter prunes at the partition level") {
+    val p = plan("q_partitioned_scan")
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("\\s+", " ").matches("(?s).*PartitionFilters: \\[[^\\]]*source[^\\]]*\\].*"),
+      s"the source predicate must be a PARTITION filter (no data read " +
+        s"from other partitions), not a row filter:\n$p")
+  }
+
   test("scan_vertex_page: keyset cursor is a pushed scan, no exchange") {
     val p = plan("q_scan_vertex_page")
     assert(p.contains("GreaterThan(c_custkey,50"))
