@@ -208,10 +208,14 @@ object Stats {
   def cmsHeavyHitters(df: DataFrame, valueCol: String, depth: Int,
       width: Int, minFreq: Long): DataFrame = {
     val sketch = cmsRegisters(df, valueCol, depth, width)
-    val est = cmsLookup(sketch, df, valueCol, depth, width)
-      .filter(col("est_cnt") >= minFreq)
+    // the exact-count frame IS the distinct key set — probing from it
+    // (instead of the raw corpus) saves a third corpus scan, and its
+    // count rides along to the verdict join for free
     val exact = df.groupBy(col(valueCol).as("pkey"))
       .agg(count(lit(1)).as("true_cnt"))
+      .transform(graft.CacheScope.persist(_)) // feeds probe + verdict
+    val est = cmsLookup(sketch, exact, "pkey", depth, width)
+      .filter(col("est_cnt") >= minFreq)
     est.join(exact, Seq("pkey"))
       .select(col("pkey"), col("est_cnt"), col("true_cnt"))
   }
