@@ -747,6 +747,14 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.connectedComponents(store(s, dir),
         Seq("in_nation", "in_region"))),
 
+    // ---- Weighted PageRank: transition prob ∝ summed edge weight
+    // (l_quantity), same dyadic recurrence laws as q_pagerank ----
+    "q_weighted_pagerank" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.weightedPageRank(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("s"),
+          col("l_partkey").as("d"), col("l_quantity").as("w")),
+        iters = 5)),
+
     "q_pagerank" -> ((s, dir) =>
       graft.analytics.GraphAnalytics.pageRank(store(s, dir),
         Seq("contains"), iters = 5)),
@@ -808,6 +816,12 @@ object SparkEntry {
     "q_cms_heavy_hitters" -> ((s, dir) =>
       graft.operators.Stats.cmsHeavyHitters(t(s, dir, "lineitem"),
         "l_partkey", depth = 4, width = 4096, minFreq = 45L)),
+
+    // ---- Ordered funnel: per-step user counts for the strictly
+    // time-increasing view → click → purchase progression ----
+    "q_funnel" -> ((s, dir) =>
+      EventStream.funnel(graft.sources.Tables.events(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))),
 
     // ---- Cohort retention over the event stream (first-week cohorts
     // × week offsets; weeks = integer epoch-microsecond arithmetic) ----
@@ -1425,6 +1439,36 @@ object SparkEntry {
        |v AS (SELECT DISTINCT x AS v FROM
        |  (SELECT s AS x FROM e UNION SELECT d FROM e)),
        |od AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+       |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM v),
+       |$steps
+       |SELECT v AS _vid,
+       |  floor((${dy("r")} / (SELECT sum(${dy("r")}) FROM r$iters)
+       |          * (SELECT count(*) FROM v)) * 1000000.0 + 0.5) / 1000000.0 AS rank
+       |FROM r$iters""".stripMargin
+  }
+
+  /** Weighted-PageRank oracle: the [[pageRankSql]] recurrence with
+    * messages r·w/W(s); weights dyadic-floored at ingest so every
+    * weight sum is exact (order-independent) on both engines. */
+  private def weightedPageRankSql(iters: Int): String = {
+    val dy = graft.functions.Portable.dyadicSql _
+    val steps = (1 to iters).map { i =>
+      s"""m$i AS (SELECT e.d AS v,
+         |    sum(${dy(s"r${i - 1}.r * e.w / e.ws")}) AS ms
+         |  FROM ew e JOIN r${i - 1} ON r${i - 1}.v = e.s GROUP BY e.d),
+         |r$i AS (SELECT v.v,
+         |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+         |      * coalesce(m$i.ms, 0) AS r
+         |  FROM v LEFT JOIN m$i ON m$i.v = v.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT l_orderkey AS s, l_partkey AS d,
+       |    ${dy("l_quantity")} AS w FROM lineitem),
+       |e AS (SELECT s, d, sum(${dy("w")}) AS w FROM e0 GROUP BY s, d),
+       |wsum AS (SELECT s, sum(${dy("w")}) AS ws FROM e GROUP BY s),
+       |ew AS (SELECT e.s, e.d, e.w, wsum.ws FROM e
+       |  JOIN wsum ON wsum.s = e.s),
+       |v AS (SELECT DISTINCT x AS v FROM
+       |  (SELECT s AS x FROM e UNION SELECT d FROM e)),
        |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM v),
        |$steps
        |SELECT v AS _vid,
@@ -2739,6 +2783,27 @@ object SparkEntry {
         |FROM cv LEFT JOIN ce USING (component)""".stripMargin,
 
     "q_pagerank" -> pageRankSql(5),
+    "q_weighted_pagerank" -> weightedPageRankSql(5),
+
+    // greedy earliest-completion funnel: min feasible timestamp per
+    // step dominates any later choice, so the chain of min-join CTEs
+    // is exact for the ordered-subsequence semantics
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS t,
+        |    event_type AS et
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |r1 AS (SELECT u, min(t) AS rt FROM ev WHERE et = 'view'
+        |  GROUP BY u),
+        |r2 AS (SELECT ev.u, min(ev.t) AS rt FROM ev
+        |  JOIN r1 ON r1.u = ev.u
+        |  WHERE ev.et = 'click' AND ev.t > r1.rt GROUP BY ev.u),
+        |r3 AS (SELECT ev.u, min(ev.t) AS rt FROM ev
+        |  JOIN r2 ON r2.u = ev.u
+        |  WHERE ev.et = 'purchase' AND ev.t > r2.rt GROUP BY ev.u)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |  count(*) AS n_users FROM r1
+        |UNION ALL SELECT 2, 'click', count(*) FROM r2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM r3""".stripMargin,
     "q_ppr" -> pprSql(5, Seq(1L, 2L, 3L, 4L, 5L)),
     "q_hits" -> hitsSql(5),
 
@@ -3837,6 +3902,7 @@ object SparkEntry {
     "q_multimodal_resize" -> Seq("scale"),
     "q_ngram_jaccard" -> Seq("jaccard"),
     "q_pagerank" -> Seq("rank"),
+    "q_weighted_pagerank" -> Seq("rank"),
     "q_ppr" -> Seq("rank"),
     "q_hits" -> Seq("auth", "hub"),
     "q_quantiles" -> Seq("p25", "p50", "p75", "p90"),

@@ -305,6 +305,57 @@ object GraphAnalytics {
       graft.functions.Portable.quant(col("h"), 6).as("hub"))
   }
 
+  /**
+   * Weighted PageRank (nebula-algorithm ships the weighted variant
+   * alongside plain PageRank): transition probability proportional to
+   * edge weight, message = r(s)·w(s,d)/W(s) with W(s) = Σ_d w(s,d).
+   * Parallel edges collapse by summing weights FIRST — one aggregate —
+   * so the recurrence sees a simple weighted digraph.
+   *
+   * Same engine-portability laws as [[pageRank]]: weights land on the
+   * dyadic 2^-30 grid at ingest (their per-(s,d) and per-s sums are
+   * then exact, order-independent), every message is dyadic-floored
+   * before its sum, O(1) pinned rank frames via the materialize-then-
+   * rotate loop, and the final normalization rides one broadcast
+   * scalar. The oracle replays the identical recurrence.
+   */
+  def weightedPageRank(edges: DataFrame, iters: Int,
+      resetProb: Double = 0.15): DataFrame = {
+    import graft.functions.Portable.dyadic
+    val e = edges.select(col("s"), col("d"), dyadic(col("w")).as("w"))
+      .groupBy(col("s"), col("d")).agg(sum(col("w")).as("w"))
+      .transform(graft.CacheScope.persist(_))
+    val wsum = e.groupBy(col("s")).agg(sum(col("w")).as("ws"))
+    val weighted = e.join(wsum, Seq("s"))
+      .transform(graft.CacheScope.persist(_))
+    val verts = e.select(col("s").as("v"))
+      .union(e.select(col("d")))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    var ranks = verts.select(col("v"), lit(1.0).as("r"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val msgs = weighted.join(ranks, col("s") === col("v"))
+        .groupBy(col("d").as("mv"))
+        .agg(sum(dyadic(col("r") * col("w") / col("ws"))).as("ms"))
+      val next = verts.join(msgs, col("v") === col("mv"), "left")
+        .select(col("v"),
+          (lit(resetProb) + lit(1 - resetProb) *
+            coalesce(col("ms"), lit(0.0))).as("r"))
+        .transform(graft.CacheScope.persist(_))
+      next.count()
+      prev.foreach(graft.CacheScope.unpersist)
+      prev = Some(next)
+      ranks = next
+    }
+    val rq = dyadic(col("r"))
+    val totals = ranks.agg(sum(rq).as("sr"), count(lit(1)).as("nv"))
+    ranks.crossJoin(broadcast(totals))
+      .select(col("v").as("_vid"),
+        graft.functions.Portable.quant(
+          rq / col("sr") * col("nv"), 6).as("rank"))
+  }
+
   /** Connected components (undirected reachability); label = min vid in
     * the component — deterministic. */
   def connectedComponents(store: GraphStore,

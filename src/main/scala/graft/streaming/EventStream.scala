@@ -173,4 +173,46 @@ object EventStream {
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
   }
+
+  /**
+   * Ordered funnel analysis — the product-analytics staple (how many
+   * users progressed view → click → purchase, IN ORDER): per step, the
+   * count of users with a strictly time-increasing event subsequence
+   * matching the step prefix. Greedy earliest-completion per step is
+   * exact for the exists-a-subsequence semantics: taking the MINIMUM
+   * feasible timestamp at each step dominates any later choice.
+   *
+   * Scale shape: one persisted (user, ts, type) projection (filtered to
+   * the step types at the scan); per step ONE map-side-combinable min
+   * aggregate + one user-keyed join against the reached set (monotone
+   * shrinking, AQE-broadcastable as the funnel narrows). Never a
+   * window over a hot user, never a per-user event sort; O(steps)
+   * user-sized frames pinned (funnels are 3–7 steps by nature).
+   */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col(userCol).as("u"),
+        unix_micros(col(tsCol)).as("t"), col(typeCol).as("et"))
+      .filter(col("et").isin(steps: _*))
+      .transform(graft.CacheScope.persist(_))
+    var reached = ev.filter(col("et") === steps.head)
+      .groupBy(col("u")).agg(min(col("t")).as("rt"))
+      .transform(graft.CacheScope.persist(_))
+    val counts = scala.collection.mutable.ArrayBuffer(
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(1L).as("step"), lit(steps.head).as("step_name"),
+          col("n_users")))
+    for ((s, i) <- steps.tail.zipWithIndex) {
+      reached = ev.filter(col("et") === s)
+        .join(reached, Seq("u"))
+        .filter(col("t") > col("rt"))
+        .groupBy(col("u")).agg(min(col("t")).as("rt"))
+        .transform(graft.CacheScope.persist(_))
+      counts += reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 2L).as("step"), lit(s).as("step_name"),
+          col("n_users"))
+    }
+    counts.reduce(_ unionByName _)
+  }
 }

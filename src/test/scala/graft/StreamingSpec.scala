@@ -237,6 +237,28 @@ class StreamingSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("funnel: strict order enforced, greedy earliest completion") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      // user 1 completes in order
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // user 2: purchase BEFORE click -> stops at click
+      (2L, ts(10), "view"), (2L, ts(30), "click"), (2L, ts(20), "purchase"),
+      // user 3: click only, no view -> never enters
+      (3L, ts(10), "click"),
+      // user 4: greedy min matters — first view at 10, click at 15,
+      // purchase at 18 completes even though a LATER view (17) exists
+      (4L, ts(10), "view"), (4L, ts(17), "view"),
+      (4L, ts(15), "click"), (4L, ts(18), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.streaming.EventStream.funnel(ev, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 2L))
+  }
+
   test("sessionize: gaps split sessions, counts cover all events") {
     val events = graft.sources.Tables.events(spark, sfDir)
     val sessions = EventStream.sessionize(events, gapMinutes = 30)

@@ -308,6 +308,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(regionAvg > otherAvg)
   }
 
+  test("weightedPageRank: uniform weights reduce to plain pagerank; " +
+      "weight skew moves rank mass") {
+    import spark.implicits._
+    // star: 1 -> {2, 3}. Uniform weights == plain pagerank exactly
+    // (w/W == 1/deg); skewing w(1,2) must rank 2 above 3.
+    val uni = Seq((1L, 2L, 1.0), (1L, 3L, 1.0)).toDF("s", "d", "w")
+    val pr = GraphAnalytics.weightedPageRank(uni, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val edges = Seq((1L, 2L, 0L), (1L, 3L, 0L)).toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> Seq(1L, 2L, 3L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val plain = GraphAnalytics.pageRank(tiny, Seq("e"), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(pr == plain)
+    val skew = Seq((1L, 2L, 3.0), (1L, 3L, 1.0)).toDF("s", "d", "w")
+      .transform(GraphAnalytics.weightedPageRank(_, iters = 3))
+      .as[(Long, Double)].collect().toMap
+    assert(skew(2L) > skew(3L))
+    assert(skew(2L) > pr(2L)) // 2's share grew with its weight
+  }
+
   test("labelPropagation: triangle converges, pair oscillates — both deterministic") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (8L, 9L))
