@@ -1121,6 +1121,26 @@ object SparkEntry {
       Curation.dedupRateBySource(t(s, dir, "documents"), "doc_id",
         "text", "source")),
 
+    // ---- Cross-source duplicate matrix: which feeds copy from
+    // which (shared fingerprints + cross row-pair volume). The
+    // synthetic corpus has no cross-source dups, so a deterministic
+    // mirror feed (every 17th doc re-sourced) is planted — the same
+    // derive-v2 pattern as q_snapshot_diff ----
+    "q_cross_source_dups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "source")
+      val mirrored = docs.filter(col("doc_id") % 17 === 0)
+        .withColumn("source", concat(lit("mirror_"), col("source")))
+      Curation.crossSourceDups(docs.unionByName(mirrored), "doc_id",
+        "text", "source")
+    }),
+
+    // ---- JL random projection 64 → 8 dims: seeded Gaussian matrix,
+    // pure narrow scan, one quantized column per output dim ----
+    "q_random_project" -> ((s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), "vec_id",
+        "embedding", outDim = 8, dim = 64)),
+
     // ---- Leakage-safe train/val/test split: split keyed on the
     // exact-dup fingerprint so duplicate texts co-locate ----
     "q_split_assign" -> ((s, dir) =>
@@ -1761,6 +1781,21 @@ object SparkEntry {
        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
        |SELECT vec_id, nbr_id, CAST(rk AS BIGINT) AS rk, sim
        |FROM scored WHERE rk <= 3""".stripMargin
+  }
+
+  /** JL-projection oracle: the seeded plane matrix as literals (same
+    * Similarity.hyperplanes(outDim, dim, seed) constants), one
+    * quantized dot product per output dim. */
+  private def randomProjectSql(outDim: Int, dim: Int, seed: Long): String = {
+    val planes = Similarity.hyperplanes(outDim, dim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val cols = planes.zipWithIndex.map { case (p, j) =>
+      val lits = p.mkString("[", ", ", "]")
+      graft.functions.Portable.sql(
+        s"list_dot_product(embedding::DOUBLE[], $lits::DOUBLE[]) * $scale",
+        6) + s" AS p$j"
+    }.mkString(",\n  ")
+    s"SELECT vec_id,\n  $cols\nFROM embeddings"
   }
 
   /** IVF top-k oracle (16 cells = vec_id<16 seeds, nProbe 4, k 5,
@@ -3457,6 +3492,27 @@ object SparkEntry {
         |FROM f JOIN g USING (fp)
         |GROUP BY f.source""".stripMargin,
 
+    "q_random_project" -> randomProjectSql(outDim = 8, dim = 64, seed = 7L),
+
+    // cross-source dup matrix: within-fp self-join with src_a < src_b
+    // replays the sorted intra-bucket pair explode (sources distinct
+    // per fp, so the struct sort is a source sort)
+    "q_cross_source_dups" ->
+      """WITH all_docs AS (
+        |  SELECT text, source FROM documents
+        |  UNION ALL
+        |  SELECT text, 'mirror_' || source FROM documents
+        |  WHERE doc_id % 17 = 0),
+        |fps AS (SELECT
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    source, count(*) AS c
+        |  FROM all_docs GROUP BY 1, 2)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  count(*) AS n_shared_fps,
+        |  CAST(sum(a.c * b.c) AS BIGINT) AS n_dup_row_pairs
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+
     // first-owner election per shingle; integer sums CAST (HUGEINT law)
     "q_doc_novelty" ->
       s"""WITH $TokCte, $ShingleCte,
@@ -3896,6 +3952,7 @@ object SparkEntry {
     "q_knn_graph" -> Seq("sim"),
     "q_containment" -> Seq("containment"),
     "q_matryoshka_recall" -> Seq("recall"),
+    "q_random_project" -> (0 until 8).map(j => s"p$j"),
     "q_group_centroids" -> Seq("s2", "snorm", "mean_pair_dot"),
     "q_lsh_ann" -> Seq("sim"),
     "q_multimodal_features" -> Seq("mean_byte"),

@@ -442,6 +442,38 @@ object Curation {
    * combinable — never a window over a hot fingerprint), one join
    * back, one source-sized rollup.
    */
+  /**
+   * Cross-source duplicate matrix — which feeds copy from which: per
+   * source pair, the number of content fingerprints BOTH carry and the
+   * total cross-pair duplicate row pairs. The complement of
+   * [[dedupRateBySource]] (that says how much each source loses; this
+   * says to whom). A mirror-site pair lights up as one dominant cell.
+   *
+   * Scale shape: one fingerprint scan collapses to a (fp, source,
+   * count) frame; pair generation is the intra-bucket explode over
+   * each fingerprint's source list (bounded by the SOURCE count per
+   * fingerprint — a handful — not by the dup-group size, which folds
+   * into the per-source count first). No self-join, no window.
+   */
+  def crossSourceDups(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val fps = df.select(TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        col(srcCol).as("source"))
+      .groupBy(col("fp"), col("source")).agg(count(lit(1)).as("c"))
+    val nestedPairs = transform(col("ss"), (x, i) =>
+      transform(slice(col("ss"), i + 2, size(col("ss"))),
+        y => struct(x.getField("source").as("sa"), x.getField("c").as("ca"),
+          y.getField("source").as("sb"), y.getField("c").as("cb"))))
+    fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(struct(col("source"), col("c"))))
+        .as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode(flatten(nestedPairs)).as("p"))
+      .groupBy(col("p.sa").as("src_a"), col("p.sb").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_fps"),
+        sum(col("p.ca") * col("p.cb")).as("n_dup_row_pairs"))
+  }
+
   def dedupRateBySource(df: DataFrame, idCol: String, textCol: String,
       srcCol: String): DataFrame = {
     val fp = df.select(col(idCol).as("id"), col(srcCol).as("source"),

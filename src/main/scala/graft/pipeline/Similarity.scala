@@ -419,6 +419,31 @@ object Similarity {
   }
 
   /**
+   * Johnson–Lindenstrauss random projection — the cheap dimensionality
+   * cut in front of clustering/dedup when even PQ is too much
+   * structure: y_j = Σ_i x_i·R_ij / √k with a seeded Gaussian matrix
+   * (same [[hyperplanes]] generator the LSH family uses, so the
+   * "model" is a pure function of (seed, dims) — no artifact to ship).
+   * Emits one quantized column per output dim (p0..p{k-1}) — the gate's
+   * scaled-integer currency, no arrays to hash.
+   *
+   * Scale shape: a pure narrow projection — k codegen'd dot products
+   * per row against in-plan literal vectors, zero shuffle, column-
+   * pruned scan. The 100 TB pass is embarrassingly parallel.
+   */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, dim: Int, seed: Long = 7L): DataFrame = {
+    val planes = hyperplanes(outDim, dim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val cols = planes.zipWithIndex.map { case (p, j) =>
+      graft.functions.Portable.quant(
+        dot(col(vecCol), array(p.map(lit): _*)) * lit(scale), 6)
+        .as(s"p$j")
+    }
+    emb.select(col(idCol) +: cols: _*)
+  }
+
+  /**
    * IVF (inverted-file) index: deterministic coarse centroids (the
    * first `nCells` vectors by id — swap for k-means at production
    * scale), every vector assigned to its nearest centroid. Queries

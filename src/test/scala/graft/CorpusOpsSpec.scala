@@ -81,6 +81,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 833333L)))
   }
 
+  test("crossSourceDups: shared fingerprints counted per source pair") {
+    val d = Seq(
+      (1L, "dup text", "a"), (2L, "dup text", "b"), (3L, "dup text", "b"),
+      (4L, "other dup", "a"), (5L, "other dup", "c"),
+      (6L, "unique", "a"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Curation
+      .crossSourceDups(d, "doc_id", "text", "source")
+      .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+        -> ((r.getAs[Long]("n_shared_fps"), r.getAs[Long]("n_dup_row_pairs"))))
+      .toMap
+    // "dup text": a×1, b×2 -> pair (a,b) 1 shared fp, 1*2 row pairs
+    // "other dup": a×1, c×1 -> pair (a,c) 1 shared fp, 1 row pair
+    assert(out == Map(("a", "b") -> ((1L, 2L)), ("a", "c") -> ((1L, 1L))))
+  }
+
   test("dedupRateBySource charges losers to their own source") {
     val d = Seq(
       (1L, "same text", "a"), (2L, "same text", "b"),

@@ -333,6 +333,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("randomProject: linear, deterministic, matches hand dot product") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 2.0f, 0.0f)),
+      (2L, Array(1.0f, 2.0f, 0.0f))) // = row0 + row1: projection is linear
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(e, "vec_id", "embedding",
+        outDim = 2, dim = 3, seed = 7L)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("p0"), r.getAs[Double]("p1")))).toMap
+    val planes = Similarity.hyperplanes(2, 3, 7L)
+    val scale = 1.0 / math.sqrt(2.0)
+    def expect(v: Array[Double], j: Int): Double =
+      graft.functions.Portable.quant(
+        v.zip(planes(j)).map { case (a, b) => a * b }.sum * scale, 6)
+    assert(out(0L) == ((expect(Array(1, 0, 0), 0), expect(Array(1, 0, 0), 1))))
+    assert(out(1L) == ((expect(Array(0, 2, 0), 0), expect(Array(0, 2, 0), 1))))
+    // linearity within quantization noise
+    assert(math.abs(out(2L)._1 - (out(0L)._1 + out(1L)._1)) < 1e-5)
+  }
+
   test("groupCentroidStats: pair-free cohesion matches hand algebra") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f), 0),
