@@ -304,6 +304,41 @@ object ScaleSmoke {
       graft.pipeline.Similarity.pqCodes(emb, "vec_id", "embedding",
         2, 4, 2, 64).count())
 
+    // round-9 ops. containment rides the same inverted index as the
+    // jaccard path (copy-amplified corpus = worst case: every copy's
+    // shingles bucket with the original's); knn graph's pair volume is
+    // capped per bucket; dsir/cross-source collapse to vocab-/fp-sized
+    // shuffles; weighted pagerank = the pagerank recurrence + one
+    // weight-sum join; funnel is per-step min + shrinking join
+    time(s"containment ${factor}x")(
+      Dedup.containmentPairs(docs, "doc_id", "text", 4, 0.5,
+        maxDocFreq = 64).count())
+    // knn graph: bucket count must scale WITH the corpus (the SemDeDup
+    // k ∝ corpus law) — planes + log2(factor) keeps expected bucket
+    // size constant; a fixed plane count on a 10x-duplicated corpus
+    // densifies every bucket past the cap and (correctly) drops all
+    val knnPlanes = 6 +
+      math.ceil(math.log(factor.toDouble) / math.log(2.0)).toInt
+    time(s"knn graph ${factor}x (planes $knnPlanes)")(
+      graft.pipeline.Similarity.knnGraph(emb, "vec_id", "embedding",
+        k = 3, numPlanes = knnPlanes, dim = 64, maxBucketSize = 128)
+        .count())
+    time(s"dsir evidence ${factor}x")(
+      graft.pipeline.TextAnalysis.dsirEvidence(docs, "doc_id", "text",
+        isTarget = col("doc_id") % 7 === 0).count())
+    time(s"cross-source dups ${factor}x")(
+      graft.pipeline.Curation.crossSourceDups(
+        docs.withColumn("source", (col("doc_id") % 20).cast("string")),
+        "doc_id", "text", "source").count())
+    time(s"weighted pagerank 5 iters ${factor}x")(
+      graft.analytics.GraphAnalytics.weightedPageRank(
+        edges.select(col("l_orderkey").as("s"), col("l_partkey").as("d"),
+          (col("l_partkey") % 5 + 1).cast("double").as("w")),
+        iters = 5).count())
+    time(s"funnel 3 steps ${factor}x")(
+      graft.streaming.EventStream.funnel(ev, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase")).count())
+
     spark.stop()
   }
 }
