@@ -817,6 +817,20 @@ object SparkEntry {
       graft.operators.Stats.cmsHeavyHitters(t(s, dir, "lineitem"),
         "l_partkey", depth = 4, width = 4096, minFreq = 45L)),
 
+    // ---- Trailing 1-hour per-user window features (count + max —
+    // the order-free stats; RANGE frame, no time-band self-join) ----
+    "q_rolling_window" -> ((s, dir) =>
+      EventStream.rollingWindow(graft.sources.Tables.events(s, dir),
+        "user_id", "ts", "value", windowUs = 3600000000L)),
+
+    // ---- Blocked fuzzy matching: Levenshtein ≤ 2 on normalized
+    // 12-char text keys, (length band, first char) blocking ----
+    "q_fuzzy_pairs" -> ((s, dir) =>
+      Dedup.fuzzyPairs(
+        t(s, dir, "documents").select(col("doc_id"),
+          substring(col("text"), 1, 12).as("tkey")),
+        "doc_id", "tkey", maxDist = 2, maxBlockSize = 512)),
+
     // ---- Ordered funnel: per-step user counts for the strictly
     // time-increasing view → click → purchase progression ----
     "q_funnel" -> ((s, dir) =>
@@ -2820,6 +2834,36 @@ object SparkEntry {
     "q_pagerank" -> pageRankSql(5),
     "q_weighted_pagerank" -> weightedPageRankSql(5),
 
+    // RANGE frame semantics are value-based on both engines (ties in t
+    // share the frame), so the window stats are order-free
+    "q_rolling_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS t,
+        |  count(*) OVER w AS n_win,
+        |  floor((max(value) OVER w) * 10000.0 + 0.5) / 10000.0
+        |    AS max_v_win
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // (length band, first char) blocking replayed verbatim; DuckDB and
+    // Spark ship the same integer Levenshtein metric
+    "q_fuzzy_pairs" ->
+      """WITH keyed AS (SELECT doc_id AS id,
+        |    trim(lower(substr(text, 1, 12))) AS k
+        |  FROM documents
+        |  WHERE length(trim(lower(substr(text, 1, 12)))) > 0),
+        |b AS (SELECT id, k,
+        |    CAST(length(k) // 4 AS VARCHAR) || '#' || substr(k, 1, 1)
+        |      AS blk
+        |  FROM keyed),
+        |ok AS (SELECT blk FROM b GROUP BY blk
+        |       HAVING count(*) BETWEEN 2 AND 512)
+        |SELECT a.id AS id_a, c.id AS id_b,
+        |  levenshtein(a.k, c.k) AS dist
+        |FROM b a JOIN ok ON ok.blk = a.blk
+        |JOIN b c ON c.blk = a.blk AND a.id < c.id
+        |WHERE levenshtein(a.k, c.k) <= 2""".stripMargin,
+
     // greedy earliest-completion funnel: min feasible timestamp per
     // step dominates any later choice, so the chain of min-join CTEs
     // is exact for the ordered-subsequence semantics
@@ -3953,6 +3997,7 @@ object SparkEntry {
     "q_containment" -> Seq("containment"),
     "q_matryoshka_recall" -> Seq("recall"),
     "q_random_project" -> (0 until 8).map(j => s"p$j"),
+    "q_rolling_window" -> Seq("max_v_win"),
     "q_group_centroids" -> Seq("s2", "snorm", "mean_pair_dot"),
     "q_lsh_ann" -> Seq("sim"),
     "q_multimodal_features" -> Seq("mean_byte"),

@@ -283,6 +283,40 @@ object Dedup {
   }
 
   /**
+   * Blocked fuzzy matching — record linkage by edit distance (titles,
+   * names, URLs): pairs of normalized key strings within `maxDist`
+   * Levenshtein edits. The quadratic guard is BLOCKING (classic record
+   * linkage): candidates must share (length band, first character) —
+   * an edit-distance-≤d match can only cross d length units, so a
+   * band of width 4 with maxDist ≤ 2 never splits a true pair whose
+   * lengths sit in one band (pairs straddling a band boundary are the
+   * documented recall trade; production runs band twice with offset
+   * blocks). `maxBlockSize` drops degenerate blocks (the empty-string
+   * block, a hot prefix) before pair generation.
+   *
+   * Levenshtein itself is an exact integer metric with the identical
+   * definition in Spark and DuckDB — gate-hashable as-is.
+   */
+  def fuzzyPairs(df: DataFrame, idCol: String, keyCol: String,
+      maxDist: Int, maxBlockSize: Int): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+        trim(lower(col(keyCol))).as("k"))
+      .filter(length(col("k")) > 0)
+      .withColumn("blk", concat_ws("#",
+        (length(col("k")) / 4).cast("long"), substring(col("k"), 1, 1)))
+      .transform(graft.CacheScope.persist(_)) // feeds cap agg + both sides
+    val okBlocks = keyed.groupBy("blk").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBlockSize)).select("blk")
+    val inBlk = keyed.join(okBlocks, Seq("blk"))
+    inBlk.join(inBlk.select(col("blk"), col("id").as("id_b"),
+        col("k").as("kb")), Seq("blk"))
+      .filter(col("id") < col("id_b"))
+      .withColumn("dist", levenshtein(col("k"), col("kb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id").as("id_a"), col("id_b"), col("dist"))
+  }
+
+  /**
    * Exact-Jaccard verification of candidate pairs — the second stage of
    * the standard MinHash dedup pipeline (LSH proposes, exact similarity
    * disposes). Each (id_a, id_b) candidate joins the two documents'

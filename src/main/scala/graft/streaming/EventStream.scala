@@ -175,6 +175,36 @@ object EventStream {
   }
 
   /**
+   * Per-event trailing-window activity features — the "what happened in
+   * this user's last hour" columns a realtime feature store serves
+   * (fraud velocity checks, rate limiting, session heat). For each
+   * event: the count and max value of the SAME user's events in the
+   * preceding `windowUs` microseconds (inclusive of now, half-open at
+   * the far edge). Count and max only — both order-free, so the gate
+   * hash is engine-portable; a float mean over a RANGE frame is not
+   * (engines disagree on frame-sum association) and stays out.
+   *
+   * Scale shape: ONE user-keyed shuffle + a per-user time-ordered
+   * RANGE frame — the frame is computed by a running two-pointer scan
+   * within the partition, cost O(events per user), no self-join (the
+   * naive time-band self-join pays rows × window-density). Hot users
+   * cost their own event count, never a cross product.
+   */
+  def rollingWindow(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, windowUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("u")).orderBy(col("t"))
+      .rangeBetween(-windowUs, 0)
+    events.select(col("event_id"), col(userCol).as("u"),
+        unix_micros(col(tsCol)).as("t"), col(valueCol).as("v"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("max_v_win",
+        graft.functions.Portable.quant(max(col("v")).over(w), 4))
+      .select(col("event_id"), col("u").as(userCol), col("t"),
+        col("n_win"), col("max_v_win"))
+  }
+
+  /**
    * Ordered funnel analysis — the product-analytics staple (how many
    * users progressed view → click → purchase, IN ORDER): per step, the
    * count of users with a strictly time-increasing event subsequence

@@ -50,6 +50,22 @@ class DedupSpec extends SparkSpec {
       n = 2, threshold = 0.9).count() == 0L)
   }
 
+  test("fuzzyPairs: near keys matched within blocks, far keys not") {
+    val d = Seq(
+      (1L, "spark engine"), (2L, "spark enginx"),  // dist 1, same block
+      (3L, "spark query!"),                        // dist > 2 from both
+      (4L, "zebra stripe"))                        // different block
+      .toDF("doc_id", "tkey")
+    val out = Dedup.fuzzyPairs(d, "doc_id", "tkey",
+        maxDist = 2, maxBlockSize = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("dist")))
+    assert(out.toSeq == Seq((1L, 2L, 1)))
+    // the cap drops over-dense blocks entirely
+    assert(Dedup.fuzzyPairs(d, "doc_id", "tkey",
+      maxDist = 2, maxBlockSize = 2).count() == 0L)
+  }
+
   test("bloomDedupNew: exact new-rows output, dup fingerprints dropped") {
     val stored = Seq((1L, "alpha beta"), (2L, "gamma delta"))
       .toDF("doc_id", "text")

@@ -237,6 +237,26 @@ class StreamingSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("rollingWindow: trailing range frame counts exactly, ties share") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, 10L, ts(0), 5.0), (2L, 10L, ts(30), 7.0),
+      (3L, 10L, ts(61), 2.0),           // 0 fell out of the 60s window
+      (4L, 10L, ts(61), 9.0),           // tie with event 3: shares frame
+      (5L, 99L, ts(30), 1.0))           // other user isolated
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = graft.streaming.EventStream.rollingWindow(ev,
+        "user_id", "ts", "value", windowUs = 60000000L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("n_win"), r.getAs[Double]("max_v_win")))).toMap
+    assert(out(1L) == ((1L, 5.0)))
+    assert(out(2L) == ((2L, 7.0)))      // 0s and 30s both inside
+    assert(out(3L) == ((3L, 9.0)))      // 30,61,61 — tie at 61 shared
+    assert(out(4L) == ((3L, 9.0)))
+    assert(out(5L) == ((1L, 1.0)))
+  }
+
   test("funnel: strict order enforced, greedy earliest completion") {
     import spark.implicits._
     val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
