@@ -27,6 +27,24 @@ class PlanShapeSpec extends SparkSpec {
       "per-vertex limit must partial-apply before the shuffle")
   }
 
+  test("random_project: pure narrow map, no exchange at all") {
+    val p = plan("q_random_project")
+    assert(!p.contains("Exchange"),
+      s"a projection must not shuffle:\n$p")
+  }
+
+  test("rolling_window: exactly one user-keyed shuffle, no self-join") {
+    val p = plan("q_rolling_window")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length == 1,
+      s"the RANGE frame needs ONE user shuffle, found more:\n$p")
+    assert(!p.contains("Join"), "no time-band self-join")
+  }
+
+  test("knn_graph / fuzzy_pairs: bucketed equi-joins, never cartesian") {
+    assert(!plan("q_knn_graph").contains("CartesianProduct"))
+    assert(!plan("q_fuzzy_pairs").contains("CartesianProduct"))
+  }
+
   test("partitioned_scan: source filter prunes at the partition level") {
     val p = plan("q_partitioned_scan")
     assert(p.contains("PartitionFilters") &&
