@@ -132,6 +132,37 @@ object Bench {
       "collocations" -> "colloc", "doc_novelty" -> "doc_nov",
       "split_assign" -> "split", "batch_plan" -> "batch",
       "budget_trim" -> "budget",
+      // deeper cuts for the 150-query line (longest-first)
+      "get_props_edges" -> "gp_edges", "get_props" -> "gp",
+      "lk_prefix_range" -> "lk_pfx", "dd_incremental" -> "dd_incr",
+      "ev_dedup_first" -> "ev_dd1", "lk_union_dedup" -> "lk_union",
+      "sc_vertex_page" -> "sc_vtx", "sc_edge_page" -> "sc_edge",
+      "sc_multi_tag" -> "sc_mtag", "smp_neighbors" -> "smp_nbr",
+      "smp_reservoir" -> "smp_res", "del_vertices" -> "del_vtx",
+      "dup_clusters" -> "dup_clus", "gn_multitype" -> "gn_mtype",
+      "lk_via_index" -> "lk_idx", "rollup_stats" -> "rollup",
+      "text_quality" -> "txt_qual", "add_vtx_ine" -> "add_ine",
+      "chlog_apply" -> "chlog", "contr_pairs" -> "contr",
+      "dd_pipeline" -> "dd_pipe", "ev_sessions" -> "ev_sess",
+      "gn_tagprops" -> "gn_tprops", "idx_rebuild" -> "idx_rb",
+      "minhash_sig" -> "mh_sig", "text_search" -> "txt_srch",
+      "tok_entropy" -> "tok_ent", "ev_run_tot" -> "ev_rtot",
+      "ivf_recall" -> "ivf_rec", "line_dedup" -> "line_dd",
+      "mix_sample" -> "mix_smp", "stats_hist" -> "st_hist",
+      "stats_task" -> "st_task", "upd_vertex" -> "upd_vtx",
+      "ups_vertex" -> "ups_vtx", "del_edges" -> "del_edg",
+      "mm_features" -> "mm_feat",
+      // round-9 names
+      "cms_heavy_hitters" -> "cms_hh", "cross_source_dups" -> "xsrc",
+      "group_centroids" -> "grp_cent", "matryoshka_recall" -> "matr_rec",
+      "partitioned_scan" -> "part_scan", "random_project" -> "rnd_proj",
+      "rolling_window" -> "roll_win", "source_overlap" -> "src_ovl",
+      "weighted_pagerank" -> "wt_pr", "orc_roundtrip" -> "orc_rt",
+      "knn_graph" -> "knn", "fuzzy_pairs" -> "fuzzy",
+      "dsir_evidence" -> "dsir", "containment" -> "contain",
+      "snapshot_diff" -> "snap_diff", "dangling_refs" -> "dangl",
+      "butterflies" -> "bfly", "cooccurrence" -> "coocc",
+      "degree_hist" -> "deg_hist", "cohort_retention" -> "cohort",
       "update_" -> "upd_", "upsert_" -> "ups_")
     def render(dec: Int, dropPrefix: Boolean,
         abbrev: Boolean = false): String = {
@@ -164,6 +195,23 @@ object Bench {
       .map { case (d, p, a) => render(d, p, a) }
       .find(_.length <= 1950)
       .getOrElse(render(0, dropPrefix = true, abbrev = true))
-    println(line)
+    // Last-resort valve: if even integer-seconds + abbreviations
+    // overflow the driver's 2000-char tail capture, drop the sub-second
+    // entries (they are the session floor, not operator cost) and say
+    // how many were dropped — a truncated JSON line loses EVERYTHING.
+    val safeLine =
+      if (line.length <= 1950) line
+      else {
+        val slow = results.filter { case (_, v, e) => e.isDefined || v >= 0.5 }
+        val qs = slow.map {
+          case (k, _, Some(err)) => "\"" + k.stripPrefix("q_") + "\":\"err:" + err + "\""
+          case (k, v, None) => "\"" + k.stripPrefix("q_") + "\":" + fmt(v, 1)
+        }.mkString("{", ",", "}")
+        val total = fmt(results.collect { case (_, v, None) => v }.sum, 1)
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+          s""""fast_omitted":${results.length - slow.length},""" +
+          s""""sf":"${sfDir.split('/').last}"}"""
+      }
+    println(safeLine)
   }
 }
