@@ -1204,6 +1204,17 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.assortativityStats(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"))),
 
+    // ---- GraphSAGE-style 1-/2-hop neighborhood degree features ----
+    "q_neighborhood_agg" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.neighborhoodDegreeAgg(store(s, dir),
+        Seq("in_nation", "supp_nation", "in_region"))),
+
+    // ---- Partition-strategy profiling: top-k heaviest join-key
+    // values with exact counts and permille share ----
+    "q_skew_report" -> ((s, dir) =>
+      graft.operators.Skew.skewReport(t(s, dir, "lineitem"),
+        "l_suppkey", k = 20)),
+
     // ---- Bipartite projection: parts co-ordered within an order,
     // hot-order cap 8, co-count >= 2 ----
     "q_cooccurrence" -> ((s, dir) =>
@@ -3731,6 +3742,48 @@ object SparkEntry {
         |  CAST(sum(dx.deg * dy.deg) AS BIGINT) AS s_xy
         |FROM adj JOIN deg dx ON dx.v = adj.v
         |JOIN deg dy ON dy.v = adj.n""".stripMargin,
+
+    // exact BFS-ring semantics: h2 = distance-exactly-2 via distinct
+    // wedge endpoints minus self minus the 1-hop set (NOT EXISTS)
+    "q_neighborhood_agg" ->
+      """WITH raw AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation),
+        |e AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        |  FROM raw WHERE s <> d),
+        |adj AS (SELECT s AS v, d AS n FROM e
+        |  UNION ALL SELECT d, s FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v),
+        |s1 AS (SELECT adj.v, count(*) AS n1,
+        |    CAST(sum(dg.deg) AS BIGINT) AS sum_deg_1
+        |  FROM adj JOIN deg dg ON dg.v = adj.n GROUP BY adj.v),
+        |h2 AS (SELECT DISTINCT a.v, b.n AS m
+        |  FROM adj a JOIN adj b ON b.v = a.n WHERE b.n <> a.v),
+        |h2x AS (SELECT v, m FROM h2
+        |  WHERE NOT EXISTS (SELECT 1 FROM adj
+        |    WHERE adj.v = h2.v AND adj.n = h2.m)),
+        |s2 AS (SELECT h2x.v, count(*) AS n2,
+        |    CAST(sum(dg.deg) AS BIGINT) AS sum_deg_2
+        |  FROM h2x JOIN deg dg ON dg.v = h2x.m GROUP BY h2x.v)
+        |SELECT s1.v AS _vid, s1.n1, s1.sum_deg_1,
+        |  coalesce(s2.n2, 0) AS n2,
+        |  coalesce(s2.sum_deg_2, 0) AS sum_deg_2
+        |FROM s1 LEFT JOIN s2 ON s2.v = s1.v""".stripMargin,
+
+    // top-k heaviest keys: TakeOrderedAndProject on the count frame,
+    // deterministic (cnt desc, key) tie-break on both engines
+    "q_skew_report" ->
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
+        |SELECT key, cnt, cnt * 1000 // n_total AS permille, n_total
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, key LIMIT 20""".stripMargin,
 
     // Replays the capped-bucket pair generation as a self-join: the
     // Spark side sorts each order's distinct part list and emits

@@ -550,6 +550,47 @@ object GraphAnalytics {
   }
 
   /**
+   * 1- and 2-hop neighborhood degree aggregation — the GraphSAGE-style
+   * feature-prep pass (per vertex: how many neighbors, how connected
+   * are they, and the same one ring out): n1/sum_deg_1 over distinct
+   * 1-hop neighbors, n2/sum_deg_2 over vertices at exactly distance 2
+   * (self and 1-hop excluded — unweighted BFS ring semantics, the
+   * [[kHop]] law). Sum-of-neighbor-degrees is the local form of the
+   * assortativity statistic and the classic first GNN input feature.
+   *
+   * Scale shape: the persisted adjacency feeds every hop; hop-2 is one
+   * adjacency self-join (Σdeg(n) candidate volume — the same wedge
+   * term triangle counting pays, no all-pairs) + distinct + two
+   * vertex-sized anti/semi joins; degree attaches by join, aggregates
+   * are map-side combinable. All-integer output.
+   */
+  def neighborhoodDegreeAgg(store: GraphStore,
+      edgeTypes: Seq[String]): DataFrame = {
+    val union = simpleEdges(store, edgeTypes)
+    val adj = undirAdj(union).transform(graft.CacheScope.persist(_))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .transform(graft.CacheScope.persist(_))
+    val s1 = adj
+      .join(deg.select(col("v").as("n"), col("deg").as("ndeg")), Seq("n"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n1"), sum(col("ndeg")).as("sum_deg_1"))
+    val h2 = adj
+      .join(adj.select(col("v").as("n"), col("n").as("m")), Seq("n"))
+      .select(col("v"), col("m")).distinct()
+      .filter(col("v") =!= col("m"))
+      .join(adj.select(col("v"), col("n").as("m")), Seq("v", "m"),
+        "left_anti")
+    val s2 = h2
+      .join(deg.select(col("v").as("m"), col("deg").as("mdeg")), Seq("m"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n2"), sum(col("mdeg")).as("sum_deg_2"))
+    s1.join(s2, Seq("v"), "left")
+      .select(col("v").as("_vid"), col("n1"), col("sum_deg_1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("sum_deg_2"), lit(0L)).as("sum_deg_2"))
+  }
+
+  /**
    * Link-prediction scores for every existing undirected edge — the
    * classic neighborhood features (Liben-Nowell & Kleinberg 2003):
    * common-neighbor count, neighborhood-union size, and preferential

@@ -64,4 +64,31 @@ object Skew {
     }
     stage1.groupBy(col(key)).agg(finals.head, finals.tail: _*)
   }
+
+  /**
+   * Skew report — the diagnostic that DECIDES whether the mitigations
+   * above are needed: the k heaviest values of a prospective join/group
+   * key with exact counts and integer-permille share of the table. A
+   * key whose top entry holds >50‰ is a salting/AQE-skew candidate;
+   * flat top-k means plain hash partitioning is fine. This is the
+   * profiling pass a 100 TB pipeline runs BEFORE choosing a partition
+   * strategy, kept as a first-class operator so it rides the same
+   * gate as everything else.
+   *
+   * Scale shape: one map-side-combinable count shuffle (the corpus
+   * collapses to the key cardinality), top-k via TakeOrderedAndProject
+   * on the count frame (never a global sort of the data), total rides
+   * a broadcast one-row scalar. All-integer output.
+   */
+  def skewReport(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .transform(graft.CacheScope.persist(_)) // feeds total + top-k
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(k)
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("cnt"),
+        expr("cnt * 1000 div n_total").as("permille"),
+        col("n_total"))
+  }
 }

@@ -308,6 +308,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(regionAvg > otherAvg)
   }
 
+  test("neighborhoodDegreeAgg: path graph rings computed exactly") {
+    import spark.implicits._
+    // path 1-2-3-4: degs 1,2,2,1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> Seq(1L, 2L, 3L, 4L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val out = GraphAnalytics.neighborhoodDegreeAgg(tiny, Seq("e"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((1L, 2L, 1L, 2L))) // nbr {2}; ring2 {3}
+    assert(out(2L) == ((2L, 3L, 1L, 1L))) // nbrs {1,3}; ring2 {4}
+    assert(out(3L) == ((2L, 3L, 1L, 1L)))
+    assert(out(4L) == ((1L, 2L, 1L, 2L)))
+  }
+
+  test("skewReport: exact counts, permille, deterministic top-k") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .toDF("k")
+    val out = graft.operators.Skew.skewReport(df, "k", k = 2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("hot", 6L, 600L, 10L), ("warm", 3L, 300L, 10L)))
+  }
+
   test("weightedPageRank: uniform weights reduce to plain pagerank; " +
       "weight skew moves rank mass") {
     import spark.implicits._
