@@ -153,6 +153,7 @@ object Bench {
       "ups_vertex" -> "ups_vtx", "del_edges" -> "del_edg",
       "mm_features" -> "mm_feat",
       // round-9 names
+      "neighborhood_agg" -> "nbr_agg", "skew_report" -> "skew_rpt",
       "cms_heavy_hitters" -> "cms_hh", "cross_source_dups" -> "xsrc",
       "group_centroids" -> "grp_cent", "matryoshka_recall" -> "matr_rec",
       "partitioned_scan" -> "part_scan", "random_project" -> "rnd_proj",
