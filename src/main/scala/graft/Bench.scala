@@ -163,7 +163,7 @@ object Bench {
       "dsir_evidence" -> "dsir", "containment" -> "contain",
       "snapshot_diff" -> "snap_diff", "dangling_refs" -> "dangl",
       "butterflies" -> "bfly", "cooccurrence" -> "coocc",
-      "degree_hist" -> "deg_hist", "cohort_retention" -> "cohort",
+      "degree_hist" -> "deg_hist",
       "update_" -> "upd_", "upsert_" -> "ups_")
     def render(dec: Int, dropPrefix: Boolean,
         abbrev: Boolean = false): String = {
@@ -197,22 +197,29 @@ object Bench {
       .find(_.length <= 1950)
       .getOrElse(render(0, dropPrefix = true, abbrev = true))
     // Last-resort valve: if even integer-seconds + abbreviations
-    // overflow the driver's 2000-char tail capture, drop the sub-second
-    // entries (they are the session floor, not operator cost) and say
-    // how many were dropped — a truncated JSON line loses EVERYTHING.
+    // overflow the driver's 2000-char tail capture, drop entries below
+    // a rising time floor (they are the session floor, not operator
+    // cost), keeping errors always, until the line fits — a truncated
+    // JSON line loses EVERYTHING, so the floor escalates as far as it
+    // must.
+    def valve(floorSec: Double): String = {
+      val kept = results.filter { case (_, v, e) => e.isDefined || v >= floorSec }
+      val qs = kept.map {
+        case (k, _, Some(err)) => "\"" + k.stripPrefix("q_") + "\":\"err:" + err + "\""
+        case (k, v, None) => "\"" + k.stripPrefix("q_") + "\":" + fmt(v, 1)
+      }.mkString("{", ",", "}")
+      val total = fmt(results.collect { case (_, v, None) => v }.sum, 1)
+      val nErr = results.count(_._3.isDefined)
+      val errField = if (nErr > 0) s""","errors":$nErr""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
+        s""","fast_omitted":${results.length - kept.length}$errField""" +
+        s""","sf":"${sfDir.split('/').last}"}"""
+    }
     val safeLine =
       if (line.length <= 1950) line
-      else {
-        val slow = results.filter { case (_, v, e) => e.isDefined || v >= 0.5 }
-        val qs = slow.map {
-          case (k, _, Some(err)) => "\"" + k.stripPrefix("q_") + "\":\"err:" + err + "\""
-          case (k, v, None) => "\"" + k.stripPrefix("q_") + "\":" + fmt(v, 1)
-        }.mkString("{", ",", "}")
-        val total = fmt(results.collect { case (_, v, None) => v }.sum, 1)
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-          s""""fast_omitted":${results.length - slow.length},""" +
-          s""""sf":"${sfDir.split('/').last}"}"""
-      }
+      else Seq(0.5, 1.0, 2.0, 5.0, 15.0, 60.0).view.map(valve)
+        .find(_.length <= 1950)
+        .getOrElse(valve(Double.MaxValue))
     println(safeLine)
   }
 }

@@ -329,7 +329,7 @@ object ScaleSmoke {
     time(s"cross-source dups ${factor}x")(
       graft.pipeline.Curation.crossSourceDups(
         docs.withColumn("source", (col("doc_id") % 20).cast("string")),
-        "doc_id", "text", "source").count())
+        "text", "source").count())
     time(s"weighted pagerank 5 iters ${factor}x")(
       graft.analytics.GraphAnalytics.weightedPageRank(
         edges.select(col("l_orderkey").as("s"), col("l_partkey").as("d"),

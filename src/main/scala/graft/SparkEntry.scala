@@ -821,7 +821,7 @@ object SparkEntry {
     // the order-free stats; RANGE frame, no time-band self-join) ----
     "q_rolling_window" -> ((s, dir) =>
       EventStream.rollingWindow(graft.sources.Tables.events(s, dir),
-        "user_id", "ts", "value", windowUs = 3600000000L)),
+        "event_id", "user_id", "ts", "value", windowUs = 3600000000L)),
 
     // ---- Blocked fuzzy matching: Levenshtein ≤ 2 on normalized
     // 12-char text keys, (length band, first char) blocking ----
@@ -1145,7 +1145,7 @@ object SparkEntry {
         .select("doc_id", "text", "source")
       val mirrored = docs.filter(col("doc_id") % 17 === 0)
         .withColumn("source", concat(lit("mirror_"), col("source")))
-      Curation.crossSourceDups(docs.unionByName(mirrored), "doc_id",
+      Curation.crossSourceDups(docs.unionByName(mirrored),
         "text", "source")
     }),
 

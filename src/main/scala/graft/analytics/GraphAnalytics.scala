@@ -284,7 +284,14 @@ object GraphAnalytics {
       // no longer reads the previous round's blocks).
       val before = sc.getPersistentRDDs.keySet
       val next = round.localCheckpoint(true)
-      val ckptId = (sc.getPersistentRDDs.keySet -- before).headOption
+      // Accept the diff ONLY when it is exactly the one new checkpoint
+      // RDD — if a Spark version registers extra internals here, None
+      // degrades to the previous behavior (blocks swept by the
+      // harness's CacheScope.drain) instead of unpersisting a guess.
+      val ckptId = (sc.getPersistentRDDs.keySet -- before).toList match {
+        case only :: Nil => Some(only)
+        case _ => None
+      }
       prevCkptId.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       prevCkptId = ckptId

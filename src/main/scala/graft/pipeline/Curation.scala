@@ -428,21 +428,6 @@ object Curation {
   }
 
   /**
-   * Per-source exact-dedup rate rollup — the release-note table every
-   * curation run publishes ("src X lost 40% to dedup") and the first
-   * place feed-level pathologies show up (a mirror site, a template
-   * farm). Winner election is the global min-id per content
-   * fingerprint (the [[Dedup.exactSummary]] law — cross-source dups
-   * are charged to every source that carried a loser). Output per
-   * source: n_docs, n_kept (winners), n_removed, n_in_dup_groups
-   * (docs whose fingerprint occurs >1 anywhere) — all exact integers.
-   *
-   * Scale shape: one fingerprint scan (narrow, codegen'd md5), one
-   * group-sized aggregate electing winners (min + count, map-side
-   * combinable — never a window over a hot fingerprint), one join
-   * back, one source-sized rollup.
-   */
-  /**
    * Cross-source duplicate matrix — which feeds copy from which: per
    * source pair, the number of content fingerprints BOTH carry and the
    * total cross-pair duplicate row pairs. The complement of
@@ -455,7 +440,7 @@ object Curation {
    * fingerprint — a handful — not by the dup-group size, which folds
    * into the per-source count first). No self-join, no window.
    */
-  def crossSourceDups(df: DataFrame, idCol: String, textCol: String,
+  def crossSourceDups(df: DataFrame, textCol: String,
       srcCol: String): DataFrame = {
     val fps = df.select(TextAnalysis.fingerprint(col(textCol)).as("fp"),
         col(srcCol).as("source"))
@@ -474,6 +459,21 @@ object Curation {
         sum(col("p.ca") * col("p.cb")).as("n_dup_row_pairs"))
   }
 
+  /**
+   * Per-source exact-dedup rate rollup — the release-note table every
+   * curation run publishes ("src X lost 40% to dedup") and the first
+   * place feed-level pathologies show up (a mirror site, a template
+   * farm). Winner election is the global min-id per content
+   * fingerprint (the [[Dedup.exactSummary]] law — cross-source dups
+   * are charged to every source that carried a loser). Output per
+   * source: n_docs, n_kept (winners), n_removed, n_in_dup_groups
+   * (docs whose fingerprint occurs >1 anywhere) — all exact integers.
+   *
+   * Scale shape: one fingerprint scan (narrow, codegen'd md5), one
+   * group-sized aggregate electing winners (min + count, map-side
+   * combinable — never a window over a hot fingerprint), one join
+   * back, one source-sized rollup.
+   */
   def dedupRateBySource(df: DataFrame, idCol: String, textCol: String,
       srcCol: String): DataFrame = {
     val fp = df.select(col(idCol).as("id"), col(srcCol).as("source"),

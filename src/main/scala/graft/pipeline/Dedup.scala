@@ -182,9 +182,25 @@ object Dedup {
    * many documents before the pair join — the standard guard against
    * stop-shingle quadratic blowup; 0 disables.
    */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+  /**
+   * Shared inverted-index pair counting for the set-overlap metrics:
+   * from a (id, shingle) frame, every (id_a < id_b) pair sharing at
+   * least one shingle, with the shared count and both set sizes.
+   * `maxDocFreq` drops stop-shingles before the pair join (0 disables).
+   *
+   * The shingle frame feeds the doc-size aggregate AND the inverted
+   * index, and sizes joins the pair frame twice (a-side, b-side);
+   * without persists the tokenize+shingle scan executes 3x per run
+   * (explain showed the parquet scan tripled). Corpus-sized, so
+   * MEMORY_AND_DISK — recomputing shingles at 100 TB costs more than
+   * spilling them. Pair counting has NO self-join: group ids per
+   * shingle, emit intra-bucket (i < j) pairs, count pair occurrences =
+   * |A ∩ B| — the shingle frame shuffles once, not twice. No broadcast
+   * hint on `sizes` (corpus-sized, one row per doc) — AQE picks
+   * broadcast at runtime when it actually fits.
+   */
+  private def shinglePairCounts(sh: DataFrame,
+      maxDocFreq: Int): DataFrame = {
     val filtered0 =
       if (maxDocFreq <= 0) sh
       else {
@@ -193,43 +209,34 @@ object Dedup {
           .filter(col("df_cnt") <= maxDocFreq)
         sh.join(freq.select("shingle"), Seq("shingle"))
       }
-    // The shingle frame feeds the doc-size aggregate AND the inverted
-    // index, and sizes joins the pair frame twice (a-side, b-side);
-    // without persists the tokenize+shingle scan executes 3x per run
-    // (explain showed the parquet scan tripled). Corpus-sized, so
-    // MEMORY_AND_DISK — recomputing shingles at 100 TB costs more than
-    // spilling them.
     val filtered = filtered0.transform(graft.CacheScope.persist(_))
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
       .transform(graft.CacheScope.persist(_))
-    // Inverted-index pair counting WITHOUT a self-join: group ids per
-    // shingle, emit intra-bucket (i < j) pairs, count pair occurrences =
-    // |A ∩ B|. A self-join would recompute the shingle frame twice and
-    // shuffle it twice; this shuffles it once.
     val buckets = filtered.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     val nestedPairs = transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))),
         y => struct(x.as("a"), y.as("b"))))
-    val inter = buckets.select(explode(flatten(nestedPairs)).as("p"))
+    buckets.select(explode(flatten(nestedPairs)).as("p"))
       .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    // no broadcast hint on `sizes`: it is corpus-sized (one row per
-    // doc) — AQE picks broadcast at runtime when it actually fits.
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("id_b"))
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame =
+    shinglePairCounts(shingles(df, idCol, textCol, n), maxDocFreq)
       // Portable.quant, not round(): i/union can tie the 4-decimal half
       // exactly (32-divisible union), where round() is engine-dependent
       .withColumn("jaccard", graft.functions.Portable.quant(
-        col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 4))
+        col("n_shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_shared")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /**
    * Shingle CONTAINMENT pairs — the asymmetric twin of
@@ -240,47 +247,20 @@ object Dedup {
    * dominated by the big side. Returns (id_a < id_b, n_shared, sz_a,
    * sz_b) plus the quantized containment ratio, cut at `threshold`.
    *
-   * Scale shape: identical to the Jaccard path — one persisted shingle
-   * frame feeds the doc-size aggregate and the inverted index;
-   * `maxDocFreq` drops stop-shingles before pair generation; pair
-   * counting is the intra-bucket (i < j) explode, never a self-join.
-   * The exact-integer evidence (n_shared, sz_a, sz_b) rides the gate;
-   * the ratio is Portable-quantized.
+   * Scale shape: [[shinglePairCounts]] — the SAME persisted-shingle
+   * inverted index, stop-shingle cap, and intra-bucket pair explode as
+   * the Jaccard path; only the final metric differs. The exact-integer
+   * evidence (n_shared, sz_a, sz_b) rides the gate; the ratio is
+   * Portable-quantized.
    */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-    val filtered0 =
-      if (maxDocFreq <= 0) sh
-      else {
-        val freq = sh.groupBy("shingle")
-          .agg(count(lit(1)).as("df_cnt"))
-          .filter(col("df_cnt") <= maxDocFreq)
-        sh.join(freq.select("shingle"), Seq("shingle"))
-      }
-    val filtered = filtered0.transform(graft.CacheScope.persist(_))
-    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
-      .transform(graft.CacheScope.persist(_))
-    val buckets = filtered.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val nestedPairs = transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))),
-        y => struct(x.as("a"), y.as("b"))))
-    val inter = buckets.select(explode(flatten(nestedPairs)).as("p"))
-      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
-        Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
-        Seq("id_b"))
+      n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame =
+    shinglePairCounts(shingles(df, idCol, textCol, n), maxDocFreq)
       .withColumn("containment", graft.functions.Portable.quant(
         col("n_shared").cast("double") /
           least(col("sz_a"), col("sz_b")), 4))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "n_shared", "sz_a", "sz_b", "containment")
-  }
 
   /**
    * Blocked fuzzy matching — record linkage by edit distance (titles,

@@ -215,13 +215,15 @@ object Similarity {
     // TakeOrderedAndProject (scale-safe — only ids travel), then dense
     // cell labels 0..k-1 from a row_number over those k rows. An
     // id-value filter (`id < k`) silently under-seeds — possibly to
-    // zero cells — on any sparse or offset id space.
+    // zero cells — on any sparse or offset id space. With fewer than k
+    // distinct ids, BOTH engine and oracle train the same < k cells
+    // (no eager count check here: it would run a Spark job at
+    // DataFrame-construction time and diverge from the oracle's
+    // silent-under-seed behavior).
     val seeds = emb.select(col(idCol).as("id")).distinct()
       .orderBy(col("id")).limit(k)
       .withColumn("cell",
         (row_number().over(Window.orderBy(col("id"))) - 1).cast("long"))
-    require(seeds.count() == k,
-      s"pqTrain needs $k distinct ids to seed the codebook")
     var centroids = sv.join(broadcast(seeds), Seq("id"))
       .select(col("sub"), col("cell"), col("v").as("cvec"))
       .transform(graft.CacheScope.persist(_))

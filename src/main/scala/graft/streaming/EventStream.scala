@@ -179,8 +179,9 @@ object EventStream {
    * this user's last hour" columns a realtime feature store serves
    * (fraud velocity checks, rate limiting, session heat). For each
    * event: the count and max value of the SAME user's events in the
-   * preceding `windowUs` microseconds (inclusive of now, half-open at
-   * the far edge). Count and max only — both order-free, so the gate
+   * preceding `windowUs` microseconds (closed at BOTH edges — an event
+   * exactly `windowUs` old is still inside, the RANGE n PRECEDING law
+   * on either engine). Count and max only — both order-free, so the gate
    * hash is engine-portable; a float mean over a RANGE frame is not
    * (engines disagree on frame-sum association) and stays out.
    *
@@ -190,17 +191,17 @@ object EventStream {
    * naive time-band self-join pays rows × window-density). Hot users
    * cost their own event count, never a cross product.
    */
-  def rollingWindow(events: DataFrame, userCol: String, tsCol: String,
-      valueCol: String, windowUs: Long): DataFrame = {
+  def rollingWindow(events: DataFrame, idCol: String, userCol: String,
+      tsCol: String, valueCol: String, windowUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("u")).orderBy(col("t"))
       .rangeBetween(-windowUs, 0)
-    events.select(col("event_id"), col(userCol).as("u"),
+    events.select(col(idCol), col(userCol).as("u"),
         unix_micros(col(tsCol)).as("t"), col(valueCol).as("v"))
       .withColumn("n_win", count(lit(1)).over(w))
       .withColumn("max_v_win",
         graft.functions.Portable.quant(max(col("v")).over(w), 4))
-      .select(col("event_id"), col("u").as(userCol), col("t"),
+      .select(col(idCol), col("u").as(userCol), col("t"),
         col("n_win"), col("max_v_win"))
   }
 

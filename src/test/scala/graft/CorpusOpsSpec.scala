@@ -88,7 +88,7 @@ class CorpusOpsSpec extends SparkSpec {
       (6L, "unique", "a"))
       .toDF("doc_id", "text", "source")
     val out = graft.pipeline.Curation
-      .crossSourceDups(d, "doc_id", "text", "source")
+      .crossSourceDups(d, "text", "source")
       .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
         -> ((r.getAs[Long]("n_shared_fps"), r.getAs[Long]("n_dup_row_pairs"))))
       .toMap

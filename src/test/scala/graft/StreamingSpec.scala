@@ -247,7 +247,7 @@ class StreamingSpec extends SparkSpec {
       (5L, 99L, ts(30), 1.0))           // other user isolated
       .toDF("event_id", "user_id", "ts", "value")
     val out = graft.streaming.EventStream.rollingWindow(ev,
-        "user_id", "ts", "value", windowUs = 60000000L)
+        "event_id", "user_id", "ts", "value", windowUs = 60000000L)
       .collect().map(r => r.getAs[Long]("event_id") ->
         ((r.getAs[Long]("n_win"), r.getAs[Double]("max_v_win")))).toMap
     assert(out(1L) == ((1L, 5.0)))
