@@ -747,6 +747,16 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.connectedComponents(store(s, dir),
         Seq("in_nation", "in_region"))),
 
+    // ---- Modularity sufficient statistics: communities from CC over
+    // customer→nation edges, scored against the graph WITH region
+    // edges (which cross communities) ----
+    "q_modularity" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.modularityStats(store(s, dir),
+        Seq("in_nation", "in_region"),
+        graft.analytics.GraphAnalytics.connectedComponents(store(s, dir),
+          Seq("in_nation")),
+        "_vid", "component")),
+
     // ---- Weighted PageRank: transition prob ∝ summed edge weight
     // (l_quantity), same dyadic recurrence laws as q_pagerank ----
     "q_weighted_pagerank" -> ((s, dir) =>
@@ -830,6 +840,13 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"),
           substring(col("text"), 1, 12).as("tkey")),
         "doc_id", "tkey", maxDist = 2, maxBlockSize = 512)),
+
+    // ---- Multi-touch attribution evidence: per purchase, prior-view
+    // count + nearest/farthest gap within a 6 h lookback ----
+    "q_multi_touch" -> ((s, dir) =>
+      EventStream.multiTouch(graft.sources.Tables.events(s, dir),
+        "user_id", "ts", "event_type", touchType = "view",
+        convType = "purchase", windowUs = 6L * 3600 * 1000000)),
 
     // ---- Ordered funnel: per-step user counts for the strictly
     // time-increasing view → click → purchase progression ----
@@ -2819,6 +2836,64 @@ object SparkEntry {
         |  SELECT u.d, r.label FROM reach r JOIN u ON u.s = r.v)
         |SELECT v AS _vid, min(label) AS component
         |FROM reach GROUP BY v""".stripMargin,
+
+    // modularity: CC over customer→nation only labels the communities;
+    // the scored graph adds nation→region edges (cross-community).
+    // All counts BIGINT; inner label joins on both engines drop
+    // unlabeled endpoints identically (none exist at gate SFs).
+    "q_modularity" ->
+      """WITH RECURSIVE e1 AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer),
+        |u1 AS (SELECT s, d FROM e1 UNION SELECT d, s FROM e1),
+        |reach(v, label) AS (
+        |  SELECT s, s FROM u1
+        |  UNION
+        |  SELECT u1.d, r.label FROM reach r JOIN u1 ON u1.s = r.v),
+        |lab AS (SELECT v, min(label) AS c FROM reach GROUP BY v),
+        |raw AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation),
+        |g AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        |  FROM raw WHERE s <> d),
+        |t AS (SELECT g.s, g.d, ls.c AS cs, ld.c AS cd
+        |  FROM g JOIN lab ls ON ls.v = g.s JOIN lab ld ON ld.v = g.d),
+        |intra AS (SELECT cs AS community, count(*) AS m_intra
+        |  FROM t WHERE cs = cd GROUP BY 1),
+        |degs AS (SELECT community, count(*) AS deg_sum FROM
+        |  (SELECT cs AS community FROM t UNION ALL SELECT cd FROM t)
+        |  GROUP BY 1),
+        |nv AS (SELECT c AS community, count(*) AS n_vertices
+        |  FROM lab GROUP BY 1),
+        |m AS (SELECT count(*) AS m_edges FROM g)
+        |SELECT nv.community, nv.n_vertices,
+        |  coalesce(intra.m_intra, 0) AS m_intra,
+        |  coalesce(degs.deg_sum, 0) AS deg_sum, m.m_edges
+        |FROM nv LEFT JOIN degs USING (community)
+        |LEFT JOIN intra USING (community)
+        |CROSS JOIN m""".stripMargin,
+
+    // multi-touch attribution: plain band-inequality join replays the
+    // time-bucketed equi-join's semantics; organic conversions kept
+    "q_multi_touch" ->
+      """WITH v AS (SELECT user_id AS u, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id AS u, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'purchase'),
+        |pr AS (SELECT p.event_id AS conv_id, p.t - v.t AS gap
+        |  FROM p JOIN v ON v.u = p.u
+        |  WHERE p.t - v.t BETWEEN 1 AND 21600000000),
+        |a AS (SELECT conv_id, count(*) AS n_touches,
+        |    min(gap) AS min_gap_us, max(gap) AS max_gap_us
+        |  FROM pr GROUP BY conv_id)
+        |SELECT p.event_id AS conv_id, p.u AS user_id, p.t AS conv_t,
+        |  coalesce(a.n_touches, 0) AS n_touches,
+        |  coalesce(a.min_gap_us, 0) AS min_gap_us,
+        |  coalesce(a.max_gap_us, 0) AS max_gap_us
+        |FROM p LEFT JOIN a ON a.conv_id = p.event_id""".stripMargin,
 
     // CC reach CTE + two rollup counts; count(*) stays BIGINT
     "q_component_stats" ->

@@ -313,6 +313,50 @@ object GraphAnalytics {
   }
 
   /**
+   * Modularity evidence for a vertex partition (Newman 2006) — the
+   * quality score community detection is judged by: Q = Σ_c [ m_c/m −
+   * (D_c/2m)² ] over communities c, with m_c = intra-community edges,
+   * D_c = total degree of c's members, m = total edges. Emitted as the
+   * exact-integer sufficient statistics per community (n_vertices,
+   * m_intra, deg_sum, plus the global m) — Q itself is the client's
+   * float fold, so the gate stays integer. Pairs with
+   * [[labelPropagation]]/[[connectedComponents]] output (any (vertex,
+   * community) frame works).
+   *
+   * Scale shape: one edge scan joined twice against the vertex-sized
+   * community map (AQE-broadcastable), one community-sized rollup —
+   * no quadratic term, no windows.
+   */
+  def modularityStats(store: GraphStore, edgeTypes: Seq[String],
+      communities: DataFrame, vidCol: String,
+      commCol: String): DataFrame = {
+    val union = simpleEdges(store, edgeTypes)
+    val cm = communities.select(col(vidCol).as("v"),
+        col(commCol).as("c"))
+      .transform(graft.CacheScope.persist(_)) // joined at both endpoints
+    val tagged = union
+      .join(cm.select(col("v").as("s"), col("c").as("cs")), Seq("s"))
+      .join(cm.select(col("v").as("d"), col("c").as("cd")), Seq("d"))
+      .transform(graft.CacheScope.persist(_)) // feeds intra + degree sums
+    val intra = tagged.filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("community"))
+      .agg(count(lit(1)).as("m_intra"))
+    val degs = tagged.select(col("cs").as("community"))
+      .unionByName(tagged.select(col("cd").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("deg_sum"))
+    val nv = cm.groupBy(col("c").as("community"))
+      .agg(count(lit(1)).as("n_vertices"))
+    val mTotal = union.agg(count(lit(1)).as("m_edges"))
+    nv.join(degs, Seq("community"), "left")
+      .join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(mTotal))
+      .select(col("community"), col("n_vertices"),
+        coalesce(col("m_intra"), lit(0L)).as("m_intra"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+        col("m_edges"))
+  }
+
+  /**
    * Weighted PageRank (nebula-algorithm ships the weighted variant
    * alongside plain PageRank): transition probability proportional to
    * edge weight, message = r(s)·w(s,d)/W(s) with W(s) = Σ_d w(s,d).

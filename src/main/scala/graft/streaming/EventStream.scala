@@ -206,6 +206,46 @@ object EventStream {
   }
 
   /**
+   * Multi-touch attribution evidence — per conversion event, how many
+   * of the same user's touch events (views) preceded it within the
+   * lookback window, plus the nearest and farthest touch gaps. The
+   * exact-integer inputs every attribution model (last-touch,
+   * first-touch, linear, time-decay) folds client-side — the engine
+   * emits the evidence, not one model's float credit split.
+   * Conversions with no prior touch keep a row (n_touches = 0) — the
+   * organic-conversion baseline.
+   *
+   * Scale shape: the pair generation is [[graft.operators.TemporalJoin
+   * .banded]]'s time-bucketed equi-join (a hot user pays rows-per-
+   * window, never user² across all time), one map-side-combinable
+   * per-conversion aggregate, one vertex-sized left join back.
+   */
+  def multiTouch(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, touchType: String, convType: String,
+      windowUs: Long): DataFrame = {
+    val pairs = graft.operators.TemporalJoin.banded(
+      events.filter(col(typeCol) === touchType),
+      events.filter(col(typeCol) === convType),
+      leftKey = userCol, rightKey = userCol,
+      leftTime = tsCol, rightTime = tsCol,
+      loUs = 1L, hiUs = windowUs,
+      leftCols = Seq("event_id" -> "touch_id"),
+      rightCols = Seq("event_id" -> "conv_id"))
+    val agg = pairs.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+    events.filter(col(typeCol) === convType)
+      .select(col("event_id").as("conv_id"), col(userCol),
+        unix_micros(col(tsCol)).as("conv_t"))
+      .join(agg, Seq("conv_id"), "left")
+      .select(col("conv_id"), col(userCol), col("conv_t"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        coalesce(col("min_gap_us"), lit(0L)).as("min_gap_us"),
+        coalesce(col("max_gap_us"), lit(0L)).as("max_gap_us"))
+  }
+
+  /**
    * Ordered funnel analysis — the product-analytics staple (how many
    * users progressed view → click → purchase, IN ORDER): per step, the
    * count of users with a strictly time-increasing event subsequence

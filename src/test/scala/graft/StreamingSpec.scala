@@ -257,6 +257,26 @@ class StreamingSpec extends SparkSpec {
     assert(out(5L) == ((1L, 1.0)))
   }
 
+  test("multiTouch: prior-window views counted, organic conversions kept") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, 10L, ts(0), "view"), (2L, 10L, ts(50), "view"),
+      (3L, 10L, ts(60), "purchase"),       // both views inside 100s
+      (4L, 10L, ts(60), "view"),           // SAME instant: gap 0 excluded
+      (5L, 20L, ts(10), "purchase"),       // organic: no prior view
+      (6L, 30L, ts(0), "view"), (7L, 30L, ts(200), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.streaming.EventStream.multiTouch(ev, "user_id", "ts",
+        "event_type", "view", "purchase", windowUs = 100000000L)
+      .collect().map(r => r.getAs[Long]("conv_id") ->
+        ((r.getAs[Long]("n_touches"), r.getAs[Long]("min_gap_us"),
+          r.getAs[Long]("max_gap_us")))).toMap
+    assert(out(3L) == ((2L, 10000000L, 60000000L)))
+    assert(out(5L) == ((0L, 0L, 0L)))
+    assert(out(7L) == ((0L, 0L, 0L))) // view at 0 is outside the 100s
+  }
+
   test("funnel: strict order enforced, greedy earliest completion") {
     import spark.implicits._
     val ts = (s: Long) => new java.sql.Timestamp(s * 1000)

@@ -308,6 +308,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(regionAvg > otherAvg)
   }
 
+  test("modularityStats: two triangles + one bridge, hand-counted") {
+    import spark.implicits._
+    val edges = (Seq((1L, 2L), (2L, 3L), (1L, 3L),
+        (11L, 12L), (12L, 13L), (11L, 13L), (3L, 11L)))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> (Seq(1L, 2L, 3L, 11L, 12L, 13L)).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val comms = Seq((1L, 100L), (2L, 100L), (3L, 100L),
+      (11L, 200L), (12L, 200L), (13L, 200L)).toDF("vid", "comm")
+    val out = GraphAnalytics.modularityStats(tiny, Seq("e"), comms,
+        "vid", "comm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // each triangle: 3 intra edges; bridge 3-11 splits degrees 1/1
+    assert(out(100L) == ((3L, 3L, 7L, 7L)))
+    assert(out(200L) == ((3L, 3L, 7L, 7L)))
+  }
+
   test("neighborhoodDegreeAgg: path graph rings computed exactly") {
     import spark.implicits._
     // path 1-2-3-4: degs 1,2,2,1
