@@ -154,6 +154,15 @@ object Bench {
       "mm_features" -> "mm_feat",
       // round-9 names
       "neighborhood_agg" -> "nbr_agg", "skew_report" -> "skew_rpt",
+      "modularity" -> "modul", "multi_touch" -> "mtouch",
+      "gn_stats" -> "gn_st", "gn_grouped" -> "gn_grp",
+      "gn_tprops" -> "gn_tp", "gn_mtype" -> "gn_mt",
+      "conn_comp" -> "cc", "winnow" -> "winn",
+      "qual_clf" -> "qclf", "emb_nd" -> "embnd",
+      "strat_smp" -> "strat", "matr_rec" -> "matr",
+      "sem_decon" -> "semdec", "part_scan" -> "pscan",
+      "rep_stats" -> "repst", "label_prop" -> "lprop",
+      "comm_nbrs" -> "cnbrs", "short_paths" -> "spaths",
       "cms_heavy_hitters" -> "cms_hh", "cross_source_dups" -> "xsrc",
       "group_centroids" -> "grp_cent", "matryoshka_recall" -> "matr_rec",
       "partitioned_scan" -> "part_scan", "random_project" -> "rnd_proj",
