@@ -884,6 +884,13 @@ object SparkEntry {
         Seq("placed", "contains", "supplied_by"),
         seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3)),
 
+    // ---- Per-seed k-bounded eccentricity over the same traversal
+    // graph as q_khop (labeled-frontier BFS, per-seed visited sets) ----
+    "q_eccentricity" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.boundedEccentricity(store(s, dir),
+        Seq("placed", "contains", "supplied_by"),
+        seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3)),
+
     // ---- IVF approximate nearest neighbors ----
     "q_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -2031,6 +2038,37 @@ object SparkEntry {
         |UNION ALL SELECT vid, 1 FROM l1
         |UNION ALL SELECT vid, 2 FROM l2
         |UNION ALL SELECT vid, 3 FROM l3""".stripMargin,
+
+    // the khop level chain with a seed label threaded through — each
+    // seed's visited set is its own NOT EXISTS scope
+    "q_eccentricity" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS src, o_orderkey AS dst FROM orders
+        |  UNION ALL SELECT l_orderkey, l_partkey FROM lineitem
+        |  UNION ALL SELECT l_partkey, l_suppkey FROM lineitem),
+        |l0 AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS seed,
+        |              CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS vid),
+        |l1 AS (SELECT DISTINCT l0.seed, e.dst AS vid FROM e
+        |       JOIN l0 ON e.src = l0.vid
+        |       WHERE NOT EXISTS (SELECT 1 FROM l0 x
+        |         WHERE x.seed = l0.seed AND x.vid = e.dst)),
+        |v1 AS (SELECT seed, vid FROM l0 UNION ALL SELECT seed, vid FROM l1),
+        |l2 AS (SELECT DISTINCT l1.seed, e.dst AS vid FROM e
+        |       JOIN l1 ON e.src = l1.vid
+        |       WHERE NOT EXISTS (SELECT 1 FROM v1 x
+        |         WHERE x.seed = l1.seed AND x.vid = e.dst)),
+        |v2 AS (SELECT seed, vid FROM v1 UNION ALL SELECT seed, vid FROM l2),
+        |l3 AS (SELECT DISTINCT l2.seed, e.dst AS vid FROM e
+        |       JOIN l2 ON e.src = l2.vid
+        |       WHERE NOT EXISTS (SELECT 1 FROM v2 x
+        |         WHERE x.seed = l2.seed AND x.vid = e.dst)),
+        |lv AS (SELECT seed, vid, 0 AS d FROM l0
+        |  UNION ALL SELECT seed, vid, 1 FROM l1
+        |  UNION ALL SELECT seed, vid, 2 FROM l2
+        |  UNION ALL SELECT seed, vid, 3 FROM l3)
+        |SELECT seed, CAST(max(d) AS BIGINT) AS ecc_k,
+        |  count(*) AS n_reached
+        |FROM lv GROUP BY seed""".stripMargin,
 
     "q_lookup_prefix_range" ->
       """SELECT DISTINCT l_orderkey, l_linenumber, l_quantity

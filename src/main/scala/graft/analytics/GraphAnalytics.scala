@@ -313,6 +313,51 @@ object GraphAnalytics {
   }
 
   /**
+   * k-bounded eccentricity per seed — the per-source radius diagnostic
+   * (diameter lower bounds, landmark selection for routing indexes,
+   * "is this subgraph shallow or stringy"): for each seed, the maximum
+   * BFS distance reached within `maxHops` and the total reach count.
+   * The [[kHop]] BFS generalized to a LABELED frontier — (seed, v)
+   * pairs — so each seed carries its own visited set through the same
+   * per-level anti-join discipline.
+   *
+   * Scale shape: frontier volume is Σ per-seed reach (seeds are a
+   * bounded landmark set by use case); per level one edge join + one
+   * distinct + one anti-join, all keyed (seed, v) — hop h's cost is
+   * the labeled frontier size, never |V|×|seeds|² and never a global
+   * all-pairs BFS. All-integer output.
+   */
+  def boundedEccentricity(store: GraphStore, edgeTypes: Seq[String],
+      seeds: Seq[Long], maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val spark = (store.vertices.valuesIterator ++ store.edges.valuesIterator)
+      .next().sparkSession
+    import spark.implicits._
+    val e = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC).as("src"),
+        col(GraphStore.DST).as("dst"))
+    }.reduce(_ unionByName _)
+      .transform(graft.CacheScope.persist(_))
+    var levels = List(seeds.map(s => (s, s)).toDF("seed", "_vid")
+      .withColumn("dist", lit(0)).transform(graft.CacheScope.persist(_)))
+    for (i <- 1 to maxHops) {
+      val visited = levels.map(_.select("seed", "_vid"))
+        .reduce(_ unionByName _)
+      val next = e.join(levels.head.select(col("seed"), col("_vid")),
+          e("src") === col("_vid"))
+        .select(col("seed"), col("dst").as("_vid")).distinct()
+        .join(visited, Seq("seed", "_vid"), "left_anti")
+        .withColumn("dist", lit(i))
+        .transform(graft.CacheScope.persist(_))
+      levels = next :: levels
+    }
+    levels.reduce(_ unionByName _)
+      .groupBy(col("seed"))
+      .agg(max(col("dist")).cast("long").as("ecc_k"),
+        count(lit(1)).as("n_reached"))
+  }
+
+  /**
    * Modularity evidence for a vertex partition (Newman 2006) — the
    * quality score community detection is judged by: Q = Σ_c [ m_c/m −
    * (D_c/2m)² ] over communities c, with m_c = intra-community edges,

@@ -308,6 +308,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(regionAvg > otherAvg)
   }
 
+  test("boundedEccentricity: per-seed radii on a directed path") {
+    import spark.implicits._
+    // directed path 1->2->3->4: ecc within 3 hops differs per seed
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> Seq(1L, 2L, 3L, 4L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val out = GraphAnalytics.boundedEccentricity(tiny, Seq("e"),
+        seeds = Seq(1L, 3L, 4L), maxHops = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((3L, 4L))) // reaches 2,3,4
+    assert(out(3L) == ((1L, 2L))) // reaches 4 only
+    assert(out(4L) == ((0L, 1L))) // sink: itself
+  }
+
   test("modularityStats: two triangles + one bridge, hand-counted") {
     import spark.implicits._
     val edges = (Seq((1L, 2L), (2L, 3L), (1L, 3L),
