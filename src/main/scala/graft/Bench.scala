@@ -155,6 +155,7 @@ object Bench {
       // round-9 names
       "neighborhood_agg" -> "nbr_agg", "skew_report" -> "skew_rpt",
       "modularity" -> "modul", "multi_touch" -> "mtouch",
+      "eccentricity" -> "ecc",
       "gn_stats" -> "gn_st", "gn_grouped" -> "gn_grp",
       "gn_tprops" -> "gn_tp", "gn_mtype" -> "gn_mt",
       "conn_comp" -> "cc", "winnow" -> "winn",
