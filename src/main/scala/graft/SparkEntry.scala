@@ -1273,6 +1273,19 @@ object SparkEntry {
         Seq("c_custkey"), Seq("c_nationkey"))
     }),
 
+    // ---- Graph-shape ingest audit: one-row arc sanity report vs a
+    // vertex set with planted isolated keys (every 10th part) ----
+    "q_graph_shape" -> ((s, dir) =>
+      graft.operators.Audit.graphShape(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        t(s, dir, "part"), "p_partkey")),
+
+    // ---- Watermark-sizing diagnostic: per-user late-arrival counts
+    // (event-id order vs event-time running max) ----
+    "q_late_events" -> ((s, dir) =>
+      EventStream.lateEvents(graft.sources.Tables.events(s, dir),
+        "event_id", "user_id", "ts")),
+
     // ---- Referential audit: lineitem part references vs a 90%
     // partial-ingest vertex set — dangling ids with arc counts ----
     "q_dangling_refs" -> ((s, dir) =>
@@ -3386,6 +3399,41 @@ object SparkEntry {
         |WHERE l_partkey NOT IN
         |  (SELECT p_partkey FROM part WHERE p_partkey % 10 <> 0)
         |GROUP BY 1""".stripMargin,
+
+    // one-row shape report; every term a Σ over the (s,d) count frame
+    "q_graph_shape" ->
+      """WITH p AS (SELECT l_orderkey AS s, l_partkey AS d, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |ep AS (SELECT DISTINCT v FROM
+        |  (SELECT s AS v FROM p UNION ALL SELECT d FROM p)),
+        |iso AS (SELECT count(*) AS n_isolated FROM
+        |  (SELECT DISTINCT p_partkey AS v FROM part) pv
+        |  WHERE NOT EXISTS (SELECT 1 FROM ep WHERE ep.v = pv.v))
+        |SELECT CAST(sum(c) AS BIGINT) AS n_arcs_raw,
+        |  CAST(sum(CASE WHEN s = d THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_self_loops,
+        |  CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+        |    AS n_parallel_dupes,
+        |  count(*) AS n_distinct_arcs,
+        |  (SELECT count(*) FROM ep) AS n_endpoints,
+        |  (SELECT n_isolated FROM iso) AS n_isolated
+        |FROM p""".stripMargin,
+
+    // per-user late-arrival accounting; ROWS frame over the unique
+    // event-id order is deterministic on both engines
+    "q_late_events" ->
+      """WITH b AS (SELECT event_id AS eid, user_id AS u,
+        |    epoch_us(ts) AS t FROM events),
+        |l AS (SELECT u, t,
+        |    max(t) OVER (PARTITION BY u ORDER BY eid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+        |  FROM b)
+        |SELECT u AS user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN mp > t THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(max(CASE WHEN mp > t THEN mp - t ELSE 0 END) AS BIGINT)
+        |    AS max_late_us
+        |FROM l GROUP BY u""".stripMargin,
 
     // global vocab spectrum; row_number CAST matches Spark's long rnk
     "q_zipf_table" ->

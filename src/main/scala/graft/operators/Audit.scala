@@ -58,4 +58,39 @@ object Audit {
       vertices.select(F.col(keyCol).as("ref_id")),
       Seq("ref_id"), "left_anti")
   }
+
+  /** Graph-shape ingest audit — the one-row sanity report a bulk edge
+    * load is gated on before anything downstream runs: raw arc count,
+    * self-loops, parallel duplicates (same (src, dst) more than once),
+    * distinct simple arcs, endpoint-vertex count, and vertices present
+    * in the vertex set but touching no arc (isolated — usually a sign
+    * the edge extract dropped a partition). All exact integers.
+    *
+    * Scale: one (src, dst) count aggregate (map-side combinable — the
+    * arc volume collapses to the distinct-arc cardinality), one
+    * endpoint distinct, one anti-join against the vertex keys; every
+    * term is a Σ over that aggregate, no window, no self-join.
+    */
+  def graphShape(arcs: DataFrame, srcCol: String, dstCol: String,
+      vertices: DataFrame, keyCol: String): DataFrame = {
+    val pairs = arcs.select(F.col(srcCol).as("s"), F.col(dstCol).as("d"))
+      .groupBy("s", "d").agg(F.count(F.lit(1)).as("c"))
+      .transform(graft.CacheScope.persist(_)) // feeds 3 aggregates
+    val endpoints = pairs.select(F.col("s").as("v"))
+      .unionByName(pairs.select(F.col("d").as("v"))).distinct()
+      .transform(graft.CacheScope.persist(_))
+    val isolated = vertices.select(F.col(keyCol).as("v")).distinct()
+      .join(endpoints, Seq("v"), "left_anti")
+      .agg(F.count(F.lit(1)).as("n_isolated"))
+    pairs.agg(
+        F.sum(F.col("c")).as("n_arcs_raw"),
+        F.sum(F.when(F.col("s") === F.col("d"), F.col("c"))
+          .otherwise(F.lit(0L))).as("n_self_loops"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") - 1)
+          .otherwise(F.lit(0L))).as("n_parallel_dupes"),
+        F.count(F.lit(1)).as("n_distinct_arcs"))
+      .crossJoin(F.broadcast(
+        endpoints.agg(F.count(F.lit(1)).as("n_endpoints"))))
+      .crossJoin(F.broadcast(isolated))
+  }
 }

@@ -206,6 +206,34 @@ object EventStream {
   }
 
   /**
+   * Late-event accounting — the measurement that SIZES a watermark
+   * before anyone picks one: per user, how many events arrive (in
+   * `idCol` order, the ingestion sequence) with an event time BEHIND
+   * the running maximum already seen, and by how much at worst. A
+   * watermark below the observed p100 lateness silently drops rows;
+   * this op turns that risk into exact integers first.
+   *
+   * Scale shape: one user-keyed shuffle + a per-user ROWS frame
+   * (running max — incremental within the partition), one rollup.
+   * Order is the unique event id, so the frame is deterministic.
+   */
+  def lateEvents(events: DataFrame, idCol: String, userCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("u")).orderBy(col("eid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.select(col(idCol).as("eid"), col(userCol).as("u"),
+        unix_micros(col(tsCol)).as("t"))
+      .withColumn("late_us",
+        when(max(col("t")).over(w) > col("t"),
+          max(col("t")).over(w) - col("t")).otherwise(lit(0L)))
+      .groupBy(col("u").as(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+  }
+
+  /**
    * Multi-touch attribution evidence — per conversion event, how many
    * of the same user's touch events (views) preceded it within the
    * lookback window, plus the nearest and farthest touch gaps. The

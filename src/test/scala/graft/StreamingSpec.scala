@@ -257,6 +257,23 @@ class StreamingSpec extends SparkSpec {
     assert(out(5L) == ((1L, 1.0)))
   }
 
+  test("lateEvents: arrival order vs event time, exact lateness") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, 10L, ts(100)), (2L, 10L, ts(90)),  // 10s late
+      (3L, 10L, ts(120)), (4L, 10L, ts(95)),  // 25s late
+      (5L, 20L, ts(10)), (6L, 20L, ts(20)))   // in order: never late
+      .toDF("event_id", "user_id", "ts")
+    val out = graft.streaming.EventStream.lateEvents(ev,
+        "event_id", "user_id", "ts")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_late"),
+          r.getAs[Long]("max_late_us")))).toMap
+    assert(out(10L) == ((4L, 2L, 25000000L)))
+    assert(out(20L) == ((2L, 0L, 0L)))
+  }
+
   test("multiTouch: prior-window views counted, organic conversions kept") {
     import spark.implicits._
     val ts = (s: Long) => new java.sql.Timestamp(s * 1000)

@@ -308,6 +308,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(regionAvg > otherAvg)
   }
 
+  test("graphShape: loops, dupes, and isolated vertices hand-counted") {
+    import spark.implicits._
+    val arcs = Seq((1L, 2L), (1L, 2L), (2L, 2L), (3L, 1L))
+      .toDF("s", "d")
+    val verts = Seq(1L, 2L, 3L, 99L).toDF("vid") // 99 isolated
+    val r = graft.operators.Audit.graphShape(arcs, "s", "d", verts, "vid")
+      .collect().head
+    assert(r.getAs[Long]("n_arcs_raw") == 4L)
+    assert(r.getAs[Long]("n_self_loops") == 1L)
+    assert(r.getAs[Long]("n_parallel_dupes") == 1L)
+    assert(r.getAs[Long]("n_distinct_arcs") == 3L)
+    assert(r.getAs[Long]("n_endpoints") == 3L)
+    assert(r.getAs[Long]("n_isolated") == 1L)
+  }
+
   test("boundedEccentricity: per-seed radii on a directed path") {
     import spark.implicits._
     // directed path 1->2->3->4: ecc within 3 hops differs per seed
