@@ -155,7 +155,12 @@ object Bench {
       // round-9 names
       "neighborhood_agg" -> "nbr_agg", "skew_report" -> "skew_rpt",
       "modularity" -> "modul", "multi_touch" -> "mtouch",
-      "eccentricity" -> "ecc",
+      "eccentricity" -> "ecc", "graph_shape" -> "gshape",
+      "ev_sess_win" -> "ev_sw", "ival_join" -> "ivj",
+      "rnd_walks" -> "walks", "ttl_purge" -> "ttlp",
+      "ttl_vis" -> "ttlv", "schema_evo" -> "schevo",
+      "jsonl_rt" -> "jrt", "chlog_apply" -> "chlog",
+      "late_events" -> "late",
       "gn_stats" -> "gn_st", "gn_grouped" -> "gn_grp",
       "gn_tprops" -> "gn_tp", "gn_mtype" -> "gn_mt",
       "conn_comp" -> "cc", "winnow" -> "winn",
