@@ -26,6 +26,45 @@ class PropertySpec extends SparkSpec {
     Gen.oneOf("the", "fox", "dog", "spark", "row", "scan", "fast", ""))
     .map(_.mkString(" "))
 
+  test("containment dominates jaccard on every candidate pair") {
+    // |A∩B|/min ≥ |A∩B|/|A∪B| always — checked on real corpus pairs
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 4, threshold = 0.0)
+      .select(col("id_a"), col("id_b"), col("containment"))
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 4, threshold = 0.0)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val joined = cont.join(jac, Seq("id_a", "id_b")).collect()
+    assert(joined.nonEmpty)
+    // quantization (4 decimals, half-up) can nudge each side by <=1e-4
+    assert(joined.forall(r =>
+      r.getAs[Double]("containment") >= r.getAs[Double]("jaccard") - 2e-4))
+    CacheScope.drain(spark)
+  }
+
+  test("funnel counts never increase along the steps") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val out = graft.streaming.EventStream.funnel(ev, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase", "error"))
+      .collect().sortBy(_.getAs[Long]("step"))
+      .map(_.getAs[Long]("n_users")).toSeq
+    assert(out == out.sorted.reverse, s"not monotone: $out")
+    CacheScope.drain(spark)
+  }
+
+  test("CMS heavy hitters: estimate dominates truth for any width") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    forAll(Gen.oneOf(64, 256, 1024)) { w =>
+      val bad = graft.operators.Stats
+        .cmsHeavyHitters(df, "l_suppkey", depth = 3, width = w,
+          minFreq = 1L)
+        .filter(col("est_cnt") < col("true_cnt")).count()
+      assert(bad == 0L, s"width $w underestimated $bad keys")
+      CacheScope.drain(spark)
+    }
+  }
+
   test("exact dedup is idempotent") {
     forAll(Gen.listOfN(20, textGen)) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
