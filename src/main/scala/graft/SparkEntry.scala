@@ -1141,6 +1141,12 @@ object SparkEntry {
       Curation.docNovelty(t(s, dir, "documents"), "doc_id", "text",
         n = 4)),
 
+    // ---- Vocabulary coverage curve at probe sizes 5/10/20: the
+    // tokenizer vocab-size decision evidence ----
+    "q_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text",
+        ks = Seq(5, 10, 20))),
+
     // ---- Source-pair vocabulary overlap: shared-token counts per
     // source pair — corpus-composition / mixture-design diagnostic ----
     "q_source_overlap" -> ((s, dir) =>
@@ -3651,6 +3657,23 @@ object SparkEntry {
          |FROM bc JOIN uc u1 ON bc.w1 = u1.w
          |        JOIN uc u2 ON bc.w2 = u2.w
          |CROSS JOIN tot""".stripMargin,
+
+    // coverage curve: the rank window runs over the vocab frame only;
+    // window sums CAST (HUGEINT law)
+    "q_vocab_coverage" ->
+      s"""WITH $TokCte,
+         |pt AS (SELECT unnest(t) AS tok FROM toks),
+         |fr AS (SELECT tok, count(*) AS f FROM pt GROUP BY tok),
+         |tt AS (SELECT CAST(sum(f) AS BIGINT) AS n_total FROM fr),
+         |c AS (SELECT
+         |    CAST(row_number() OVER (ORDER BY f DESC, tok) AS BIGINT)
+         |      AS k,
+         |    CAST(sum(f) OVER (ORDER BY f DESC, tok
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_freq
+         |  FROM fr)
+         |SELECT c.k, c.cum_freq, tt.n_total
+         |FROM c CROSS JOIN tt WHERE c.k IN (5, 10, 20)""".stripMargin,
 
     // vocabulary overlap per source pair: the corpus collapses in the
     // distinct (src, tok) CTE; src_a < src_b is lexicographic on both

@@ -382,6 +382,36 @@ object TextAnalysis {
   }
 
   /**
+   * Vocabulary coverage curve — the evidence behind choosing a
+   * tokenizer vocab size: for each probe size K, the exact token mass
+   * the top-K vocabulary covers (cum_freq of the K most frequent
+   * types, total corpus tokens — the coverage ratio is the client's
+   * division). Reading the curve's knee IS the vocab-size decision;
+   * the OOV rate at the chosen K is [[oovRate]].
+   *
+   * Scale shape: the corpus collapses in one vocab-sized count shuffle
+   * (map-side combinable); the rank window and running sum run over
+   * the VOCABULARY, the smallest frame in the pipeline (the
+   * [[zipfTable]] law); the probe sizes then select |Ks| rows.
+   * All-integer output.
+   */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      ks: Seq[Int]): DataFrame = {
+    val freq = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .transform(graft.CacheScope.persist(_)) // feeds total + curve
+    val total = freq.agg(sum(col("f")).as("n_total"))
+    val w = Window.orderBy(col("f").desc, col("tok"))
+    val curve = freq
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_freq", sum(col("f")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("rnk").isin(ks.map(_.toLong): _*))
+    curve.crossJoin(broadcast(total))
+      .select(col("rnk").as("k"), col("cum_freq"), col("n_total"))
+  }
+
+  /**
    * Source-pair vocabulary overlap — the corpus-composition diagnostic
    * for mixture design: per pair of sources, the shared distinct-token
    * count plus each side's vocabulary size (Jaccard/containment are

@@ -51,6 +51,15 @@ class CorpusOpsSpec extends SparkSpec {
     assert(topb1 == math.round(1.0 / 3 * 1e6) / 1e6) // 3 distinct bigrams
   }
 
+  test("vocabCoverage: cumulative top-K mass, hand-counted") {
+    // freqs: dog 5, cat 3, six singletons (total 14)
+    val out = TextAnalysis.vocabCoverage(docs, "text", ks = Seq(1, 2, 8))
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("cum_freq"), r.getAs[Long]("n_total")))).toMap
+    assert(out == Map(1L -> ((5L, 14L)), 2L -> ((8L, 14L)),
+      8L -> ((14L, 14L))))
+  }
+
   test("sourceVocabOverlap counts shared distinct tokens per pair") {
     val d = Seq(
       (1L, "cat dog", "a"), (2L, "dog fish", "a"),
