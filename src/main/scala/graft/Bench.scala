@@ -160,7 +160,7 @@ object Bench {
       "rnd_walks" -> "walks", "ttl_purge" -> "ttlp",
       "ttl_vis" -> "ttlv", "schema_evo" -> "schevo",
       "jsonl_rt" -> "jrt", "chlog_apply" -> "chlog",
-      "late_events" -> "late", "vocab_coverage" -> "vcov",
+      "late_events" -> "late", "vocab_coverage" -> "vcov", "training_manifest" -> "manifest",
       "gn_stats" -> "gn_st", "gn_grouped" -> "gn_grp",
       "gn_tprops" -> "gn_tp", "gn_mtype" -> "gn_mt",
       "conn_comp" -> "cc", "winnow" -> "winn",

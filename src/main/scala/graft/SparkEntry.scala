@@ -1197,6 +1197,19 @@ object SparkEntry {
       Curation.batchPlan(t(s, dir, "documents"), "doc_id", "text",
         bucketWidth = 8, batchSize = 4, numShards = 4)),
 
+    // ---- End-to-end training manifest: leakage-safe split, then
+    // batch addresses over the TRAIN slice only — the composition a
+    // dataloader actually consumes ----
+    "q_training_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.join(
+        Curation.splitAssign(docs, "doc_id", "text", 100, 100)
+          .filter(col("split") === "train").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      Curation.batchPlan(train, "doc_id", "text",
+        bucketWidth = 8, batchSize = 4, numShards = 4)
+    }),
+
     // ---- Per-source token-budget trim: scalable two-level prefix
     // sum; oracle replays the equivalent one-window formulation ----
     "q_budget_trim" -> ((s, dir) =>
@@ -3794,6 +3807,28 @@ object SparkEntry {
          |    ORDER BY bkt, doc_id ROWS UNBOUNDED PRECEDING)
          |    AS BIGINT) <= 2000 AS INTEGER) AS kept
          |FROM n""".stripMargin,
+
+    // split CTE composed with the batch-plan CTEs over the train slice
+    "q_training_manifest" ->
+      s"""WITH $TokCte,
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)
+         |            % 1000 < 100 THEN 'test'
+         |       WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)
+         |            % 1000 < 200 THEN 'val'
+         |       ELSE 'train' END AS split
+         |  FROM documents),
+         |trn AS (SELECT toks.doc_id, toks.t FROM toks
+         |  JOIN sp ON sp.doc_id = toks.doc_id WHERE sp.split = 'train'),
+         |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM trn),
+         |b AS (SELECT doc_id, n_tok, doc_id % 4 AS shard,
+         |    n_tok // 8 AS bucket,
+         |    row_number() OVER (PARTITION BY doc_id % 4, n_tok // 8
+         |      ORDER BY doc_id) AS rn
+         |  FROM n)
+         |SELECT doc_id, n_tok, shard, bucket,
+         |  (rn - 1) // 4 AS batch_idx, (rn - 1) % 4 AS pos
+         |FROM b""".stripMargin,
 
     "q_split_assign" ->
       """SELECT doc_id, md5(text) AS fingerprint,
