@@ -161,6 +161,10 @@ object Bench {
       "ttl_vis" -> "ttlv", "schema_evo" -> "schevo",
       "jsonl_rt" -> "jrt", "chlog_apply" -> "chlog",
       "late_events" -> "late", "vocab_coverage" -> "vcov", "training_manifest" -> "manifest",
+      "bloom_dedup" -> "bloom", "dup_spans" -> "dspans",
+      "mm_pixels" -> "mm_px", "mm_resize" -> "mm_rs",
+      "frame_smp" -> "frsmp", "time_type" -> "ttype",
+      "fixed_str" -> "fstr",
       "gn_stats" -> "gn_st", "gn_grouped" -> "gn_grp",
       "gn_tprops" -> "gn_tp", "gn_mtype" -> "gn_mt",
       "conn_comp" -> "cc", "winnow" -> "winn",
@@ -180,14 +184,15 @@ object Bench {
       "butterflies" -> "bfly", "cooccurrence" -> "coocc",
       "degree_hist" -> "deg_hist",
       "update_" -> "upd_", "upsert_" -> "ups_")
+    def shortName(k: String): String =
+      Abbrev.foldLeft(k.stripPrefix("q_")) { case (s, (full, short)) =>
+        if (s.startsWith(full)) short + s.substring(full.length) else s
+      }
     def render(dec: Int, dropPrefix: Boolean,
         abbrev: Boolean = false): String = {
       def nm(k: String) = {
-        val base = if (dropPrefix) k.stripPrefix("q_") else k
-        if (!abbrev) base
-        else Abbrev.foldLeft(base) { case (s, (full, short)) =>
-          if (s.startsWith(full)) short + s.substring(full.length) else s
-        }
+        if (abbrev) shortName(k)
+        else if (dropPrefix) k.stripPrefix("q_") else k
       }
       val qs = results.map {
         case (k, _, Some(err)) => "\"" + nm(k) + "\":\"err:" + err + "\""
@@ -220,8 +225,8 @@ object Bench {
     def valve(floorSec: Double): String = {
       val kept = results.filter { case (_, v, e) => e.isDefined || v >= floorSec }
       val qs = kept.map {
-        case (k, _, Some(err)) => "\"" + k.stripPrefix("q_") + "\":\"err:" + err + "\""
-        case (k, v, None) => "\"" + k.stripPrefix("q_") + "\":" + fmt(v, 1)
+        case (k, _, Some(err)) => "\"" + shortName(k) + "\":\"err:" + err + "\""
+        case (k, v, None) => "\"" + shortName(k) + "\":" + fmt(v, 1)
       }.mkString("{", ",", "}")
       val total = fmt(results.collect { case (_, v, None) => v }.sum, 1)
       val nErr = results.count(_._3.isDefined)
