@@ -161,6 +161,7 @@ object Bench {
       "ttl_vis" -> "ttlv", "schema_evo" -> "schevo",
       "jsonl_rt" -> "jrt", "chlog_apply" -> "chlog",
       "late_events" -> "late", "vocab_coverage" -> "vcov", "training_manifest" -> "manifest",
+      "doc_length_hist" -> "dlhist", "type_transitions" -> "ttrans",
       "bloom_dedup" -> "bloom", "dup_spans" -> "dspans",
       "mm_pixels" -> "mm_px", "mm_resize" -> "mm_rs",
       "frame_smp" -> "frsmp", "time_type" -> "ttype",

@@ -1141,6 +1141,17 @@ object SparkEntry {
       Curation.docNovelty(t(s, dir, "documents"), "doc_id", "text",
         n = 4)),
 
+    // ---- Doc-length histogram (16-token buckets): corpus shape vs
+    // the context window ----
+    "q_doc_length_hist" -> ((s, dir) =>
+      TextAnalysis.docLengthHist(t(s, dir, "documents"), "text",
+        bucketWidth = 16)),
+
+    // ---- First-order event-type transition matrix per user stream ----
+    "q_type_transitions" -> ((s, dir) =>
+      EventStream.typeTransitions(graft.sources.Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id")),
+
     // ---- Vocabulary coverage curve at probe sizes 5/10/20: the
     // tokenizer vocab-size decision evidence ----
     "q_vocab_coverage" -> ((s, dir) =>
@@ -3670,6 +3681,24 @@ object SparkEntry {
          |FROM bc JOIN uc u1 ON bc.w1 = u1.w
          |        JOIN uc u2 ON bc.w2 = u2.w
          |CROSS JOIN tot""".stripMargin,
+
+    "q_doc_length_hist" ->
+      s"""WITH $TokCte,
+         |n AS (SELECT CAST(len(t) AS BIGINT) AS n_tok FROM toks)
+         |SELECT n_tok // 16 AS bucket, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tok
+         |FROM n GROUP BY 1""".stripMargin,
+
+    // lag over (t, event_id) order — unique tie-break both engines
+    "q_type_transitions" ->
+      """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS t,
+        |    event_id AS eid, event_type AS et FROM events),
+        |l AS (SELECT et, lag(et) OVER (PARTITION BY u
+        |    ORDER BY t, eid) AS prev_et FROM b)
+        |SELECT prev_et AS from_type, et AS to_type,
+        |  count(*) AS n_transitions
+        |FROM l WHERE prev_et IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     // coverage curve: the rank window runs over the vocab frame only;
     // window sums CAST (HUGEINT law)

@@ -382,6 +382,19 @@ object TextAnalysis {
   }
 
   /**
+   * Document-length histogram — the corpus-shape diagnostic behind
+   * sequence-length and packing decisions (where does the mass sit
+   * relative to the context window): per `bucketWidth`-token bucket,
+   * document count and exact token mass. One narrow token-count scan +
+   * one histogram-sized aggregate; all-integer output.
+   */
+  def docLengthHist(docs: DataFrame, textCol: String,
+      bucketWidth: Int): DataFrame =
+    docs.select(tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .groupBy(expr(s"n_tok div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+
+  /**
    * Vocabulary coverage curve — the evidence behind choosing a
    * tokenizer vocab size: for each probe size K, the exact token mass
    * the top-K vocabulary covers (cum_freq of the K most frequent

@@ -206,6 +206,31 @@ object EventStream {
   }
 
   /**
+   * Event-type transition matrix — the first-order Markov evidence of
+   * user behavior (what follows what): counts of consecutive
+   * (prev_type → type) pairs within each user's time-ordered stream,
+   * the exact-integer input to session modeling, anomaly scoring, and
+   * funnel design. Event-id tie-break keeps equal timestamps
+   * deterministic.
+   *
+   * Scale shape: one user-keyed shuffle + a per-user lag window, then
+   * a matrix-sized (|types|²) count aggregate — map-side combinable,
+   * so a hot user costs their own events, never a reducer funnel.
+   */
+  def typeTransitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("t"), col("eid"))
+    events.select(col(userCol).as("u"), unix_micros(col(tsCol)).as("t"),
+        col(idCol).as("eid"), col(typeCol).as("et"))
+      .withColumn("prev_et", lag(col("et"), 1).over(w))
+      .filter(col("prev_et").isNotNull)
+      .groupBy(col("prev_et").as("from_type"), col("et").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /**
    * Late-event accounting — the measurement that SIZES a watermark
    * before anyone picks one: per user, how many events arrive (in
    * `idCol` order, the ingestion sequence) with an event time BEHIND
