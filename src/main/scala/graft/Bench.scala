@@ -26,6 +26,114 @@ import org.apache.spark.sql.SparkSession
  *    full-precision copy goes to bench_local.json for analysis.
  */
 object Bench {
+  // Name abbreviations for the tightest ladder steps (95+ queries no
+  // longer fit at any precision with full names). BENCH_LOCAL_r<N>
+  // .json always carries full names + nanosecond precision; the
+  // driver-tail line is for the round-over-round total + hot spots.
+  // Object-level (not main-local) so NoFloatGateSpec can statically
+  // assert shortName stays injective over the query set — a collision
+  // would silently emit duplicate JSON keys, losing one timing.
+  private[graft] val Abbrev: Seq[(String, String)] = Seq(
+    "get_neighbors_" -> "gn_", "multimodal_" -> "mm_",
+    "events_" -> "ev_", "lookup_" -> "lk_", "sample_" -> "smp_",
+    "delete_" -> "del_", "dedup_" -> "dd_", "scan_" -> "sc_",
+    // longest-first where one name prefixes another
+    "simhash_neardup" -> "sh_nd", "simhash" -> "sh",
+    "winnow_fingerprints" -> "winnow", "repetition_stats" -> "rep_stats",
+    "stratified_sample" -> "strat_smp",
+    "connected_components" -> "conn_comp",
+    "label_propagation" -> "label_prop",
+    "schema_evolution" -> "schema_evo", "token_entropy" -> "tok_entropy",
+    "unigram_logprob" -> "unigram_lp", "weighted_sample" -> "wt_sample",
+    "vector_quantize" -> "vec_quant", "triangle_count" -> "tri_count",
+    "shortest_paths" -> "short_paths", "stats_part_hist" -> "stats_hist",
+    "mixture_sample" -> "mix_sample", "sequence_pack" -> "seq_pack",
+    "embedding_neardup" -> "emb_nd", "jsonl_roundtrip" -> "jsonl_rt",
+    "csv_roundtrip" -> "csv_rt",
+    "add_vertices_ifnotexists" -> "add_vtx_ine",
+    "compact_preserves" -> "compact", "corpus_curation" -> "curation",
+    "decontaminate" -> "decontam", "chunk_windows" -> "chunk_win",
+    "minhash_signatures" -> "minhash_sig",
+    "lsh_candidates" -> "lsh_cand", "ngram_jaccard" -> "ngram_jac",
+    "tfidf_topterms" -> "tfidf_top", "index_rebuild" -> "idx_rebuild",
+    "interval_join" -> "ival_join", "skew_salted_agg" -> "skew_agg",
+    "store_ingest" -> "ingest", "expr_filter" -> "expr_filt",
+    "fixed_string" -> "fixed_str", "frame_sample" -> "frame_smp",
+    "common_neighbors" -> "comm_nbrs", "random_walks" -> "rnd_walks",
+    "semantic_decontam" -> "sem_decon", "hll_registers" -> "hll",
+    "hll_by_group" -> "hll_grp",
+    "bigram_score" -> "bg_score", "oov_rate" -> "oov",
+    "cms_registers" -> "cms_reg", "cms_lookup" -> "cms_look",
+    "link_predict" -> "lnk_pred", "cohort_retention" -> "cohort",
+    "ttl_visibility" -> "ttl_vis", "ev_running_totals" -> "ev_run_tot",
+    "clustering_coef" -> "clust_coef",
+    "zipf_table" -> "zipf", "assortativity" -> "assort",
+    "component_stats" -> "comp_stats",
+    "ev_session_window" -> "ev_sess_win",
+    "changelog_apply" -> "chlog_apply",
+    "quality_classifier" -> "qual_clf",
+    "contrastive_pairs" -> "contr_pairs",
+    "collocations" -> "colloc", "doc_novelty" -> "doc_nov",
+    "split_assign" -> "split", "batch_plan" -> "batch",
+    "budget_trim" -> "budget",
+    // deeper cuts for the 150-query line (longest-first)
+    "get_props_edges" -> "gp_edges", "get_props" -> "gp",
+    "lk_prefix_range" -> "lk_pfx", "dd_incremental" -> "dd_incr",
+    "ev_dedup_first" -> "ev_dd1", "lk_union_dedup" -> "lk_union",
+    "sc_vertex_page" -> "sc_vtx", "sc_edge_page" -> "sc_edge",
+    "sc_multi_tag" -> "sc_mtag", "smp_neighbors" -> "smp_nbr",
+    "smp_reservoir" -> "smp_res", "del_vertices" -> "del_vtx",
+    "dup_clusters" -> "dup_clus", "gn_multitype" -> "gn_mtype",
+    "lk_via_index" -> "lk_idx", "rollup_stats" -> "rollup",
+    "text_quality" -> "txt_qual", "add_vtx_ine" -> "add_ine",
+    "chlog_apply" -> "chlog", "contr_pairs" -> "contr",
+    "dd_pipeline" -> "dd_pipe", "ev_sessions" -> "ev_sess",
+    "gn_tagprops" -> "gn_tprops", "idx_rebuild" -> "idx_rb",
+    "minhash_sig" -> "mh_sig", "text_search" -> "txt_srch",
+    "tok_entropy" -> "tok_ent", "ev_run_tot" -> "ev_rtot",
+    "ivf_recall" -> "ivf_rec",
+    "ivfpq_recall" -> "ivfpq_rec", "ivfpq_topk" -> "ivfpq", "line_dedup" -> "line_dd",
+    "mix_sample" -> "mix_smp", "stats_hist" -> "st_hist",
+    "stats_task" -> "st_task", "upd_vertex" -> "upd_vtx",
+    "ups_vertex" -> "ups_vtx", "del_edges" -> "del_edg",
+    "mm_features" -> "mm_feat",
+    // round-9 names
+    "neighborhood_agg" -> "nbr_agg", "skew_report" -> "skew_rpt",
+    "modularity" -> "modul", "multi_touch" -> "mtouch",
+    "eccentricity" -> "ecc", "graph_shape" -> "gshape",
+    "ev_sess_win" -> "ev_sw", "ival_join" -> "ivj",
+    "rnd_walks" -> "walks", "ttl_purge" -> "ttlp",
+    "ttl_vis" -> "ttlv", "schema_evo" -> "schevo",
+    "jsonl_rt" -> "jrt", "late_events" -> "late", "vocab_coverage" -> "vcov", "training_manifest" -> "manifest",
+    "doc_length_hist" -> "dlhist", "type_transitions" -> "ttrans",
+    "bloom_dedup" -> "bloom", "dup_spans" -> "dspans",
+    "mm_pixels" -> "mm_px", "mm_resize" -> "mm_rs",
+    "frame_smp" -> "frsmp", "time_type" -> "ttype",
+    "fixed_str" -> "fstr",
+    "gn_stats" -> "gn_st", "gn_grouped" -> "gn_grp",
+    "gn_tprops" -> "gn_tp", "gn_mtype" -> "gn_mt",
+    "conn_comp" -> "cc", "winnow" -> "winn",
+    "qual_clf" -> "qclf", "emb_nd" -> "embnd",
+    "strat_smp" -> "strat", "sem_decon" -> "semdec", "part_scan" -> "pscan",
+    "rep_stats" -> "repst", "label_prop" -> "lprop",
+    "comm_nbrs" -> "cnbrs", "short_paths" -> "spaths",
+    "cms_heavy_hitters" -> "cms_hh", "cross_source_dups" -> "xsrc",
+    "group_centroids" -> "grp_cent", "matryoshka_recall" -> "matr_rec",
+    "partitioned_scan" -> "part_scan", "random_project" -> "rnd_proj",
+    "rolling_window" -> "roll_win", "source_overlap" -> "src_ovl",
+    "weighted_pagerank" -> "wt_pr", "orc_roundtrip" -> "orc_rt",
+    "knn_graph" -> "knn", "fuzzy_pairs" -> "fuzzy",
+    "dsir_evidence" -> "dsir", "containment" -> "contain",
+    "snapshot_diff" -> "snap_diff", "dangling_refs" -> "dangl",
+    "butterflies" -> "bfly", "cooccurrence" -> "coocc",
+    "degree_hist" -> "deg_hist",
+    "update_" -> "upd_", "upsert_" -> "ups_")
+
+  private[graft] def shortName(k: String): String =
+    Abbrev.foldLeft(k.stripPrefix("q_")) { case (s, (full, short)) =>
+      if (s.startsWith(full)) short + s.substring(full.length) else s
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -81,114 +189,13 @@ object Bench {
         if (t.endsWith(".")) t.dropRight(1) else t
       } else s
     }
-    // At 84 queries even 2-decimal values overflow the tail budget with
-    // full names, so the ladder also drops the uniform "q_" prefix
-    // (names stay unambiguous; bench_local.json keeps the full
-    // names + nanosecond precision and is committed per round as
-    // BENCH_LOCAL_r<N>.json for analysis beyond the tail limit).
-    // Name abbreviations for the tightest ladder steps (95+ queries no
-    // longer fit at any precision with full names). BENCH_LOCAL_r<N>
-    // .json always carries full names + nanosecond precision; the
-    // driver-tail line is for the round-over-round total + hot spots.
-    val Abbrev = Seq("get_neighbors_" -> "gn_", "multimodal_" -> "mm_",
-      "events_" -> "ev_", "lookup_" -> "lk_", "sample_" -> "smp_",
-      "delete_" -> "del_", "dedup_" -> "dd_", "scan_" -> "sc_",
-      // longest-first where one name prefixes another
-      "simhash_neardup" -> "sh_nd", "simhash" -> "sh",
-      "winnow_fingerprints" -> "winnow", "repetition_stats" -> "rep_stats",
-      "stratified_sample" -> "strat_smp",
-      "connected_components" -> "conn_comp",
-      "label_propagation" -> "label_prop",
-      "schema_evolution" -> "schema_evo", "token_entropy" -> "tok_entropy",
-      "unigram_logprob" -> "unigram_lp", "weighted_sample" -> "wt_sample",
-      "vector_quantize" -> "vec_quant", "triangle_count" -> "tri_count",
-      "shortest_paths" -> "short_paths", "stats_part_hist" -> "stats_hist",
-      "mixture_sample" -> "mix_sample", "sequence_pack" -> "seq_pack",
-      "embedding_neardup" -> "emb_nd", "jsonl_roundtrip" -> "jsonl_rt",
-      "csv_roundtrip" -> "csv_rt",
-      "add_vertices_ifnotexists" -> "add_vtx_ine",
-      "compact_preserves" -> "compact", "corpus_curation" -> "curation",
-      "decontaminate" -> "decontam", "chunk_windows" -> "chunk_win",
-      "minhash_signatures" -> "minhash_sig",
-      "lsh_candidates" -> "lsh_cand", "ngram_jaccard" -> "ngram_jac",
-      "tfidf_topterms" -> "tfidf_top", "index_rebuild" -> "idx_rebuild",
-      "interval_join" -> "ival_join", "skew_salted_agg" -> "skew_agg",
-      "store_ingest" -> "ingest", "expr_filter" -> "expr_filt",
-      "fixed_string" -> "fixed_str", "frame_sample" -> "frame_smp",
-      "common_neighbors" -> "comm_nbrs", "random_walks" -> "rnd_walks",
-      "semantic_decontam" -> "sem_decon", "hll_registers" -> "hll",
-      "hll_by_group" -> "hll_grp",
-      "bigram_score" -> "bg_score", "oov_rate" -> "oov",
-      "cms_registers" -> "cms_reg", "cms_lookup" -> "cms_look",
-      "link_predict" -> "lnk_pred", "cohort_retention" -> "cohort",
-      "ttl_visibility" -> "ttl_vis", "ev_running_totals" -> "ev_run_tot",
-      "clustering_coef" -> "clust_coef",
-      "zipf_table" -> "zipf", "assortativity" -> "assort",
-      "component_stats" -> "comp_stats",
-      "ev_session_window" -> "ev_sess_win",
-      "changelog_apply" -> "chlog_apply",
-      "quality_classifier" -> "qual_clf",
-      "contrastive_pairs" -> "contr_pairs",
-      "collocations" -> "colloc", "doc_novelty" -> "doc_nov",
-      "split_assign" -> "split", "batch_plan" -> "batch",
-      "budget_trim" -> "budget",
-      // deeper cuts for the 150-query line (longest-first)
-      "get_props_edges" -> "gp_edges", "get_props" -> "gp",
-      "lk_prefix_range" -> "lk_pfx", "dd_incremental" -> "dd_incr",
-      "ev_dedup_first" -> "ev_dd1", "lk_union_dedup" -> "lk_union",
-      "sc_vertex_page" -> "sc_vtx", "sc_edge_page" -> "sc_edge",
-      "sc_multi_tag" -> "sc_mtag", "smp_neighbors" -> "smp_nbr",
-      "smp_reservoir" -> "smp_res", "del_vertices" -> "del_vtx",
-      "dup_clusters" -> "dup_clus", "gn_multitype" -> "gn_mtype",
-      "lk_via_index" -> "lk_idx", "rollup_stats" -> "rollup",
-      "text_quality" -> "txt_qual", "add_vtx_ine" -> "add_ine",
-      "chlog_apply" -> "chlog", "contr_pairs" -> "contr",
-      "dd_pipeline" -> "dd_pipe", "ev_sessions" -> "ev_sess",
-      "gn_tagprops" -> "gn_tprops", "idx_rebuild" -> "idx_rb",
-      "minhash_sig" -> "mh_sig", "text_search" -> "txt_srch",
-      "tok_entropy" -> "tok_ent", "ev_run_tot" -> "ev_rtot",
-      "ivf_recall" -> "ivf_rec", "line_dedup" -> "line_dd",
-      "mix_sample" -> "mix_smp", "stats_hist" -> "st_hist",
-      "stats_task" -> "st_task", "upd_vertex" -> "upd_vtx",
-      "ups_vertex" -> "ups_vtx", "del_edges" -> "del_edg",
-      "mm_features" -> "mm_feat",
-      // round-9 names
-      "neighborhood_agg" -> "nbr_agg", "skew_report" -> "skew_rpt",
-      "modularity" -> "modul", "multi_touch" -> "mtouch",
-      "eccentricity" -> "ecc", "graph_shape" -> "gshape",
-      "ev_sess_win" -> "ev_sw", "ival_join" -> "ivj",
-      "rnd_walks" -> "walks", "ttl_purge" -> "ttlp",
-      "ttl_vis" -> "ttlv", "schema_evo" -> "schevo",
-      "jsonl_rt" -> "jrt", "chlog_apply" -> "chlog",
-      "late_events" -> "late", "vocab_coverage" -> "vcov", "training_manifest" -> "manifest",
-      "doc_length_hist" -> "dlhist", "type_transitions" -> "ttrans",
-      "bloom_dedup" -> "bloom", "dup_spans" -> "dspans",
-      "mm_pixels" -> "mm_px", "mm_resize" -> "mm_rs",
-      "frame_smp" -> "frsmp", "time_type" -> "ttype",
-      "fixed_str" -> "fstr",
-      "gn_stats" -> "gn_st", "gn_grouped" -> "gn_grp",
-      "gn_tprops" -> "gn_tp", "gn_mtype" -> "gn_mt",
-      "conn_comp" -> "cc", "winnow" -> "winn",
-      "qual_clf" -> "qclf", "emb_nd" -> "embnd",
-      "strat_smp" -> "strat", "matr_rec" -> "matr",
-      "sem_decon" -> "semdec", "part_scan" -> "pscan",
-      "rep_stats" -> "repst", "label_prop" -> "lprop",
-      "comm_nbrs" -> "cnbrs", "short_paths" -> "spaths",
-      "cms_heavy_hitters" -> "cms_hh", "cross_source_dups" -> "xsrc",
-      "group_centroids" -> "grp_cent", "matryoshka_recall" -> "matr_rec",
-      "partitioned_scan" -> "part_scan", "random_project" -> "rnd_proj",
-      "rolling_window" -> "roll_win", "source_overlap" -> "src_ovl",
-      "weighted_pagerank" -> "wt_pr", "orc_roundtrip" -> "orc_rt",
-      "knn_graph" -> "knn", "fuzzy_pairs" -> "fuzzy",
-      "dsir_evidence" -> "dsir", "containment" -> "contain",
-      "snapshot_diff" -> "snap_diff", "dangling_refs" -> "dangl",
-      "butterflies" -> "bfly", "cooccurrence" -> "coocc",
-      "degree_hist" -> "deg_hist",
-      "update_" -> "upd_", "upsert_" -> "ups_")
-    def shortName(k: String): String =
-      Abbrev.foldLeft(k.stripPrefix("q_")) { case (s, (full, short)) =>
-        if (s.startsWith(full)) short + s.substring(full.length) else s
+    val _assertInjective = {
+      val names = SparkEntry.queries.keys.toSeq
+      val dup = names.groupBy(shortName).collect {
+        case (sn, ks) if ks.size > 1 => s"$sn <- ${ks.mkString(",")}"
       }
+      require(dup.isEmpty, s"shortName collisions: ${dup.mkString("; ")}")
+    }
     def render(dec: Int, dropPrefix: Boolean,
         abbrev: Boolean = false): String = {
       def nm(k: String) = {

@@ -409,6 +409,26 @@ object SparkEntry {
           "vec_id", "embedding", m = 4, dim = 64, k = 5))
     }),
 
+    // ---- IVF+PQ composed serving query (IVFADC, Jégou et al. 2011
+    // §IV): ADC code-lookup ranking restricted to the nProbe probed
+    // coarse cells — the billion-scale ANN serving shape ----
+    "q_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = (0L to 4L), k = 5, nCells = 16, nProbe = 4,
+        m = 2, kCodes = 4, iters = 2, dim = 64)),
+
+    // ---- IVF+PQ recall@k vs the exact-L2 ground truth: the dial
+    // measurement for (nProbe, m, kCodes) at serving time ----
+    "q_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopKL2(emb, "vec_id", "embedding",
+          queryIds = (0L to 4L), k = 5),
+        Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 4L), k = 5, nCells = 16, nProbe = 4,
+          m = 2, kCodes = 4, iters = 2, dim = 64))
+    }),
+
     // ---- Contrastive pair mining: top-k cosine neighbors per anchor,
     // labeled positive/negative by class — hard-negative generation
     // for embedding-model training ----
@@ -553,7 +573,8 @@ object SparkEntry {
     // exact search vs full-dim exact search ----
     "q_matryoshka_recall" -> ((s, dir) =>
       Similarity.matryoshkaRecall(t(s, dir, "embeddings"), "vec_id",
-        "embedding", queryIds = (0L to 9L), k = 5, prefixDim = 16)),
+        "embedding", queryIds = (0L to 9L), k = 5, prefixDim = 16,
+        dim = 64)),
 
     // ---- Per-label centroid cohesion without a pair join: mean
     // pairwise dot via the ||Σv||² − Σ||v||² identity ----
@@ -845,7 +866,7 @@ object SparkEntry {
     // count + nearest/farthest gap within a 6 h lookback ----
     "q_multi_touch" -> ((s, dir) =>
       EventStream.multiTouch(graft.sources.Tables.events(s, dir),
-        "user_id", "ts", "event_type", touchType = "view",
+        "event_id", "user_id", "ts", "event_type", touchType = "view",
         convType = "purchase", windowUs = 6L * 3600 * 1000000)),
 
     // ---- Ordered funnel: per-step user counts for the strictly
@@ -965,7 +986,9 @@ object SparkEntry {
     // ---- Exact reservoir sample (§2.6/§2.11) facing the oracle via
     // its invariants: exactly min(k, deg) picks per group, every pick a
     // real member, no duplicates. The reservoir itself is the seeded
-    // ReservoirAgg — the reference's literal algorithm ----
+    // ReservoirAgg — deterministic bottom-k priorities, the
+    // partition-invariant statement of the reference's streaming
+    // reservoir ----
     "q_sample_reservoir" -> ((s, dir) => {
       // `placed` edges: _rank = o_orderkey, unique per _src, so the
       // no-duplicates invariant is exact (contains._rank = linenumber
@@ -1303,8 +1326,9 @@ object SparkEntry {
         Seq("c_custkey"), Seq("c_nationkey"))
     }),
 
-    // ---- Graph-shape ingest audit: one-row arc sanity report vs a
-    // vertex set with planted isolated keys (every 10th part) ----
+    // ---- Graph-shape ingest audit: one-row arc sanity report of the
+    // lineitem order→part arcs against the full part table — isolated
+    // vertices are whatever parts lineitem happens not to reference ----
     "q_graph_shape" -> ((s, dir) =>
       graft.operators.Audit.graphShape(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
@@ -1412,6 +1436,18 @@ object SparkEntry {
     "q_interval_join" -> ((s, dir) => {
       val ev = graft.sources.Tables.events(s, dir)
       EventStream.intervalJoinStreaming(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"),
+        key = "user_id", window = "6 hours")
+    }),
+
+    // ---- Stream-stream LEFT OUTER interval join: the attribution
+    // shape where every view keeps a row — unmatched ones surface with
+    // null purchase columns on watermark expiry (batch twin here; the
+    // stream==batch equivalence is StreamingSpec's flush-row case) ----
+    "q_interval_join_outer" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      EventStream.intervalJoinOuterStreaming(
         ev.where(col("event_type") === "view"),
         ev.where(col("event_type") === "purchase"),
         key = "user_id", window = "6 hours")
@@ -1804,6 +1840,87 @@ object SparkEntry {
   private def pqRecallSql(m: Int, k: Int, iters: Int, dim: Int,
       nQueries: Int, topK: Int): String =
     s"""WITH ${pqAdcRankedCtes(m, k, iters, dim, nQueries)},
+       |approx AS (SELECT query_id, cand_id FROM ranked
+       |  WHERE rk <= $topK),
+       |exact AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${pqD2Sql("q.embedding::DOUBLE[]",
+                "c.embedding::DOUBLE[]")} ASC, c.vec_id) AS rk
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $nQueries) WHERE rk <= $topK)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  floor((sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |GROUP BY e.query_id""".stripMargin
+
+  /** IVF+PQ (IVFADC) oracle: the PQ chains/tables CTEs layered with a
+    * coarse L2² assignment + probe, ADC sums only within probed cells.
+    * Yields relation `ranked(query_id, cand_id, d2, rk)`. */
+  private def ivfPqRankedCtes(m: Int, k: Int, iters: Int, dim: Int,
+      nCells: Int, nProbe: Int, nQueries: Int): String = {
+    val subDim = dim / m
+    val tabs = (0 until m).map { s =>
+      s"""t$s AS (SELECT q.vec_id AS query_id, $s AS sub,
+         |    c.cell AS code,
+         |    ${graft.functions.Portable.dyadicSql(
+              pqD2Sql(
+                s"list_slice(q.embedding::DOUBLE[], ${s * subDim + 1}, " +
+                  s"${(s + 1) * subDim})", "c.cvec"))} AS td
+         |  FROM embeddings q CROSS JOIN c${s}_$iters c
+         |  WHERE q.vec_id < $nQueries)""".stripMargin
+    }.mkString(",\n")
+    s"""${pqChainsSql(m, k, iters, dim)},
+       |$tabs,
+       |codes AS (${(0 until m).map(s => s"SELECT * FROM f$s")
+          .mkString(" UNION ALL ")}),
+       |tabs AS (${(0 until m).map(s => s"SELECT * FROM t$s")
+          .mkString(" UNION ALL ")}),
+       |coarse AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS ccvec
+       |  FROM embeddings WHERE vec_id < $nCells),
+       |iasg AS (SELECT vec_id AS cand_id, cell FROM (
+       |  SELECT e.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${pqD2Sql("e.embedding::DOUBLE[]", "c.ccvec")} ASC,
+       |        c.cell) AS crk
+       |  FROM embeddings e CROSS JOIN coarse c) WHERE crk = 1),
+       |probed AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, c.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${pqD2Sql("q.embedding::DOUBLE[]", "c.ccvec")} ASC,
+       |        c.cell) AS crk
+       |  FROM embeddings q CROSS JOIN coarse c
+       |  WHERE q.vec_id < $nQueries) WHERE crk <= $nProbe),
+       |scored AS (SELECT p.query_id, c.vec_id AS cand_id,
+       |    CAST(sum(t.td) AS DOUBLE) AS d2
+       |  FROM codes c
+       |  JOIN iasg a ON a.cand_id = c.vec_id
+       |  JOIN probed p ON p.cell = a.cell
+       |  JOIN tabs t ON t.query_id = p.query_id AND t.sub = c.sub
+       |    AND t.code = c.code
+       |  WHERE c.vec_id <> p.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2 ASC, cand_id) AS rk FROM scored)""".stripMargin
+  }
+
+  private def ivfPqSql(m: Int, k: Int, iters: Int, dim: Int,
+      nCells: Int, nProbe: Int, nQueries: Int, topK: Int): String =
+    s"""WITH ${ivfPqRankedCtes(m, k, iters, dim, nCells, nProbe, nQueries)}
+       |SELECT query_id, cand_id,
+       |  floor((d2) * 1000000.0 + 0.5) / 1000000.0 AS d2,
+       |  CAST(rk AS INTEGER) AS rk
+       |FROM ranked WHERE rk <= $topK""".stripMargin
+
+  /** IVF+PQ recall oracle: the composed ranked lists vs exact-L2²
+    * top-k, per query — same recall computation as [[pqRecallSql]]. */
+  private def ivfPqRecallSql(m: Int, k: Int, iters: Int, dim: Int,
+      nCells: Int, nProbe: Int, nQueries: Int, topK: Int): String =
+    s"""WITH ${ivfPqRankedCtes(m, k, iters, dim, nCells, nProbe, nQueries)},
        |approx AS (SELECT query_id, cand_id FROM ranked
        |  WHERE rk <= $topK),
        |exact AS (SELECT query_id, cand_id FROM (
@@ -3074,27 +3191,28 @@ object SparkEntry {
         |  ELSE 29 - length(bin(rem)) END) AS max_rho
         |FROM r GROUP BY l_suppkey, reg""".stripMargin,
 
-    // row-salted md5 hash ("i#v", the portable-hash idiom); count(*)
+    // ONE md5 per value; hash row i = 32-bit hex window i of the same
+    // digest (disjoint windows are independent by avalanche); count(*)
     // is BIGINT in both engines — no HUGEINT widening.
     "q_cms_registers" ->
       """WITH d AS (SELECT i FROM (VALUES (0),(1),(2),(3)) AS t(i))
         |SELECT d.i AS hrow,
-        |  CAST('0x' || substr(md5(CAST(d.i AS VARCHAR) || '#' ||
-        |    CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS reg,
+        |  CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+        |    1 + 8 * d.i, 8) AS BIGINT) % 256 AS reg,
         |  count(*) AS cnt
         |FROM lineitem CROSS JOIN d GROUP BY 1, 2""".stripMargin,
 
     "q_cms_lookup" ->
       """WITH d AS (SELECT i FROM (VALUES (0),(1),(2),(3)) AS t(i)),
         |sk AS MATERIALIZED (SELECT d.i AS hrow,
-        |    CAST('0x' || substr(md5(CAST(d.i AS VARCHAR) || '#' ||
-        |      CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS reg,
+        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+        |      1 + 8 * d.i, 8) AS BIGINT) % 256 AS reg,
         |    count(*) AS cnt
         |  FROM lineitem CROSS JOIN d GROUP BY 1, 2),
         |k AS (SELECT p_partkey AS pkey FROM part WHERE p_partkey % 50 = 0),
         |probe AS (SELECT k.pkey, d.i AS hrow,
-        |    CAST('0x' || substr(md5(CAST(d.i AS VARCHAR) || '#' ||
-        |      CAST(k.pkey AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS reg
+        |    CAST('0x' || substr(md5(CAST(k.pkey AS VARCHAR)),
+        |      1 + 8 * d.i, 8) AS BIGINT) % 256 AS reg
         |  FROM k CROSS JOIN d),
         |est AS (SELECT probe.pkey, min(coalesce(sk.cnt, 0)) AS est_cnt
         |  FROM probe LEFT JOIN sk
@@ -3111,14 +3229,14 @@ object SparkEntry {
     "q_cms_heavy_hitters" ->
       """WITH d AS (SELECT i FROM (VALUES (0),(1),(2),(3)) AS t(i)),
         |sk AS MATERIALIZED (SELECT d.i AS hrow,
-        |    CAST('0x' || substr(md5(CAST(d.i AS VARCHAR) || '#' ||
-        |      CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 4096 AS reg,
+        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+        |      1 + 8 * d.i, 8) AS BIGINT) % 4096 AS reg,
         |    count(*) AS cnt
         |  FROM lineitem CROSS JOIN d GROUP BY 1, 2),
         |k AS (SELECT DISTINCT l_partkey AS pkey FROM lineitem),
         |probe AS (SELECT k.pkey, d.i AS hrow,
-        |    CAST('0x' || substr(md5(CAST(d.i AS VARCHAR) || '#' ||
-        |      CAST(k.pkey AS VARCHAR)), 1, 8) AS BIGINT) % 4096 AS reg
+        |    CAST('0x' || substr(md5(CAST(k.pkey AS VARCHAR)),
+        |      1 + 8 * d.i, 8) AS BIGINT) % 4096 AS reg
         |  FROM k CROSS JOIN d),
         |est AS (SELECT probe.pkey, min(coalesce(sk.cnt, 0)) AS est_cnt
         |  FROM probe LEFT JOIN sk
@@ -3389,6 +3507,18 @@ object SparkEntry {
         |FROM events v JOIN events p
         |  ON v.user_id = p.user_id
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts > v.ts
+        | AND p.ts <= v.ts + INTERVAL 6 HOUR""".stripMargin,
+
+    // left-outer: the type predicates move INTO the sides (in ON they
+    // would re-admit non-view left rows as unmatched output)
+    "q_interval_join_outer" ->
+      """SELECT v.user_id, v.event_id AS l_id, p.event_id AS r_id,
+        |  p.value AS r_value,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
         | AND p.ts > v.ts
         | AND p.ts <= v.ts + INTERVAL 6 HOUR""".stripMargin,
 
@@ -3875,6 +4005,12 @@ object SparkEntry {
     "q_pq_adc" -> pqAdcSql(m = 2, k = 4, iters = 2, dim = 64,
       nQueries = 5, topK = 5),
 
+    "q_ivfpq_topk" -> ivfPqSql(m = 2, k = 4, iters = 2, dim = 64,
+      nCells = 16, nProbe = 4, nQueries = 5, topK = 5),
+
+    "q_ivfpq_recall" -> ivfPqRecallSql(m = 2, k = 4, iters = 2, dim = 64,
+      nCells = 16, nProbe = 4, nQueries = 5, topK = 5),
+
     "q_pq_recall" -> pqRecallSql(m = 4, k = 16, iters = 2, dim = 64,
       nQueries = 5, topK = 5),
 
@@ -4268,6 +4404,8 @@ object SparkEntry {
     "q_contrastive_pairs" -> Seq("sim"),
     "q_pq_adc" -> Seq("d2"),
     "q_pq_recall" -> Seq("recall"),
+    "q_ivfpq_topk" -> Seq("d2"),
+    "q_ivfpq_recall" -> Seq("recall"),
     "q_asof_join" -> Seq("buy_value"),
     "q_changelog_apply" -> Seq("s_acctbal"),
     "q_corpus_curation" -> Seq("quality_score"),
@@ -4290,6 +4428,7 @@ object SparkEntry {
     "q_get_props" -> Seq("c_acctbal"),
     "q_get_props_edges" -> Seq("l_quantity", "l_extendedprice"),
     "q_interval_join" -> Seq("r_value"),
+    "q_interval_join_outer" -> Seq("r_value"),
     "q_ivf_recall" -> Seq("recall"),
     "q_ivf_topk" -> Seq("sim"),
     "q_lookup_prefix_range" -> Seq("l_quantity"),

@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
-import scala.util.Random
-
 /**
  * Per-vertex edge sampling — the reference samples exactly-k edges per
  * input vertex with a streaming reservoir when `random=true`
@@ -17,10 +15,10 @@ import scala.util.Random
  *    multiplicative hash of the edge key — same selection law
  *    (uniform-ish over the group), fully reproducible, and expressible in
  *    ANSI SQL for the DuckDB oracle. One window shuffle, scale-safe.
- *  - [[ReservoirAgg]]: an exact streaming reservoir as a typed
- *    `Aggregator`, for callers that want the reference's literal
- *    algorithm (merge-able across partitions, seeded for test
- *    determinism).
+ *  - [[ReservoirAgg]]: exact-k uniform sampling as a typed
+ *    `Aggregator` via deterministic bottom-k priorities — the
+ *    distributed statement of the reference's streaming reservoir
+ *    (merge is a k-way min-merge: partition-count-invariant, seeded).
  */
 object Sample {
 
@@ -48,55 +46,46 @@ object Sample {
   }
 
   /**
-   * Exact streaming reservoir sample of k Long ids, seeded. Partial
-   * reservoirs merge by weighted re-draw, so the aggregate distributes
-   * (unlike the reference's single-threaded reservoir it stays exact per
-   * partition and approximately uniform across merges).
+   * Exact-k uniform sample as deterministic bottom-k priorities
+   * (min-wise sampling, the distributed statement of the reference's
+   * streaming reservoir): every element draws the fixed priority
+   * `byteswap64(seed ^ byteswap64(v))` — a seeded bijective mix, the
+   * random-oracle stand-in — and the k smallest (priority, value)
+   * pairs win. `reduce` is a bounded insert, `merge` a pure k-way
+   * min-merge, so the result is a function of the SET of values
+   * alone: partition-count-invariant, retry-stable, and exactly
+   * uniform over distinct values (every k-subset equally likely under
+   * the mix). Duplicate values collapse to one candidate (set
+   * semantics — the sample is of the value domain, as for neighbor
+   * ids).
    */
   final case class Reservoir(k: Int, seed: Long, seen: Long,
-      items: Vector[Long])
+      items: Vector[(Long, Long)])
 
   class ReservoirAgg(k: Int, seed: Long)
       extends Aggregator[Long, Reservoir, Seq[Long]] {
+    import scala.util.hashing.byteswap64
+
+    private def priority(v: Long): Long = byteswap64(seed ^ byteswap64(v))
+
     override def zero: Reservoir = Reservoir(k, seed, 0L, Vector.empty)
 
     override def reduce(b: Reservoir, v: Long): Reservoir = {
+      val p = (priority(v), v)
       val seen = b.seen + 1
-      if (b.items.size < k) b.copy(seen = seen, items = b.items :+ v)
-      else {
-        // Deterministic per-element draw: seed ⊕ element ⊕ count.
-        // floorMod, not .abs%: Long.MinValue.abs is negative, and
-        // abs-then-mod doubles the low residues' probability.
-        val r = new Random(b.seed ^ v ^ seen)
-        val j = Math.floorMod(r.nextLong(), seen)
-        if (j < k) b.copy(seen = seen, items = b.items.updated(j.toInt, v))
-        else b.copy(seen = seen)
-      }
+      if (b.items.contains(p)) b.copy(seen = seen)
+      else if (b.items.size < k)
+        b.copy(seen = seen, items = (b.items :+ p).sorted)
+      else if (Ordering[(Long, Long)].lt(p, b.items.last))
+        b.copy(seen = seen, items = (b.items.init :+ p).sorted)
+      else b.copy(seen = seen)
     }
 
-    override def merge(a: Reservoir, c: Reservoir): Reservoir = {
-      val total = a.seen + c.seen
-      if (a.items.size + c.items.size <= k)
-        a.copy(seen = total, items = a.items ++ c.items)
-      else {
-        // Weighted merge: draw k from the union, weighting each side by
-        // its seen-count, with a deterministic rng. NOTE: the rng
-        // stream is consumed in pool order, so the draw is
-        // deterministic for a FIXED partitioning but not
-        // partition-count-invariant (statistically sound either way);
-        // the hash-rank sampler below is the invariant, gate-checked
-        // path — use it when bit-stable output across repartitions
-        // matters.
-        val r = new Random(a.seed ^ total)
-        val pool = a.items.map(v => (v, a.seen)) ++ c.items.map(v => (v, c.seen))
-        val drawn = pool
-          .map { case (v, w) => (v, math.pow(r.nextDouble(), 1.0 / w)) }
-          .sortBy(-_._2).take(k).map(_._1)
-        Reservoir(k, a.seed, total, drawn.toVector)
-      }
-    }
+    override def merge(a: Reservoir, c: Reservoir): Reservoir =
+      Reservoir(k, a.seed, a.seen + c.seen,
+        (a.items ++ c.items).distinct.sorted.take(k))
 
-    override def finish(r: Reservoir): Seq[Long] = r.items
+    override def finish(r: Reservoir): Seq[Long] = r.items.map(_._2)
     override def bufferEncoder = Encoders.product[Reservoir]
     override def outputEncoder =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()

@@ -279,6 +279,13 @@ object Dedup {
    */
   def fuzzyPairs(df: DataFrame, idCol: String, keyCol: String,
       maxDist: Int, maxBlockSize: Int): DataFrame = {
+    // band width 4 ⇒ the no-split invariant (a true pair's lengths land
+    // in one band) only holds for maxDist <= 2; enforce rather than
+    // silently lose cross-band matches at larger distances
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist $maxDist must be in [1,2]: the length-band-4 blocking " +
+        "is recall-safe only up to 2 edits (band twice with offset " +
+        "blocks for larger distances)")
     val keyed = df.select(col(idCol).as("id"),
         trim(lower(col(keyCol))).as("k"))
       .filter(length(col("k")) > 0)

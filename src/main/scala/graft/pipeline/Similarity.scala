@@ -79,7 +79,10 @@ object Similarity {
    * than ranking on NaN — real embedding prefixes are never zero.
    */
   def matryoshkaRecall(emb: DataFrame, idCol: String, vecCol: String,
-      queryIds: Seq[Long], k: Int, prefixDim: Int): DataFrame = {
+      queryIds: Seq[Long], k: Int, prefixDim: Int, dim: Int): DataFrame = {
+    require(prefixDim >= 1 && prefixDim <= dim,
+      s"prefixDim $prefixDim must be in [1, $dim] — slice() past the " +
+        "vector end would silently return the whole vector (recall 1.0)")
     val full = bruteForceTopK(emb, idCol, vecCol, queryIds, k)
     val prefix = bruteForceTopK(
       emb.select(col(idCol), slice(col(vecCol), 1, prefixDim).as(vecCol)),
@@ -555,6 +558,81 @@ object Similarity {
         graft.functions.Portable.quant(cosine(col("qvec"), col("cvec")), 6))
       .withColumn("rk", row_number().over(wRank)).filter(col("rk") <= k)
       .select(col("query_id"), col("cand_id"), col("sim"))
+  }
+
+  /**
+   * IVF+PQ composed serving query (Jégou et al. 2011 §IV — the IVFADC
+   * shape every billion-scale ANN system actually serves; raw-vector
+   * codes, the `by_residual=false` variant): coarse inverted file to
+   * prune the candidate set, PQ asymmetric-distance tables to rank
+   * WITHIN the probed cells only.
+   *
+   * Index build (corpus-scale, once): every vector is assigned to its
+   * nearest coarse centroid by L2² (first `nCells` vectors by id seed
+   * the coarse quantizer — [[ivfAssign]]'s deterministic stand-in for
+   * trained centroids; ties → lowest cell) and PQ-encoded against `m`
+   * global per-subspace codebooks ([[pqTrain]]/[[pqEncode]]). Query
+   * time: probe the `nProbe` nearest cells by the SAME L2² metric the
+   * ADC ranking uses, compute the per-query distance TABLE once (m·k
+   * dyadic-floored entries), and score only vectors whose cell was
+   * probed as the exact sum of m table lookups.
+   *
+   * Scale shape: the coarse quantizer and the distance tables are
+   * always broadcast (nCells + |Q|·m·k rows); the probed (query, cell)
+   * pairs are broadcast too, so the corpus-side work is one cell join
+   * that PRUNES ~ (1 − nProbe/nCells) of the codes before any scoring,
+   * then m integer lookups per surviving (query, vector) pair — never
+   * a whole-corpus ADC scan ([[pqAdcTopK]]'s cost), never raw vectors
+   * at query time. At 100 TB the cell id is the partition column, so
+   * probing prunes parquet partitions at the scan.
+   */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, nCells: Int, nProbe: Int,
+      m: Int, kCodes: Int, iters: Int, dim: Int,
+      roundTo: Int = 6): DataFrame = {
+    import graft.functions.Portable.dyadic
+    val subDim = dim / m
+    val coarse = broadcast(emb.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cell"),
+        col(vecCol).cast("array<double>").as("ccvec")))
+    val wAsg = Window.partitionBy(col(idCol))
+      .orderBy(col("cd2").asc, col("cell"))
+    val cellOf = emb.join(coarse)
+      .withColumn("cd2", l2sq(col(vecCol), col("ccvec")))
+      .withColumn("crk", row_number().over(wAsg)).filter(col("crk") === 1)
+      .select(col(idCol).as("cand_id"), col("cell"))
+    val cb = pqTrain(emb, idCol, vecCol, m, kCodes, iters, dim)
+    val codes = pqEncode(emb, idCol, vecCol, cb, m, dim)
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd2").asc, col("cell"))
+    val probed = broadcast(queries.join(coarse)
+      .withColumn("cd2", l2sq(col("qvec"), col("ccvec")))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nProbe)
+      .select(col("query_id"), col("cell")))
+    val tables = (0 until m).map { s =>
+      queries.select(col("query_id"),
+          subVec(col("qvec"), s, subDim).as("qv"), lit(s).as("sub"))
+        .join(cb.filter(col("sub") === s).select(col("cell"), col("cvec")))
+        .select(col("query_id"), col("sub"), col("cell").as("code"),
+          dyadic(l2sq(col("qv"), col("cvec"))).as("td"))
+    }.reduce(_ unionByName _)
+    val scored = codes
+      .select(col(idCol).as("cand_id"), col("sub"), col("code"))
+      .join(cellOf, Seq("cand_id"))
+      .join(probed, Seq("cell")) // prune to probed cells FIRST
+      .filter(col("cand_id") =!= col("query_id"))
+      .join(broadcast(tables), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("td")).as("d2")) // on-grid summands: exact sum
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(wRank)).filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.Portable.quant(col("d2"), roundTo).as("d2"),
+        col("rk").cast("int").as("rk"))
   }
 
   /**

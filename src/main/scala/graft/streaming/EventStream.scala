@@ -145,6 +145,36 @@ object EventStream {
   }
 
   /**
+   * Stream-stream LEFT OUTER interval join — [[intervalJoinStreaming]]
+   * plus the unmatched-left rows (a view with no purchase inside the
+   * window), which Structured Streaming emits once the watermark
+   * passes the left row's join horizon and no future right row can
+   * match. The production attribution shape: every touch gets a row,
+   * matched or not; unmatched rows carry null right columns and a
+   * null gap. Both-side watermarks + the two-sided time bound are what
+   * make the buffered state expirable — exactly the
+   * [[intervalJoinStreaming]] law, plus outer rows on expiry. The
+   * identical plan runs in batch (watermark is a no-op there); the
+   * batch run faces the DuckDB oracle and StreamingSpec asserts
+   * stream == batch.
+   */
+  def intervalJoinOuterStreaming(left: DataFrame, right: DataFrame,
+      key: String, window: String, watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col(key).as("_lk"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(key).as("_rk"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"""_lk = _rk AND r_ts > l_ts AND r_ts <= l_ts + interval $window"""),
+      "left_outer")
+      .select(col("_lk").as(key), col("l_id"), col("r_id"),
+        col("r_value"), (unix_micros(col("r_ts")) -
+          unix_micros(col("l_ts"))).as("gap_us"))
+  }
+
+  /**
    * Gap-based sessionization (batch formulation): a new session starts
    * when a user's inter-event gap reaches `gapMinutes` (gap >= threshold
    * splits — the same boundary rule as Spark's `session_window`, whose
@@ -273,8 +303,8 @@ object EventStream {
    * window, never user² across all time), one map-side-combinable
    * per-conversion aggregate, one vertex-sized left join back.
    */
-  def multiTouch(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, touchType: String, convType: String,
+  def multiTouch(events: DataFrame, idCol: String, userCol: String,
+      tsCol: String, typeCol: String, touchType: String, convType: String,
       windowUs: Long): DataFrame = {
     val pairs = graft.operators.TemporalJoin.banded(
       events.filter(col(typeCol) === touchType),
@@ -282,14 +312,14 @@ object EventStream {
       leftKey = userCol, rightKey = userCol,
       leftTime = tsCol, rightTime = tsCol,
       loUs = 1L, hiUs = windowUs,
-      leftCols = Seq("event_id" -> "touch_id"),
-      rightCols = Seq("event_id" -> "conv_id"))
+      leftCols = Seq(idCol -> "touch_id"),
+      rightCols = Seq(idCol -> "conv_id"))
     val agg = pairs.groupBy(col("conv_id"))
       .agg(count(lit(1)).as("n_touches"),
         min(col("gap_us")).as("min_gap_us"),
         max(col("gap_us")).as("max_gap_us"))
     events.filter(col(typeCol) === convType)
-      .select(col("event_id").as("conv_id"), col(userCol),
+      .select(col(idCol).as("conv_id"), col(userCol),
         unix_micros(col(tsCol)).as("conv_t"))
       .join(agg, Seq("conv_id"), "left")
       .select(col("conv_id"), col(userCol), col("conv_t"),

@@ -37,6 +37,21 @@ class NoFloatGateSpec extends SparkSpec {
       s"oracle SQL naming no query (dead gate): $orphaned")
   }
 
+  // A bench shortName collision would silently emit duplicate JSON keys
+  // in the driver-tail line, losing one query's timing (ADVICE r9).
+  test("Bench.shortName is injective over the query set") {
+    val collisions = SparkEntry.rawQueries.keys.toSeq
+      .groupBy(Bench.shortName).collect {
+        case (sn, ks) if ks.size > 1 => s"$sn <- ${ks.mkString(",")}"
+      }
+    assert(collisions.isEmpty,
+      s"abbreviation collisions: ${collisions.mkString("; ")}")
+    // and the table itself carries no duplicate rewrite keys
+    val dupKeys = Bench.Abbrev.map(_._1).groupBy(identity)
+      .collect { case (k, vs) if vs.size > 1 => k }
+    assert(dupKeys.isEmpty, s"duplicate Abbrev entries: $dupKeys")
+  }
+
   private def isFloaty(dt: DataType): Boolean = dt match {
     case DoubleType | FloatType => true
     case _: DecimalType         => true

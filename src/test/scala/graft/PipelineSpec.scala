@@ -336,16 +336,49 @@ class SimilaritySpec extends SparkSpec {
       k = 2, numPlanes = 2, dim = 3, maxBucketSize = 4).count() > 0L)
   }
 
+  test("ivfPqTopK with nProbe = nCells equals whole-corpus ADC") {
+    // probing every cell removes the IVF pruning, so the composed
+    // ranking must coincide with pqAdcTopK under the same codebooks
+    val cb = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      m = 1, k = 2, iters = 1, dim = 3)
+    val codes = Similarity.pqEncode(vecs, "vec_id", "embedding",
+      cb, m = 1, dim = 3)
+    val adc = Similarity.pqAdcTopK(codes, cb,
+        vecs.filter(col("vec_id").isin(0L, 2L)), "vec_id", "embedding",
+        m = 1, dim = 3, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val composed = Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
+        queryIds = Seq(0L, 2L), k = 3, nCells = 2, nProbe = 2,
+        m = 1, kCodes = 2, iters = 1, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(composed == adc && composed.nonEmpty)
+  }
+
+  test("ivfPqTopK candidates come only from probed cells") {
+    // nProbe 1 of 2 cells: every ranked candidate's coarse cell must be
+    // the query's single probed cell
+    val out = Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
+      queryIds = Seq(0L, 2L), k = 3, nCells = 2, nProbe = 1,
+      m = 1, kCodes = 2, iters = 1, dim = 3)
+    val full = Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
+      queryIds = Seq(0L, 2L), k = 3, nCells = 2, nProbe = 2,
+      m = 1, kCodes = 2, iters = 1, dim = 3)
+    // pruning can only shrink the candidate set
+    assert(out.count() <= full.count() && out.count() > 0)
+  }
+
   test("matryoshkaRecall: full-width prefix is a perfect retriever") {
     val r = Similarity.matryoshkaRecall(vecs, "vec_id", "embedding",
-      queryIds = Seq(0L, 2L), k = 2, prefixDim = 3).collect()
+      queryIds = Seq(0L, 2L), k = 2, prefixDim = 3, dim = 3).collect()
     assert(r.length == 2)
     assert(r.forall(_.getAs[Double]("recall") == 1.0))
     // an all-zero prefix (axis vector sliced before its axis) has no
     // cosine: the op fails LOUDLY under ANSI division, not quietly
     intercept[org.apache.spark.SparkThrowable] {
       Similarity.matryoshkaRecall(vecs, "vec_id", "embedding",
-        queryIds = Seq(0L, 2L), k = 2, prefixDim = 1).collect()
+        queryIds = Seq(0L, 2L), k = 2, prefixDim = 1, dim = 3).collect()
     }
   }
 

@@ -96,6 +96,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("reservoir is partition-count-invariant (k-way min-merge)") {
+    forAll(Gen.choose(1, 25)) { k =>
+      val df = (1L to 300L).toDF("v")
+      def sample(parts: Int): Seq[Long] =
+        df.repartition(parts).agg(Sample.reservoir(col("v"), k).as("s"))
+          .as[Seq[Long]].head()
+      val one = sample(1)
+      assert(one == sample(17) && one == sample(5))
+      assert(one.size == k)
+    }
+  }
+
   test("salted aggregation equals plain aggregation for any salt factor") {
     val store = GraphStore.cached(spark, sfDir)
     val edges = store.edge("placed")

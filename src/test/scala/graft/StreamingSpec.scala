@@ -180,6 +180,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream OUTER interval join equals batch after watermark flush") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    // batch twin: watermark is a no-op in batch, left_outer is exact
+    val batch = EventStream.intervalJoinOuterStreaming(
+        events.where(col("event_type") === "view"),
+        events.where(col("event_type") === "purchase"),
+        key = "user_id", window = "6 hours")
+      .collect().map(_.toSeq).toSet
+
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-ssjo").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    def streamed = spark.readStream.schema(raw.schema).parquet(streamDir)
+      .transform(graft.sources.Tables.normalizeTs)
+    val joined = EventStream.intervalJoinOuterStreaming(
+      streamed.where(col("event_type") === "view"),
+      streamed.where(col("event_type") === "purchase"),
+      key = "user_id", window = "6 hours")
+    val q = joined.writeStream.format("memory").queryName("ssjo")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // unmatched-left rows only emit once the GLOBAL watermark (the
+      // MIN across both sides' event-time trackers) clears their join
+      // horizon — so the sentinel flush must advance BOTH the view and
+      // the purchase side, or the last window-plus-watermark of views
+      // never finalizes. Two flush batches: state evicted by flush 1's
+      // watermark is emitted in the next executed batch, and a data
+      // batch is more reliable to await than the optional no-data
+      // micro-batch. Sentinels are dropped from the comparison by
+      // user_id; the flush view/purchase share a timestamp, so the
+      // strict r_ts > l_ts band never matches them to each other.
+      def flush(id: Long, days: Int): Unit = {
+        Seq("view", "purchase").zipWithIndex.foreach { case (et, i) =>
+          raw.limit(1)
+            .withColumn("event_id", lit(id - i))
+            .withColumn("user_id", lit(-999L))
+            .withColumn("event_type", lit(et))
+            .withColumn("ts", col("ts") + expr(s"INTERVAL $days DAYS"))
+            .coalesce(1).write.mode("append").parquet(streamDir)
+        }
+        q.processAllAvailable()
+      }
+      flush(-1L, 90)
+      flush(-3L, 91)
+      val got = spark.table("ssjo").collect().map(_.toSeq)
+        .filter(_.head != -999L).toSet
+      assert(got == batch)
+      // and the outer join genuinely adds unmatched views
+      assert(batch.exists(_(2) == null))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals agree with groupBy") {
     import spark.implicits._
     import graft.streaming.EventStream.UserEvent
@@ -284,8 +341,9 @@ class StreamingSpec extends SparkSpec {
       (5L, 20L, ts(10), "purchase"),       // organic: no prior view
       (6L, 30L, ts(0), "view"), (7L, 30L, ts(200), "purchase"))
       .toDF("event_id", "user_id", "ts", "event_type")
-    val out = graft.streaming.EventStream.multiTouch(ev, "user_id", "ts",
-        "event_type", "view", "purchase", windowUs = 100000000L)
+    val out = graft.streaming.EventStream.multiTouch(ev, "event_id",
+        "user_id", "ts", "event_type", "view", "purchase",
+        windowUs = 100000000L)
       .collect().map(r => r.getAs[Long]("conv_id") ->
         ((r.getAs[Long]("n_touches"), r.getAs[Long]("min_gap_us"),
           r.getAs[Long]("max_gap_us")))).toMap
