@@ -339,6 +339,22 @@ object ScaleSmoke {
       graft.streaming.EventStream.funnel(ev, "user_id", "ts",
         "event_type", Seq("view", "click", "purchase")).count())
 
+    // round-10 ops. fuzzy pairs on the amplified corpus is the
+    // worst-case hot-block test: every copy shares its original's
+    // 12-char key prefix, so blocks densify by `factor` and the
+    // maxBlockSize cap is what bounds the pair volume. ivfpq composes
+    // the IVF prune with ADC ranking; cells scale with the corpus
+    // (the SemDeDup/knn-graph law) so cell size — and with it the
+    // per-query candidate count — stays constant.
+    time(s"fuzzy pairs ${factor}x")(
+      Dedup.fuzzyPairs(
+        docs.select(col("doc_id"), substring(col("text"), 1, 12).as("tkey")),
+        "doc_id", "tkey", maxDist = 2, maxBlockSize = 512).count())
+    time(s"ivfpq topk ${factor}x (cells x$factor)")(
+      graft.pipeline.Similarity.ivfPqTopK(embDense, "vec_id", "embedding",
+        queryIds = (0L to 4L), k = 5, nCells = 16 * factor, nProbe = 4,
+        m = 2, kCodes = 4, iters = 2, dim = 64).count())
+
     spark.stop()
   }
 }

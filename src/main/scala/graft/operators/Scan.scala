@@ -51,6 +51,40 @@ object Scan {
     after.orderBy(col(keyCol)).limit(limit)
   }
 
+  /**
+   * Range-partitioned at-rest layout for cursor-pruned scans: the key's
+   * coarse range (`_kr = key div width`) becomes a Hive partition
+   * column. Together with [[pageRangePruned]] this is the at-rest
+   * statement of SURVEY §7.4 pt 7 — a pagination cursor prunes FILES
+   * (directories wholly behind the cursor never enter the scan's file
+   * listing), not just rows. Width trades directory count against
+   * pruning granularity; at 100 TB pick width so one range ≈ one
+   * target file (e.g. 10^6 keys).
+   */
+  def writeRangePartitioned(df: DataFrame, path: String, keyCol: String,
+      width: Long): Unit =
+    df.withColumn("_kr", expr(s"$keyCol div $width"))
+      .write.mode("overwrite").partitionBy("_kr").parquet(path)
+
+  /**
+   * Keyset page over a [[writeRangePartitioned]] layout: the cursor
+   * bounds BOTH the key (`key > cursor`, the pushed row filter) and
+   * its monotone coarse range (`_kr >= cursor div width`, a STATIC
+   * partition filter Catalyst resolves against the directory listing,
+   * so partitions behind the cursor contribute zero files).
+   * PlanShapeSpec asserts the pruned file count at runtime.
+   */
+  def pageRangePruned(table: DataFrame, keyCol: String, width: Long,
+      props: Seq[String], limit: Int, cursor: Option[Long]): DataFrame = {
+    val after = cursor match {
+      case Some(k) =>
+        table.filter(col("_kr") >= lit(k / width) && col(keyCol) > lit(k))
+      case None => table
+    }
+    after.orderBy(col(keyCol)).limit(limit)
+      .select((keyCol +: props).map(col): _*)
+  }
+
   /** Page plus the resume cursor (max key of the page), for drivers that
     * loop pages like the reference's client. */
   def pageWithCursor(table: DataFrame, keyCol: String, props: Seq[String],

@@ -143,6 +143,45 @@ class PlanShapeSpec extends SparkSpec {
       s"unigram and bigram explodes must share the persisted token frame:\n$p")
   }
 
+  test("cursor-pruned range scan: files behind the cursor never read") {
+    // SURVEY §7.4 pt 7 at rest: on range-partitioned storage the keyset
+    // cursor must prune FILES (via the static partition filter), not
+    // just rows inside a full scan.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    // width = keys/15 partitions, cursor at 80% of the key space — the
+    // fixture-independent statement of "resume near the end"
+    val maxKey = cust.agg(org.apache.spark.sql.functions.max("c_custkey"))
+      .head.getLong(0)
+    val width = math.max(1L, (maxKey + 1) / 15)
+    val cursor = maxKey * 4 / 5
+    graft.operators.Scan.writeRangePartitioned(cust, dir, "c_custkey", width)
+    val totalFiles = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.filter(_.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val table = spark.read.parquet(dir)
+    val page = graft.operators.Scan.pageRangePruned(table, "c_custkey",
+      width, Seq("c_name"), limit = 40, cursor = Some(cursor))
+    val rows = page.collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(0)).forall(_ > cursor))
+    val scan = page.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "the cursor's coarse-range bound must be a static partition filter")
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles > 0 && readFiles < totalFiles / 3,
+      s"cursor at 80% of the key space must prune most files: read " +
+        s"$readFiles of $totalFiles")
+    // the exact key bound still reaches the parquet reader as a row
+    // predicate inside the surviving files
+    assert(page.queryExecution.explainString(FormattedMode)
+      .contains(s"GreaterThan(c_custkey,$cursor)"))
+  }
+
   test("pq encode + adc: codebooks/tables broadcast into the corpus " +
       "joins") {
     // NOTE: the cached codebook lineage contains k-row SortMergeJoins
