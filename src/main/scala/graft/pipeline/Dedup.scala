@@ -88,9 +88,20 @@ object Dedup {
    */
   def bloomDedupNew(stored: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, expectedItems: Long = 1000000L,
+      numBits: Long = 8388608L): DataFrame =
+    bloomDedupNewFp(
+      stored.select(TextAnalysis.fingerprint(col(textCol)).as("fp")),
+      incoming, idCol, textCol, expectedItems, numBits)
+
+  /** [[bloomDedupNew]] against a MATERIALIZED fingerprint index (an
+    * `fp` column) — the production/incremental-ingest shape, where the
+    * stored corpus's fingerprints are an at-rest artifact and raw text
+    * is never re-read to dedup a batch
+    * ([[graft.streaming.IngestDedup]] is the foreachBatch loop). */
+  def bloomDedupNewFp(storedFp: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, expectedItems: Long = 1000000L,
       numBits: Long = 8388608L): DataFrame = {
-    val sFp = stored
-      .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val sFp = storedFp.select(col("fp"))
       .transform(graft.CacheScope.persist(_)) // feeds bloom + verify join
     // One numBits/8-byte scalar fetched to the driver and embedded as
     // a constant: might_contain requires a constant/scalar-subquery

@@ -237,6 +237,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch bloom-dedup ingest equals the sequential batch replay") {
+    import graft.streaming.IngestDedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    // three generations with planted overlap: B re-crawls half of A,
+    // C re-crawls parts of both
+    val genA = docs.filter(col("doc_id") < 60)
+    val genB = docs.filter(col("doc_id").between(30, 99))
+    val genC = docs.filter(col("doc_id").between(80, 149))
+
+    def freshDir(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-ingest-$tag").toString
+    // batch replay = the oracle: same processBatch, driven sequentially
+    val replayStore = freshDir("replay")
+    Seq(genA, genB, genC).foreach { g =>
+      IngestDedup.processBatch(g, replayStore, "doc_id", "text").count()
+      CacheScope.drainRegistered()
+    }
+    val expect = spark.read.parquet(replayStore)
+      .collect().map(_.toSeq).toSet
+
+    // streaming run: one file per generation, one micro-batch per file
+    val streamStore = freshDir("store")
+    val srcDir = freshDir("src")
+    val q = IngestDedup.run(
+      spark.readStream.schema(genA.schema).parquet(srcDir),
+      streamStore, freshDir("ckpt"), "doc_id", "text")
+    try {
+      Seq(genA, genB, genC).foreach { g =>
+        g.coalesce(1).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+      val got = spark.read.parquet(streamStore)
+        .collect().map(_.toSeq).toSet
+      assert(got == expect)
+      // the planted overlap was genuinely deduped: stored ids are the
+      // distinct fingerprints' first writers, not the 180 incoming rows
+      assert(got.size < 180 && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals agree with groupBy") {
     import spark.implicits._
     import graft.streaming.EventStream.UserEvent
