@@ -127,6 +127,11 @@ object Bench {
     "snapshot_diff" -> "snap_diff", "dangling_refs" -> "dangl",
     "butterflies" -> "bfly", "cooccurrence" -> "coocc",
     "degree_hist" -> "deg_hist",
+    // round-10 names
+    "zorder_curve" -> "zcurve", "zorder_skipping" -> "zskip",
+    "pq_rerank_recall" -> "rerank_rec", "pq_rerank" -> "rerank",
+    "compaction_plan" -> "cplan", "compaction_summary" -> "csum",
+    "embedding_drift" -> "edrift",
     "update_" -> "upd_", "upsert_" -> "ups_")
 
   private[graft] def shortName(k: String): String =

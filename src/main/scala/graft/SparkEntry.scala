@@ -396,6 +396,25 @@ object SparkEntry {
     }),
 
     // ---- PQ recall@k: ADC ranked lists vs exact-L2 ground truth ----
+    // ---- Two-stage serving: ADC candidate pool (compressed-domain,
+    // m code lookups/vector) -> exact-L2 re-rank of the pool only ----
+    "q_pq_rerank" -> ((s, dir) =>
+      Similarity.pqRerankTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryIds = (0L to 4L), k = 5, candidates = 20,
+        m = 2, kCodes = 4, iters = 2, dim = 64)),
+
+    // ---- Re-rank recall@5 vs exact: the dial showing refine recovers
+    // the recall ADC quantization loses ----
+    "q_pq_rerank_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopKL2(emb, "vec_id", "embedding",
+          queryIds = (0L to 4L), k = 5),
+        Similarity.pqRerankTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 4L), k = 5, candidates = 20,
+          m = 2, kCodes = 4, iters = 2, dim = 64))
+    }),
+
     "q_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
@@ -592,6 +611,54 @@ object SparkEntry {
       docs.write.mode("overwrite").partitionBy("source").parquet(tmp)
       s.read.parquet(tmp).filter(col("source") === "src3")
         .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
+    // ---- Z-order curve: the Morton bit-interleave itself, pinned on
+    // the full 8×8 grid (bits=3) against the identical DuckDB formula ----
+    "q_zorder_curve" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 8).as("x"), (col("l_partkey") % 8).as("y"))
+        .distinct()
+        .withColumn("z",
+          graft.sources.ZOrderLayout.zValue(Seq(col("x"), col("y")), 3))),
+
+    // ---- Z-order data skipping audit: per-file min/max footer stats
+    // under linear vs Morton layout, files hit by a 2-D box predicate.
+    // The at-rest claim: z-clustered files cover RECTANGLES, so both
+    // dimensions' stats prune (Delta/Iceberg OPTIMIZE ZORDER shape) ----
+    "q_zorder_skipping" -> ((s, dir) =>
+      graft.sources.ZOrderLayout.skippingAudit(
+        t(s, dir, "lineitem").select(
+          (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id")),
+        "x", "y", "id", bits = 8, rowsPerFile = 512,
+        xLo = 32, xHi = 63, yLo = 96, yHi = 127)),
+
+    // ---- Small-file compaction planner (Delta/Iceberg OPTIMIZE bin
+    // packing): file inventory -> output bins of ≈ target bytes; the
+    // metadata half of BucketedStore.compact's rewrite ----
+    "q_compaction_plan" -> ((s, dir) =>
+      graft.sources.Compaction.plan(
+        t(s, dir, "documents")
+          .groupBy(col("source"), (col("doc_id") % 37).as("file_id"))
+          .agg(sum(col("n_chars")).as("bytes")),
+        "source", "file_id", "bytes", targetBytes = 30000L)),
+
+    "q_compaction_summary" -> ((s, dir) =>
+      graft.sources.Compaction.planSummary(
+        t(s, dir, "documents")
+          .groupBy(col("source"), (col("doc_id") % 37).as("file_id"))
+          .agg(sum(col("n_chars")).as("bytes")),
+        "source", "file_id", "bytes", targetBytes = 30000L)),
+
+    // ---- Per-dimension embedding drift between snapshots (even vs
+    // odd vec_ids as old-crawl/re-crawl proxies): the gate before
+    // mixing snapshots into one training corpus or ANN index ----
+    "q_embedding_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding")
     }),
 
     // ---- Event stream (batch formulation of the streaming ops) ----
@@ -1858,6 +1925,51 @@ object SparkEntry {
        |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
        |GROUP BY e.query_id""".stripMargin
 
+  /** Two-stage re-rank CTEs: ADC ranked lists -> candidate pool of
+    * `cands` per query -> exact-L2² re-rank of ONLY the pool. Yields
+    * relation `rranked(query_id, cand_id, d2, rk)`. */
+  private def pqRerankRankedCtes(m: Int, k: Int, iters: Int, dim: Int,
+      nQueries: Int, cands: Int): String =
+    s"""${pqAdcRankedCtes(m, k, iters, dim, nQueries)},
+       |pool AS (SELECT query_id, cand_id FROM ranked WHERE rk <= $cands),
+       |refined AS (SELECT p.query_id, p.cand_id,
+       |    ${pqD2Sql("q.embedding::DOUBLE[]", "e.embedding::DOUBLE[]")}
+       |      AS d2
+       |  FROM pool p
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN embeddings e ON e.vec_id = p.cand_id),
+       |rranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2 ASC, cand_id) AS rk FROM refined)""".stripMargin
+
+  private def pqRerankSql(m: Int, k: Int, iters: Int, dim: Int,
+      nQueries: Int, topK: Int, cands: Int): String =
+    s"""WITH ${pqRerankRankedCtes(m, k, iters, dim, nQueries, cands)}
+       |SELECT query_id, cand_id,
+       |  floor((d2) * 1000000.0 + 0.5) / 1000000.0 AS d2,
+       |  CAST(rk AS INTEGER) AS rk
+       |FROM rranked WHERE rk <= $topK""".stripMargin
+
+  private def pqRerankRecallSql(m: Int, k: Int, iters: Int, dim: Int,
+      nQueries: Int, topK: Int, cands: Int): String =
+    s"""WITH ${pqRerankRankedCtes(m, k, iters, dim, nQueries, cands)},
+       |approx AS (SELECT query_id, cand_id FROM rranked
+       |  WHERE rk <= $topK),
+       |exact AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${pqD2Sql("q.embedding::DOUBLE[]",
+                "c.embedding::DOUBLE[]")} ASC, c.vec_id) AS rk
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $nQueries) WHERE rk <= $topK)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  floor((sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |GROUP BY e.query_id""".stripMargin
+
   /** IVF+PQ (IVFADC) oracle: the PQ chains/tables CTEs layered with a
     * coarse L2² assignment + probe, ADC sums only within probed cells.
     * Yields relation `ranked(query_id, cand_id, d2, rk)`. */
@@ -2830,6 +2942,81 @@ object SparkEntry {
     "q_partitioned_scan" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE source = 'src3'""".stripMargin,
+
+    "q_zorder_curve" ->
+      s"""SELECT x, y, ${graft.sources.ZOrderLayout.zValueSql(
+            Seq("x", "y"), 3)} AS z
+         |FROM (SELECT DISTINCT l_orderkey % 8 AS x, l_partkey % 8 AS y
+         |      FROM lineitem)""".stripMargin,
+
+    // single-window replay of the two-level prefix-sum file ranking
+    // (identical total order, so identical file assignment)
+    "q_zorder_skipping" -> {
+      val zsql = graft.sources.ZOrderLayout.zValueSql(Seq("x", "y"), 8)
+      def arm(layout: String, order: String): String =
+        s"""SELECT '$layout' AS layout, count(*) AS files_total,
+           |  CAST(sum(CASE WHEN x_min <= 63 AND x_max >= 32
+           |                 AND y_min <= 127 AND y_max >= 96
+           |            THEN 1 ELSE 0 END) AS BIGINT) AS files_hit
+           |FROM (
+           |  SELECT f, min(x) AS x_min, max(x) AS x_max,
+           |         min(y) AS y_min, max(y) AS y_max
+           |  FROM (SELECT x, y,
+           |          (row_number() OVER (ORDER BY $order) - 1) // 512 AS f
+           |        FROM r)
+           |  GROUP BY f)""".stripMargin
+      s"""WITH r AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y,
+         |  l_orderkey * 10 + l_linenumber AS id FROM lineitem)
+         |${arm("linear", "x, y, id")}
+         |UNION ALL
+         |${arm("zorder", s"$zsql, id")}""".stripMargin
+    },
+
+    "q_compaction_plan" ->
+      """WITH inv AS (
+        |  SELECT source, doc_id % 37 AS file_id,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, file_id, bytes,
+        |  CAST(coalesce(sum(bytes) OVER (PARTITION BY source
+        |      ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS BIGINT) // 30000 AS bin
+        |FROM inv""".stripMargin,
+
+    "q_compaction_summary" ->
+      """WITH inv AS (
+        |  SELECT source, doc_id % 37 AS file_id,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2),
+        |plan AS (
+        |  SELECT source, file_id, bytes,
+        |    CAST(coalesce(sum(bytes) OVER (PARTITION BY source
+        |        ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING), 0) AS BIGINT) // 30000 AS bin
+        |  FROM inv)
+        |SELECT source, bin, count(*) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS compactable
+        |FROM plan GROUP BY 1, 2""".stripMargin,
+
+    "q_embedding_drift" ->
+      s"""WITH pd AS (
+         |  SELECT u.i - 1 AS pos, vec_id % 2 AS snap,
+         |    ${graft.functions.Portable.dyadicSql(
+              "CAST(embedding[CAST(u.i AS INTEGER)] AS DOUBLE)")} AS xd
+         |  FROM embeddings CROSS JOIN LATERAL unnest(range(1, 65)) u(i)),
+         |a AS (SELECT pos, count(*) AS n_a, sum(${
+              graft.functions.Portable.dyadicSql("xd")}) AS s_a
+         |  FROM pd WHERE snap = 0 GROUP BY pos),
+         |b AS (SELECT pos, count(*) AS n_b, sum(${
+              graft.functions.Portable.dyadicSql("xd")}) AS s_b
+         |  FROM pd WHERE snap = 1 GROUP BY pos)
+         |SELECT pos, n_a, n_b,
+         |  ${graft.functions.Portable.sql("s_a / n_a", 6)} AS mean_a,
+         |  ${graft.functions.Portable.sql("s_b / n_b", 6)} AS mean_b,
+         |  ${graft.functions.Portable.sql(
+              "abs(s_a / n_a - s_b / n_b)", 6)} AS shift
+         |FROM a JOIN b USING (pos)""".stripMargin,
 
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
@@ -4011,6 +4198,10 @@ object SparkEntry {
     "q_ivfpq_recall" -> ivfPqRecallSql(m = 2, k = 4, iters = 2, dim = 64,
       nCells = 16, nProbe = 4, nQueries = 5, topK = 5),
 
+    "q_pq_rerank" -> pqRerankSql(m = 2, k = 4, iters = 2, dim = 64,
+      nQueries = 5, topK = 5, cands = 20),
+    "q_pq_rerank_recall" -> pqRerankRecallSql(m = 2, k = 4, iters = 2,
+      dim = 64, nQueries = 5, topK = 5, cands = 20),
     "q_pq_recall" -> pqRecallSql(m = 4, k = 16, iters = 2, dim = 64,
       nQueries = 5, topK = 5),
 
@@ -4403,6 +4594,8 @@ object SparkEntry {
     "q_ann_topk" -> Seq("sim"),
     "q_contrastive_pairs" -> Seq("sim"),
     "q_pq_adc" -> Seq("d2"),
+    "q_pq_rerank" -> Seq("d2"),
+    "q_pq_rerank_recall" -> Seq("recall"),
     "q_pq_recall" -> Seq("recall"),
     "q_ivfpq_topk" -> Seq("d2"),
     "q_ivfpq_recall" -> Seq("recall"),
@@ -4413,6 +4606,7 @@ object SparkEntry {
     "q_delete_edges" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
     "q_delete_vertices" -> Seq("c_acctbal"),
+    "q_embedding_drift" -> Seq("mean_a", "mean_b", "shift"),
     "q_embedding_neardup" -> Seq("sim"),
     "q_events_enrich" -> Seq("value"),
     "q_events_running_totals" -> Seq("total_value"),

@@ -144,6 +144,38 @@ object Similarity {
    * [[ivfTopK]]'s cell-blocked candidate generation unchanged — the
    * labeling projection composes with either.
    */
+  /**
+   * Per-dimension embedding drift between two corpus snapshots (old
+   * crawl vs re-crawl, or embedding-model v1 vs v2): for every vector
+   * dimension, the per-snapshot count and mean plus the absolute mean
+   * shift. The training-pipeline gate before mixing snapshots: a
+   * dimension whose mean moved is a model-version or preprocessing
+   * change that silently poisons ANN indexes and dedup thresholds
+   * built on the old geometry.
+   *
+   * Scale shape: one posexplode + one (pos)-keyed partial-aggregated
+   * sum per snapshot (output = dim rows each), then a dim-sized join —
+   * no pairwise work, no broadcast of anything corpus-sized. Float
+   * sums ride the dyadic grid (PageRank summation law) so quantized
+   * means hash identically on any partitioning or engine.
+   */
+  def embeddingDrift(a: DataFrame, b: DataFrame,
+      vecCol: String): DataFrame = {
+    import graft.functions.Portable.{dyadic, quant}
+    def perDim(df: DataFrame, tag: String): DataFrame =
+      df.select(posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(dyadic(col("x"))).as(s"s_$tag"))
+    perDim(a, "a").join(perDim(b, "b"), Seq("pos"))
+      .select(col("pos"), col("n_a"), col("n_b"),
+        quant(col("s_a") / col("n_a"), 6).as("mean_a"),
+        quant(col("s_b") / col("n_b"), 6).as("mean_b"),
+        quant(abs(col("s_a") / col("n_a") - col("s_b") / col("n_b")), 6)
+          .as("shift"))
+  }
+
   def contrastivePairs(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, anchorMod: Long, k: Int,
       roundTo: Int = 6): DataFrame = {
@@ -335,6 +367,44 @@ object Similarity {
       .orderBy(col("d2").asc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("cand_id"))
+  }
+
+  /**
+   * Two-stage ADC-then-refine serving (Jégou et al. 2011 §V's
+   * re-ranking; every production billion-scale ANN stack's shape):
+   * stage 1 ranks the WHOLE corpus in the compressed domain — each
+   * vector scores as m code lookups, so the pass touches m bytes per
+   * vector — and keeps `candidates` ids per query; stage 2 fetches
+   * ONLY those candidates' full vectors (a broadcast join against the
+   * bounded candidate list — the 100 TB corpus never streams its full
+   * vectors through scoring) and re-ranks by exact L2². Re-ranking
+   * recovers the recall ADC quantization loses while keeping the
+   * exact-distance work at `queries × candidates`, not `queries ×
+   * corpus`.
+   */
+  def pqRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, candidates: Int, m: Int, kCodes: Int,
+      iters: Int, dim: Int, roundTo: Int = 6): DataFrame = {
+    require(candidates >= k, s"candidate pool $candidates must cover k=$k")
+    val cb = pqTrain(emb, idCol, vecCol, m, kCodes, iters, dim)
+    val codes = pqEncode(emb, idCol, vecCol, cb, m, dim)
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+    val cands = pqAdcTopK(codes, cb, queries, idCol, vecCol, m, dim,
+      candidates).select(col("query_id"), col("cand_id"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val refined = emb
+      .select(col(idCol).as("cand_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .join(broadcast(cands), Seq("cand_id")) // bounded: queries×cands
+      .join(qv, Seq("query_id"))
+      .withColumn("d2", l2sq(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cand_id"))
+    refined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.Portable.quant(col("d2"), roundTo).as("d2"),
+        col("rk").cast("int").as("rk"))
   }
 
   /** Deterministic random hyperplanes (unit-free; only the sign is

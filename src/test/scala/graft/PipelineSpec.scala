@@ -526,6 +526,42 @@ class SimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pqRerankTopK: exact distances, recall >= plain ADC recall") {
+    val emb = graft.model.GraphStore.table(spark, sfDir, "embeddings")
+    val qids = (0L to 2L)
+    val exact = Similarity.bruteForceTopKL2(emb, "vec_id", "embedding",
+      qids, k = 5).cache()
+    val rerank = Similarity.pqRerankTopK(emb, "vec_id", "embedding",
+      qids, k = 5, candidates = 30, m = 2, kCodes = 4, iters = 2,
+      dim = 64)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", 2, 4, 2, 64)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, 2, 64)
+    val adc = Similarity.pqAdcTopK(codes, cb, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", 2, 64, k = 5)
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallPerQuery(exact, approx)
+        .agg(avg($"recall")).head.getDouble(0)
+    val (rAdc, rRerank) = (recall(adc), recall(rerank))
+    assert(rRerank >= rAdc,
+      s"re-rank recall $rRerank should not trail ADC recall $rAdc")
+    // complete lists, exact distances ascend with rank
+    val rr = rerank.cache()
+    assert(rr.groupBy("query_id").count().filter($"count" =!= 5)
+      .count() == 0)
+    val lagged = rr.withColumn("prev", lag($"d2", 1).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"rk")))
+    assert(lagged.filter($"prev".isNotNull && $"d2" < $"prev")
+      .count() == 0)
+    rr.unpersist()
+    exact.unpersist()
+    // candidate pool must cover k
+    intercept[IllegalArgumentException] {
+      Similarity.pqRerankTopK(emb, "vec_id", "embedding", qids,
+        k = 10, candidates = 5, m = 2, kCodes = 4, iters = 2, dim = 64)
+    }
+  }
+
   test("contrastivePairs: hard negatives surface, labels mark polarity") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),  // anchor (0 % 5 == 0)
