@@ -355,6 +355,34 @@ object ScaleSmoke {
         queryIds = (0L to 4L), k = 5, nCells = 16 * factor, nProbe = 4,
         m = 2, kCodes = 4, iters = 2, dim = 64).count())
 
+    // round-10-late ops. The z-order audit is two grouped passes over
+    // the amplified edge list (bucketed rank, no global window) — must
+    // stay row-linear. The compaction planner works on file METADATA;
+    // its input here is the per-(source, file) rollup whose group
+    // count is fixed, so the heavy term is the rollup scan itself.
+    // pq re-rank: stage 1 is the ADC pass (corpus × m lookups); stage
+    // 2 is bounded by queries × candidates regardless of corpus size.
+    time(s"zorder skipping audit ${factor}x")(
+      graft.sources.ZOrderLayout.skippingAudit(
+        edges.select((col("l_partkey") % 256).as("x"),
+          (col("l_orderkey") % 256).as("y"),
+          (col("l_orderkey") * 100000 + col("l_partkey")).as("id")),
+        "x", "y", "id", bits = 8, rowsPerFile = 4096,
+        xLo = 32, xHi = 63, yLo = 96, yHi = 127).count())
+    time(s"compaction plan ${factor}x")(
+      graft.sources.Compaction.plan(
+        docs.groupBy(col("source"), (col("doc_id") % 512).as("file_id"))
+          .agg(sum(col("n_chars")).as("bytes")),
+        "source", "file_id", "bytes", targetBytes = 30000L).count())
+    time(s"embedding drift ${factor}x")(
+      graft.pipeline.Similarity.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding").count())
+    time(s"pq rerank ${factor}x")(
+      graft.pipeline.Similarity.pqRerankTopK(embDense, "vec_id",
+        "embedding", queryIds = (0L to 4L), k = 5, candidates = 20,
+        m = 2, kCodes = 4, iters = 2, dim = 64).count())
+
     spark.stop()
   }
 }
