@@ -130,6 +130,7 @@ object Bench {
     // round-10 names
     "zorder_curve" -> "zcurve", "zorder_skipping" -> "zskip",
     "pq_rerank_recall" -> "rerank_rec", "pq_rerank" -> "rerank",
+    "bin_quantiles" -> "binq", "json_props" -> "jprops",
     "compaction_plan" -> "cplan", "compaction_summary" -> "csum",
     "embedding_drift" -> "edrift",
     "update_" -> "upd_", "upsert_" -> "ups_")

@@ -661,6 +661,28 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 1), "embedding")
     }),
 
+    // ---- Mergeable binned quantiles: bin counts merge by ADDING
+    // (the HLL/CMS register law) and the error contract is one bin
+    // width — the hash-gateable 100 TB quantile percentile_approx
+    // can't provide ----
+    "q_bin_quantiles" -> ((s, dir) =>
+      Stats.binQuantiles(t(s, dir, "lineitem"), "l_extendedprice",
+        lo = 0L, width = 1000L, nBins = 100,
+        permille = Seq(250, 500, 750, 990))),
+
+    // ---- Embedded-JSON property bag -> typed column, rolled up per
+    // event type (the promote-once-then-columnar pipeline step) ----
+    "q_json_props" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      ev.withColumn("k",
+          graft.sources.TextFormats.jsonField(col("props"), "k", "long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_parsed"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          sum(col("k")).as("sum_k"))
+    }),
+
     // ---- Event stream (batch formulation of the streaming ops) ----
     "q_events_window" -> ((s, dir) =>
       EventStream.windowedAgg(graft.sources.Tables.events(s, dir))),
@@ -3017,6 +3039,32 @@ object SparkEntry {
          |  ${graft.functions.Portable.sql(
               "abs(s_a / n_a - s_b / n_b)", 6)} AS shift
          |FROM a JOIN b USING (pos)""".stripMargin,
+
+    "q_bin_quantiles" ->
+      """WITH c AS (
+        |  SELECT least(greatest(CAST(floor((l_extendedprice - 0) / 1000.0)
+        |      AS BIGINT), 0), 99) AS bin, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |cc AS (
+        |  SELECT bin,
+        |    CAST(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+        |  FROM c),
+        |p AS (SELECT unnest([250, 500, 750, 990]) AS pm)
+        |SELECT pm, min(bin) AS bin, 0 + min(bin) * 1000 AS lo_edge
+        |FROM cc CROSS JOIN p
+        |WHERE cum * 1000 >= pm * n_total
+        |GROUP BY pm""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_parsed,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')

@@ -85,6 +85,45 @@ object Stats {
   }
 
   /**
+   * Hash-gateable mergeable quantiles — the 100 TB sketch with an
+   * EXPLICIT accuracy contract: equi-width bin counts (one combinable
+   * count shuffle; shards/days merge by ADDING bin counts, the same
+   * law as the HLL/CMS registers), a running sum over the tiny
+   * nBins-row frame, and quantile(p) = the first bin whose running
+   * count reaches ceil(p·n). Error is bounded by one bin width —
+   * deterministic and engine-portable, unlike percentile_approx whose
+   * internal sketch can't face the oracle. All math is integer
+   * (`cum·1000 ≥ pm·n` avoids the ceil), so the gate hashes exactly.
+   */
+  def binQuantiles(df: DataFrame, valueCol: String, lo: Long, width: Long,
+      nBins: Int, permille: Seq[Int]): DataFrame = {
+    require(width >= 1 && nBins >= 1 && permille.nonEmpty)
+    require(permille.forall(p => p >= 1 && p <= 1000),
+      s"permille out of (0, 1000]: $permille")
+    import org.apache.spark.sql.expressions.Window
+    val bin = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(width)).cast("long"), lit(0L)),
+      lit(nBins - 1L))
+    val counts = df.groupBy(bin.as("bin")).agg(count(lit(1)).as("cnt"))
+    // windows over the ≤nBins-row bin frame only — never the data
+    val cumW = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n_total", sum(col("cnt")).over(allW))
+    val ps = broadcast(df.sparkSession
+      .createDataFrame(permille.map(Tuple1(_))).toDF("pm"))
+    cum.crossJoin(ps) // ≤ nBins × |permille| rows
+      .filter(col("cum") * lit(1000L) >= col("pm") * col("n_total"))
+      .groupBy(col("pm"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col("pm"), col("bin"),
+        (lit(lo) + col("bin") * lit(width)).as("lo_edge"))
+  }
+
+  /**
    * ROLLUP statistics over a dimension hierarchy: per-(d1,d2,...)
    * subtotals at every prefix granularity plus the grand total — the
    * multi-granularity version of StatisTask's space totals. Aggregated-

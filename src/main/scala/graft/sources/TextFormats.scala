@@ -78,4 +78,25 @@ object TextFormats {
   def readOrc(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
+
+  /**
+   * Typed extraction from an embedded-JSON property bag — the
+   * semi-structured column every real event/crawl feed carries
+   * (analytics payloads, HTTP headers, page metadata). The reference
+   * models properties as schemaful thrift values
+   * (src/codec/RowReaderV2.cpp); at lake scale the property bag
+   * arrives as a JSON string column instead, and promoting a field to
+   * a typed column ONCE (then persisting columnar) is the difference
+   * between one parse per row and one parse per query.
+   *
+   * `get_json_object` is a narrow codegen-friendly projection — no
+   * shuffle, no UDF; `try_cast` (not `cast`, which throws under ANSI
+   * mode) makes malformed / absent / mistyped fields NULL rather than
+   * failing the scan (dirty feeds are the norm — one bad row must not
+   * kill a 100 TB ingest).
+   */
+  def jsonField(bag: org.apache.spark.sql.Column, field: String,
+      castTo: String = "string"): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions
+      .get_json_object(bag, s"$$.$field").try_cast(castTo)
 }

@@ -394,3 +394,51 @@ class HllGroupSpec extends SparkSpec {
     }
   }
 }
+
+class BinQuantilesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Stats
+
+  test("binned quantile is within one bin width of the exact quantile") {
+    val vals = (1L to 1000L).map(_.toDouble)
+    val df = vals.toDF("v")
+    val out = Stats.binQuantiles(df, "v", lo = 0L, width = 10L,
+      nBins = 200, permille = Seq(250, 500, 750, 1000))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // exact p-quantile of 1..1000 at permille pm is ~pm; the bin's
+    // lower edge must sit within one width below it
+    Seq(250, 500, 750, 1000).foreach { pm =>
+      val exact = pm.toDouble
+      val edge = out(pm)
+      assert(edge <= exact && exact <= edge + 10,
+        s"pm=$pm edge=$edge exact=$exact")
+    }
+  }
+
+  test("bin counts merge by addition: split-and-merge equals whole") {
+    val whole = (1L to 500L).map(i => (i % 97).toDouble).toDF("v")
+    val out = Stats.binQuantiles(whole, "v", 0L, 5L, 20, Seq(500))
+      .collect().head.getLong(2)
+    // same data computed as union of two disjoint halves — identical
+    // quantile because bin counts are additive (the merge law)
+    val half = whole.filter($"v" < 48).unionAll(whole.filter($"v" >= 48))
+    val out2 = Stats.binQuantiles(half.repartition(7), "v", 0L, 5L, 20,
+      Seq(500)).collect().head.getLong(2)
+    assert(out == out2)
+    // out-of-range values clamp to the edge bins, never lost
+    val clamped = Stats.binQuantiles(
+      Seq(-100.0, 0.0, 1e9).toDF("v"), "v", 0L, 5L, 20, Seq(1000))
+      .collect().head.getLong(1)
+    assert(clamped == 19L)
+  }
+
+  test("jsonField promotes typed values, nulls malformed rows") {
+    import graft.sources.TextFormats.jsonField
+    val df = Seq("""{"k": 7}""", """{"k": "x"}""", "not json", null)
+      .toDF("props")
+      .select(jsonField(org.apache.spark.sql.functions.col("props"),
+        "k", "long").as("k"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(Some(7L), None, None, None))
+  }
+}
