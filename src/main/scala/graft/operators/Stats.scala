@@ -96,15 +96,30 @@ object Stats {
    * (`cum·1000 ≥ pm·n` avoids the ceil), so the gate hashes exactly.
    */
   def binQuantiles(df: DataFrame, valueCol: String, lo: Long, width: Long,
-      nBins: Int, permille: Seq[Int]): DataFrame = {
-    require(width >= 1 && nBins >= 1 && permille.nonEmpty)
-    require(permille.forall(p => p >= 1 && p <= 1000),
-      s"permille out of (0, 1000]: $permille")
-    import org.apache.spark.sql.expressions.Window
+      nBins: Int, permille: Seq[Int]): DataFrame =
+    quantilesFromBins(binCounts(df, valueCol, lo, width, nBins),
+      lo, width, permille)
+
+  /** The sketch state: ≤nBins (bin, cnt) rows. Counts ADD across
+    * shards/days/micro-batches, so the same column program maintains
+    * the state incrementally under readStream (StreamingSpec) or
+    * re-aggregates partial frames — the register-merge law. */
+  def binCounts(df: DataFrame, valueCol: String, lo: Long, width: Long,
+      nBins: Int): DataFrame = {
+    require(width >= 1 && nBins >= 1)
     val bin = least(greatest(
       floor((col(valueCol) - lit(lo)) / lit(width)).cast("long"), lit(0L)),
       lit(nBins - 1L))
-    val counts = df.groupBy(bin.as("bin")).agg(count(lit(1)).as("cnt"))
+    df.groupBy(bin.as("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The finisher over the tiny bin frame: quantile(pm) = first bin
+    * whose running count reaches ceil(pm·n/1000) — integer math only. */
+  def quantilesFromBins(counts: DataFrame, lo: Long, width: Long,
+      permille: Seq[Int]): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000),
+      s"permille out of (0, 1000]: $permille")
+    import org.apache.spark.sql.expressions.Window
     // windows over the ≤nBins-row bin frame only — never the data
     val cumW = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -113,7 +128,7 @@ object Stats {
     val cum = counts
       .withColumn("cum", sum(col("cnt")).over(cumW))
       .withColumn("n_total", sum(col("cnt")).over(allW))
-    val ps = broadcast(df.sparkSession
+    val ps = broadcast(counts.sparkSession
       .createDataFrame(permille.map(Tuple1(_))).toDF("pm"))
     cum.crossJoin(ps) // ≤ nBins × |permille| rows
       .filter(col("cum") * lit(1000L) >= col("pm") * col("n_total"))

@@ -197,4 +197,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(pa.contains("WindowGroupLimit"),
       s"per-query top-k must partial-apply map-side:\n$pa")
   }
+
+  test("bin_quantiles: partial count before the bin exchange, " +
+      "permille frame broadcast, one-column scan") {
+    val p = plan("q_bin_quantiles")
+    assert(p.contains("partial_count"),
+      s"bin counts must map-side combine (the merge law):\n$p")
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double>"),
+      s"the scan must prune to the value column alone:\n$p")
+    assert("Broadcast(NestedLoop|Hash)Join".r.findFirstIn(p).isDefined,
+      s"the permille probe frame must broadcast:\n$p")
+  }
+
+  test("zorder audit: bucket-keyed windows (no unpartitioned corpus " +
+      "window), offsets frame broadcast") {
+    val p = plan("q_zorder_skipping")
+    // every Window sorts within a _bkt hash partition or the tiny
+    // offsets frame; the corpus-sized rank pass must be keyed
+    assert(p.contains("hashpartitioning(_bkt"),
+      s"local ranks must partition by the coarse bucket:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cross join")
+  }
+
+  test("compaction plan: single window over file metadata, " +
+      "partitioned by table-partition") {
+    val p = plan("q_compaction_plan")
+    assert(p.contains("hashpartitioning(source"),
+      s"the prefix-sum window must partition by the table partition:\n$p")
+    assert(!p.contains("Join"), "a planner is one pass, no joins")
+  }
+
+  test("json_props: narrow extraction, one aggregation shuffle") {
+    val p = plan("q_json_props")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"the rollup must partial-aggregate before its exchange:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length == 1,
+      s"promote-then-rollup is ONE shuffle:\n$p")
+  }
 }

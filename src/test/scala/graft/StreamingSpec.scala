@@ -146,6 +146,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bin-count quantile state equals the batch sketch") {
+    // binCounts is a pure groupBy count — the same column program
+    // maintains the quantile-sketch STATE incrementally in complete
+    // mode; the finisher then runs over the tiny final frame. Feed the
+    // stream in two generations to exercise the additive merge.
+    val liPath = s"$sfDir/lineitem.parquet"
+    val li = spark.read.parquet(liPath)
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Stats.binCounts(df, "l_extendedprice",
+        lo = 0L, width = 1000L, nBins = 100)
+    val batchQ = graft.operators.Stats.quantilesFromBins(counts(li),
+      0L, 1000L, Seq(500, 990)).collect().map(_.toSeq).toSet
+
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-binq").toString
+    val schema = li.schema
+    val q = counts(spark.readStream.schema(schema).parquet(streamDir))
+      .writeStream.format("memory").queryName("binq_stream")
+      .outputMode("complete").start()
+    try {
+      li.filter(org.apache.spark.sql.functions.col("l_orderkey") % 2 === 0)
+        .write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+      li.filter(org.apache.spark.sql.functions.col("l_orderkey") % 2 =!= 0)
+        .write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+      val streamedQ = graft.operators.Stats.quantilesFromBins(
+        spark.table("binq_stream"), 0L, 1000L, Seq(500, 990))
+        .collect().map(_.toSeq).toSet
+      assert(streamedQ == batchQ)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch banded join") {
     val events = graft.sources.Tables.events(spark, sfDir)
     val views = events.where(col("event_type") === "view")
