@@ -857,6 +857,17 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.connectedComponents(store(s, dir),
         Seq("in_nation", "in_region"))),
 
+    // ---- Strongly connected components: DIRECTED mutual-reachability
+    // classes (cycle cores CC can't see) on a sparsified order→part
+    // projection ----
+    "q_scc" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.stronglyConnectedComponents(
+        t(s, dir, "lineitem")
+          .filter(col("l_linenumber") === 1 && col("l_quantity") < 4)
+          .select((col("l_orderkey") % 250).as("s"),
+            (col("l_partkey") % 250).as("d")),
+        "s", "d", numIter = 20)),
+
     // ---- Modularity sufficient statistics: communities from CC over
     // customer→nation edges, scored against the graph WITH region
     // edges (which cross communities) ----
@@ -1475,6 +1486,28 @@ object SparkEntry {
     "q_oov_rate" -> ((s, dir) =>
       TextAnalysis.oovRate(t(s, dir, "documents"), "doc_id", "text",
         vocabSize = 20)),
+
+    // ---- Per-language tokenizer fertility (tokens per 1000 chars):
+    // the read-before-you-weight mixture diagnostic ----
+    "q_token_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenFertility(t(s, dir, "documents"), "lang", "text")),
+
+    // ---- HLL register merge law under the gate: shard registers
+    // combined by elementwise max MUST equal the whole-corpus sketch
+    // (the shard/day partial re-aggregation everything at 100 TB
+    // leans on) ----
+    "q_hll_union" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sharded = docs.withColumn("shard",
+        when(col("source").isin("src0", "src1"), lit(0)).otherwise(lit(1)))
+      val merged = Stats.hllRegistersBy(sharded, Seq("shard"), "text", b = 8)
+        .groupBy(col("reg")).agg(max(col("max_rho")).as("r_merged"))
+      Stats.hllRegisters(docs, "text", b = 8)
+        .withColumnRenamed("max_rho", "r_whole")
+        .join(merged, Seq("reg"))
+        .select(col("reg"), col("r_whole"), col("r_merged"),
+          (col("r_whole") === col("r_merged")).cast("int").as("agree"))
+    }),
 
     // ---- All-integer linear quality classifier (fastText-style
     // filter head; integer features/weights so the decision boundary
@@ -3270,6 +3303,25 @@ object SparkEntry {
         |SELECT v AS _vid, min(label) AS component
         |FROM reach GROUP BY v""".stripMargin,
 
+    // SCC: exact mutual reachability — closure in both orientations
+    // joined on (a→b AND b→a); component = min of the mutual set
+    "q_scc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l_orderkey % 250 AS s, l_partkey % 250 AS d
+        |  FROM lineitem WHERE l_linenumber = 1 AND l_quantity < 4),
+        |v AS (SELECT s AS n FROM e UNION SELECT d FROM e),
+        |reach(a, b) AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.a, e.d FROM reach r JOIN e ON e.s = r.b),
+        |mutual AS (
+        |  SELECT r1.a AS x, r1.b AS y FROM reach r1
+        |  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+        |SELECT v.n AS _vid,
+        |  least(v.n, coalesce(min(m.y), v.n)) AS component
+        |FROM v LEFT JOIN mutual m ON m.x = v.n
+        |GROUP BY v.n""".stripMargin,
+
     // modularity: CC over customer→nation only labels the communities;
     // the scored graph adds nation→region edges (cross-community).
     // All counts BIGINT; inner label joins on both engines drop
@@ -3415,6 +3467,38 @@ object SparkEntry {
         |SELECT reg, max(CASE WHEN rem = 0 THEN 27
         |  ELSE 27 - length(bin(rem)) END) AS max_rho
         |FROM r GROUP BY reg""".stripMargin,
+
+    "q_token_fertility" ->
+      """WITH tk AS (SELECT lang,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS n_tok,
+        |    length(text) AS n_chars
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(floor(CAST(sum(n_tok) AS BIGINT) * 1000.0 /
+        |    CAST(sum(n_chars) AS BIGINT)) AS BIGINT) AS fert_permille
+        |FROM tk GROUP BY lang""".stripMargin,
+
+    // register-merge law: shard max-merge == whole-corpus registers
+    "q_hll_union" ->
+      """WITH h AS (SELECT source, CAST('0x' ||
+        |    substr(md5(text), 1, 8) AS BIGINT) AS h FROM documents),
+        |r AS (SELECT CASE WHEN source IN ('src0', 'src1') THEN 0
+        |    ELSE 1 END AS shard,
+        |  h // 16777216 AS reg, h % 16777216 AS rem FROM h),
+        |rho AS (SELECT shard, reg, max(CASE WHEN rem = 0 THEN 25
+        |    ELSE 25 - length(bin(rem)) END) AS max_rho
+        |  FROM r GROUP BY shard, reg),
+        |merged AS (SELECT reg, max(max_rho) AS r_merged
+        |  FROM rho GROUP BY reg),
+        |whole AS (SELECT reg, max(CASE WHEN rem = 0 THEN 25
+        |    ELSE 25 - length(bin(rem)) END) AS r_whole
+        |  FROM r GROUP BY reg)
+        |SELECT w.reg, w.r_whole, m.r_merged,
+        |  CASE WHEN w.r_whole = m.r_merged THEN 1 ELSE 0 END AS agree
+        |FROM whole w JOIN merged m USING (reg)""".stripMargin,
 
     "q_hll_by_group" ->
       """WITH h AS (SELECT l_suppkey, CAST('0x' ||

@@ -465,6 +465,34 @@ object GraphAnalytics {
   }
 
   /**
+   * Strongly connected components of the DIRECTED edge relation —
+   * the cycle structure CC (which ignores direction) cannot see:
+   * mutual-reachability classes, the unit of citation loops, redirect
+   * cycles, and link-graph spam farms. GraphX's Pregel SCC
+   * (forward/backward label intersection per phase) converges to the
+   * unique partition; `numIter` bounds the phase count and must cover
+   * the graph's cycle diameter (callers size it like PageRank's
+   * iteration budget). Component label = the SCC's minimum vertex id
+   * (GraphX's convention — deterministic, integer).
+   *
+   * Scale shape: each SCC phase is a bounded Pregel exchange over the
+   * edge partitioning; the materialized output is one vertex-sized
+   * frame. The oracle replays mutual reachability as two recursive-CTE
+   * closures joined on (a→b AND b→a) — exact on the gate fixture.
+   */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, numIter: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val g = Graph.fromEdges(
+      edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 0)),
+      defaultValue = 0L)
+    g.stronglyConnectedComponents(numIter)
+      .vertices.toDF("_vid", "component")
+  }
+
+  /**
    * Per-component summary — the whole-graph statistics rollup over the
    * reachability partition: component label (GraphX CC = min vid,
    * deterministic), vertex count, and stored-arc count (every stored

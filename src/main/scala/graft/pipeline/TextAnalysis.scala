@@ -572,6 +572,27 @@ object TextAnalysis {
    * the pruned vocab side broadcasts; per-doc agg is map-side
    * combinable.
    */
+  /**
+   * Per-language tokenizer fertility — tokens per 1000 characters.
+   * The mixture-design diagnostic: a tokenizer that fragments one
+   * language into 3× the tokens of another silently reweights the
+   * training mixture (effective epochs ∝ tokens, not documents), so
+   * per-language fertility is read BEFORE fixing source weights.
+   * Integer permille by the portable floor law; one narrow scan + one
+   * language-sized aggregate.
+   */
+  def tokenFertility(df: DataFrame, langCol: String,
+      textCol: String): DataFrame =
+    df.select(col(langCol).as("lang"),
+        tokenCount(col(textCol)).cast("long").as("n_tok"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("fert_permille",
+        floor(col("sum_tok") * lit(1000.0) / col("sum_chars"))
+          .cast("long"))
+
   def oovRate(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     val tok = df

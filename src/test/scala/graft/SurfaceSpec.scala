@@ -69,6 +69,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(joined.filter(col("out_deg") =!= col("count")).count() == 0)
   }
 
+  test("scc: cycles fuse, chains and one-way links stay separate") {
+    import spark.implicits._
+    // 1→2→3→1 (cycle), 3→4 (one-way), 5→6 and 6→5 (2-cycle), 4→5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (5L, 6L), (6L, 5L), (4L, 5L)).toDF("s", "d")
+    val got = GraphAnalytics
+      .stronglyConnectedComponents(edges, "s", "d", numIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,  // the 3-cycle
+      4L -> 4L,                                       // bridge vertex
+      5L -> 5L, 6L -> 5L),                            // the 2-cycle
+      s"unexpected SCC labels: $got")
+    // undirected CC would fuse EVERYTHING into one component — the
+    // distinction SCC exists for
+    val cc = org.apache.spark.graphx.Graph.fromEdges(
+      edges.rdd.map(r =>
+        org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), 0)),
+      0L).connectedComponents().vertices.values.distinct().count()
+    assert(cc == 1L)
+  }
+
   test("connected components labels = min vid per component") {
     // synthetic graph with known components: {1,2,3} and {5,6}.
     // (On the TPC-H graph tag id-spaces overlap — same-id = same vertex,
