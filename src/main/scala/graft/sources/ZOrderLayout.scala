@@ -50,6 +50,18 @@ object ZOrderLayout {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** Inverse of [[zValue]] for column `j`: gather bits `b*nCols + j`
+    * back into a plain integer — the decode a range-sharded rebalancer
+    * or a debugging scan needs to recover coordinates from a stored
+    * z-key without carrying the original columns. */
+  def zDecode(z: Column, nCols: Int, bits: Int, j: Int): Column = {
+    require(nCols >= 1 && j >= 0 && j < nCols && bits >= 1 &&
+      nCols * bits <= 63, s"bad decode geometry ($nCols, $bits, $j)")
+    (0 until bits).map(b =>
+      shiftleft(shiftright(z, b * nCols + j).bitwiseAND(lit(1L)), b))
+      .reduce(_.bitwiseOR(_))
+  }
+
   /** DuckDB rendering of the exact same interleave, for oracle SQL. */
   def zValueSql(cols: Seq[String], bits: Int): String = {
     val n = cols.size

@@ -250,4 +250,41 @@ class PropertySpec extends SparkSpec {
         assert(got(g) == math.min(k.toLong, sz)) }
     }
   }
+
+  test("zValue/zDecode roundtrip on random coordinates and geometries") {
+    import graft.sources.ZOrderLayout
+    forAll(Gen.zip(Gen.choose(2, 3), Gen.choose(4, 10))) { case (nc, bits) =>
+      val max = (1L << bits) - 1
+      val rows = (1 to 40).map { i =>
+        Seq.tabulate(nc)(j => (i * 2654435761L + j * 40503L) % (max + 1))
+      }
+      val df = rows.map(r => (r.head, r(1), if (nc > 2) r(2) else 0L))
+        .toDF("c0", "c1", "c2")
+      val cols = (0 until nc).map(j => org.apache.spark.sql.functions.col(s"c$j"))
+      val z = df.withColumn("z", ZOrderLayout.zValue(cols, bits))
+      (0 until nc).foreach { j =>
+        val back = z.withColumn("back",
+          ZOrderLayout.zDecode(org.apache.spark.sql.functions.col("z"),
+            nc, bits, j))
+        assert(back.filter(org.apache.spark.sql.functions
+          .col(s"c$j") =!= org.apache.spark.sql.functions.col("back"))
+          .count() == 0, s"roundtrip failed at nc=$nc bits=$bits j=$j")
+      }
+    }
+  }
+
+  test("binned quantile edge is never above the exact quantile and " +
+      "within one width below it") {
+    import graft.operators.Stats
+    forAll(Gen.zip(Gen.choose(1, 20), Gen.choose(50, 400))) { case (w, n) =>
+      val vals = (1 to n).map(i => ((i * 7919) % 997).toDouble)
+      val df = vals.toDF("v")
+      val got = Stats.binQuantiles(df, "v", 0L, w.toLong, 1000 / w + 1,
+        Seq(500)).collect().head.getLong(2)
+      val sorted = vals.sorted
+      val exact = sorted((n * 500 + 999) / 1000 - 1) // ceil(p*n) element
+      assert(got <= exact && exact < got + w,
+        s"w=$w n=$n edge=$got exact=$exact")
+    }
+  }
 }
