@@ -193,6 +193,29 @@ object SparkEntry {
           "c_acctbal" -> lit(0.0), "c_mktsegment" -> lit("NONE")))
     }),
 
+    // ---- Write-path index maintenance: touched keys' index entries
+    // replaced incrementally; the oracle re-projects the merged table
+    // in full, so the hash gate PROVES incremental == rebuild ----
+    "q_index_incremental" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val cust = store(s, dir).tag("customer")
+      val updates = ((1L to 60L) ++ (200001L to 200020L)).toDF("_vid")
+      val merged = Mutations.upsert(cust, updates, Seq("_vid"),
+        condition = Some(Cmp(">=", Prop("c_acctbal"), Lit(0.0))),
+        sets = Seq(
+          "c_acctbal" -> (col("c_acctbal") + lit(50.0)),
+          "c_name" -> concat(col("c_name"), lit("+"))),
+        insertable = true,
+        defaults = Map(
+          "c_name" -> lit("anon"), "c_nationkey" -> lit(0),
+          "c_acctbal" -> lit(0.0), "c_mktsegment" -> lit("NONE")))
+      val oldIdx = cust.select(col("c_name"), col("_vid"))
+      val delta = merged.join(updates, Seq("_vid"), "left_semi")
+      graft.sources.BucketedStore.indexApplyDelta(oldIdx, delta,
+        Seq("_vid"), Seq("c_name", "_vid"))
+    }),
+
     // ---- TTL visibility (§2.9) ----
     "q_ttl_visibility" -> ((s, dir) =>
       Ttl.visible(graft.sources.Tables.events(s, dir), "ts", 604800L,
@@ -2467,6 +2490,30 @@ object SparkEntry {
         |         coalesce(c_nationkey % 5 = 0 AND c_acctbal > 0.0, false)
         |           AS upd
         |  FROM customer)""".stripMargin,
+
+    // the incremental index vs the FULL re-projection of the merged
+    // table (same upsert CTE chain) — the equality IS the gated law
+    "q_index_incremental" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS _vid, c_name, c_acctbal FROM customer),
+        |u AS (
+        |  SELECT CAST(range AS BIGINT) AS _vid FROM range(1, 61)
+        |  UNION ALL
+        |  SELECT CAST(range AS BIGINT) FROM range(200001, 200021)),
+        |j AS (
+        |  SELECT coalesce(c._vid, u._vid) AS _vid,
+        |         c._vid IS NOT NULL AS ex, u._vid IS NOT NULL AS tch,
+        |         c_name, c_acctbal
+        |  FROM c FULL JOIN u ON c._vid = u._vid),
+        |d AS (
+        |  SELECT _vid,
+        |         CASE WHEN NOT ex THEN 'anon' ELSE c_name END AS c_name,
+        |         (tch AND ex AND coalesce(c_acctbal >= 0.0, false))
+        |           OR (tch AND NOT ex) AS app
+        |  FROM j)
+        |SELECT CASE WHEN app THEN c_name || '+' ELSE c_name END AS c_name,
+        |       _vid
+        |FROM d""".stripMargin,
 
     "q_upsert_vertex" ->
       """WITH c AS (

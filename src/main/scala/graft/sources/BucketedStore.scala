@@ -133,4 +133,30 @@ object BucketedStore {
       indexCols: Seq[String]): Unit =
     save(df.select(indexCols.head, indexCols.tail: _*), table, buckets,
       Seq(indexCols.head))
+
+  /**
+   * Write-path index maintenance — the reference rewrites index keys
+   * ATOMICALLY with every mutation (AddVerticesProcessor deletes the
+   * old index key and inserts the new one per touched row,
+   * src/storage/mutate/AddVerticesProcessor.cpp:118-160) rather than
+   * rebuilding. Same law here: the entries of touched keys are
+   * replaced — one key-anti-join against the delta + a union of the
+   * delta's fresh projections. At 100 TB a rebuild is a full-table
+   * sort; this costs only |delta| against the index's bucket files.
+   * The gate (q_index_incremental) hashes this incremental result
+   * against the oracle's FULL re-projection of the merged table —
+   * incremental == rebuild, checked per round.
+   */
+  def indexApplyDelta(oldIndex: DataFrame, newRows: DataFrame,
+      keys: Seq[String], indexCols: Seq[String]): DataFrame = {
+    require(keys.forall(indexCols.contains),
+      s"index cols $indexCols must cover the table key $keys " +
+        "(the reference embeds the vid in every index key)")
+    oldIndex
+      .join(newRows.select(keys.head, keys.tail: _*).distinct(),
+        keys, "left_anti")
+      .unionByName(newRows.select(indexCols.head, indexCols.tail: _*))
+      // the using-column join fronts the key; restore index-key order
+      .select(indexCols.head, indexCols.tail: _*)
+  }
 }

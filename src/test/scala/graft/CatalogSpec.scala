@@ -95,6 +95,22 @@ class BucketedStoreSpec extends SparkSpec {
     assert(idx.columns.toSeq == Seq("p_size", "p_brand"))
     assert(idx.count() == store.tag("part").count())
   }
+
+  test("indexApplyDelta replaces touched entries, equals a rebuild") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "nm")
+    val oldIdx = base.select(col("nm"), col("id"))
+    // row 2 renamed, row 4 inserted; rows 1 and 3 untouched
+    val delta = Seq((2L, "B2"), (4L, "d")).toDF("id", "nm")
+    val inc = BucketedStore.indexApplyDelta(oldIdx, delta,
+      Seq("id"), Seq("nm", "id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(inc == Set(("a", 1L), ("c", 3L), ("B2", 2L), ("d", 4L)))
+    // key not covered by the index -> loud failure, not silent corruption
+    intercept[IllegalArgumentException] {
+      BucketedStore.indexApplyDelta(oldIdx, delta, Seq("id"), Seq("nm"))
+    }
+  }
 }
 
 class HigherOrderExprSpec extends SparkSpec {
