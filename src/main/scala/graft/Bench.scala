@@ -132,7 +132,7 @@ object Bench {
     "pq_rerank_recall" -> "rerank_rec", "pq_rerank" -> "rerank",
     "bin_quantiles" -> "binq", "json_props" -> "jprops",
     "token_fertility" -> "fert", "hll_union" -> "hllu",
-    "index_incremental" -> "idx_inc",
+    "index_incremental" -> "idx_inc", "column_profile" -> "colprof",
     "compaction_plan" -> "cplan", "compaction_summary" -> "csum",
     "embedding_drift" -> "edrift",
     "update_" -> "upd_", "upsert_" -> "ups_")

@@ -216,6 +216,17 @@ object SparkEntry {
         Seq("_vid"), Seq("c_name", "_vid"))
     }),
 
+    // ---- Column-level quality profile (Deequ-analyzer shape): the
+    // load-gate expectations row per column; null-rate fixture planted
+    // by nulling negative balances ----
+    "q_column_profile" -> ((s, dir) =>
+      graft.operators.Audit.profileColumns(
+        t(s, dir, "customer").withColumn("acct_or_null",
+          when(col("c_acctbal") < 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal"))),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+          "acct_or_null"))),
+
     // ---- TTL visibility (§2.9) ----
     "q_ttl_visibility" -> ((s, dir) =>
       Ttl.visible(graft.sources.Tables.events(s, dir), "ts", 604800L,
@@ -2490,6 +2501,18 @@ object SparkEntry {
         |         coalesce(c_nationkey % 5 = 0 AND c_acctbal > 0.0, false)
         |           AS upd
         |  FROM customer)""".stripMargin,
+
+    "q_column_profile" -> {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey",
+        "c_mktsegment", "acct_or_null")
+      val arms = cols.map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) FILTER (WHERE $c IS NULL) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct FROM c""".stripMargin)
+      s"""WITH c AS (SELECT *, CASE WHEN c_acctbal < 0 THEN NULL
+         |  ELSE c_acctbal END AS acct_or_null FROM customer)
+         |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     // the incremental index vs the FULL re-projection of the merged
     // table (same upsert CTE chain) — the equality IS the gated law

@@ -14,6 +14,35 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   */
 object Audit {
 
+  /**
+   * Column-level quality profile (the Deequ-analyzer shape): one row
+   * per profiled column with row count, null count, and exact distinct
+   * count — the expectations a load gate checks before a 100 TB table
+   * goes live (sudden null-rate jump = upstream schema drift; distinct
+   * collapse = a join fanned out or a default flooded the column).
+   *
+   * Scale: ONE aggregation pass — the multi-column countDistinct plans
+   * as a single Expand + two-phase aggregate (partials combine
+   * map-side), and the wide one-row result unpivots with `stack` (a
+   * narrow projection). Distinct counts ignore nulls (documented SQL
+   * semantics; n_null carries them).
+   */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.forall(df.columns.contains),
+      s"profile columns $cols must exist in ${df.columns.toSeq}")
+    val aggs = cols.flatMap(c => Seq(
+      F.sum(F.when(F.col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      F.countDistinct(F.col(c)).as(s"nd_$c")))
+    val allAggs = F.count(F.lit(1)).as("n_rows") +: aggs
+    val wide = df.agg(allAggs.head, allAggs.tail: _*)
+    val stackExpr = s"stack(${cols.size}, " +
+      cols.map(c => s"'$c', `nn_$c`, `nd_$c`").mkString(", ") +
+      ") AS (column_name, n_null, n_distinct)"
+    wide.select(F.col("n_rows"), F.expr(stackExpr))
+      .select(F.col("column_name"), F.col("n_rows"), F.col("n_null"),
+        F.col("n_distinct"))
+  }
+
   /** Per-status row counts of snapshot `v2` vs `base`, keyed by
     * `keyCols`, value-compared null-safely on `valCols`. Output is one
     * row per status in {added, deleted, changed, unchanged} with its
