@@ -24,6 +24,33 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraphStore.table(s, dir, name)
 
+  /** The shared put/del changelog fixture over supplier keys <= 40
+    * (same shape as q_changelog_apply's: every key puts at seq=key,
+    * k%5==0 are dels, k%10==0 revived at seq=key+1000, k%9==0 deleted
+    * last at seq=key+2000) — exercises put-after-del and del-after-put
+    * for the SCD2 / point-in-time family. */
+  private def supplierChangelog(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "supplier").filter(col("s_suppkey") <= 40)
+    val c1 = base.select(col("s_suppkey").as("key"),
+      col("s_suppkey").cast("long").as("seq"),
+      when(col("s_suppkey") % 5 === 0, "del").otherwise("put").as("op"),
+      upper(col("s_name")).as("s_name"),
+      (col("s_acctbal") + 100).as("s_acctbal"))
+    val c2 = base.filter(col("s_suppkey") % 10 === 0)
+      .select(col("s_suppkey").as("key"),
+        (col("s_suppkey") + 1000).cast("long").as("seq"),
+        lit("put").as("op"),
+        concat(upper(col("s_name")), lit("-R")).as("s_name"),
+        (col("s_acctbal") + 200).as("s_acctbal"))
+    val c3 = base.filter(col("s_suppkey") % 9 === 0)
+      .select(col("s_suppkey").as("key"),
+        (col("s_suppkey") + 2000).cast("long").as("seq"),
+        lit("del").as("op"),
+        lit(null).cast("string").as("s_name"),
+        lit(null).cast("double").as("s_acctbal"))
+    c1.unionByName(c2).unionByName(c3)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_get_neighbors_out")(spark, "/root/testdata/sf0.001")
@@ -801,6 +828,59 @@ object SparkEntry {
         sup, c1.unionByName(c2).unionByName(c3), Seq("key"))
     }),
 
+    // ---- Incremental view maintenance: per-supplier (count, sum qty)
+    // aggregate maintained from a row-level delta changelog (inserts =
+    // post-1999 shipments, deletes = pre-1999 rows with orderkey%7==0)
+    // — O(|delta|) merge against the base AGGREGATE, never an
+    // O(|facts|) recompute; the oracle IS the fresh recompute, proving
+    // the maintenance law exactly ----
+    "q_incr_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cut = "1999-01-01"
+      val baseAgg = li.filter(col("l_shipdate") < lit(cut))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+      val delta = li.filter(col("l_shipdate") >= lit(cut))
+        .select(col("l_suppkey"), lit("ins").as("op"), col("l_quantity"))
+        .unionByName(li.filter(
+            col("l_shipdate") < lit(cut) && col("l_orderkey") % 7 === 0)
+          .select(col("l_suppkey"), lit("del").as("op"),
+            col("l_quantity")))
+      graft.streaming.ChangeLogListener.maintainAgg(
+        baseAgg, delta, "l_suppkey", "op", "l_quantity",
+        "n_rows", "sum_qty")
+    }),
+
+    // ---- SCD2 history: the same put/del changelog as net-effect
+    // replay above, but keeping FULL version history as half-open
+    // validity intervals (one lead() window on the dimension key) ----
+    "q_scd2_intervals" -> ((s, dir) =>
+      Scd2.intervals(supplierChangelog(s, dir),
+        "key", "seq", "op", Seq("s_name", "s_acctbal"))
+        .select(col("key"), col("s_name"),
+          Portable.quant(col("s_acctbal"), 2).as("s_acctbal"),
+          col("valid_from"), col("valid_to"), col("is_current"))),
+
+    // Point-in-time join: each lineitem fact (seq = orderkey mod 2500,
+    // spanning the changelog's [1, 2040] version range) gets the
+    // supplier version live at ITS seq — as-of machinery, never a
+    // facts x versions range join. Facts before the first put, or
+    // after a del, surface null payload + matched=0.
+    "q_pit_join" -> ((s, dir) => {
+      val facts = t(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 40)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          (col("l_orderkey") % 2500).cast("long").as("fseq"))
+      Scd2.pointInTime(facts, "l_suppkey", "fseq",
+        supplierChangelog(s, dir), "key", "seq", "op",
+        Seq("s_name", "s_acctbal"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("fseq"), col("s_name"),
+          Portable.quant(col("s_acctbal"), 2).as("s_acctbal"),
+          col("matched"))
+    }),
+
     "q_events_running_totals" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -1530,6 +1610,17 @@ object SparkEntry {
     // combined by elementwise max MUST equal the whole-corpus sketch
     // (the shard/day partial re-aggregation everything at 100 TB
     // leans on) ----
+    // ---- Sketch set algebra: inclusion–exclusion intersection of two
+    // orderkey sets (pre/post-1998H2 shippers) from HLL registers —
+    // exact-integer harmonic mean, one register pass, scalar tail ----
+    "q_hll_intersect" -> ((s, dir) =>
+      Stats.hllIntersect(
+        t(s, dir, "lineitem").select(
+          when(col("l_shipdate") < lit("1998-07-01"), "a").otherwise("b")
+            .as("s"),
+          col("l_orderkey")),
+        "s", "l_orderkey")),
+
     "q_hll_union" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sharded = docs.withColumn("shard",
@@ -1621,6 +1712,23 @@ object SparkEntry {
       case 2 => 1.0
       case _ => 2.5
     })).toMap
+
+  /** The supplierChangelog fixture as a DuckDB CTE (shared by the
+    * changelog / SCD2 / point-in-time oracle family). */
+  private val ChgCte =
+    """ch AS (
+      |  SELECT s_suppkey AS key, CAST(s_suppkey AS BIGINT) AS seq,
+      |    CASE WHEN s_suppkey % 5 = 0 THEN 'del' ELSE 'put' END AS op,
+      |    upper(s_name) AS s_name, s_acctbal + 100 AS s_acctbal
+      |  FROM supplier WHERE s_suppkey <= 40
+      |  UNION ALL
+      |  SELECT s_suppkey, CAST(s_suppkey + 1000 AS BIGINT), 'put',
+      |    upper(s_name) || '-R', s_acctbal + 200
+      |  FROM supplier WHERE s_suppkey <= 40 AND s_suppkey % 10 = 0
+      |  UNION ALL
+      |  SELECT s_suppkey, CAST(s_suppkey + 2000 AS BIGINT), 'del',
+      |    NULL, NULL
+      |  FROM supplier WHERE s_suppkey <= 40 AND s_suppkey % 9 = 0)""".stripMargin
 
   /** Shared DuckDB CTE snippets for the text oracles. */
   private val TokCte =
@@ -2353,6 +2461,58 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM last l WHERE l.key = e.s_suppkey)
         |UNION ALL
         |SELECT key, s_name, s_acctbal FROM last WHERE op = 'put'""".stripMargin,
+
+    // the oracle is the FRESH RECOMPUTE over (base minus deletes plus
+    // inserts) — incremental maintenance must land on the exact same
+    // integers
+    "q_incr_agg" ->
+      """WITH live AS (
+        |  SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |    AND NOT (l_orderkey % 7 = 0)
+        |  UNION ALL
+        |  SELECT l_suppkey, CAST(l_quantity AS BIGINT)
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |SELECT l_suppkey, count(*) AS n_rows,
+        |  CAST(sum(q) AS BIGINT) AS sum_qty
+        |FROM live GROUP BY l_suppkey
+        |HAVING count(*) > 0""".stripMargin,
+
+    // lead() over the per-key seq order closes each put's interval at
+    // the NEXT change (put or del); del rows emit no interval row
+    "q_scd2_intervals" ->
+      s"""WITH $ChgCte,
+         |iv AS (SELECT key, seq, op, s_name, s_acctbal,
+         |    lead(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+         |  FROM ch)
+         |SELECT key, s_name,
+         |  ${Portable.sql("s_acctbal", 2)} AS s_acctbal,
+         |  seq AS valid_from, valid_to,
+         |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+         |FROM iv WHERE op = 'put'""".stripMargin,
+
+    // latest change at-or-before each fact's seq; a del (or nothing)
+    // as that latest change yields null payload + matched=0
+    "q_pit_join" ->
+      s"""WITH $ChgCte,
+         |f AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+         |    CAST(l_orderkey % 2500 AS BIGINT) AS fseq
+         |  FROM lineitem WHERE l_suppkey <= 40),
+         |k AS (SELECT DISTINCT l_suppkey, fseq FROM f),
+         |m AS (SELECT k.l_suppkey, k.fseq, c.op, c.s_name, c.s_acctbal,
+         |    row_number() OVER (PARTITION BY k.l_suppkey, k.fseq
+         |      ORDER BY c.seq DESC) AS rn
+         |  FROM k LEFT JOIN ch c
+         |    ON c.key = k.l_suppkey AND c.seq <= k.fseq)
+         |SELECT f.l_orderkey, f.l_linenumber, f.l_suppkey, f.fseq,
+         |  CASE WHEN m.op = 'put' THEN m.s_name END AS s_name,
+         |  CASE WHEN m.op = 'put'
+         |    THEN ${Portable.sql("m.s_acctbal", 2)} END AS s_acctbal,
+         |  CASE WHEN m.op = 'put' THEN 1 ELSE 0 END AS matched
+         |FROM f JOIN m ON m.rn = 1
+         |  AND m.l_suppkey = f.l_suppkey AND m.fseq = f.fseq""".stripMargin,
 
     "q_triangle_count" ->
       """WITH raw AS (
@@ -3550,6 +3710,39 @@ object SparkEntry {
         |  CAST(floor(CAST(sum(n_tok) AS BIGINT) * 1000.0 /
         |    CAST(sum(n_chars) AS BIGINT)) AS BIGINT) AS fert_permille
         |FROM tk GROUP BY lang""".stripMargin,
+
+    // exact-integer HLL harmonic mean: S = Σ 2^(25-rho) over present
+    // registers + 2^25 per absent one; E = N // (10^6 * S) with
+    // N = 718272·256²·2^25 — identical 64-bit ops on both engines
+    "q_hll_intersect" ->
+      """WITH v AS (SELECT CASE WHEN l_shipdate <
+        |      TIMESTAMP '1998-07-01 00:00:00' THEN 'a' ELSE 'b' END AS s,
+        |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)
+        |      AS BIGINT) AS h
+        |  FROM lineitem),
+        |r AS (SELECT s, h // 16777216 AS reg, h % 16777216 AS rem FROM v),
+        |rho AS (SELECT s, reg, max(CASE WHEN rem = 0 THEN 25
+        |    ELSE 25 - length(bin(rem)) END) AS max_rho
+        |  FROM r GROUP BY s, reg),
+        |uni AS (SELECT reg, max(max_rho) AS max_rho FROM rho GROUP BY reg),
+        |ea AS (SELECT 1579496831811846144 // (1000000 *
+        |    (CAST(sum(1::BIGINT << (25 - max_rho)) AS BIGINT)
+        |     + (256 - count(*)) * 33554432)) AS est_a
+        |  FROM rho WHERE s = 'a'),
+        |eb AS (SELECT 1579496831811846144 // (1000000 *
+        |    (CAST(sum(1::BIGINT << (25 - max_rho)) AS BIGINT)
+        |     + (256 - count(*)) * 33554432)) AS est_b
+        |  FROM rho WHERE s = 'b'),
+        |eu AS (SELECT 1579496831811846144 // (1000000 *
+        |    (CAST(sum(1::BIGINT << (25 - max_rho)) AS BIGINT)
+        |     + (256 - count(*)) * 33554432)) AS est_union
+        |  FROM uni)
+        |SELECT CAST(est_a AS BIGINT) AS est_a,
+        |  CAST(est_b AS BIGINT) AS est_b,
+        |  CAST(est_union AS BIGINT) AS est_union,
+        |  CAST(greatest(0, est_a + est_b - est_union) AS BIGINT)
+        |    AS est_intersect
+        |FROM ea, eb, eu""".stripMargin,
 
     // register-merge law: shard max-merge == whole-corpus registers
     "q_hll_union" ->
@@ -4803,6 +4996,8 @@ object SparkEntry {
     "q_ivfpq_recall" -> Seq("recall"),
     "q_asof_join" -> Seq("buy_value"),
     "q_changelog_apply" -> Seq("s_acctbal"),
+    "q_scd2_intervals" -> Seq("s_acctbal"),
+    "q_pit_join" -> Seq("s_acctbal"),
     "q_corpus_curation" -> Seq("quality_score"),
     "q_dedup_incremental" -> Seq("agree"),
     "q_delete_edges" ->

@@ -46,6 +46,39 @@ object ChangeLogListener {
       Mutations.deleteRows(existing, dels, keyCols),
       puts, keyCols, ifNotExists = false)
   }
+
+  /**
+   * Incremental view maintenance of a per-key (count, sum) aggregate:
+   * apply a row-level delta changelog (`opCol` 'ins'|'del', each row
+   * carrying its `valCol`) to the pre-aggregated base — the derived
+   * table the Listener keeps in sync WITHOUT re-reading the fact table.
+   * Count and sum are the self-maintainable aggregates (inserts add,
+   * deletes subtract; min/max are not maintainable under deletes
+   * without the base rows, which is why they're excluded here).
+   *
+   * Scale shape: the delta pre-aggregates to one row per touched key
+   * (map-side combinable), then a full-outer join against the base
+   * AGGREGATE (|keys| rows, not |facts|). At 100 TB this is the
+   * difference between an O(|delta|) nightly merge and an O(|facts|)
+   * recompute. Keys whose count reaches zero drop out (the tombstone
+   * rule). `valCol` must be integral (cast long) so base + delta sums
+   * are exact — IEEE float sums would drift from a fresh recompute.
+   */
+  def maintainAgg(baseAgg: DataFrame, delta: DataFrame, keyCol: String,
+      opCol: String, valCol: String,
+      cntCol: String, sumCol: String): DataFrame = {
+    val sign = when(col(opCol) === "ins", lit(1L)).otherwise(lit(-1L))
+    val d = delta.groupBy(col(keyCol)).agg(
+      sum(sign).as("_dc"),
+      sum(sign * col(valCol).cast("long")).as("_ds"))
+    baseAgg.join(d, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col(cntCol), lit(0L)) + coalesce(col("_dc"), lit(0L)))
+          .as(cntCol),
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col("_ds"), lit(0L)))
+          .as(sumCol))
+      .filter(col(cntCol) > 0)
+  }
 }
 
 /** Streaming wrapper: maintains versioned parquet snapshots of the
