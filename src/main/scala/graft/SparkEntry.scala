@@ -1126,6 +1126,29 @@ object SparkEntry {
         Seq("placed", "contains", "supplied_by"),
         seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3)),
 
+    // time-respecting earliest arrival: static reachability over-
+    // reports (a 1997 order can't ride a 1995 shipment); min-arrival
+    // Bellman-Ford rounds over (src, dst, ts) edges, integer micros
+    "q_earliest_arrival" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e = t(s, dir, "orders").select(col("o_custkey").as("src"),
+          col("o_orderkey").as("dst"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+        .unionByName(li.select(col("l_orderkey").as("src"),
+          col("l_partkey").as("dst"), unix_micros(col("l_shipdate").cast("timestamp")).as("t")))
+        .unionByName(li.select(col("l_partkey").as("src"),
+          col("l_suppkey").as("dst"), unix_micros(col("l_shipdate").cast("timestamp")).as("t")))
+      graft.analytics.GraphAnalytics.earliestArrival(
+        e, seeds = Seq(1L, 2L, 3L, 4L, 5L), rounds = 3)
+    }),
+
+    // closeness + harmonic centrality over the same bounded BFS as
+    // eccentricity — exact integer ppm output (10^6 div d), no floats
+    "q_closeness" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.closenessStats(store(s, dir),
+        Seq("placed", "contains", "supplied_by"),
+        seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3)),
+
     // ---- IVF approximate nearest neighbors ----
     "q_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1712,6 +1735,61 @@ object SparkEntry {
       case 2 => 1.0
       case _ => 2.5
     })).toMap
+
+  /** Per-seed bounded BFS level chain (seeds 1-5, 3 hops over the
+    * orders/lineitem edge derivation) — shared by the eccentricity and
+    * closeness oracles; `lv` is (seed, vid, d). */
+  private val SeedBfsCte =
+    """e AS (
+      |  SELECT o_custkey AS src, o_orderkey AS dst FROM orders
+      |  UNION ALL SELECT l_orderkey, l_partkey FROM lineitem
+      |  UNION ALL SELECT l_partkey, l_suppkey FROM lineitem),
+      |l0 AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS seed,
+      |              CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS vid),
+      |l1 AS (SELECT DISTINCT l0.seed, e.dst AS vid FROM e
+      |       JOIN l0 ON e.src = l0.vid
+      |       WHERE NOT EXISTS (SELECT 1 FROM l0 x
+      |         WHERE x.seed = l0.seed AND x.vid = e.dst)),
+      |v1 AS (SELECT seed, vid FROM l0 UNION ALL SELECT seed, vid FROM l1),
+      |l2 AS (SELECT DISTINCT l1.seed, e.dst AS vid FROM e
+      |       JOIN l1 ON e.src = l1.vid
+      |       WHERE NOT EXISTS (SELECT 1 FROM v1 x
+      |         WHERE x.seed = l1.seed AND x.vid = e.dst)),
+      |v2 AS (SELECT seed, vid FROM v1 UNION ALL SELECT seed, vid FROM l2),
+      |l3 AS (SELECT DISTINCT l2.seed, e.dst AS vid FROM e
+      |       JOIN l2 ON e.src = l2.vid
+      |       WHERE NOT EXISTS (SELECT 1 FROM v2 x
+      |         WHERE x.seed = l2.seed AND x.vid = e.dst)),
+      |lv AS (SELECT seed, vid, 0 AS d FROM l0
+      |  UNION ALL SELECT seed, vid, 1 FROM l1
+      |  UNION ALL SELECT seed, vid, 2 FROM l2
+      |  UNION ALL SELECT seed, vid, 3 FROM l3)""".stripMargin
+
+  /** Earliest-arrival oracle: `rounds` unrolled min-relaxations over
+    * the temporal edge derivation (orders/lineitem with their event
+    * timestamps as micros), mirroring GraphAnalytics.earliestArrival's
+    * full-frame Bellman-Ford recurrence. */
+  private def earliestArrivalSql(rounds: Int): String = {
+    val relax = (1 to rounds).map { i =>
+      s"""a$i AS (SELECT seed, vid, min(arr_us) AS arr_us FROM (
+         |  SELECT a.seed, te.d AS vid, te.t AS arr_us
+         |  FROM te JOIN a${i - 1} a ON te.s = a.vid AND te.t >= a.arr_us
+         |  UNION ALL SELECT seed, vid, arr_us FROM a${i - 1})
+         |  GROUP BY seed, vid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH te AS (
+       |  SELECT o_custkey AS s, o_orderkey AS d,
+       |    epoch_us(o_orderdate) AS t FROM orders
+       |  UNION ALL SELECT l_orderkey, l_partkey, epoch_us(l_shipdate)
+       |  FROM lineitem
+       |  UNION ALL SELECT l_partkey, l_suppkey, epoch_us(l_shipdate)
+       |  FROM lineitem),
+       |a0 AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS seed,
+       |             CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS vid,
+       |             CAST(0 AS BIGINT) AS arr_us),
+       |$relax
+       |SELECT seed, vid, arr_us FROM a$rounds""".stripMargin
+  }
 
   /** The supplierChangelog fixture as a DuckDB CTE (shared by the
     * changelog / SCD2 / point-in-time oracle family). */
@@ -2563,33 +2641,27 @@ object SparkEntry {
     // the khop level chain with a seed label threaded through — each
     // seed's visited set is its own NOT EXISTS scope
     "q_eccentricity" ->
-      """WITH e AS (
-        |  SELECT o_custkey AS src, o_orderkey AS dst FROM orders
-        |  UNION ALL SELECT l_orderkey, l_partkey FROM lineitem
-        |  UNION ALL SELECT l_partkey, l_suppkey FROM lineitem),
-        |l0 AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS seed,
-        |              CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS vid),
-        |l1 AS (SELECT DISTINCT l0.seed, e.dst AS vid FROM e
-        |       JOIN l0 ON e.src = l0.vid
-        |       WHERE NOT EXISTS (SELECT 1 FROM l0 x
-        |         WHERE x.seed = l0.seed AND x.vid = e.dst)),
-        |v1 AS (SELECT seed, vid FROM l0 UNION ALL SELECT seed, vid FROM l1),
-        |l2 AS (SELECT DISTINCT l1.seed, e.dst AS vid FROM e
-        |       JOIN l1 ON e.src = l1.vid
-        |       WHERE NOT EXISTS (SELECT 1 FROM v1 x
-        |         WHERE x.seed = l1.seed AND x.vid = e.dst)),
-        |v2 AS (SELECT seed, vid FROM v1 UNION ALL SELECT seed, vid FROM l2),
-        |l3 AS (SELECT DISTINCT l2.seed, e.dst AS vid FROM e
-        |       JOIN l2 ON e.src = l2.vid
-        |       WHERE NOT EXISTS (SELECT 1 FROM v2 x
-        |         WHERE x.seed = l2.seed AND x.vid = e.dst)),
-        |lv AS (SELECT seed, vid, 0 AS d FROM l0
-        |  UNION ALL SELECT seed, vid, 1 FROM l1
-        |  UNION ALL SELECT seed, vid, 2 FROM l2
-        |  UNION ALL SELECT seed, vid, 3 FROM l3)
-        |SELECT seed, CAST(max(d) AS BIGINT) AS ecc_k,
-        |  count(*) AS n_reached
-        |FROM lv GROUP BY seed""".stripMargin,
+      s"""WITH $SeedBfsCte
+         |SELECT seed, CAST(max(d) AS BIGINT) AS ecc_k,
+         |  count(*) AS n_reached
+         |FROM lv GROUP BY seed""".stripMargin,
+
+    // min-arrival relaxation rounds mirrored exactly (relax from the
+    // FULL arrival frame each round, min-fold with the carry-over)
+    "q_earliest_arrival" -> earliestArrivalSql(3),
+
+    // same level chain, closeness/harmonic tail: exact integer ppm
+    "q_closeness" ->
+      s"""WITH $SeedBfsCte
+         |SELECT seed, n_reached, sum_dist, harmonic_ppm,
+         |  CASE WHEN sum_dist > 0
+         |    THEN (n_reached - 1) * 1000000 // sum_dist
+         |    ELSE CAST(0 AS BIGINT) END AS closeness_ppm
+         |FROM (SELECT seed, count(*) AS n_reached,
+         |    CAST(sum(d) AS BIGINT) AS sum_dist,
+         |    CAST(sum(CASE WHEN d > 0 THEN 1000000 // d ELSE 0 END)
+         |      AS BIGINT) AS harmonic_ppm
+         |  FROM lv GROUP BY seed)""".stripMargin,
 
     "q_lookup_prefix_range" ->
       """SELECT DISTINCT l_orderkey, l_linenumber, l_quantity

@@ -328,6 +328,41 @@ object GraphAnalytics {
    * all-pairs BFS. All-integer output.
    */
   def boundedEccentricity(store: GraphStore, edgeTypes: Seq[String],
+      seeds: Seq[Long], maxHops: Int): DataFrame =
+    seedBfsLevels(store, edgeTypes, seeds, maxHops)
+      .groupBy(col("seed"))
+      .agg(max(col("dist")).cast("long").as("ecc_k"),
+        count(lit(1)).as("n_reached"))
+
+  /**
+   * Bounded-horizon closeness + harmonic centrality for a seed set —
+   * the companion summary over the same per-seed BFS levels as
+   * [[boundedEccentricity]]: closeness (Bavelas) is
+   * (n_reached−1)/Σdist, harmonic (Marchiori & Latora) is Σ 1/d over
+   * reached vertices — the variant that stays meaningful on
+   * disconnected graphs. Both surface as EXACT integer parts-per-
+   * million (integer floor division; 1/d becomes 10^6 div d summed),
+   * so the gate never hashes a float and the numbers are engine-exact.
+   * Scale shape is the level frontier chain: per-hop one edge join +
+   * one anti-join against the visited set, frontier-sized frames only.
+   */
+  def closenessStats(store: GraphStore, edgeTypes: Seq[String],
+      seeds: Seq[Long], maxHops: Int): DataFrame =
+    seedBfsLevels(store, edgeTypes, seeds, maxHops)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("dist")).cast("long").as("sum_dist"),
+        sum(when(col("dist") > 0, expr("1000000L div dist"))
+          .otherwise(lit(0L))).cast("long").as("harmonic_ppm"))
+      .withColumn("closeness_ppm",
+        when(col("sum_dist") > 0,
+          expr("(n_reached - 1) * 1000000L div sum_dist"))
+          .otherwise(lit(0L)))
+
+  /** Per-seed BFS levels (seed, _vid, dist<=maxHops) — the shared
+    * frontier chain under eccentricity / closeness: each hop expands
+    * the newest level only and anti-joins the per-seed visited set. */
+  private def seedBfsLevels(store: GraphStore, edgeTypes: Seq[String],
       seeds: Seq[Long], maxHops: Int): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
     val spark = (store.vertices.valuesIterator ++ store.edges.valuesIterator)
@@ -352,9 +387,6 @@ object GraphAnalytics {
       levels = next :: levels
     }
     levels.reduce(_ unionByName _)
-      .groupBy(col("seed"))
-      .agg(max(col("dist")).cast("long").as("ecc_k"),
-        count(lit(1)).as("n_reached"))
   }
 
   /**
@@ -1037,6 +1069,53 @@ object GraphAnalytics {
     }
     dist.select(col("v").as("_vid"),
       graft.functions.Portable.quant(col("dist"), 4).as("dist"))
+  }
+
+  /**
+   * Time-respecting earliest-arrival reachability (Pan & Saramäki
+   * 2011; Wu et al. 2014 "Path Problems in Temporal Graphs"): from
+   * each seed, the earliest time every vertex can be reached along
+   * paths whose edge timestamps never decrease — a walk may only take
+   * an edge departing at-or-after its arrival at the edge's source.
+   * This is the temporal twin of [[shortestPaths]]: static
+   * reachability over-reports (an order placed in 1997 cannot flow
+   * through a 1995 shipment), and no static-weight rewrite captures
+   * the waiting constraint.
+   *
+   * `edges` is (src, dst, ts_us bigint); seeds start at arrival 0, so
+   * nonnegative timestamps are required. `rounds` Bellman-Ford-style
+   * relaxations: arr'(seed,v) = min(arr, min ts over edges (u,v,ts)
+   * with ts >= arr(seed,u)) — each round is ONE edge⋈arrival join +
+   * one min aggregate (map-side combinable), the relaxed frame is
+   * persisted and the superseded one released (O(1) pinned frames,
+   * the pagerank-family law). Earliest-arrival is monotone, so
+   * `rounds` bounds the temporal-hop horizon exactly like the other
+   * fixed-round oracles.
+   */
+  def earliestArrival(edges: DataFrame, seeds: Seq[Long],
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.toDF("s", "d", "t")
+      .transform(graft.CacheScope.persist(_))
+    var arr = seeds.map(s => (s, s)).toDF("seed", "vid")
+      .withColumn("arr_us", lit(0L))
+      .transform(graft.CacheScope.persist(_))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(arr, e("s") === arr("vid") &&
+          e("t") >= col("arr_us"))
+        .select(col("seed"), col("d").as("vid"), col("t").as("arr_us"))
+        .unionByName(arr)
+        .groupBy("seed", "vid").agg(min(col("arr_us")).as("arr_us"))
+        .transform(graft.CacheScope.persist(_))
+      relaxed.count()
+      prev.foreach(graft.CacheScope.unpersist)
+      prev = Some(relaxed)
+      arr = relaxed
+    }
+    arr
   }
 
   /**

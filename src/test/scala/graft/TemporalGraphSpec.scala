@@ -1,0 +1,57 @@
+package graft
+
+import graft.analytics.GraphAnalytics
+import org.apache.spark.sql.functions._
+
+class TemporalGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1 -t10-> 2 -t20-> 3   (valid chain: 10 <= 20)
+  // 1 -t50-> 4 -t40-> 5   (INVALID chain: arrives at 4 at t50, edge
+  //                        4->5 departed at t40 — static BFS reaches 5)
+  // 2 -t5->  6            (invalid from seed 1 via t10; 5 < 10)
+  // 1 -t30-> 2            (later parallel edge; min arrival stays t10)
+  private val edges = Seq(
+    (1L, 2L, 10L), (2L, 3L, 20L), (1L, 4L, 50L), (4L, 5L, 40L),
+    (2L, 6L, 5L), (1L, 2L, 30L))
+    .toDF("src", "dst", "ts")
+
+  test("earliestArrival honors the waiting constraint static BFS violates") {
+    val out = GraphAnalytics.earliestArrival(edges, Seq(1L), rounds = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(out(1L) == 0L) // seed
+    assert(out(2L) == 10L) // min of the two parallel edges
+    assert(out(3L) == 20L) // time-respecting chain
+    assert(out(4L) == 50L)
+    assert(!out.contains(5L)) // 4->5 departs before arrival at 4
+    assert(!out.contains(6L)) // 2->6 departs before arrival at 2
+  }
+
+  test("earliestArrival matches per-seed scope and extra rounds are stable") {
+    val two = GraphAnalytics.earliestArrival(edges, Seq(1L, 4L), rounds = 3)
+      .as[(Long, Long, Long)].collect()
+    val bySeed = two.groupBy(_._1).view.mapValues(
+      _.map(r => r._2 -> r._3).toMap).toMap
+    assert(bySeed(4L) == Map(4L -> 0L, 5L -> 40L)) // seed 4 CAN reach 5
+    // monotone fixpoint: more rounds never change a settled arrival
+    val more = GraphAnalytics.earliestArrival(edges, Seq(1L, 4L), rounds = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(two.toSet == more)
+  }
+
+  test("closenessStats ppm arithmetic on a path graph") {
+    import graft.model.GraphStore
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF(GraphStore.SRC, GraphStore.DST)
+    val store = GraphStore(Map.empty, Map("p" -> e), Map("p" -> 1))
+    // path 1 -> 2 -> 3 -> 4 from seed 1: dists 0,1,2,3
+    val out = GraphAnalytics.closenessStats(store, Seq("p"),
+      seeds = Seq(1L), maxHops = 3)
+      .select("n_reached", "sum_dist", "harmonic_ppm", "closeness_ppm")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out._1 == 4 && out._2 == 6)
+    assert(out._3 == 1000000 + 500000 + 333333) // 1/1 + 1/2 + 1/3 ppm
+    assert(out._4 == 3L * 1000000 / 6) // (n-1)/sum = 0.5
+  }
+}
