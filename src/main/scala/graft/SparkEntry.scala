@@ -1076,6 +1076,15 @@ object SparkEntry {
           substring(col("text"), 1, 12).as("tkey")),
         "doc_id", "tkey", maxDist = 2, maxBlockSize = 512)),
 
+    // end-to-end entity resolution: blocked fuzzy match -> CC entity
+    // grouping -> golden-record election; singletons are their own
+    // entity (id = entity = canonical, n_members = 1)
+    "q_entity_resolution" -> ((s, dir) =>
+      Curation.resolveEntities(
+        t(s, dir, "documents").select(col("doc_id"),
+          substring(col("text"), 1, 12).as("tkey")),
+        "doc_id", "tkey", maxDist = 2, maxBlockSize = 512)),
+
     // ---- Multi-touch attribution evidence: per purchase, prior-view
     // count + nearest/farthest gap within a 6 h lookback ----
     "q_multi_touch" -> ((s, dir) =>
@@ -1493,6 +1502,13 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.commonNeighbors(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"))),
 
+    // resource-allocation index over NON-edge 2-hop candidates —
+    // Σ 10^6 div deg(center), hot centers capped before pair-gen
+    "q_resource_alloc" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.resourceAllocation(store(s, dir),
+        Seq("in_nation", "supp_nation", "in_region"),
+        maxDegree = 128, minCommon = 1)),
+
     // ---- Link-prediction features per existing edge: common
     // neighbors, neighborhood-union size (the Jaccard denominator),
     // preferential attachment — all integers ----
@@ -1588,6 +1604,12 @@ object SparkEntry {
     // ---- Zipf rank-frequency spectrum of the corpus vocabulary ----
     "q_zipf_table" -> ((s, dir) =>
       TextAnalysis.zipfTable(t(s, dir, "documents"), "text")),
+
+    // first BPE merge step: top adjacent char-pair counts over the
+    // vocab-sized word-frequency table (tokenizer-training statistic)
+    "q_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text",
+        topK = 20)),
 
     // ---- k-core peeling (3 fixed rounds, k=3) over the part⋈supplier
     // bipartite graph — degeneracy summary; oracle replays the exact
@@ -3737,6 +3759,46 @@ object SparkEntry {
         |JOIN b c ON c.blk = a.blk AND a.id < c.id
         |WHERE levenshtein(a.k, c.k) <= 2""".stripMargin,
 
+    // fuzzy-pair graph -> recursive-CTE connected components (min
+    // label = GraphX CC law) -> election by (key length desc, id);
+    // singletons get entity = own id via the left-join coalesce
+    "q_entity_resolution" ->
+      """WITH RECURSIVE keyed AS (SELECT doc_id AS id,
+        |    trim(lower(substr(text, 1, 12))) AS k
+        |  FROM documents
+        |  WHERE length(trim(lower(substr(text, 1, 12)))) > 0),
+        |b AS (SELECT id, k,
+        |    CAST(length(k) // 4 AS VARCHAR) || '#' || substr(k, 1, 1)
+        |      AS blk
+        |  FROM keyed),
+        |ok AS (SELECT blk FROM b GROUP BY blk
+        |       HAVING count(*) BETWEEN 2 AND 512),
+        |pairs AS (SELECT a.id AS id_a, c.id AS id_b
+        |  FROM b a JOIN ok ON ok.blk = a.blk
+        |  JOIN b c ON c.blk = a.blk AND a.id < c.id
+        |  WHERE levenshtein(a.k, c.k) <= 2),
+        |u AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |reach(v, label) AS (
+        |  SELECT s, s FROM u
+        |  UNION
+        |  SELECT u.d, r.label FROM reach r JOIN u ON u.s = r.v),
+        |comp AS (SELECT v AS id, min(label) AS entity
+        |         FROM reach GROUP BY v),
+        |ent AS (SELECT keyed.id, keyed.k,
+        |    coalesce(comp.entity, keyed.id) AS entity
+        |  FROM keyed LEFT JOIN comp ON comp.id = keyed.id),
+        |canon AS (SELECT entity, id AS canonical FROM (
+        |    SELECT entity, id, row_number() OVER (PARTITION BY entity
+        |      ORDER BY length(k) DESC, id) AS rk FROM ent)
+        |  WHERE rk = 1),
+        |sz AS (SELECT entity, count(*) AS n_members FROM ent
+        |  GROUP BY entity)
+        |SELECT ent.id AS doc_id, ent.entity, canon.canonical,
+        |  sz.n_members
+        |FROM ent JOIN canon USING (entity) JOIN sz USING (entity)
+        |""".stripMargin,
+
     // greedy earliest-completion funnel: min feasible timestamp per
     // step dominates any later choice, so the chain of min-join CTEs
     // is exact for the ordered-subsequence semantics
@@ -4250,6 +4312,22 @@ object SparkEntry {
         |FROM l GROUP BY u""".stripMargin,
 
     // global vocab spectrum; row_number CAST matches Spark's long rnk
+    // word-frequency table first (vocab-sized), pairs from lateral
+    // positions 1..len-1; rank (cnt desc, pair) ties deterministic
+    "q_bpe_merges" ->
+      """WITH tk AS (SELECT unnest(list_filter(
+        |    string_split_regex(text, '\s+'), x -> x <> '')) AS x
+        |  FROM documents),
+        |w AS (SELECT x AS w, count(*) AS f FROM tk GROUP BY x),
+        |w2 AS (SELECT * FROM w WHERE length(w) >= 2),
+        |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, f
+        |  FROM w2, unnest(range(1, length(w))) AS t(i)),
+        |c AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+        |  FROM p GROUP BY pair)
+        |SELECT * FROM (SELECT CAST(row_number() OVER
+        |    (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk, pair, cnt
+        |  FROM c) WHERE rnk <= 20""".stripMargin,
+
     "q_zipf_table" ->
       s"""WITH $TokCte,
          |pt AS (SELECT unnest(t) AS tok FROM toks),
@@ -4707,6 +4785,30 @@ object SparkEntry {
         |  GROUP BY e.s, e.d)
         |SELECT e.s AS a, e.d AS b, coalesce(w.common, 0) AS common
         |FROM e LEFT JOIN w ON w.s = e.s AND w.d = e.d""".stripMargin,
+
+    // all wedges per surviving (deg <= cap) center, neighbor pairs
+    // x < y by value, RA = Σ 10^6 // deg — all-integer
+    "q_resource_alloc" ->
+      """WITH raw AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation),
+        |e AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        |  FROM raw WHERE s <> d),
+        |adj AS (SELECT s AS v, d AS n FROM e
+        |  UNION ALL SELECT d, s FROM e),
+        |deg AS (SELECT v, count(*) AS dg FROM adj GROUP BY v),
+        |ctr AS (SELECT adj.v, adj.n, deg.dg FROM adj
+        |  JOIN deg ON deg.v = adj.v WHERE deg.dg <= 128),
+        |p AS (SELECT x.v, x.dg, x.n AS a, y.n AS b
+        |  FROM ctr x JOIN ctr y ON x.v = y.v AND x.n < y.n)
+        |SELECT a, b, count(*) AS common,
+        |  CAST(sum(1000000 // dg) AS BIGINT) AS ra_ppm
+        |FROM p GROUP BY a, b HAVING count(*) >= 1""".stripMargin,
 
     // commonNeighbors oracle + a degree CTE joined at both endpoints;
     // count(*) and its products stay BIGINT — no HUGEINT widening.

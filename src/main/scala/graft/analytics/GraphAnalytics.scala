@@ -596,6 +596,43 @@ object GraphAnalytics {
   }
 
   /**
+   * Resource-allocation link prediction (Zhou, Lü & Zhang 2009) over
+   * the 2-hop candidate universe: for every unordered vertex pair
+   * (a,b) sharing at least `minCommon` neighbors, RA(a,b) =
+   * Σ_{w ∈ Γ(a)∩Γ(b)} 1/deg(w) — the index that beats Adamic-Adar
+   * empirically and, unlike it, needs no log: it surfaces as EXACT
+   * integer ppm (Σ 10^6 div deg), gate-hashable with no float.
+   * Complements [[linkPredict]], which scores EXISTING edges; this
+   * generates the non-edge candidates a recommender actually ranks.
+   *
+   * Scale shape: wedge centers with deg > `maxDegree` are dropped
+   * BEFORE pair generation (the [[cooccurrence]] hot-bucket law —
+   * a celebrity vertex would emit C(deg,2) pairs; its wedges carry
+   * ~1/deg weight each, so the cap trades vanishing signal for
+   * bounded cost). Remaining work: one adjacency groupBy building
+   * bounded neighbor arrays, intra-bucket (i<j) pair explode, one
+   * map-side-combinable pair aggregate.
+   */
+  def resourceAllocation(store: GraphStore, edgeTypes: Seq[String],
+      maxDegree: Int, minCommon: Int): DataFrame = {
+    val union = simpleEdges(store, edgeTypes)
+    val adj = undirAdj(union)
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val buckets = adj.join(deg.filter(col("dg") <= maxDegree), Seq("v"))
+      .groupBy(col("v"), col("dg"))
+      .agg(sort_array(collect_list(col("n"))).as("ns"))
+      .filter(size(col("ns")) > 1)
+    val nestedPairs = transform(col("ns"), (x, i) =>
+      transform(slice(col("ns"), i + 2, size(col("ns"))),
+        y => struct(x.as("x"), y.as("y"))))
+    buckets.select(col("dg"), explode(flatten(nestedPairs)).as("p"))
+      .groupBy(col("p.x").as("a"), col("p.y").as("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000L div dg")).cast("long").as("ra_ppm"))
+      .filter(col("common") >= minCommon)
+  }
+
+  /**
    * k-truss peeling (fixed rounds): every surviving edge must sit in
    * at least k−2 triangles of the CURRENT subgraph — the edge-support
    * analog of [[kCore]] and the standard cohesive-subgraph operator

@@ -96,6 +96,48 @@ object Curation {
   }
 
   /**
+   * Entity resolution to golden records — the record-linkage
+   * composition (Fellegi & Sunter 1969 framing; blocking per
+   * Christen 2012): [[Dedup.fuzzyPairs]] proposes within-block
+   * edit-distance matches, connected components over the match graph
+   * group records into entities, and each entity elects a canonical
+   * ("golden") record by (longest normalized key, then smallest id) —
+   * the same deterministic election dupClusters uses. Records with no
+   * match are their own singleton entity (entity id = own id, the CC
+   * min-label law extended). Output per input record: (id, entity,
+   * canonical, n_members).
+   *
+   * Scale shape: blocking caps pair generation (never all-pairs); the
+   * match graph is match-sized, orders below the corpus, so GraphX CC
+   * runs on a small frame; the election windows partition by entity —
+   * groups are cluster-sized, bounded by blocking, never hot.
+   */
+  def resolveEntities(df: DataFrame, idCol: String, keyCol: String,
+      maxDist: Int, maxBlockSize: Int): DataFrame = {
+    val keyed = df.select(col(idCol), trim(lower(col(keyCol))).as("_k"))
+      .filter(length(col("_k")) > 0)
+    val pairs = Dedup.fuzzyPairs(df, idCol, keyCol, maxDist, maxBlockSize)
+    val pairStore = GraphStore(
+      Map.empty,
+      Map("er" -> pairs.select(col("id_a").as(GraphStore.SRC),
+        col("id_b").as(GraphStore.DST), lit(0L).as(GraphStore.RANK))),
+      Map("er" -> 1))
+    val comps = graft.analytics.GraphAnalytics
+      .connectedComponents(pairStore, Seq("er"))
+      .select(col("_vid").as(idCol), col("component").as("entity"))
+    val ent = keyed.join(comps, Seq(idCol), "left")
+      .withColumn("entity", coalesce(col("entity"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("entity")
+    val welect = w.orderBy(length(col("_k")).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    ent.withColumn("canonical", first(col(idCol)).over(welect))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .select(col(idCol), col("entity"), col("canonical"), col("n_members"))
+  }
+
+  /**
    * Line-level exact dedup (CCNet/C4 style): across the WHOLE corpus,
    * each distinct line survives only in the first document containing
    * it (doc order, then position order); documents are reassembled

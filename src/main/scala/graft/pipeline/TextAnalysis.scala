@@ -39,6 +39,37 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("freq").desc, col("tok"))).cast("long"))
 
+  /**
+   * First BPE merge iteration (Sennrich et al. 2016 "Neural Machine
+   * Translation of Rare Words with Subword Units" §3.2): adjacent
+   * character-pair frequencies over the word-frequency table, the
+   * statistic the tokenizer-training loop maximizes at every merge
+   * step. Top-`topK` pairs ranked (count desc, pair asc) — the rank-1
+   * row IS the first merge a BPE trainer would perform on this corpus.
+   *
+   * Scale shape: the corpus collapses to the VOCAB-sized word-
+   * frequency table first (one map-side-combinable count shuffle —
+   * the zipfTable law), so the per-position explode runs over vocab ×
+   * word-length, not corpus tokens; the rank window sorts only the
+   * pair alphabet (≤ |chars|², the smallest frame in the pipeline).
+   */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substr(w, i, 2)").as("pair"), col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select("rnk", "pair", "cnt")
+  }
+
   /** BPE-ish subword count estimate: word-piece regex splits on
     * non-alphanumerics and splits long runs — a cheap stand-in for a
     * tokenizer's token count at corpus-statistics accuracy. */
