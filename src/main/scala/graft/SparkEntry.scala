@@ -1384,6 +1384,18 @@ object SparkEntry {
           queryIds = (0L to 9L), k = 5, nCells = 16, nProbe = 4))
     }),
 
+    // rank displacement (integer Spearman footrule over the common
+    // candidates) of the IVF list vs exact — order quality, which
+    // recall@k is blind to
+    "q_rank_displacement" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.rankDisplacement(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 9L), k = 5),
+        Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 9L), k = 5, nCells = 16, nProbe = 4))
+    }),
+
     // ---- Corpus-trained unigram log-prob (perplexity-filter analog).
     // Oracle faces the exact-integer columns; the log2 score itself is
     // spec-tested (same libm-portability law as q_token_entropy) ----
@@ -4006,6 +4018,37 @@ object SparkEntry {
          |FROM exact e LEFT JOIN approx a
          |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
          |GROUP BY e.query_id""".stripMargin,
+
+    // exact and approx lists re-ranked by their own (sim desc, cand)
+    // order; footrule stats over the (query, cand) join — all-integer
+    "q_rank_displacement" ->
+      s"""WITH exact AS (
+         |  SELECT query_id, cand_id, rk AS erk FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY floor((list_cosine_similarity(
+         |          q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0
+         |          DESC, c.vec_id) AS rk
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id BETWEEN 0 AND 9) WHERE rk <= 5),
+         |approxraw AS ($IvfTopKSql),
+         |approx AS (SELECT query_id, cand_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cand_id) AS ark
+         |  FROM approxraw),
+         |c AS (SELECT e.query_id, count(*) AS n_common,
+         |    CAST(sum(abs(e.erk - a.ark)) AS BIGINT) AS sum_disp,
+         |    CAST(max(abs(e.erk - a.ark)) AS BIGINT) AS max_disp
+         |  FROM exact e JOIN approx a
+         |    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+         |  GROUP BY e.query_id),
+         |n AS (SELECT query_id, count(*) AS n_exact FROM exact
+         |  GROUP BY query_id)
+         |SELECT n.query_id, n.n_exact,
+         |  coalesce(c.n_common, 0) AS n_common,
+         |  coalesce(c.sum_disp, 0) AS sum_disp,
+         |  coalesce(c.max_disp, 0) AS max_disp
+         |FROM n LEFT JOIN c ON c.query_id = n.query_id""".stripMargin,
 
     "q_lsh_ann" -> lshAnnSql,
 

@@ -739,6 +739,43 @@ object Similarity {
   }
 
   /**
+   * Rank-quality eval beyond recall: per-query rank displacement of an
+   * approximate result list against the exact list. Recall@k treats a
+   * list that returns the true top-k REVERSED as perfect; serving
+   * quality does not. For candidates present in BOTH lists, ranks are
+   * derived from each list's own (sim desc, cand_id) order and the
+   * eval reports Σ|erk−ark| and max|erk−ark| plus the common count —
+   * exact integers (Spearman-footrule-style, Diaconis & Graham 1977),
+   * no float to hash. Inputs are any (query_id, cand_id, sim) frames
+   * ([[bruteForceTopK]], [[ivfTopK]], [[lshTopK]], PQ re-rank...).
+   *
+   * Scale shape: two k-sized-per-query windows + one equi-join on
+   * (query, candidate) — eval frames are |queries|·k, never corpus-
+   * sized.
+   */
+  def rankDisplacement(exact: DataFrame, approx: DataFrame): DataFrame = {
+    def ranked(df: DataFrame, rkName: String) = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cand_id"))
+      df.select(col("query_id"), col("cand_id"), col("sim"))
+        .withColumn(rkName, row_number().over(w).cast("long"))
+        .drop("sim")
+    }
+    val e = ranked(exact, "erk")
+    val a = ranked(approx, "ark")
+    val common = e.join(a, Seq("query_id", "cand_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"),
+        sum(abs(col("erk") - col("ark"))).cast("long").as("sum_disp"),
+        max(abs(col("erk") - col("ark"))).cast("long").as("max_disp"))
+    e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("sum_disp"), lit(0L)).as("sum_disp"),
+        coalesce(col("max_disp"), lit(0L)).as("max_disp"))
+  }
+
+  /**
    * Near-duplicate pairs above a cosine threshold, with candidate
    * generation restricted to a blocking column (IVF-style coarse
    * partition: only vectors in the same cell are compared).
