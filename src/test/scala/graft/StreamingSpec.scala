@@ -488,6 +488,30 @@ class ChangeLogListenerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers: merged snapshots equal the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val values = ms.toDF.toDF("v")
+    val dir = java.nio.file.Files.createTempDirectory("sdist").toString
+    val sd = new graft.streaming.StreamingDistinct(s"$dir/regs", "v", 8)
+    val q = sd.run(values, s"$dir/ckpt")
+    try {
+      ms.addData(0L until 4000L: _*)
+      q.processAllAvailable()
+      ms.addData(3000L until 9000L: _*) // overlap: max is idempotent
+      q.processAllAvailable()
+      val streamed = sd.currentRegisters(spark).get
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.operators.Stats.hllRegisters(
+          spark.range(0, 9000).toDF("v"), "v", 8)
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch) // stream == batch, register-exact
+      val est = sd.estimate(spark)
+      assert(math.abs(est - 9000) < 9000 * 0.26, s"est=$est")
+    } finally q.stop()
+  }
+
   test("ingest snapshots compact in place; committed reads unchanged") {
     // the CompactTask workflow a continuous-ingest user runs: micro-
     // batches fragment the snapshot dir; compact rewrites it without
