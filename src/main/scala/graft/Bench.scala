@@ -135,6 +135,12 @@ object Bench {
     "index_incremental" -> "idx_inc", "column_profile" -> "colprof",
     "compaction_plan" -> "cplan", "compaction_summary" -> "csum",
     "embedding_drift" -> "edrift",
+    // round-10 second wave
+    "scd2_intervals" -> "scd2", "pit_join" -> "pit",
+    "incr_agg" -> "ivm", "hll_intersect" -> "hlli",
+    "closeness" -> "close", "earliest_arrival" -> "earr",
+    "bpe_merges" -> "bpe", "entity_resolution" -> "entres",
+    "resource_alloc" -> "ra", "rank_displacement" -> "rdisp",
     "update_" -> "upd_", "upsert_" -> "ups_")
 
   private[graft] def shortName(k: String): String =

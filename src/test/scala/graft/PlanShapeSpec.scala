@@ -234,4 +234,46 @@ class PlanShapeSpec extends SparkSpec {
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).length == 1,
       s"promote-then-rollup is ONE shuffle:\n$p")
   }
+
+  test("pit_join: as-of stream merge — union + ONE running window, " +
+      "never a facts x versions range join") {
+    val p = plan("q_pit_join")
+    assert(p.contains("Union"), "facts and changelog ride ONE stream")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "the carry-forward is a running window")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no range-predicate join:\n$p")
+  }
+
+  test("incr_agg: delta pre-aggregates (map-side combine) before the " +
+      "merge join with the base aggregate") {
+    val p = plan("q_incr_agg")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"delta must partial-aggregate before its exchange:\n$p")
+    assert(p.contains("FullOuter") || p.contains("full_outer") ||
+      p.contains("FullOuterJoin") || p.contains("SortMergeJoin FullOuter"),
+      s"base/delta merge is a full-outer join:\n$p")
+  }
+
+  test("hll_intersect: register aggregate tail, scalar frames broadcast") {
+    val p = plan("q_hll_intersect")
+    assert(p.contains("BroadcastExchange"),
+      s"the one-row estimate frames must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "scalar attach is broadcast, not cartesian")
+  }
+
+  test("resource_alloc / entity_resolution: capped pair-gen, no cartesian") {
+    assert(!plan("q_resource_alloc").contains("CartesianProduct"))
+    assert(!plan("q_entity_resolution").contains("CartesianProduct"))
+  }
+
+  test("bpe_merges: corpus collapses to the vocab table before the " +
+      "position explode (two aggregate shuffles + vocab-sized window)") {
+    val p = plan("q_bpe_merges")
+    assert(p.contains("partial_count"),
+      s"word counting must partial-aggregate:\n$p")
+    assert(!p.contains("Join"), "no join anywhere in the pair count")
+  }
 }
