@@ -141,6 +141,7 @@ object Bench {
     "closeness" -> "close", "earliest_arrival" -> "earr",
     "bpe_merges" -> "bpe", "entity_resolution" -> "entres",
     "resource_alloc" -> "ra", "rank_displacement" -> "rdisp",
+    "cms_join_size" -> "cmsjs",
     "update_" -> "upd_", "upsert_" -> "ups_")
 
   private[graft] def shortName(k: String): String =

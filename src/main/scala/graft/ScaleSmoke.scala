@@ -383,6 +383,78 @@ object ScaleSmoke {
         "embedding", queryIds = (0L to 4L), k = 5, candidates = 20,
         m = 2, kCodes = 4, iters = 2, dim = 64).count())
 
+    // round-10 second wave. Entity resolution inherits the fuzzy-pairs
+    // hot-block worst case (every copy shares its original's key
+    // prefix) and adds CC over a match graph that scales with the
+    // copies. earliest-arrival/closeness are frontier chains over
+    // amplified edges with per-copy seeds. pit_join is the as-of
+    // union+window merge — one key shuffle no matter how many facts
+    // share a key. incr_agg's delta scales while the base aggregate
+    // stays keys-sized. bpe collapses the corpus to vocab before any
+    // explode; resource allocation is capped wedge pair-gen; the HLL
+    // intersect is one register pass + scalar tail.
+    time(s"entity resolution ${factor}x")(
+      graft.pipeline.Curation.resolveEntities(
+        docs.select(col("doc_id"),
+          substring(col("text"), 1, 12).as("tkey")),
+        "doc_id", "tkey", maxDist = 2, maxBlockSize = 512).count())
+    val liTemporal = amplify(
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("t")),
+      Seq("l_orderkey", "l_partkey"), None)
+      .select(col("l_orderkey"), col("l_partkey"), col("t"))
+    time(s"earliest arrival 3 rounds ${factor}x")(
+      graft.analytics.GraphAnalytics.earliestArrival(liTemporal,
+        seeds, rounds = 3).count())
+    time(s"closeness 3 hops ${factor}x")(
+      graft.analytics.GraphAnalytics.closenessStats(store, Seq("amp"),
+        seeds, maxHops = 3).count())
+    val liFacts = amplify(
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_shipdate")),
+      Seq("l_suppkey"), None)
+    val supAmp = amplify(
+      spark.read.parquet(s"$sfDir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal")),
+      Seq("s_suppkey"), None)
+    time(s"pit join ${factor}x facts")(
+      graft.operators.Scd2.pointInTime(
+        liFacts.select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_orderkey") % 2500).cast("long").as("fseq")),
+        "l_suppkey", "fseq",
+        supAmp.select(col("s_suppkey").as("key"),
+          (col("s_suppkey") % 2500).cast("long").as("seq"),
+          when(col("s_suppkey") % 5 === 0, "del").otherwise("put").as("op"),
+          col("s_name"), col("s_acctbal")),
+        "key", "seq", "op", Seq("s_name", "s_acctbal")).count())
+    time(s"incr agg ${factor}x delta")({
+      val cut = "1999-01-01"
+      val baseAgg = liFacts.filter(col("l_shipdate") < lit(cut))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+      val delta = liFacts.filter(col("l_shipdate") >= lit(cut))
+        .select(col("l_suppkey"), lit("ins").as("op"), col("l_quantity"))
+        .unionByName(liFacts.filter(col("l_shipdate") < lit(cut) &&
+            col("l_orderkey") % 7 === 0)
+          .select(col("l_suppkey"), lit("del").as("op"),
+            col("l_quantity")))
+      graft.streaming.ChangeLogListener.maintainAgg(baseAgg, delta,
+        "l_suppkey", "op", "l_quantity", "n_rows", "sum_qty").count()
+    })
+    time(s"bpe merges ${factor}x")(
+      graft.pipeline.TextAnalysis.bpePairCounts(docs, "text", 20).count())
+    time(s"resource alloc ${factor}x")(
+      graft.analytics.GraphAnalytics.resourceAllocation(store, Seq("amp"),
+        maxDegree = 16, minCommon = 2).count())
+    time(s"hll intersect ${factor}x")(
+      graft.operators.Stats.hllIntersect(
+        edges.select(when(col("l_partkey") % 2 === 0, "a").otherwise("b")
+          .as("s"), col("l_orderkey")),
+        "s", "l_orderkey").count())
+
     spark.stop()
   }
 }

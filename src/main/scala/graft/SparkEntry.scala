@@ -1667,6 +1667,20 @@ object SparkEntry {
     // combined by elementwise max MUST equal the whole-corpus sketch
     // (the shard/day partial re-aggregation everything at 100 TB
     // leans on) ----
+    // ---- CMS inner product: self-join size / F2 of l_partkey from
+    // the register sketch alone (min over hash rows of Σ cnt²) vs the
+    // exact Σ c(k)² — the cardinality a planner reads off two at-rest
+    // sketches; never underestimates ----
+    "q_cms_join_size" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val est = Stats.cmsJoinSize(li, "l_partkey", li, "l_partkey",
+        depth = 4, width = 65536)
+      val exact = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).cast("long").as("exact_join_size"))
+      est.crossJoin(broadcast(exact))
+    }),
+
     // ---- Sketch set algebra: inclusion–exclusion intersection of two
     // orderkey sets (pre/post-1998H2 shippers) from HLL registers —
     // exact-integer harmonic mean, one register pass, scalar tail ----
@@ -3856,6 +3870,22 @@ object SparkEntry {
         |  CAST(floor(CAST(sum(n_tok) AS BIGINT) * 1000.0 /
         |    CAST(sum(n_chars) AS BIGINT)) AS BIGINT) AS fert_permille
         |FROM tk GROUP BY lang""".stripMargin,
+
+    // register inner product per hash row, min across rows; exact F2
+    // from the grouped counts — both sides pure BIGINT
+    "q_cms_join_size" ->
+      """WITH d AS (SELECT i FROM (VALUES (0),(1),(2),(3)) AS t(i)),
+        |sk AS MATERIALIZED (SELECT d.i AS hrow,
+        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+        |      1 + 8 * d.i, 8) AS BIGINT) % 65536 AS reg,
+        |    count(*) AS cnt
+        |  FROM lineitem CROSS JOIN d GROUP BY 1, 2),
+        |dot AS (SELECT hrow, CAST(sum(cnt * cnt) AS BIGINT) AS dot
+        |  FROM sk GROUP BY hrow),
+        |est AS (SELECT min(dot) AS est_join_size FROM dot),
+        |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_join_size
+        |  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey))
+        |SELECT est.est_join_size, ex.exact_join_size FROM est, ex""".stripMargin,
 
     // exact-integer HLL harmonic mean: S = Σ 2^(25-rho) over present
     // registers + 2^25 per absent one; E = N // (10^6 * S) with

@@ -234,6 +234,30 @@ object Stats {
     * each distinct key, min over its `depth` counters (absent counter =
     * 0). The sketch is ≤ depth×width rows — always broadcast, so the
     * lookup is a shuffle-free map-side join however many keys probe. */
+  /**
+   * Join-cardinality estimate from CMS register inner products
+   * (Cormode & Muthukrishnan 2005 §4.2; the AGMS lineage): the size of
+   * `A ⋈ B` on the sketched key is Σ_k cA(k)·cB(k), estimated as
+   * min over hash rows of Σ_reg cntA(reg)·cntB(reg). Like the point
+   * lookup it NEVER underestimates (collisions only add), and the
+   * overshoot is bounded by (e/width)·|A|·|B| per row — the estimate a
+   * query planner reads off two at-rest sketches without touching
+   * either table. With A = B this is the second frequency moment F2
+   * (self-join size), the classic skew statistic. All-integer.
+   *
+   * Scale shape: two register frames (≤ depth×width rows each
+   * REGARDLESS of table size), one register-keyed equi-join, one
+   * depth-row aggregate — the tables themselves are only read by the
+   * sketch passes, which shards/days merge into by SUM.
+   */
+  def cmsJoinSize(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+      depth: Int, width: Int): DataFrame =
+    cmsRegisters(a, aCol, depth, width).withColumnRenamed("cnt", "ca")
+      .join(cmsRegisters(b, bCol, depth, width)
+        .withColumnRenamed("cnt", "cb"), Seq("hrow", "reg"))
+      .groupBy(col("hrow")).agg(sum(col("ca") * col("cb")).as("dot"))
+      .agg(min(col("dot")).cast("long").as("est_join_size"))
+
   def cmsLookup(sketch: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int, width: Int): DataFrame =
     keys.select(col(keyCol).as("pkey")).distinct()

@@ -34,6 +34,29 @@ class SketchAlgebraSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("cmsJoinSize never underestimates and is tight at adequate width") {
+    // skewed key: c(k) = k+1 for k in 0..49 -> F2 = sum (k+1)^2 = 42925
+    val df = spark.range(50).select(col("id"))
+      .withColumn("reps", col("id") + 1)
+      .select(explode(sequence(lit(1L), col("reps"))).as("_"), col("id"))
+      .select(col("id").as("k"))
+    val exact = 42925L
+    val est = Stats.cmsJoinSize(df, "k", df, "k", depth = 4, width = 4096)
+      .head().getLong(0)
+    assert(est >= exact, s"CMS inner product must not underestimate: $est")
+    assert(est < exact * 1.1, s"overshoot too large: $est vs $exact")
+  }
+
+  test("cmsJoinSize two-table: estimates |A join B| from sketches alone") {
+    val a = spark.range(0, 2000).select((col("id") % 100).as("k"))
+    val b = spark.range(0, 300).select((col("id") % 100).as("k"))
+    val exact = a.join(b, "k").count() // 20 x 3 x 100 = 6000
+    val est = Stats.cmsJoinSize(a, "k", b, "k", depth = 4, width = 4096)
+      .head().getLong(0)
+    assert(exact == 6000L)
+    assert(est >= exact && est < exact * 1.2, s"est=$est exact=$exact")
+  }
+
   test("disjoint sets estimate ~zero intersection") {
     val df = spark.range(0, 40000).select(
       when(col("id") < 20000, "a").otherwise("b").as("s"), col("id"))
