@@ -141,7 +141,7 @@ object Bench {
     "closeness" -> "close", "earliest_arrival" -> "earr",
     "bpe_merges" -> "bpe", "entity_resolution" -> "entres",
     "resource_alloc" -> "ra", "rank_displacement" -> "rdisp",
-    "cms_join_size" -> "cmsjs",
+    "cms_join_size" -> "cmsjs", "ppjoin" -> "ppj",
     "update_" -> "upd_", "upsert_" -> "ups_")
 
   private[graft] def shortName(k: String): String =

@@ -1076,6 +1076,13 @@ object SparkEntry {
           substring(col("text"), 1, 12).as("tkey")),
         "doc_id", "tkey", maxDist = 2, maxBlockSize = 512)),
 
+    // EXACT Jaccard >= 0.7 self-join via prefix filtering — the
+    // oracle is the NAIVE all-pairs join, so the hash gate itself
+    // proves the prefix filter lossless on this corpus
+    "q_ppjoin" -> ((s, dir) =>
+      Dedup.ppjoinPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 4, tNum = 1, tDen = 2)),
+
     // end-to-end entity resolution: blocked fuzzy match -> CC entity
     // grouping -> golden-record election; singletons are their own
     // entity (id = entity = canonical, n_members = 1)
@@ -3784,6 +3791,26 @@ object SparkEntry {
         |FROM b a JOIN ok ON ok.blk = a.blk
         |JOIN b c ON c.blk = a.blk AND a.id < c.id
         |WHERE levenshtein(a.k, c.k) <= 2""".stripMargin,
+
+    // the NAIVE join over the shared shingle CTE: every co-occurring
+    // pair, exact intersection, integer cross-multiplied threshold —
+    // the engine's prefix-filtered result must match EXACTLY
+    "q_ppjoin" ->
+      s"""WITH $TokCte,
+         |$ShingleCte,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    count(*) AS inter
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b, i.inter,
+         |  sa.sz AS sz_a, sb.sz AS sz_b,
+         |  i.inter * 1000000 // (sa.sz + sb.sz - i.inter) AS jaccard_ppm
+         |FROM inter i
+         |JOIN sz sa ON sa.doc_id = i.id_a
+         |JOIN sz sb ON sb.doc_id = i.id_b
+         |WHERE 2 * i.inter >= 1 * (sa.sz + sb.sz - i.inter)""".stripMargin,
 
     // fuzzy-pair graph -> recursive-CTE connected components (min
     // label = GraphX CC law) -> election by (key length desc, id);

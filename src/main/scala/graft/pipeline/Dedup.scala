@@ -315,6 +315,71 @@ object Dedup {
   }
 
   /**
+   * EXACT set-similarity self-join by prefix filtering (SSJoin/PPJoin
+   * lineage: Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): all pairs
+   * of documents whose DISTINCT-token Jaccard ≥ tNum/tDen, with NO
+   * recall loss — the lossless alternative to the capped inverted-
+   * index (`ngramJaccardPairs`) and probabilistic (MinHash/SimHash)
+   * paths. Tokens get a global rarity order (df asc, token asc); each
+   * document indexes only its first `|s| − ⌈t·|s|⌉ + 1` rarest tokens
+   * (any true pair must share one — the prefix-filter theorem), and
+   * only those candidates are verified with an exact intersection.
+   * The threshold test is the integer cross-multiplication
+   * `tDen·i ≥ tNum·(|a|+|b|−i)` — no float anywhere; `jaccard_ppm` is
+   * the integer-div similarity for ranking.
+   *
+   * Scale shape: candidate volume is driven by the RAREST tokens'
+   * bucket sizes (a token sits in a prefix only when the document has
+   * few rarer ones), which is the theorem-backed replacement for hard
+   * bucket caps; verification joins bounded per-doc token arrays to
+   * candidate pairs only. The global rarity rank is a window over the
+   * VOCAB frame (the zipfTable law), never the corpus.
+   */
+  def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum >= 1 && tDen >= tNum,
+      s"threshold $tNum/$tDen must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    // word n-gram shingles, not raw tokens: prefix filtering's candidate
+    // volume is governed by how discriminative the RARE elements are,
+    // and shingles (unlike common words) are rare by construction
+    val toks = shingles(df, idCol, textCol, n)
+      .withColumnRenamed("shingle", "tok")
+      .transform(graft.CacheScope.persist(_)) // feeds rank, prefix, sets
+    val rank = toks.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("dfreq"), col("tok"))).cast("long"))
+    val sz = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    // prefixLen = sz - ceil(t*sz) + 1, exact: ceil(p*sz/q) = (p*sz+q-1) div q
+    val pref = toks.join(rank, "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy("rnk")))
+      .join(sz, "id")
+      .filter(col("pos") <=
+        col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
+      .select("id", "tok")
+    val cand = pref.join(
+        pref.select(col("tok"), col("id").as("id_b")), Seq("tok"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b")).distinct()
+    val sets = toks.groupBy("id")
+      .agg(sort_array(collect_list(col("tok"))).as("ts"))
+      .transform(graft.CacheScope.persist(_)) // joined at both ends
+    cand
+      .join(sets.select(col("id").as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn("sz_a", size(col("ts_a")).cast("long"))
+      .withColumn("sz_b", size(col("ts_b")).cast("long"))
+      .filter(lit(tDen.toLong) * col("inter") >=
+        lit(tNum.toLong) * (col("sz_a") + col("sz_b") - col("inter")))
+      .withColumn("jaccard_ppm", expr(
+        "inter * 1000000L div (sz_a + sz_b - inter)"))
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard_ppm")
+  }
+
+  /**
    * Exact-Jaccard verification of candidate pairs — the second stage of
    * the standard MinHash dedup pipeline (LSH proposes, exact similarity
    * disposes). Each (id_a, id_b) candidate joins the two documents'

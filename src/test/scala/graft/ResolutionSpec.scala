@@ -53,6 +53,30 @@ class ResolutionSpec extends SparkSpec {
     assert(capped == Set((2L, 100L), (1L, 100L)))
   }
 
+  test("ppjoinPairs == naive all-pairs join (prefix filter is lossless)") {
+    import graft.pipeline.Dedup
+    // 40 docs in 8 near-dup families (perturbed tails) + unique noise
+    val docs = (0 until 40).map { i =>
+      val fam = i % 8
+      val base = (0 until 12).map(j => s"w${fam}_$j").mkString(" ")
+      (i.toLong, s"$base tail${i}_a tail${i}_b")
+    }.toDF("doc_id", "text")
+    val fast = Dedup.ppjoinPairs(docs, "doc_id", "text",
+        n = 3, tNum = 1, tDen = 2)
+      .select("id_a", "id_b", "inter").as[(Long, Long, Long)]
+      .collect().toSet
+    // naive: all co-occurring pairs via the full inverted index
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val szm = sh.groupBy("id").count().as[(Long, Long)].collect().toMap
+    val naive = sh.toDF("a", "t")
+      .join(sh.toDF("b", "t"), "t").filter(col("a") < col("b"))
+      .groupBy("a", "b").count().as[(Long, Long, Long)].collect()
+      .filter { case (a, b, i) => 2 * i >= szm(a) + szm(b) - i }
+      .map { case (a, b, i) => (a, b, i) }.toSet
+    assert(fast == naive)
+    assert(fast.nonEmpty, "fixture must produce matching families")
+  }
+
   test("bpePairCounts: weighted by word frequency, rank ties by pair") {
     val df = Seq("ab ab ab cd", "ab cd xy").toDF("text")
     val out = TextAnalysis.bpePairCounts(df, "text", topK = 10)
