@@ -142,6 +142,7 @@ object Bench {
     "bpe_merges" -> "bpe", "entity_resolution" -> "entres",
     "resource_alloc" -> "ra", "rank_displacement" -> "rdisp",
     "cms_join_size" -> "cmsjs", "ppjoin" -> "ppj",
+    "cdc_diff" -> "cdc", "session_paths" -> "spath",
     "update_" -> "upd_", "upsert_" -> "ups_")
 
   private[graft] def shortName(k: String): String =

@@ -828,6 +828,36 @@ object SparkEntry {
         sup, c1.unionByName(c2).unionByName(c3), Seq("key"))
     }),
 
+    // ---- CDC generation: diff two snapshots into the ins/del/upd
+    // changelog the apply/maintain/SCD2 family consumes (deletes %7,
+    // updates %5, inserts planted at key+100000 for %11) ----
+    "q_cdc_diff" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      val upd = col("s_suppkey") % 5 === 0
+      val v2 = sup.filter(col("s_suppkey") % 7 =!= 0)
+        .select(col("s_suppkey"),
+          when(upd, upper(col("s_name"))).otherwise(col("s_name"))
+            .as("s_name"),
+          when(upd, col("s_acctbal") + 50).otherwise(col("s_acctbal"))
+            .as("s_acctbal"))
+        .unionByName(sup.filter(col("s_suppkey") % 11 === 0)
+          .select((col("s_suppkey") + 100000).as("s_suppkey"),
+            concat(lit("NEW-"), col("s_name")).as("s_name"),
+            lit(1000.0).as("s_acctbal")))
+      Audit.changeDataFeed(sup, v2, Seq("s_suppkey"),
+        Seq("s_name", "s_acctbal"))
+        .select(col("s_suppkey"), col("op"), col("s_name"),
+          Portable.quant(col("s_acctbal"), 2).as("s_acctbal"))
+    }),
+
+    // ---- Session path mining: top event-type sequences per session
+    // (behavioral census — the orders that ACTUALLY occur, vs the one
+    // order q_funnel prescribes) ----
+    "q_session_paths" -> ((s, dir) =>
+      EventStream.sessionPaths(graft.sources.Tables.events(s, dir),
+        gapMinutes = 30, maxLen = 5, topK = 20)),
+
     // ---- Incremental view maintenance: per-supplier (count, sum qty)
     // aggregate maintained from a row-level delta changelog (inserts =
     // post-1999 shipments, deletes = pre-1999 rows with orderkey%7==0)
@@ -2594,6 +2624,61 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM last l WHERE l.key = e.s_suppkey)
         |UNION ALL
         |SELECT key, s_name, s_acctbal FROM last WHERE op = 'put'""".stripMargin,
+
+    // full-outer snapshot diff; unchanged keys drop; del rows null out
+    "q_cdc_diff" ->
+      """WITH b AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier),
+        |v AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 5 = 0 THEN upper(s_name)
+        |         ELSE s_name END AS s_name,
+        |    CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 50
+        |         ELSE s_acctbal END AS s_acctbal
+        |  FROM supplier WHERE s_suppkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000, 'NEW-' || s_name, 1000.0
+        |  FROM supplier WHERE s_suppkey % 11 = 0),
+        |j AS (SELECT b.s_suppkey AS kb, v.s_suppkey AS kv,
+        |    b.s_name AS nb, v.s_name AS nv,
+        |    b.s_acctbal AS ab, v.s_acctbal AS av
+        |  FROM b FULL OUTER JOIN v ON v.s_suppkey = b.s_suppkey),
+        |d AS (SELECT coalesce(kv, kb) AS s_suppkey,
+        |    CASE WHEN kb IS NULL THEN 'ins'
+        |         WHEN kv IS NULL THEN 'del'
+        |         WHEN nb IS DISTINCT FROM nv
+        |           OR ab IS DISTINCT FROM av THEN 'upd' END AS op,
+        |    nv, av
+        |  FROM j)
+        |SELECT s_suppkey, op,
+        |  CASE WHEN op <> 'del' THEN nv END AS s_name,
+        |  CASE WHEN op <> 'del'
+        |    THEN floor(av * 100.0 + 0.5) / 100.0 END AS s_acctbal
+        |FROM d WHERE op IS NOT NULL""".stripMargin,
+
+    // session index replayed, paths truncated at rn<=5, ordered
+    // string_agg, rank over the path alphabet
+    "q_session_paths" ->
+      """WITH g AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |n AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |    THEN 1 ELSE 0 END AS ns FROM g),
+        |s AS (SELECT user_id, event_id, ts, event_type,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sidx
+        |  FROM n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sidx
+        |    ORDER BY ts, event_id) AS rn FROM s),
+        |p AS (SELECT user_id, sidx,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id, sidx),
+        |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY path)
+        |SELECT * FROM (SELECT CAST(row_number() OVER
+        |    (ORDER BY n_sessions DESC, path) AS BIGINT) AS rnk,
+        |    path, n_sessions FROM c)
+        |WHERE rnk <= 20""".stripMargin,
 
     // the oracle is the FRESH RECOMPUTE over (base minus deletes plus
     // inserts) — incremental maintenance must land on the exact same
@@ -5272,6 +5357,7 @@ object SparkEntry {
     "q_changelog_apply" -> Seq("s_acctbal"),
     "q_scd2_intervals" -> Seq("s_acctbal"),
     "q_pit_join" -> Seq("s_acctbal"),
+    "q_cdc_diff" -> Seq("s_acctbal"),
     "q_corpus_curation" -> Seq("quality_score"),
     "q_dedup_incremental" -> Seq("agree"),
     "q_delete_edges" ->

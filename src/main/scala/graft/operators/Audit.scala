@@ -71,6 +71,47 @@ object Audit {
       .agg(F.count(F.lit(1)).as("n"))
   }
 
+  /**
+   * Change-data feed between two snapshots — the GENERATOR side of the
+   * changelog family: one row per key whose state differs, `op` ∈
+   * {ins, del, upd} with the NEW payload (null payload for del). Its
+   * output is exactly the record shape
+   * [[graft.streaming.ChangeLogListener.applyChanges]],
+   * [[graft.streaming.ChangeLogListener.maintainAgg]] and
+   * [[graft.operators.Scd2]] consume, so diff → feed → apply
+   * round-trips (the snapshot-to-CDC bridge a lake without a
+   * transaction log needs).
+   *
+   * Scale: the same single full-outer key-join as [[diffSummary]]
+   * (AQE splits skewed ranges); unchanged keys — the overwhelming
+   * majority between adjacent snapshots — drop before anything
+   * widens. Values compare null-safely (`<=>`).
+   */
+  def changeDataFeed(base: DataFrame, v2: DataFrame,
+      keyCols: Seq[String], valCols: Seq[String]): DataFrame = {
+    val cols = keyCols ++ valCols
+    val b = base.select(cols.map(F.col): _*)
+      .toDF(cols.map(_ + "__b"): _*).withColumn("_b", F.lit(1))
+    val v = v2.select(cols.map(F.col): _*)
+      .toDF(cols.map(_ + "__v"): _*).withColumn("_v", F.lit(1))
+    val onKeys = keyCols.map(k =>
+      F.col(k + "__b") === F.col(k + "__v")).reduce(_ && _)
+    val changed =
+      valCols.map(c => !(F.col(c + "__b") <=> F.col(c + "__v")))
+        .reduce(_ || _)
+    val op = F.when(F.col("_b").isNull, "ins")
+      .when(F.col("_v").isNull, "del")
+      .when(changed, "upd")
+    b.join(v, onKeys, "full_outer")
+      .withColumn("op", op)
+      .filter(F.col("op").isNotNull)
+      .select(keyCols.map(k =>
+        F.coalesce(F.col(k + "__v"), F.col(k + "__b")).as(k)) ++
+        Seq(F.col("op")) ++
+        valCols.map(c => F.when(F.col("op") =!= "del", F.col(c + "__v"))
+          .as(c)): _*)
+  }
+
   /** Arc rows whose `refCol` has no matching vertex `keyCol`: returns
     * (ref_id, n_arcs) per dangling reference.
     *

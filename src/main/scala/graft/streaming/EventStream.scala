@@ -183,13 +183,22 @@ object EventStream {
    * counts. (The streaming formulation is `session_window`; this
    * window-function form is the batch oracle of [[sessionWindowAgg]].)
    */
-  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame =
+    sessionIndexed(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+
+  /** Events with their gap-based `session_idx` attached (one user
+    * shuffle; event_id tie-break so equal timestamps order
+    * deterministically) — the shared base under [[sessionize]] and
+    * [[sessionPaths]]. */
+  def sessionIndexed(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // event_id tie-break: equal timestamps must order deterministically
-    // or lag() results differ run to run.
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val withGap = events
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -198,10 +207,43 @@ object EventStream {
       .withColumn("session_idx",
         sum(col("new_session")).over(
           byUser.rowsBetween(Window.unboundedPreceding, 0)))
-    withGap.groupBy(col("user_id"), col("session_idx"))
-      .agg(count(lit(1)).as("n_events"),
-        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+      .drop("prev_ts", "new_session")
+  }
+
+  /**
+   * Session path mining — the behavioral-sequence census product
+   * analytics runs (Sankey / funnel discovery): each session becomes
+   * the `>`-joined sequence of its first `maxLen` event types (time
+   * order, event-id tie-break), and the top-`topK` paths are ranked by
+   * session count (ties by path — deterministic). Unlike [[funnel]],
+   * which counts ONE prescribed order, this surfaces the orders that
+   * actually occur.
+   *
+   * Scale shape: one user shuffle for the session index (shared law
+   * with [[sessionize]]), a per-session ROWS window truncating to
+   * `maxLen` (bounded groups), a path-sized count aggregate, and a
+   * rank window over the PATH ALPHABET (≤ |types|^maxLen, vocab-like,
+   * never session-count-sized).
+   */
+  def sessionPaths(events: DataFrame, gapMinutes: Int, maxLen: Int,
+      topK: Int): DataFrame = {
+    require(maxLen >= 1 && topK >= 1, "maxLen and topK must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val byS = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = sessionIndexed(events, gapMinutes)
+      .withColumn("rn", row_number().over(byS))
+      .filter(col("rn") <= maxLen)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("rn"),
+          col("event_type").as("et")))),
+        x => x.getField("et"))).as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select("rnk", "path", "n_sessions")
   }
 
   /**

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Audit
+import graft.streaming.ChangeLogListener
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("changeDataFeed -> applyChanges round-trips to the target snapshot") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)).toDF("k", "name", "v")
+    val v2 = Seq((1L, "a", 10L), // unchanged
+      (2L, "B", 20L), // updated name
+      (4L, "d", 41L), // updated value
+      (9L, "z", 90L)) // inserted; key 3 deleted
+      .toDF("k", "name", "v")
+    val feed = Audit.changeDataFeed(base, v2, Seq("k"), Seq("name", "v"))
+    val ops = feed.as[(Long, String, Option[String], Option[Long])]
+      .collect().map(r => r._1 -> r._2).toMap
+    assert(ops == Map(2L -> "upd", 4L -> "upd", 3L -> "del", 9L -> "ins"))
+    // the round-trip law: replaying the feed over base yields v2
+    val replayed = ChangeLogListener.applyChanges(base,
+      feed.withColumn("seq", lit(1L))
+        .withColumn("op", when(col("op") === "del", "del")
+          .otherwise("put")),
+      Seq("k"))
+      .as[(Long, String, Long)].collect().toSet
+    val target = v2.as[(Long, String, Long)].collect().toSet
+    assert(replayed == target)
+  }
+
+  test("identical snapshots produce an empty feed") {
+    val snap = Seq((1L, "a", 10L), (2L, null.asInstanceOf[String], 20L))
+      .toDF("k", "name", "v")
+    // null payloads compare null-safely: no spurious upd rows
+    assert(Audit.changeDataFeed(snap, snap, Seq("k"),
+      Seq("name", "v")).count() == 0)
+  }
+
+  test("sessionPaths: gap splits, truncation, deterministic rank") {
+    import graft.streaming.EventStream
+    def ts(m: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1 session 1: a>b ; session 2 (90min later): a>b
+      (1L, 1L, ts(0), "a"), (2L, 1L, ts(5), "b"),
+      (3L, 1L, java.sql.Timestamp.valueOf("2024-01-01 11:40:00"), "a"),
+      (4L, 1L, java.sql.Timestamp.valueOf("2024-01-01 11:41:00"), "b"),
+      // user 2: one session a>b>c>d>e>f -> truncated to 5
+      (5L, 2L, ts(1), "a"), (6L, 2L, ts(2), "b"), (7L, 2L, ts(3), "c"),
+      (8L, 2L, ts(4), "d"), (9L, 2L, ts(5), "e"), (10L, 2L, ts(6), "f"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventStream.sessionPaths(ev, gapMinutes = 30, maxLen = 5,
+        topK = 10)
+      .as[(Long, String, Long)].collect().toList
+    assert(out == List((1L, "a>b", 2L), (2L, "a>b>c>d>e", 1L)))
+  }
+}
