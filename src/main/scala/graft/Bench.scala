@@ -143,6 +143,7 @@ object Bench {
     "resource_alloc" -> "ra", "rank_displacement" -> "rdisp",
     "cms_join_size" -> "cmsjs", "ppjoin" -> "ppj",
     "cdc_diff" -> "cdc", "session_paths" -> "spath",
+    "star_join" -> "star", "cube_stats" -> "cube",
     "update_" -> "upd_", "upsert_" -> "ups_")
 
   private[graft] def shortName(k: String): String =

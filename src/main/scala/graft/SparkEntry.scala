@@ -828,6 +828,42 @@ object SparkEntry {
         sup, c1.unionByName(c2).unionByName(c3), Seq("key"))
     }),
 
+    // ---- Star-schema analytics (TPC-H Q5 shape): revenue per nation,
+    // same-nation customer+supplier, one region, one order year. The
+    // demonstration that dimension joins broadcast and Catalyst picks
+    // the join order — the fact table shuffles at most once. Revenue
+    // in exact integer cent-percent units (price cents × (100−disc)),
+    // so the big aggregate hashes exactly with no float-sum drift ----
+    "q_star_join" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * 100 + lit(0.5))
+        .cast("long")
+      val disc = floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents * (lit(100L) - disc)).as("revenue_c100"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ---- CUBE grouping sets: all 2^k marginals in one pass (the
+    // rollup's cross-dimension sibling; Expand-based, one shuffle) ----
+    "q_cube_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))),
+
     // ---- CDC generation: diff two snapshots into the ins/del/upd
     // changelog the apply/maintain/SCD2 family consumes (deletes %7,
     // updates %5, inserts planted at key+100000 for %11) ----
@@ -2624,6 +2660,31 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM last l WHERE l.key = e.s_suppkey)
         |UNION ALL
         |SELECT key, s_name, s_acctbal FROM last WHERE op = 'put'""".stripMargin,
+
+    // integer cent-percent revenue: exact in both engines, no float sum
+    "q_star_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS revenue_c100,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_cube_stats" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     // full-outer snapshot diff; unchanged keys drop; del rows null out
     "q_cdc_diff" ->

@@ -235,6 +235,24 @@ class PlanShapeSpec extends SparkSpec {
       s"promote-then-rollup is ONE shuffle:\n$p")
   }
 
+  test("star_join: every dimension broadcasts; the fact side never " +
+      "cartesians") {
+    val p = plan("q_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"dimension joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "no unkeyed join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "revenue aggregate must partial-apply")
+  }
+
+  test("cube_stats: Expand-based grouping sets, one aggregate shuffle") {
+    val p = plan("q_cube_stats")
+    assert(p.contains("Expand"), s"CUBE must plan as Expand:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length == 1,
+      s"all 2^k marginals in ONE shuffle:\n$p")
+  }
+
   test("pit_join: as-of stream merge — union + ONE running window, " +
       "never a facts x versions range join") {
     val p = plan("q_pit_join")
