@@ -144,6 +144,7 @@ object Bench {
     "cms_join_size" -> "cmsjs", "ppjoin" -> "ppj",
     "cdc_diff" -> "cdc", "session_paths" -> "spath",
     "star_join" -> "star", "cube_stats" -> "cube",
+    "path_counts" -> "sigma", "ks_drift" -> "ks",
     "update_" -> "upd_", "upsert_" -> "ups_")
 
   private[graft] def shortName(k: String): String =

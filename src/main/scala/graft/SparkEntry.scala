@@ -1224,6 +1224,13 @@ object SparkEntry {
         e, seeds = Seq(1L, 2L, 3L, 4L, 5L), rounds = 3)
     }),
 
+    // forward-Brandes σ: shortest-path COUNTS per (seed, vertex) —
+    // exact integers; parallel edges are distinct paths (multiset law)
+    "q_path_counts" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.shortestPathCounts(store(s, dir),
+        Seq("placed", "contains", "supplied_by"),
+        seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3)),
+
     // closeness + harmonic centrality over the same bounded BFS as
     // eccentricity — exact integer ppm output (10^6 div d), no floats
     "q_closeness" -> ((s, dir) =>
@@ -1740,6 +1747,17 @@ object SparkEntry {
     // combined by elementwise max MUST equal the whole-corpus sketch
     // (the shard/day partial re-aggregation everything at 100 TB
     // leans on) ----
+    // ---- Two-sample KS drift between even/odd doc snapshots over
+    // n_chars (binned integer CDF gap in ppm — exact on both engines;
+    // the numeric distribution-shift gate) ----
+    "q_ks_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Stats.ksDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "n_chars", lo = 0L, width = 100L, nBins = 30)
+    }),
+
     // ---- CMS inner product: self-join size / F2 of l_partkey from
     // the register sketch alone (min over hash rows of Σ cnt²) vs the
     // exact Σ c(k)² — the cardinality a planner reads off two at-rest
@@ -2850,6 +2868,41 @@ object SparkEntry {
     // min-arrival relaxation rounds mirrored exactly (relax from the
     // FULL arrival frame each round, min-fold with the carry-over)
     "q_earliest_arrival" -> earliestArrivalSql(3),
+
+    // σ chain: per level, sum of predecessor sigmas grouped BEFORE the
+    // visited anti-filter; dist is the level index
+    "q_path_counts" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS src, o_orderkey AS dst FROM orders
+        |  UNION ALL SELECT l_orderkey, l_partkey FROM lineitem
+        |  UNION ALL SELECT l_partkey, l_suppkey FROM lineitem),
+        |l0 AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS seed,
+        |              CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS vid,
+        |              CAST(1 AS BIGINT) AS sigma),
+        |l1 AS (SELECT seed, vid, CAST(sum(sigma) AS BIGINT) AS sigma
+        |  FROM (SELECT l0.seed, e.dst AS vid, l0.sigma
+        |        FROM e JOIN l0 ON e.src = l0.vid) x
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 v
+        |    WHERE v.seed = x.seed AND v.vid = x.vid)
+        |  GROUP BY seed, vid),
+        |v1 AS (SELECT seed, vid FROM l0 UNION ALL SELECT seed, vid FROM l1),
+        |l2 AS (SELECT seed, vid, CAST(sum(sigma) AS BIGINT) AS sigma
+        |  FROM (SELECT l1.seed, e.dst AS vid, l1.sigma
+        |        FROM e JOIN l1 ON e.src = l1.vid) x
+        |  WHERE NOT EXISTS (SELECT 1 FROM v1 v
+        |    WHERE v.seed = x.seed AND v.vid = x.vid)
+        |  GROUP BY seed, vid),
+        |v2 AS (SELECT seed, vid FROM v1 UNION ALL SELECT seed, vid FROM l2),
+        |l3 AS (SELECT seed, vid, CAST(sum(sigma) AS BIGINT) AS sigma
+        |  FROM (SELECT l2.seed, e.dst AS vid, l2.sigma
+        |        FROM e JOIN l2 ON e.src = l2.vid) x
+        |  WHERE NOT EXISTS (SELECT 1 FROM v2 v
+        |    WHERE v.seed = x.seed AND v.vid = x.vid)
+        |  GROUP BY seed, vid)
+        |SELECT seed, vid, 0 AS dist, sigma FROM l0
+        |UNION ALL SELECT seed, vid, 1, sigma FROM l1
+        |UNION ALL SELECT seed, vid, 2, sigma FROM l2
+        |UNION ALL SELECT seed, vid, 3, sigma FROM l3""".stripMargin,
 
     // same level chain, closeness/harmonic tail: exact integer ppm
     "q_closeness" ->
@@ -4043,6 +4096,33 @@ object SparkEntry {
         |  CAST(floor(CAST(sum(n_tok) AS BIGINT) * 1000.0 /
         |    CAST(sum(n_chars) AS BIGINT)) AS BIGINT) AS fert_permille
         |FROM tk GROUP BY lang""".stripMargin,
+
+    // binned CDFs as integer floor-divisions; max gap + first bin
+    "q_ks_drift" ->
+      """WITH av AS (SELECT least(greatest(CAST(floor((n_chars - 0)
+        |      / 100) AS BIGINT), 0), 29) AS bin, count(*) AS ca
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |bv AS (SELECT least(greatest(CAST(floor((n_chars - 0)
+        |      / 100) AS BIGINT), 0), 29) AS bin, count(*) AS cb
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(av.bin, bv.bin) AS bin,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM av FULL OUTER JOIN bv ON bv.bin = av.bin),
+        |g AS (SELECT bin,
+        |    CAST(sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cumb,
+        |    CAST(sum(ca) OVER () AS BIGINT) AS na,
+        |    CAST(sum(cb) OVER () AS BIGINT) AS nb
+        |  FROM j),
+        |h AS (SELECT bin, na, nb,
+        |    abs(cuma * 1000000 // na - cumb * 1000000 // nb) AS gap_ppm
+        |  FROM g),
+        |m AS (SELECT max(gap_ppm) AS ks_ppm FROM h)
+        |SELECT max(h.na) AS n_a, max(h.nb) AS n_b,
+        |  max(m.ks_ppm) AS ks_ppm, min(h.bin) AS ks_bin
+        |FROM h, m WHERE h.gap_ppm = m.ks_ppm""".stripMargin,
 
     // register inner product per hash row, min across rows; exact F2
     // from the grouped counts — both sides pure BIGINT

@@ -359,6 +359,53 @@ object GraphAnalytics {
           expr("(n_reached - 1) * 1000000L div sum_dist"))
           .otherwise(lit(0L)))
 
+  /**
+   * Shortest-path counting — the forward half of Brandes' betweenness
+   * algorithm (Brandes 2001 §3, the σ table): per seed, every vertex
+   * within `maxHops` gets its BFS distance and the NUMBER of distinct
+   * shortest paths from the seed, σ(v) = Σ σ(u) over edges u→v with u
+   * on the previous level (parallel edges count as distinct paths —
+   * multiset semantics, matching the raw edge union). σ is the
+   * sampled-landmark centrality evidence (path redundancy, bottleneck
+   * detection) that stays EXACT-INTEGER — the δ back-propagation's
+   * rationals are the part that can't hash, so it stays client-side.
+   *
+   * Scale shape: the [[kHop]] frontier law with an extra map-side-
+   * combinable sum — per hop one edge⋈frontier join, one (seed,vid)
+   * sum aggregate, one anti-join against the visited set; frontier-
+   * sized frames only, seeds ride as labels.
+   */
+  def shortestPathCounts(store: GraphStore, edgeTypes: Seq[String],
+      seeds: Seq[Long], maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val spark = (store.vertices.valuesIterator ++ store.edges.valuesIterator)
+      .next().sparkSession
+    import spark.implicits._
+    val e = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC).as("src"),
+        col(GraphStore.DST).as("dst"))
+    }.reduce(_ unionByName _)
+      .transform(graft.CacheScope.persist(_))
+    var levels = List(seeds.map(s => (s, s)).toDF("seed", "vid")
+      .withColumn("dist", lit(0))
+      .withColumn("sigma", lit(1L))
+      .transform(graft.CacheScope.persist(_)))
+    for (i <- 1 to maxHops) {
+      val visited = levels.map(_.select("seed", "vid"))
+        .reduce(_ unionByName _)
+      val next = e.join(levels.head.select(col("seed"), col("vid"),
+          col("sigma")), e("src") === col("vid"))
+        .select(col("seed"), col("dst").as("vid"), col("sigma"))
+        .groupBy("seed", "vid").agg(sum(col("sigma")).as("sigma"))
+        .join(visited, Seq("seed", "vid"), "left_anti")
+        .withColumn("dist", lit(i))
+        .select("seed", "vid", "dist", "sigma")
+        .transform(graft.CacheScope.persist(_))
+      levels = next :: levels
+    }
+    levels.reduce(_ unionByName _)
+  }
+
   /** Per-seed BFS levels (seed, _vid, dist<=maxHops) — the shared
     * frontier chain under eccentricity / closeness: each hop expands
     * the newest level only and anti-joins the per-seed visited set. */

@@ -113,6 +113,50 @@ object Stats {
     df.groupBy(bin.as("bin")).agg(count(lit(1)).as("cnt"))
   }
 
+  /**
+   * Two-sample Kolmogorov–Smirnov drift evidence over binned values —
+   * the distribution-shift gate between crawl snapshots / sources /
+   * model versions (the numeric companion to the embedding-drift
+   * check): KS = max over bins of the scaled-CDF gap, surfaced as
+   * exact integer ppm (each CDF is an integer floor-division of the
+   * running count, so both engines compute identical numbers — no
+   * float CDF). Output is ONE row (n_a, n_b, ks_ppm, ks_bin), with
+   * `ks_bin` the first bin attaining the max (deterministic ties).
+   * The binning granularity bounds the resolution: binned KS lower-
+   * bounds the continuous statistic, the standard trade for a
+   * mergeable sketch state.
+   *
+   * Scale shape: each side collapses to its ≤nBins counts (map-side
+   * combinable — the [[binCounts]] additive state, so shards/days
+   * merge by +); everything after runs on the bin frame only.
+   */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String, lo: Long,
+      width: Long, nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ca = binCounts(a, valueCol, lo, width, nBins)
+      .withColumnRenamed("cnt", "ca")
+    val cb = binCounts(b, valueCol, lo, width, nBins)
+      .withColumnRenamed("cnt", "cb")
+    val j = ca.join(cb, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    // windows over the ≤nBins-row frame only — never the data
+    val cumW = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    j.withColumn("cuma", sum(col("ca")).over(cumW))
+      .withColumn("cumb", sum(col("cb")).over(cumW))
+      .withColumn("na", sum(col("ca")).over(allW))
+      .withColumn("nb", sum(col("cb")).over(allW))
+      .withColumn("gap_ppm", abs(expr(
+        "cuma * 1000000L div na - cumb * 1000000L div nb")))
+      .withColumn("ks_ppm", max(col("gap_ppm")).over(allW))
+      .filter(col("gap_ppm") === col("ks_ppm"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("ks_ppm")).as("ks_ppm"), min(col("bin")).as("ks_bin"))
+  }
+
   /** The finisher over the tiny bin frame: quantile(pm) = first bin
     * whose running count reaches ceil(pm·n/1000) — integer math only. */
   def quantilesFromBins(counts: DataFrame, lo: Long, width: Long,

@@ -93,6 +93,59 @@ object EventStream {
       }
   }
 
+  /** Input/output rows for [[asOfViewStreaming]]. */
+  final case class AsOfEv(user_id: Long, event_id: Long, ts_us: Long,
+      event_type: String)
+  final case class AsOfViewState(view_ts_us: Long, view_id: Long)
+  final case class AsOfEnriched(buy_id: Long, user_id: Long,
+      buy_ts_us: Long, view_id: Option[Long], view_ts_us: Option[Long])
+
+  /**
+   * Streaming as-of enrichment — the stateful twin of
+   * [[graft.operators.TemporalJoin.asOfBackward]]: every purchase is
+   * emitted with the user's latest at-or-before view. Stream-stream
+   * joins can't express "latest prior" (they band, they don't carry);
+   * the carry IS per-key state, so this is flatMapGroupsWithState with
+   * O(1) state per user (the latest view's (ts, id) — two longs, the
+   * whole fleet's state is |users|·16 bytes, never event-count-sized).
+   *
+   * Each micro-batch's group iterator is sorted by (ts, id) before the
+   * fold (Spark guarantees no order), with ties resolving to the
+   * larger view id — the exact [[TemporalJoin.asOfBackward]] tie law.
+   * Correctness across batches assumes per-user in-order delivery
+   * (the Kafka key-partition contract); a view arriving AFTER its
+   * purchase's batch cannot retroactively enrich it — the documented
+   * at-most-late-by-a-batch trade every low-latency enrichment makes.
+   */
+  def asOfViewStreaming(events: org.apache.spark.sql.Dataset[AsOfEv])
+      : org.apache.spark.sql.Dataset[AsOfEnriched] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[AsOfEv],
+            state: GroupState[AsOfViewState]) =>
+          var st = state.getOption
+          val out = Vector.newBuilder[AsOfEnriched]
+          it.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" =>
+                // at equal ts the larger id wins (asOfBackward tie law)
+                if (st.forall(s => e.ts_us > s.view_ts_us ||
+                    (e.ts_us == s.view_ts_us && e.event_id >= s.view_id)))
+                  st = Some(AsOfViewState(e.ts_us, e.event_id))
+              case "purchase" =>
+                out += AsOfEnriched(e.event_id, uid, e.ts_us,
+                  st.map(_.view_id), st.map(_.view_ts_us))
+              case _ => ()
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /**
    * First-arrival dedup per key (batch formulation): keep each key's
    * earliest event by (ts, event_id) — the replayable batch statement of

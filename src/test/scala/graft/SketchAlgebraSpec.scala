@@ -57,6 +57,19 @@ class SketchAlgebraSpec extends SparkSpec {
     assert(est >= exact && est < exact * 1.2, s"est=$est exact=$exact")
   }
 
+  test("ksDrift detects a planted shift; identical samples score zero") {
+    val a = spark.range(0, 5000).select((col("id") % 1000).as("v"))
+    val shifted = spark.range(0, 5000)
+      .select((col("id") % 1000 + 300).as("v")) // +300 location shift
+    val r = Stats.ksDrift(a, shifted, "v", lo = 0L, width = 50L,
+      nBins = 40).head()
+    // true KS of a 300-wide shift on a 1000-wide uniform is 0.30
+    assert(r.getLong(2) == 300000L, s"ks_ppm=${r.getLong(2)}")
+    val same = Stats.ksDrift(a, a, "v", 0L, 50L, 40).head()
+    assert(same.getLong(2) == 0L)
+    assert(same.getLong(3) == 0L) // first bin is the deterministic argmax
+  }
+
   test("disjoint sets estimate ~zero intersection") {
     val df = spark.range(0, 40000).select(
       when(col("id") < 20000, "a").otherwise("b").as("s"), col("id"))

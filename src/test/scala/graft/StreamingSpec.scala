@@ -488,6 +488,49 @@ class ChangeLogListenerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment equals asOfBackward under in-order batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream.AsOfEv
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = Seq( // user 1 and 2, ts <= 20
+      AsOfEv(1L, 1L, 10L, "view"), AsOfEv(1L, 3L, 10L, "view"), // tie: id 3 wins
+      AsOfEv(1L, 2L, 20L, "purchase"),
+      AsOfEv(2L, 7L, 5L, "purchase")) // no prior view -> nulls
+    val b2 = Seq( // later batch: state carries across
+      AsOfEv(1L, 4L, 30L, "purchase"), // still enriched by view 3
+      AsOfEv(1L, 5L, 40L, "view"),
+      AsOfEv(1L, 6L, 40L, "purchase")) // same-instant view counts (<=)
+    val ms = MemoryStream[AsOfEv]
+    val out = graft.streaming.EventStream.asOfViewStreaming(ms.toDS())
+    val q = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("asof_stream")
+        .as[(Long, Long, Long, Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> r._4).toMap
+      // batch twin over ALL events
+      val all = (b1 ++ b2).toDS().toDF()
+      val batch = graft.operators.TemporalJoin.asOfBackward(
+        all.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("buy_id"), col("user_id"),
+            col("ts_us").as("buy_ts")),
+        all.filter(col("event_type") === "view")
+          .select(col("user_id").as("_vu"), col("ts_us").as("view_ts"),
+            col("event_id").as("view_id")),
+        leftKey = "user_id", rightKey = "_vu",
+        leftTime = "buy_ts", rightTime = "view_ts",
+        rightTieBreak = "view_id", rightCols = Seq("view_id"))
+        .select("buy_id", "view_id")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(streamed.keySet == batch.keySet)
+      assert(streamed == batch) // incl. the tie (view 3) and the nulls
+      assert(streamed(2L).contains(3L)) // state carried across batches
+      assert(streamed(6L).contains(5L)) // same-instant view visible
+    } finally q.stop()
+  }
+
   test("streaming HLL registers: merged snapshots equal the batch sketch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -40,6 +40,27 @@ class TemporalGraphSpec extends SparkSpec {
     assert(two.toSet == more)
   }
 
+  test("shortestPathCounts: diamond sigma, parallel-edge multiplicity") {
+    import graft.model.GraphStore
+    // diamond 1->{2,3}->4 plus a DUPLICATE arc 1->2 (parallel edge)
+    // and a back-edge 4->1 (must not re-count the visited seed)
+    val e = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 1L)).toDF(GraphStore.SRC, GraphStore.DST)
+      .withColumn(GraphStore.RANK, lit(0L))
+    val store = GraphStore(Map.empty, Map("p" -> e), Map("p" -> 1))
+    val out = GraphAnalytics.shortestPathCounts(store, Seq("p"),
+        seeds = Seq(1L), maxHops = 3)
+      .select("vid", "dist", "sigma")
+      .as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0, 1L)))
+    assert(out(2L) == ((1, 2L))) // two parallel shortest arcs
+    assert(out(3L) == ((1, 1L)))
+    // via 2 there are TWO paths (parallel first hop), via 3 one: σ=3
+    assert(out(4L) == ((2, 3L)))
+    assert(out.size == 4) // back-edge adds nothing: 1 already visited
+  }
+
   test("closenessStats ppm arithmetic on a path graph") {
     import graft.model.GraphStore
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L))
