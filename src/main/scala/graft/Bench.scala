@@ -145,6 +145,7 @@ object Bench {
     "cdc_diff" -> "cdc", "session_paths" -> "spath",
     "star_join" -> "star", "cube_stats" -> "cube",
     "path_counts" -> "sigma", "ks_drift" -> "ks",
+    "linkage_eval" -> "lnkeval", "decayed_counts" -> "decay",
     "update_" -> "upd_", "upsert_" -> "ups_")
 
   private[graft] def shortName(k: String): String =

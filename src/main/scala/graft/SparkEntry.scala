@@ -1142,6 +1142,23 @@ object SparkEntry {
           substring(col("text"), 1, 12).as("tkey")),
         "doc_id", "tkey", maxDist = 2, maxBlockSize = 512)),
 
+    // matcher evaluation: fuzzy-pair predictions scored against the
+    // exact-dup ground truth — one row of integer TP/FP/FN + permille
+    // precision/recall
+    "q_linkage_eval" -> ((s, dir) =>
+      Curation.linkageEval(
+        t(s, dir, "documents").select(col("doc_id"), col("text"),
+          substring(col("text"), 1, 12).as("tkey")),
+        "doc_id", "text", "tkey",
+        maxDist = 2, maxBlockSize = 512, maxGroup = 64)),
+
+    // recency-weighted activity with EXACT integer geometric decay
+    // (power-of-two weights, 6h half-life buckets, zero past 16)
+    "q_decayed_counts" -> ((s, dir) =>
+      EventStream.decayedActivity(graft.sources.Tables.events(s, dir),
+        "user_id", "ts", halfLifeUs = 6L * 3600 * 1000000,
+        maxShift = 16)),
+
     // EXACT Jaccard >= 0.7 self-join via prefix filtering — the
     // oracle is the NAIVE all-pairs join, so the hash gate itself
     // proves the prefix filter lossless on this corpus
@@ -3990,6 +4007,66 @@ object SparkEntry {
         |FROM b a JOIN ok ON ok.blk = a.blk
         |JOIN b c ON c.blk = a.blk AND a.id < c.id
         |WHERE levenshtein(a.k, c.k) <= 2""".stripMargin,
+
+    // truth = same-fingerprint pairs; pred = the fuzzy-pair CTEs;
+    // full-outer flags folded to one all-integer row
+    "q_linkage_eval" ->
+      """WITH f AS (SELECT doc_id AS id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |g AS (SELECT fp FROM f GROUP BY fp
+        |      HAVING count(*) BETWEEN 2 AND 64),
+        |truth AS (SELECT a.id AS id_a, b.id AS id_b
+        |  FROM f a JOIN g ON g.fp = a.fp
+        |  JOIN f b ON b.fp = a.fp AND a.id < b.id),
+        |keyed AS (SELECT doc_id AS id,
+        |    trim(lower(substr(text, 1, 12))) AS k
+        |  FROM documents
+        |  WHERE length(trim(lower(substr(text, 1, 12)))) > 0),
+        |b2 AS (SELECT id, k,
+        |    CAST(length(k) // 4 AS VARCHAR) || '#' || substr(k, 1, 1)
+        |      AS blk
+        |  FROM keyed),
+        |ok AS (SELECT blk FROM b2 GROUP BY blk
+        |       HAVING count(*) BETWEEN 2 AND 512),
+        |pred AS (SELECT a.id AS id_a, c.id AS id_b
+        |  FROM b2 a JOIN ok ON ok.blk = a.blk
+        |  JOIN b2 c ON c.blk = a.blk AND a.id < c.id
+        |  WHERE levenshtein(a.k, c.k) <= 2),
+        |j AS (SELECT
+        |    CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS t,
+        |    CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END AS p
+        |  FROM truth t FULL OUTER JOIN pred p
+        |    ON p.id_a = t.id_a AND p.id_b = t.id_b),
+        |s AS (SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+        |    CAST(sum(p) AS BIGINT) AS n_pred,
+        |    CAST(sum(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp_cnt,
+        |    CAST(sum(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn_cnt
+        |  FROM j)
+        |SELECT n_truth, n_pred, tp, fp_cnt, fn_cnt,
+        |  CASE WHEN n_pred > 0 THEN tp * 1000 // n_pred
+        |    ELSE CAST(0 AS BIGINT) END AS precision_permille,
+        |  CASE WHEN n_truth > 0 THEN tp * 1000 // n_truth
+        |    ELSE CAST(0 AS BIGINT) END AS recall_permille
+        |FROM s""".stripMargin,
+
+    // max-ts "now" scalar; half-life buckets; power-of-two weights
+    "q_decayed_counts" ->
+      """WITH nw AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+        |w AS (SELECT user_id,
+        |    (nw.now_us - epoch_us(ts)) // 21600000000 AS b
+        |  FROM events, nw),
+        |x AS (SELECT user_id, CASE WHEN b <= 16
+        |    THEN (1::BIGINT << CAST(16 - b AS INTEGER))
+        |    ELSE CAST(0 AS BIGINT) END AS w
+        |  FROM w)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(w) AS BIGINT) AS decay_score
+        |FROM x GROUP BY user_id""".stripMargin,
 
     // the NAIVE join over the shared shingle CTE: every co-occurring
     // pair, exact intersection, integer cross-multiplied threshold —

@@ -138,6 +138,55 @@ object Curation {
   }
 
   /**
+   * Record-linkage evaluation against exact-duplicate ground truth —
+   * the measurement loop a matcher ships with: TRUTH pairs are
+   * same-normalized-fingerprint documents (the planted exact dups,
+   * group-capped like [[graft.analytics.GraphAnalytics.cooccurrence]]),
+   * PREDICTED pairs come from [[Dedup.fuzzyPairs]] over `keyCol`, and
+   * the output is ONE row of exact integers: n_truth, n_pred, tp,
+   * fp_cnt, fn_cnt plus permille precision/recall (integer div — a
+   * blocking or threshold change moves these numbers, and the gate
+   * hashes them).
+   *
+   * Scale shape: truth pair-gen is bounded per fingerprint group;
+   * prediction inherits fuzzyPairs' block caps; the eval join is
+   * pair-frame-sized (matches, not corpus).
+   */
+  def linkageEval(df: DataFrame, idCol: String, textCol: String,
+      keyCol: String, maxDist: Int, maxBlockSize: Int,
+      maxGroup: Int): DataFrame = {
+    val ids = df.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val groups = ids.groupBy("fp")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxGroup))
+    val nested = transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("a"), y.as("b"))))
+    val truth = groups.select(explode(flatten(nested)).as("pr"))
+      .select(col("pr.a").as("id_a"), col("pr.b").as("id_b"))
+      .withColumn("t", lit(1))
+    val pred = Dedup.fuzzyPairs(df, idCol, keyCol, maxDist, maxBlockSize)
+      .select(col("id_a"), col("id_b")).withColumn("p", lit(1))
+    truth.join(pred, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("t"), lit(0))).cast("long").as("n_truth"),
+        sum(coalesce(col("p"), lit(0))).cast("long").as("n_pred"),
+        sum(when(col("t").isNotNull && col("p").isNotNull, 1)
+          .otherwise(0)).cast("long").as("tp"),
+        sum(when(col("t").isNull && col("p").isNotNull, 1)
+          .otherwise(0)).cast("long").as("fp_cnt"),
+        sum(when(col("t").isNotNull && col("p").isNull, 1)
+          .otherwise(0)).cast("long").as("fn_cnt"))
+      .select(col("n_truth"), col("n_pred"), col("tp"), col("fp_cnt"),
+        col("fn_cnt"),
+        when(col("n_pred") > 0, expr("tp * 1000L div n_pred"))
+          .otherwise(lit(0L)).as("precision_permille"),
+        when(col("n_truth") > 0, expr("tp * 1000L div n_truth"))
+          .otherwise(lit(0L)).as("recall_permille"))
+  }
+
+  /**
    * Line-level exact dedup (CCNet/C4 style): across the WHOLE corpus,
    * each distinct line survives only in the first document containing
    * it (doc order, then position order); documents are reassembled

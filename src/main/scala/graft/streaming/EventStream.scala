@@ -93,6 +93,35 @@ object EventStream {
       }
   }
 
+  /**
+   * Recency-weighted activity score with EXACT integer geometric decay
+   * — the float-free statement of exponential time decay (recency
+   * scoring, decayed frequency caps): an event `b` half-life buckets
+   * old weighs `2^(maxShift−b)` (newest = 2^maxShift, halving per
+   * bucket, 0 beyond maxShift buckets). Power-of-two weights make the
+   * score a BIGINT sum — bit-identical everywhere — while ordering
+   * users exactly as the e^-λt version would at bucket resolution.
+   * "Now" is the frame's max timestamp (one aggregated scalar,
+   * broadcast) so the score is a pure function of the data.
+   *
+   * Scale shape: one scalar aggregate + one narrow map + one per-user
+   * combinable sum — corpus-linear, no window.
+   */
+  def decayedActivity(events: DataFrame, userCol: String, tsCol: String,
+      halfLifeUs: Long, maxShift: Int): DataFrame = {
+    require(halfLifeUs >= 1 && maxShift >= 1 && maxShift <= 62,
+      "halfLifeUs >= 1, maxShift in [1,62]")
+    val now = events.agg(max(unix_micros(col(tsCol))).as("now_us"))
+    events.select(col(userCol), unix_micros(col(tsCol)).as("ts_us"))
+      .crossJoin(broadcast(now))
+      .withColumn("b", expr(s"(now_us - ts_us) div ${halfLifeUs}L"))
+      .withColumn("w", when(col("b") <= maxShift,
+        expr(s"shiftleft(1L, cast($maxShift - b as int))"))
+        .otherwise(lit(0L)))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("decay_score"))
+  }
+
   /** Input/output rows for [[asOfViewStreaming]]. */
   final case class AsOfEv(user_id: Long, event_id: Long, ts_us: Long,
       event_type: String)

@@ -38,6 +38,51 @@ class CdcSpec extends SparkSpec {
       Seq("name", "v")).count() == 0)
   }
 
+  test("linkageEval: planted dup families score exact TP/FP/FN") {
+    import graft.pipeline.Curation
+    val docs = Seq(
+      // exact dups with identical prefixes -> truth AND predicted (TP)
+      (1L, "alpha beta gamma delta common tail"),
+      (2L, "alpha beta gamma delta common tail"),
+      // whitespace-normalized dups: fingerprints match (truth) but the
+      // raw 12-char keys land in different length bands -> FN
+      (3L, "   alpha beta gamma identical body"),
+      (4L, "alpha beta gamma identical body"),
+      // near-identical prefixes, different bodies -> predicted only (FP)
+      (5L, "prefix matchA but the bodies differ wildly one"),
+      (6L, "prefix matchB and this text is something else"))
+      .toDF("doc_id", "text")
+      .withColumn("tkey", substring(col("text"), 1, 12))
+    val r = Curation.linkageEval(docs, "doc_id", "text", "tkey",
+      maxDist = 2, maxBlockSize = 64, maxGroup = 8).head()
+    val (nTruth, nPred, tp, fpc, fnc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+    assert(tp >= 1L && nTruth == tp + fnc && nPred == tp + fpc)
+    assert(r.getLong(5) == tp * 1000 / nPred) // precision law
+    assert(r.getLong(6) == tp * 1000 / nTruth) // recall law
+    assert(fpc >= 1L, "prefix-match non-dups must appear as FP")
+    assert(fnc >= 1L, "cross-band normalized dups must appear as FN")
+  }
+
+  test("decayedActivity: power-of-two weights, zero past the horizon") {
+    import graft.streaming.EventStream
+    val h = 6L * 3600 * 1000000 // 6h buckets
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    val now = 100L * h
+    val ev = Seq(
+      (1L, t(now)), // b=0 -> 2^16
+      (1L, t(now - h)), // b=1 -> 2^15
+      (1L, t(now - 17 * h)), // past maxShift -> 0
+      (2L, t(now - 16 * h))) // b=16 -> 1
+      .toDF("user_id", "ts")
+    val out = EventStream.decayedActivity(ev, "user_id", "ts", h, 16)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(1L) == ((3L, 65536L + 32768L + 0L)))
+    assert(out(2L) == ((1L, 1L)))
+  }
+
   test("sessionPaths: gap splits, truncation, deterministic rank") {
     import graft.streaming.EventStream
     def ts(m: Int) = java.sql.Timestamp.valueOf(
