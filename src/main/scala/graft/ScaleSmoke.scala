@@ -455,6 +455,39 @@ object ScaleSmoke {
           .as("s"), col("l_orderkey")),
         "s", "l_orderkey").count())
 
+    // round-10 third wave. ppjoin's worst case is the copy-amplified
+    // corpus (copies share most shingles with their originals — prefix
+    // buckets densify); sigma rides the kHop frontier with per-copy
+    // seeds; cms join size is two register passes; ks drift collapses
+    // each side to bins; linkage eval inherits the fuzzy caps; star
+    // join's fact side is the amplified edge table re-derived.
+    time(s"ppjoin ${factor}x")(
+      Dedup.ppjoinPairs(docs, "doc_id", "text", n = 4,
+        tNum = 1, tDen = 2).count())
+    time(s"path counts 3 hops ${factor}x")(
+      graft.analytics.GraphAnalytics.shortestPathCounts(store,
+        Seq("amp"), seeds, maxHops = 3).count())
+    time(s"cms join size ${factor}x")(
+      graft.operators.Stats.cmsJoinSize(edges, "l_partkey",
+        edges, "l_partkey", depth = 4, width = 65536).count())
+    time(s"ks drift ${factor}x")(
+      graft.operators.Stats.ksDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "n_chars", lo = 0L, width = 100L, nBins = 30).count())
+    time(s"linkage eval ${factor}x")(
+      graft.pipeline.Curation.linkageEval(
+        docs.select(col("doc_id"), col("text"),
+          substring(col("text"), 1, 12).as("tkey")),
+        "doc_id", "text", "tkey", maxDist = 2, maxBlockSize = 512,
+        maxGroup = 64).count())
+    time(s"decayed activity ${factor}x")(
+      graft.streaming.EventStream.decayedActivity(ev, "user_id", "ts",
+        halfLifeUs = 6L * 3600 * 1000000, maxShift = 16).count())
+    time(s"session paths ${factor}x")(
+      graft.streaming.EventStream.sessionPaths(ev, gapMinutes = 30,
+        maxLen = 5, topK = 20).count())
+
     spark.stop()
   }
 }
