@@ -146,6 +146,7 @@ object Bench {
     "star_join" -> "star", "cube_stats" -> "cube",
     "path_counts" -> "sigma", "ks_drift" -> "ks",
     "linkage_eval" -> "lnkeval", "decayed_counts" -> "decay",
+    "snowball" -> "snow", "quantile_error" -> "qerr",
     "update_" -> "upd_", "upsert_" -> "ups_")
 
   private[graft] def shortName(k: String): String =

@@ -1241,6 +1241,13 @@ object SparkEntry {
         e, seeds = Seq(1L, 2L, 3L, 4L, 5L), rounds = 3)
     }),
 
+    // snowball sample: capped BFS with deterministic hash-rank
+    // neighbor selection — the reproducible dev-subgraph extractor
+    "q_snowball" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.snowballSample(store(s, dir),
+        Seq("placed", "contains", "supplied_by"),
+        seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3, maxDeg = 5)),
+
     // forward-Brandes σ: shortest-path COUNTS per (seed, vertex) —
     // exact integers; parallel edges are distinct paths (multiset law)
     "q_path_counts" -> ((s, dir) =>
@@ -1764,6 +1771,15 @@ object SparkEntry {
     // combined by elementwise max MUST equal the whole-corpus sketch
     // (the shard/day partial re-aggregation everything at 100 TB
     // leans on) ----
+    // ---- Sketch-accuracy eval: bin-quantile estimate vs exact order
+    // statistic per permille (the eval that sizes the bins) ----
+    "q_quantile_error" -> ((s, dir) =>
+      Stats.quantileError(
+        t(s, dir, "lineitem").select(
+          floor(col("l_extendedprice")).cast("long").as("v")),
+        "v", lo = 0L, width = 1000L, nBins = 128,
+        permille = Seq(500, 900, 990))),
+
     // ---- Two-sample KS drift between even/odd doc snapshots over
     // n_chars (binned integer CDF gap in ppm — exact on both engines;
     // the numeric distribution-shift gate) ----
@@ -1920,6 +1936,37 @@ object SparkEntry {
       |  UNION ALL SELECT seed, vid, 1 FROM l1
       |  UNION ALL SELECT seed, vid, 2 FROM l2
       |  UNION ALL SELECT seed, vid, 3 FROM l3)""".stripMargin
+
+  /** Snowball-sample oracle: unrolled capped-BFS levels — per hop a
+    * per-(seed, src) hash-rank row_number cap on the DISTINCT edge
+    * set, then the visited anti-filter (the kHop chain + the
+    * q_sample_neighbors hash law). */
+  private def snowballSql(hops: Int, cap: Int): String = {
+    val levels = (1 to hops).map { i =>
+      s"""l$i AS (SELECT DISTINCT seed, vid FROM (
+         |    SELECT l${i - 1}.seed, e.src, e.dst AS vid,
+         |      row_number() OVER (PARTITION BY l${i - 1}.seed, e.src
+         |        ORDER BY (e.dst * 2654435761) % 4294967296, e.dst)
+         |        AS rn
+         |    FROM e JOIN l${i - 1} ON e.src = l${i - 1}.vid) x
+         |  WHERE rn <= $cap AND NOT EXISTS (SELECT 1 FROM v${i - 1} v
+         |    WHERE v.seed = x.seed AND v.vid = x.vid)),
+         |v$i AS (SELECT seed, vid FROM v${i - 1}
+         |  UNION ALL SELECT seed, vid FROM l$i)""".stripMargin
+    }.mkString(",\n")
+    val tail = (1 to hops).map(i =>
+      s"UNION ALL SELECT seed, vid, $i FROM l$i").mkString("\n")
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT o_custkey AS src, o_orderkey AS dst FROM orders
+       |    UNION ALL SELECT l_orderkey, l_partkey FROM lineitem
+       |    UNION ALL SELECT l_partkey, l_suppkey FROM lineitem)),
+       |l0 AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS seed,
+       |              CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS vid),
+       |v0 AS (SELECT seed, vid FROM l0),
+       |$levels
+       |SELECT seed, vid, 0 AS dist FROM l0
+       |$tail""".stripMargin
+  }
 
   /** Earliest-arrival oracle: `rounds` unrolled min-relaxations over
     * the temporal edge derivation (orders/lineitem with their event
@@ -4173,6 +4220,35 @@ object SparkEntry {
         |  CAST(floor(CAST(sum(n_tok) AS BIGINT) * 1000.0 /
         |    CAST(sum(n_chars) AS BIGINT)) AS BIGINT) AS fert_permille
         |FROM tk GROUP BY lang""".stripMargin,
+
+    "q_snowball" -> snowballSql(3, 5),
+
+    // exact = min value whose cum count reaches ceil(pm·n/1000) over
+    // the distinct-value histogram; estimate = the bin-sketch lo edge
+    "q_quantile_error" ->
+      """WITH vals AS (SELECT CAST(floor(l_extendedprice) AS BIGINT)
+        |    AS v FROM lineitem),
+        |h AS (SELECT v, count(*) AS cnt FROM vals GROUP BY v),
+        |hc AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+        |  FROM h),
+        |p AS (SELECT unnest([500, 900, 990]) AS pm),
+        |ex AS (SELECT pm, min(v) AS exact_val FROM hc CROSS JOIN p
+        |  WHERE cum * 1000 >= pm * n GROUP BY pm),
+        |c AS (SELECT least(greatest(CAST(floor((v - 0) / 1000.0)
+        |      AS BIGINT), 0), 127) AS bin, count(*) AS cnt
+        |  FROM vals GROUP BY 1),
+        |cc AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+        |  FROM c),
+        |es AS (SELECT pm, 0 + min(bin) * 1000 AS est_lo
+        |  FROM cc CROSS JOIN p
+        |  WHERE cum * 1000 >= pm * n GROUP BY pm)
+        |SELECT ex.pm, ex.exact_val, es.est_lo,
+        |  abs(ex.exact_val - es.est_lo) AS abs_err
+        |FROM ex JOIN es ON es.pm = ex.pm""".stripMargin,
 
     // binned CDFs as integer floor-divisions; max gap + first bin
     "q_ks_drift" ->

@@ -406,6 +406,54 @@ object GraphAnalytics {
     levels.reduce(_ unionByName _)
   }
 
+  /**
+   * Snowball (capped-BFS) subgraph sample — the reproducible
+   * dev-corpus extractor (Goodman 1961 snowball sampling; the graph
+   * twin of [[graft.operators.Sample.hashSamplePerGroup]]): per hop,
+   * each frontier vertex follows at most `maxDeg` out-neighbors,
+   * chosen by the deterministic multiplicative hash rank — the same
+   * selection law as the per-vertex neighbor sampler, so the sampled
+   * subgraph is identical across runs, engines, and partitionings.
+   * Output (seed, vid, dist): the capped reachable set per seed.
+   *
+   * Scale shape: the kHop frontier chain with a per-(seed, src)
+   * WindowGroupLimit before the expansion dedup — a celebrity vertex
+   * contributes maxDeg arcs, not its whole adjacency, which is the
+   * point of snowball over plain BFS at 100 TB.
+   */
+  def snowballSample(store: GraphStore, edgeTypes: Seq[String],
+      seeds: Seq[Long], maxHops: Int, maxDeg: Int): DataFrame = {
+    require(maxHops >= 1 && maxDeg >= 1, "maxHops and maxDeg must be >= 1")
+    val spark = (store.vertices.valuesIterator ++ store.edges.valuesIterator)
+      .next().sparkSession
+    import spark.implicits._
+    val e = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC).as("src"),
+        col(GraphStore.DST).as("dst"))
+    }.reduce(_ unionByName _).distinct()
+      .transform(graft.CacheScope.persist(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seed"), col("src"))
+      .orderBy(graft.operators.Sample.hashRank(col("dst")), col("dst"))
+    var levels = List(seeds.map(s => (s, s)).toDF("seed", "vid")
+      .withColumn("dist", lit(0)).transform(graft.CacheScope.persist(_)))
+    for (i <- 1 to maxHops) {
+      val visited = levels.map(_.select("seed", "vid"))
+        .reduce(_ unionByName _)
+      val next = e.join(levels.head.select(col("seed"),
+          col("vid")), e("src") === col("vid"))
+        .select(col("seed"), col("src"), col("dst"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= maxDeg)
+        .select(col("seed"), col("dst").as("vid")).distinct()
+        .join(visited, Seq("seed", "vid"), "left_anti")
+        .withColumn("dist", lit(i))
+        .transform(graft.CacheScope.persist(_))
+      levels = next :: levels
+    }
+    levels.reduce(_ unionByName _)
+  }
+
   /** Per-seed BFS levels (seed, _vid, dist<=maxHops) — the shared
     * frontier chain under eccentricity / closeness: each hop expands
     * the newest level only and anti-joins the per-seed visited set. */

@@ -183,6 +183,43 @@ object Stats {
   }
 
   /**
+   * Sketch-accuracy eval: the mergeable bin-quantile estimate vs the
+   * EXACT order statistic, per requested permille — the measurement
+   * that sizes the bins (error is bounded by one bin width by
+   * construction, and this query shows the ACTUAL gap on real data).
+   * The exact side is the min value whose cumulative count reaches
+   * ⌈pm·n/1000⌉, computed over the DISTINCT-VALUE histogram — a
+   * values-sized cumsum, never a global row sort; `valueCol` must be
+   * integral (callers floor() explicitly — CAST double→int rounds in
+   * DuckDB but truncates in Spark, so the floor must be visible).
+   * All-integer output: (pm, exact_val, est_lo, abs_err).
+   */
+  def quantileError(df: DataFrame, valueCol: String, lo: Long,
+      width: Long, nBins: Int, permille: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(allW))
+    val ps = broadcast(df.sparkSession
+      .createDataFrame(permille.map(Tuple1(_))).toDF("pm"))
+    val exact = cum.crossJoin(ps)
+      .filter(col("cum") * lit(1000L) >= col("pm") * col("n"))
+      .groupBy("pm").agg(min(col("v")).as("exact_val"))
+    val est = quantilesFromBins(
+      binCounts(df, valueCol, lo, width, nBins), lo, width, permille)
+      .select(col("pm"), col("lo_edge").as("est_lo"))
+    exact.join(est, Seq("pm"))
+      .select(col("pm"), col("exact_val"), col("est_lo"),
+        abs(col("exact_val") - col("est_lo")).as("abs_err"))
+  }
+
+  /**
    * ROLLUP statistics over a dimension hierarchy: per-(d1,d2,...)
    * subtotals at every prefix granularity plus the grand total — the
    * multi-granularity version of StatisTask's space totals. Aggregated-

@@ -4,6 +4,7 @@ import graft.operators.Stats
 import org.apache.spark.sql.functions._
 
 class SketchAlgebraSpec extends SparkSpec {
+  import spark.implicits._
 
   test("hllIntersect estimates land within 4 sigma of exact set sizes") {
     // A = [0, 30000), B = [20000, 55000) -> |A|=30k |B|=35k |A∩B|=10k
@@ -68,6 +69,22 @@ class SketchAlgebraSpec extends SparkSpec {
     val same = Stats.ksDrift(a, a, "v", 0L, 50L, 40).head()
     assert(same.getLong(2) == 0L)
     assert(same.getLong(3) == 0L) // first bin is the deterministic argmax
+  }
+
+  test("quantileError: estimate within one bin width of the exact statistic") {
+    // skewed integer values in [0, 10000)
+    val df = spark.range(20000)
+      .select((pmod(hash(col("id")), lit(100)) *
+        pmod(hash(col("id") + 1), lit(100))).cast("long").as("v"))
+      .filter(col("v") >= 0)
+    val rows = Stats.quantileError(df, "v", lo = 0L, width = 200L,
+        nBins = 50, permille = Seq(500, 900, 990))
+      .as[(Int, Long, Long, Long)].collect()
+    assert(rows.length == 3)
+    rows.foreach { case (pm, exact, estLo, err) =>
+      assert(estLo <= exact, s"pm=$pm: lo edge must not exceed exact")
+      assert(err < 200L, s"pm=$pm err=$err must be < bin width")
+    }
   }
 
   test("disjoint sets estimate ~zero intersection") {

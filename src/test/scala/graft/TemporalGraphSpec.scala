@@ -61,6 +61,29 @@ class TemporalGraphSpec extends SparkSpec {
     assert(out.size == 4) // back-edge adds nothing: 1 already visited
   }
 
+  test("snowballSample: cap binds per frontier vertex, partition-invariant") {
+    import graft.model.GraphStore
+    // hub 1 with 20 out-neighbors 100..119; each neighbor -> 1000+n
+    val hub = (100L to 119L).map(n => (1L, n)) ++
+      (100L to 119L).map(n => (n, 1000L + n))
+    val e = hub.toDF(GraphStore.SRC, GraphStore.DST)
+      .withColumn(GraphStore.RANK, lit(0L))
+    val store = GraphStore(Map.empty, Map("g" -> e), Map("g" -> 1))
+    val out = GraphAnalytics.snowballSample(store, Seq("g"),
+        seeds = Seq(1L), maxHops = 2, maxDeg = 5)
+      .select("vid", "dist").as[(Long, Int)].collect()
+    val byDist = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDist(0) == 1 && byDist(1) == 5, s"cap must bind: $byDist")
+    assert(byDist(2) == 5) // each sampled hop-1 vertex has one child
+    // determinism: a different partitioning yields the identical set
+    val store17 = GraphStore(Map.empty,
+      Map("g" -> e.repartition(17)), Map("g" -> 1))
+    val out17 = GraphAnalytics.snowballSample(store17, Seq("g"),
+        seeds = Seq(1L), maxHops = 2, maxDeg = 5)
+      .select("vid", "dist").as[(Long, Int)].collect()
+    assert(out.toSet == out17.toSet)
+  }
+
   test("closenessStats ppm arithmetic on a path graph") {
     import graft.model.GraphStore
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L))
