@@ -147,6 +147,8 @@ object Bench {
     "path_counts" -> "sigma", "ks_drift" -> "ks",
     "linkage_eval" -> "lnkeval", "decayed_counts" -> "decay",
     "snowball" -> "snow", "quantile_error" -> "qerr",
+    // round-10 fourth wave
+    "betweenness" -> "betw",
     "update_" -> "upd_", "upsert_" -> "ups_")
 
   private[graft] def shortName(k: String): String =

@@ -1255,6 +1255,14 @@ object SparkEntry {
         Seq("placed", "contains", "supplied_by"),
         seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3)),
 
+    // complete Brandes: forward σ + backward dyadic-grid δ — the
+    // seed-set betweenness dependency table (Σ_seeds δ folds client-
+    // side); every float op is IEEE-identical in both engines
+    "q_betweenness" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.betweennessStats(store(s, dir),
+        Seq("placed", "contains", "supplied_by"),
+        seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3)),
+
     // closeness + harmonic centrality over the same bounded BFS as
     // eccentricity — exact integer ppm output (10^6 div d), no floats
     "q_closeness" -> ((s, dir) =>
@@ -1936,6 +1944,39 @@ object SparkEntry {
       |  UNION ALL SELECT seed, vid, 1 FROM l1
       |  UNION ALL SELECT seed, vid, 2 FROM l2
       |  UNION ALL SELECT seed, vid, 3 FROM l3)""".stripMargin
+
+  /** Forward-Brandes σ level chain (seeds 1-5, 3 hops, the multiset
+    * edge union — parallel edges are distinct paths), shared by the
+    * path-counts and betweenness oracles: per level the predecessor-σ
+    * sum groups BEFORE the visited anti-filter. */
+  private val SigmaChainCte =
+    """e AS (
+      |  SELECT o_custkey AS src, o_orderkey AS dst FROM orders
+      |  UNION ALL SELECT l_orderkey, l_partkey FROM lineitem
+      |  UNION ALL SELECT l_partkey, l_suppkey FROM lineitem),
+      |l0 AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS seed,
+      |              CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS vid,
+      |              CAST(1 AS BIGINT) AS sigma),
+      |l1 AS (SELECT seed, vid, CAST(sum(sigma) AS BIGINT) AS sigma
+      |  FROM (SELECT l0.seed, e.dst AS vid, l0.sigma
+      |        FROM e JOIN l0 ON e.src = l0.vid) x
+      |  WHERE NOT EXISTS (SELECT 1 FROM l0 v
+      |    WHERE v.seed = x.seed AND v.vid = x.vid)
+      |  GROUP BY seed, vid),
+      |v1 AS (SELECT seed, vid FROM l0 UNION ALL SELECT seed, vid FROM l1),
+      |l2 AS (SELECT seed, vid, CAST(sum(sigma) AS BIGINT) AS sigma
+      |  FROM (SELECT l1.seed, e.dst AS vid, l1.sigma
+      |        FROM e JOIN l1 ON e.src = l1.vid) x
+      |  WHERE NOT EXISTS (SELECT 1 FROM v1 v
+      |    WHERE v.seed = x.seed AND v.vid = x.vid)
+      |  GROUP BY seed, vid),
+      |v2 AS (SELECT seed, vid FROM v1 UNION ALL SELECT seed, vid FROM l2),
+      |l3 AS (SELECT seed, vid, CAST(sum(sigma) AS BIGINT) AS sigma
+      |  FROM (SELECT l2.seed, e.dst AS vid, l2.sigma
+      |        FROM e JOIN l2 ON e.src = l2.vid) x
+      |  WHERE NOT EXISTS (SELECT 1 FROM v2 v
+      |    WHERE v.seed = x.seed AND v.vid = x.vid)
+      |  GROUP BY seed, vid)""".stripMargin
 
   /** Snowball-sample oracle: unrolled capped-BFS levels — per hop a
     * per-(seed, src) hash-rank row_number cap on the DISTINCT edge
@@ -2936,37 +2977,51 @@ object SparkEntry {
     // σ chain: per level, sum of predecessor sigmas grouped BEFORE the
     // visited anti-filter; dist is the level index
     "q_path_counts" ->
-      """WITH e AS (
-        |  SELECT o_custkey AS src, o_orderkey AS dst FROM orders
-        |  UNION ALL SELECT l_orderkey, l_partkey FROM lineitem
-        |  UNION ALL SELECT l_partkey, l_suppkey FROM lineitem),
-        |l0 AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS seed,
-        |              CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS vid,
-        |              CAST(1 AS BIGINT) AS sigma),
-        |l1 AS (SELECT seed, vid, CAST(sum(sigma) AS BIGINT) AS sigma
-        |  FROM (SELECT l0.seed, e.dst AS vid, l0.sigma
-        |        FROM e JOIN l0 ON e.src = l0.vid) x
-        |  WHERE NOT EXISTS (SELECT 1 FROM l0 v
-        |    WHERE v.seed = x.seed AND v.vid = x.vid)
-        |  GROUP BY seed, vid),
-        |v1 AS (SELECT seed, vid FROM l0 UNION ALL SELECT seed, vid FROM l1),
-        |l2 AS (SELECT seed, vid, CAST(sum(sigma) AS BIGINT) AS sigma
-        |  FROM (SELECT l1.seed, e.dst AS vid, l1.sigma
-        |        FROM e JOIN l1 ON e.src = l1.vid) x
-        |  WHERE NOT EXISTS (SELECT 1 FROM v1 v
-        |    WHERE v.seed = x.seed AND v.vid = x.vid)
-        |  GROUP BY seed, vid),
-        |v2 AS (SELECT seed, vid FROM v1 UNION ALL SELECT seed, vid FROM l2),
-        |l3 AS (SELECT seed, vid, CAST(sum(sigma) AS BIGINT) AS sigma
-        |  FROM (SELECT l2.seed, e.dst AS vid, l2.sigma
-        |        FROM e JOIN l2 ON e.src = l2.vid) x
-        |  WHERE NOT EXISTS (SELECT 1 FROM v2 v
-        |    WHERE v.seed = x.seed AND v.vid = x.vid)
-        |  GROUP BY seed, vid)
-        |SELECT seed, vid, 0 AS dist, sigma FROM l0
-        |UNION ALL SELECT seed, vid, 1, sigma FROM l1
-        |UNION ALL SELECT seed, vid, 2, sigma FROM l2
-        |UNION ALL SELECT seed, vid, 3, sigma FROM l3""".stripMargin,
+      s"""WITH $SigmaChainCte
+         |SELECT seed, vid, 0 AS dist, sigma FROM l0
+         |UNION ALL SELECT seed, vid, 1, sigma FROM l1
+         |UNION ALL SELECT seed, vid, 2, sigma FROM l2
+         |UNION ALL SELECT seed, vid, 3, sigma FROM l3""".stripMargin,
+
+    // the same σ chain plus the backward Brandes recurrence: each edge
+    // summand δ-contribution floored to the dyadic 2^-30 grid BEFORE
+    // the sum, so the double aggregation is order-independent and
+    // bit-identical to the Spark side (Portable.dyadic law)
+    "q_betweenness" ->
+      s"""WITH $SigmaChainCte,
+         |d3 AS (SELECT seed, vid, sigma, CAST(0 AS DOUBLE) AS delta
+         |  FROM l3),
+         |d2 AS (SELECT l2.seed, l2.vid, l2.sigma,
+         |    coalesce(sum(floor(CAST(l2.sigma AS DOUBLE) / w.sigma
+         |      * (1 + w.delta) * 1073741824.0) / 1073741824.0), 0.0)
+         |      AS delta
+         |  FROM l2 LEFT JOIN (
+         |    SELECT d.seed, e.src, d.sigma, d.delta
+         |    FROM e JOIN d3 d ON e.dst = d.vid) w
+         |    ON w.seed = l2.seed AND w.src = l2.vid
+         |  GROUP BY l2.seed, l2.vid, l2.sigma),
+         |d1 AS (SELECT l1.seed, l1.vid, l1.sigma,
+         |    coalesce(sum(floor(CAST(l1.sigma AS DOUBLE) / w.sigma
+         |      * (1 + w.delta) * 1073741824.0) / 1073741824.0), 0.0)
+         |      AS delta
+         |  FROM l1 LEFT JOIN (
+         |    SELECT d.seed, e.src, d.sigma, d.delta
+         |    FROM e JOIN d2 d ON e.dst = d.vid) w
+         |    ON w.seed = l1.seed AND w.src = l1.vid
+         |  GROUP BY l1.seed, l1.vid, l1.sigma),
+         |d0 AS (SELECT l0.seed, l0.vid, l0.sigma,
+         |    coalesce(sum(floor(CAST(l0.sigma AS DOUBLE) / w.sigma
+         |      * (1 + w.delta) * 1073741824.0) / 1073741824.0), 0.0)
+         |      AS delta
+         |  FROM l0 LEFT JOIN (
+         |    SELECT d.seed, e.src, d.sigma, d.delta
+         |    FROM e JOIN d1 d ON e.dst = d.vid) w
+         |    ON w.seed = l0.seed AND w.src = l0.vid
+         |  GROUP BY l0.seed, l0.vid, l0.sigma)
+         |SELECT seed, vid, 0 AS dist, sigma, delta FROM d0
+         |UNION ALL SELECT seed, vid, 1, sigma, delta FROM d1
+         |UNION ALL SELECT seed, vid, 2, sigma, delta FROM d2
+         |UNION ALL SELECT seed, vid, 3, sigma, delta FROM d3""".stripMargin,
 
     // same level chain, closeness/harmonic tail: exact integer ppm
     "q_closeness" ->

@@ -407,6 +407,81 @@ object GraphAnalytics {
   }
 
   /**
+   * Seed-set betweenness dependencies — the COMPLETE Brandes algorithm
+   * (Brandes 2001 §4): the forward σ table of [[shortestPathCounts]]
+   * plus the backward dependency accumulation
+   * δ(v) = Σ_{edges v→w, d(w)=d(v)+1} (σ(v)/σ(w)) · (1 + δ(w)).
+   * Sampled-seed betweenness (Bader et al. 2007 landmark estimate) is
+   * Σ_seeds δ(seed, v), which the caller folds from these rows.
+   *
+   * The δ rationals are made ENGINE-EXACT the same way the PageRank
+   * recurrence is: each edge summand is floored to the dyadic 2^-30
+   * grid BEFORE the sum ([[graft.functions.Portable.dyadic]]), so the
+   * per-vertex aggregation is order-independent and the DuckDB oracle
+   * replays the identical recurrence bit-for-bit. σ(v)/σ(w) is one
+   * IEEE double division of exact integers and (1+δ) stays on the
+   * grid, so no operation depends on summation order.
+   *
+   * Scale shape: forward = the [[kHop]] frontier law (per hop one
+   * edge⋈frontier join + one combinable sum + one anti-join);
+   * backward = per level one edge⋈successor-level join + one
+   * (seed,vid) sum — every frame is level-sized, the edge multiset
+   * shuffles once per hop on its join key, and O(maxHops) level
+   * frames are pinned (maxHops is a small constant, not data-sized).
+   */
+  def betweennessStats(store: GraphStore, edgeTypes: Seq[String],
+      seeds: Seq[Long], maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val spark = (store.vertices.valuesIterator ++ store.edges.valuesIterator)
+      .next().sparkSession
+    import spark.implicits._
+    val e = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC).as("src"),
+        col(GraphStore.DST).as("dst"))
+    }.reduce(_ unionByName _)
+      .transform(graft.CacheScope.persist(_))
+    // forward: σ per BFS level (the shortestPathCounts chain, kept as
+    // an indexed array because the backward pass walks it in reverse)
+    val levels = new Array[DataFrame](maxHops + 1)
+    levels(0) = seeds.map(s => (s, s)).toDF("seed", "vid")
+      .withColumn("sigma", lit(1L))
+      .transform(graft.CacheScope.persist(_))
+    var visited = levels(0).select("seed", "vid")
+    for (i <- 1 to maxHops) {
+      levels(i) = e.join(levels(i - 1).select(col("seed"), col("vid"),
+          col("sigma")), e("src") === col("vid"))
+        .select(col("seed"), col("dst").as("vid"), col("sigma"))
+        .groupBy("seed", "vid").agg(sum(col("sigma")).as("sigma"))
+        .join(visited, Seq("seed", "vid"), "left_anti")
+        .transform(graft.CacheScope.persist(_))
+      visited = visited.unionByName(levels(i).select("seed", "vid"))
+    }
+    // backward: δ accumulates from the deepest level (δ = 0 there —
+    // no successors inside the hop bound) toward the seeds
+    val deltas = new Array[DataFrame](maxHops + 1)
+    deltas(maxHops) = levels(maxHops).withColumn("delta", lit(0.0))
+    for (d <- maxHops - 1 to 0 by -1) {
+      val succ = e.join(deltas(d + 1).select(col("seed").as("ws"),
+          col("vid").as("w"), col("sigma").as("sw"),
+          col("delta").as("dw")), e("dst") === col("w"))
+        .select(col("ws"), col("src"), col("sw"), col("dw"))
+      val contrib = levels(d)
+        .join(succ, col("seed") === col("ws") && col("vid") === col("src"))
+        .groupBy(col("seed"), col("vid"))
+        .agg(sum(graft.functions.Portable.dyadic(
+          col("sigma") / col("sw") * (lit(1.0) + col("dw")))).as("dsum"))
+      deltas(d) = levels(d).join(contrib, Seq("seed", "vid"), "left")
+        .withColumn("delta", coalesce(col("dsum"), lit(0.0)))
+        .select("seed", "vid", "sigma", "delta")
+        .transform(graft.CacheScope.persist(_))
+    }
+    (0 to maxHops).map { d =>
+      deltas(d).select(col("seed"), col("vid"), lit(d).as("dist"),
+        col("sigma"), col("delta"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
    * Snowball (capped-BFS) subgraph sample — the reproducible
    * dev-corpus extractor (Goodman 1961 snowball sampling; the graph
    * twin of [[graft.operators.Sample.hashSamplePerGroup]]): per hop,

@@ -84,6 +84,55 @@ class TemporalGraphSpec extends SparkSpec {
     assert(out.toSet == out17.toSet)
   }
 
+  test("betweennessStats: Brandes delta on diamond and path graphs") {
+    import graft.model.GraphStore
+    // diamond 1->{2,3}->4: σ4 = 2, δ(2) = δ(3) = 1/2·(1+0) = 0.5,
+    // δ(1) = 1·(1+0.5) + 1·(1+0.5) = 3
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF(GraphStore.SRC, GraphStore.DST)
+    val store = GraphStore(Map.empty, Map("p" -> e), Map("p" -> 1))
+    val out = GraphAnalytics.betweennessStats(store, Seq("p"),
+        seeds = Seq(1L), maxHops = 2)
+      .select("vid", "dist", "sigma", "delta")
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(4L) == ((2, 2L, 0.0))) // deepest level: no successors
+    assert(out(2L) == ((1, 1L, 0.5)))
+    assert(out(3L) == ((1, 1L, 0.5)))
+    assert(out(1L) == ((0, 1L, 3.0)))
+    // path 1->2->3: δ(2) = 1, δ(1) = 2 — and a PARALLEL edge 1->2
+    // doubles σ(2) but not the ratio (σ1/σ2 = 1/2 per arc, two arcs)
+    val p = Seq((1L, 2L), (1L, 2L), (2L, 3L))
+      .toDF(GraphStore.SRC, GraphStore.DST)
+    val pstore = GraphStore(Map.empty, Map("p" -> p), Map("p" -> 1))
+    val pout = GraphAnalytics.betweennessStats(pstore, Seq("p"),
+        seeds = Seq(1L), maxHops = 2)
+      .select("vid", "delta").as[(Long, Double)].collect().toMap
+    assert(pout(3L) == 0.0)
+    assert(pout(2L) == 1.0) // σ2/σ3 = 2/2 = 1
+    // two parallel arcs each contribute (1/2)·(1+1) = 1 -> δ(1) = 2
+    assert(pout(1L) == 2.0)
+  }
+
+  test("betweennessStats is partition-invariant (dyadic-grid law)") {
+    import graft.model.GraphStore
+    val r = new scala.util.Random(7)
+    val e = (1 to 400).map(_ =>
+      (r.nextInt(40).toLong, r.nextInt(40).toLong))
+      .toDF(GraphStore.SRC, GraphStore.DST)
+    val a = GraphAnalytics.betweennessStats(
+      GraphStore(Map.empty, Map("p" -> e.repartition(1)), Map("p" -> 1)),
+      Seq("p"), seeds = Seq(0L, 1L), maxHops = 3)
+      .select("seed", "vid", "dist", "sigma", "delta")
+      .as[(Long, Long, Int, Long, Double)].collect().toSet
+    val b = GraphAnalytics.betweennessStats(
+      GraphStore(Map.empty, Map("p" -> e.repartition(17)), Map("p" -> 1)),
+      Seq("p"), seeds = Seq(0L, 1L), maxHops = 3)
+      .select("seed", "vid", "dist", "sigma", "delta")
+      .as[(Long, Long, Int, Long, Double)].collect().toSet
+    assert(a == b) // bit-identical deltas under any partitioning
+  }
+
   test("closenessStats ppm arithmetic on a path graph") {
     import graft.model.GraphStore
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L))
