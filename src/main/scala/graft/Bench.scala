@@ -148,7 +148,10 @@ object Bench {
     "linkage_eval" -> "lnkeval", "decayed_counts" -> "decay",
     "snowball" -> "snow", "quantile_error" -> "qerr",
     // round-10 fourth wave
-    "betweenness" -> "betw",
+    "betweenness" -> "betw", "assoc_rules" -> "assoc",
+    "boilerplate" -> "boiler", "lang_gini" -> "gini",
+    "distinctive_terms" -> "dterms", "kmv_distinct" -> "kmvd",
+    "kmv_jaccard" -> "kmvj", "mad_outliers" -> "mad",
     "update_" -> "upd_", "upsert_" -> "ups_")
 
   private[graft] def shortName(k: String): String =

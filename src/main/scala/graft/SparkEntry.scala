@@ -1569,6 +1569,31 @@ object SparkEntry {
       Curation.dedupRateBySource(t(s, dir, "documents"), "doc_id",
         "text", "source")),
 
+    // ---- CCNet-style per-source boilerplate line audit: a line in
+    // >= 2 docs AND >= 8% of a source's docs is boilerplate; per-doc
+    // (n_lines, n_boiler, n_kept) integer evidence. Lines are the
+    // q_line_dedup 8-token windows (corpus text carries no newlines).
+    "q_boilerplate" -> ((s, dir) =>
+      Curation.boilerplateStrip(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokens(col("text")).as("_toks"))
+          .select(col("doc_id"), col("source"),
+            Curation.chunkLines(col("_toks"), 8).as("lines")),
+        "doc_id", "source", "lines", minDocs = 2, thrPermille = 80)),
+
+    // ---- Corpus-concentration audit: Gini / top-share / HHI over
+    // per-language doc counts (the skewed axis of this corpus: en is
+    // 44%), exact integer ppm ----
+    "q_lang_gini" -> ((s, dir) =>
+      Curation.sourceConcentration(t(s, dir, "documents"), "lang")),
+
+    // ---- Per-language distinctive vocabulary: integer lift_ppm =
+    // in-group rate over corpus rate, top-5 per lang ----
+    "q_distinctive_terms" -> ((s, dir) =>
+      TextAnalysis.distinctiveTerms(t(s, dir, "documents"), "lang",
+        "text", minCount = 5, topK = 5)),
+
     // ---- Cross-source duplicate matrix: which feeds copy from
     // which (shared fingerprints + cross row-pair volume). The
     // synthetic corpus has no cross-source dups, so a deterministic
@@ -1675,6 +1700,13 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.cooccurrence(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         maxPerLeft = 8, minCount = 2)),
+
+    // market-basket association rules over the same capped order
+    // baskets: support/confidence/lift, all exact integers
+    "q_assoc_rules" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.associationRules(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        maxPerBasket = 8, minCount = 2)),
 
     // ---- Butterfly (bipartite 4-cycle) census over the same
     // order⋈part graph — one row of exact integer counts ----
@@ -1823,6 +1855,28 @@ object SparkEntry {
             .as("s"),
           col("l_orderkey")),
         "s", "l_orderkey")),
+
+    // ---- KMV bottom-k distinct sketch: estimate vs exact partkey
+    // cardinality, one audit row, integer throughout ----
+    "q_kmv_distinct" -> ((s, dir) =>
+      Stats.kmvDistinct(t(s, dir, "lineitem"), "l_partkey", k = 256)),
+
+    // ---- KMV set-Jaccard: orderkey sets of two overlapping shipping
+    // eras (true Jaccard ≈ 0.73 — straddling orders overlap), union-
+    // sketch membership estimate vs exact, permille ----
+    "q_kmv_jaccard" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Stats.kmvJaccard(
+        li.filter(col("l_shipdate") < lit("1997-06-01")),
+        li.filter(col("l_shipdate") >= lit("1997-01-01")),
+        "l_orderkey", k = 256)
+    }),
+
+    // ---- Median/MAD robust outlier gate over per-user event counts:
+    // exact lower-median law, integer deviations ----
+    "q_mad_outliers" -> ((s, dir) =>
+      Stats.madOutliers(graft.sources.Tables.events(s, dir),
+        "user_id", k = 3)),
 
     "q_hll_union" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -4276,6 +4330,158 @@ object SparkEntry {
         |    CAST(sum(n_chars) AS BIGINT)) AS BIGINT) AS fert_permille
         |FROM tk GROUP BY lang""".stripMargin,
 
+    // chunk-line law shared with q_line_dedup; doc frequency counts
+    // DISTINCT docs; the threshold is pure integer cross-multiply
+    "q_boilerplate" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |      AS t
+        |  FROM documents),
+        |ln AS (SELECT doc_id, source,
+        |    array_to_string(list_slice(t, u.i * 8 + 1, u.i * 8 + 8), ' ')
+        |      AS line
+        |  FROM tk CROSS JOIN LATERAL
+        |    unnest(range(0, greatest((len(t) - 1) // 8 + 1, 0))) u(i)
+        |  WHERE len(t) > 0),
+        |nd AS (SELECT source, count(*) AS nd FROM documents
+        |  GROUP BY source),
+        |dfq AS (SELECT source, line, count(DISTINCT doc_id) AS dfd
+        |  FROM ln GROUP BY source, line),
+        |bf AS (SELECT d.source, d.line FROM dfq d JOIN nd USING (source)
+        |  WHERE d.dfd >= 2 AND d.dfd * 1000 >= 80 * nd.nd)
+        |SELECT l.doc_id, l.source, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_boiler,
+        |  CAST(sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept
+        |FROM ln l LEFT JOIN bf b
+        |  ON b.source = l.source AND b.line = l.line
+        |GROUP BY l.doc_id, l.source""".stripMargin,
+
+    // ascending-rank Gini; every sum CAST to BIGINT (HUGEINT law)
+    "q_lang_gini" ->
+      """WITH c AS (SELECT lang AS source, count(*) AS cnt
+        |  FROM documents GROUP BY lang),
+        |r AS (SELECT source, cnt,
+        |    row_number() OVER (ORDER BY cnt, source) AS rk FROM c),
+        |a AS (SELECT count(*) AS n_sources,
+        |    CAST(sum(cnt) AS BIGINT) AS n_total,
+        |    CAST(sum(rk * cnt) AS BIGINT) AS s1,
+        |    CAST(max(cnt) AS BIGINT) AS cmax,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS c2 FROM r)
+        |SELECT n_sources, n_total,
+        |  (2 * s1 - (n_sources + 1) * n_total) * 1000000
+        |    // (n_sources * n_total) AS gini_ppm,
+        |  cmax * 1000000 // n_total AS top_share_ppm,
+        |  c2 * 1000000 // (n_total * n_total) AS hhi_ppm
+        |FROM a""".stripMargin,
+
+    // per-lang lift over corpus rate; rank window over the vocab
+    // frame with the (lift desc, token asc) deterministic tie-break
+    "q_distinctive_terms" ->
+      """WITH gt AS (SELECT lang AS grp,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |gc AS (SELECT grp, tok, count(*) AS cnt_grp FROM gt
+        |  GROUP BY grp, tok),
+        |ct AS (SELECT tok, CAST(sum(cnt_grp) AS BIGINT) AS cnt_all
+        |  FROM gc GROUP BY tok),
+        |tg AS (SELECT grp, CAST(sum(cnt_grp) AS BIGINT) AS t_grp
+        |  FROM gc GROUP BY grp),
+        |ta AS (SELECT CAST(sum(cnt_all) AS BIGINT) AS t_all FROM ct),
+        |lifted AS (SELECT g.grp, g.tok, g.cnt_grp, ct.cnt_all,
+        |    g.cnt_grp * ta.t_all * 1000000 // (ct.cnt_all * tg.t_grp)
+        |      AS lift_ppm
+        |  FROM gc g JOIN ct USING (tok) JOIN tg USING (grp)
+        |  CROSS JOIN ta
+        |  WHERE g.cnt_grp >= 5),
+        |rkd AS (SELECT *, row_number() OVER (PARTITION BY grp
+        |    ORDER BY lift_ppm DESC, tok) AS rk FROM lifted)
+        |SELECT grp, tok, cnt_grp, cnt_all, lift_ppm, rk
+        |FROM rkd WHERE rk <= 5""".stripMargin,
+
+    // bottom-k of the distinct 32-bit md5 window hashes; k_used < k
+    // means the sketch saw everything (estimate = exact count)
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT CAST('0x' ||
+        |    substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT)
+        |      AS h
+        |  FROM lineitem),
+        |k AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        |e AS (SELECT count(*) AS k_used, CAST(max(h) AS BIGINT)
+        |    AS kth_hash FROM k),
+        |est AS (SELECT k_used, kth_hash,
+        |    CASE WHEN k_used < 256 THEN k_used
+        |      ELSE (k_used - 1) * 4294967296 // kth_hash END
+        |      AS est_distinct
+        |  FROM e),
+        |x AS (SELECT count(DISTINCT l_partkey) AS exact_distinct
+        |  FROM lineitem)
+        |SELECT est.k_used, est.kth_hash, est.est_distinct,
+        |  x.exact_distinct,
+        |  abs(est.est_distinct - x.exact_distinct) * 1000
+        |    // x.exact_distinct AS err_permille
+        |FROM est CROSS JOIN x""".stripMargin,
+
+    // union sketch = bottom-k of the two register sets; the estimate
+    // counts union registers present in BOTH sketches
+    "q_kmv_jaccard" ->
+      """WITH ha AS (SELECT DISTINCT CAST('0x' ||
+        |    substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+        |      AS h
+        |  FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1997-06-01 00:00:00'),
+        |hb AS (SELECT DISTINCT CAST('0x' ||
+        |    substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+        |      AS h
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |ku AS (SELECT h FROM (SELECT h FROM ka UNION
+        |  SELECT h FROM kb) ORDER BY h LIMIT 256),
+        |kc AS (SELECT count(*) AS k_used FROM ku),
+        |bo AS (SELECT count(*) AS n_both FROM ku
+        |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+        |ad AS (SELECT DISTINCT l_orderkey AS v FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1997-06-01 00:00:00'),
+        |bd AS (SELECT DISTINCT l_orderkey AS v FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'),
+        |xi AS (SELECT count(*) AS n_inter FROM ad
+        |  WHERE v IN (SELECT v FROM bd)),
+        |na AS (SELECT count(*) AS n_a FROM ad),
+        |nb AS (SELECT count(*) AS n_b FROM bd)
+        |SELECT kc.k_used, bo.n_both,
+        |  bo.n_both * 1000 // kc.k_used AS jaccard_est_permille,
+        |  xi.n_inter * 1000 // (na.n_a + nb.n_b - xi.n_inter)
+        |    AS jaccard_exact_permille
+        |FROM kc CROSS JOIN bo CROSS JOIN xi CROSS JOIN na
+        |CROSS JOIN nb""".stripMargin,
+
+    // lower-median law twice (counts, then absolute deviations) over
+    // the distinct-value histograms; outlier = abs_dev > 3·MAD
+    "q_mad_outliers" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+        |  GROUP BY user_id),
+        |h AS (SELECT cnt AS v, count(*) AS k FROM c GROUP BY cnt),
+        |hc AS (SELECT v, CAST(sum(k) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(k) OVER () AS BIGINT) AS n FROM h),
+        |m AS (SELECT min(v) AS med FROM hc WHERE cum * 2 >= n),
+        |d AS (SELECT c.user_id, c.cnt, abs(c.cnt - m.med) AS abs_dev
+        |  FROM c CROSS JOIN m),
+        |h2 AS (SELECT abs_dev AS v, count(*) AS k FROM d
+        |  GROUP BY abs_dev),
+        |hc2 AS (SELECT v, CAST(sum(k) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(k) OVER () AS BIGINT) AS n FROM h2),
+        |m2 AS (SELECT min(v) AS mad FROM hc2 WHERE cum * 2 >= n)
+        |SELECT d.user_id, d.cnt, d.abs_dev,
+        |  CASE WHEN d.abs_dev > 3 * m2.mad THEN 1 ELSE 0 END
+        |    AS is_outlier
+        |FROM d CROSS JOIN m2""".stripMargin,
+
     "q_snowball" -> snowballSql(3, 5),
 
     // exact = min value whose cum count reaches ceil(pm·n/1000) over
@@ -5478,6 +5684,32 @@ object SparkEntry {
         |WHERE a.l IN (SELECT l FROM ok)
         |GROUP BY a.r, b.r
         |HAVING count(*) >= 2""".stripMargin,
+
+    // supports counted over the CAPPED basket set, so support/conf/
+    // lift are mutually consistent; both directed rules per pair;
+    // integer floor-division permille/ppm
+    "q_assoc_rules" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r
+        |  FROM lineitem),
+        |ok AS (SELECT l FROM e GROUP BY l
+        |       HAVING count(*) BETWEEN 2 AND 8),
+        |ce AS (SELECT e.l, e.r FROM e JOIN ok USING (l)),
+        |nb AS (SELECT count(DISTINCT l) AS n_baskets FROM ce),
+        |ic AS (SELECT r AS i, count(*) AS icnt FROM ce GROUP BY r),
+        |pc AS (SELECT a.r AS a, b.r AS b, count(*) AS pair_cnt
+        |  FROM ce a JOIN ce b ON a.l = b.l AND a.r < b.r
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |rules AS (SELECT a AS ante, b AS cons, pair_cnt FROM pc
+        |  UNION ALL SELECT b, a, pair_cnt FROM pc)
+        |SELECT r.ante, r.cons, r.pair_cnt,
+        |  ia.icnt AS ante_cnt, ib.icnt AS cons_cnt, nb.n_baskets,
+        |  r.pair_cnt * 1000 // ia.icnt AS conf_permille,
+        |  r.pair_cnt * nb.n_baskets * 1000000 // (ia.icnt * ib.icnt)
+        |    AS lift_ppm
+        |FROM rules r
+        |JOIN ic ia ON ia.i = r.ante
+        |JOIN ic ib ON ib.i = r.cons
+        |CROSS JOIN nb""".stripMargin,
 
     // Butterfly census = one aggregate over the minCount=1
     // co-occurrence CTE: each right pair sharing c left neighbors

@@ -1374,4 +1374,59 @@ object GraphAnalytics {
       .agg(count(lit(1)).as("n_copairs"),
         sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_copairs_multi"),
         sum(expr("cnt * (cnt - 1) div 2")).as("n_butterflies"))
+
+  /**
+   * Pairwise association rules (Agrawal & Srikant 1994 support/
+   * confidence, Brin et al. 1997 lift) over (basket, item) relations —
+   * the market-basket census a recommendation or curation pipeline runs
+   * on (order, part) or (session, doc) pairs. Supports are counted over
+   * the CAPPED basket set (size in [2, maxPerBasket] — the same
+   * hot-bucket law as [[cooccurrence]]: a degenerate mega-basket would
+   * otherwise contribute O(size²) pairs), so support, confidence and
+   * lift are mutually consistent by construction. Every output is an
+   * exact integer: conf_permille = pair·1000 div ante,
+   * lift_ppm = pair·N·10^6 div (ante·cons).
+   *
+   * Scale shape: one distinct + one basket collect (bounded arrays),
+   * intra-bucket array pair-gen (never an all-pairs join), item
+   * supports as a combinable count, and the basket total rides as a
+   * broadcast scalar — the standard two-aggregate + capped-pair-gen
+   * plan that survives 100 TB of orders.
+   */
+  def associationRules(edges: DataFrame, basketCol: String,
+      itemCol: String, maxPerBasket: Int, minCount: Int): DataFrame = {
+    val e = edges.select(col(basketCol).as("l"), col(itemCol).as("r"))
+      .distinct()
+    // capped baskets feed pairs AND supports AND the total — persist
+    val buckets = e.groupBy(col("l"))
+      .agg(sort_array(collect_list(col("r"))).as("rs"))
+      .filter(size(col("rs")).between(2, maxPerBasket))
+      .transform(graft.CacheScope.persist(_))
+    val nBaskets = buckets.agg(count(lit(1)).as("n_baskets"))
+    val items = buckets.select(explode(col("rs")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("icnt"))
+    val nestedPairs = transform(col("rs"), (x, i) =>
+      transform(slice(col("rs"), i + 2, size(col("rs"))),
+        y => struct(x.as("a"), y.as("b"))))
+    val pairs = buckets.select(explode(flatten(nestedPairs)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minCount)
+    // each unordered pair yields both directed rules
+    val rules = pairs.select(col("a").as("ante"), col("b").as("cons"),
+        col("pair_cnt"))
+      .unionByName(pairs.select(col("b").as("ante"), col("a").as("cons"),
+        col("pair_cnt")))
+    rules
+      .join(items.select(col("i").as("ante"), col("icnt").as("ante_cnt")),
+        "ante")
+      .join(items.select(col("i").as("cons"), col("icnt").as("cons_cnt")),
+        "cons")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ante"), col("cons"), col("pair_cnt"), col("ante_cnt"),
+        col("cons_cnt"), col("n_baskets"),
+        expr("pair_cnt * 1000 div ante_cnt").as("conf_permille"),
+        expr("pair_cnt * n_baskets * 1000000 div (ante_cnt * cons_cnt)")
+          .as("lift_ppm"))
+  }
 }

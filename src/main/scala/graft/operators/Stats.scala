@@ -459,6 +459,127 @@ object Stats {
   private def cmsWindow(digest: Column, i: Int): Column =
     conv(substring(digest, i * 8 + 1, 8), 16, 10).cast("long")
 
+  /**
+   * Robust outlier gate over per-key event counts — median/MAD
+   * (median absolute deviation, Hampel 1974), the load/abuse detector
+   * that a mean/stddev z-score can't do on skewed rates (one whale
+   * user drags the mean; the median ignores it). Everything is an
+   * exact integer: the median is the lower-median law (min value whose
+   * cumulative count reaches half) over the distinct-COUNT histogram,
+   * MAD repeats the law over |c − med|, and a key is an outlier when
+   * abs_dev > k·MAD. Output: (key, cnt, abs_dev, is_outlier) per key.
+   *
+   * Scale shape: the corpus collapses to per-key counts (combinable),
+   * then to the distinct-count-value histogram (≤ distinct count
+   * values — histogram-sized, not key-sized); the two median scalars
+   * ride broadcast. Windows only ever run over the histogram frame.
+   */
+  def madOutliers(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .transform(graft.CacheScope.persist(_)) // feeds both medians + output
+    def lowerMedian(vals: DataFrame, vCol: String): DataFrame = {
+      val cumW = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val allW = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      vals.groupBy(col(vCol).as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(cumW))
+        .withColumn("n", sum(col("c")).over(allW))
+        .filter(col("cum") * 2 >= col("n"))
+        .agg(min(col("v")).as("med"))
+    }
+    val med = lowerMedian(counts, "cnt")
+    val dev = counts.crossJoin(broadcast(med))
+      .withColumn("abs_dev", abs(col("cnt") - col("med")))
+    val mad = lowerMedian(dev, "abs_dev")
+      .withColumnRenamed("med", "mad")
+    dev.crossJoin(broadcast(mad))
+      .select(col(keyCol), col("cnt"), col("abs_dev"),
+        (col("abs_dev") > lit(k) * col("mad")).cast("int").as("is_outlier"))
+  }
+
+  /**
+   * KMV (k-minimum-values) distinct sketch — the bottom-k companion
+   * to HLL (Bar-Yossef et al. 2002; the Theta-sketch family's base):
+   * the state is the k smallest 32-bit hashes of the distinct values,
+   * merge = k-way min-merge (union the register sets, keep the k
+   * smallest), estimate = (k−1)·2^32 div h_k. Unlike HLL the state
+   * supports DIRECT set-intersection estimates ([[kmvJaccard]]).
+   * Same portable hash law as the HLL/CMS family: first 8 md5 hex
+   * digits as an integer.
+   *
+   * Scale shape: one narrow hash projection + distinct + global
+   * bottom-k, which plans as TakeOrderedAndProject — each partition
+   * keeps its own k smallest, the driver merges k-sized sets; nothing
+   * data-sized crosses the wire.
+   */
+  def kmvRegisters(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2 (the estimator divides by h_k)")
+    df.select(conv(substring(md5(col(valueCol).cast("string")), 1, 8),
+        16, 10).cast("long").as("h"))
+      .distinct()
+      .orderBy(col("h")).limit(k)
+  }
+
+  /** KMV estimate row vs the exact distinct count (eval companion —
+    * the exact side is for measurement, not the 100 TB path): one row
+    * (k_used, kth_hash, est_distinct, exact_distinct, err_permille). */
+  def kmvDistinct(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    val regs = kmvRegisters(df, valueCol, k)
+    val est = regs.agg(count(lit(1)).as("k_used"),
+        max(col("h")).as("kth_hash"))
+      .select(col("k_used"), col("kth_hash"),
+        // k_used < k means the sketch saw EVERY distinct value: exact
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr("(k_used - 1) * 4294967296 div kth_hash"))
+          .as("est_distinct"))
+    val exact = df.agg(count_distinct(col(valueCol)).as("exact_distinct"))
+    est.crossJoin(broadcast(exact))
+      .withColumn("err_permille",
+        expr("abs(est_distinct - exact_distinct) * 1000" +
+          " div exact_distinct"))
+  }
+
+  /**
+   * KMV set-Jaccard estimate (Beyer et al. 2007 §4): merge the two
+   * bottom-k sketches into the union's bottom-k, then count how many
+   * of those union registers appear in BOTH input sketches —
+   * jaccard ≈ n_both/k. The eval columns carry the exact Jaccard for
+   * the error audit. All arithmetic integer permille.
+   *
+   * Scale shape: both sides collapse to k-row register frames before
+   * any join; the membership checks are k-vs-k semi-joins. The exact
+   * columns cost one distinct-count pass per side (eval only).
+   */
+  def kmvJaccard(a: DataFrame, b: DataFrame, valueCol: String,
+      k: Int): DataFrame = {
+    val ra = kmvRegisters(a, valueCol, k)
+      .transform(graft.CacheScope.persist(_))
+    val rb = kmvRegisters(b, valueCol, k)
+      .transform(graft.CacheScope.persist(_))
+    val union = ra.unionByName(rb).distinct().orderBy(col("h")).limit(k)
+    val both = union.join(ra, Seq("h"), "left_semi")
+      .join(rb, Seq("h"), "left_semi")
+    val est = union.agg(count(lit(1)).as("k_used"))
+      .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
+      .withColumn("jaccard_est_permille",
+        expr("n_both * 1000 div k_used"))
+    val ad = a.select(col(valueCol).as("v")).distinct()
+      .transform(graft.CacheScope.persist(_))
+    val bd = b.select(col(valueCol).as("v")).distinct()
+      .transform(graft.CacheScope.persist(_))
+    val nInter = ad.join(bd, Seq("v"), "left_semi")
+      .agg(count(lit(1)).as("n_inter"))
+    val nA = ad.agg(count(lit(1)).as("n_a"))
+    val nB = bd.agg(count(lit(1)).as("n_b"))
+    est.crossJoin(broadcast(nInter)).crossJoin(broadcast(nA))
+      .crossJoin(broadcast(nB))
+      .select(col("k_used"), col("n_both"), col("jaccard_est_permille"),
+        expr("n_inter * 1000 div (n_a + n_b - n_inter)")
+          .as("jaccard_exact_permille"))
+  }
+
   /** Cardinality estimate from [[hllRegisters]] output (standard HLL
     * bias-corrected harmonic mean + linear-counting small-range
     * correction). Spec-tested against exact distincts; the registers —

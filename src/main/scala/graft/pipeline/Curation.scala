@@ -582,4 +582,77 @@ object Curation {
         sum(when(col("grp_sz") > 1, 1L).otherwise(0L))
           .as("n_in_dup_groups"))
   }
+
+  /**
+   * Per-source boilerplate line detection — the CCNet / RefinedWeb
+   * paragraph-dedup preprocessing step (Wenzek et al. 2020 §3.1): a
+   * line occurring in a large fraction of one source's documents is
+   * navigation/footer boilerplate, not content. A line is flagged when
+   * it appears in >= `minDocs` documents AND in >= `thrPermille`‰ of
+   * the source's documents; the output is each document's line audit
+   * (n_lines, n_boiler instances on flagged lines, n_kept) — the
+   * integer evidence a removal pass acts on. Docs with zero lines
+   * produce no row (nothing to strip).
+   *
+   * Scale shape: one explode (narrow), per-(source, line) doc counts
+   * as a combinable aggregate (a boilerplate line occurring in 1% of a
+   * 100 TB source combines map-side — never a window over the hot
+   * line), a source-sized doc-count join, and the flagged-line frame
+   * (small by construction: only lines above the threshold) joins
+   * back broadcast-shaped. No self-joins anywhere.
+   */
+  def boilerplateStrip(df: DataFrame, idCol: String, srcCol: String,
+      linesCol: String, minDocs: Int, thrPermille: Int): DataFrame = {
+    val lines = df.select(col(idCol), col(srcCol).as("source"),
+        explode(col(linesCol)).as("line"))
+      .transform(graft.CacheScope.persist(_)) // feeds census + audit
+    val nd = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("nd"))
+    val dfreq = lines.select(col(idCol), col("source"), col("line"))
+      .distinct()
+      .groupBy(col("source"), col("line"))
+      .agg(count(lit(1)).as("df_docs"))
+    val boiler = dfreq.join(nd, "source")
+      .filter(col("df_docs") >= minDocs &&
+        col("df_docs") * 1000 >= lit(thrPermille) * col("nd"))
+      .select(col("source"), col("line"), lit(1L).as("_b"))
+    lines.join(boiler, Seq("source", "line"), "left")
+      .groupBy(col(idCol), col("source"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(coalesce(col("_b"), lit(0L))).as("n_boiler"))
+      .withColumn("n_kept", col("n_lines") - col("n_boiler"))
+  }
+
+  /**
+   * Source-concentration audit — the mixture-health diagnostic before
+   * training-weight decisions: Lorenz/Gini, top-source share, and
+   * Herfindahl–Hirschman index over per-source document counts, all
+   * exact integer parts-per-million. Gini uses the ascending-rank form
+   * G = (2·Σ i·c_i − (n+1)·Σc) / (n·Σc) with a deterministic
+   * (count, source) tie-break; HHI is Σc² / (Σc)² (exact while
+   * Σc² < 2^63, i.e. per-source counts below ~3·10^9 — beyond that,
+   * pre-shard counts by hash and fold the additive numerators).
+   *
+   * Scale shape: the corpus collapses to the SOURCE frame (one
+   * combinable count) before any window; the rank window runs over
+   * sources only, and the final row is one aggregate over that frame.
+   */
+  def sourceConcentration(df: DataFrame, srcCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("cnt"))
+    // window over the source-sized frame only — never the corpus
+    val ranked = counts.withColumn("rk",
+      row_number().over(Window.orderBy(col("cnt"), col("source"))))
+    ranked.agg(count(lit(1)).as("n_sources"),
+        sum(col("cnt")).as("n_total"),
+        sum(col("rk") * col("cnt")).as("_s1"),
+        max(col("cnt")).as("_cmax"),
+        sum(col("cnt") * col("cnt")).as("_c2"))
+      .select(col("n_sources"), col("n_total"),
+        expr("(2 * _s1 - (n_sources + 1) * n_total) * 1000000" +
+          " div (n_sources * n_total)").as("gini_ppm"),
+        expr("_cmax * 1000000 div n_total").as("top_share_ppm"),
+        expr("_c2 * 1000000 div (n_total * n_total)").as("hhi_ppm"))
+  }
 }

@@ -151,4 +151,74 @@ class CorpusOpsSpec extends SparkSpec {
     assert(TextSearch.fuzzy(d, "text", "tabel", 2)
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
   }
+
+  test("distinctiveTerms: lift ranks the group-exclusive token first") {
+    import graft.pipeline.TextAnalysis
+    // g1: "a a b", g2: "b b b a" -> T=7, a: 3 total, b: 4 total
+    val d = Seq(("g1", "a a b"), ("g2", "b b b a"))
+      .toDF("grp", "text")
+    val out = TextAnalysis.distinctiveTerms(d, "grp", "text",
+        minCount = 1, topK = 2)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // lift(g1,a) = 2·7·10^6 div (3·3) = 1555555; lift(g1,b) = 583333
+    assert(out(("g1", "a")) == ((2L, 3L, 1555555L, 1L)))
+    assert(out(("g1", "b")) == ((1L, 4L, 583333L, 2L)))
+    // lift(g2,b) = 3·7·10^6 div (4·4) = 1312500; lift(g2,a) = 583333
+    assert(out(("g2", "b")) == ((3L, 4L, 1312500L, 1L)))
+    assert(out(("g2", "a")) == ((1L, 3L, 583333L, 2L)))
+  }
+
+  test("boilerplateStrip flags per-source high-df lines only") {
+    import graft.pipeline.Curation
+    // source s1: 3 docs sharing line "nav bar", each one unique line;
+    // source s2: 1 doc ALSO containing "nav bar" (df=1 there -> kept)
+    val d = Seq(
+      (1L, "s1", Seq("nav bar", "alpha")),
+      (2L, "s1", Seq("nav bar", "beta")),
+      (3L, "s1", Seq("nav bar", "gamma")),
+      (4L, "s2", Seq("nav bar", "delta")))
+      .toDF("doc_id", "source", "lines")
+    val out = Curation.boilerplateStrip(d, "doc_id", "source", "lines",
+        minDocs = 2, thrPermille = 500)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((2L, 1L, 1L))) // "nav bar" boiler in s1
+    assert(out(2L) == ((2L, 1L, 1L)))
+    assert(out(3L) == ((2L, 1L, 1L)))
+    assert(out(4L) == ((2L, 0L, 2L))) // same line NOT boiler in s2
+  }
+
+  test("sourceConcentration: hand Gini/top-share/HHI") {
+    import graft.pipeline.Curation
+    // counts 1 and 3: G = (2·(1·1+2·3) − 3·4)/(2·4) = 2/8 = 0.25
+    val d = (Seq.fill(1)("a") ++ Seq.fill(3)("b")).toDF("source")
+    val r = Curation.sourceConcentration(d, "source")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r == ((2L, 4L, 250000L, 750000L, 625000L)))
+    // uniform counts -> Gini 0
+    val u = (Seq.fill(2)("a") ++ Seq.fill(2)("b")).toDF("source")
+    val r2 = Curation.sourceConcentration(u, "source")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r2._3 == 0L && r2._4 == 500000L && r2._5 == 500000L)
+  }
+
+  test("associationRules: capped baskets, consistent conf/lift") {
+    import graft.analytics.GraphAnalytics
+    // baskets: b1={x,y}, b2={x,y}, b3={x,z}, b4={y} (size-1: dropped)
+    val e = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L), (4L, 20L)).toDF("basket", "item")
+    val out = GraphAnalytics.associationRules(e, "basket", "item",
+        maxPerBasket = 8, minCount = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // N=3 capped baskets; x in 3, y in 2; pair (x,y) in 2
+    assert(out.keySet == Set((10L, 20L), (20L, 10L)))
+    val xy = out((10L, 20L))
+    assert(xy._3 == 2L && xy._4 == 3L && xy._5 == 2L && xy._6 == 3L)
+    assert(xy._7 == 666L)      // conf = 2·1000 div 3
+    assert(xy._8 == 1000000L)  // lift = 2·3·10^6 div (3·2)
+    val yx = out((20L, 10L))
+    assert(yx._7 == 1000L && yx._8 == 1000000L)
+  }
 }

@@ -95,4 +95,55 @@ class SketchAlgebraSpec extends SparkSpec {
     // truth 0; inclusion-exclusion noise floor is a few % of the union
     assert(ei < 40000 * 0.2, s"est_intersect=$ei for disjoint sets")
   }
+
+  test("madOutliers: lower-median law, MAD gate, whale detection") {
+    // counts: u1..u4 = 1 event each, u5 = 10 events
+    val ev = ((1 to 4).map(u => Seq.fill(1)(u.toLong)) :+
+      Seq.fill(10)(5L)).flatten.toDF("user_id")
+    val out = Stats.madOutliers(ev, "user_id", k = 3)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // med = 1, MAD = 0 -> any deviation > 0 is an outlier
+    assert(out(1L) == ((1L, 0L, 0)))
+    assert(out(5L) == ((10L, 9L, 1)))
+    // counts 1,2,3,100: med = 2 (lower median), devs 1,0,1,98, MAD = 1
+    // -> outlier iff dev > 3
+    val ev2 = (Seq.fill(1)(10L) ++ Seq.fill(2)(20L) ++ Seq.fill(3)(30L)
+      ++ Seq.fill(100)(40L)).toDF("user_id")
+    val out2 = Stats.madOutliers(ev2, "user_id", k = 3)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out2 == Map(10L -> 0, 20L -> 0, 30L -> 0, 40L -> 1))
+  }
+
+  test("kmvDistinct: exact when k covers the set, accurate beyond") {
+    // 100 distinct values, k = 256 >= distinct -> estimate IS exact
+    val small = spark.range(0, 100).toDF("v")
+    val r = Stats.kmvDistinct(small, "v", k = 256)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r._1 == 100 && r._3 == 100 && r._4 == 100 && r._5 == 0)
+    // 50k distinct, k = 256: (k-1)·2^32/h_k within ~3/sqrt(k) ≈ 19%
+    val big = spark.range(0, 50000).toDF("v")
+    val r2 = Stats.kmvDistinct(big, "v", k = 256)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r2._5 < 200, s"err_permille=${r2._5} exceeds 20%")
+  }
+
+  test("kmvJaccard: identical sets exact 1000, overlap estimated") {
+    val a = spark.range(0, 20000).toDF("v")
+    val r = Stats.kmvJaccard(a, a, "v", k = 128)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r._2 == r._1 && r._3 == 1000L && r._4 == 1000L)
+    // |A∩B| = 10k, |A∪B| = 30k -> true 333‰; k=256 gives ±~60‰ (3σ)
+    val x = spark.range(0, 20000).toDF("v")
+    val y = spark.range(10000, 30000).toDF("v")
+    val r2 = Stats.kmvJaccard(x, y, "v", k = 256)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r2._4 == 333L)
+    assert(math.abs(r2._3 - 333L) < 100, s"est=${r2._3} too far from 333")
+    // partition invariance: registers are a deterministic bottom-k
+    val r3 = Stats.kmvJaccard(x.repartition(13), y.repartition(7),
+      "v", k = 256).as[(Long, Long, Long, Long)].head()
+    assert(r2 == r3)
+  }
 }
