@@ -152,6 +152,7 @@ object Bench {
     "boilerplate" -> "boiler", "lang_gini" -> "gini",
     "distinctive_terms" -> "dterms", "kmv_distinct" -> "kmvd",
     "kmv_jaccard" -> "kmvj", "mad_outliers" -> "mad",
+    "node2vec_walks" -> "n2v", "phrase_search" -> "phrase",
     "update_" -> "upd_", "upsert_" -> "ups_")
 
   private[graft] def shortName(k: String): String =

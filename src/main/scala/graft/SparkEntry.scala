@@ -1594,6 +1594,14 @@ object SparkEntry {
       TextAnalysis.distinctiveTerms(t(s, dir, "documents"), "lang",
         "text", minCount = 5, topK = 5)),
 
+    // ---- Positional-index phrase search (ES full-text lookup analog,
+    // ref src/kvstore/plugins/elasticsearch/ESListener.cpp): three
+    // phrases of mixed length matched in one shared postings pass ----
+    "q_phrase_search" -> ((s, dir) =>
+      TextAnalysis.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+        Seq(Seq("row", "scan"), Seq("stream", "table", "hash"),
+          Seq("part", "filter", "scan")))),
+
     // ---- Cross-source duplicate matrix: which feeds copy from
     // which (shared fingerprints + cross row-pair volume). The
     // synthetic corpus has no cross-source dups, so a deterministic
@@ -1787,6 +1795,16 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.randomWalks(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"),
         seeds = (0L to 9L), nWalks = 4, steps = 6, maxDeg = 64)),
+
+    // ---- node2vec-biased second-order walks (Grover & Leskovec 2016):
+    // integer bias weights (return 1 / near 4 / far 2 ~ p=1, q=2),
+    // md5-indexed weighted draw, oracle replays the exact walks with a
+    // recursive CTE carrying (prev, cur). All-integer output ----
+    "q_node2vec_walks" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.node2vecWalks(store(s, dir),
+        Seq("in_nation", "supp_nation", "in_region"),
+        seeds = (0L to 7L), nWalks = 3, steps = 5, maxDeg = 64,
+        wReturn = 1, wNear = 4, wFar = 2)),
 
     // ---- Bigram-LM document scoring (KenLM/CCNet perplexity-filter
     // analog): LM trained on the corpus itself (cutoff 5), every doc
@@ -4401,6 +4419,34 @@ object SparkEntry {
         |SELECT grp, tok, cnt_grp, cnt_all, lift_ppm, rk
         |FROM rkd WHERE rk <= 5""".stripMargin,
 
+    "q_phrase_search" ->
+      s"""WITH $TokCte,
+         |idx AS (SELECT doc_id, u.i - 1 AS pos,
+         |    list_extract(t, CAST(u.i AS INTEGER)) AS tok
+         |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) + 1)) u(i)),
+         |p0 AS (SELECT a.doc_id, a.pos FROM idx a
+         |  JOIN idx b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |    AND b.tok = 'scan'
+         |  WHERE a.tok = 'row'),
+         |p1 AS (SELECT a.doc_id, a.pos FROM idx a
+         |  JOIN idx b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |    AND b.tok = 'table'
+         |  JOIN idx c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+         |    AND c.tok = 'hash'
+         |  WHERE a.tok = 'stream'),
+         |p2 AS (SELECT a.doc_id, a.pos FROM idx a
+         |  JOIN idx b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |    AND b.tok = 'filter'
+         |  JOIN idx c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+         |    AND c.tok = 'scan'
+         |  WHERE a.tok = 'part'),
+         |hits AS (SELECT 0 AS phrase_id, doc_id, pos FROM p0
+         |  UNION ALL SELECT 1, doc_id, pos FROM p1
+         |  UNION ALL SELECT 2, doc_id, pos FROM p2)
+         |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+         |  count(*) AS n_matches, CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM hits GROUP BY 1, 2""".stripMargin,
+
     // bottom-k of the distinct 32-bit md5 window hashes; k_used < k
     // means the sketch saw everything (estimate = exact count)
     "q_kmv_distinct" ->
@@ -5770,6 +5816,48 @@ object SparkEntry {
         |  WHERE w.step < 6)
         |SELECT walk_id, step, cur AS vid FROM walk""".stripMargin,
 
+    "q_node2vec_walks" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation),
+        |e AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        |  FROM raw WHERE s <> d),
+        |adj AS (SELECT v, list_slice(list_sort(list(n)), 1, 64) AS nbrs
+        |  FROM (SELECT s AS v, d AS n FROM e
+        |        UNION ALL SELECT d, s FROM e)
+        |  GROUP BY v),
+        |walk(walk_id, step, prev, cur) AS (
+        |  SELECT CAST(sd.seed * 3 + u.w AS BIGINT), 0,
+        |    CAST(NULL AS BIGINT), CAST(sd.seed AS BIGINT)
+        |  FROM (SELECT unnest(range(0, 8)) AS seed) sd
+        |  CROSS JOIN (SELECT unnest(range(0, 3)) AS w) u
+        |  UNION ALL
+        |  SELECT w.walk_id, w.step + 1, w.cur,
+        |    CASE WHEN w.step = 0 THEN
+        |      list_extract(a.nbrs, CAST(1 +
+        |        CAST('0x' || substr(md5(w.walk_id || '#1#' || w.cur),
+        |          1, 8) AS BIGINT) % len(a.nbrs) AS INTEGER))
+        |    ELSE
+        |      list_extract(pl.pool, CAST(1 +
+        |        CAST('0x' || substr(md5(w.walk_id || '#' || (w.step + 1)
+        |          || '#' || w.prev || '#' || w.cur), 1, 8) AS BIGINT)
+        |        % len(pl.pool) AS INTEGER))
+        |    END
+        |  FROM walk w JOIN adj a ON a.v = w.cur
+        |  LEFT JOIN adj p ON p.v = w.prev
+        |  CROSS JOIN LATERAL (SELECT flatten(list_transform(a.nbrs,
+        |    x -> list_transform(range(
+        |      CASE WHEN x = w.prev THEN 1
+        |           WHEN list_contains(p.nbrs, x) THEN 4
+        |           ELSE 2 END), y -> x))) AS pool) pl
+        |  WHERE w.step < 5)
+        |SELECT walk_id, step, cur AS vid FROM walk""".stripMargin,
+
     "q_bigram_score" ->
       s"""WITH $TokCte,
          |pr AS (SELECT doc_id,
@@ -5935,6 +6023,7 @@ object SparkEntry {
     "q_ivfpq_topk" -> Seq("d2"),
     "q_ivfpq_recall" -> Seq("recall"),
     "q_asof_join" -> Seq("buy_value"),
+    "q_betweenness" -> Seq("delta"),
     "q_changelog_apply" -> Seq("s_acctbal"),
     "q_scd2_intervals" -> Seq("s_acctbal"),
     "q_pit_join" -> Seq("s_acctbal"),

@@ -1147,6 +1147,88 @@ object GraphAnalytics {
   }
 
   /**
+   * Deterministic node2vec-biased walks (Grover & Leskovec 2016 §3.2):
+   * second-order walks where the step from `prev` to `cur` weights each
+   * candidate next-hop `x` by integer weights `wReturn` (x == prev — the
+   * 1/p return term), `wNear` (x adjacent to prev — distance-1) or
+   * `wFar` (distance-2 — the 1/q in-out term). The weighted draw is
+   * replayed exactly like [[randomWalks]]: the candidate list is
+   * expanded by its integer weights (pool ≤ maxDeg·max(w)) and indexed
+   * by md5(walk#step#prev#cur) mod pool size — no RNG state, any
+   * executor can score any (walk, step) pair, and the DuckDB oracle
+   * recomputes the identical walks with a recursive CTE. Step 1 has no
+   * prev and draws uniformly with the [[randomWalks]] hash form.
+   *
+   * Scale shape: one adjacency build (agg shuffle, degree-capped at
+   * `maxDeg`), persisted and re-joined twice per step (cur side and
+   * prev side); the frontier stays |seeds|·nWalks rows regardless of
+   * graph size, so every step is a small-side join AQE broadcasts.
+   * The weight expansion is a per-row array map — narrow, codegen'd.
+   */
+  def node2vecWalks(store: GraphStore, edgeTypes: Seq[String],
+      seeds: Seq[Long], nWalks: Int, steps: Int, maxDeg: Int,
+      wReturn: Int, wNear: Int, wFar: Int): DataFrame = {
+    require(Seq(wReturn, wNear, wFar).forall(w => w >= 1 && w <= 16),
+      "integer bias weights must be in [1, 16] (pool stays bounded)")
+    val spark = (store.vertices.valuesIterator ++ store.edges.valuesIterator)
+      .next().sparkSession
+    import spark.implicits._
+    val canon = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC), col(GraphStore.DST))
+    }.reduce(_ unionByName _)
+      .filter(col(GraphStore.SRC) =!= col(GraphStore.DST))
+      .select(least(col(GraphStore.SRC), col(GraphStore.DST)).as("s"),
+        greatest(col(GraphStore.SRC), col(GraphStore.DST)).as("d"))
+      .distinct()
+    val adj = canon.select(col("s").as("v"), col("d").as("n"))
+      .unionByName(canon.select(col("d").as("v"), col("s").as("n")))
+      .groupBy("v")
+      .agg(slice(sort_array(collect_list(col("n"))), 1, maxDeg).as("nbrs"))
+      .transform(graft.CacheScope.persist(_)) // re-joined 2x per step
+    val start = seeds.flatMap(v => (0 until nWalks).map(w =>
+        (v * nWalks + w, v))).toDF("walk_id", "cur")
+    // step 1: uniform draw, same hash form as randomWalks
+    val h1 = conv(substring(md5(concat_ws("#", col("walk_id"), lit(1),
+      col("cur"))), 1, 8), 16, 10).cast("long")
+    var frontier = start.join(adj, start("cur") === adj("v"))
+      .select(col("walk_id"), col("cur"),
+        element_at(col("nbrs"),
+          (h1 % size(col("nbrs"))).cast("int") + 1).as("nxt"))
+      .select(col("walk_id"), col("cur").as("prev"), col("nxt").as("cur"))
+      .transform(graft.CacheScope.persist(_))
+    var out = List(
+      start.select(col("walk_id"), lit(0).as("step"), col("cur").as("vid")),
+      frontier.select(col("walk_id"), lit(1).as("step"),
+        col("cur").as("vid")))
+    val pAdj = adj.select(col("v").as("pv"), col("nbrs").as("pnbrs"))
+    for (s <- 2 to steps) {
+      val hs = conv(substring(md5(concat_ws("#", col("walk_id"), lit(s),
+        col("prev"), col("cur"))), 1, 8), 16, 10).cast("long")
+      val pool = flatten(transform(col("nbrs"), x => array_repeat(x,
+        when(x === col("prev"), lit(wReturn))
+          .when(array_contains(col("pnbrs"), x), lit(wNear))
+          .otherwise(lit(wFar)))))
+      // Two-stage projection ON PURPOSE: computing the draw under a
+      // fresh name ("nxt") and renaming in a second select keeps the
+      // select list free of alias shadowing — a single select aliasing
+      // `cur AS prev` alongside expressions that read `prev` made the
+      // hash's `prev` resolve to the LATERAL alias (the new prev) while
+      // the lambda-internal `prev` in the pool weights still bound to
+      // the child, silently splitting one logical walk state in two.
+      frontier = frontier.join(adj, frontier("cur") === adj("v"))
+        .join(pAdj, frontier("prev") === pAdj("pv"))
+        .select(col("walk_id"), col("prev"), col("cur"),
+          element_at(pool, (hs % size(pool)).cast("int") + 1).as("nxt"))
+        .select(col("walk_id"), col("cur").as("prev"),
+          col("nxt").as("cur"))
+        .transform(graft.CacheScope.persist(_)) // feeds next step + union
+      out = frontier.select(col("walk_id"), lit(s).as("step"),
+        col("cur").as("vid")) :: out
+    }
+    out.reduce(_ unionByName _)
+  }
+
+  /**
    * Min-distance k-hop BFS from seed vertices over directed edges of the
    * given types — the storage half of a `GO <n> STEPS` traversal (each
    * hop is the reference's GetNeighbors fan-out,

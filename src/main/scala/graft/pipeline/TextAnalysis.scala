@@ -708,4 +708,49 @@ object TextAnalysis {
       .select(col("grp"), col("tok"), col("cnt_grp"), col("cnt_all"),
         col("lift_ppm"), col("rk").cast("long").as("rk"))
   }
+
+  /**
+   * Positional-inverted-index phrase search — the batch analog of the
+   * reference's external full-text lookup (`LOOKUP ... WHERE c CONTAINS`
+   * routed to the ES plugin, src/kvstore/plugins/elasticsearch/
+   * ESListener.cpp): each k-token phrase matches where its tokens occupy
+   * k consecutive positions. Returns one row per (phrase, matching doc)
+   * with the match count and first match position; `phrase_id` is the
+   * index of the phrase in the input order.
+   *
+   * Scale shape: the corpus scans ONCE into a postings frame pruned to
+   * the query vocabulary before any shuffle (tokens not in any phrase
+   * never leave the scan stage), persisted and shared by all phrases.
+   * Each phrase is a chain of position-aligned LEFT SEMI joins keyed on
+   * (doc_id, pos) — one partitioning reused across the chain, and the
+   * non-anchor side is the pruned postings of a single token, which AQE
+   * broadcasts at serving selectivities. Production engines anchor on
+   * the globally rarest token; anchoring on token 0 keeps the plan
+   * deterministic and costs at most one extra semi-join pass.
+   */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "need at least one non-empty phrase")
+    val vocab = phrases.flatten.distinct
+    val idx = docs.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(vocab: _*))
+      .transform(graft.CacheScope.persist(_)) // shared by every phrase
+    phrases.zipWithIndex.map { case (ph, pid) =>
+      var m = idx.filter(col("tok") === ph.head)
+        .select(col("doc_id"), col("pos"))
+      for (i <- 1 until ph.length) {
+        val tokAt = idx.filter(col("tok") === ph(i))
+          .select(col("doc_id"), (col("pos") - i).as("pos"))
+        m = m.join(tokAt, Seq("doc_id", "pos"), "left_semi")
+      }
+      m.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("pos")).cast("long").as("first_pos"))
+        .withColumn("phrase_id", lit(pid.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("phrase_id"), col("doc_id"), col("n_matches"),
+        col("first_pos"))
+  }
 }

@@ -14,6 +14,25 @@ class CorpusOpsSpec extends SparkSpec {
     (4L, "unique words only here", "fr"))
     .toDF("doc_id", "text", "lang")
 
+  test("phraseSearch: positions, overlapping matches, multi-phrase ids") {
+    val pd = Seq(
+      (1L, "a b c a b"), // "a b" at 0 and 3; "b c" at 1 but no "b c d"
+      (2L, "a a a"),     // overlapping "a a" at 0 and 1
+      (3L, "b c d"),
+      (4L, "x y z")).toDF("doc_id", "text")
+    val r = TextAnalysis.phraseSearch(pd, "doc_id", "text",
+      Seq(Seq("a", "b"), Seq("a", "a"), Seq("b", "c", "d")))
+      .collect()
+      .map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getLong(2), x.getLong(3)))).toMap
+    assert(r((0L, 1L)) == ((2L, 0L))) // two "a b" hits, first at pos 0
+    assert(r((1L, 2L)) == ((2L, 0L))) // overlaps both count
+    assert(r((2L, 3L)) == ((1L, 0L))) // trigram
+    assert(!r.contains((2L, 1L)))    // "b c" present but "b c d" absent
+    assert(!r.keySet.exists(_._2 == 4L)) // no-match doc emits nothing
+    CacheScope.drain(spark)
+  }
+
   test("tfidfTopTerms scores and ranks with deterministic ties") {
     val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
       .select("doc_id", "term", "score")

@@ -270,6 +270,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(more == got)
   }
 
+  test("node2vecWalks: replays the exact biased draw (scala oracle)") {
+    import spark.implicits._
+    // two triangles sharing vertex 3, plus chord 1-4: mixed
+    // return/near/far weights exercised at every step
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (1L, 4L)).map { case (s, d) => (s, d, 0L) }
+      .toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(vertices = Map("n" -> (1L to 5L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val got = GraphAnalytics.node2vecWalks(tiny, Seq("e"), Seq(1L, 2L),
+      nWalks = 2, steps = 4, maxDeg = 8, wReturn = 1, wNear = 4, wFar = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2)))
+      .toMap
+    val adj: Map[Long, IndexedSeq[Long]] = Seq((1L, 2L), (2L, 3L),
+      (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L), (1L, 4L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ps) =>
+        v -> ps.map(_._2).distinct.sorted.toIndexedSeq }
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    for (seed <- Seq(1L, 2L); w <- 0 until 2) {
+      val wid = seed * 2 + w
+      var cur = seed
+      assert(got((wid, 0)) == cur)
+      val n1 = adj(cur)
+      var prev = cur
+      cur = n1((h(s"$wid#1#$cur") % n1.size).toInt)
+      assert(got((wid, 1)) == cur, s"walk $wid step 1")
+      for (s <- 2 to 4) {
+        val pn = adj(prev).toSet
+        val pool = adj(cur).flatMap(x =>
+          Seq.fill(if (x == prev) 1 else if (pn(x)) 4 else 2)(x))
+        val nxt = pool((h(s"$wid#$s#$prev#$cur") % pool.size).toInt)
+        assert(got((wid, s)) == nxt, s"walk $wid step $s")
+        prev = cur; cur = nxt
+      }
+    }
+    CacheScope.drain(spark)
+  }
+
   test("randomWalks: deterministic, edge-respecting, isolated seeds halt") {
     import spark.implicits._
     // triangle 1-2-3; vertex 9 is isolated (no adjacency row)
