@@ -153,6 +153,8 @@ object Bench {
     "distinctive_terms" -> "dterms", "kmv_distinct" -> "kmvd",
     "kmv_jaccard" -> "kmvj", "mad_outliers" -> "mad",
     "node2vec_walks" -> "n2v", "phrase_search" -> "phrase",
+    "skipgram_counts" -> "skipgram", "interevent_hist" -> "iegap",
+    "merkle_diff" -> "merkle", "range_bounds" -> "rbounds",
     "update_" -> "upd_", "upsert_" -> "ups_")
 
   private[graft] def shortName(k: String): String =

@@ -1545,6 +1545,40 @@ object SparkEntry {
       EventStream.typeTransitions(graft.sources.Tables.events(s, dir),
         "user_id", "ts", "event_type", "event_id")),
 
+    // ---- Inter-event gap histogram (burstiness diagnostic): 10-min
+    // bins capped at 24; n_users = exact distinct per bin ----
+    "q_interevent_hist" -> ((s, dir) =>
+      EventStream.intereventHist(graft.sources.Tables.events(s, dir),
+        "user_id", "ts", "event_id", binSec = 600, maxBin = 24)),
+
+    // ---- Skip-gram window co-occurrence (word2vec corpus statistic):
+    // ±2 positions, pair cutoff 5 ----
+    "q_skipgram_counts" -> ((s, dir) =>
+      TextAnalysis.skipgramCounts(t(s, dir, "documents"), "text",
+        window = 2, minCount = 5)),
+
+    // ---- Merkle anti-entropy bucket diff: replica B is the snapshot
+    // with planted divergence (every 13th supplier's balance bumped,
+    // every 29th row missing) — the diff must localize exactly those
+    // key-mod buckets ----
+    "q_merkle_diff" -> ((s, dir) => {
+      val a = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      val b = a.filter(col("s_suppkey") % 29 =!= 0)
+        .select(col("s_suppkey"),
+          when(col("s_suppkey") % 13 === 0, concat(col("s_name"),
+            lit("-X"))).otherwise(col("s_name")).as("s_name"),
+          col("s_nationkey"))
+      Audit.merkleDiff(a, b, "s_suppkey", Seq("s_name", "s_nationkey"),
+        nBuckets = 16)
+    }),
+
+    // ---- Range-partitioner boundary planning (global-sort driver
+    // step): deterministic 1-in-7 hash sample of o_custkey, 8 ranges ----
+    "q_range_bounds" -> ((s, dir) =>
+      graft.sources.ZOrderLayout.rangeBounds(t(s, dir, "orders"),
+        "o_custkey", sampleMod = 7, nParts = 8)),
+
     // ---- Vocabulary coverage curve at probe sizes 5/10/20: the
     // tokenizer vocab-size decision evidence ----
     "q_vocab_coverage" -> ((s, dir) =>
@@ -5347,6 +5381,65 @@ object SparkEntry {
         |  count(*) AS n_transitions
         |FROM l WHERE prev_et IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_interevent_hist" ->
+      """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS t,
+        |    event_id AS eid FROM events),
+        |g AS (SELECT u, t - lag(t) OVER (PARTITION BY u
+        |    ORDER BY t, eid) AS gap_us FROM b),
+        |bins AS (SELECT u,
+        |    least(gap_us // 600000000, 24) AS bin
+        |  FROM g WHERE gap_us IS NOT NULL)
+        |SELECT bin, count(*) AS n_gaps,
+        |  count(DISTINCT u) AS n_users
+        |FROM bins GROUP BY bin""".stripMargin,
+
+    "q_skipgram_counts" ->
+      s"""WITH $TokCte,
+         |pos AS (SELECT t, u.i AS i FROM toks
+         |  CROSS JOIN LATERAL unnest(range(1, len(t) + 1)) u(i)),
+         |pr AS (SELECT list_extract(t, CAST(i AS INTEGER)) AS w,
+         |    list_extract(t, CAST(v.j AS INTEGER)) AS c
+         |  FROM pos CROSS JOIN LATERAL unnest(
+         |    range(greatest(i - 2, 1), least(i + 2, len(t)) + 1)) v(j)
+         |  WHERE v.j <> i)
+         |SELECT w, c, count(*) AS cnt FROM pr GROUP BY 1, 2
+         |HAVING count(*) >= 5""".stripMargin,
+
+    "q_merkle_diff" ->
+      """WITH a0 AS (SELECT s_suppkey, s_name,
+        |    CAST(s_nationkey AS BIGINT) AS s_nationkey FROM supplier),
+        |b0 AS (SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 13 = 0 THEN s_name || '-X'
+        |         ELSE s_name END AS s_name, s_nationkey
+        |  FROM a0 WHERE s_suppkey % 29 <> 0),
+        |ba AS (SELECT s_suppkey % 16 AS bucket,
+        |    CAST(sum(CAST('0x' || substr(md5(s_suppkey || '|' || s_name
+        |      || '|' || s_nationkey), 1, 8) AS BIGINT)) AS BIGINT) AS fp_a,
+        |    count(*) AS n_a
+        |  FROM a0 GROUP BY 1),
+        |bb AS (SELECT s_suppkey % 16 AS bucket,
+        |    CAST(sum(CAST('0x' || substr(md5(s_suppkey || '|' || s_name
+        |      || '|' || s_nationkey), 1, 8) AS BIGINT)) AS BIGINT) AS fp_b,
+        |    count(*) AS n_b
+        |  FROM b0 GROUP BY 1)
+        |SELECT bucket, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+        |  coalesce(fp_a, 0) AS fp_a, coalesce(fp_b, 0) AS fp_b
+        |FROM ba FULL OUTER JOIN bb USING (bucket)
+        |WHERE fp_a IS DISTINCT FROM fp_b
+        |   OR n_a IS DISTINCT FROM n_b""".stripMargin,
+
+    "q_range_bounds" ->
+      """WITH smp AS (SELECT o_custkey AS k FROM orders
+        |  WHERE CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+        |    1, 8) AS BIGINT) % 7 = 0),
+        |rk AS (SELECT k, row_number() OVER (ORDER BY k) AS r FROM smp),
+        |n AS (SELECT count(*) AS n_sample FROM smp),
+        |parts AS (SELECT CAST(u.i AS BIGINT) AS part_id,
+        |    CAST(u.i AS BIGINT) * n.n_sample // 8 AS pos
+        |  FROM n CROSS JOIN LATERAL unnest(range(1, 8)) u(i))
+        |SELECT part_id, k AS boundary_key
+        |FROM rk JOIN parts ON rk.r = parts.pos""".stripMargin,
 
     // coverage curve: the rank window runs over the vocab frame only;
     // window sums CAST (HUGEINT law)

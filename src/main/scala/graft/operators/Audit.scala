@@ -112,6 +112,46 @@ object Audit {
           .as(c)): _*)
   }
 
+  /**
+   * Merkle-style anti-entropy bucket comparison — the batch analog of
+   * a replica consistency sweep (reference: the raft snapshot /
+   * catch-up machinery keeps replicas converged,
+   * src/kvstore/raftex/SnapshotManager.cpp; an operator checking two
+   * stores agrees compares content fingerprints, not rows). Each row
+   * hashes to a 32-bit value (md5 window over key + values) and buckets
+   * by `key mod nBuckets`; the ORDER-INDEPENDENT bucket fingerprint is
+   * the plain sum of row hashes, so it map-side combines and two
+   * replicas can compute it fully independently. Output: one row per
+   * bucket where either the fingerprint or the row count differs —
+   * the key ranges a repair job would then re-transfer.
+   *
+   * Scale: each side is one aggregation pass collapsing to nBuckets
+   * rows; the compare joins two nBuckets-sized frames (broadcast).
+   * 100 TB replicas never ship rows — only the sketch. Sum of 32-bit
+   * hashes stays in BIGINT up to 2^31 rows per bucket.
+   */
+  def merkleDiff(a: DataFrame, b: DataFrame, keyCol: String,
+      valCols: Seq[String], nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    def buckets(df: DataFrame, suffix: String): DataFrame = {
+      val h = F.conv(F.substring(F.md5(F.concat_ws("|",
+        (keyCol +: valCols).map(F.col): _*)), 1, 8), 16, 10).cast("long")
+      df.select(F.pmod(F.col(keyCol), F.lit(nBuckets.toLong)).as("bucket"),
+          h.as("h"))
+        .groupBy("bucket")
+        .agg(F.sum(F.col("h")).as("fp" + suffix),
+          F.count(F.lit(1)).as("n" + suffix))
+    }
+    buckets(a, "_a").join(buckets(b, "_b"), Seq("bucket"), "full_outer")
+      .filter(!(F.col("fp_a") <=> F.col("fp_b")) ||
+        !(F.col("n_a") <=> F.col("n_b")))
+      .select(F.col("bucket"),
+        F.coalesce(F.col("n_a"), F.lit(0L)).as("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0L)).as("n_b"),
+        F.coalesce(F.col("fp_a"), F.lit(0L)).as("fp_a"),
+        F.coalesce(F.col("fp_b"), F.lit(0L)).as("fp_b"))
+  }
+
   /** Arc rows whose `refCol` has no matching vertex `keyCol`: returns
     * (ref_id, n_arcs) per dangling reference.
     *

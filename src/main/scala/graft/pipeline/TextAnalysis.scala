@@ -710,6 +710,33 @@ object TextAnalysis {
   }
 
   /**
+   * Skip-gram window co-occurrence counts (the word2vec training
+   * statistic, Mikolov et al. 2013 §2): for every token occurrence,
+   * each token within ±`window` positions (excluding the center) is a
+   * (center, context) pair; pairs below `minCount` are pruned — the
+   * same cutoff word2vec applies before building its tables.
+   *
+   * Scale shape: pair generation is a per-row array map (positions ×
+   * ≤2·window candidates — a bounded multiplier, never a self-join),
+   * and the counts collapse in ONE map-side-combinable shuffle sized
+   * by the PAIR VOCABULARY, not the corpus. All-integer output.
+   */
+  def skipgramCounts(docs: DataFrame, textCol: String, window: Int,
+      minCount: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val ctx = filter(
+      transform(sequence(col("i") - window, col("i") + window), j =>
+        when(j =!= col("i") && j >= 0 && j < size(col("t")),
+          element_at(col("t"), j.cast("int") + 1))),
+      x => x.isNotNull)
+    docs.select(tokens(col(textCol)).as("t"))
+      .select(col("t"), posexplode(col("t")).as(Seq("i", "w")))
+      .select(col("w"), explode(ctx).as("c"))
+      .groupBy("w", "c").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /**
    * Positional-inverted-index phrase search — the batch analog of the
    * reference's external full-text lookup (`LOOKUP ... WHERE c CONTAINS`
    * routed to the ES plugin, src/kvstore/plugins/elasticsearch/

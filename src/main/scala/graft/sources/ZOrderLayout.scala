@@ -108,6 +108,42 @@ object ZOrderLayout {
    * offsets — so the corpus-sized pass is parallel across buckets and
    * only O(2^bits) rows ever cross one reducer.
    */
+  /**
+   * Range-partitioner boundary planning — the driver step of every
+   * global sort / sorted write at scale (Spark's RangePartitioner does
+   * exactly this with a reservoir sample; TeraSort's partition file is
+   * the classic form): a DETERMINISTIC hash-sample of the key column
+   * (md5(key) mod sampleMod == 0 — replayable, partition-count
+   * invariant), then the nParts−1 exact rank quantiles OF THE SAMPLE
+   * become the range boundaries. Output (part_id, boundary_key):
+   * partition i takes keys in (boundary(i−1), boundary(i)].
+   *
+   * Scale shape: the corpus is touched once by the narrow hash filter;
+   * the global rank window runs on the SAMPLE (corpus/sampleMod rows —
+   * the bounded frame where a global order is affordable), and the
+   * boundary-position join is a broadcast of nParts−1 rows. The full
+   * table is never globally sorted to PLAN the sort.
+   */
+  def rangeBounds(df: DataFrame, keyCol: String, sampleMod: Int,
+      nParts: Int): DataFrame = {
+    require(sampleMod >= 1 && nParts >= 2, "sampleMod >= 1, nParts >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val sample = df.select(col(keyCol).as("k"))
+      .filter(conv(substring(md5(col("k").cast("string")), 1, 8), 16, 10)
+        .cast("long") % sampleMod === 0)
+    val ranked = sample
+      .withColumn("r", row_number().over(Window.orderBy(col("k"))))
+    val n = sample.agg(count(lit(1)).as("n_sample"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = (1 until nParts).map(_.toLong).toDF("part_id")
+      .crossJoin(broadcast(n))
+      .select(col("part_id"),
+        expr("part_id * n_sample div " + nParts).as("pos"))
+    ranked.join(broadcast(parts), col("r") === col("pos"))
+      .select(col("part_id"), col("k").as("boundary_key"))
+  }
+
   def skippingAudit(df: DataFrame, xCol: String, yCol: String,
       idCol: String, bits: Int, rowsPerFile: Int,
       xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {

@@ -360,6 +360,37 @@ object EventStream {
   }
 
   /**
+   * Inter-event gap histogram — the burstiness diagnostic of an event
+   * stream (heavy-tailed gap spectra flag bot traffic and ingest
+   * stalls; Barabási 2005 established the human-activity power law):
+   * per-user consecutive-event gaps in seconds, folded into fixed-width
+   * `binSec` buckets capped at `maxBin` (the catch-all tail). Output:
+   * (bin, n_gaps, n_users) — all-integer.
+   *
+   * Scale shape: one user-keyed shuffle + a per-user lag window, then
+   * a ≤maxBin+1-row count aggregate (map-side combinable). The
+   * distinct-user count per bin rides the same aggregate as an exact
+   * count over the (bin, user) pre-collapse — two small shuffles, both
+   * bounded by bins × users, never corpus-sized.
+   */
+  def intereventHist(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, binSec: Long, maxBin: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binSec >= 1 && maxBin >= 1, "binSec and maxBin must be >= 1")
+    val w = Window.partitionBy(col("u")).orderBy(col("t"), col("eid"))
+    val gaps = events.select(col(userCol).as("u"),
+        unix_micros(col(tsCol)).as("t"), col(idCol).as("eid"))
+      .withColumn("gap_us", col("t") - lag(col("t"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .select(col("u"),
+        least(expr(s"gap_us div ${1000000L * binSec}"),
+          lit(maxBin.toLong)).as("bin"))
+    gaps.groupBy("bin")
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("u")).as("n_users"))
+  }
+
+  /**
    * Event-type transition matrix — the first-order Markov evidence of
    * user behavior (what follows what): counts of consecutive
    * (prev_type → type) pairs within each user's time-ordered stream,

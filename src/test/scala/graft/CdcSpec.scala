@@ -30,6 +30,49 @@ class CdcSpec extends SparkSpec {
     assert(replayed == target)
   }
 
+  test("merkleDiff: localizes divergence to buckets, empty on equality") {
+    import spark.implicits._
+    val a = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (17L, "q", 40L)).toDF("k", "name", "v")
+    // identical replicas: no diverged buckets
+    assert(Audit.merkleDiff(a, a, "k", Seq("name", "v"), 16).count() == 0)
+    // value flip on k=2 (bucket 2), missing row k=17 (bucket 1)
+    val b = Seq((1L, "a", 10L), (2L, "b", 99L), (3L, "c", 30L))
+      .toDF("k", "name", "v")
+    val d = Audit.merkleDiff(a, b, "k", Seq("name", "v"), 16)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(d.keySet == Set(1L, 2L))
+    assert(d(1L)._1 == 2L && d(1L)._2 == 1L) // k=17 missing from b
+    assert(d(2L)._1 == 1L && d(2L)._2 == 1L &&
+      d(2L)._3 != d(2L)._4) // same count, different fingerprint
+    // order independence: fingerprints invariant under repartition
+    val d2 = Audit.merkleDiff(a.repartition(7), b.repartition(3), "k",
+      Seq("name", "v"), 16).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(d2 == d.map { case (k, t) => (k, t._3, t._4) }.toSet)
+    CacheScope.drain(spark)
+  }
+
+  test("intereventHist: bins, cap, per-user distinct counting") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(ts0.getTime + sec * 1000)
+    // user 1: gaps 30s (bin 0), 90s (bin 1); user 2: one huge gap (cap)
+    val ev = Seq(
+      (1L, 1L, at(0)), (2L, 1L, at(30)), (3L, 1L, at(120)),
+      (4L, 2L, at(0)), (5L, 2L, at(1000000))
+    ).toDF("event_id", "user_id", "ts")
+    val h = graft.streaming.EventStream
+      .intereventHist(ev, "user_id", "ts", "event_id",
+        binSec = 60, maxBin = 5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(h == Map(0L -> ((1L, 1L)), 1L -> ((1L, 1L)),
+      5L -> ((1L, 1L))))
+    CacheScope.drain(spark)
+  }
+
   test("identical snapshots produce an empty feed") {
     val snap = Seq((1L, "a", 10L), (2L, null.asInstanceOf[String], 20L))
       .toDF("k", "name", "v")

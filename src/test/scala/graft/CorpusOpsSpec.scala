@@ -14,6 +14,24 @@ class CorpusOpsSpec extends SparkSpec {
     (4L, "unique words only here", "fr"))
     .toDF("doc_id", "text", "lang")
 
+  test("skipgramCounts: window pairs, boundary clipping, cutoff") {
+    val sg = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.skipgramCounts(sg, "text", window = 1,
+        minCount = 1)
+      .collect().map(x => ((x.getString(0), x.getString(1)),
+        x.getLong(2))).toMap
+    // doc1: (a,b),(b,a),(b,c),(c,b); doc2: (a,b),(b,a)
+    assert(r == Map(("a", "b") -> 2L, ("b", "a") -> 2L,
+      ("b", "c") -> 1L, ("c", "b") -> 1L))
+    // window 2 reaches across; minCount 2 prunes the singletons
+    val r2 = TextAnalysis.skipgramCounts(sg, "text", window = 2,
+        minCount = 2)
+      .collect().map(x => ((x.getString(0), x.getString(1)),
+        x.getLong(2))).toMap
+    assert(r2 == Map(("a", "b") -> 2L, ("b", "a") -> 2L))
+    CacheScope.drain(spark)
+  }
+
   test("phraseSearch: positions, overlapping matches, multi-phrase ids") {
     val pd = Seq(
       (1L, "a b c a b"), // "a b" at 0 and 3; "b c" at 1 but no "b c d"

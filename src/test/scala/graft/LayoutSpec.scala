@@ -85,6 +85,24 @@ class LayoutSpec extends SparkSpec {
     assert(sum(("p2", 3L)) == ((1L, 1L, 0))) // singleton: not compactable
   }
 
+  test("rangeBounds: exact sample quantiles, partition invariance") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("k")
+    // sampleMod 1 keeps every key: boundaries are exact quantiles
+    val b = ZOrderLayout.rangeBounds(df, "k", sampleMod = 1, nParts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b == Map(1L -> 250L, 2L -> 500L, 3L -> 750L))
+    // deterministic hash sample: same boundaries at any partitioning
+    val b2 = ZOrderLayout
+      .rangeBounds(df.repartition(13), "k", sampleMod = 7, nParts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b3 = ZOrderLayout
+      .rangeBounds(df.repartition(2), "k", sampleMod = 7, nParts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b2 == b3 && b2.size == 2)
+    CacheScope.drain(spark)
+  }
+
   test("embeddingDrift: identical snapshots have zero shift") {
     val emb = Seq((1L, Array(0.25f, 0.5f)), (2L, Array(0.75f, -0.5f)))
       .toDF("vec_id", "embedding")
