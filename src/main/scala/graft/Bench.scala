@@ -155,6 +155,9 @@ object Bench {
     "node2vec_walks" -> "n2v", "phrase_search" -> "phrase",
     "skipgram_counts" -> "skipgram", "interevent_hist" -> "iegap",
     "merkle_diff" -> "merkle", "range_bounds" -> "rbounds",
+    "reciprocity" -> "recip", "unigram_draws" -> "udraws",
+    "quality_sweep" -> "qsweep", "quantile_assign" -> "qassign",
+    "embedding_audit" -> "eaudit",
     "update_" -> "upd_", "upsert_" -> "ups_")
 
   private[graft] def shortName(k: String): String =

@@ -1579,6 +1579,47 @@ object SparkEntry {
       graft.sources.ZOrderLayout.rangeBounds(t(s, dir, "orders"),
         "o_custkey", sampleMod = 7, nParts = 8)),
 
+    // ---- Directed reciprocity audit on the mod-folded part→supplier
+    // flow graph (dense enough to carry mutual arcs) ----
+    "q_reciprocity" -> ((s, dir) =>
+      Audit.reciprocity(t(s, dir, "lineitem")
+        .select((col("l_partkey") % 97).as("src"),
+          (col("l_suppkey") % 97).as("dst")), "src", "dst")),
+
+    // ---- Unigram negative-sampling draws (word2vec table as a
+    // query): 32 deterministic draws, seed 42 ----
+    "q_unigram_draws" -> ((s, dir) =>
+      TextAnalysis.unigramDraws(t(s, dir, "documents"), "text",
+        k = 32, seed = 42L)),
+
+    // ---- Quality-filter calibration sweep: retention curve at
+    // length cutoffs 5/20/50/100 in one corpus pass ----
+    "q_quality_sweep" -> ((s, dir) =>
+      TextAnalysis.qualitySweep(t(s, dir, "documents"), "text",
+        thresholds = Seq(5, 20, 50, 100))),
+
+    // ---- Quantile-discretizer assignment over the bin sketch:
+    // quartile split of o_totalprice ----
+    "q_quantile_assign" -> ((s, dir) =>
+      Stats.quantileAssign(t(s, dir, "orders"), "o_totalprice",
+        lo = 0L, width = 5000L, nBins = 120,
+        permille = Seq(250, 500, 750))),
+
+    // ---- Embedding-table load audit with planted defects (zero
+    // vectors, NaN vectors, a 16-dim writer) — the ANN pre-index gate ----
+    "q_embedding_audit" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      val planted = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          when(col("vec_id") % 3 === 0, array_repeat(lit(0.0f), 32))
+            .when(col("vec_id") % 3 === 1,
+              array_repeat(lit(Float.NaN), 32))
+            .otherwise(slice(col("embedding"), 1, 16)).as("embedding"))
+      graft.pipeline.Similarity.embeddingAudit(
+        e.unionByName(planted), "embedding")
+    }),
+
     // ---- Vocabulary coverage curve at probe sizes 5/10/20: the
     // tokenizer vocab-size decision evidence ----
     "q_vocab_coverage" -> ((s, dir) =>
@@ -5440,6 +5481,97 @@ object SparkEntry {
         |  FROM n CROSS JOIN LATERAL unnest(range(1, 8)) u(i))
         |SELECT part_id, k AS boundary_key
         |FROM rk JOIN parts ON rk.r = parts.pos""".stripMargin,
+
+    "q_reciprocity" ->
+      """WITH e AS (SELECT DISTINCT l_partkey % 97 AS s,
+        |    l_suppkey % 97 AS d
+        |  FROM lineitem WHERE l_partkey % 97 <> l_suppkey % 97),
+        |r AS (SELECT d AS s, s AS d FROM e),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual
+        |  FROM e SEMI JOIN r USING (s, d)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_arcs FROM e)
+        |SELECT n_arcs, n_mutual,
+        |  n_mutual * 1000000 // n_arcs AS reciprocity_ppm
+        |FROM t CROSS JOIN m""".stripMargin,
+
+    "q_unigram_draws" ->
+      s"""WITH $TokCte,
+         |v AS (SELECT tok, count(*) AS freq
+         |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+         |c AS (SELECT tok, freq,
+         |    CAST(sum(freq) OVER (ORDER BY tok ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+         |  FROM v),
+         |c2 AS (SELECT tok, freq, hi, hi - freq AS lo FROM c),
+         |n AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM v),
+         |d AS (SELECT CAST(u.i AS BIGINT) AS draw_id,
+         |    CAST('0x' || substr(md5('42#' || u.i), 1, 8) AS BIGINT)
+         |      % n.n_total AS target
+         |  FROM n CROSS JOIN LATERAL unnest(range(0, 32)) u(i))
+         |SELECT d.draw_id, c2.tok, c2.freq
+         |FROM c2 JOIN d ON d.target >= c2.lo AND d.target < c2.hi"""
+        .stripMargin,
+
+    "q_quality_sweep" ->
+      s"""WITH $TokCte,
+         |n AS (SELECT CAST(len(t) AS BIGINT) AS n FROM toks),
+         |th AS (SELECT CAST(u.i AS BIGINT) AS threshold
+         |  FROM (SELECT unnest([5, 20, 50, 100]) AS i) u)
+         |SELECT th.threshold,
+         |  CAST(sum(CASE WHEN n.n >= th.threshold THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n.n >= th.threshold THEN n.n ELSE 0 END)
+         |    AS BIGINT) AS n_tokens
+         |FROM th CROSS JOIN n GROUP BY th.threshold""".stripMargin,
+
+    "q_quantile_assign" ->
+      """WITH c AS (
+        |  SELECT least(greatest(CAST(floor((o_totalprice - 0) / 5000.0)
+        |      AS BIGINT), 0), 119) AS bin, count(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |cc AS (
+        |  SELECT bin,
+        |    CAST(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+        |  FROM c),
+        |p AS (SELECT unnest([250, 500, 750]) AS pm),
+        |qb AS (SELECT pm, min(bin) AS qbin
+        |  FROM cc CROSS JOIN p
+        |  WHERE cum * 1000 >= pm * n_total GROUP BY pm),
+        |x AS (SELECT least(greatest(CAST(floor((o_totalprice - 0)
+        |      / 5000.0) AS BIGINT), 0), 119) AS xbin FROM orders),
+        |asg AS (SELECT xbin,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM qb
+        |     WHERE qb.qbin < x.xbin) AS bucket
+        |  FROM x)
+        |SELECT bucket, count(*) AS n_rows, min(xbin) AS min_bin,
+        |  max(xbin) AS max_bin
+        |FROM asg GROUP BY bucket""".stripMargin,
+
+    "q_embedding_audit" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |planted AS (SELECT vec_id + 100000 AS vec_id,
+        |    CASE WHEN vec_id % 3 = 0 THEN
+        |        list_transform(range(32), x -> CAST(0.0 AS FLOAT))
+        |      WHEN vec_id % 3 = 1 THEN
+        |        list_transform(range(32), x -> CAST('NaN' AS FLOAT))
+        |      ELSE embedding[1:16] END AS embedding
+        |  FROM base WHERE vec_id % 25 = 0),
+        |u AS (SELECT embedding FROM base
+        |  UNION ALL SELECT embedding FROM planted),
+        |x AS (SELECT CAST(len(embedding) AS BIGINT) AS dim,
+        |    list_sum(list_transform(embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS ss,
+        |    len(list_filter(embedding,
+        |      v -> isnan(v) OR isinf(v))) > 0 AS bad
+        |  FROM u)
+        |SELECT dim, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN ss = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonfinite
+        |FROM x GROUP BY dim""".stripMargin,
 
     // coverage curve: the rank window runs over the vocab frame only;
     // window sums CAST (HUGEINT law)

@@ -203,4 +203,32 @@ object Audit {
         endpoints.agg(F.count(F.lit(1)).as("n_endpoints"))))
       .crossJoin(F.broadcast(isolated))
   }
+
+  /**
+   * Directed-graph reciprocity — the share of non-self arcs whose
+   * reverse arc also exists (Newman 2003 §III.C; near-1 flags an
+   * effectively undirected graph, near-0 a hierarchy/bipartite flow —
+   * the cheapest directionality audit before choosing between the
+   * directed and undirected operator families). One row:
+   * (n_arcs, n_mutual, reciprocity_ppm), all exact integers.
+   *
+   * Scale shape: arcs dedup in one (src,dst) shuffle; the reverse side
+   * is the SAME persisted frame re-keyed, so the left-semi mutual probe
+   * reuses one distribution; both tails are single-row aggregates
+   * joined by broadcast. Never more than one corpus-sized shuffle.
+   */
+  def reciprocity(arcs: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = arcs.select(F.col(srcCol).cast("long").as("s"),
+        F.col(dstCol).cast("long").as("d"))
+      .filter(F.col("s") =!= F.col("d")).distinct()
+      .transform(graft.CacheScope.persist(_)) // probed + counted
+    val rev = e.select(F.col("d").as("s"), F.col("s").as("d"))
+    val mutual = e.join(rev, Seq("s", "d"), "left_semi")
+      .agg(F.count(F.lit(1)).as("n_mutual"))
+    e.agg(F.count(F.lit(1)).as("n_arcs"))
+      .crossJoin(F.broadcast(mutual))
+      .select(F.col("n_arcs"), F.col("n_mutual"),
+        F.expr("n_mutual * 1000000 div n_arcs").as("reciprocity_ppm"))
+  }
 }

@@ -183,6 +183,37 @@ object Stats {
   }
 
   /**
+   * Quantile-bucket assignment — the discretizer TRANSFORM over the
+   * [[binQuantiles]] sketch (Spark ML's QuantileDiscretizer shape):
+   * every row's equi-width bin compares against the permille boundary
+   * bins, bucket(x) = #{q : bin_q < bin(x)}, then buckets aggregate to
+   * (bucket, n_rows, min_bin, max_bin). With permille = 250/500/750
+   * this is the exact-integer quartile split of a 100 TB column.
+   *
+   * Scale shape: the boundary frame is ≤|permille| rows folded into a
+   * broadcast array; assignment is a narrow per-row map (no sort, no
+   * shuffle) followed by one bucket-sized count aggregate. In
+   * production the sketch side reads the maintained [[binCounts]]
+   * state, so the data is scanned once, not twice.
+   */
+  def quantileAssign(df: DataFrame, valueCol: String, lo: Long,
+      width: Long, nBins: Int, permille: Seq[Int]): DataFrame = {
+    val bounds = binQuantiles(df, valueCol, lo, width, nBins, permille)
+      .agg(collect_list(col("bin")).as("qbins"))
+    val bin = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(width)).cast("long"),
+      lit(0L)), lit(nBins - 1L))
+    df.select(bin.as("xbin"))
+      .crossJoin(broadcast(bounds))
+      .select(col("xbin"),
+        size(filter(col("qbins"), q => q < col("xbin")))
+          .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min(col("xbin")).as("min_bin"),
+        max(col("xbin")).as("max_bin"))
+  }
+
+  /**
    * Sketch-accuracy eval: the mergeable bin-quantile estimate vs the
    * EXACT order statistic, per requested permille — the measurement
    * that sizes the bins (error is bounded by one bin width by

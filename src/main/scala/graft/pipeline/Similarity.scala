@@ -883,6 +883,33 @@ object Similarity {
    * before loading an ANN serving tier. Returns (id, scale, qvec,
    * max_err) with max_err = ‖x − q·scale‖∞, the reconstruction bound.
    */
+  /**
+   * Embedding-table quality audit — the load gate an ANN index build
+   * runs first: per observed dimensionality, how many vectors exist,
+   * how many are exactly zero (un-embedded rows that poison cosine —
+   * 0/0), and how many carry a NaN/Inf component (upstream overflow).
+   * A healthy table is ONE dim row with zero in both defect columns;
+   * a second dim row means a writer shipped a different model version.
+   * All-integer output: (dim, n_rows, n_zero, n_nonfinite).
+   *
+   * Scale shape: one narrow per-row array fold (codegen'd `aggregate`
+   * / `exists`, no UDF) into a ≤|dims|-row combinable count aggregate —
+   * a single scan, no shuffle beyond the tiny group-by.
+   */
+  def embeddingAudit(emb: DataFrame, vecCol: String): DataFrame = {
+    val ss = aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val bad = exists(col(vecCol), x =>
+      isnan(x) || x === lit(Float.PositiveInfinity) ||
+        x === lit(Float.NegativeInfinity))
+    emb.select(size(col(vecCol)).cast("long").as("dim"), ss.as("ss"),
+        bad.as("bad"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("ss") === 0.0d, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"))
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val maxabs = array_max(transform(v, x => abs(x)))

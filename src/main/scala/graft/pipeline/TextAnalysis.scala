@@ -710,6 +710,70 @@ object TextAnalysis {
   }
 
   /**
+   * Deterministic draws from the corpus unigram distribution — the
+   * negative-sampling table of word2vec served as a query (Mikolov et
+   * al. 2013 §2.2; the canonical table uses freq^0.75, a libm law, so
+   * this op draws from the RAW frequency distribution — identical
+   * machinery, gate-exact). Draw i hits cumulative-frequency offset
+   * md5(seed#i) mod total_tokens; the drawn token owns the [lo, hi)
+   * interval containing it. Replayable: any executor can score any
+   * draw, and shards agree without coordination.
+   *
+   * Scale shape: the corpus collapses to the vocab-sized frequency
+   * table (one combinable shuffle); the cumulative layout is one
+   * window over the VOCAB frame (deterministic token order); the k
+   * draws broadcast against it (k × vocab bounded predicate join —
+   * k is tens, the vocab is the smallest frame in the pipeline).
+   */
+  def unigramDraws(docs: DataFrame, textCol: String, k: Int,
+      seed: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val vocab = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .transform(graft.CacheScope.persist(_)) // layout + total
+    val cum = vocab.withColumn("hi", sum(col("freq")).over(
+        Window.orderBy(col("tok"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lo", col("hi") - col("freq"))
+    val total = vocab.agg(sum(col("freq")).cast("long").as("n_total"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val draws = (0L until k.toLong).toDF("draw_id")
+      .crossJoin(broadcast(total))
+      .select(col("draw_id"),
+        (conv(substring(md5(concat_ws("#", lit(seed), col("draw_id"))),
+          1, 8), 16, 10).cast("long") % col("n_total")).as("target"))
+    cum.join(broadcast(draws),
+        col("target") >= col("lo") && col("target") < col("hi"))
+      .select(col("draw_id"), col("tok"), col("freq"))
+  }
+
+  /**
+   * Quality-filter calibration sweep — the retention curve a corpus
+   * curator reads before picking a length cutoff: for each candidate
+   * threshold, how many documents and how many tokens survive
+   * `token_count >= t`. One row per threshold, all-integer.
+   *
+   * Scale shape: ONE aggregation pass over the corpus computes every
+   * threshold's conditional sums side by side (map-side combinable);
+   * the wide single row unpivots with `stack` (a narrow projection of
+   * a 1-row frame). Sweeping T thresholds costs one scan, not T.
+   */
+  def qualitySweep(docs: DataFrame, textCol: String,
+      thresholds: Seq[Int]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val n = docs.select(tokenCount(col(textCol)).cast("long").as("n"))
+    val aggs = thresholds.flatMap(t => Seq(
+      sum(when(col("n") >= t, 1L).otherwise(0L)).as(s"d$t"),
+      sum(when(col("n") >= t, col("n")).otherwise(0L)).as(s"t$t")))
+    val stackExpr = thresholds
+      .map(t => s"CAST($t AS BIGINT), d$t, t$t").mkString(", ")
+    n.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${thresholds.size}, $stackExpr)" +
+        " as (threshold, n_docs, n_tokens)"))
+  }
+
+  /**
    * Skip-gram window co-occurrence counts (the word2vec training
    * statistic, Mikolov et al. 2013 §2): for every token occurrence,
    * each token within ±`window` positions (excluding the center) is a

@@ -54,6 +54,16 @@ class CdcSpec extends SparkSpec {
     CacheScope.drain(spark)
   }
 
+  test("reciprocity: mutual share, self-loops and dupes dropped") {
+    import spark.implicits._
+    val arcs = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L), (4L, 4L))
+      .toDF("s", "d")
+    val r = Audit.reciprocity(arcs, "s", "d").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((3L, 2L, 666666L)))
+    CacheScope.drain(spark)
+  }
+
   test("intereventHist: bins, cap, per-user distinct counting") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

@@ -14,6 +14,39 @@ class CorpusOpsSpec extends SparkSpec {
     (4L, "unique words only here", "fr"))
     .toDF("doc_id", "text", "lang")
 
+  test("unigramDraws: interval ownership matches a scala replay") {
+    val corpus = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // layout (tok asc): a [0,3), b [3,5), c [5,6); total 6
+    val got = TextAnalysis.unigramDraws(corpus, "text", k = 8, seed = 7L)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got.size == 8)
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    (0L until 8L).foreach { i =>
+      val t = h(s"7#$i") % 6
+      val exp = if (t < 3) ("a", 3L) else if (t < 5) ("b", 2L)
+      else ("c", 1L)
+      assert(got(i) == exp, s"draw $i target $t")
+    }
+    CacheScope.drain(spark)
+  }
+
+  test("qualitySweep: one-pass retention curve") {
+    val qd = Seq((1L, "a b c"), (2L, "a"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.qualitySweep(qd, "text", Seq(1, 3, 4))
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2))))
+      .toMap
+    assert(r == Map(1L -> ((3L, 9L)), 3L -> ((2L, 8L)),
+      4L -> ((1L, 5L))))
+    CacheScope.drain(spark)
+  }
+
   test("skipgramCounts: window pairs, boundary clipping, cutoff") {
     val sg = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
     val r = TextAnalysis.skipgramCounts(sg, "text", window = 1,

@@ -415,6 +415,19 @@ class BinQuantilesSpec extends SparkSpec {
     }
   }
 
+  test("quantileAssign: quartile split of a uniform column is exact") {
+    val df = (0L to 99L).map(_.toDouble).toDF("v")
+    val out = Stats.quantileAssign(df, "v", lo = 0L, width = 1L,
+        nBins = 100, permille = Seq(250, 500, 750))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // boundary bins 24/49/74; bucket = #boundaries strictly below xbin
+    assert(out == Map(
+      0L -> ((25L, 0L, 24L)), 1L -> ((25L, 25L, 49L)),
+      2L -> ((25L, 50L, 74L)), 3L -> ((25L, 75L, 99L))))
+    CacheScope.drain(spark)
+  }
+
   test("bin counts merge by addition: split-and-merge equals whole") {
     val whole = (1L to 500L).map(i => (i % 97).toDouble).toDF("v")
     val out = Stats.binQuantiles(whole, "v", 0L, 5L, 20, Seq(500))

@@ -281,6 +281,21 @@ class SimilaritySpec extends SparkSpec {
     (2L, Array(0.0f, 1.0f, 0.0f), 1),
     (3L, Array(0.0f, 0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
 
+  test("embeddingAudit: dim cohorts, zero vectors, NaN/Inf flags") {
+    val bad = Seq(
+      (10L, Array(0.0f, 0.0f, 0.0f), 0),          // zero vector
+      (11L, Array(1.0f, Float.NaN, 0.0f), 0),     // NaN component
+      (12L, Array(Float.PositiveInfinity, 0f, 0f), 0), // Inf
+      (13L, Array(1.0f, 2.0f), 0))                // dim drift
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingAudit(vecs.unionByName(bad),
+        "embedding")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out == Map(3L -> ((7L, 1L, 2L)), 2L -> ((1L, 0L, 0L))))
+    CacheScope.drain(spark)
+  }
+
   test("cosine: orthogonal = 0, near-parallel close to 1") {
     val sims = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
       Seq(0L), k = 3)
