@@ -156,6 +156,8 @@ object Bench {
     "skipgram_counts" -> "skipgram", "interevent_hist" -> "iegap",
     "merkle_diff" -> "merkle", "range_bounds" -> "rbounds",
     "reciprocity" -> "recip", "unigram_draws" -> "udraws",
+    "luby_mis" -> "mis", "nbr_degree_curve" -> "knncurve",
+    "lang_confusion" -> "lconf",
     "quality_sweep" -> "qsweep", "quantile_assign" -> "qassign",
     "embedding_audit" -> "eaudit",
     "update_" -> "upd_", "upsert_" -> "ups_")

@@ -488,6 +488,45 @@ object ScaleSmoke {
       graft.streaming.EventStream.sessionPaths(ev, gapMinutes = 30,
         maxLen = 5, topK = 20).count())
 
+    // round-10 fourth wave. skipgram's explode is a bounded ×2w
+    // multiplier collapsing to the pair vocab; phrase search prunes
+    // postings to the query vocab before any shuffle; node2vec's
+    // frontier stays seeds-sized on the amplified graph (per-copy
+    // seeds); merkle collapses both replicas to 64-bucket sketches;
+    // reciprocity is one distinct-arc shuffle + a self-semi-join;
+    // quantile assign is a broadcast-array narrow map.
+    time(s"skipgram counts ${factor}x")(
+      graft.pipeline.TextAnalysis.skipgramCounts(docs, "text",
+        window = 2, minCount = 5).count())
+    time(s"phrase search ${factor}x")(
+      graft.pipeline.TextAnalysis.phraseSearch(docs, "doc_id", "text",
+        Seq(Seq("row", "scan"), Seq("stream", "table", "hash"))).count())
+    time(s"node2vec walks ${factor}x seeds")(
+      graft.analytics.GraphAnalytics.node2vecWalks(store, Seq("amp"),
+        seeds, nWalks = 2, steps = 4, maxDeg = 64,
+        wReturn = 1, wNear = 4, wFar = 2).count())
+    time(s"merkle diff ${factor}x")(
+      graft.operators.Audit.merkleDiff(edges,
+        edges.filter(col("l_orderkey") % 1001 =!= 0), "l_orderkey",
+        Seq("l_partkey", "l_quantity"), nBuckets = 64).count())
+    time(s"reciprocity ${factor}x")(
+      graft.operators.Audit.reciprocity(
+        edges.select((col("l_partkey") % 997).as("s"),
+          (col("l_suppkey") % 997).as("d")), "s", "d").count())
+    time(s"interevent hist ${factor}x")(
+      graft.streaming.EventStream.intereventHist(ev, "user_id", "ts",
+        "event_id", binSec = 600, maxBin = 24).count())
+    time(s"quantile assign ${factor}x")(
+      graft.operators.Stats.quantileAssign(edges, "l_extendedprice",
+        lo = 0L, width = 1000L, nBins = 100,
+        permille = Seq(250, 500, 750)).count())
+    time(s"unigram draws ${factor}x")(
+      graft.pipeline.TextAnalysis.unigramDraws(docs, "text", k = 32,
+        seed = 42L).count())
+    time(s"range bounds ${factor}x")(
+      graft.sources.ZOrderLayout.rangeBounds(edges, "l_orderkey",
+        sampleMod = 101, nParts = 32).count())
+
     spark.stop()
   }
 }

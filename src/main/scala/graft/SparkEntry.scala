@@ -381,6 +381,12 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id") +: cols: _*)
     }),
 
+    // ---- Lang-id confusion matrix vs the labeled lang column (the
+    // CCNet-style classifier accuracy evidence) ----
+    "q_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusion(t(s, dir, "documents"), "lang",
+        "text")),
+
     "q_lang_id" -> ((s, dir) => {
       val scores = TextAnalysis.langScores(col("text"))
         .map { case (n, c) => c.as(n) }
@@ -1870,6 +1876,18 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.randomWalks(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"),
         seeds = (0L to 9L), nWalks = 4, steps = 6, maxDeg = 64)),
+
+    // ---- Luby maximal independent set: md5-string priorities, 3
+    // rounds, oracle unrolls the identical rounds ----
+    "q_luby_mis" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.lubyMIS(store(s, dir),
+        Seq("in_nation", "supp_nation", "in_region"), rounds = 3)),
+
+    // ---- Average-neighbor-degree curve k_nn(k): the degree-
+    // correlation spectrum behind the assortativity scalar ----
+    "q_nbr_degree_curve" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.neighborDegreeCurve(store(s, dir),
+        Seq("in_nation", "supp_nation", "in_region"))),
 
     // ---- node2vec-biased second-order walks (Grover & Leskovec 2016):
     // integer bias weights (return 1 / near 4 / far 2 ~ p=1, q=2),
@@ -3591,6 +3609,30 @@ object SparkEntry {
          |              * 1.0 / greatest(len(t), 1)) * 10000.0 + 0.5) / 10000.0 * 10.0, 1.0)) * 10000.0 + 0.5) / 10000.0
          |    AS quality_score
          |FROM toks""".stripMargin,
+
+    "q_lang_confusion" -> {
+      val markers = TextAnalysis.DefaultMarkers
+      val scoreCols = markers.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(t, x -> list_contains($list, x))) " +
+          s"AS INTEGER) AS score_$lang"
+      }.mkString(",\n  ")
+      val langs = markers.map(_._1)
+      val cases = langs.tail.reverse.map { lang =>
+        val prev = langs.takeWhile(_ != lang)
+          .map(l => s"score_$l").mkString(", ")
+        s"WHEN score_$lang > greatest($prev) THEN '$lang'"
+      }.mkString("\n  ")
+      s"""WITH $TokCte,
+         |s AS (SELECT doc_id,
+         |  $scoreCols
+         |FROM toks),
+         |p AS (SELECT doc_id,
+         |  CASE $cases ELSE '${langs.head}' END AS pred_lang FROM s)
+         |SELECT d.lang, p.pred_lang, count(*) AS n_docs
+         |FROM documents d JOIN p USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
+    },
 
     "q_lang_id" -> {
       val markers = TextAnalysis.DefaultMarkers
@@ -6082,6 +6124,71 @@ object SparkEntry {
         |           ELSE 2 END), y -> x))) AS pool) pl
         |  WHERE w.step < 5)
         |SELECT walk_id, step, cur AS vid FROM walk""".stripMargin,
+
+    "q_luby_mis" ->
+      """WITH raw AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation),
+        |e0 AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        |  FROM raw WHERE s <> d),
+        |e AS (SELECT s AS v, d AS n FROM e0
+        |  UNION ALL SELECT d, s FROM e0),
+        |verts AS (SELECT DISTINCT v FROM e),
+        |m1 AS (SELECT x.v FROM verts x WHERE md5('1#' || x.v) <
+        |  coalesce((SELECT min(md5('1#' || e.n)) FROM e
+        |    WHERE e.v = x.v), 'z')),
+        |r1 AS (SELECT DISTINCT e.v FROM e
+        |  WHERE e.n IN (SELECT v FROM m1)),
+        |u1 AS (SELECT v FROM verts WHERE v NOT IN (SELECT v FROM m1)
+        |  AND v NOT IN (SELECT v FROM r1)),
+        |m2 AS (SELECT x.v FROM u1 x WHERE md5('2#' || x.v) <
+        |  coalesce((SELECT min(md5('2#' || e.n)) FROM e
+        |    WHERE e.v = x.v AND e.n IN (SELECT v FROM u1)), 'z')),
+        |r2 AS (SELECT DISTINCT e.v FROM e
+        |  WHERE e.v IN (SELECT v FROM u1)
+        |  AND e.n IN (SELECT v FROM m2)),
+        |u2 AS (SELECT v FROM u1 WHERE v NOT IN (SELECT v FROM m2)
+        |  AND v NOT IN (SELECT v FROM r2)),
+        |m3 AS (SELECT x.v FROM u2 x WHERE md5('3#' || x.v) <
+        |  coalesce((SELECT min(md5('3#' || e.n)) FROM e
+        |    WHERE e.v = x.v AND e.n IN (SELECT v FROM u2)), 'z')),
+        |r3 AS (SELECT DISTINCT e.v FROM e
+        |  WHERE e.v IN (SELECT v FROM u2)
+        |  AND e.n IN (SELECT v FROM m3)),
+        |u3 AS (SELECT v FROM u2 WHERE v NOT IN (SELECT v FROM m3)
+        |  AND v NOT IN (SELECT v FROM r3))
+        |SELECT v AS _vid, 1 AS st, 1 AS round FROM m1
+        |UNION ALL SELECT v, 2, 1 FROM r1
+        |UNION ALL SELECT v, 1, 2 FROM m2
+        |UNION ALL SELECT v, 2, 2 FROM r2
+        |UNION ALL SELECT v, 1, 3 FROM m3
+        |UNION ALL SELECT v, 2, 3 FROM r3
+        |UNION ALL SELECT v, 0, 0 FROM u3""".stripMargin,
+
+    "q_nbr_degree_curve" ->
+      """WITH raw AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation),
+        |e0 AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        |  FROM raw WHERE s <> d),
+        |e AS (SELECT s AS v, d AS n FROM e0
+        |  UNION ALL SELECT d, s FROM e0),
+        |deg AS (SELECT v, count(*) AS deg FROM e GROUP BY v)
+        |SELECT d1.deg, CAST(count(DISTINCT e.v) AS BIGINT) AS n_vertices,
+        |  CAST(sum(d2.deg) AS BIGINT) * 1000000
+        |    // CAST(count(*) AS BIGINT) AS knn_ppm
+        |FROM e JOIN deg d1 ON d1.v = e.v JOIN deg d2 ON d2.v = e.n
+        |GROUP BY d1.deg""".stripMargin,
 
     "q_bigram_score" ->
       s"""WITH $TokCte,

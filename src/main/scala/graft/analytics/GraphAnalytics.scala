@@ -1229,6 +1229,118 @@ object GraphAnalytics {
   }
 
   /**
+   * Luby's maximal independent set (Luby 1986 "A Simple Parallel
+   * Algorithm for the Maximal Independent Set Problem" §3 — the
+   * symmetry breaker behind distributed scheduling, coloring, and
+   * conflict-free update batching): in round r an undecided vertex
+   * joins the MIS iff its priority md5(r#v) is strictly smaller than
+   * every undecided neighbor's; its neighbors then leave as covered.
+   * Priorities are FULL md5 hex strings — a practically collision-free
+   * total order both engines compare identically (plain lexicographic
+   * on hex), so every round replays bit-identically and the oracle
+   * unrolls the same rounds in SQL. Expected O(log n) rounds decide
+   * everything; a fixed round budget reports the rest as undecided.
+   * Output (`_vid`, st, round): st 1 = in MIS, 2 = covered,
+   * 0 = undecided; `round` is the deciding round (0 if undecided).
+   *
+   * Scale shape: the arc frame is built once and pinned; each round
+   * filters it through two LEFT SEMI joins against the (shrinking)
+   * undecided frame on one column layout, takes a map-side-combinable
+   * min-priority aggregate, and rotates O(1) pinned state frames. A
+   * decided vertex is never expanded again.
+   */
+  def lubyMIS(store: GraphStore, edgeTypes: Seq[String],
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val arcs = undirAdj(simpleEdges(store, edgeTypes))
+      .transform(graft.CacheScope.persist(_)) // re-filtered every round
+    val verts = arcs.select(col("v")).distinct()
+    val sc = arcs.sparkSession.sparkContext
+    var prevCkptId: Option[Int] = None
+    var state = verts.select(col("v"), lit(0).as("st"),
+      lit(0).as("round"))
+    for (r <- 1 to rounds) {
+      val undec = state.filter(col("st") === 0).select(col("v"))
+        .transform(graft.CacheScope.persist(_)) // feeds 3 consumers
+      val live = arcs.join(undec, Seq("v"), "left_semi")
+        .join(undec.select(col("v").as("n")), Seq("n"), "left_semi")
+        .transform(graft.CacheScope.persist(_)) // min-agg + removal
+      val minNbr = live.groupBy(col("v"))
+        .agg(min(md5(concat_ws("#", lit(r), col("n")))).as("mn"))
+      val mis = undec.join(minNbr, Seq("v"), "left")
+        .filter(col("mn").isNull ||
+          md5(concat_ws("#", lit(r), col("v"))) < col("mn"))
+        .select(col("v"))
+        .transform(graft.CacheScope.persist(_)) // marks + removal probe
+      val removed = live.join(mis.select(col("v").as("n")), Seq("n"),
+          "left_semi")
+        .select(col("v")).distinct()
+      val round_ = state
+        .join(mis.withColumn("m", lit(1)), Seq("v"), "left")
+        .join(removed.withColumn("rm", lit(1)), Seq("v"), "left")
+        .select(col("v"),
+          when(col("st") =!= 0, col("st"))
+            .when(col("m") === 1, lit(1))
+            .when(col("rm") === 1, lit(2))
+            .otherwise(lit(0)).as("st"),
+          when(col("st") =!= 0, col("round"))
+            .when(col("m") === 1 || col("rm") === 1, lit(r))
+            .otherwise(lit(0)).as("round"))
+      // Lineage break per round (the HITS law, see hits() scaladoc):
+      // round r's plan embeds round r-1's ~6 times (undec, live x2,
+      // mis, removed, state), and the analyzer's self-join
+      // deduplication CLONES those subtrees — 6^r nodes by round 3
+      // even with every input cached (caches substitute after
+      // analysis). localCheckpoint bottoms the state out at a
+      // LogicalRDD so the next round's analysis starts from an opaque
+      // scan; the superseded round's checkpoint blocks are released
+      // by RDD id, keeping pinned state O(1) for the run.
+      val before = sc.getPersistentRDDs.keySet
+      val next = round_.localCheckpoint(true)
+      val ckptId = (sc.getPersistentRDDs.keySet -- before).toList match {
+        case only :: Nil => Some(only)
+        case _ => None
+      }
+      prevCkptId.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkptId = ckptId
+      Seq(undec, live, mis).foreach(graft.CacheScope.unpersist)
+      state = next
+    }
+    state.select(col("v").as(GraphStore.VID), col("st"), col("round"))
+  }
+
+  /**
+   * Average-neighbor-degree curve k_nn(k) (Pastor-Satorras, Vázquez &
+   * Vespignani 2001 — the degree-correlation SPECTRUM whose slope the
+   * scalar assortativity coefficient summarizes; a falling curve =
+   * hubs attach to leaves, the disassortative signature of most
+   * technological graphs). Per degree class: vertex count and the
+   * exact-integer ppm mean neighbor degree over all arcs out of that
+   * class. Output (deg, n_vertices, knn_ppm).
+   *
+   * Scale shape: degrees are one combinable count shuffle; the arc
+   * frame joins the degree frame at each endpoint (same two-join shape
+   * as assortativity, AQE broadcasts the degree side while it fits);
+   * the final aggregate is degree-spectrum-sized.
+   */
+  def neighborDegreeCurve(store: GraphStore,
+      edgeTypes: Seq[String]): DataFrame = {
+    val union = simpleEdges(store, edgeTypes)
+    val deg = undirAdj(union).groupBy(col("v"))
+      .agg(count(lit(1)).as("deg"))
+      .transform(graft.CacheScope.persist(_)) // joined at both endpoints
+    undirAdj(union)
+      .join(deg.select(col("v"), col("deg")), Seq("v"))
+      .join(deg.select(col("v").as("n"), col("deg").as("dn")), Seq("n"))
+      .groupBy(col("deg"))
+      .agg(countDistinct(col("v")).as("n_vertices"),
+        sum(col("dn")).as("snd"), count(lit(1)).as("na"))
+      .select(col("deg"), col("n_vertices"),
+        expr("snd * 1000000 div na").as("knn_ppm"))
+  }
+
+  /**
    * Min-distance k-hop BFS from seed vertices over directed edges of the
    * given types — the storage half of a `GO <n> STEPS` traversal (each
    * hop is the reference's GetNeighbors fan-out,

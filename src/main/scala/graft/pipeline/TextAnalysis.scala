@@ -710,6 +710,23 @@ object TextAnalysis {
   }
 
   /**
+   * Language-ID confusion matrix vs the labeled `lang` column — the
+   * accuracy evidence for the marker classifier (CCNet reports fastText
+   * lang-id confusion the same way before trusting the filter): one
+   * row per (label, prediction) pair with the document count. The
+   * diagonal over the total is the accuracy; off-diagonal hot spots
+   * name the language pairs the marker lists must separate better.
+   *
+   * Scale shape: a narrow per-row prediction (codegen'd token-marker
+   * counts, no shuffle) into a |langs|²-bounded count aggregate.
+   */
+  def langConfusion(docs: DataFrame, langCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        predictedLang(col(textCol)).as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+
+  /**
    * Deterministic draws from the corpus unigram distribution — the
    * negative-sampling table of word2vec served as a query (Mikolov et
    * al. 2013 §2.2; the canonical table uses freq^0.75, a libm law, so

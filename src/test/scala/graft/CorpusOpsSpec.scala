@@ -14,6 +14,21 @@ class CorpusOpsSpec extends SparkSpec {
     (4L, "unique words only here", "fr"))
     .toDF("doc_id", "text", "lang")
 
+  test("langConfusion: diagonal hits and a planted confusion cell") {
+    val cd = Seq(
+      (1L, "the value of the table", "en"),  // correct en
+      (2L, "der und nicht das", "de"),       // correct de
+      (3L, "le la les des est", "fr"),       // correct fr
+      (4L, "der und nicht", "en"))           // labeled en, reads de
+      .toDF("doc_id", "text", "lang")
+    val m = TextAnalysis.langConfusion(cd, "lang", "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(2))).toMap
+    assert(m == Map(("en", "en") -> 1L, ("de", "de") -> 1L,
+      ("fr", "fr") -> 1L, ("en", "de") -> 1L))
+    CacheScope.drain(spark)
+  }
+
   test("unigramDraws: interval ownership matches a scala replay") {
     val corpus = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
     // layout (tok asc): a [0,3), b [3,5), c [5,6); total 6

@@ -270,6 +270,53 @@ class AnalyticsSpec extends SparkSpec {
     assert(more == got)
   }
 
+  test("lubyMIS: independence, maximality, partition invariance") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus pendant 6 on 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    def check(tiny: GraphStore): Unit = {
+      val st = GraphAnalytics.lubyMIS(tiny, Seq("e"), rounds = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(st.size == 6)
+      val mis = st.filter(_._2 == 1).keySet
+      // independence: no two MIS vertices adjacent
+      for (a <- mis; b <- mis if a != b) assert(!und((a, b)))
+      // maximality after enough rounds: nothing undecided, and every
+      // covered vertex has a MIS neighbor
+      assert(!st.values.exists(_ == 0))
+      st.filter(_._2 == 2).keys.foreach { v =>
+        assert(mis.exists(m => und((v, m))), s"covered $v has no MIS nbr")
+      }
+    }
+    val tiny = GraphStore(
+      vertices = Map("n" -> (1L to 6L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    check(tiny)
+    val tiny13 = GraphStore(
+      vertices = Map("n" -> (1L to 6L).toDF("_vid")),
+      edges = Map("e" -> edges.repartition(13)), edgeTypeIds = Map("e" -> 1))
+    check(tiny13) // hash priorities: identical at any partitioning
+    CacheScope.drain(spark)
+  }
+
+  test("neighborDegreeCurve: star graph spectrum") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> (0L to 3L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val got = GraphAnalytics.neighborDegreeCurve(tiny, Seq("e"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .toMap
+    // leaves (deg 1) all see the hub (deg 3); the hub sees leaves
+    assert(got == Map(3000000L -> ((1L, 3L)), 1000000L -> ((3L, 1L))))
+    CacheScope.drain(spark)
+  }
+
   test("node2vecWalks: replays the exact biased draw (scala oracle)") {
     import spark.implicits._
     // two triangles sharing vertex 3, plus chord 1-4: mixed
