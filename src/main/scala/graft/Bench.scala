@@ -157,7 +157,9 @@ object Bench {
     "merkle_diff" -> "merkle", "range_bounds" -> "rbounds",
     "reciprocity" -> "recip", "unigram_draws" -> "udraws",
     "luby_mis" -> "mis", "nbr_degree_curve" -> "knncurve",
-    "lang_confusion" -> "lconf",
+    "lang_confusion" -> "lconf", "pair_stats" -> "pstats",
+    "vocab_growth" -> "vgrow", "priority_coloring" -> "pcolor",
+    "peak_concurrency" -> "peakc",
     "quality_sweep" -> "qsweep", "quantile_assign" -> "qassign",
     "embedding_audit" -> "eaudit",
     "update_" -> "upd_", "upsert_" -> "ups_")

@@ -527,6 +527,36 @@ object ScaleSmoke {
       graft.sources.ZOrderLayout.rangeBounds(edges, "l_orderkey",
         sampleMod = 101, nParts = 32).count())
 
+    // round-10 fifth wave. lubyMIS/priorityColoring filter the pinned
+    // arc frame per round through two semi-joins (O(1) pinned frames,
+    // lineage break per round); knn curve is the assortativity two-join
+    // shape; pair stats is ONE full-scan aggregate; vocab growth
+    // windows only the per-doc frame; peak concurrency collapses to 2
+    // delta rows per session before its two-level prefix sum.
+    time(s"luby mis ${factor}x")(
+      graft.analytics.GraphAnalytics.lubyMIS(store, Seq("amp"),
+        rounds = 3).count())
+    time(s"priority coloring ${factor}x")(
+      graft.analytics.GraphAnalytics.priorityColoring(store, Seq("amp"),
+        rounds = 4).count())
+    time(s"nbr degree curve ${factor}x")(
+      graft.analytics.GraphAnalytics.neighborDegreeCurve(store,
+        Seq("amp")).count())
+    time(s"lang confusion ${factor}x")(
+      graft.pipeline.TextAnalysis.langConfusion(docs, "lang", "text")
+        .count())
+    time(s"pair stats ${factor}x")(
+      graft.operators.Stats.pairStats(
+        edges.select(col("l_partkey"), col("l_suppkey"),
+          col("l_orderkey")),
+        Seq("l_partkey", "l_suppkey", "l_orderkey")).count())
+    time(s"vocab growth ${factor}x")(
+      graft.pipeline.TextAnalysis.vocabGrowth(docs, "doc_id", "text",
+        bucketSize = 100).count())
+    time(s"peak concurrency ${factor}x")(
+      graft.streaming.EventStream.peakConcurrency(ev, gapMinutes = 30)
+        .count())
+
     spark.stop()
   }
 }

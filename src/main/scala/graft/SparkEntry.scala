@@ -254,6 +254,19 @@ object SparkEntry {
         Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
           "acct_or_null"))),
 
+    // ---- Pairwise covariance/correlation sufficient statistics (one
+    // pass; cov and Pearson r fold client-side from the exact
+    // integers). Doubles pre-scaled to integer units on both sides ----
+    "q_pair_stats" -> ((s, dir) =>
+      graft.operators.Stats.pairStats(
+        t(s, dir, "lineitem").select(
+          expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("qty"),
+          expr("CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)")
+            .as("disc_pm"),
+          expr("CAST(floor(l_tax * 1000 + 0.5) AS BIGINT)").as("tax_pm"),
+          col("l_linenumber").cast("long").as("line_no")),
+        Seq("qty", "disc_pm", "tax_pm", "line_no"))),
+
     // ---- TTL visibility (§2.9) ----
     "q_ttl_visibility" -> ((s, dir) =>
       Ttl.visible(graft.sources.Tables.events(s, dir), "ts", 604800L,
@@ -761,6 +774,12 @@ object SparkEntry {
     "q_events_session_window" -> ((s, dir) =>
       EventStream.sessionWindowAgg(graft.sources.Tables.events(s, dir),
         gap = "30 minutes")),
+
+    // ---- Hourly peak session concurrency (capacity-planning sweep-
+    // line over the sessionize intervals; two-level prefix sum) ----
+    "q_peak_concurrency" -> ((s, dir) =>
+      EventStream.peakConcurrency(graft.sources.Tables.events(s, dir),
+        gapMinutes = 30)),
 
     // ---- Streaming ingest dedup (batch statement; stream variant
     // is dropDuplicatesWithinWatermark, StreamingSpec) ----
@@ -1632,6 +1651,12 @@ object SparkEntry {
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text",
         ks = Seq(5, 10, 20))),
 
+    // ---- Vocabulary growth curve (Heaps' law): cumulative types vs
+    // cumulative tokens in doc-id order, bucketed by doc rank ----
+    "q_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
+        bucketSize = 100)),
+
     // ---- Source-pair vocabulary overlap: shared-token counts per
     // source pair — corpus-composition / mixture-design diagnostic ----
     "q_source_overlap" -> ((s, dir) =>
@@ -1888,6 +1913,13 @@ object SparkEntry {
     "q_nbr_degree_curve" -> ((s, dir) =>
       graft.analytics.GraphAnalytics.neighborDegreeCurve(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"))),
+
+    // ---- Distance-1 coloring by fixed-priority independent-set
+    // peeling (Jones–Plassmann rounds, color = round index); oracle
+    // unrolls the identical 4 rounds ----
+    "q_priority_coloring" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.priorityColoring(store(s, dir),
+        Seq("in_nation", "supp_nation", "in_region"), rounds = 4)),
 
     // ---- node2vec-biased second-order walks (Grover & Leskovec 2016):
     // integer bias weights (return 1 / near 4 / far 2 ~ p=1, q=2),
@@ -3284,6 +3316,24 @@ object SparkEntry {
          |${arms.mkString("\nUNION ALL\n")}""".stripMargin
     },
 
+    // one moment row per unordered column pair; sums CAST (HUGEINT law)
+    "q_pair_stats" -> {
+      val cols = Seq("qty", "disc_pm", "tax_pm", "line_no")
+      val pairs = for { i <- cols.indices; j <- i until cols.size }
+        yield (cols(i), cols(j))
+      val arms = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS x_col, '$b' AS y_col, count(*) AS n,
+           |  CAST(sum($a) AS BIGINT) AS sum_x,
+           |  CAST(sum($b) AS BIGINT) AS sum_y,
+           |  CAST(sum($a * $b) AS BIGINT) AS sum_xy FROM b""".stripMargin }
+      s"""WITH b AS (SELECT
+         |  CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+         |  CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS disc_pm,
+         |  CAST(floor(l_tax * 1000 + 0.5) AS BIGINT) AS tax_pm,
+         |  CAST(l_linenumber AS BIGINT) AS line_no FROM lineitem)
+         |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
     // the incremental index vs the FULL re-projection of the merged
     // table (same upsert CTE chain) — the equality IS the gated law
     "q_index_incremental" ->
@@ -4045,6 +4095,36 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    // sweep-line peak: +1/-1 per session bound, +1 before -1 on ties;
+    // per-hour max of the running sum (order-free within a tie class)
+    "q_peak_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, lag(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |n AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR ts - prev_ts
+        |           >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM n),
+        |b AS (SELECT user_id, session_idx, epoch_us(min(ts)) AS st,
+        |    epoch_us(max(ts)) AS en
+        |  FROM s GROUP BY user_id, session_idx),
+        |d AS (SELECT st AS t, CAST(1 AS BIGINT) AS delta FROM b
+        |  UNION ALL SELECT en, CAST(-1 AS BIGINT) FROM b),
+        |c AS (SELECT t // 3600000000 AS hr,
+        |    CAST(sum(delta) OVER (ORDER BY t, delta DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT hr, max(cum) AS peak FROM c GROUP BY hr""".stripMargin,
 
     "q_fixed_string" ->
       """SELECT c_custkey AS _vid, rpad(c_name, 12, '_') AS fixed_name
@@ -5632,6 +5712,29 @@ object SparkEntry {
          |SELECT c.k, c.cum_freq, tt.n_total
          |FROM c CROSS JOIN tt WHERE c.k IN (5, 10, 20)""".stripMargin,
 
+    // Heaps curve: new-type credit at each type's FIRST doc; running
+    // sums window over the per-doc frame only (HUGEINT law on sums)
+    "q_vocab_growth" ->
+      s"""WITH $TokCte,
+         |tokx AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |perdoc AS (SELECT doc_id, count(*) AS n_tok FROM tokx
+         |  GROUP BY doc_id),
+         |births AS (SELECT min(doc_id) AS doc_id FROM tokx GROUP BY tok),
+         |bd AS (SELECT doc_id, count(*) AS new_types FROM births
+         |  GROUP BY doc_id),
+         |c AS (SELECT
+         |    CAST(row_number() OVER (ORDER BY p.doc_id) AS BIGINT)
+         |      AS doc_rank,
+         |    CAST(sum(p.n_tok) OVER (ORDER BY p.doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok,
+         |    CAST(sum(coalesce(bd.new_types, 0)) OVER (ORDER BY p.doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+         |  FROM perdoc p LEFT JOIN bd USING (doc_id))
+         |SELECT (doc_rank - 1) // 100 AS bucket,
+         |  max(doc_rank) AS docs_seen, max(cum_tok) AS cum_tokens,
+         |  max(cum_types) AS vocab_size
+         |FROM c GROUP BY 1""".stripMargin,
+
     // vocabulary overlap per source pair: the corpus collapses in the
     // distinct (src, tok) CTE; src_a < src_b is lexicographic on both
     // engines (ASCII source names)
@@ -6169,6 +6272,42 @@ object SparkEntry {
         |UNION ALL SELECT v, 1, 3 FROM m3
         |UNION ALL SELECT v, 2, 3 FROM r3
         |UNION ALL SELECT v, 0, 0 FROM u3""".stripMargin,
+
+    "q_priority_coloring" ->
+      """WITH raw AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation),
+        |e0 AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        |  FROM raw WHERE s <> d),
+        |e AS (SELECT s AS v, d AS n FROM e0
+        |  UNION ALL SELECT d, s FROM e0),
+        |verts AS (SELECT DISTINCT v FROM e),
+        |m1 AS (SELECT x.v FROM verts x WHERE md5('c#' || x.v) <
+        |  coalesce((SELECT min(md5('c#' || e.n)) FROM e
+        |    WHERE e.v = x.v), 'z')),
+        |u1 AS (SELECT v FROM verts WHERE v NOT IN (SELECT v FROM m1)),
+        |m2 AS (SELECT x.v FROM u1 x WHERE md5('c#' || x.v) <
+        |  coalesce((SELECT min(md5('c#' || e.n)) FROM e
+        |    WHERE e.v = x.v AND e.n IN (SELECT v FROM u1)), 'z')),
+        |u2 AS (SELECT v FROM u1 WHERE v NOT IN (SELECT v FROM m2)),
+        |m3 AS (SELECT x.v FROM u2 x WHERE md5('c#' || x.v) <
+        |  coalesce((SELECT min(md5('c#' || e.n)) FROM e
+        |    WHERE e.v = x.v AND e.n IN (SELECT v FROM u2)), 'z')),
+        |u3 AS (SELECT v FROM u2 WHERE v NOT IN (SELECT v FROM m3)),
+        |m4 AS (SELECT x.v FROM u3 x WHERE md5('c#' || x.v) <
+        |  coalesce((SELECT min(md5('c#' || e.n)) FROM e
+        |    WHERE e.v = x.v AND e.n IN (SELECT v FROM u3)), 'z')),
+        |u4 AS (SELECT v FROM u3 WHERE v NOT IN (SELECT v FROM m4))
+        |SELECT v AS _vid, 0 AS color FROM m1
+        |UNION ALL SELECT v, 1 FROM m2
+        |UNION ALL SELECT v, 2 FROM m3
+        |UNION ALL SELECT v, 3 FROM m4
+        |UNION ALL SELECT v, -1 FROM u4""".stripMargin,
 
     "q_nbr_degree_curve" ->
       """WITH raw AS (

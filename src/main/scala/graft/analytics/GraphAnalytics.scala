@@ -1311,6 +1311,75 @@ object GraphAnalytics {
   }
 
   /**
+   * Distance-1 graph coloring by fixed-priority independent-set
+   * peeling (the Jones & Plassmann 1993 round structure with
+   * round-index colors — the scheduler behind conflict-free parallel
+   * vertex updates, frequency assignment, and mutex-free batched
+   * writes): every vertex draws ONE fixed priority md5('c#'v); in
+   * round r an uncolored vertex takes color r−1 iff its priority is
+   * strictly smaller than every uncolored neighbor's. Adjacent
+   * vertices can never win the same round (the smaller-priority one
+   * blocks the other), so the result is a proper coloring; the
+   * minimum-priority uncolored vertex always wins, so every round
+   * colors ≥1 vertex and expected O(log n) rounds finish a bounded-
+   * degree graph. A fixed round budget reports the tail as color −1.
+   * Priorities are full md5 hex — both engines compare plain
+   * lexicographic, so rounds replay bit-identically and the oracle
+   * unrolls them in SQL. Output (`_vid`, color).
+   *
+   * Scale shape: [[lubyMIS]] minus the covered-set bookkeeping — the
+   * pinned arc frame filters through two LEFT SEMI joins against the
+   * shrinking uncolored frame, one map-side-combinable min-priority
+   * aggregate decides winners, and the state rotates through
+   * localCheckpoint (O(1) pinned frames; colored vertices never
+   * expand again).
+   */
+  def priorityColoring(store: GraphStore, edgeTypes: Seq[String],
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val arcs = undirAdj(simpleEdges(store, edgeTypes))
+      .transform(graft.CacheScope.persist(_)) // re-filtered every round
+    val prio = (c: org.apache.spark.sql.Column) =>
+      md5(concat_ws("#", lit("c"), c))
+    val sc = arcs.sparkSession.sparkContext
+    var prevCkptId: Option[Int] = None
+    var state = arcs.select(col("v")).distinct()
+      .select(col("v"), lit(-1).as("color"))
+    for (r <- 1 to rounds) {
+      val undec = state.filter(col("color") === -1).select(col("v"))
+        .transform(graft.CacheScope.persist(_)) // live filter + winners
+      val minNbr = arcs.join(undec, Seq("v"), "left_semi")
+        .join(undec.select(col("v").as("n")), Seq("n"), "left_semi")
+        .groupBy(col("v")).agg(min(prio(col("n"))).as("mn"))
+      val winners = undec.join(minNbr, Seq("v"), "left")
+        .filter(col("mn").isNull || prio(col("v")) < col("mn"))
+        .select(col("v"))
+      val round_ = state
+        .join(winners.withColumn("w", lit(1)), Seq("v"), "left")
+        .select(col("v"),
+          when(col("color") =!= -1, col("color"))
+            .when(col("w") === 1, lit(r - 1))
+            .otherwise(lit(-1)).as("color"))
+      // localCheckpoint lineage break per round — the lubyMIS/hits law
+      // (the analyzer's self-join dedup clones the per-round subtrees
+      // exponentially otherwise); superseded checkpoint blocks release
+      // by RDD id so pinned state stays O(1).
+      val before = sc.getPersistentRDDs.keySet
+      val next = round_.localCheckpoint(true)
+      val ckptId = (sc.getPersistentRDDs.keySet -- before).toList match {
+        case only :: Nil => Some(only)
+        case _ => None
+      }
+      prevCkptId.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkptId = ckptId
+      graft.CacheScope.unpersist(undec)
+      state = next
+    }
+    state.select(col("v").as(GraphStore.VID), col("color"))
+  }
+
+  /**
    * Average-neighbor-degree curve k_nn(k) (Pastor-Satorras, Vázquez &
    * Vespignani 2001 — the degree-correlation SPECTRUM whose slope the
    * scalar assortativity coefficient summarizes; a falling curve =

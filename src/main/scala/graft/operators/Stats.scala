@@ -611,6 +611,43 @@ object Stats {
           .as("jaccard_exact_permille"))
   }
 
+  /**
+   * Pairwise covariance/correlation sufficient statistics over integer
+   * feature columns — the one-pass moment table every feature store
+   * and drift monitor keeps (cov(x,y) = (n·Σxy − Σx·Σy)/n² and Pearson
+   * r both fold client-side from these integers; the reference's
+   * StatisTask keeps whole-space moments the same way,
+   * src/storage/admin/StatisTask.cpp:105-272). One row per unordered
+   * column pair i ≤ j (the diagonal rows carry the variance stats):
+   * (x_col, y_col, n, sum_x, sum_y, sum_xy) — all exact BIGINTs, so
+   * the row hash-gates with no float law needed.
+   *
+   * Scale shape: ONE full-scan aggregate computes every pair's Σxy as
+   * a map-side-combinable sum (k(k+1)/2 + k sums in one Tungsten
+   * pass — the corpus is read once, never once per pair); the single
+   * wide row unpivots via `stack` (profileColumns' idiom). Caller
+   * pre-scales doubles to integer units (cents/permille) and bounds
+   * |x·y|·rows within Long range — at wider scale, shard the sum by a
+   * key and re-add (the sums are additive).
+   */
+  def pairStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = cols.map(c => sum(col(c)).as(s"s_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(col(a) * col(b)).as(s"p_${a}__$b") }
+    val wide = df.select(cols.map(c => col(c).cast("long").as(c)): _*)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackExpr = s"stack(${pairs.size}, " + pairs.map { case (a, b) =>
+      s"'$a', '$b', `s_$a`, `s_$b`, `p_${a}__$b`" }.mkString(", ") +
+      ") AS (x_col, y_col, sum_x, sum_y, sum_xy)"
+    wide.select(col("n_rows").as("n"), expr(stackExpr))
+      .select(col("x_col"), col("y_col"), col("n"), col("sum_x"),
+        col("sum_y"), col("sum_xy"))
+  }
+
   /** Cardinality estimate from [[hllRegisters]] output (standard HLL
     * bias-corrected harmonic mean + linear-counting small-range
     * correction). Spec-tested against exact distincts; the registers —

@@ -456,6 +456,51 @@ object TextAnalysis {
   }
 
   /**
+   * Vocabulary growth curve (Heaps' law evidence, Herdan 1960 /
+   * Heaps 1978): cumulative distinct-type count vs cumulative token
+   * count as the corpus is consumed in doc-id order. The curve's
+   * exponent (V ≈ K·nᵝ, β client-side from two curve points) predicts
+   * how much NEW vocabulary the next crawl increment brings — the
+   * sizing input for tokenizer retraining and OOV budgeting that
+   * [[vocabCoverage]]'s static snapshot can't give. Output one row per
+   * doc-rank bucket: (bucket, docs_seen, cum_tokens, vocab_size) —
+   * all exact integers.
+   *
+   * Scale shape: each type collapses to its FIRST document (one
+   * vocab-sized min shuffle — new-type credit is assigned where the
+   * type is born, so the curve needs no distinct-over-prefix scan);
+   * per-doc token counts are one combinable shuffle. Both running
+   * sums window over the per-DOC frame (corpus-rows ÷ mean doc length;
+   * the rangeBounds law — the frame where a global order is
+   * affordable), and the output folds to |buckets| rows.
+   */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      bucketSize: Int): DataFrame = {
+    require(bucketSize >= 1, "bucketSize must be >= 1")
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .transform(graft.CacheScope.persist(_)) // feeds firsts + counts
+    val births = tok.groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("new_types"))
+    val perDoc = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"))
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDoc.join(births, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("doc_rank", row_number().over(Window.orderBy(col("doc_id")))
+        .cast("long"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .groupBy(expr(s"(doc_rank - 1) div $bucketSize").as("bucket"))
+      .agg(max(col("doc_rank")).as("docs_seen"),
+        max(col("cum_tok")).as("cum_tokens"),
+        max(col("cum_types")).as("vocab_size"))
+  }
+
+  /**
    * Source-pair vocabulary overlap — the corpus-composition diagnostic
    * for mixture design: per pair of sources, the shared distinct-token
    * count plus each side's vocabulary size (Jaccard/containment are

@@ -524,4 +524,51 @@ object EventStream {
     }
     counts.reduce(_ unionByName _)
   }
+
+  /**
+   * Hourly peak session concurrency — the capacity-planning sweep-line
+   * (max simultaneous open sessions per hour drives connection-pool,
+   * state-store, and rate-limit sizing): sessions come from
+   * [[sessionIndexed]]'s gap rule, each contributes a +1 delta at its
+   * first event and a −1 at its last (closed interval — a one-event
+   * session is live at its instant), and the running sum of deltas in
+   * time order is the concurrency; per hour the maximum is emitted.
+   * Ties at one instant process all +1 before any −1, so the peak
+   * counts a session ending exactly when another starts as
+   * overlapping; within a same-(ts, delta) class the running sum is
+   * monotone, so the per-hour max is deterministic under any tie
+   * order. Output (hr, peak): epoch-hour and its max concurrency —
+   * hours with no session boundary are omitted (concurrency is flat
+   * across them at the previous hour's closing value).
+   *
+   * Scale shape: the corpus collapses to one session-bounds frame
+   * (the sessionize shuffle), then to 2 delta rows per session. The
+   * global prefix sum is the repo's two-level law (tokenBudgetTrim's
+   * shape): deltas rank locally inside their hour, and a window over
+   * the tiny hour-totals frame turns per-hour sums into exclusive
+   * offsets — no corpus-sized unpartitioned window anywhere.
+   */
+  def peakConcurrency(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = sessionIndexed(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(unix_micros(min(col("ts"))).as("s"),
+        unix_micros(max(col("ts"))).as("e"))
+    val deltas = bounds.select(col("s").as("t"), lit(1L).as("delta"))
+      .unionByName(bounds.select(col("e").as("t"), lit(-1L).as("delta")))
+      .withColumn("hr", expr("t div 3600000000"))
+      .transform(graft.CacheScope.persist(_)) // offsets + local scan
+    val offsets = deltas.groupBy(col("hr"))
+      .agg(sum(col("delta")).as("hr_sum"))
+      .withColumn("offset", coalesce(sum(col("hr_sum")).over(
+        Window.orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("hr_sum")
+    val localW = Window.partitionBy(col("hr"))
+      .orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas.join(offsets, Seq("hr"))
+      .withColumn("cum", col("offset") + sum(col("delta")).over(localW))
+      .groupBy(col("hr")).agg(max(col("cum")).as("peak"))
+  }
 }

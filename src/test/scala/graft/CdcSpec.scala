@@ -136,6 +136,25 @@ class CdcSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1L)))
   }
 
+  test("peakConcurrency: sweep-line peak per hour, tie overlap") {
+    import graft.streaming.EventStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 session [10:00, 10:10]; u2 one-event session at 10:05
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 10:10:00"), "a"),
+      (3L, 2L, ts("2024-01-01 10:05:00"), "a"),
+      // u3 alone two hours later
+      (4L, 3L, ts("2024-01-01 12:00:00"), "a"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val hr = (t: java.sql.Timestamp) => t.getTime / 3600000L
+    val got = EventStream.peakConcurrency(ev, gapMinutes = 30)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      hr(ts("2024-01-01 10:00:00")) -> 2L,  // u1 open at u2's instant
+      hr(ts("2024-01-01 12:00:00")) -> 1L))
+  }
+
   test("sessionPaths: gap splits, truncation, deterministic rank") {
     import graft.streaming.EventStream
     def ts(m: Int) = java.sql.Timestamp.valueOf(

@@ -29,6 +29,18 @@ class CorpusOpsSpec extends SparkSpec {
     CacheScope.drain(spark)
   }
 
+  test("vocabGrowth: hand Heaps curve, new-type credit at first doc") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c d d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text",
+        bucketSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc1: 3 tok, births a,b; doc2: 2 tok, birth c; doc3: 3 tok, birth d
+    assert(got == Map(0L -> ((2L, 5L, 3L)), 1L -> ((3L, 8L, 4L))))
+    CacheScope.drain(spark)
+  }
+
   test("unigramDraws: interval ownership matches a scala replay") {
     val corpus = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
     // layout (tok asc): a [0,3), b [3,5), c [5,6); total 6

@@ -116,6 +116,20 @@ class SketchAlgebraSpec extends SparkSpec {
     assert(out2 == Map(10L -> 0, 20L -> 0, 30L -> 0, 40L -> 1))
   }
 
+  test("pairStats: hand moments, diagonal variance rows, one pass") {
+    val df = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val got = Stats.pairStats(df, Seq("a", "b"))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got == Map(
+      ("a", "a") -> ((3L, 9L, 9L, 35L)),
+      ("a", "b") -> ((3L, 9L, 12L, 44L)),
+      ("b", "b") -> ((3L, 12L, 12L, 56L))))
+    // cov numerator folds client-side: n*sxy - sx*sy = 3*44 - 108 = 24
+    assert(3L * 44L - 9L * 12L == 24L)
+    CacheScope.drain(spark)
+  }
+
   test("kmvDistinct: exact when k covers the set, accurate beyond") {
     // 100 distinct values, k = 256 >= distinct -> estimate IS exact
     val small = spark.range(0, 100).toDF("v")

@@ -302,6 +302,33 @@ class AnalyticsSpec extends SparkSpec {
     CacheScope.drain(spark)
   }
 
+  test("priorityColoring: proper, complete at budget, invariant") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    def run(tiny: GraphStore): Map[Long, Int] =
+      GraphAnalytics.priorityColoring(tiny, Seq("e"), rounds = 6)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val tiny = GraphStore(
+      vertices = Map("n" -> (1L to 6L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val c = run(tiny)
+    assert(c.size == 6)
+    // 6 rounds always finish 6 vertices (min-priority vertex wins
+    // every round), and adjacent vertices never share a color
+    assert(!c.values.exists(_ == -1))
+    for (a <- c.keys; b <- c.keys if a != b && und((a, b)))
+      assert(c(a) != c(b), s"adjacent $a,$b share color ${c(a)}")
+    val tiny17 = GraphStore(
+      vertices = Map("n" -> (1L to 6L).toDF("_vid")),
+      edges = Map("e" -> edges.repartition(17)),
+      edgeTypeIds = Map("e" -> 1))
+    assert(run(tiny17) == c) // fixed md5 priorities: layout-free
+    CacheScope.drain(spark)
+  }
+
   test("neighborDegreeCurve: star graph spectrum") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L))
