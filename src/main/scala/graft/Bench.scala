@@ -158,6 +158,7 @@ object Bench {
     "reciprocity" -> "recip", "unigram_draws" -> "udraws",
     "luby_mis" -> "mis", "nbr_degree_curve" -> "knncurve",
     "lang_confusion" -> "lconf", "pair_stats" -> "pstats",
+    "maximal_matching" -> "mmatch", "indep_cascade" -> "icasc",
     "vocab_growth" -> "vgrow", "priority_coloring" -> "pcolor",
     "peak_concurrency" -> "peakc",
     "quality_sweep" -> "qsweep", "quantile_assign" -> "qassign",

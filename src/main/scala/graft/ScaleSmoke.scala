@@ -556,6 +556,12 @@ object ScaleSmoke {
     time(s"peak concurrency ${factor}x")(
       graft.streaming.EventStream.peakConcurrency(ev, gapMinutes = 30)
         .count())
+    time(s"maximal matching ${factor}x")(
+      graft.analytics.GraphAnalytics.maximalMatching(store, Seq("amp"),
+        rounds = 3).count())
+    time(s"indep cascade ${factor}x seeds")(
+      graft.analytics.GraphAnalytics.independentCascade(store,
+        Seq("amp"), seeds, thetaPermille = 500, rounds = 3).count())
 
     spark.stop()
   }

@@ -1914,6 +1914,21 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.neighborDegreeCurve(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"))),
 
+    // ---- Greedy maximal matching by local-minima edge priorities
+    // (Israeli–Itai); oracle unrolls the identical 3 rounds ----
+    "q_maximal_matching" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.maximalMatching(store(s, dir),
+        Seq("in_nation", "supp_nation", "in_region"), rounds = 3)),
+
+    // ---- Independent-cascade influence spread over the deep
+    // traversal graph (coin = md5 percolation, KKT 2003 live-edge
+    // equivalence); seeds 1-5, theta 500 permille, 3 rounds ----
+    "q_indep_cascade" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.independentCascade(store(s, dir),
+        Seq("placed", "contains", "supplied_by"),
+        seeds = Seq(1L, 2L, 3L, 4L, 5L), thetaPermille = 500,
+        rounds = 3)),
+
     // ---- Distance-1 coloring by fixed-priority independent-set
     // peeling (Jones–Plassmann rounds, color = round index); oracle
     // unrolls the identical 4 rounds ----
@@ -6272,6 +6287,74 @@ object SparkEntry {
         |UNION ALL SELECT v, 1, 3 FROM m3
         |UNION ALL SELECT v, 2, 3 FROM r3
         |UNION ALL SELECT v, 0, 0 FROM u3""".stripMargin,
+
+    "q_maximal_matching" ->
+      """WITH raw AS (
+        |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation),
+        |ep AS (SELECT s, d, md5('m#' || s || '#' || d) AS p
+        |  FROM (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        |        FROM raw WHERE s <> d)),
+        |v1 AS (SELECT v, min(p) AS mn FROM (
+        |    SELECT s AS v, p FROM ep UNION ALL SELECT d, p FROM ep)
+        |  GROUP BY v),
+        |m1 AS (SELECT ep.s, ep.d FROM ep
+        |  JOIN v1 a ON a.v = ep.s AND a.mn = ep.p
+        |  JOIN v1 b ON b.v = ep.d AND b.mn = ep.p),
+        |w1 AS (SELECT s AS v FROM m1 UNION ALL SELECT d FROM m1),
+        |e2 AS (SELECT * FROM ep
+        |  WHERE s NOT IN (SELECT v FROM w1)
+        |    AND d NOT IN (SELECT v FROM w1)),
+        |v2 AS (SELECT v, min(p) AS mn FROM (
+        |    SELECT s AS v, p FROM e2 UNION ALL SELECT d, p FROM e2)
+        |  GROUP BY v),
+        |m2 AS (SELECT e2.s, e2.d FROM e2
+        |  JOIN v2 a ON a.v = e2.s AND a.mn = e2.p
+        |  JOIN v2 b ON b.v = e2.d AND b.mn = e2.p),
+        |w2 AS (SELECT s AS v FROM m2 UNION ALL SELECT d FROM m2),
+        |e3 AS (SELECT * FROM e2
+        |  WHERE s NOT IN (SELECT v FROM w2)
+        |    AND d NOT IN (SELECT v FROM w2)),
+        |v3 AS (SELECT v, min(p) AS mn FROM (
+        |    SELECT s AS v, p FROM e3 UNION ALL SELECT d, p FROM e3)
+        |  GROUP BY v),
+        |m3 AS (SELECT e3.s, e3.d FROM e3
+        |  JOIN v3 a ON a.v = e3.s AND a.mn = e3.p
+        |  JOIN v3 b ON b.v = e3.d AND b.mn = e3.p)
+        |SELECT s AS v, d AS mate, 1 AS round FROM m1
+        |UNION ALL SELECT s, d, 2 FROM m2
+        |UNION ALL SELECT s, d, 3 FROM m3""".stripMargin,
+
+    "q_indep_cascade" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS src, o_orderkey AS dst FROM orders
+        |  UNION ALL SELECT l_orderkey, l_partkey FROM lineitem
+        |  UNION ALL SELECT l_partkey, l_suppkey FROM lineitem),
+        |live AS (SELECT DISTINCT src, dst FROM e
+        |  WHERE CAST('0x' || substr(md5('ic#' || src || '#' || dst),
+        |      1, 8) AS BIGINT) % 1000 < 500),
+        |l0 AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS vid),
+        |l1 AS (SELECT DISTINCT live.dst AS vid FROM live
+        |       JOIN l0 ON live.src = l0.vid
+        |       WHERE live.dst NOT IN (SELECT vid FROM l0)),
+        |l2 AS (SELECT DISTINCT live.dst AS vid FROM live
+        |       JOIN l1 ON live.src = l1.vid
+        |       WHERE live.dst NOT IN (SELECT vid FROM l0
+        |                              UNION ALL SELECT vid FROM l1)),
+        |l3 AS (SELECT DISTINCT live.dst AS vid FROM live
+        |       JOIN l2 ON live.src = l2.vid
+        |       WHERE live.dst NOT IN (SELECT vid FROM l0
+        |                              UNION ALL SELECT vid FROM l1
+        |                              UNION ALL SELECT vid FROM l2))
+        |SELECT vid AS _vid, 0 AS round FROM l0
+        |UNION ALL SELECT vid, 1 FROM l1
+        |UNION ALL SELECT vid, 2 FROM l2
+        |UNION ALL SELECT vid, 3 FROM l3""".stripMargin,
 
     "q_priority_coloring" ->
       """WITH raw AS (

@@ -1380,6 +1380,125 @@ object GraphAnalytics {
   }
 
   /**
+   * Greedy maximal matching by local-minima edge priorities (the
+   * distributed symmetry-breaking matcher of Israeli & Itai 1986 —
+   * entity-pair assignment, parallel swap scheduling, graph
+   * sparsification): every canonical edge draws one fixed priority
+   * md5('m#'s'#'d); in round r a live edge (both endpoints unmatched)
+   * matches iff its priority equals the MIN over live edges at BOTH
+   * its endpoints — two local minima can't share an endpoint, so the
+   * round's winners are a valid matching, and matched endpoints leave.
+   * Priorities are unique full md5 hex, so `p = min(p)` is the strict
+   * local-minimum test and every round replays bit-identically in both
+   * engines. Expected O(log n) rounds empty the graph; a fixed budget
+   * leaves the tail unmatched. Output one row per matched edge:
+   * (v, mate, round), v < mate.
+   *
+   * Scale shape per round: incidence is a 2-rows-per-edge projection
+   * into a map-side-combinable per-vertex min; winners are two
+   * vertex-keyed joins (AQE broadcasts the vertex-min frame while it
+   * fits); the live frame shrinks through two anti-joins and rotates
+   * via localCheckpoint (O(1) pinned frames — the lubyMIS law).
+   */
+  def maximalMatching(store: GraphStore, edgeTypes: Seq[String],
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val sc0 = store.edges.valuesIterator.next().sparkSession
+    val ep = simpleEdges(store, edgeTypes)
+      .select(col("s"), col("d"),
+        md5(concat_ws("#", lit("m"), col("s"), col("d"))).as("p"))
+    val sc = sc0.sparkContext
+    var prevCkptId: Option[Int] = None
+    var live = ep
+    val matchedRounds = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val inc = live.select(col("s").as("v"), col("p"))
+        .unionByName(live.select(col("d").as("v"), col("p")))
+      val vmin = inc.groupBy(col("v")).agg(min(col("p")).as("mn"))
+        .transform(graft.CacheScope.persist(_)) // joined at both ends
+      val win = live
+        .join(vmin.select(col("v").as("s"), col("mn").as("mns")), Seq("s"))
+        .join(vmin.select(col("v").as("d"), col("mn").as("mnd")), Seq("d"))
+        .filter(col("p") === col("mns") && col("p") === col("mnd"))
+        .select(col("s"), col("d"), lit(r).as("round"))
+        .transform(graft.CacheScope.persist(_)) // output + removal
+      matchedRounds += win
+      val mv = win.select(col("s").as("v"))
+        .unionByName(win.select(col("d").as("v")))
+      val next0 = live
+        .join(mv.select(col("v").as("s")), Seq("s"), "left_anti")
+        .join(mv.select(col("v").as("d")), Seq("d"), "left_anti")
+        .select(col("s"), col("d"), col("p"))
+      // lineage break per round (lubyMIS law): the live frame feeds
+      // 5 consumers next round; checkpoint + release superseded blocks
+      val before = sc.getPersistentRDDs.keySet
+      val next = next0.localCheckpoint(true)
+      val ckptId = (sc.getPersistentRDDs.keySet -- before).toList match {
+        case only :: Nil => Some(only)
+        case _ => None
+      }
+      prevCkptId.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkptId = ckptId
+      graft.CacheScope.unpersist(vmin)
+      live = next
+    }
+    matchedRounds.reduce(_ unionByName _)
+      .select(col("s").as("v"), col("d").as("mate"), col("round"))
+  }
+
+  /**
+   * Independent-cascade influence spread (Kempe, Kleinberg & Tardos
+   * 2003 — seeded virality / content-propagation estimation): each
+   * directed arc (u,v) flips ONE deterministic coin — live iff the
+   * first 8 hex digits of md5('ic#'u'#'v) mod 1000 < θ‰ — and by the
+   * live-edge percolation equivalence (KKT Thm 4.5, proved there:
+   * since an arc is tried at most once, pre-flipping all coins gives
+   * the same distribution) the cascade IS breadth-first reachability
+   * over the live subgraph. Output (`_vid`, round): activation round
+   * per reached vertex, seeds at round 0, bounded by the round budget.
+   *
+   * Scale shape: the coin filter is a narrow codegen'd projection on
+   * the arc scan (the live subgraph is never materialized beyond the
+   * filtered frame), then the kHop frontier law — per round one
+   * frontier⋈arcs join, a distinct, and an anti-join against the
+   * visited union; every frame is frontier-sized, seeds never fan the
+   * whole graph.
+   */
+  def independentCascade(store: GraphStore, edgeTypes: Seq[String],
+      seeds: Seq[Long], thetaPermille: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1 && thetaPermille >= 0 && thetaPermille <= 1000,
+      "rounds >= 1, theta in [0, 1000]")
+    val spark = store.edges.valuesIterator.next().sparkSession
+    import spark.implicits._
+    val live = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC).as("src"),
+        col(GraphStore.DST).as("dst"))
+    }.reduce(_ unionByName _)
+      .distinct()
+      .filter(pmod(conv(substring(md5(concat_ws("#", lit("ic"),
+          col("src"), col("dst"))), 1, 8), 16, 10).cast("long"),
+        lit(1000L)) < thetaPermille)
+      .transform(graft.CacheScope.persist(_)) // re-joined every round
+    var levels = List(seeds.toDF(GraphStore.VID)
+      .withColumn("round", lit(0))
+      .transform(graft.CacheScope.persist(_)))
+    for (r <- 1 to rounds) {
+      val visited = levels.map(_.select(GraphStore.VID))
+        .reduce(_ unionByName _)
+      val next = live.join(levels.head.select(col(GraphStore.VID)),
+          live("src") === col(GraphStore.VID))
+        .select(col("dst").as(GraphStore.VID)).distinct()
+        .join(visited, Seq(GraphStore.VID), "left_anti")
+        .withColumn("round", lit(r))
+        .transform(graft.CacheScope.persist(_))
+      levels = next :: levels
+    }
+    levels.reduce(_ unionByName _)
+  }
+
+  /**
    * Average-neighbor-degree curve k_nn(k) (Pastor-Satorras, Vázquez &
    * Vespignani 2001 — the degree-correlation SPECTRUM whose slope the
    * scalar assortativity coefficient summarizes; a falling curve =

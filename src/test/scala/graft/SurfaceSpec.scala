@@ -329,6 +329,56 @@ class AnalyticsSpec extends SparkSpec {
     CacheScope.drain(spark)
   }
 
+  test("maximalMatching: valid, maximal at budget, invariant") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L)).toSet
+    def run(tiny: GraphStore): Set[(Long, Long, Int)] =
+      GraphAnalytics.maximalMatching(tiny, Seq("e"), rounds = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+    val tiny = GraphStore(
+      vertices = Map("n" -> (1L to 6L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    val m = run(tiny)
+    // every matched pair is a real edge; no vertex matched twice
+    m.foreach { case (v, mate, _) => assert(und((v, mate))) }
+    val touched = m.toSeq.flatMap { case (v, mate, _) => Seq(v, mate) }
+    assert(touched.distinct.size == touched.size)
+    // maximality after the budget: every edge has a matched endpoint
+    val ts = touched.toSet
+    und.foreach { case (a, b) =>
+      assert(ts(a) || ts(b), s"edge $a-$b fully unmatched") }
+    val tiny11 = GraphStore(
+      vertices = Map("n" -> (1L to 6L).toDF("_vid")),
+      edges = Map("e" -> edges.repartition(11)),
+      edgeTypeIds = Map("e" -> 1))
+    assert(run(tiny11) == m) // fixed md5 priorities: layout-free
+    CacheScope.drain(spark)
+  }
+
+  test("independentCascade: theta bounds = BFS / seeds-only") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("_src", "_dst", "_rank")
+    val tiny = GraphStore(
+      vertices = Map("n" -> (1L to 5L).toDF("_vid")),
+      edges = Map("e" -> edges), edgeTypeIds = Map("e" -> 1))
+    def run(theta: Int): Map[Long, Int] =
+      GraphAnalytics.independentCascade(tiny, Seq("e"), Seq(1L),
+          thetaPermille = theta, rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // theta=1000: every coin lands -> cascade IS the BFS level map
+    assert(run(1000) == Map(1L -> 0, 2L -> 1, 3L -> 2, 5L -> 2, 4L -> 3))
+    // theta=0: nothing propagates
+    assert(run(0) == Map(1L -> 0))
+    // a mid theta is a subset of BFS respecting monotone rounds
+    val mid = run(500)
+    assert(mid.contains(1L) && mid.keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+    CacheScope.drain(spark)
+  }
+
   test("neighborDegreeCurve: star graph spectrum") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L))
