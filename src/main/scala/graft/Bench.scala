@@ -159,6 +159,7 @@ object Bench {
     "luby_mis" -> "mis", "nbr_degree_curve" -> "knncurve",
     "lang_confusion" -> "lconf", "pair_stats" -> "pstats",
     "maximal_matching" -> "mmatch", "indep_cascade" -> "icasc",
+    "label_noise" -> "lnoise", "kcenter_seeds" -> "kcenter",
     "vocab_growth" -> "vgrow", "priority_coloring" -> "pcolor",
     "peak_concurrency" -> "peakc",
     "quality_sweep" -> "qsweep", "quantile_assign" -> "qassign",

@@ -562,6 +562,13 @@ object ScaleSmoke {
     time(s"indep cascade ${factor}x seeds")(
       graft.analytics.GraphAnalytics.independentCascade(store,
         Seq("amp"), seeds, thetaPermille = 500, rounds = 3).count())
+    time(s"label noise ${factor}x")(
+      graft.pipeline.Similarity.labelNoiseAudit(emb, "vec_id",
+        "embedding", "label", k = 3, numPlanes = 6, dim = 64,
+        maxBucketSize = 128).count())
+    time(s"kcenter seeds ${factor}x")(
+      graft.pipeline.Similarity.kCenterSeeds(emb, "vec_id",
+        "embedding", k = 4).count())
 
     spark.stop()
   }

@@ -668,6 +668,30 @@ object SparkEntry {
       Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, numPlanes = 6, dim = 64, maxBucketSize = 128)),
 
+    // ---- Label-noise audit: kNN label agreement over the LSH knn
+    // graph (confident-learning-lite); all-integer evidence ----
+    "q_label_noise" -> ((s, dir) =>
+      Similarity.labelNoiseAudit(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", k = 3, numPlanes = 6, dim = 64,
+        maxBucketSize = 128)),
+
+    // ---- MRR evidence: rank of the TRUE nearest (exact rank-1) in
+    // the IVF approximate ranking; rr in exact ppm ----
+    "q_mrr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mrrEval(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 9L), k = 5),
+        Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 9L), k = 5, nCells = 16, nProbe = 4))
+    }),
+
+    // ---- Farthest-first k-center seeds (Gonzalez): 4 maximally
+    // diverse exemplars + the radius curve ----
+    "q_kcenter_seeds" -> ((s, dir) =>
+      Similarity.kCenterSeeds(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 4)),
+
     // ---- Matryoshka-prefix retrieval eval: recall@5 of dim-16-prefix
     // exact search vs full-dim exact search ----
     "q_matryoshka_recall" -> ((s, dir) =>
@@ -5009,6 +5033,71 @@ object SparkEntry {
 
     "q_knn_graph" -> knnGraphSql,
 
+    // knn graph + label attachment; all-integer agreement evidence
+    "q_label_noise" ->
+      s"""WITH g AS (SELECT * FROM ($knnGraphSql)),
+         |l AS (SELECT vec_id, label FROM embeddings),
+         |nl AS (SELECT vec_id AS nbr_id, label AS nbr_lbl
+         |  FROM embeddings)
+         |SELECT g.vec_id, l.label, count(*) AS n_nbrs,
+         |  CAST(sum(CASE WHEN nl.nbr_lbl = l.label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_agree
+         |FROM g JOIN l USING (vec_id) JOIN nl USING (nbr_id)
+         |GROUP BY g.vec_id, l.label""".stripMargin,
+
+    // rank of the exact rank-1 candidate within the IVF ranking
+    "q_mrr" ->
+      s"""WITH exact1 AS (
+         |  SELECT query_id, cand_id AS true_cand FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY floor((list_cosine_similarity(
+         |          q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0
+         |          DESC, c.vec_id) AS rk
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id BETWEEN 0 AND 9) WHERE rk = 1),
+         |approxraw AS ($IvfTopKSql),
+         |approx AS (SELECT query_id, cand_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cand_id) AS BIGINT) AS ark
+         |  FROM approxraw)
+         |SELECT t.query_id, t.true_cand,
+         |  coalesce(a.ark, 0) AS found_rank,
+         |  coalesce(1000000 // a.ark, 0) AS rr_ppm
+         |FROM exact1 t LEFT JOIN approx a
+         |  ON a.query_id = t.query_id AND a.cand_id = t.true_cand
+         |""".stripMargin,
+
+    // Gonzalez farthest-first unrolled: each round's argmax of the
+    // quantized min-L2² (min-id tie-break) joins the seed set
+    "q_kcenter_seeds" -> {
+      def d2(v: String, c: String) =
+        s"floor((list_dot_product($v, $v) - 2 * list_dot_product($v, $c)" +
+          s" + list_dot_product($c, $c)) * 1000000.0 + 0.5) / 1000000.0"
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |s1 AS (SELECT e.id, e.v FROM e
+         |  WHERE e.id = (SELECT min(id) FROM e)),
+         |d2_ AS (SELECT e.id, min(${d2("e.v", "s.v")}) AS mind
+         |  FROM e CROSS JOIN s1 s GROUP BY e.id),
+         |m2 AS (SELECT id, mind FROM d2_ ORDER BY mind DESC, id LIMIT 1),
+         |s2 AS (SELECT e.id, e.v FROM e JOIN m2 ON e.id = m2.id),
+         |d3_ AS (SELECT e.id, min(${d2("e.v", "s.v")}) AS mind
+         |  FROM e CROSS JOIN (SELECT v FROM s1
+         |    UNION ALL SELECT v FROM s2) s GROUP BY e.id),
+         |m3 AS (SELECT id, mind FROM d3_ ORDER BY mind DESC, id LIMIT 1),
+         |s3 AS (SELECT e.id, e.v FROM e JOIN m3 ON e.id = m3.id),
+         |d4_ AS (SELECT e.id, min(${d2("e.v", "s.v")}) AS mind
+         |  FROM e CROSS JOIN (SELECT v FROM s1
+         |    UNION ALL SELECT v FROM s2
+         |    UNION ALL SELECT v FROM s3) s GROUP BY e.id),
+         |m4 AS (SELECT id, mind FROM d4_ ORDER BY mind DESC, id LIMIT 1)
+         |SELECT 1 AS srk, id AS vec_id, 0.0 AS dist FROM s1
+         |UNION ALL SELECT 2, id, mind FROM m2
+         |UNION ALL SELECT 3, id, mind FROM m3
+         |UNION ALL SELECT 4, id, mind FROM m4""".stripMargin
+    },
+
     // recall of the dim-16 prefix ranking vs the full-dim exact top-5
     // (the ivf_recall composition with a sliced approx side)
     "q_matryoshka_recall" ->
@@ -6608,6 +6697,7 @@ object SparkEntry {
     "q_ivf_topk" -> Seq("sim"),
     "q_lookup_prefix_range" -> Seq("l_quantity"),
     "q_lookup_via_index" -> Seq("p_retailprice"),
+    "q_kcenter_seeds" -> Seq("dist"),
     "q_knn_graph" -> Seq("sim"),
     "q_containment" -> Seq("containment"),
     "q_matryoshka_recall" -> Seq("recall"),

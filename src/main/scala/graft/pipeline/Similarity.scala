@@ -776,6 +776,117 @@ object Similarity {
   }
 
   /**
+   * Mean-reciprocal-rank evidence per query (the retrieval-eval metric
+   * recall@k is blind to when only the FIRST hit matters — RAG serving,
+   * entity lookup): for each query, where does the TRUE nearest
+   * neighbor (the exact ranking's rank-1 candidate) land in the
+   * approximate ranking? rr_ppm = 10⁶ div found_rank (0 when the ANN
+   * index missed it entirely) — exact integers, the corpus-mean MRR is
+   * the client's division. Both inputs are (query_id, cand_id, sim)
+   * frames ([[bruteForceTopK]] / [[ivfTopK]] outputs); each is
+   * re-ranked by its own (sim desc, cand_id) order like
+   * [[rankDisplacement]].
+   *
+   * Scale shape: two queries×k-sized windows partitioned by query, one
+   * left join on (query, true candidate) — nothing corpus-sized.
+   */
+  def mrrEval(exact: DataFrame, approx: DataFrame): DataFrame = {
+    def ranked(df: DataFrame, rkName: String) = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cand_id"))
+      df.select(col("query_id"), col("cand_id"), col("sim"))
+        .withColumn(rkName, row_number().over(w).cast("long"))
+        .drop("sim")
+    }
+    val truth = ranked(exact, "erk").filter(col("erk") === 1)
+      .select(col("query_id"), col("cand_id").as("true_cand"))
+    val a = ranked(approx, "ark")
+      .select(col("query_id"), col("cand_id").as("true_cand"),
+        col("ark"))
+    truth.join(a, Seq("query_id", "true_cand"), "left")
+      .select(col("query_id"), col("true_cand"),
+        coalesce(col("ark"), lit(0L)).as("found_rank"),
+        coalesce(expr("1000000 div ark"), lit(0L)).as("rr_ppm"))
+  }
+
+  /**
+   * Label-noise audit by k-NN label agreement (the cheap core of
+   * confident learning, Northcutt et al. 2021 — the training-data QA
+   * gate that catches mislabeled examples before they poison a
+   * classifier): for every vector, of its k approximate nearest
+   * neighbors ([[knnGraph]] — LSH-bucketed, never all-pairs), how many
+   * carry the SAME label? A row whose neighbors overwhelmingly
+   * disagree is a relabel/review candidate. Output (id, label,
+   * n_nbrs, n_agree) — all-integer evidence; the flag threshold is the
+   * client's division.
+   *
+   * Scale shape: [[knnGraph]]'s capped bucket join dominates; the
+   * label attachment is two id-keyed joins against the (id, label)
+   * projection (AQE broadcasts it while it fits) and a per-id count
+   * aggregate over the k-sized neighbor lists.
+   */
+  def labelNoiseAudit(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, numPlanes: Int, dim: Int,
+      maxBucketSize: Int, seed: Long = 42L): DataFrame = {
+    val g = knnGraph(emb, idCol, vecCol, k, numPlanes, dim,
+      maxBucketSize, seed)
+    val lbl = emb.select(col(idCol), col(labelCol))
+      .transform(graft.CacheScope.persist(_)) // both join sides
+    g.join(lbl, Seq(idCol))
+      .join(lbl.select(col(idCol).as("nbr_id"),
+        col(labelCol).as("nbr_lbl")), Seq("nbr_id"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col(labelCol) === col("nbr_lbl"), 1L).otherwise(0L))
+          .as("n_agree"))
+  }
+
+  /**
+   * Farthest-first k-center seeding (Gonzalez 1985 — the 2-approx
+   * cover that picks a maximally DIVERSE sample: dataset exemplars for
+   * labeling budgets, coreset seeds, k-means++-style initialization):
+   * seed 1 is the minimum id; each round the vector farthest (max
+   * min-L2² over the seed set, quantized 1e-6, min-id tie-break) joins
+   * the seed set. Output (srk, id, dist): selection order and each
+   * seed's distance-to-set at selection — the radius curve that tells
+   * you when coverage saturates.
+   *
+   * Scale shape: per round ONE corpus scan — the ≤k-row seed frame
+   * broadcasts, per-row min-distance is a combinable aggregate over
+   * corpus×|seeds| rows, and the argmax is a single-row
+   * max(struct(dist, -id)) aggregate that rejoins by id in-plan (no
+   * driver collect). The seed frame rotates through localCheckpoint;
+   * existing seeds re-select at distance exactly 0 (a−2a+a is exact in
+   * IEEE), so they can never win a later round.
+   */
+  def kCenterSeeds(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = emb.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .transform(graft.CacheScope.persist(_)) // scanned every round
+    var seeds = base
+      .join(broadcast(base.agg(min(col("id")).as("id"))), Seq("id"))
+      .select(lit(1).as("srk"), col("id"), col("v").as("svec"),
+        lit(0.0).as("dist"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val mind = base.crossJoin(broadcast(seeds.select(col("svec"))))
+        .withColumn("d", graft.functions.Portable.quant(
+          l2sq(col("v"), col("svec")), 6))
+        .groupBy(col("id")).agg(min(col("d")).as("mind"))
+      val mx = mind.agg(max(struct(col("mind").as("d"),
+          (-col("id")).as("nid"))).as("m"))
+        .select(col("m.d").as("dist"), (-col("m.nid")).as("id"))
+      val newSeed = base.join(broadcast(mx), Seq("id"))
+        .select(lit(r).as("srk"), col("id"), col("v").as("svec"),
+          col("dist"))
+      seeds = seeds.unionByName(newSeed).localCheckpoint(true)
+    }
+    seeds.select(col("srk"), col("id").as(idCol), col("dist"))
+  }
+
+  /**
    * Near-duplicate pairs above a cosine threshold, with candidate
    * generation restricted to a blocking column (IVF-style coarse
    * partition: only vectors in the same cell are compared).
