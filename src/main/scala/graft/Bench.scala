@@ -160,6 +160,7 @@ object Bench {
     "lang_confusion" -> "lconf", "pair_stats" -> "pstats",
     "maximal_matching" -> "mmatch", "indep_cascade" -> "icasc",
     "label_noise" -> "lnoise", "kcenter_seeds" -> "kcenter",
+    "dsir_select" -> "dsirsel", "linkpred_auc" -> "lpauc",
     "vocab_growth" -> "vgrow", "priority_coloring" -> "pcolor",
     "peak_concurrency" -> "peakc",
     "quality_sweep" -> "qsweep", "quantile_assign" -> "qassign",

@@ -569,6 +569,12 @@ object ScaleSmoke {
     time(s"kcenter seeds ${factor}x")(
       graft.pipeline.Similarity.kCenterSeeds(emb, "vec_id",
         "embedding", k = 4).count())
+    time(s"dsir select ${factor}x")(
+      graft.pipeline.TextAnalysis.dsirSelect(docs, "doc_id", "text",
+        isTarget = col("doc_id") % 7 === 0).count())
+    time(s"linkpred auc ${factor}x")(
+      graft.analytics.GraphAnalytics.linkPredAuc(store, Seq("amp"),
+        testMod = 5, maxDegree = 64).count())
 
     spark.stop()
   }

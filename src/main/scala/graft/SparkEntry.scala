@@ -1693,6 +1693,12 @@ object SparkEntry {
       TextAnalysis.dsirEvidence(t(s, dir, "documents"), "doc_id", "text",
         isTarget = col("source") === "src0")),
 
+    // ---- DSIR importance resampling: deterministic rejection draw
+    // with P(keep) = score/s_max — the selection half of q_dsir_evidence ----
+    "q_dsir_select" -> ((s, dir) =>
+      TextAnalysis.dsirSelect(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("source") === "src0")),
+
     // ---- Per-source exact-dedup rate rollup: winners by global
     // min-id fingerprint election, losses charged per source ----
     "q_dedup_by_source" -> ((s, dir) =>
@@ -1937,6 +1943,14 @@ object SparkEntry {
     "q_nbr_degree_curve" -> ((s, dir) =>
       graft.analytics.GraphAnalytics.neighborDegreeCurve(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"))),
+
+    // ---- Link-prediction AUC by held-out md5 split over the deep
+    // traversal graph: common-neighbor scores on TRAIN, rewired
+    // negatives, histogram-law concordance — all-integer ----
+    "q_linkpred_auc" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.linkPredAuc(store(s, dir),
+        Seq("placed", "contains", "supplied_by"), testMod = 5,
+        maxDegree = 64)),
 
     // ---- Greedy maximal matching by local-minima edge priorities
     // (Israeli–Itai); oracle unrolls the identical 3 rounds ----
@@ -5877,6 +5891,31 @@ object SparkEntry {
          |FROM t0 JOIN r USING (w)
          |GROUP BY doc_id""".stripMargin,
 
+    // dsir chain + integer rejection draw; P(keep) = score/smax
+    "q_dsir_select" ->
+      s"""WITH $TokCte,
+         |t0 AS (SELECT k.doc_id, d.source = 'src0' AS tgt,
+         |    unnest(k.t) AS w
+         |  FROM documents d JOIN toks k USING (doc_id)),
+         |cnt AS (SELECT w, count(*) AS c_all,
+         |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+         |  FROM t0 GROUP BY w),
+         |tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all,
+         |    CAST(sum(c_tgt) AS BIGINT) AS n_tgt FROM cnt),
+         |r AS (SELECT w,
+         |    ((c_tgt * 1000000 // c_all) * n_all) // n_tgt AS r_scaled
+         |  FROM cnt CROSS JOIN tot),
+         |ev AS (SELECT doc_id, count(*) AS n_tok,
+         |    CAST(sum(r_scaled) AS BIGINT) AS dsir_scaled
+         |  FROM t0 JOIN r USING (w) GROUP BY doc_id),
+         |sc AS (SELECT doc_id, dsir_scaled // n_tok AS score FROM ev),
+         |mx AS (SELECT max(score) AS smax FROM sc)
+         |SELECT doc_id, score,
+         |  CASE WHEN (CAST('0x' || substr(md5('dsir#' || doc_id), 1, 8)
+         |      AS BIGINT) % 1000000) * smax < score * 1000000
+         |    THEN 1 ELSE 0 END AS kept
+         |FROM sc CROSS JOIN mx""".stripMargin,
+
     // per-source dedup rollup: global min-id winner per fingerprint,
     // same md5 normalization as q_dedup_exact
     "q_dedup_by_source" ->
@@ -6376,6 +6415,65 @@ object SparkEntry {
         |UNION ALL SELECT v, 1, 3 FROM m3
         |UNION ALL SELECT v, 2, 3 FROM r3
         |UNION ALL SELECT v, 0, 0 FROM u3""".stripMargin,
+
+    // held-out CN link prediction: md5 split, bucket-rotated rewired
+    // negatives, LEFT-join-chain scores, histogram-law concordance
+    "q_linkpred_auc" ->
+      """WITH raw AS (
+        |  SELECT o_custkey AS s, o_orderkey AS d FROM orders
+        |  UNION ALL SELECT l_orderkey, l_partkey FROM lineitem
+        |  UNION ALL SELECT l_partkey, l_suppkey FROM lineitem),
+        |e0 AS (SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+        |  FROM raw WHERE s <> d),
+        |t AS (SELECT s, d FROM e0
+        |  WHERE CAST('0x' || substr(md5('lp#' || s || '#' || d), 1, 8)
+        |    AS BIGINT) % 5 = 0),
+        |tr AS (SELECT s, d FROM e0
+        |  WHERE CAST('0x' || substr(md5('lp#' || s || '#' || d), 1, 8)
+        |    AS BIGINT) % 5 <> 0),
+        |adj AS (SELECT s AS v, d AS n FROM tr
+        |  UNION ALL SELECT d, s FROM tr),
+        |adjc AS (SELECT * FROM adj WHERE v IN (
+        |    SELECT v FROM adj GROUP BY v HAVING count(*) <= 64)),
+        |nb AS (SELECT s, d, md5('lp#' || s || '#' || d) AS p,
+        |    CAST('0x' || substr(md5('lp#' || s || '#' || d), 1, 8)
+        |      AS BIGINT) % 16 AS b
+        |  FROM t),
+        |n0 AS (SELECT s,
+        |    coalesce(lead(d) OVER (PARTITION BY b ORDER BY p),
+        |      first_value(d) OVER (PARTITION BY b ORDER BY p)) AS d2
+        |  FROM nb),
+        |negc AS (SELECT DISTINCT least(s, d2) AS s,
+        |    greatest(s, d2) AS d FROM n0 WHERE s <> d2),
+        |neg AS (SELECT * FROM negc WHERE NOT EXISTS (
+        |    SELECT 1 FROM e0 WHERE e0.s = negc.s AND e0.d = negc.d)),
+        |ps AS (SELECT t.s, t.d, count(a2.n) AS sc FROM t
+        |  LEFT JOIN adjc a1 ON a1.v = t.s
+        |  LEFT JOIN adjc a2 ON a2.v = t.d AND a2.n = a1.n
+        |  GROUP BY t.s, t.d),
+        |ns AS (SELECT neg.s, neg.d, count(a2.n) AS sc FROM neg
+        |  LEFT JOIN adjc a1 ON a1.v = neg.s
+        |  LEFT JOIN adjc a2 ON a2.v = neg.d AND a2.n = a1.n
+        |  GROUP BY neg.s, neg.d),
+        |ph AS (SELECT sc, count(*) AS pc FROM ps GROUP BY sc),
+        |nh AS (SELECT sc, count(*) AS nc FROM ns GROUP BY sc),
+        |al AS (SELECT DISTINCT sc FROM
+        |  (SELECT sc FROM ph UNION ALL SELECT sc FROM nh)),
+        |nf AS (SELECT al.sc, coalesce(nh.nc, 0) AS nc,
+        |    coalesce(CAST(sum(coalesce(nh.nc, 0)) OVER (ORDER BY al.sc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS below
+        |  FROM al LEFT JOIN nh USING (sc)),
+        |agg AS (SELECT CAST(sum(pc) AS BIGINT) AS n_pos,
+        |    CAST(sum(pc * below) AS BIGINT) AS n_concordant,
+        |    CAST(sum(pc * nc) AS BIGINT) AS n_ties
+        |  FROM ph JOIN nf USING (sc)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_neg FROM ns)
+        |SELECT n_pos, n_neg, n_concordant, n_ties,
+        |  CASE WHEN n_pos * n_neg = 0 THEN 0
+        |       ELSE (2 * n_concordant + n_ties) * 1000000
+        |         // (2 * n_pos * n_neg) END AS auc2_ppm
+        |FROM agg CROSS JOIN nn""".stripMargin,
 
     "q_maximal_matching" ->
       """WITH raw AS (

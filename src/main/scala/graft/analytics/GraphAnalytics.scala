@@ -1499,6 +1499,99 @@ object GraphAnalytics {
   }
 
   /**
+   * Link-prediction AUC by held-out evaluation — the measurement loop
+   * behind every "people you may know" / knowledge-graph-completion
+   * scorer (Liben-Nowell & Kleinberg 2003 run exactly this protocol):
+   * a deterministic md5 split holds out 1/`testMod` of the canonical
+   * edges as positives; negatives are degree-plausible rewirings of
+   * the positives (each test edge's `d` swapped with the next test
+   * edge's inside a 16-way md5 bucket, canonicalized, minus anything
+   * that is a real edge); both sets are scored by common-neighbor
+   * count over the TRAIN adjacency (hubs above `maxDegree` dropped
+   * from mediation — the cooccurrence hot-bucket law); AUC folds from
+   * the exact-integer concordance counts. Output one row: (n_pos,
+   * n_neg, n_concordant, n_ties, auc2_ppm) with auc2_ppm =
+   * (2·conc + ties)·10⁶ div (2·P·N) — the standard tie-corrected AUC
+   * at ppm precision, no float anywhere.
+   *
+   * Scale shape: the split is a narrow hash filter; negative rewiring
+   * windows only inside bounded md5 buckets (never a global order over
+   * the test set); pair scoring fans each pair through the capped
+   * adjacency (≤ maxDegree arcs per endpoint) and collapses to a
+   * per-pair count; concordance is computed on the score HISTOGRAMS
+   * (alphabet ≤ maxDegree rows) — the P×N product is never
+   * materialized.
+   */
+  def linkPredAuc(store: GraphStore, edgeTypes: Seq[String],
+      testMod: Int, maxDegree: Int): DataFrame = {
+    require(testMod >= 2 && maxDegree >= 1,
+      "testMod >= 2, maxDegree >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val edges = simpleEdges(store, edgeTypes)
+    val h = conv(substring(md5(concat_ws("#", lit("lp"), col("s"),
+      col("d"))), 1, 8), 16, 10).cast("long")
+    val test = edges.filter(pmod(h, lit(testMod.toLong)) === 0)
+      .transform(graft.CacheScope.persist(_)) // negatives + scoring
+    val train = edges.filter(pmod(h, lit(testMod.toLong)) =!= 0)
+    // capped train adjacency (both directions), hub mediators dropped
+    val adj = undirAdj(train)
+      .transform(graft.CacheScope.persist(_)) // deg + two score joins
+    val adjc = adj.join(
+        adj.groupBy(col("v")).agg(count(lit(1)).as("dg"))
+          .filter(col("dg") <= maxDegree).select(col("v")),
+        Seq("v"), "left_semi")
+      .transform(graft.CacheScope.persist(_))
+    // degree-plausible negatives: rotate d inside 16-way md5 buckets
+    val wB = Window.partitionBy(col("b")).orderBy(col("p"))
+    val neg = test
+      .withColumn("p", md5(concat_ws("#", lit("lp"), col("s"), col("d"))))
+      .withColumn("b", pmod(conv(substring(col("p"), 1, 8), 16, 10)
+        .cast("long"), lit(16L)))
+      .withColumn("d2", coalesce(lead(col("d"), 1).over(wB),
+        first(col("d")).over(wB)))
+      .filter(col("s") =!= col("d2"))
+      .select(least(col("s"), col("d2")).as("s"),
+        greatest(col("s"), col("d2")).as("d"))
+      .distinct()
+      .join(edges, Seq("s", "d"), "left_anti")
+      .transform(graft.CacheScope.persist(_))
+    def scores(pairs: DataFrame): DataFrame =
+      pairs
+        .join(adjc.select(col("v").as("s"), col("n")), Seq("s"), "left")
+        .join(adjc.select(col("v").as("d"), col("n")).withColumn("m",
+          lit(1)), Seq("d", "n"), "left")
+        .groupBy(col("s"), col("d"))
+        .agg(sum(when(col("m") === 1, 1L).otherwise(0L)).as("sc"))
+    val posH = scores(test).groupBy(col("sc"))
+      .agg(count(lit(1)).as("pc"))
+      .transform(graft.CacheScope.persist(_))
+    val negH = scores(neg).groupBy(col("sc"))
+      .agg(count(lit(1)).as("nc"))
+      .transform(graft.CacheScope.persist(_)) // histogram-sized
+    // cumulative negatives-strictly-below over the COMBINED score
+    // alphabet, so a positive score with no negative bin still sees
+    // the right running total (all windows are alphabet-sized)
+    val negFull = posH.select(col("sc"))
+      .unionByName(negH.select(col("sc"))).distinct()
+      .join(negH, Seq("sc"), "left")
+      .select(col("sc"), coalesce(col("nc"), lit(0L)).as("nc"))
+      .withColumn("below", coalesce(sum(col("nc")).over(
+        Window.orderBy(col("sc"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val conc = posH.join(negFull, Seq("sc"))
+      .agg(sum(col("pc")).as("n_pos"),
+        sum(col("pc") * col("below")).as("n_concordant"),
+        sum(col("pc") * col("nc")).as("n_ties"))
+    val nNeg = negH.agg(sum(col("nc")).as("n_neg"))
+    conc.crossJoin(broadcast(nNeg))
+      .select(col("n_pos"), col("n_neg"), col("n_concordant"),
+        col("n_ties"),
+        when(col("n_pos") * col("n_neg") === 0, lit(0L))
+          .otherwise(expr("(2 * n_concordant + n_ties) * 1000000" +
+            " div (2 * n_pos * n_neg)")).as("auc2_ppm"))
+  }
+
+  /**
    * Average-neighbor-degree curve k_nn(k) (Pastor-Satorras, Vázquez &
    * Vespignani 2001 — the degree-correlation SPECTRUM whose slope the
    * scalar assortativity coefficient summarizes; a falling curve =

@@ -587,6 +587,36 @@ object TextAnalysis {
   }
 
   /**
+   * DSIR importance RESAMPLING — the selection half that
+   * [[dsirEvidence]]'s scoring feeds (Xie et al. 2023 §3: sample with
+   * probability ∝ importance weight): per-token integer score
+   * `dsir_scaled div n_tok`, then a deterministic rejection draw —
+   * keep iff u·s_max < score·10⁶ with u = first 8 md5 hex digits of
+   * 'dsir#'doc_id mod 10⁶ — so P(keep) = score/s_max exactly, every
+   * draw replays bit-identically in both engines, and re-running the
+   * pipeline yields the same corpus (the determinism a 100 TB
+   * selection job needs for resumability). Output (doc_id, score,
+   * kept) — all-integer.
+   *
+   * Scale shape: [[dsirEvidence]]'s two vocab-sized shuffles dominate;
+   * the max-score scalar rides an in-plan broadcast (no driver
+   * fetch) and the draw is a narrow codegen'd projection.
+   */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val score = dsirEvidence(docs, idCol, textCol, isTarget)
+      .select(col("doc_id"), expr("dsir_scaled div n_tok").as("score"))
+    val mx = score.agg(max(col("score")).as("smax"))
+    score.crossJoin(broadcast(mx))
+      .withColumn("u", pmod(conv(substring(md5(
+          concat(lit("dsir#"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long"), lit(1000000L)))
+      .select(col("doc_id"), col("score"),
+        (col("u") * col("smax") < col("score") * lit(1000000L))
+          .cast("int").as("kept"))
+  }
+
+  /**
    * Per-document bigram-LM score — the train-then-score half of a
    * KenLM-style perplexity filter (CCNet's filtering stage): the LM is
    * the corpus's own bigram table (joint count c12, history count c1,

@@ -29,6 +29,22 @@ class CorpusOpsSpec extends SparkSpec {
     CacheScope.drain(spark)
   }
 
+  test("dsirSelect: max-score doc always kept, zero-score never") {
+    val docs = Seq(
+      (1L, "target target target", "src0"),  // pure target mass
+      (2L, "offtopic words only here", "src1"),  // zero target overlap
+      (3L, "target offtopic", "src1"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.dsirSelect(docs, "doc_id", "text",
+        isTarget = col("source") === "src0")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    val smax = got.values.map(_._1).max
+    assert(got(1L)._1 == smax && got(1L)._2 == 1) // P(keep)=1 at the max
+    assert(got(2L)._1 == 0L && got(2L)._2 == 0)   // P(keep)=0 at zero
+    CacheScope.drain(spark)
+  }
+
   test("vocabGrowth: hand Heaps curve, new-type credit at first doc") {
     val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c d d"))
       .toDF("doc_id", "text")

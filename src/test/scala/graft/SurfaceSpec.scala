@@ -379,6 +379,34 @@ class AnalyticsSpec extends SparkSpec {
     CacheScope.drain(spark)
   }
 
+  test("linkPredAuc: two-clique signal scores above chance, invariant") {
+    import spark.implicits._
+    // two K6 cliques joined by one bridge: held-out intra-clique
+    // edges have rich common neighbors; rewired negatives are mostly
+    // cross-clique non-edges with zero CN -> AUC well above 1/2
+    val cliqueEdges = (for {
+      base <- Seq(0L, 10L); i <- 1L to 6L; j <- (i + 1) to 6L
+    } yield (base + i, base + j)) :+ ((6L, 11L))
+    val edges = cliqueEdges.map { case (s, d) => (s, d, 0L) }
+      .toDF("_src", "_dst", "_rank")
+    def run(e: org.apache.spark.sql.DataFrame) = {
+      val tiny = GraphStore(
+        vertices = Map("n" -> ((1L to 6L) ++ (11L to 16L)).toDF("_vid")),
+        edges = Map("e" -> e), edgeTypeIds = Map("e" -> 1))
+      GraphAnalytics.linkPredAuc(tiny, Seq("e"), testMod = 3,
+          maxDegree = 16)
+        .as[(Long, Long, Long, Long, Long)].head()
+    }
+    val r = run(edges)
+    val (p, n, conc, ties, auc) = r
+    assert(p > 0 && n > 0)
+    assert(conc + ties <= p * n)
+    assert(auc == (2 * conc + ties) * 1000000L / (2 * p * n))
+    assert(auc > 500000L, s"expected signal above chance, got $auc")
+    assert(run(edges.repartition(13)) == r) // md5 split: layout-free
+    CacheScope.drain(spark)
+  }
+
   test("neighborDegreeCurve: star graph spectrum") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L))
