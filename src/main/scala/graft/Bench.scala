@@ -161,6 +161,7 @@ object Bench {
     "maximal_matching" -> "mmatch", "indep_cascade" -> "icasc",
     "label_noise" -> "lnoise", "kcenter_seeds" -> "kcenter",
     "dsir_select" -> "dsirsel", "linkpred_auc" -> "lpauc",
+    "window_topk" -> "wtopk", "source_quality" -> "srcqual",
     "vocab_growth" -> "vgrow", "priority_coloring" -> "pcolor",
     "peak_concurrency" -> "peakc",
     "quality_sweep" -> "qsweep", "quantile_assign" -> "qassign",

@@ -791,6 +791,10 @@ object SparkEntry {
     "q_events_window" -> ((s, dir) =>
       EventStream.windowedAgg(graft.sources.Tables.events(s, dir))),
 
+    // ---- Per-window top-k event types (exact heavy-hitter tile) ----
+    "q_window_topk" -> ((s, dir) =>
+      EventStream.windowTopK(graft.sources.Tables.events(s, dir), k = 3)),
+
     "q_events_sessions" -> ((s, dir) =>
       EventStream.sessionize(graft.sources.Tables.events(s, dir),
         gapMinutes = 30)),
@@ -1692,6 +1696,13 @@ object SparkEntry {
     "q_dsir_evidence" -> ((s, dir) =>
       TextAnalysis.dsirEvidence(t(s, dir, "documents"), "doc_id", "text",
         isTarget = col("source") === "src0")),
+
+    // ---- Per-source quality reliability, empirical-Bayes shrunk
+    // (Beta(2,2) prior): small perfect sources stop outranking large
+    // good ones ----
+    "q_source_quality" -> ((s, dir) =>
+      TextAnalysis.sourceQualityShrunk(t(s, dir, "documents"), "doc_id",
+        "text", "source", threshold = 300L, alpha = 2L, beta = 2L)),
 
     // ---- DSIR importance resampling: deterministic rejection draw
     // with P(keep) = score/s_max — the selection half of q_dsir_evidence ----
@@ -4073,6 +4084,18 @@ object SparkEntry {
         |       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "q_window_topk" ->
+      """WITH c AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
+        |    AS window_start, event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT window_start, event_type, n_events,
+        |    CAST(row_number() OVER (PARTITION BY window_start
+        |      ORDER BY n_events DESC, event_type) AS BIGINT) AS rk
+        |  FROM c)
+        |SELECT window_start, event_type, n_events, rk
+        |FROM r WHERE rk <= 3""".stripMargin,
+
     "q_events_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, lag(ts) OVER
@@ -5890,6 +5913,33 @@ object SparkEntry {
          |  CAST(sum(r_scaled) AS BIGINT) AS dsir_scaled
          |FROM t0 JOIN r USING (w)
          |GROUP BY doc_id""".stripMargin,
+
+    // classifier CTE rolled to sources + Beta(2,2) posterior mean
+    "q_source_quality" ->
+      s"""WITH $TokCte,
+         |f AS (SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tok,
+         |  CAST(length(text) AS BIGINT) AS n_char,
+         |  CAST(length(text)
+         |    - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+         |    AS BIGINT) AS n_punct,
+         |  CAST(len(list_filter(t, x -> list_contains($Stoplist, x)))
+         |    AS BIGINT) AS n_stop
+         |  FROM toks),
+         |g AS (SELECT doc_id,
+         |  3 * least(n_tok, 200)
+         |    + 2 * (n_stop * 1000 // greatest(n_tok, 1))
+         |    - 4 * (n_punct * 1000 // greatest(n_char, 1)) AS score
+         |  FROM f),
+         |s AS (SELECT d.source,
+         |    count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN g.score >= 300 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_good
+         |  FROM g JOIN documents d USING (doc_id)
+         |  GROUP BY d.source)
+         |SELECT source, n_docs, n_good,
+         |  (n_good + 2) * 1000 // (n_docs + 2 + 2) AS shrunk_permille
+         |FROM s""".stripMargin,
 
     // dsir chain + integer rejection draw; P(keep) = score/smax
     "q_dsir_select" ->

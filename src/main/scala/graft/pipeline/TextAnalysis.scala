@@ -802,6 +802,34 @@ object TextAnalysis {
       .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
 
   /**
+   * Per-source quality reliability with empirical-Bayes shrinkage
+   * (Laplace/beta-binomial pseudo-counts — the crawl-source triage
+   * statement: a source with 3/3 good docs must NOT outrank one with
+   * 970/1000, which a raw rate does and a shrunk rate doesn't):
+   * per source, doc count, [[qualityClassifier]]-good count, and
+   * `shrunk_permille` = (n_good + α)·1000 div (n_docs + α + β) —
+   * the posterior-mean rate under a Beta(α, β) prior, exact integers
+   * end to end. Sources are dropped or down-weighted in mixture
+   * design by thresholding the SHRUNK rate.
+   *
+   * Scale shape: the classifier is a narrow codegen'd projection; the
+   * rollup is one source-keyed combinable aggregate (|sources| rows).
+   */
+  def sourceQualityShrunk(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String, threshold: Long,
+      alpha: Long, beta: Long): DataFrame = {
+    require(alpha >= 0 && beta >= 0, "pseudo-counts must be >= 0")
+    val scored = qualityClassifier(docs, idCol, textCol, threshold)
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(srcCol).as("source")), Seq("doc_id"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("n_good"))
+      .select(col("source"), col("n_docs"), col("n_good"),
+        expr(s"(n_good + $alpha) * 1000 div (n_docs + $alpha + $beta)")
+          .as("shrunk_permille"))
+  }
+
+  /**
    * Deterministic draws from the corpus unigram distribution — the
    * negative-sampling table of word2vec served as a query (Mikolov et
    * al. 2013 §2.2; the canonical table uses freq^0.75, a libm law, so

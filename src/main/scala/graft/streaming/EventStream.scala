@@ -47,6 +47,34 @@ object EventStream {
         .as("window_start"), col("event_type"), col("n_events"),
         col("sum_value"))
 
+  /**
+   * Per-window top-k event types — the heavy-hitter dashboard tile
+   * over tumbling hour windows (the bounded-cardinality twin of
+   * [[graft.operators.Stats.cmsHeavyHitters]]: when the key alphabet
+   * is small the exact count IS affordable, and the rank makes the
+   * tile). Deterministic rank: count desc, type asc. Batch statement;
+   * under `readStream` the same count aggregate runs watermarked and
+   * the rank is applied per emitted window in `foreachBatch`.
+   *
+   * Scale shape: one map-side-combinable (window, type) count shuffle;
+   * the rank window partitions per hour over the TYPE alphabet and
+   * plans as WindowGroupLimit.
+   */
+  def windowTopK(events: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val counts = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val wk = Window.partitionBy(col("w"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(wk).cast("long"))
+      .filter(col("rk") <= k)
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm")
+        .as("window_start"), col("event_type"), col("n_events"),
+        col("rk"))
+  }
+
   /** Streaming variant: watermark bounds state for late data. */
   def windowedAggStreaming(events: DataFrame,
       watermark: String = "2 hours"): DataFrame =

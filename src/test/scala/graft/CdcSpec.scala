@@ -136,6 +136,25 @@ class CdcSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1L)))
   }
 
+  test("windowTopK: per-hour ranks, count-desc then type-asc ties") {
+    import graft.streaming.EventStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = (1L to 3L).map(i =>
+        (i, 1L, ts("2024-01-01 10:01:00"), "view")) ++
+      (4L to 5L).map(i => (i, 1L, ts("2024-01-01 10:02:00"), "click")) ++
+      Seq((6L, 1L, ts("2024-01-01 10:03:00"), "buy"),
+        (7L, 1L, ts("2024-01-01 10:04:00"), "add"),  // 4 types, k=3 cuts
+        (8L, 2L, ts("2024-01-01 12:00:00"), "view"))
+    val out = EventStream.windowTopK(
+        ev.toDF("event_id", "user_id", "ts", "event_type"), k = 3)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01 10:00", "view", 3L, 1L),
+      ("2024-01-01 10:00", "click", 2L, 2L),
+      ("2024-01-01 10:00", "add", 1L, 3L),   // add < buy on the tie
+      ("2024-01-01 12:00", "view", 1L, 1L)))
+  }
+
   test("peakConcurrency: sweep-line peak per hour, tie overlap") {
     import graft.streaming.EventStream
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -29,6 +29,23 @@ class CorpusOpsSpec extends SparkSpec {
     CacheScope.drain(spark)
   }
 
+  test("sourceQualityShrunk: small perfect source ranks below big one") {
+    val good = ("the value of the table is it and to in " * 15).trim
+    val bad = "::: !!! ,,,"
+    val docs = ((1L to 1L).map(i => (i, good, "tiny")) ++
+      (10L to 18L).map(i => (i, good, "big")) :+ ((19L, bad, "big")))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceQualityShrunk(docs, "doc_id", "text",
+        "source", threshold = 300L, alpha = 2L, beta = 2L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("tiny") == ((1L, 1L, 600L)))   // (1+2)*1000/(1+4)
+    assert(got("big") == ((10L, 9L, 785L)))   // (9+2)*1000/(10+4)
+    // raw rate would rank tiny (1000) over big (900); shrunk flips it
+    assert(got("tiny")._3 < got("big")._3)
+    CacheScope.drain(spark)
+  }
+
   test("dsirSelect: max-score doc always kept, zero-score never") {
     val docs = Seq(
       (1L, "target target target", "src0"),  // pure target mass
