@@ -508,17 +508,17 @@ object ScaleSmoke {
     time(s"merkle diff ${factor}x")(
       graft.operators.Audit.merkleDiff(edges,
         edges.filter(col("l_orderkey") % 1001 =!= 0), "l_orderkey",
-        Seq("l_partkey", "l_quantity"), nBuckets = 64).count())
+        Seq("l_partkey"), nBuckets = 64).count())
     time(s"reciprocity ${factor}x")(
       graft.operators.Audit.reciprocity(
         edges.select((col("l_partkey") % 997).as("s"),
-          (col("l_suppkey") % 997).as("d")), "s", "d").count())
+          (col("l_orderkey") % 997).as("d")), "s", "d").count())
     time(s"interevent hist ${factor}x")(
       graft.streaming.EventStream.intereventHist(ev, "user_id", "ts",
         "event_id", binSec = 600, maxBin = 24).count())
     time(s"quantile assign ${factor}x")(
-      graft.operators.Stats.quantileAssign(edges, "l_extendedprice",
-        lo = 0L, width = 1000L, nBins = 100,
+      graft.operators.Stats.quantileAssign(edges, "l_orderkey",
+        lo = 0L, width = 1000000L, nBins = 100,
         permille = Seq(250, 500, 750)).count())
     time(s"unigram draws ${factor}x")(
       graft.pipeline.TextAnalysis.unigramDraws(docs, "text", k = 32,
@@ -547,9 +547,9 @@ object ScaleSmoke {
         .count())
     time(s"pair stats ${factor}x")(
       graft.operators.Stats.pairStats(
-        edges.select(col("l_partkey"), col("l_suppkey"),
-          col("l_orderkey")),
-        Seq("l_partkey", "l_suppkey", "l_orderkey")).count())
+        edges.select((col("l_partkey") % 100000).as("pk"),
+          (col("l_orderkey") % 100000).as("ok")),
+        Seq("pk", "ok")).count())
     time(s"vocab growth ${factor}x")(
       graft.pipeline.TextAnalysis.vocabGrowth(docs, "doc_id", "text",
         bucketSize = 100).count())
