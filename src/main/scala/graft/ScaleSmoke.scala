@@ -562,9 +562,13 @@ object ScaleSmoke {
     time(s"indep cascade ${factor}x seeds")(
       graft.analytics.GraphAnalytics.independentCascade(store,
         Seq("amp"), seeds, thetaPermille = 500, rounds = 3).count())
-    time(s"label noise ${factor}x")(
+    // planes scale with the corpus (the knn-graph guard above): fixed
+    // planes at 10x leave every LSH bucket above the cap -> 0 rows
+    val lnPlanes = 6 +
+      math.ceil(math.log(factor.toDouble) / math.log(2.0)).toInt
+    time(s"label noise ${factor}x (planes $lnPlanes)")(
       graft.pipeline.Similarity.labelNoiseAudit(emb, "vec_id",
-        "embedding", "label", k = 3, numPlanes = 6, dim = 64,
+        "embedding", "label", k = 3, numPlanes = lnPlanes, dim = 64,
         maxBucketSize = 128).count())
     time(s"kcenter seeds ${factor}x")(
       graft.pipeline.Similarity.kCenterSeeds(emb, "vec_id",
