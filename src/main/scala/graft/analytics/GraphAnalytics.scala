@@ -840,6 +840,29 @@ object GraphAnalytics {
     * direction collapsed least/greatest, parallel edges deduped) —
     * persisted: it feeds the edge side and both adjacency sides of
     * every neighborhood operator built on it. */
+  /** Eagerly localCheckpoint `df` and release the PREVIOUS round's
+    * checkpoint blocks — the per-round lineage-break law every bounded-
+    * round operator here shares (see [[hits]]'s scaladoc for the full
+    * derivation: the checkpointed Dataset wraps its blocks in a
+    * LogicalRDD that `Dataset.unpersist` can't reach, so the block
+    * RDD's id is learned by diffing `getPersistentRDDs` around the
+    * call; a diff that isn't exactly one new RDD degrades to None —
+    * the harness's CacheScope.drain sweeps those instead of this
+    * helper unpersisting a guess). Returns (checkpointed, newId). */
+  private def rotateCheckpoint(df: DataFrame,
+      prev: Option[Int]): (DataFrame, Option[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val next = df.localCheckpoint(true)
+    val id = (sc.getPersistentRDDs.keySet -- before).toList match {
+      case only :: Nil => Some(only)
+      case _ => None
+    }
+    prev.foreach(i =>
+      sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
+    (next, id)
+  }
+
   private def simpleEdges(store: GraphStore,
       edgeTypes: Seq[String]): DataFrame =
     edgeTypes.map { et =>
@@ -1255,7 +1278,6 @@ object GraphAnalytics {
     val arcs = undirAdj(simpleEdges(store, edgeTypes))
       .transform(graft.CacheScope.persist(_)) // re-filtered every round
     val verts = arcs.select(col("v")).distinct()
-    val sc = arcs.sparkSession.sparkContext
     var prevCkptId: Option[Int] = None
     var state = verts.select(col("v"), lit(0).as("st"),
       lit(0).as("round"))
@@ -1295,14 +1317,7 @@ object GraphAnalytics {
       // LogicalRDD so the next round's analysis starts from an opaque
       // scan; the superseded round's checkpoint blocks are released
       // by RDD id, keeping pinned state O(1) for the run.
-      val before = sc.getPersistentRDDs.keySet
-      val next = round_.localCheckpoint(true)
-      val ckptId = (sc.getPersistentRDDs.keySet -- before).toList match {
-        case only :: Nil => Some(only)
-        case _ => None
-      }
-      prevCkptId.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      val (next, ckptId) = rotateCheckpoint(round_, prevCkptId)
       prevCkptId = ckptId
       Seq(undec, live, mis).foreach(graft.CacheScope.unpersist)
       state = next
@@ -1341,7 +1356,6 @@ object GraphAnalytics {
       .transform(graft.CacheScope.persist(_)) // re-filtered every round
     val prio = (c: org.apache.spark.sql.Column) =>
       md5(concat_ws("#", lit("c"), c))
-    val sc = arcs.sparkSession.sparkContext
     var prevCkptId: Option[Int] = None
     var state = arcs.select(col("v")).distinct()
       .select(col("v"), lit(-1).as("color"))
@@ -1364,14 +1378,7 @@ object GraphAnalytics {
       // (the analyzer's self-join dedup clones the per-round subtrees
       // exponentially otherwise); superseded checkpoint blocks release
       // by RDD id so pinned state stays O(1).
-      val before = sc.getPersistentRDDs.keySet
-      val next = round_.localCheckpoint(true)
-      val ckptId = (sc.getPersistentRDDs.keySet -- before).toList match {
-        case only :: Nil => Some(only)
-        case _ => None
-      }
-      prevCkptId.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      val (next, ckptId) = rotateCheckpoint(round_, prevCkptId)
       prevCkptId = ckptId
       graft.CacheScope.unpersist(undec)
       state = next
@@ -1403,11 +1410,9 @@ object GraphAnalytics {
   def maximalMatching(store: GraphStore, edgeTypes: Seq[String],
       rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val sc0 = store.edges.valuesIterator.next().sparkSession
     val ep = simpleEdges(store, edgeTypes)
       .select(col("s"), col("d"),
         md5(concat_ws("#", lit("m"), col("s"), col("d"))).as("p"))
-    val sc = sc0.sparkContext
     var prevCkptId: Option[Int] = None
     var live = ep
     val matchedRounds = scala.collection.mutable.ArrayBuffer
@@ -1432,14 +1437,7 @@ object GraphAnalytics {
         .select(col("s"), col("d"), col("p"))
       // lineage break per round (lubyMIS law): the live frame feeds
       // 5 consumers next round; checkpoint + release superseded blocks
-      val before = sc.getPersistentRDDs.keySet
-      val next = next0.localCheckpoint(true)
-      val ckptId = (sc.getPersistentRDDs.keySet -- before).toList match {
-        case only :: Nil => Some(only)
-        case _ => None
-      }
-      prevCkptId.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      val (next, ckptId) = rotateCheckpoint(next0, prevCkptId)
       prevCkptId = ckptId
       graft.CacheScope.unpersist(vmin)
       live = next

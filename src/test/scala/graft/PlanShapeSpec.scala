@@ -295,6 +295,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), "no join anywhere in the pair count")
   }
 
+  test("pair_stats: ONE full-scan aggregate — no join, partial sums") {
+    val p = plan("q_pair_stats")
+    assert(!p.contains("Join"),
+      s"every pair sum must ride one Tungsten pass, not a join:\n$p")
+    assert(p.contains("partial_"),
+      s"the moment sums must partial-aggregate map-side:\n$p")
+  }
+
+  test("window_topk: per-window rank plans as WindowGroupLimit") {
+    val p = plan("q_window_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank <= k must partial-apply before the shuffle:\n$p")
+  }
+
+  test("peak_concurrency: local ranks partition by the hour bucket") {
+    val p = plan("q_peak_concurrency")
+    assert(p.contains("windowspecdefinition(hr#"),
+      s"the corpus-sized running sum must partition by hour:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
   test("bucketed store join: co-located, zero shuffle on either side") {
     // SURVEY §2.1's SST-ingest claim made executable: two tables
     // bucketed+sorted on the same key join with NO Exchange — at
