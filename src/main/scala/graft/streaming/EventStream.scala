@@ -60,12 +60,23 @@ object EventStream {
    * the rank window partitions per hour over the TYPE alphabet and
    * plans as WindowGroupLimit.
    */
-  def windowTopK(events: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 1, "k must be >= 1")
-    val counts = events
+  def windowTopK(events: DataFrame, k: Int): DataFrame =
+    windowTopKFinish(windowCounts(events), k)
+
+  /** The streamable half of [[windowTopK]]: the watermark-compatible
+    * (window, type) count aggregate. Runs identically batch or under
+    * `readStream`. */
+  def windowCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** The rank finisher of [[windowTopK]], applied to [[windowCounts]]
+    * output — in streaming, per emitted micro-batch/table (rank is not
+    * a streaming-supported window function; the counts are). */
+  def windowTopKFinish(counts: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
     val wk = Window.partitionBy(col("w"))
       .orderBy(col("n_events").desc, col("event_type"))
     counts.withColumn("rk", row_number().over(wk).cast("long"))

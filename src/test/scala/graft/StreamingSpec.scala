@@ -34,6 +34,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("window top-k: streamed counts + rank finisher equal batch") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val batch = EventStream.windowTopK(events, k = 3).collect()
+      .map(_.toSeq).toSet
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-topk").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val streamed = spark.readStream.schema(schema).parquet(streamDir)
+      .transform(graft.sources.Tables.normalizeTs)
+    val q = EventStream.windowCounts(streamed.withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("topk_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = EventStream
+        .windowTopKFinish(spark.table("topk_counts"), k = 3)
+        .collect().map(_.toSeq).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment equals the batch broadcast join") {
     val events = graft.sources.Tables.events(spark, sfDir)
     val dim = graft.model.GraphStore.table(spark, sfDir, "customer")
