@@ -635,9 +635,12 @@ object Stats {
     val pairs = for {
       i <- cols.indices; j <- i until cols.size
     } yield (cols(i), cols(j))
-    val aggs = cols.map(c => sum(col(c)).as(s"s_$c")) ++
+    // coalesce: an EMPTY input (or shard) must yield typed zero sums,
+    // not NULLs — the additivity law (PropertySpec) re-adds shards
+    val aggs = cols.map(c =>
+      coalesce(sum(col(c)), lit(0L)).as(s"s_$c")) ++
       pairs.map { case (a, b) =>
-        sum(col(a) * col(b)).as(s"p_${a}__$b") }
+        coalesce(sum(col(a) * col(b)), lit(0L)).as(s"p_${a}__$b") }
     val wide = df.select(cols.map(c => col(c).cast("long").as(c)): _*)
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
     val stackExpr = s"stack(${pairs.size}, " + pairs.map { case (a, b) =>

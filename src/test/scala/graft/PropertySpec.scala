@@ -26,6 +26,66 @@ class PropertySpec extends SparkSpec {
     Gen.oneOf("the", "fox", "dog", "spark", "row", "scan", "fast", ""))
     .map(_.mkString(" "))
 
+  test("pairStats moments are additive across any shard split") {
+    import graft.operators.Stats
+    forAll(Gen.listOfN(40, Gen.zip(Gen.chooseNum(-50L, 50L),
+        Gen.chooseNum(-50L, 50L), Gen.chooseNum(0L, 9L)))) { rows =>
+      val df = rows.toDF("x", "y", "shard")
+      def stats(d: org.apache.spark.sql.DataFrame) =
+        Stats.pairStats(d.select(col("x"), col("y")), Seq("x", "y"))
+          .as[(String, String, Long, Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+      val whole = stats(df)
+      val parts = (0L to 9L).map(s => stats(df.filter(col("shard") === s)))
+      val merged = whole.keySet.map { k =>
+        k -> parts.map(_.getOrElse(k, (0L, 0L, 0L, 0L)))
+          .reduce((a, b) =>
+            (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+      }.toMap
+      assert(merged == whole) // the sums re-add exactly: shardable
+      CacheScope.drain(spark)
+    }
+  }
+
+  test("peakConcurrency matches a brute-force sweep and any layout") {
+    import graft.streaming.EventStream
+    forAll(Gen.listOfN(25, Gen.zip(Gen.chooseNum(1L, 4L),
+        Gen.chooseNum(0L, 10000L)))) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, sec), i) =>
+        (i.toLong, u, new java.sql.Timestamp(1700000000000L + sec * 1000),
+          "e")
+      }
+      val df = rows.toDF("event_id", "user_id", "ts", "event_type")
+      val got = EventStream.peakConcurrency(df, gapMinutes = 30)
+        .as[(Long, Long)].collect().toMap
+      // scala oracle: sessionize per user (30-min gap), sweep +1/-1
+      val sess = rows.groupBy(_._2).values.flatMap { es =>
+        val ts = es.map(_._3.getTime).sorted
+        ts.foldLeft(List.empty[(Long, Long)]) {
+          case (acc, t) if acc.nonEmpty && t - acc.head._2 < 1800000L =>
+            (acc.head._1, t) :: acc.tail
+          case (acc, t) => (t, t) :: acc
+        }
+      }.toList
+      val deltas = sess.flatMap { case (s, e) =>
+        Seq((s, 1L), (e, -1L)) }
+        .sortBy { case (t, d) => (t, -d) } // +1 before -1 on ties
+      var cur = 0L
+      val peaks = scala.collection.mutable.Map.empty[Long, Long]
+      deltas.foreach { case (t, d) =>
+        cur += d
+        val hr = (t * 1000L) / 3600000000L
+        peaks(hr) = math.max(peaks.getOrElse(hr, Long.MinValue), cur)
+      }
+      assert(got == peaks.toMap)
+      // layout invariance (two-level prefix sum is deterministic)
+      val got17 = EventStream.peakConcurrency(df.repartition(17),
+        gapMinutes = 30).as[(Long, Long)].collect().toMap
+      assert(got17 == got)
+      CacheScope.drain(spark)
+    }
+  }
+
   test("containment dominates jaccard on every candidate pair") {
     // |A∩B|/min ≥ |A∩B|/|A∪B| always — checked on real corpus pairs
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
