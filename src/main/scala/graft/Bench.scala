@@ -162,6 +162,7 @@ object Bench {
     "label_noise" -> "lnoise", "kcenter_seeds" -> "kcenter",
     "dsir_select" -> "dsirsel", "linkpred_auc" -> "lpauc",
     "window_topk" -> "wtopk", "source_quality" -> "srcqual",
+    "cascade_delete" -> "cascdel",
     "vocab_growth" -> "vgrow", "priority_coloring" -> "pcolor",
     "peak_concurrency" -> "peakc",
     "quality_sweep" -> "qsweep", "quantile_assign" -> "qassign",

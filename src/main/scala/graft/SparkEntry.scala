@@ -267,6 +267,19 @@ object SparkEntry {
           col("l_linenumber").cast("long").as("line_no")),
         Seq("qty", "disc_pm", "tax_pm", "line_no"))),
 
+    // ---- Referential cascade delete (right-to-be-forgotten audit):
+    // victims -> their orders -> those orders' lineitems ----
+    "q_cascade_delete" -> ((s, dir) =>
+      graft.operators.Mutations.cascadeDelete(
+        Seq(
+          ("customer", t(s, dir, "customer"), "c_custkey", "c_custkey"),
+          ("orders", t(s, dir, "orders"), "o_orderkey", "o_custkey"),
+          ("lineitem", t(s, dir, "lineitem"), "l_orderkey",
+            "l_orderkey")),
+        victims = t(s, dir, "customer")
+          .filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey")))),
+
     // ---- TTL visibility (§2.9) ----
     "q_ttl_visibility" -> ((s, dir) =>
       Ttl.visible(graft.sources.Tables.events(s, dir), "ts", 604800L,
@@ -3379,6 +3392,29 @@ object SparkEntry {
          |  ELSE c_acctbal END AS acct_or_null FROM customer)
          |${arms.mkString("\nUNION ALL\n")}""".stripMargin
     },
+
+    // FK chain unrolled; per-table before/deleted/after counts
+    "q_cascade_delete" ->
+      """WITH v AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |  WHERE c_custkey % 10 = 0),
+        |mc AS (SELECT c_custkey FROM customer
+        |  WHERE c_custkey IN (SELECT k FROM v)),
+        |mo AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM mc)),
+        |ml AS (SELECT l_orderkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM mo))
+        |SELECT 'customer' AS "table",
+        |  (SELECT count(*) FROM customer) AS n_before,
+        |  (SELECT count(*) FROM mc) AS n_deleted,
+        |  (SELECT count(*) FROM customer) - (SELECT count(*) FROM mc)
+        |    AS n_after
+        |UNION ALL SELECT 'orders', (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM mo),
+        |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM mo)
+        |UNION ALL SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM ml),
+        |  (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM ml)
+        |""".stripMargin,
 
     // one moment row per unordered column pair; sums CAST (HUGEINT law)
     "q_pair_stats" -> {

@@ -140,4 +140,44 @@ object Mutations {
     kept.withColumn("_inserted", inserted)
       .select((cols :+ "_inserted").map(col): _*)
   }
+
+  /**
+   * Referential cascade delete — the "right to be forgotten" batch
+   * statement (delete a key set from the root table AND every row
+   * transitively referencing it through FK chains; the reference's
+   * DeleteVertices + DeleteEdges only covers one hop,
+   * src/storage/mutate/DeleteVerticesProcessor.cpp): `levels` is the
+   * FK chain root-first — (table_name, table, key_col, fk_col) where
+   * level 0's fk_col names the column matched against `victims` and
+   * each later level's fk_col references the PREVIOUS level's key_col.
+   * Emits the audit evidence per table: (table, n_before, n_deleted,
+   * n_after) — the numbers a deletion-compliance report needs; the
+   * surviving tables themselves are `deleteRows(table, matchedKeys)`
+   * (anti-join), not recomputed here.
+   *
+   * Scale shape: one LEFT SEMI join per level on the FK (AQE
+   * broadcasts the shrinking key frame while it fits); the matched
+   * frame persists because it feeds both the count and the next
+   * level's key projection; counts are single aggregated rows.
+   */
+  def cascadeDelete(levels: Seq[(String, DataFrame, String, String)],
+      victims: DataFrame): DataFrame = {
+    require(levels.nonEmpty, "need at least the root level")
+    val vCol = victims.columns.head
+    var keys = victims.select(col(vCol).as("_k")).distinct()
+    val reports = levels.map { case (name, df, keyCol, fkCol) =>
+      val matched = df.join(keys.select(col("_k").as(fkCol)),
+          Seq(fkCol), "left_semi")
+        .transform(graft.CacheScope.persist(_)) // count + next keys
+      val rep = df.agg(count(lit(1)).as("n_before"))
+        .crossJoin(broadcast(
+          matched.agg(count(lit(1)).as("n_deleted"))))
+        .select(lit(name).as("table"), col("n_before"),
+          col("n_deleted"),
+          (col("n_before") - col("n_deleted")).as("n_after"))
+      keys = matched.select(col(keyCol).as("_k")).distinct()
+      rep
+    }
+    reports.reduce(_ unionByName _)
+  }
 }

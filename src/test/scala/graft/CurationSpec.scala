@@ -11,6 +11,28 @@ class CurationSpec extends SparkSpec {
 
   private def docs = GraphStore.table(spark, sfDir, "documents")
 
+  test("cascadeDelete: transitive FK counts, untouched siblings kept") {
+    // users 1,2; u1 has orders 10,11; u2 has order 20; order 10 has
+    // items 100,101; order 20 has item 200. Delete u1 -> orders 10,11
+    // -> items 100,101. u2's subtree survives.
+    val users = Seq(1L, 2L).toDF("uid")
+    val orders = Seq((10L, 1L), (11L, 1L), (20L, 2L)).toDF("oid", "uid")
+    val items = Seq((100L, 10L), (101L, 10L), (200L, 20L))
+      .toDF("iid", "oid")
+    val rep = Mutations.cascadeDelete(
+        Seq(("users", users, "uid", "uid"),
+          ("orders", orders, "oid", "uid"),
+          ("items", items, "iid", "oid")),
+        victims = Seq(1L).toDF("uid"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rep == Map(
+      "users" -> ((2L, 1L, 1L)),
+      "orders" -> ((3L, 2L, 1L)),
+      "items" -> ((3L, 2L, 1L))))
+    CacheScope.drain(spark)
+  }
+
   test("deleteTags removes only the targeted tag's rows") {
     val store = GraphStore.cached(spark, sfDir)
     val tags = Map("customer" -> store.tag("customer"),
