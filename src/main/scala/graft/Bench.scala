@@ -163,6 +163,10 @@ object Bench {
     "dsir_select" -> "dsirsel", "linkpred_auc" -> "lpauc",
     "window_topk" -> "wtopk", "source_quality" -> "srcqual",
     "cascade_delete" -> "cascdel",
+    "hyperball" -> "hball", "eff_diameter" -> "effdiam",
+    "cc_bigstar" -> "ccstar", "bloom_index" -> "blmix",
+    "bloom_probe" -> "blmpr", "image_dhash" -> "dhash",
+    "image_neardup" -> "imgnd",
     "vocab_growth" -> "vgrow", "priority_coloring" -> "pcolor",
     "peak_concurrency" -> "peakc",
     "quality_sweep" -> "qsweep", "quantile_assign" -> "qassign",

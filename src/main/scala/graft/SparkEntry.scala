@@ -572,6 +572,20 @@ object SparkEntry {
         .select("id", "width", "height", "scale", "out_w", "out_h")
     }),
 
+    // ---- Perceptual dHash from the DECODED raster: 64 gradient-sign
+    // bits per image (two 32-bit halves), through the real codec ----
+    "q_image_dhash" -> ((s, dir) =>
+      Multimodal.dHash(
+        Multimodal.synthesize(t(s, dir, "documents"), "doc_id")).toDF()),
+
+    // ---- Image near-duplicates: dims-blocked capped pair-gen +
+    // Hamming distance over the dHash bits ----
+    "q_image_neardup" -> ((s, dir) =>
+      Multimodal.dhashNearDup(
+        Multimodal.dHash(
+          Multimodal.synthesize(t(s, dir, "documents"), "doc_id")).toDF(),
+        maxHamming = 6, maxBlockSize = 256)),
+
     // byte-level payload features over generic binary ingest (no codec
     // involved): exact-integer surrogates face the hash; mean_byte is
     // an exact rational (byte_sum/n_bytes, floor-quantized); entropy
@@ -1114,6 +1128,34 @@ object SparkEntry {
             (col("l_partkey") % 250).as("d")),
         "s", "d", numIter = 20)),
 
+    // ---- HyperBall (HyperANF): per-vertex 2-hop out-ball cardinality
+    // estimates via HLL register propagation — distance statistics
+    // with O(|V|·2^b) state instead of exact frontiers ----
+    "q_hyperball" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.hyperBall(
+        t(s, dir, "lineitem")
+          .select((col("l_orderkey") % 250).as("s"),
+            (col("l_partkey") % 250).as("d")),
+        rounds = 2)),
+
+    // ---- Neighborhood function N(t) + effective diameter: the
+    // HyperANF distance-distribution readout over 3 radii ----
+    "q_eff_diameter" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.neighborhoodFunction(
+        t(s, dir, "lineitem")
+          .select((col("l_suppkey") % 300).as("s"),
+            (col("l_partkey") % 300).as("d")),
+        rounds = 3)),
+
+    // ---- Connected components WITHOUT GraphX: alternating
+    // large-star/small-star over an order⇄supplier bipartite graph ----
+    "q_cc_bigstar" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.ccBigStar(
+        t(s, dir, "lineitem")
+          .select((col("l_orderkey") % 400 + 1000000L).as("a"),
+            (col("l_suppkey") + 2000000L).as("b")),
+        rounds = 6)),
+
     // ---- Modularity sufficient statistics: communities from CC over
     // customer→nation edges, scored against the graph WITH region
     // edges (which cross communities) ----
@@ -1193,6 +1235,32 @@ object SparkEntry {
     "q_cms_heavy_hitters" -> ((s, dir) =>
       graft.operators.Stats.cmsHeavyHitters(t(s, dir, "lineitem"),
         "l_partkey", depth = 4, width = 4096, minFreq = 45L)),
+
+    // ---- White-box Bloom index: per-bucket 256-bit membership bitmap
+    // as bit_or'd 32-bit words — the point-lookup data-skipping state
+    // (reference: RocksDB prefix blooms, RocksEngineConfig.cpp:81) ----
+    "q_bloom_index" -> ((s, dir) =>
+      graft.operators.BloomIndex.build(
+        t(s, dir, "lineitem")
+          .select((col("l_suppkey") % 8).as("bkt"), col("l_partkey")),
+        "bkt", "l_partkey", bits = 256, hashes = 2)),
+
+    // ---- Bloom probe audit: every 3rd part key probed against every
+    // bucket's bitmap; no-false-negative law (missed ≡ 0) + the
+    // false-positive count a data read would pay ----
+    "q_bloom_probe" -> ((s, dir) => {
+      val data = t(s, dir, "lineitem")
+        .select((col("l_suppkey") % 8).as("bkt"),
+          col("l_partkey").as("key"))
+      val index = graft.operators.BloomIndex.build(
+        data, "bkt", "key", bits = 256, hashes = 2)
+      val probes = t(s, dir, "part")
+        .filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("key"))
+        .crossJoin(broadcast(s.range(0, 8).select(col("id").as("bkt"))))
+      graft.operators.BloomIndex.probe(index, probes, data,
+        "bkt", "key", bits = 256, hashes = 2)
+    }),
 
     // ---- Trailing 1-hour per-user window features (count + max —
     // the order-free stats; RANGE frame, no time-band self-join) ----
@@ -1621,6 +1689,12 @@ object SparkEntry {
     // ±2 positions, pair cutoff 5 ----
     "q_skipgram_counts" -> ((s, dir) =>
       TextAnalysis.skipgramCounts(t(s, dir, "documents"), "text",
+        window = 2, minCount = 5)),
+
+    // ---- Shifted-PPMI association matrix over the skip-gram pair
+    // table — the matrix word2vec implicitly factorizes ----
+    "q_ppmi" -> ((s, dir) =>
+      TextAnalysis.ppmi(t(s, dir, "documents"), "text",
         window = 2, minCount = 5)),
 
     // ---- Merkle anti-entropy bucket diff: replica B is the snapshot
@@ -2325,6 +2399,41 @@ object SparkEntry {
       |  SELECT s_suppkey, CAST(s_suppkey + 2000 AS BIGINT), 'del',
       |    NULL, NULL
       |  FROM supplier WHERE s_suppkey <= 40 AND s_suppkey % 9 = 0)""".stripMargin
+
+  /** HyperBall oracle building blocks: CTE chain `e, vv, r0..r<rounds>`
+    * replaying GraphAnalytics.hyperBall's register propagation (b=8:
+    * reg = h div 2^24, rho from the low 24 bits, max-merge per round),
+    * plus the exact-integer raw-estimate expression over a register
+    * CTE ([[graft.operators.Stats.hllEstimateBy]]'s law: α·10^6 =
+    * 718272, scale 2^25). `edgesSql` must yield columns (s, d). */
+  private def hyperBallCtes(edgesSql: String, rounds: Int): String = {
+    val prop = (1 to rounds).map { i =>
+      s"""r$i AS (SELECT v, reg, max(max_rho) AS max_rho FROM (
+         |  SELECT e.s AS v, r.reg, r.max_rho
+         |  FROM e JOIN r${i - 1} r ON r.v = e.d
+         |  UNION ALL SELECT v, reg, max_rho FROM r${i - 1})
+         |  GROUP BY v, reg)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT DISTINCT s, d FROM ($edgesSql) WHERE s <> d),
+       |vv AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+       |r0 AS (SELECT v, h // 16777216 AS reg,
+       |    CASE WHEN h % 16777216 = 0 THEN 25
+       |      ELSE 25 - length(bin(h % 16777216)) END AS max_rho
+       |  FROM (SELECT v, CAST('0x' ||
+       |      substr(md5(CAST(v AS VARCHAR)), 1, 8) AS BIGINT) AS h
+       |    FROM vv)),
+       |$prop""".stripMargin
+  }
+
+  /** Per-group exact-integer raw HLL estimate over a register CTE
+    * (b=8): SELECT v, n_regs, est FROM <this>(regCte). */
+  private def hllEstSql(regCte: String): String =
+    s"""SELECT v, CAST(count(*) AS BIGINT) AS n_regs,
+       |  CAST((CAST(718272 AS BIGINT) * 65536 * 33554432) //
+       |    (1000000 * (CAST(sum(CAST(1 AS BIGINT) <<
+       |        CAST(25 - max_rho AS INTEGER)) AS BIGINT) +
+       |      (256 - count(*)) * 33554432)) AS BIGINT) AS est
+       |FROM $regCte GROUP BY v""".stripMargin
 
   /** Shared DuckDB CTE snippets for the text oracles. */
   private val TokCte =
@@ -3987,6 +4096,67 @@ object SparkEntry {
         |  CAST(sum(v) AS BIGINT) AS px_sum
         |FROM px GROUP BY id""".stripMargin,
 
+    // dHash: the oracle recomputes the 9x8 grid samples analytically
+    // from the pixel spec (the engine reads them back OUT of the real
+    // codec — the round-trip proof, same law as q_multimodal_pixels)
+    "q_image_dhash" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 24 + 8 AS w,
+        |    (doc_id * 7) % 24 + 8 AS h
+        |  FROM documents WHERE doc_id % 3 <> 2),
+        |g AS (SELECT id, w, h, u.j AS j, v.i AS i,
+        |    (u.j * h) // 8 AS y,
+        |    (v.i * w) // 9 AS x0, ((v.i + 1) * w) // 9 AS x1
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, 8)) u(j)
+        |         CROSS JOIN LATERAL unnest(range(0, 8)) v(i)),
+        |b AS (SELECT id, w, h, j * 8 + i AS k,
+        |    CASE WHEN (id * 31 + 7 * x1 + 13 * y) % 256 >
+        |              (id * 31 + 7 * x0 + 13 * y) % 256
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM g)
+        |SELECT id, w, h,
+        |  CAST(sum(CASE WHEN k >= 32 THEN
+        |    bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER))
+        |    ELSE 0 END) AS BIGINT) AS dh_hi,
+        |  CAST(sum(CASE WHEN k < 32 THEN
+        |    bit * (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+        |    ELSE 0 END) AS BIGINT) AS dh_lo
+        |FROM b GROUP BY id, w, h""".stripMargin,
+
+    // image near-dup: dims-blocked pairs (block cap mirrored), Hamming
+    // via xor + bit_count on the two 32-bit halves
+    "q_image_neardup" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 24 + 8 AS w,
+        |    (doc_id * 7) % 24 + 8 AS h
+        |  FROM documents WHERE doc_id % 3 <> 2),
+        |g AS (SELECT id, w, h, u.j AS j, v.i AS i,
+        |    (u.j * h) // 8 AS y,
+        |    (v.i * w) // 9 AS x0, ((v.i + 1) * w) // 9 AS x1
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, 8)) u(j)
+        |         CROSS JOIN LATERAL unnest(range(0, 8)) v(i)),
+        |b AS (SELECT id, w, h, j * 8 + i AS k,
+        |    CASE WHEN (id * 31 + 7 * x1 + 13 * y) % 256 >
+        |              (id * 31 + 7 * x0 + 13 * y) % 256
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM g),
+        |dh AS (SELECT id, w, h,
+        |    CAST(sum(CASE WHEN k >= 32 THEN
+        |      bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS dh_hi,
+        |    CAST(sum(CASE WHEN k < 32 THEN
+        |      bit * (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS dh_lo
+        |  FROM b GROUP BY id, w, h),
+        |sz AS (SELECT w, h, count(*) AS n FROM dh GROUP BY w, h),
+        |ok AS (SELECT dh.* FROM dh JOIN sz USING (w, h)
+        |  WHERE sz.n BETWEEN 2 AND 256)
+        |SELECT * FROM (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(bit_count(xor(a.dh_hi, b.dh_hi)) +
+        |      bit_count(xor(a.dh_lo, b.dh_lo)) AS BIGINT) AS hamming
+        |  FROM ok a JOIN ok b
+        |    ON a.w = b.w AND a.h = b.h AND a.id < b.id
+        |) __n WHERE hamming <= 6""".stripMargin,
+
     // Store-admin contracts: compaction/ingest/index-rebuild must be
     // invisible to readers — the oracle is simply the source table.
     "q_compact_preserves" ->
@@ -4377,6 +4547,52 @@ object SparkEntry {
         |  least(v.n, coalesce(min(m.y), v.n)) AS component
         |FROM v LEFT JOIN mutual m ON m.x = v.n
         |GROUP BY v.n""".stripMargin,
+
+    // HyperBall: 2 unrolled register-propagation rounds + the exact-
+    // integer raw estimate per vertex (all-BIGINT currency)
+    "q_hyperball" -> {
+      val ctes = hyperBallCtes(
+        "SELECT l_orderkey % 250 AS s, l_partkey % 250 AS d FROM lineitem",
+        rounds = 2)
+      s"""WITH $ctes
+         |SELECT v, n_regs, est AS est_ball
+         |FROM (${hllEstSql("r2")}) __e""".stripMargin
+    },
+
+    // Neighborhood function: per-radius ball-estimate totals + the
+    // 90%-of-final effective-diameter flag (integer cross-multiply)
+    "q_eff_diameter" -> {
+      val ctes = hyperBallCtes(
+        "SELECT l_suppkey % 300 AS s, l_partkey % 300 AS d FROM lineitem",
+        rounds = 3)
+      val tot = (0 to 3).map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS t,
+           |  (SELECT CAST(sum(est) AS BIGINT)
+           |   FROM (${hllEstSql(s"r$t")}) q$t) AS nf_est""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $ctes,
+         |tot AS ($tot),
+         |lastv AS (SELECT nf_est AS lv FROM tot WHERE t = 3),
+         |eff AS (SELECT min(t) AS efft FROM tot, lastv
+         |  WHERE nf_est * 10 >= 9 * lv)
+         |SELECT t, nf_est,
+         |  CAST(CASE WHEN t = efft THEN 1 ELSE 0 END AS BIGINT) AS is_eff
+         |FROM tot, eff""".stripMargin
+    },
+
+    // big-star/small-star CC: exact reachability closure (the same
+    // recursive-CTE law as q_connected_components, new edge set)
+    "q_cc_bigstar" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l_orderkey % 400 + 1000000 AS s,
+        |    l_suppkey + 2000000 AS d FROM lineitem),
+        |u AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+        |reach(v, label) AS (
+        |  SELECT s, s FROM u
+        |  UNION
+        |  SELECT u.d, r.label FROM reach r JOIN u ON u.s = r.v)
+        |SELECT v AS _vid, min(label) AS component
+        |FROM reach GROUP BY v""".stripMargin,
 
     // modularity: CC over customer→nation only labels the communities;
     // the scored graph adds nation→region edges (cross-community).
@@ -5027,6 +5243,72 @@ object SparkEntry {
         |SELECT est.pkey, est.est_cnt, ex.true_cnt
         |FROM est JOIN ex ON ex.pkey = est.pkey
         |WHERE est.est_cnt >= 45""".stripMargin,
+
+    // Bloom index: positions from two disjoint md5 windows (the CMS
+    // window law), words bit_or'd per (bucket, word_idx)
+    "q_bloom_index" ->
+      """WITH k AS (
+        |  SELECT l_suppkey % 8 AS bucket, CAST('0x' ||
+        |    substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT)
+        |    % 256 AS pos FROM lineitem
+        |  UNION ALL
+        |  SELECT l_suppkey % 8, CAST('0x' ||
+        |    substr(md5(CAST(l_partkey AS VARCHAR)), 9, 8) AS BIGINT)
+        |    % 256 FROM lineitem)
+        |SELECT bucket, pos // 32 AS word_idx,
+        |  CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))
+        |    AS BIGINT) AS word
+        |FROM k GROUP BY bucket, word_idx""".stripMargin,
+
+    // Bloom probe: per-position bit checks (equivalent to the engine's
+    // per-word mask check), min over positions = admitted; audited
+    // against exact membership — missed is identically 0
+    "q_bloom_probe" ->
+      """WITH idx AS (
+        |  WITH k AS (
+        |    SELECT l_suppkey % 8 AS bucket, CAST('0x' ||
+        |      substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 256 AS pos FROM lineitem
+        |    UNION ALL
+        |    SELECT l_suppkey % 8, CAST('0x' ||
+        |      substr(md5(CAST(l_partkey AS VARCHAR)), 9, 8) AS BIGINT)
+        |      % 256 FROM lineitem)
+        |  SELECT bucket, pos // 32 AS word_idx,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+        |  FROM k GROUP BY bucket, word_idx),
+        |pr AS (SELECT u.b AS bucket, p_partkey AS key
+        |  FROM part CROSS JOIN LATERAL unnest(range(0, 8)) u(b)
+        |  WHERE p_partkey % 3 = 0),
+        |pos AS (
+        |  SELECT bucket, key, CAST('0x' ||
+        |    substr(md5(CAST(key AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS pos
+        |  FROM pr
+        |  UNION ALL
+        |  SELECT bucket, key, CAST('0x' ||
+        |    substr(md5(CAST(key AS VARCHAR)), 9, 8) AS BIGINT) % 256
+        |  FROM pr),
+        |chk AS (SELECT p.bucket, p.key,
+        |    CASE WHEN i.word IS NOT NULL AND
+        |      ((i.word >> CAST(p.pos % 32 AS INTEGER)) & 1) = 1
+        |      THEN 1 ELSE 0 END AS hit
+        |  FROM pos p LEFT JOIN idx i
+        |    ON i.bucket = p.bucket AND i.word_idx = p.pos // 32),
+        |v AS (SELECT bucket, key, min(hit) AS bloom_hit
+        |  FROM chk GROUP BY bucket, key),
+        |mem AS (SELECT DISTINCT l_suppkey % 8 AS bucket,
+        |    l_partkey AS key FROM lineitem),
+        |j AS (SELECT v.bucket, v.bloom_hit,
+        |    CASE WHEN mem.key IS NOT NULL THEN 1 ELSE 0 END AS is_member
+        |  FROM v LEFT JOIN mem
+        |    ON mem.bucket = v.bucket AND mem.key = v.key)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(sum(bloom_hit) AS BIGINT) AS bloom_hits,
+        |  CAST(sum(is_member) AS BIGINT) AS true_hits,
+        |  CAST(sum(CASE WHEN bloom_hit = 1 AND is_member = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+        |  CAST(sum(CASE WHEN bloom_hit = 0 AND is_member = 1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS missed
+        |FROM j GROUP BY bucket""".stripMargin,
 
     // weeks = epoch_us // (7*86400e6), pure integer arithmetic (no
     // calendar functions on either side); sum of counts is CAST to
@@ -5745,6 +6027,33 @@ object SparkEntry {
          |  WHERE v.j <> i)
          |SELECT w, c, count(*) AS cnt FROM pr GROUP BY 1, 2
          |HAVING count(*) >= 5""".stripMargin,
+
+    // PPMI over the same pair table: one fixed DOUBLE expression tree
+    // (cnt·N)/(w_cnt·c_cnt) through ln on both engines; ratio == 1 is
+    // exactly 0.0 so the > 0 clip is boundary-safe
+    "q_ppmi" ->
+      s"""WITH $TokCte,
+         |pos AS (SELECT t, u.i AS i FROM toks
+         |  CROSS JOIN LATERAL unnest(range(1, len(t) + 1)) u(i)),
+         |pr AS (SELECT list_extract(t, CAST(i AS INTEGER)) AS w,
+         |    list_extract(t, CAST(v.j AS INTEGER)) AS c
+         |  FROM pos CROSS JOIN LATERAL unnest(
+         |    range(greatest(i - 2, 1), least(i + 2, len(t)) + 1)) v(j)
+         |  WHERE v.j <> i),
+         |pc AS (SELECT w, c, count(*) AS cnt FROM pr GROUP BY 1, 2
+         |  HAVING count(*) >= 5),
+         |wc AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS w_cnt
+         |  FROM pc GROUP BY w),
+         |cc2 AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS c_cnt
+         |  FROM pc GROUP BY c),
+         |nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM pc)
+         |SELECT * FROM (
+         |  SELECT pc.w, pc.c, pc.cnt, wc.w_cnt, cc2.c_cnt,
+         |    ln((CAST(pc.cnt AS DOUBLE) * CAST(nt.n_total AS DOUBLE)) /
+         |      (CAST(wc.w_cnt AS DOUBLE) * CAST(cc2.c_cnt AS DOUBLE)))
+         |      AS ppmi
+         |  FROM pc JOIN wc USING (w) JOIN cc2 USING (c) CROSS JOIN nt
+         |) __p WHERE ppmi > 0""".stripMargin,
 
     "q_merkle_diff" ->
       """WITH a0 AS (SELECT s_suppkey, s_name,
@@ -6844,6 +7153,7 @@ object SparkEntry {
     "q_ann_topk" -> Seq("sim"),
     "q_contrastive_pairs" -> Seq("sim"),
     "q_pq_adc" -> Seq("d2"),
+    "q_ppmi" -> Seq("ppmi"),
     "q_pq_rerank" -> Seq("d2"),
     "q_pq_rerank_recall" -> Seq("recall"),
     "q_pq_recall" -> Seq("recall"),

@@ -1902,4 +1902,162 @@ object GraphAnalytics {
         expr("pair_cnt * n_baskets * 1000000 div (ante_cnt * cons_cnt)")
           .as("lift_ppm"))
   }
+
+  /**
+   * HyperBall (Boldi & Vigna 2011 "HyperANF" / 2013 "In-Core
+   * Computation of Geometric Centralities with HyperBall"): per-vertex
+   * out-ball cardinality estimates via HLL-counter propagation — the
+   * canonical way to compute distance statistics on graphs too large
+   * for all-pairs BFS (the reference's whole-graph stats job has no
+   * such surface; this is north-star analytics, cf. StatisTask
+   * src/storage/admin/StatsTask.cpp which only counts rows). Each
+   * vertex carries a 2^b-register HLL of the vertices within `rounds`
+   * hops; one round is B'(v) = maxmerge(B(v), ∪_{(v,u)∈E} B(u)).
+   *
+   * Registers and estimates reuse the engine-portable md5 law
+   * ([[graft.operators.Stats.hllRegistersBy]]) and the exact-integer
+   * raw estimator ([[graft.operators.Stats.hllEstimateBy]]), so the
+   * whole operator — including the estimates — is oracle-checkable
+   * bit-for-bit.
+   *
+   * Scale shape: the edge frame persists once; each round is ONE
+   * edge⋈register join plus a (v, reg) max-combine — partial max runs
+   * map-side, the shuffle carries ≤ one row per (reducer, v, reg), and
+   * superseded register frames release per round (O(1) pinned frames,
+   * the pagerank-family law). State is ≤ |V|·2^b rows regardless of
+   * ball sizes — the entire point of HyperBall vs exact frontiers.
+   * Output: (v, n_regs, est_ball) — all BIGINT.
+   */
+  def hyperBall(edges: DataFrame, rounds: Int, b: Int = 8): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.toDF("s", "d")
+      .filter(col("s") =!= col("d")).distinct()
+      .transform(graft.CacheScope.persist(_))
+    val verts = e.select(col("s").as("v"))
+      .unionByName(e.select(col("d").as("v"))).distinct()
+    var regs = graft.operators.Stats
+      .hllRegistersBy(verts, Seq("v"), "v", b)
+    var prevCkptId: Option[Int] = None
+    for (_ <- 1 to rounds) {
+      val prop = e.join(regs, regs("v") === e("d"))
+        .select(e("s").as("v"), col("reg"), col("max_rho"))
+        .unionByName(regs.select(col("v"), col("reg"), col("max_rho")))
+        .groupBy("v", "reg").agg(max(col("max_rho")).as("max_rho"))
+      // lineage break per round (each round embeds `regs` twice — the
+      // HITS law); superseded register blocks release by RDD id
+      val (next, ckptId) = rotateCheckpoint(prop, prevCkptId)
+      prevCkptId = ckptId
+      regs = next
+    }
+    graft.operators.Stats.hllEstimateBy(regs, Seq("v"), b)
+      .select(col("v"), col("n_regs"), col("est").as("est_ball"))
+  }
+
+  /**
+   * Neighborhood function N(t) = Σ_v |ball(v, t)| estimated by
+   * [[hyperBall]] register propagation, one row per radius t ∈
+   * [0, rounds], plus the EFFECTIVE-DIAMETER flag: is_eff marks the
+   * smallest t whose N(t) reaches 90% of N(rounds) — the standard
+   * HyperANF distance-distribution readout (Boldi, Rosa & Vigna 2011
+   * §5). All-integer: per-radius totals are sums of the exact-integer
+   * per-vertex estimates, and the 90% test is a cross-multiply.
+   *
+   * The per-round total is ONE aggregated scalar fetched per radius
+   * (the documented single-row `.head` shape) — rounds+1 scalars
+   * total, never a data-sized collect.
+   */
+  def neighborhoodFunction(edges: DataFrame, rounds: Int,
+      b: Int = 8): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = edges.sparkSession
+    val e = edges.toDF("s", "d")
+      .filter(col("s") =!= col("d")).distinct()
+      .transform(graft.CacheScope.persist(_))
+    val verts = e.select(col("s").as("v"))
+      .unionByName(e.select(col("d").as("v"))).distinct()
+    var regs = graft.operators.Stats
+      .hllRegistersBy(verts, Seq("v"), "v", b)
+    var prevCkptId: Option[Int] = None
+    def nf(r: DataFrame): Long = graft.operators.Stats
+      .hllEstimateBy(r, Seq("v"), b)
+      .agg(sum(col("est")).as("nf")).head().getLong(0)
+    val totals = collection.mutable.ArrayBuffer((0L, nf(regs)))
+    for (t <- 1 to rounds) {
+      val prop = e.join(regs, regs("v") === e("d"))
+        .select(e("s").as("v"), col("reg"), col("max_rho"))
+        .unionByName(regs.select(col("v"), col("reg"), col("max_rho")))
+        .groupBy("v", "reg").agg(max(col("max_rho")).as("max_rho"))
+      // lineage break per round (the HITS law); superseded register
+      // blocks release by RDD id — O(1) pinned frames
+      val (next, ckptId) = rotateCheckpoint(prop, prevCkptId)
+      prevCkptId = ckptId
+      regs = next
+      totals += ((t.toLong, nf(regs)))
+    }
+    graft.CacheScope.unpersist(e)
+    val last = totals.last._2
+    val effT = totals.find(_._2 * 10L >= 9L * last).map(_._1).getOrElse(-1L)
+    import spark.implicits._
+    totals.toSeq.map { case (t, n) =>
+      (t, n, if (t == effT) 1L else 0L)
+    }.toDF("t", "nf_est", "is_eff")
+  }
+
+  /**
+   * Connected components WITHOUT GraphX: the alternating
+   * large-star/small-star algorithm (Kiveris et al. 2014 "Connected
+   * Components in MapReduce and Beyond" §3, Alternating Algorithm) as
+   * pure DataFrame rounds — the shape that runs on any Spark cluster
+   * (or Photon/serverless backends where RDD-based GraphX is
+   * unavailable). Each round strictly reduces the potential function
+   * and the edge set converges to stars rooted at component minima in
+   * O(log n) rounds; `rounds` bounds the loop (convergence on the
+   * gate graphs is ≤ 4).
+   *
+   * large-star: every neighbor n > c links to m = min(Γ(c) ∪ {c});
+   * small-star (on edges oriented n < c): every n ∈ Γ⁻(c) and c link
+   * to m = min(Γ⁻(c)). Both are ONE groupBy-min plus ONE join per
+   * round — map-side-combinable aggregates, no windows, and the edge
+   * frame rotates with O(1) pinned copies.
+   */
+  def ccBigStar(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    var cur = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    var prevCkptId: Option[Int] = None
+    for (_ <- 1 to rounds) {
+      // large-star over both orientations
+      val adj = cur.select(col("u").as("c"), col("v").as("n"))
+        .unionByName(cur.select(col("v").as("c"), col("u").as("n")))
+      val mins = adj.groupBy("c").agg(min(col("n")).as("mn"))
+        .select(col("c"), least(col("c"), col("mn")).as("m"))
+      val ls = adj.join(mins, "c").filter(col("n") > col("c"))
+        .select(least(col("n"), col("m")).as("u"),
+          greatest(col("n"), col("m")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star on edges oriented n < c (u < v always holds here)
+      val adj2 = ls.select(col("v").as("c"), col("u").as("n"))
+      val mins2 = adj2.groupBy("c").agg(min(col("n")).as("m"))
+      val ss = adj2.join(mins2, "c")
+        .select(col("m").as("u"), col("n").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionByName(mins2.select(col("m").as("u"), col("c").as("v")))
+        .distinct()
+      // Lineage break per round (the HITS law): one round references
+      // `cur` ~6 times through adj/mins/ls/adj2/mins2 and the analyzer
+      // CLONES the subtree per reference — exponential plan growth by
+      // round 4 without a localCheckpoint bottom-out. Superseded
+      // round blocks release by RDD id: O(1) pinned state.
+      val (next, ckptId) = rotateCheckpoint(ss, prevCkptId)
+      prevCkptId = ckptId
+      cur = next
+    }
+    // at convergence every edge is (root, child); pre-convergence the
+    // min() still picks the best-known label per vertex
+    cur.select(col("v").as("_vid"), col("u").as("component"))
+      .unionByName(cur.select(col("u").as("_vid"), col("u").as("component")))
+      .groupBy("_vid").agg(min(col("component")).as("component"))
+  }
 }

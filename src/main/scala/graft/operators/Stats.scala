@@ -669,4 +669,54 @@ object Stats {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
     else raw
   }
+
+  /** α_m · 10^6 as an exact integer (Flajolet et al. 2007 Fig. 3 small-m
+    * constants; the asymptotic formula above m=64) — the scaled-integer
+    * currency of [[hllEstimateBy]]/[[hllIntersect]]. */
+  private[graft] def hllAlphaScaled(b: Int): Long = b match {
+    case 4 => 673000L
+    case 5 => 697000L
+    case 6 => 709000L
+    case _ =>
+      val m = 1L << b
+      // floor, not round: b=8 gives 718272.59 and the cross-engine
+      // constant [[hllIntersect]] and every oracle hardcode is 718272
+      math.floor(0.7213 / (1 + 1.079 / m) * 1e6).toLong
+  }
+
+  /**
+   * Per-group raw HLL estimate in EXACT integer arithmetic (the
+   * [[hllIntersect]] law generalized over `b` and group keys): with
+   * w = 32−b and rho ≤ w+1, Σ 2^−rho rescaled by 2^(w+1) is an exact
+   * BIGINT Σ 2^(w+1−rho) (absent registers contribute 2^(w+1)), and
+   * E = α·m²·2^(w+1) div S — bit-identical in Spark and DuckDB, no
+   * libm, no float summation order. Small-range linear counting is
+   * deliberately omitted (it needs ln); the raw estimate is the
+   * deterministic, oracle-portable surface (the float-corrected
+   * [[hllEstimate]] stays the accuracy-eval companion).
+   *
+   * Input is a register frame from [[hllRegistersBy]] with the same
+   * group columns; output is one row per group:
+   * (groupCols..., n_regs, est). Scale shape: one ≤|groups|·2^b-row
+   * combinable aggregate — nothing corpus-sized.
+   */
+  def hllEstimateBy(registers: DataFrame, groupCols: Seq[String],
+      b: Int): DataFrame = {
+    require(b >= 4 && b <= 16, "register-index width b must be in [4,16]")
+    val m = 1L << b
+    val w1 = 32 - b + 1 // max rho; 2^(w+1) is the scale unit
+    // α·10^6 · m² · 2^(w+1) ≤ 0.73e6·2^32·2^29 only for small b+w combos;
+    // for b ≤ 12 this stays under 2^63 (b=12: 0.72e6·2^24·2^21 ≈ 2.6e19 —
+    // too big). Constrain to the b ≤ 10 range the callers use.
+    require(b <= 10, "integer estimator needs α·m²·2^(w+1) < 2^63: b <= 10")
+    val num = hllAlphaScaled(b) * m * m * (1L << w1)
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(expr(s"shiftleft(1L, cast($w1 - max_rho as int))"))
+          .as("_sp"),
+        count(lit(1)).as("n_regs"))
+      .select(groupCols.map(col) ++ Seq(col("n_regs"),
+        expr(s"${num}L div (1000000L * " +
+          s"(_sp + (${m}L - n_regs) * ${1L << w1}L))").as("est")): _*)
+  }
 }

@@ -241,4 +241,79 @@ object Multimodal {
       val st = histStats(m.id, m.media.map(_ & 0xff))
       MediaFeatures(m.id, st.n_px, st.px_sum, st.mean_px, st.px_entropy)
     })
+
+  final case class DHashRow(id: Long, w: Int, h: Int,
+      dh_hi: Long, dh_lo: Long)
+  implicit val dhashEnc: Encoder[DHashRow] = Encoders.product[DHashRow]
+
+  /**
+   * Perceptual difference hash (dHash — Krawetz 2013, the standard
+   * cheap image fingerprint): sample the DECODED raster on a 9×8
+   * nearest-neighbor grid, emit bit (j·8+i) = 1 iff the right neighbor
+   * in row j is brighter — 64 gradient-sign bits that survive
+   * re-encoding, scaling, and brightness shifts. Stored as two 32-bit
+   * halves in BIGINTs (dh_hi = bits 32..63, dh_lo = bits 0..31) so no
+   * engine has to shift into a 64-bit sign bit. Audio rows are skipped
+   * (no raster). Same iterator-to-iterator codec batch shape as
+   * [[decode]].
+   */
+  def dHash(media: Dataset[MediaRow]): Dataset[DHashRow] =
+    media.filter(m => m.format == "png" || m.format == "bmp")
+      .mapPartitions(_.map { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.media))
+        require(img != null, s"undecodable ${m.format} for id ${m.id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        def px(x: Int, y: Int): Int = img.getRaster.getSample(x, y, 0)
+        var hi = 0L; var lo = 0L
+        var j = 0
+        while (j < 8) {
+          val y = j * h / 8
+          var i = 0
+          while (i < 8) {
+            if (px((i + 1) * w / 9, y) > px(i * w / 9, y)) {
+              val k = j * 8 + i
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            i += 1
+          }
+          j += 1
+        }
+        DHashRow(m.id, w, h, hi, lo)
+      })
+
+  /**
+   * Image near-duplicate pairs by dHash Hamming distance — the
+   * multimodal twin of the SimHash text near-dup: pairs of images whose
+   * 64 gradient bits differ in ≤ `maxHamming` positions. Candidate
+   * generation blocks on the DECODED (w, h) dims (near-dup rasters at
+   * different dims are different images for training-dedup purposes;
+   * production adds 16-bit hash bands as sub-blocks for the
+   * resize-invariant case). Blocks above `maxBlockSize` are dropped
+   * deterministically — the hot-bucket cap every LSH-family op here
+   * carries (a block that large is a degenerate fixture, not signal).
+   *
+   * Scale shape: one dims-keyed aggregate collects each block ONCE
+   * (bounded arrays, capped), pairs generate intra-block from the
+   * sorted array — never an all-pairs or per-band self-join — and the
+   * Hamming filter is two xor+bit_count scalar ops per candidate.
+   */
+  def dhashNearDup(hashes: DataFrame, maxHamming: Int,
+      maxBlockSize: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64, "maxHamming in [0,64]")
+    require(maxBlockSize >= 2, "maxBlockSize must be >= 2")
+    val blocks = hashes
+      .groupBy(col("w"), col("h"))
+      .agg(sort_array(collect_list(
+        struct(col("id"), col("dh_hi"), col("dh_lo")))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBlockSize))
+    val nestedPairs = transform(col("xs"), (x, i) =>
+      transform(slice(col("xs"), i + 2, size(col("xs"))),
+        y => struct(x.as("a"), y.as("b"))))
+    blocks.select(explode(flatten(nestedPairs)).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        (expr("bit_count(p.a.dh_hi ^ p.b.dh_hi)") +
+          expr("bit_count(p.a.dh_lo ^ p.b.dh_lo)")).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

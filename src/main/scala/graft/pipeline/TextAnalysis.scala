@@ -921,6 +921,42 @@ object TextAnalysis {
   }
 
   /**
+   * Positive PMI association scores over the [[skipgramCounts]] pair
+   * table — the matrix word2vec implicitly factorizes (Levy & Goldberg
+   * 2014 "Neural Word Embedding as Implicit Matrix Factorization" §3):
+   * PMI(w,c) = ln( #(w,c)·N / (#w·#c) ), clipped at 0. The PPMI matrix
+   * is the classical count-based distributional representation — rows
+   * are usable as sparse word vectors directly, and the table doubles
+   * as a collocation/association readout.
+   *
+   * Scale shape: everything is sized by the PAIR VOCABULARY, never the
+   * corpus — the pair counts collapse in [[skipgramCounts]]' one
+   * combinable shuffle, the two marginals are vocab-sized aggregates
+   * of that frame (persisted once, read three times), and the grand
+   * total rides as a broadcast scalar. The ratio is computed in DOUBLE
+   * (counts can exceed 2^53 pairwise products at crawl scale) with one
+   * fixed expression tree so both engines evaluate bit-identically.
+   */
+  def ppmi(docs: DataFrame, textCol: String, window: Int,
+      minCount: Int): DataFrame = {
+    val pc = skipgramCounts(docs, textCol, window, minCount)
+      .transform(graft.CacheScope.persist(_))
+    val wc = pc.groupBy(col("w")).agg(sum(col("cnt")).as("w_cnt"))
+    val cc = pc.groupBy(col("c")).agg(sum(col("cnt")).as("c_cnt"))
+    val nt = pc.agg(sum(col("cnt")).as("n_total"))
+    pc.join(wc, "w").join(cc, "c")
+      .crossJoin(broadcast(nt))
+      .withColumn("ppmi",
+        log((col("cnt").cast("double") * col("n_total").cast("double")) /
+          (col("w_cnt").cast("double") * col("c_cnt").cast("double"))))
+      // ratio == 1 is exactly ln(1) = 0.0 in both engines (the products
+      // are exact doubles at gate scale); > 0 is boundary-safe
+      .filter(col("ppmi") > 0)
+      .select(col("w"), col("c"), col("cnt"), col("w_cnt"), col("c_cnt"),
+        col("ppmi"))
+  }
+
+  /**
    * Positional-inverted-index phrase search — the batch analog of the
    * reference's external full-text lookup (`LOOKUP ... WHERE c CONTAINS`
    * routed to the ES plugin, src/kvstore/plugins/elasticsearch/
