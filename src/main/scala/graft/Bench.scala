@@ -164,6 +164,8 @@ object Bench {
     "window_topk" -> "wtopk", "source_quality" -> "srcqual",
     "cascade_delete" -> "cascdel",
     "hyperball" -> "hball", "eff_diameter" -> "effdiam",
+    "louvain_move" -> "louvain", "ivm_join" -> "ivmj",
+    "ams_f2" -> "ams",
     "cc_bigstar" -> "ccstar", "bloom_index" -> "blmix",
     "bloom_probe" -> "blmpr", "image_dhash" -> "dhash",
     "image_neardup" -> "imgnd",

@@ -998,6 +998,24 @@ object SparkEntry {
         "n_rows", "sum_qty")
     }),
 
+    // ---- Incremental JOIN-view maintenance: ΔV = ΔA⋈B ∪ A⋈ΔB ∪
+    // ΔA⋈ΔB — the delta rows a refresh ships, no base⋈base rejoin ----
+    "q_ivm_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      def ords(p: org.apache.spark.sql.Column) = o.filter(p)
+        .select(col("o_custkey").as("k"), col("o_orderkey"),
+          col("o_orderstatus"))
+      def custs(p: org.apache.spark.sql.Column) = c.filter(p)
+        .select(col("c_custkey").as("k"), col("c_nationkey"),
+          col("c_mktsegment"))
+      graft.streaming.ChangeLogListener.ivmJoinDelta(
+        ords(col("o_orderkey") % 11 =!= 0),
+        ords(col("o_orderkey") % 11 === 0),
+        custs(col("c_custkey") % 13 =!= 0),
+        custs(col("c_custkey") % 13 === 0), "k")
+    }),
+
     // ---- SCD2 history: the same put/del changelog as net-effect
     // replay above, but keeping FULL version history as half-open
     // validity intervals (one lead() window on the dimension key) ----
@@ -1156,6 +1174,18 @@ object SparkEntry {
             (col("l_suppkey") + 2000000L).as("b")),
         rounds = 6)),
 
+    // ---- One synchronous Louvain local-move round from a hash
+    // partition (v % 7) — exact-integer modularity gains ----
+    "q_louvain_move" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 120).as("a"),
+          (col("l_suppkey") % 120 + 200).as("b"))
+      val verts = e.select(col("a").as("v"))
+        .unionByName(e.select(col("b").as("v"))).distinct()
+      graft.analytics.GraphAnalytics.louvainMove(e,
+        verts.select(col("v"), (col("v") % 7).as("c")))
+    }),
+
     // ---- Modularity sufficient statistics: communities from CC over
     // customer→nation edges, scored against the graph WITH region
     // edges (which cross communities) ----
@@ -1235,6 +1265,11 @@ object SparkEntry {
     "q_cms_heavy_hitters" -> ((s, dir) =>
       graft.operators.Stats.cmsHeavyHitters(t(s, dir, "lineitem"),
         "l_partkey", depth = 4, width = 4096, minFreq = 45L)),
+
+    // ---- AMS tug-of-war F2 sketch: self-join-size / skew estimate
+    // from 3 signed sums; mergeable by adding Z columns ----
+    "q_ams_f2" -> ((s, dir) =>
+      graft.operators.Stats.amsF2(t(s, dir, "lineitem"), "l_partkey")),
 
     // ---- White-box Bloom index: per-bucket 256-bit membership bitmap
     // as bit_or'd 32-bit words — the point-lookup data-skipping state
@@ -4593,6 +4628,96 @@ object SparkEntry {
         |  SELECT u.d, r.label FROM reach r JOIN u ON u.s = r.v)
         |SELECT v AS _vid, min(label) AS component
         |FROM reach GROUP BY v""".stripMargin,
+
+    // Louvain local-move round: integer gain 2m·w_vc − k_v·vol'_c per
+    // candidate community (own candidate materialized with w=0), move
+    // on strict improvement, ties to the smaller community id
+    "q_louvain_move" ->
+      """WITH e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM (SELECT l_orderkey % 120 AS a,
+        |          l_suppkey % 120 + 200 AS b FROM lineitem) __e
+        |  WHERE a <> b),
+        |adj AS (SELECT u AS x, v AS n FROM e0
+        |  UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT x, count(*) AS k FROM adj GROUP BY x),
+        |comm AS (SELECT x, x % 7 AS c
+        |  FROM (SELECT DISTINCT x FROM adj) __v),
+        |vol AS (SELECT c, CAST(sum(k) AS BIGINT) AS vol
+        |  FROM comm JOIN deg USING (x) GROUP BY c),
+        |m2 AS (SELECT CAST(sum(k) AS BIGINT) AS m2 FROM deg),
+        |wvc AS (SELECT a.x, cm.c, count(*) AS w
+        |  FROM adj a JOIN comm cm ON cm.x = a.n GROUP BY a.x, cm.c),
+        |ownz AS (SELECT co.x, co.c, CAST(0 AS BIGINT) AS w FROM comm co
+        |  LEFT JOIN wvc ON wvc.x = co.x AND wvc.c = co.c
+        |  WHERE wvc.x IS NULL),
+        |cand AS (SELECT * FROM wvc UNION ALL SELECT * FROM ownz),
+        |sc AS (SELECT cand.x, cand.c, co.c AS c_own,
+        |    m2.m2 * cand.w - deg.k * (vol.vol -
+        |      CASE WHEN cand.c = co.c THEN deg.k ELSE 0 END) AS score
+        |  FROM cand JOIN comm co ON co.x = cand.x
+        |  JOIN deg ON deg.x = cand.x
+        |  JOIN vol ON vol.c = cand.c CROSS JOIN m2),
+        |ownsc AS (SELECT x, score AS own_score FROM sc WHERE c = c_own),
+        |best AS (SELECT x, score AS best_score, c AS best_c FROM (
+        |  SELECT x, c, score, row_number() OVER (
+        |    PARTITION BY x ORDER BY score DESC, c ASC) AS rk
+        |  FROM sc WHERE c <> c_own) __b WHERE rk = 1)
+        |SELECT _vid, old_c, new_c,
+        |  CAST(CASE WHEN new_c <> old_c THEN 1 ELSE 0 END AS BIGINT)
+        |    AS moved
+        |FROM (SELECT co.x AS _vid, co.c AS old_c,
+        |    CASE WHEN best.best_score > ownsc.own_score
+        |      THEN best.best_c ELSE co.c END AS new_c
+        |  FROM comm co
+        |  LEFT JOIN best ON best.x = co.x
+        |  JOIN ownsc ON ownsc.x = co.x) __m""".stripMargin,
+
+    // IVM join delta: the algebraic delta must equal the recompute
+    // difference EXACTLY as a multiset (EXCEPT ALL)
+    "q_ivm_join" ->
+      """WITH a AS (SELECT o_custkey AS k, o_orderkey, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |da AS (SELECT o_custkey AS k, o_orderkey, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |b AS (SELECT c_custkey AS k, c_nationkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 13 <> 0),
+        |db AS (SELECT c_custkey AS k, c_nationkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |aa AS (SELECT * FROM a UNION ALL SELECT * FROM da),
+        |bb AS (SELECT * FROM b UNION ALL SELECT * FROM db)
+        |SELECT aa.k, aa.o_orderkey, aa.o_orderstatus,
+        |  bb.c_nationkey, bb.c_mktsegment
+        |FROM aa JOIN bb ON aa.k = bb.k
+        |EXCEPT ALL
+        |SELECT a.k, a.o_orderkey, a.o_orderstatus,
+        |  b.c_nationkey, b.c_mktsegment
+        |FROM a JOIN b ON a.k = b.k""".stripMargin,
+
+    // AMS F2: signs from the LSBs of three disjoint md5 windows;
+    // median-of-3 as the exact integer sum − max − min
+    "q_ams_f2" ->
+      """WITH h AS (SELECT md5(CAST(l_partkey AS VARCHAR)) AS d
+        |  FROM lineitem),
+        |sg AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, CASE WHEN CAST('0x' ||
+        |    substr(d, 1, 8) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS s
+        |  FROM h
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), CASE WHEN CAST('0x' ||
+        |    substr(d, 9, 8) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END
+        |  FROM h
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), CASE WHEN CAST('0x' ||
+        |    substr(d, 17, 8) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END
+        |  FROM h),
+        |z AS (SELECT i, CAST(sum(s) AS BIGINT) AS z FROM sg GROUP BY i),
+        |z2 AS (SELECT i, z, z * z AS z2 FROM z),
+        |med AS (SELECT CAST(sum(z2) - max(z2) - min(z2) AS BIGINT)
+        |  AS est_f2 FROM z2),
+        |ex AS (SELECT CAST(sum(f * f) AS BIGINT) AS exact_f2 FROM (
+        |  SELECT count(*) AS f FROM lineitem GROUP BY l_partkey) __f)
+        |SELECT i, z, z2, est_f2, exact_f2
+        |FROM z2 CROSS JOIN med CROSS JOIN ex""".stripMargin,
 
     // modularity: CC over customer→nation only labels the communities;
     // the scored graph adds nation→region edges (cross-community).

@@ -2060,4 +2060,72 @@ object GraphAnalytics {
       .unionByName(cur.select(col("u").as("_vid"), col("u").as("component")))
       .groupBy("_vid").agg(min(col("component")).as("component"))
   }
+
+  /**
+   * One synchronous Louvain local-move round (Blondel et al. 2008 §2 —
+   * the inner loop of THE standard modularity community detector;
+   * [[modularityStats]] scores a partition, this one IMPROVES it):
+   * every vertex considers the communities of its neighbors and moves
+   * to the one with the best modularity gain, staying unless a strict
+   * improvement exists. With v first removed from its own community,
+   * gain(v→c) ∝ w_vc − k_v·vol'_c/2m, so the comparison is the EXACT
+   * INTEGER score 2m·w_vc − k_v·vol'_c (vol'_c excludes k_v when c is
+   * v's own community) — no floats anywhere, ties break to the
+   * smaller community id, and the whole round is oracle-checkable.
+   *
+   * Scale shape: degrees and community volumes are map-side-combinable
+   * aggregates; w_vc is ONE adjacency-sized count shuffle; the argmax
+   * is a max(struct) aggregate (never a window over the adjacency);
+   * 2m rides as a broadcast scalar. One round = the synchronous
+   * BSP variant (Prat-Pérez et al. 2014) of Louvain's sequential
+   * sweep — the form that parallelizes to 1000 executors.
+   */
+  def louvainMove(edges: DataFrame, initComm: DataFrame): DataFrame = {
+    val und = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    val adj = und.select(col("u").as("x"), col("v").as("n"))
+      .unionByName(und.select(col("v").as("x"), col("u").as("n")))
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("k"))
+      .transform(graft.CacheScope.persist(_))
+    val comm = initComm.toDF("x", "c")
+    val vol = comm.join(deg, "x").groupBy(col("c"))
+      .agg(sum(col("k")).as("vol"))
+    val m2 = deg.agg(sum(col("k")).as("m2")) // 2|E|
+    // edges from v into each neighbor community
+    val wvc = adj.join(comm.select(col("x").as("n"), col("c")), "n")
+      .groupBy(col("x"), col("c")).agg(count(lit(1)).as("w"))
+    // candidate set = neighbor communities PLUS v's own community (a
+    // vertex with no intra-community edge still has a stay baseline:
+    // w=0, score = −k·vol'_own — NOT zero)
+    val own = comm.select(col("x"), col("c").as("c_own"))
+    val ownZero = own.select(col("x"), col("c_own").as("c"),
+        lit(0L).as("w"))
+      .join(wvc.select(col("x"), col("c")), Seq("x", "c"), "left_anti")
+    val scored = wvc.unionByName(ownZero)
+      .join(own, "x").join(deg, "x")
+      .join(vol, "c").crossJoin(broadcast(m2))
+      .select(col("x"), col("c"), col("c_own"),
+        (col("m2") * col("w") - col("k") *
+          (col("vol") - when(col("c") === col("c_own"), col("k"))
+            .otherwise(lit(0L)))).as("score"))
+    val ownScore = scored.filter(col("c") === col("c_own"))
+      .select(col("x"), col("score").as("own_score"))
+    val best = scored.filter(col("c") =!= col("c_own"))
+      .groupBy(col("x"))
+      .agg(max(struct(col("score"), (-col("c")).as("negc"))).as("b"))
+      .select(col("x"), col("b.score").as("best_score"),
+        (-col("b.negc")).as("best_c"))
+    // stay unless a strictly better neighbor community exists; vertices
+    // whose neighbors all share their community keep c_own via the
+    // left join's null best
+    own.join(best, Seq("x"), "left").join(ownScore, "x")
+      .select(col("x").as("_vid"), col("c_own").as("old_c"),
+        when(col("best_score") > col("own_score"), col("best_c"))
+          .otherwise(col("c_own")).as("new_c"))
+      .withColumn("moved",
+        (col("new_c") =!= col("old_c")).cast("long"))
+  }
 }

@@ -719,4 +719,40 @@ object Stats {
         expr(s"${num}L div (1000000L * " +
           s"(_sp + (${m}L - n_regs) * ${1L << w1}L))").as("est")): _*)
   }
+
+  /**
+   * AMS sign-sketch second-moment estimate (Alon, Matias & Szegedy
+   * 1996 — the F2 = Σf² tug-of-war sketch): three independent ±1 sign
+   * rows (signs from the LSBs of disjoint md5 windows — the CMS window
+   * law), each keeping Z_i = Σ_rows s_i(v); E[Z²] = F2 exactly, and
+   * the 3-row median (= sum − max − min, an exact integer) bounds the
+   * variance. F2 is the self-join size / skew statistic: CMS
+   * ([[cmsJoinSizeEstimate]]) estimates A⋈B, AMS estimates A⋈A with
+   * O(depth) counters instead of O(width·depth).
+   *
+   * Mergeability is the production law: Z_i is a plain SUM, so shards
+   * /days combine by adding their Z columns (spec-tested). The exact
+   * F2 rides along as the eval companion (a value-distinct-sized
+   * aggregate — measurement, not the serving path).
+   *
+   * Scale shape: one narrow 3-way explode over the scan + ONE 3-row
+   * sum aggregate; the exact side is one combinable count + sum of
+   * cnt². Output: 3 rows (i, z, z2, est_f2, exact_f2), all BIGINT.
+   */
+  def amsF2(df: DataFrame, valueCol: String): DataFrame = {
+    val digest = md5(col(valueCol).cast("string"))
+    val signs = df.select(
+        explode(array((0 until 3).map(i =>
+          struct(lit(i.toLong).as("i"),
+            when(cmsWindow(digest, i) % 2 === 1, lit(1L))
+              .otherwise(lit(-1L)).as("s"))): _*)).as("e"))
+      .select(col("e.i").as("i"), col("e.s").as("s"))
+      .groupBy(col("i")).agg(sum(col("s")).as("z"))
+      .select(col("i"), col("z"), (col("z") * col("z")).as("z2"))
+    val med = signs.agg((sum(col("z2")) - max(col("z2")) -
+      min(col("z2"))).as("est_f2"))
+    val exact = df.groupBy(col(valueCol)).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("exact_f2"))
+    signs.crossJoin(broadcast(med)).crossJoin(broadcast(exact))
+  }
 }

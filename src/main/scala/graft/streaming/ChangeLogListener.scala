@@ -79,6 +79,31 @@ object ChangeLogListener {
           .as(sumCol))
       .filter(col(cntCol) > 0)
   }
+
+  /**
+   * Incremental JOIN-view maintenance for insert-only deltas — the
+   * join companion to [[maintainAgg]]'s aggregate maintenance (the
+   * classical delta rule, Blakeley et al. 1986 "Efficiently Updating
+   * Materialized Views"): for V = A ⋈ B with arriving batches ΔA, ΔB,
+   *
+   *   ΔV = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+   *
+   * — the rows a refresh job ships to the stored view WITHOUT
+   * rejoining the two base tables. Multiset-exact: ΔV ≡
+   * (A∪ΔA) ⋈ (B∪ΔB) − A ⋈ B (gate-checked via EXCEPT ALL).
+   *
+   * Scale shape: the delta sides are batch-sized, so both mixed terms
+   * broadcast the delta against the base table's scan (no base-table
+   * shuffle, no base⋈base recompute — THE point of IVM at 100 TB);
+   * ΔA ⋈ ΔB is delta×delta. The base tables are read once each.
+   */
+  def ivmJoinDelta(a: DataFrame, da: DataFrame, b: DataFrame,
+      db: DataFrame, key: String): DataFrame =
+    b.join(broadcast(da), key)
+      .unionByName(a.join(broadcast(db), key))
+      .unionByName(broadcast(da).join(broadcast(db), key))
+      .select(da.columns.map(col).toIndexedSeq ++
+        b.columns.filter(_ != key).map(col): _*)
 }
 
 /** Streaming wrapper: maintains versioned parquet snapshots of the
