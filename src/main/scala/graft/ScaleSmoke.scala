@@ -580,6 +580,61 @@ object ScaleSmoke {
       graft.analytics.GraphAnalytics.linkPredAuc(store, Seq("amp"),
         testMod = 5, maxDegree = 64).count())
 
+    // ---- round-10 wave 6/7 ----
+    val ampEdges = edges.select(col("l_orderkey").as("s"),
+      col("l_partkey").as("d"))
+    time(s"hyperball 2 rounds ${factor}x")(
+      graft.analytics.GraphAnalytics.hyperBall(ampEdges, rounds = 2)
+        .count())
+    time(s"eff diameter 2 rounds ${factor}x")(
+      graft.analytics.GraphAnalytics.neighborhoodFunction(ampEdges,
+        rounds = 2).count())
+    time(s"cc bigstar 6 rounds ${factor}x")(
+      graft.analytics.GraphAnalytics.ccBigStar(
+        ampEdges.toDF("a", "b"), rounds = 6).count())
+    val ampVerts = ampEdges.select(col("s").as("v"))
+      .unionByName(ampEdges.select(col("d").as("v"))).distinct()
+    time(s"louvain move ${factor}x")(
+      graft.analytics.GraphAnalytics.louvainMove(ampEdges.toDF("a", "b"),
+        ampVerts.select(col("v"), (col("v") % 7).as("c"))).count())
+    time(s"ppmi ${factor}x")(
+      graft.pipeline.TextAnalysis.ppmi(docs, "text", window = 2,
+        minCount = 5).count())
+    val bloomData = liFacts.select((col("l_suppkey") % 8).as("bkt"),
+      col("l_orderkey").as("key"))
+    time(s"bloom build+probe ${factor}x")(
+      graft.operators.BloomIndex.probe(
+        graft.operators.BloomIndex.build(bloomData, "bkt", "key", 256, 2),
+        bloomData.distinct(), bloomData, "bkt", "key", 256, 2).count())
+    // dHash: the codec decode is the cost — linear per image
+    val ampMedia = graft.pipeline.Multimodal.synthesize(docs, "doc_id")
+    time(s"image dhash ${factor}x")(
+      graft.pipeline.Multimodal.dHash(ampMedia).toDF().count())
+    // the synthetic corpus has only 24 dim blocks, so at 10x every
+    // block exceeds the production cap and is dropped — this row
+    // measures that the cap DEFENDS (near-zero pair work), not pair
+    // throughput; real corpora have diverse dims (see PLANS.md note)
+    time(s"image neardup capped ${factor}x")(
+      graft.pipeline.Multimodal.dhashNearDup(
+        graft.pipeline.Multimodal.dHash(ampMedia).toDF(),
+        maxHamming = 6, maxBlockSize = 256).count())
+    val ordAmp = amplify(
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_custkey").as("k"), col("o_orderkey")),
+      Seq("o_orderkey"), None)
+    val custAmp = amplify(
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey").as("k"), col("c_nationkey")),
+      Seq(), None)
+    time(s"ivm join delta ${factor}x")(
+      graft.streaming.ChangeLogListener.ivmJoinDelta(
+        ordAmp.filter(col("o_orderkey") % 11 =!= 0),
+        ordAmp.filter(col("o_orderkey") % 11 === 0),
+        custAmp.filter(col("k") % 13 =!= 0),
+        custAmp.filter(col("k") % 13 === 0), "k").count())
+    time(s"ams f2 ${factor}x")(
+      graft.operators.Stats.amsF2(edges, "l_partkey").count())
+
     spark.stop()
   }
 }

@@ -1154,16 +1154,20 @@ object SparkEntry {
         t(s, dir, "lineitem")
           .select((col("l_orderkey") % 250).as("s"),
             (col("l_partkey") % 250).as("d")),
-        rounds = 2)),
+        rounds = 2, b = 6)),
 
     // ---- Neighborhood function N(t) + effective diameter: the
-    // HyperANF distance-distribution readout over 3 radii ----
+    // HyperANF distance-distribution readout over 3 radii. The fixture
+    // is the SPARSE order→part projection (one line per order): dense
+    // modded graphs saturate every register frame and the propagation
+    // join pays edges × m rows per round for no information ----
     "q_eff_diameter" -> ((s, dir) =>
       graft.analytics.GraphAnalytics.neighborhoodFunction(
         t(s, dir, "lineitem")
-          .select((col("l_suppkey") % 300).as("s"),
-            (col("l_partkey") % 300).as("d")),
-        rounds = 3)),
+          .filter(col("l_linenumber") === 1)
+          .select((col("l_orderkey") % 4000).as("s"),
+            (col("l_partkey") % 4000).as("d")),
+        rounds = 3, b = 6)),
 
     // ---- Connected components WITHOUT GraphX: alternating
     // large-star/small-star over an order⇄supplier bipartite graph ----
@@ -2441,7 +2445,10 @@ object SparkEntry {
     * plus the exact-integer raw-estimate expression over a register
     * CTE ([[graft.operators.Stats.hllEstimateBy]]'s law: α·10^6 =
     * 718272, scale 2^25). `edgesSql` must yield columns (s, d). */
-  private def hyperBallCtes(edgesSql: String, rounds: Int): String = {
+  private def hyperBallCtes(edgesSql: String, rounds: Int,
+      b: Int): String = {
+    val twoW = 1L << (32 - b)
+    val w1 = 32 - b + 1
     val prop = (1 to rounds).map { i =>
       s"""r$i AS (SELECT v, reg, max(max_rho) AS max_rho FROM (
          |  SELECT e.s AS v, r.reg, r.max_rho
@@ -2451,24 +2458,30 @@ object SparkEntry {
     }.mkString(",\n")
     s"""e AS (SELECT DISTINCT s, d FROM ($edgesSql) WHERE s <> d),
        |vv AS (SELECT s AS v FROM e UNION SELECT d FROM e),
-       |r0 AS (SELECT v, h // 16777216 AS reg,
-       |    CASE WHEN h % 16777216 = 0 THEN 25
-       |      ELSE 25 - length(bin(h % 16777216)) END AS max_rho
+       |r0 AS (SELECT v, h // $twoW AS reg,
+       |    CASE WHEN h % $twoW = 0 THEN $w1
+       |      ELSE $w1 - length(bin(h % $twoW)) END AS max_rho
        |  FROM (SELECT v, CAST('0x' ||
        |      substr(md5(CAST(v AS VARCHAR)), 1, 8) AS BIGINT) AS h
        |    FROM vv)),
        |$prop""".stripMargin
   }
 
-  /** Per-group exact-integer raw HLL estimate over a register CTE
-    * (b=8): SELECT v, n_regs, est FROM <this>(regCte). */
-  private def hllEstSql(regCte: String): String =
+  /** Per-group exact-integer raw HLL estimate over a register CTE:
+    * SELECT v, n_regs, est FROM <this>(regCte, b). Mirrors
+    * [[graft.operators.Stats.hllEstimateBy]]'s integer law. */
+  private def hllEstSql(regCte: String, b: Int): String = {
+    val m = 1L << b
+    val w1 = 32 - b + 1
+    val unit = 1L << w1
+    val alpha = graft.operators.Stats.hllAlphaScaled(b)
     s"""SELECT v, CAST(count(*) AS BIGINT) AS n_regs,
-       |  CAST((CAST(718272 AS BIGINT) * 65536 * 33554432) //
+       |  CAST((CAST($alpha AS BIGINT) * ${m * m} * $unit) //
        |    (1000000 * (CAST(sum(CAST(1 AS BIGINT) <<
-       |        CAST(25 - max_rho AS INTEGER)) AS BIGINT) +
-       |      (256 - count(*)) * 33554432)) AS BIGINT) AS est
+       |        CAST($w1 - max_rho AS INTEGER)) AS BIGINT) +
+       |      ($m - count(*)) * $unit)) AS BIGINT) AS est
        |FROM $regCte GROUP BY v""".stripMargin
+  }
 
   /** Shared DuckDB CTE snippets for the text oracles. */
   private val TokCte =
@@ -4588,22 +4601,23 @@ object SparkEntry {
     "q_hyperball" -> {
       val ctes = hyperBallCtes(
         "SELECT l_orderkey % 250 AS s, l_partkey % 250 AS d FROM lineitem",
-        rounds = 2)
+        rounds = 2, b = 6)
       s"""WITH $ctes
          |SELECT v, n_regs, est AS est_ball
-         |FROM (${hllEstSql("r2")}) __e""".stripMargin
+         |FROM (${hllEstSql("r2", b = 6)}) __e""".stripMargin
     },
 
     // Neighborhood function: per-radius ball-estimate totals + the
     // 90%-of-final effective-diameter flag (integer cross-multiply)
     "q_eff_diameter" -> {
       val ctes = hyperBallCtes(
-        "SELECT l_suppkey % 300 AS s, l_partkey % 300 AS d FROM lineitem",
-        rounds = 3)
+        "SELECT l_orderkey % 4000 AS s, l_partkey % 4000 AS d " +
+          "FROM lineitem WHERE l_linenumber = 1",
+        rounds = 3, b = 6)
       val tot = (0 to 3).map { t =>
         s"""SELECT CAST($t AS BIGINT) AS t,
            |  (SELECT CAST(sum(est) AS BIGINT)
-           |   FROM (${hllEstSql(s"r$t")}) q$t) AS nf_est""".stripMargin
+           |   FROM (${hllEstSql(s"r$t", b = 6)}) q$t) AS nf_est""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH $ctes,
          |tot AS ($tot),
