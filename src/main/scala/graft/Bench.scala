@@ -165,7 +165,9 @@ object Bench {
     "cascade_delete" -> "cascdel",
     "hyperball" -> "hball", "eff_diameter" -> "effdiam",
     "louvain_move" -> "louvain", "ivm_join" -> "ivmj",
-    "ams_f2" -> "ams",
+    "ams_f2" -> "ams", "textrank" -> "trank",
+    "graph_contract" -> "gcontr", "audio_features" -> "audiof",
+    "image_patches" -> "patches",
     "cc_bigstar" -> "ccstar", "bloom_index" -> "blmix",
     "bloom_probe" -> "blmpr", "image_dhash" -> "dhash",
     "image_neardup" -> "imgnd",

@@ -586,6 +586,18 @@ object SparkEntry {
           Multimodal.synthesize(t(s, dir, "documents"), "doc_id")).toDF(),
         maxHamming = 6, maxBlockSize = 256)),
 
+    // ---- Audio features from the decoded PCM: zero crossings +
+    // exact integer energy, through the real WAV codec ----
+    "q_audio_features" -> ((s, dir) =>
+      Multimodal.audioFeatures(
+        Multimodal.synthesize(t(s, dir, "documents"), "doc_id")).toDF()),
+
+    // ---- ViT-style 4x4 patch tiling over the decoded raster ----
+    "q_image_patches" -> ((s, dir) =>
+      Multimodal.imagePatches(
+        Multimodal.synthesize(t(s, dir, "documents"), "doc_id"),
+        grid = 4).toDF()),
+
     // byte-level payload features over generic binary ingest (no codec
     // involved): exact-integer surrogates face the hash; mean_byte is
     // an exact rational (byte_sum/n_bytes, floor-quantized); entropy
@@ -1190,6 +1202,20 @@ object SparkEntry {
         verts.select(col("v"), (col("v") % 7).as("c")))
     }),
 
+    // ---- Louvain phase 2: contract the moved communities into the
+    // weighted super-graph (move ∘ contract = the Louvain outer loop) ----
+    "q_graph_contract" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 120).as("a"),
+          (col("l_suppkey") % 120 + 200).as("b"))
+      val verts = e.select(col("a").as("v"))
+        .unionByName(e.select(col("b").as("v"))).distinct()
+      val moved = graft.analytics.GraphAnalytics.louvainMove(e,
+        verts.select(col("v"), (col("v") % 7).as("c")))
+      graft.analytics.GraphAnalytics.contractGraph(e,
+        moved.select(col("_vid"), col("new_c")))
+    }),
+
     // ---- Modularity sufficient statistics: communities from CC over
     // customer→nation edges, scored against the graph WITH region
     // edges (which cross communities) ----
@@ -1735,6 +1761,12 @@ object SparkEntry {
     "q_ppmi" -> ((s, dir) =>
       TextAnalysis.ppmi(t(s, dir, "documents"), "text",
         window = 2, minCount = 5)),
+
+    // ---- TextRank keywords: weighted PageRank over the skip-gram
+    // co-occurrence graph, top-20 terms ----
+    "q_textrank" -> ((s, dir) =>
+      TextAnalysis.textRank(t(s, dir, "documents"), "text",
+        window = 2, minCount = 5, iters = 5, topK = 20)),
 
     // ---- Merkle anti-entropy bucket diff: replica B is the snapshot
     // with planted divergence (every 13th supplier's balance bumped,
@@ -2481,6 +2513,89 @@ object SparkEntry {
        |        CAST($w1 - max_rho AS INTEGER)) AS BIGINT) +
        |      ($m - count(*)) * $unit)) AS BIGINT) AS est
        |FROM $regCte GROUP BY v""".stripMargin
+  }
+
+  /** Louvain local-move CTE chain (shared by q_louvain_move and
+    * q_graph_contract): integer gain 2m·w_vc − k_v·vol'_c, own
+    * candidate materialized with w=0, strict-improvement move, ties to
+    * the smaller community id. Ends at `mv(_vid, old_c, new_c)`. */
+  private val LouvainCtes: String =
+    """e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |  FROM (SELECT l_orderkey % 120 AS a,
+      |          l_suppkey % 120 + 200 AS b FROM lineitem) __e
+      |  WHERE a <> b),
+      |adj AS (SELECT u AS x, v AS n FROM e0
+      |  UNION ALL SELECT v, u FROM e0),
+      |deg AS (SELECT x, count(*) AS k FROM adj GROUP BY x),
+      |comm AS (SELECT x, x % 7 AS c
+      |  FROM (SELECT DISTINCT x FROM adj) __v),
+      |vol AS (SELECT c, CAST(sum(k) AS BIGINT) AS vol
+      |  FROM comm JOIN deg USING (x) GROUP BY c),
+      |m2 AS (SELECT CAST(sum(k) AS BIGINT) AS m2 FROM deg),
+      |wvc AS (SELECT a.x, cm.c, count(*) AS w
+      |  FROM adj a JOIN comm cm ON cm.x = a.n GROUP BY a.x, cm.c),
+      |ownz AS (SELECT co.x, co.c, CAST(0 AS BIGINT) AS w FROM comm co
+      |  LEFT JOIN wvc ON wvc.x = co.x AND wvc.c = co.c
+      |  WHERE wvc.x IS NULL),
+      |cand AS (SELECT * FROM wvc UNION ALL SELECT * FROM ownz),
+      |sc AS (SELECT cand.x, cand.c, co.c AS c_own,
+      |    m2.m2 * cand.w - deg.k * (vol.vol -
+      |      CASE WHEN cand.c = co.c THEN deg.k ELSE 0 END) AS score
+      |  FROM cand JOIN comm co ON co.x = cand.x
+      |  JOIN deg ON deg.x = cand.x
+      |  JOIN vol ON vol.c = cand.c CROSS JOIN m2),
+      |ownsc AS (SELECT x, score AS own_score FROM sc WHERE c = c_own),
+      |best AS (SELECT x, score AS best_score, c AS best_c FROM (
+      |  SELECT x, c, score, row_number() OVER (
+      |    PARTITION BY x ORDER BY score DESC, c ASC) AS rk
+      |  FROM sc WHERE c <> c_own) __b WHERE rk = 1),
+      |mv AS (SELECT co.x AS _vid, co.c AS old_c,
+      |    CASE WHEN best.best_score > ownsc.own_score
+      |      THEN best.best_c ELSE co.c END AS new_c
+      |  FROM comm co
+      |  LEFT JOIN best ON best.x = co.x
+      |  JOIN ownsc ON ownsc.x = co.x)""".stripMargin
+
+  /** TextRank oracle: the weightedPageRank recurrence over the
+    * skip-gram pair table (counts as weights — exact integer-valued
+    * doubles, so every sum is order-independent), then top-k by the
+    * quantized rank with term tie-break. */
+  private def textRankSql(iters: Int, topK: Int): String = {
+    val dy = graft.functions.Portable.dyadicSql _
+    val steps = (1 to iters).map { i =>
+      s"""m$i AS (SELECT e.d AS v,
+         |    sum(${dy(s"r${i - 1}.r * e.w / e.ws")}) AS ms
+         |  FROM ew e JOIN r${i - 1} ON r${i - 1}.v = e.s GROUP BY e.d),
+         |r$i AS (SELECT v.v,
+         |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+         |      * coalesce(m$i.ms, 0) AS r
+         |  FROM v LEFT JOIN m$i ON m$i.v = v.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $TokCte,
+       |pos AS (SELECT t, u.i AS i FROM toks
+       |  CROSS JOIN LATERAL unnest(range(1, len(t) + 1)) u(i)),
+       |pr AS (SELECT list_extract(t, CAST(i AS INTEGER)) AS w,
+       |    list_extract(t, CAST(v.j AS INTEGER)) AS c
+       |  FROM pos CROSS JOIN LATERAL unnest(
+       |    range(greatest(i - 2, 1), least(i + 2, len(t)) + 1)) v(j)
+       |  WHERE v.j <> i),
+       |pc AS (SELECT w, c, count(*) AS cnt FROM pr GROUP BY 1, 2
+       |  HAVING count(*) >= 5),
+       |e AS (SELECT w AS s, c AS d, CAST(cnt AS DOUBLE) AS w FROM pc),
+       |wsum AS (SELECT s, CAST(sum(w) AS DOUBLE) AS ws FROM e
+       |  GROUP BY s),
+       |ew AS (SELECT e.s, e.d, e.w, wsum.ws FROM e
+       |  JOIN wsum ON wsum.s = e.s),
+       |v AS (SELECT DISTINCT x AS v FROM
+       |  (SELECT s AS x FROM e UNION SELECT d FROM e) __u),
+       |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM v),
+       |$steps
+       |SELECT term, rank FROM (SELECT v AS term,
+       |  floor((${dy("r")} / (SELECT sum(${dy("r")}) FROM r$iters)
+       |    * (SELECT count(*) FROM v)) * 1000000.0 + 0.5)
+       |    / 1000000.0 AS rank
+       |FROM r$iters) __t
+       |ORDER BY rank DESC, term LIMIT $topK""".stripMargin
   }
 
   /** Shared DuckDB CTE snippets for the text oracles. */
@@ -4205,6 +4320,38 @@ object SparkEntry {
         |    ON a.w = b.w AND a.h = b.h AND a.id < b.id
         |) __n WHERE hamming <= 6""".stripMargin,
 
+    // audio features: the oracle recomputes zero crossings and energy
+    // analytically from the PCM spec (the engine reads them back out
+    // of the real WAV codec — the round-trip proof)
+    "q_audio_features" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 50 + 1 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT id, u.i AS i,
+        |    (id * 31 + 7 * u.i) % 256 AS v,
+        |    CASE WHEN u.i > 0 THEN (id * 31 + 7 * (u.i - 1)) % 256
+        |      END AS pv
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, nf)) u(i))
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN i > 0 AND
+        |    ((v >= 128) <> (pv >= 128)) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_cross,
+        |  CAST(sum((v - 128) * (v - 128)) AS BIGINT) AS energy
+        |FROM f GROUP BY id""".stripMargin,
+
+    // patch tiling: pixel (x,y) -> patch ((x*4)//w, (y*4)//h); the
+    // oracle regenerates pixels analytically (q_multimodal_pixels law)
+    "q_image_patches" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 24 + 8 AS w,
+        |    (doc_id * 7) % 24 + 8 AS h
+        |  FROM documents WHERE doc_id % 3 <> 2),
+        |px AS (SELECT id, (x.i * 4) // w AS px, (y.j * 4) // h AS py,
+        |    (id * 31 + 7 * x.i + 13 * y.j) % 256 AS v
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, w)) x(i)
+        |         CROSS JOIN LATERAL unnest(range(0, h)) y(j))
+        |SELECT id, px, py, count(*) AS n_px,
+        |  CAST(sum(v) AS BIGINT) AS px_sum
+        |FROM px GROUP BY id, px, py""".stripMargin,
+
     // Store-admin contracts: compaction/ingest/index-rebuild must be
     // invisible to readers — the oracle is simply the source table.
     "q_compact_preserves" ->
@@ -4647,44 +4794,21 @@ object SparkEntry {
     // candidate community (own candidate materialized with w=0), move
     // on strict improvement, ties to the smaller community id
     "q_louvain_move" ->
-      """WITH e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
-        |  FROM (SELECT l_orderkey % 120 AS a,
-        |          l_suppkey % 120 + 200 AS b FROM lineitem) __e
-        |  WHERE a <> b),
-        |adj AS (SELECT u AS x, v AS n FROM e0
-        |  UNION ALL SELECT v, u FROM e0),
-        |deg AS (SELECT x, count(*) AS k FROM adj GROUP BY x),
-        |comm AS (SELECT x, x % 7 AS c
-        |  FROM (SELECT DISTINCT x FROM adj) __v),
-        |vol AS (SELECT c, CAST(sum(k) AS BIGINT) AS vol
-        |  FROM comm JOIN deg USING (x) GROUP BY c),
-        |m2 AS (SELECT CAST(sum(k) AS BIGINT) AS m2 FROM deg),
-        |wvc AS (SELECT a.x, cm.c, count(*) AS w
-        |  FROM adj a JOIN comm cm ON cm.x = a.n GROUP BY a.x, cm.c),
-        |ownz AS (SELECT co.x, co.c, CAST(0 AS BIGINT) AS w FROM comm co
-        |  LEFT JOIN wvc ON wvc.x = co.x AND wvc.c = co.c
-        |  WHERE wvc.x IS NULL),
-        |cand AS (SELECT * FROM wvc UNION ALL SELECT * FROM ownz),
-        |sc AS (SELECT cand.x, cand.c, co.c AS c_own,
-        |    m2.m2 * cand.w - deg.k * (vol.vol -
-        |      CASE WHEN cand.c = co.c THEN deg.k ELSE 0 END) AS score
-        |  FROM cand JOIN comm co ON co.x = cand.x
-        |  JOIN deg ON deg.x = cand.x
-        |  JOIN vol ON vol.c = cand.c CROSS JOIN m2),
-        |ownsc AS (SELECT x, score AS own_score FROM sc WHERE c = c_own),
-        |best AS (SELECT x, score AS best_score, c AS best_c FROM (
-        |  SELECT x, c, score, row_number() OVER (
-        |    PARTITION BY x ORDER BY score DESC, c ASC) AS rk
-        |  FROM sc WHERE c <> c_own) __b WHERE rk = 1)
-        |SELECT _vid, old_c, new_c,
-        |  CAST(CASE WHEN new_c <> old_c THEN 1 ELSE 0 END AS BIGINT)
-        |    AS moved
-        |FROM (SELECT co.x AS _vid, co.c AS old_c,
-        |    CASE WHEN best.best_score > ownsc.own_score
-        |      THEN best.best_c ELSE co.c END AS new_c
-        |  FROM comm co
-        |  LEFT JOIN best ON best.x = co.x
-        |  JOIN ownsc ON ownsc.x = co.x) __m""".stripMargin,
+      s"""WITH $LouvainCtes
+         |SELECT _vid, old_c, new_c,
+         |  CAST(CASE WHEN new_c <> old_c THEN 1 ELSE 0 END AS BIGINT)
+         |    AS moved
+         |FROM mv""".stripMargin,
+
+    // Louvain phase 2: contract the MOVED communities — shares the
+    // entire local-move CTE chain, then two label joins + one count
+    "q_graph_contract" ->
+      s"""WITH $LouvainCtes,
+         |cm AS (SELECT _vid AS x, new_c AS c FROM mv)
+         |SELECT least(c1.c, c2.c) AS ca, greatest(c1.c, c2.c) AS cb,
+         |  count(*) AS weight
+         |FROM e0 JOIN cm c1 ON c1.x = e0.u JOIN cm c2 ON c2.x = e0.v
+         |GROUP BY 1, 2""".stripMargin,
 
     // IVM join delta: the algebraic delta must equal the recompute
     // difference EXACTLY as a multiset (EXCEPT ALL)
@@ -6194,6 +6318,10 @@ object SparkEntry {
          |  FROM pc JOIN wc USING (w) JOIN cc2 USING (c) CROSS JOIN nt
          |) __p WHERE ppmi > 0""".stripMargin,
 
+    // TextRank: the weightedPageRank dyadic recurrence over the
+    // skip-gram pair graph, top-20 terms (rank desc, term tie-break)
+    "q_textrank" -> textRankSql(iters = 5, topK = 20),
+
     "q_merkle_diff" ->
       """WITH a0 AS (SELECT s_suppkey, s_name,
         |    CAST(s_nationkey AS BIGINT) AS s_nationkey FROM supplier),
@@ -7293,6 +7421,7 @@ object SparkEntry {
     "q_contrastive_pairs" -> Seq("sim"),
     "q_pq_adc" -> Seq("d2"),
     "q_ppmi" -> Seq("ppmi"),
+    "q_textrank" -> Seq("rank"),
     "q_pq_rerank" -> Seq("d2"),
     "q_pq_rerank_recall" -> Seq("recall"),
     "q_pq_recall" -> Seq("recall"),

@@ -2128,4 +2128,34 @@ object GraphAnalytics {
       .withColumn("moved",
         (col("new_c") =!= col("old_c")).cast("long"))
   }
+
+  /**
+   * Community contraction — Louvain's phase 2 (Blondel et al. 2008
+   * §2): collapse every community into one super-vertex and every
+   * inter-community edge bundle into one weighted super-edge
+   * (ca ≤ cb; intra-community edges become the ca = cb self-loop row).
+   * [[louvainMove]] then runs unchanged on the contracted graph — the
+   * two operators ARE the Louvain outer loop. Also the generic graph
+   * summarization / roll-up: nation-level traffic from vertex-level
+   * edges, domain graph from page graph.
+   *
+   * Scale shape: two label joins against the community map (a
+   * vertex-keyed frame, broadcast when the community map is small) and
+   * ONE combinable count aggregate sized by the SUPER-graph — the
+   * whole point of contraction at 100 TB: each level's graph is
+   * strictly smaller.
+   */
+  def contractGraph(edges: DataFrame, comm: DataFrame): DataFrame = {
+    val und = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val cm = comm.toDF("x", "c")
+    und
+      .join(cm.select(col("x").as("u"), col("c").as("cu")), "u")
+      .join(cm.select(col("x").as("v"), col("c").as("cv")), "v")
+      .select(least(col("cu"), col("cv")).as("ca"),
+        greatest(col("cu"), col("cv")).as("cb"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("weight"))
+  }
 }

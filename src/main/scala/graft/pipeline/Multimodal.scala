@@ -242,6 +242,78 @@ object Multimodal {
       MediaFeatures(m.id, st.n_px, st.px_sum, st.mean_px, st.px_entropy)
     })
 
+  final case class AudioRow(id: Long, n_frames: Long, zero_cross: Long,
+      energy: Long)
+  implicit val audioEnc: Encoder[AudioRow] = Encoders.product[AudioRow]
+
+  /**
+   * Audio feature extraction from the DECODED PCM stream: zero-crossing
+   * count (sign changes around the unsigned-8-bit midpoint 128 — the
+   * classical pitch/noisiness proxy) and total energy Σ(s−128)² — both
+   * EXACT integers, so the round-trip through the real WAV codec is
+   * oracle-checkable, unlike float spectral features. The standard
+   * cheap filters before an expensive audio-embedding stage (silence /
+   * constant-tone / clipped clips show up immediately). Images are
+   * skipped (no PCM). Same iterator-to-iterator batch as [[decode]].
+   */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioRow] =
+    media.filter(m => m.format == "wav")
+      .mapPartitions(_.map { m =>
+        val ais = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(m.media))
+        val s = try ais.readAllBytes() finally ais.close()
+        var zc = 0L; var en = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i) & 0xff
+          val d = v - 128
+          en += d.toLong * d
+          if (i > 0 && ((v >= 128) != ((s(i - 1) & 0xff) >= 128))) zc += 1
+          i += 1
+        }
+        AudioRow(m.id, s.length.toLong, zc, en)
+      })
+
+  final case class PatchRow(id: Long, px: Int, py: Int, n_px: Long,
+      px_sum: Long)
+  implicit val patchEnc: Encoder[PatchRow] = Encoders.product[PatchRow]
+
+  /**
+   * ViT-style patch tiling over the DECODED raster: a `grid`×`grid`
+   * cover where pixel (x, y) belongs to patch (x·grid div w,
+   * y·grid div h) — exact integer boundaries, every patch non-empty
+   * whenever w, h ≥ grid. Emits per-patch pixel counts and sums — the
+   * fan-out stage feeding per-patch embedding/feature extraction (the
+   * preprocessing shape of every patch-based vision model). Audio rows
+   * are skipped. One decoded pass per image, grid² accumulator.
+   */
+  def imagePatches(media: Dataset[MediaRow], grid: Int):
+      Dataset[PatchRow] = {
+    require(grid >= 1 && grid <= 8, "grid in [1,8]: spec images are 8px+")
+    media.filter(m => m.format == "png" || m.format == "bmp")
+      .mapPartitions(_.flatMap { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.media))
+        require(img != null, s"undecodable ${m.format} for id ${m.id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val cnt = new Array[Long](grid * grid)
+        val sum = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          val py = y * grid / h
+          var x = 0
+          while (x < w) {
+            val i = py * grid + x * grid / w
+            cnt(i) += 1
+            sum(i) += img.getRaster.getSample(x, y, 0)
+            x += 1
+          }
+          y += 1
+        }
+        (0 until grid * grid).iterator.map(i =>
+          PatchRow(m.id, i % grid, i / grid, cnt(i), sum(i)))
+      })
+  }
+
   final case class DHashRow(id: Long, w: Int, h: Int,
       dh_hi: Long, dh_lo: Long)
   implicit val dhashEnc: Encoder[DHashRow] = Encoders.product[DHashRow]

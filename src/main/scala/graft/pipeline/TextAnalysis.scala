@@ -957,6 +957,33 @@ object TextAnalysis {
   }
 
   /**
+   * TextRank keyword extraction (Mihalcea & Tarau 2004 §3.1):
+   * PageRank over the token co-occurrence graph, top-k terms by rank —
+   * the unsupervised keyword extractor that needs no training data.
+   * Composition of two gated primitives: [[skipgramCounts]] builds the
+   * ±window co-occurrence edges (symmetric by construction), and
+   * [[graft.analytics.GraphAnalytics.weightedPageRank]] runs the
+   * bit-reproducible dyadic-grid recurrence with co-occurrence counts
+   * as edge weights.
+   *
+   * Scale shape: the graph is VOCABULARY-sized (pairs pruned by
+   * minCount), so the rank iterations run on a frame orders of
+   * magnitude smaller than the corpus; the final top-k plans as
+   * TakeOrderedAndProject. Ties at the quantized-rank boundary break
+   * by term — deterministic across engines.
+   */
+  def textRank(docs: DataFrame, textCol: String, window: Int,
+      minCount: Int, iters: Int, topK: Int): DataFrame = {
+    require(topK >= 1 && iters >= 1, "topK and iters must be >= 1")
+    val edges = skipgramCounts(docs, textCol, window, minCount)
+      .select(col("w").as("s"), col("c").as("d"),
+        col("cnt").cast("double").as("w"))
+    graft.analytics.GraphAnalytics.weightedPageRank(edges, iters)
+      .select(col("_vid").as("term"), col("rank"))
+      .orderBy(col("rank").desc, col("term")).limit(topK)
+  }
+
+  /**
    * Positional-inverted-index phrase search — the batch analog of the
    * reference's external full-text lookup (`LOOKUP ... WHERE c CONTAINS`
    * routed to the ES plugin, src/kvstore/plugins/elasticsearch/
