@@ -166,6 +166,7 @@ object Bench {
     "hyperball" -> "hball", "eff_diameter" -> "effdiam",
     "louvain_move" -> "louvain", "ivm_join" -> "ivmj",
     "ams_f2" -> "ams", "textrank" -> "trank",
+    "cc_incremental" -> "ccinc", "k_anonymity" -> "kanon",
     "graph_contract" -> "gcontr", "audio_features" -> "audiof",
     "image_patches" -> "patches",
     "cc_bigstar" -> "ccstar", "bloom_index" -> "blmix",

@@ -1202,6 +1202,20 @@ object SparkEntry {
         verts.select(col("v"), (col("v") % 7).as("c")))
     }),
 
+    // ---- Incremental CC: fold a delta edge batch into existing
+    // labels (labels-as-star-forest ∪ ΔE) — cost independent of
+    // |E_base|; the gate law IS incremental == full recompute ----
+    "q_cc_incremental" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val base = li.select((col("l_orderkey") % 400 + 1000000L).as("a"),
+        (col("l_suppkey") + 2000000L).as("b"))
+      val delta = li.filter(col("l_partkey") % 13 === 0)
+        .select((col("l_partkey") % 400 + 1000000L).as("a"),
+          (col("l_suppkey") + 2000000L).as("b"))
+      val labels = graft.analytics.GraphAnalytics.ccBigStar(base, 6)
+      graft.analytics.GraphAnalytics.ccIncremental(labels, delta, 6)
+    }),
+
     // ---- Louvain phase 2: contract the moved communities into the
     // weighted super-graph (move ∘ contract = the Louvain outer loop) ----
     "q_graph_contract" -> ((s, dir) => {
@@ -1295,6 +1309,12 @@ object SparkEntry {
     "q_cms_heavy_hitters" -> ((s, dir) =>
       graft.operators.Stats.cmsHeavyHitters(t(s, dir, "lineitem"),
         "l_partkey", depth = 4, width = 4096, minFreq = 45L)),
+
+    // ---- k-anonymity / l-diversity audit: equivalence classes over
+    // the quasi-identifiers, re-identification + homogeneity flags ----
+    "q_k_anonymity" -> ((s, dir) =>
+      graft.pipeline.Curation.kAnonymityAudit(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10, l = 5)),
 
     // ---- AMS tug-of-war F2 sketch: self-join-size / skew estimate
     // from 3 signed sums; mergeable by adding Z columns ----
@@ -4789,6 +4809,33 @@ object SparkEntry {
         |  SELECT u.d, r.label FROM reach r JOIN u ON u.s = r.v)
         |SELECT v AS _vid, min(label) AS component
         |FROM reach GROUP BY v""".stripMargin,
+
+    // incremental CC law: the gate compares the label-fold result
+    // against FULL reachability over base ∪ delta
+    "q_cc_incremental" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l_orderkey % 400 + 1000000 AS s,
+        |    l_suppkey + 2000000 AS d FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT l_partkey % 400 + 1000000,
+        |    l_suppkey + 2000000 FROM lineitem WHERE l_partkey % 13 = 0),
+        |u AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+        |reach(v, label) AS (
+        |  SELECT s, s FROM u
+        |  UNION
+        |  SELECT u.d, r.label FROM reach r JOIN u ON u.s = r.v)
+        |SELECT v AS _vid, min(label) AS component
+        |FROM reach GROUP BY v""".stripMargin,
+
+    // k-anonymity / l-diversity: class-sized output, exact distincts
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive,
+        |  CAST(CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS k_risk,
+        |  CAST(CASE WHEN count(DISTINCT c_acctbal) < 5 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS l_risk
+        |FROM customer GROUP BY 1, 2""".stripMargin,
 
     // Louvain local-move round: integer gain 2m·w_vc − k_v·vol'_c per
     // candidate community (own candidate materialized with w=0), move

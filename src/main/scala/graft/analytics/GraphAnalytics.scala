@@ -2158,4 +2158,33 @@ object GraphAnalytics {
         greatest(col("cu"), col("cv")).as("cb"))
       .groupBy("ca", "cb").agg(count(lit(1)).as("weight"))
   }
+
+  /**
+   * Incremental connected components — fold a batch of NEW edges into
+   * EXISTING component labels without touching the base edge set (the
+   * graph twin of [[graft.streaming.ChangeLogListener.ivmJoinDelta]]):
+   * a label map IS a star forest (edge v—label(v) per vertex), so
+   * labels ∪ ΔE is a graph with the same components as E_base ∪ ΔE,
+   * and [[ccBigStar]] re-converges on it in O(log) rounds. Cost is
+   * O(|V_labeled| + |ΔE|) per round — independent of |E_base|, the
+   * entire point when the base is 100 TB and the delta is one crawl
+   * batch.
+   *
+   * Law (gate + spec): ccIncremental(cc(E), ΔE) == cc(E ∪ ΔE).
+   */
+  def ccIncremental(labels: DataFrame, deltaEdges: DataFrame,
+      rounds: Int): DataFrame = {
+    val lbl = labels.toDF("x", "lbl")
+      .transform(graft.CacheScope.persist(_))
+    val stars = lbl.select(col("x").as("a"), col("lbl").as("b"))
+    val merged = ccBigStar(stars.unionByName(deltaEdges.toDF("a", "b")),
+      rounds)
+    // a singleton class is a root labeling itself — its star edge is a
+    // self-loop ccBigStar drops; restore any labeled vertex the merged
+    // run never saw (untouched by every delta edge) with its old label
+    val restored = lbl
+      .join(merged.select(col("_vid").as("x")), Seq("x"), "left_anti")
+      .select(col("x").as("_vid"), col("lbl").as("component"))
+    merged.unionByName(restored)
+  }
 }

@@ -655,4 +655,31 @@ object Curation {
         expr("_cmax * 1000000 div n_total").as("top_share_ppm"),
         expr("_c2 * 1000000 div (n_total * n_total)").as("hhi_ppm"))
   }
+
+  /**
+   * k-anonymity / l-diversity audit (Sweeney 2002 "k-Anonymity";
+   * Machanavajjhala et al. 2007 "l-Diversity") — the privacy gate the
+   * PII family needs beyond [[piiScrub]]'s pattern redaction: group
+   * the table by its quasi-identifier columns and flag every
+   * equivalence class that is re-identifiable (size < k — a joinable
+   * fingerprint) or homogeneous (fewer than l distinct sensitive
+   * values — membership alone leaks the attribute). The operator a
+   * training-data release review runs before shipping any
+   * user-derived table.
+   *
+   * Scale shape: ONE group-by over the quasi columns (map-side
+   * partial counts) with an exact distinct-count on the sensitive
+   * column (two-level aggregate — (quasi, sensitive) first, then
+   * quasi); output is equivalence-class-sized, never row-sized.
+   */
+  def kAnonymityAudit(df: org.apache.spark.sql.DataFrame,
+      quasiCols: Seq[String], sensitiveCol: String,
+      k: Int, l: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 2 && l >= 1, "need k >= 2 and l >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("k_risk", (col("class_size") < k).cast("long"))
+      .withColumn("l_risk", (col("n_sensitive") < l).cast("long"))
+  }
 }

@@ -345,4 +345,31 @@ class PlanShapeSpec extends SparkSpec {
       CacheScope.drain(spark)
     }
   }
+
+  test("bloom_probe: probes join the word-sized index by BROADCAST") {
+    val p = plan("q_bloom_probe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bloom index must broadcast against the probes:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ivm_join: every delta term broadcasts — base tables never " +
+      "shuffle into a sort-merge join") {
+    val p = plan("q_ivm_join")
+    assert(!p.contains("SortMergeJoin"),
+      s"IVM deltas are batch-sized and must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("textrank: global top-k plans as TakeOrderedAndProject") {
+    val p = plan("q_textrank")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$p")
+  }
+
+  test("image_neardup: intra-block pair-gen — no join of any kind") {
+    val p = plan("q_image_neardup")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"dims-blocked pair generation must be explode-based:\n$p")
+  }
 }

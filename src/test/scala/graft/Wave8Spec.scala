@@ -42,6 +42,38 @@ class Wave8Spec extends SparkSpec {
       out.energy == en)
   }
 
+  test("kAnonymityAudit flags small and homogeneous classes") {
+    val df = Seq(
+      ("a", 1, 10), ("a", 1, 11), ("a", 1, 12), // size 3, 3 distinct
+      ("b", 2, 20), ("b", 2, 20), // size 2, 1 distinct -> l_risk
+      ("c", 3, 30) // size 1 -> k_risk (and l ok at l=1? l=2 -> risk)
+    ).toDF("q1", "q2", "s")
+    val got = graft.pipeline.Curation.kAnonymityAudit(df,
+      Seq("q1", "q2"), "s", k = 2, l = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got("a") == ((3L, 3L, 0L, 0L)))
+    assert(got("b") == ((2L, 1L, 0L, 1L)), "homogeneous class")
+    assert(got("c") == ((1L, 1L, 1L, 1L)), "singleton class")
+  }
+
+  test("ccIncremental equals the full recompute (including untouched " +
+      "singletons)") {
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("a", "b")
+    val labels = graft.analytics.GraphAnalytics.ccBigStar(base, 4)
+    // delta merges {1,2,3} with {10,11}; {20,21} untouched
+    val delta = Seq((3L, 10L)).toDF("a", "b")
+    val inc = graft.analytics.GraphAnalytics
+      .ccIncremental(labels, delta, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.analytics.GraphAnalytics
+      .ccBigStar(base.unionByName(delta), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+    assert(inc(20L) == 20L && inc(21L) == 20L, "untouched component kept")
+  }
+
   test("imagePatches tile the full raster exactly once") {
     import graft.pipeline.Multimodal
     val ids = Seq(10L, 33L, 57L).toDF("doc_id")
