@@ -167,6 +167,7 @@ object Bench {
     "louvain_move" -> "louvain", "ivm_join" -> "ivmj",
     "ams_f2" -> "ams", "textrank" -> "trank",
     "cc_incremental" -> "ccinc", "k_anonymity" -> "kanon",
+    "coreness" -> "coren", "poisson_bootstrap" -> "pboot",
     "graph_contract" -> "gcontr", "audio_features" -> "audiof",
     "image_patches" -> "patches",
     "cc_bigstar" -> "ccstar", "bloom_index" -> "blmix",

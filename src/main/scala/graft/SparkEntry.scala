@@ -1202,6 +1202,16 @@ object SparkEntry {
         verts.select(col("v"), (col("v") % 7).as("c")))
     }),
 
+    // ---- Core decomposition: per-vertex coreness up to K by the
+    // shrinking-frame peel sweep (kCore answers one k; this labels
+    // every vertex) ----
+    "q_coreness" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.coreness(
+        t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+          .select((col("l_orderkey") % 6000).as("a"),
+            (col("l_partkey") % 6000).as("b")),
+        maxK = 3, roundsPerK = 3)),
+
     // ---- Incremental CC: fold a delta edge batch into existing
     // labels (labels-as-star-forest ∪ ΔE) — cost independent of
     // |E_base|; the gate law IS incremental == full recompute ----
@@ -1309,6 +1319,16 @@ object SparkEntry {
     "q_cms_heavy_hitters" -> ((s, dir) =>
       graft.operators.Stats.cmsHeavyHitters(t(s, dir, "lineitem"),
         "l_partkey", depth = 4, width = 4096, minFreq = 45L)),
+
+    // ---- Poisson-bootstrap CI for a distributed mean (Chamandy et
+    // al. 2012): B resamples in one pass via hashed Poisson(1)
+    // multiplicities; percentile CI over the replicate means ----
+    "q_poisson_bootstrap" -> ((s, dir) =>
+      graft.operators.Stats.poissonBootstrap(
+        t(s, dir, "lineitem")
+          .select((col("l_orderkey") * 10 + col("l_linenumber"))
+            .as("rid"), col("l_quantity")),
+        "rid", "l_quantity", reps = 20)),
 
     // ---- k-anonymity / l-diversity audit: equivalence classes over
     // the quasi-identifiers, re-identification + homogeneity flags ----
@@ -2616,6 +2636,46 @@ object SparkEntry {
        |    / 1000000.0 AS rank
        |FROM r$iters) __t
        |ORDER BY rank DESC, term LIMIT $topK""".stripMargin
+  }
+
+  /** Coreness oracle: replay the exact maxK·rounds peel sweep — per
+    * round a degree CTE + a semi-filtered edge CTE over the previous
+    * level's survivors; dropped-between-levels vertices report k−1. */
+  private def corenessSql(edgesSql: String, maxK: Int,
+      rounds: Int): String = {
+    // MATERIALIZED: each round references its predecessor ~4 times
+    // (degree union + both semi-joins); DuckDB's default CTE inlining
+    // would clone the chain exponentially (4^(maxK·rounds) base scans
+    // — fd exhaustion at 9 rounds, the kTruss-oracle lesson)
+    val ctes = collection.mutable.ArrayBuffer(
+      s"""e0_0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(a, b) AS s, greatest(a, b) AS d
+         |  FROM ($edgesSql) __e WHERE a <> b)""".stripMargin)
+    var cur = "e0_0"
+    for (k <- 1 to maxK; r <- 1 to rounds) {
+      val nxt = s"e${k}_$r"
+      ctes += s"""d${k}_$r AS MATERIALIZED (
+         |  SELECT v FROM (SELECT s AS v FROM $cur
+         |    UNION ALL SELECT d FROM $cur) __u
+         |  GROUP BY v HAVING count(*) >= $k)""".stripMargin
+      ctes += s"""$nxt AS MATERIALIZED (SELECT e.s, e.d FROM $cur e
+         |  JOIN d${k}_$r x ON x.v = e.s
+         |  JOIN d${k}_$r y ON y.v = e.d)""".stripMargin
+      cur = nxt
+    }
+    for (k <- 0 to maxK) {
+      val src = if (k == 0) "e0_0" else s"e${k}_$rounds"
+      ctes += s"""v$k AS (SELECT DISTINCT v FROM
+         |  (SELECT s AS v FROM $src UNION ALL SELECT d FROM $src) __v)
+         |""".stripMargin.trim
+    }
+    val levels = (1 to maxK).map { k =>
+      s"""SELECT v AS _vid, CAST(${k - 1} AS BIGINT) AS coreness
+         |FROM v${k - 1} WHERE v NOT IN (SELECT v FROM v$k)""".stripMargin
+    } :+ s"""SELECT v AS _vid, CAST($maxK AS BIGINT) AS coreness
+            |FROM v$maxK""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |${levels.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   /** Shared DuckDB CTE snippets for the text oracles. */
@@ -4809,6 +4869,49 @@ object SparkEntry {
         |  SELECT u.d, r.label FROM reach r JOIN u ON u.s = r.v)
         |SELECT v AS _vid, min(label) AS component
         |FROM reach GROUP BY v""".stripMargin,
+
+    // coreness: exact replay of the maxK x rounds peel sweep
+    "q_coreness" -> corenessSql(
+      "SELECT l_orderkey % 6000 AS a, l_partkey % 6000 AS b " +
+        "FROM lineitem WHERE l_linenumber = 1",
+      maxK = 3, rounds = 3),
+
+    // Poisson bootstrap: hashed Poisson(1) weights against the FIXED
+    // 2^52-scaled CDF thresholds; dyadic replicate sums; lower-rank
+    // percentile CI at ranks ceil(.025B)/ceil(.975B)
+    "q_poisson_bootstrap" -> {
+      val dy = graft.functions.Portable.dyadicSql _
+      val t = graft.operators.Stats.PoissonThresholds
+      s"""WITH r AS (SELECT l_orderkey * 10 + l_linenumber AS rid,
+         |    l_quantity, u.b AS rep
+         |  FROM lineitem CROSS JOIN LATERAL unnest(range(0, 20)) u(b)),
+         |w AS (SELECT rep, l_quantity,
+         |    CASE WHEN h < ${t(0)} THEN 0 WHEN h < ${t(1)} THEN 1
+         |      WHEN h < ${t(2)} THEN 2 WHEN h < ${t(3)} THEN 3
+         |      WHEN h < ${t(4)} THEN 4 WHEN h < ${t(5)} THEN 5
+         |      ELSE 6 END AS w
+         |  FROM (SELECT rep, l_quantity, CAST('0x' ||
+         |      substr(md5(CAST(rid AS VARCHAR) || '#' ||
+         |        CAST(rep AS VARCHAR)), 1, 13) AS BIGINT) AS h
+         |    FROM r) __h),
+         |m AS (SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+         |    floor((sum(${dy("w * l_quantity")})
+         |      / CAST(sum(w) AS BIGINT)) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS mean_rep
+         |  FROM w GROUP BY rep),
+         |rk AS (SELECT rep, mean_rep, row_number() OVER (
+         |    ORDER BY mean_rep, rep) AS _rk FROM m),
+         |ci AS (SELECT
+         |    min(CASE WHEN _rk = 1 THEN mean_rep END) AS ci_lo,
+         |    min(CASE WHEN _rk = 20 THEN mean_rep END) AS ci_hi
+         |  FROM rk),
+         |f AS (SELECT floor((sum(${dy("l_quantity")}) / count(*))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS mean_full
+         |  FROM lineitem)
+         |SELECT m.rep, m.n_eff, m.mean_rep, ci.ci_lo, ci.ci_hi,
+         |  f.mean_full
+         |FROM m CROSS JOIN ci CROSS JOIN f""".stripMargin
+    },
 
     // incremental CC law: the gate compares the label-fold result
     // against FULL reachability over base ∪ delta
@@ -7469,6 +7572,8 @@ object SparkEntry {
     "q_pq_adc" -> Seq("d2"),
     "q_ppmi" -> Seq("ppmi"),
     "q_textrank" -> Seq("rank"),
+    "q_poisson_bootstrap" ->
+      Seq("mean_rep", "ci_lo", "ci_hi", "mean_full"),
     "q_pq_rerank" -> Seq("d2"),
     "q_pq_rerank_recall" -> Seq("recall"),
     "q_pq_recall" -> Seq("recall"),

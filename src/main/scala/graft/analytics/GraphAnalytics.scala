@@ -2187,4 +2187,68 @@ object GraphAnalytics {
       .select(col("x").as("_vid"), col("lbl").as("component"))
     merged.unionByName(restored)
   }
+
+  /**
+   * Core decomposition up to `maxK` — per-vertex coreness (Seidman
+   * 1983; the distributed peel of Montresor et al. 2013): coreness(v)
+   * is the largest k whose k-core contains v. [[kCore]] answers one
+   * fixed k; this sweeps k = 1..maxK over the SAME shrinking edge
+   * frame (the k-core is a subgraph of the (k−1)-core, so each level
+   * peels the previous level's survivors — total work is the peel
+   * tail, not maxK full passes). Vertices dropped between level k−1
+   * and level k report coreness k−1; level-maxK survivors report maxK
+   * (read "≥ maxK"). Each level runs `roundsPerK` peel rounds — the
+   * same fixed-round contract as [[kCore]], replayed exactly by the
+   * oracle.
+   *
+   * Scale shape: per round ONE combinable degree aggregate + two
+   * semi-joins; edge state rotates through localCheckpoint (O(1)
+   * pinned frames across all maxK·roundsPerK rounds); dropped-vertex
+   * frames are vertex-sized.
+   */
+  def coreness(edges: DataFrame, maxK: Int, roundsPerK: Int): DataFrame = {
+    require(maxK >= 1 && roundsPerK >= 1, "maxK and roundsPerK >= 1")
+    var e = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("s"),
+        greatest(col("a"), col("b")).as("d"))
+      .distinct()
+    def verts(f: DataFrame): DataFrame = f
+      .select(explode(array(col("s"), col("d"))).as("v")).distinct()
+    def degs(f: DataFrame): DataFrame = f
+      .select(explode(array(col("s"), col("d"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    var prevCkptId: Option[Int] = None
+    val (e0, id0) = rotateCheckpoint(e, prevCkptId)
+    prevCkptId = id0
+    e = e0
+    // level-end vertex frames are persisted AND materialized before the
+    // next level's rotation releases the checkpoint blocks they derive
+    // from — a lazy reference would fault on the released block
+    var survivors = verts(e).transform(graft.CacheScope.persist(_))
+    survivors.count()
+    val dropped = collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (k <- 1 to maxK) {
+      for (_ <- 1 to roundsPerK) {
+        val keep = degs(e).filter(col("deg") >= k).select(col("v"))
+        val peeled = e
+          .join(keep.select(col("v").as("s")), Seq("s"), "left_semi")
+          .join(keep.select(col("v").as("d")), Seq("d"), "left_semi")
+          .select("s", "d")
+        val (next, ckptId) = rotateCheckpoint(peeled, prevCkptId)
+        prevCkptId = ckptId
+        e = next
+      }
+      val surv = verts(e).transform(graft.CacheScope.persist(_))
+      surv.count()
+      val drop = survivors.join(surv, Seq("v"), "left_anti")
+        .select(col("v").as("_vid"), lit(k - 1L).as("coreness"))
+        .transform(graft.CacheScope.persist(_))
+      drop.count()
+      dropped += drop
+      survivors = surv
+    }
+    (dropped :+ survivors.select(col("v").as("_vid"),
+      lit(maxK.toLong).as("coreness")))
+      .reduce(_ unionByName _)
+  }
 }

@@ -755,4 +755,68 @@ object Stats {
       .agg(sum(col("f") * col("f")).as("exact_f2"))
     signs.crossJoin(broadcast(med)).crossJoin(broadcast(exact))
   }
+
+  /** Cumulative Poisson(1) CDF × 2^52 as FIXED integer thresholds
+    * (identical literals in the DuckDB oracles): a 52-bit hash below
+    * threshold i draws weight i; above all six draws 6 (P ≈ 6e-5). */
+  private[graft] val PoissonThresholds: Seq[Long] = Seq(
+    1656781714176974L, 3313563428353948L, 4141954285442435L,
+    4418084571138597L, 4487117142562638L, 4500923656847446L)
+
+  /**
+   * Poisson-bootstrap uncertainty for a distributed mean (Chamandy et
+   * al. 2012, "Estimating Uncertainty for Massive Data Streams" —
+   * Google's production bootstrap): replicate b resamples the corpus
+   * by giving each row an independent Poisson(1) multiplicity, so B
+   * resamples run in ONE pass with no materialized copies; the spread
+   * of the replicate means estimates the sampling distribution of the
+   * full-data mean. Fully deterministic and engine-portable: the draw
+   * for (row, b) is the 52-bit md5 window of `id#b` compared against
+   * FIXED integer CDF thresholds ([[PoissonThresholds]]), and the
+   * per-replicate sums ride the dyadic grid (order-independent
+   * float summation — the pagerank law).
+   *
+   * Output: one row per replicate (rep, n_eff, mean_rep) with the
+   * percentile-CI bounds (ci_lo, ci_hi — lower-rank law at
+   * 2.5%/97.5% over the B replicate means) and the full-data mean
+   * attached to every row.
+   *
+   * Scale shape: one B-way explode over the scan, ONE combinable
+   * (rep)-keyed aggregate (B rows out), and a B-row window for the
+   * CI — corpus size enters only the first map-side-combined pass.
+   */
+  def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
+      reps: Int): DataFrame = {
+    import graft.functions.Portable.{dyadic, quant}
+    import org.apache.spark.sql.expressions.Window
+    require(reps >= 4, "need at least 4 replicates for a CI")
+    val h = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit("#"), col("rep"))),
+      1, 13), 16, 10).cast("long")
+    val wgt = PoissonThresholds.zipWithIndex
+      .foldRight(lit(PoissonThresholds.size.toLong)) {
+        case ((t, i), other) => when(h < t, lit(i.toLong)).otherwise(other)
+      }
+    val repMeans = df
+      .select(col(idCol), col(valueCol),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .select(col("rep").cast("long").as("rep"), wgt.as("w"),
+        col(valueCol))
+      .groupBy("rep")
+      .agg(sum(col("w")).as("n_eff"),
+        sum(dyadic(col("w") * col(valueCol))).as("_sv"))
+      .select(col("rep"), col("n_eff"),
+        quant(col("_sv") / col("n_eff"), 6).as("mean_rep"))
+    val ranked = repMeans.withColumn("_rk",
+      row_number().over(Window.orderBy(col("mean_rep"), col("rep"))))
+    val loRank = math.max(1, math.ceil(0.025 * reps).toInt)
+    val hiRank = math.min(reps, math.ceil(0.975 * reps).toInt)
+    val ci = ranked.agg(
+      min(when(col("_rk") === loRank, col("mean_rep"))).as("ci_lo"),
+      min(when(col("_rk") === hiRank, col("mean_rep"))).as("ci_hi"))
+    val full = df.agg(
+      quant(sum(dyadic(col(valueCol))) / count(lit(1)), 6)
+        .as("mean_full"))
+    repMeans.crossJoin(broadcast(ci)).crossJoin(broadcast(full))
+  }
 }

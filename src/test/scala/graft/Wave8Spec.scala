@@ -74,6 +74,34 @@ class Wave8Spec extends SparkSpec {
     assert(inc(20L) == 20L && inc(21L) == 20L, "untouched component kept")
   }
 
+  test("coreness: triangle is 2-core, pendant is 1-core") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = graft.analytics.GraphAnalytics.coreness(e, maxK = 3,
+      roundsPerK = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("poissonBootstrap: deterministic, CI brackets, exact full mean") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        col("l_quantity"))
+    def run(p: Int) = graft.operators.Stats.poissonBootstrap(
+      li.repartition(p), "rid", "l_quantity", reps = 8)
+      .orderBy("rep").collect()
+    val a = run(1)
+    assert(a.toSeq == run(5).toSeq, "partition-count invariant")
+    assert(a.length == 8)
+    val n = li.count()
+    // n_eff is Poisson(n): within 5 sigma of n
+    assert(a.forall(r => math.abs(r.getLong(1) - n) < 5 * math.sqrt(n)))
+    val (lo, hi) = (a.head.getDouble(3), a.head.getDouble(4))
+    val means = a.map(_.getDouble(2))
+    assert(lo == means.min && hi == means.max,
+      "rank-1/rank-8 CI bounds over 8 replicates")
+    assert(means.forall(m => m >= lo && m <= hi))
+  }
+
   test("imagePatches tile the full raster exactly once") {
     import graft.pipeline.Multimodal
     val ids = Seq(10L, 33L, 57L).toDF("doc_id")
