@@ -635,6 +635,41 @@ object ScaleSmoke {
     time(s"ams f2 ${factor}x")(
       graft.operators.Stats.amsF2(edges, "l_partkey").count())
 
+    // ---- round-10 wave 8/9/10 ----
+    time(s"textrank ${factor}x")(
+      graft.pipeline.TextAnalysis.textRank(docs, "text", window = 2,
+        minCount = 5, iters = 5, topK = 20).count())
+    time(s"louvain contract ${factor}x")(
+      graft.analytics.GraphAnalytics.contractGraph(
+        ampEdges.toDF("a", "b"),
+        ampVerts.select(col("v"), (col("v") % 7).as("c"))).count())
+    time(s"audio features ${factor}x")(
+      graft.pipeline.Multimodal.audioFeatures(ampMedia).toDF().count())
+    time(s"image patches ${factor}x")(
+      graft.pipeline.Multimodal.imagePatches(ampMedia, grid = 4)
+        .toDF().count())
+    time(s"k anonymity ${factor}x")(
+      graft.pipeline.Curation.kAnonymityAudit(
+        docs.select(col("lang"), col("source"), col("n_chars")),
+        Seq("lang", "source"), "n_chars", k = 10, l = 5).count())
+    val ccLabels = graft.analytics.GraphAnalytics
+      .ccBigStar(ampEdges.toDF("a", "b"), rounds = 6)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ccLabels.count()
+    time(s"cc incremental ${factor}x delta")(
+      graft.analytics.GraphAnalytics.ccIncremental(ccLabels,
+        edges.filter(col("l_partkey") % 13 === 0)
+          .select(col("l_partkey").as("a"), col("l_orderkey").as("b")),
+        rounds = 6).count())
+    time(s"coreness K=3 ${factor}x")(
+      graft.analytics.GraphAnalytics.coreness(ampEdges.toDF("a", "b"),
+        maxK = 3, roundsPerK = 3).count())
+    time(s"poisson bootstrap ${factor}x")(
+      graft.operators.Stats.poissonBootstrap(
+        edges.select((col("l_orderkey") * 100000 + col("l_partkey"))
+          .as("rid"), (col("l_partkey") % 97).cast("double").as("val")),
+        "rid", "val", reps = 20).count())
+
     spark.stop()
   }
 }
