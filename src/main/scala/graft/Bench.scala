@@ -168,6 +168,7 @@ object Bench {
     "ams_f2" -> "ams", "textrank" -> "trank",
     "cc_incremental" -> "ccinc", "k_anonymity" -> "kanon",
     "coreness" -> "coren", "poisson_bootstrap" -> "pboot",
+    "hist_match" -> "hmatch",
     "graph_contract" -> "gcontr", "audio_features" -> "audiof",
     "image_patches" -> "patches",
     "cc_bigstar" -> "ccstar", "bloom_index" -> "blmix",

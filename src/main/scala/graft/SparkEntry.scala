@@ -1330,6 +1330,16 @@ object SparkEntry {
             .as("rid"), col("l_quantity")),
         "rid", "l_quantity", reps = 20)),
 
+    // ---- Histogram-matching resampler: thin the corpus so n_chars
+    // matches the English subset's length distribution — exact
+    // integer per-mille acceptance, replayable by hash ----
+    "q_hist_match" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Curation.histogramMatch(
+        docs, docs.filter(col("lang") === "en"),
+        "doc_id", "n_chars", binWidth = 50L)
+    }),
+
     // ---- k-anonymity / l-diversity audit: equivalence classes over
     // the quasi-identifiers, re-identification + homogeneity flags ----
     "q_k_anonymity" -> ((s, dir) =>
@@ -4929,6 +4939,32 @@ object SparkEntry {
         |  SELECT u.d, r.label FROM reach r JOIN u ON u.s = r.v)
         |SELECT v AS _vid, min(label) AS component
         |FROM reach GROUP BY v""".stripMargin,
+
+    // histogram match: per-mille acceptance by BIGINT cross-multiply;
+    // the 1/1000 quantization is the documented contract
+    "q_hist_match" ->
+      """WITH sb AS (SELECT n_chars // 50 AS bin, doc_id
+        |  FROM documents),
+        |rb AS (SELECT n_chars // 50 AS bin FROM documents
+        |  WHERE lang = 'en'),
+        |sh AS (SELECT bin, count(*) AS src_cnt FROM sb GROUP BY bin),
+        |rh AS (SELECT bin, count(*) AS ref_cnt FROM rb GROUP BY bin),
+        |st AS (SELECT CAST(sum(src_cnt) AS BIGINT) AS src_total FROM sh),
+        |rt AS (SELECT CAST(sum(ref_cnt) AS BIGINT) AS ref_total FROM rh),
+        |pl AS (SELECT sh.bin, sh.src_cnt,
+        |    coalesce(rh.ref_cnt, 0) AS ref_cnt,
+        |    least(1000, coalesce(rh.ref_cnt, 0) * st.src_total * 1000
+        |      // (sh.src_cnt * rt.ref_total)) AS p_permille
+        |  FROM sh LEFT JOIN rh USING (bin)
+        |  CROSS JOIN st CROSS JOIN rt),
+        |acc AS (SELECT sb.bin, count(*) AS n_accepted
+        |  FROM sb JOIN pl USING (bin)
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 1000 < pl.p_permille
+        |  GROUP BY sb.bin)
+        |SELECT pl.bin, pl.src_cnt, pl.ref_cnt, pl.p_permille,
+        |  coalesce(acc.n_accepted, 0) AS n_accepted
+        |FROM pl LEFT JOIN acc USING (bin)""".stripMargin,
 
     // k-anonymity / l-diversity: class-sized output, exact distincts
     "q_k_anonymity" ->

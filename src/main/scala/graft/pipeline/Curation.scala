@@ -672,6 +672,54 @@ object Curation {
    * column (two-level aggregate — (quasi, sensitive) first, then
    * quasi); output is equivalence-class-sized, never row-sized.
    */
+  /**
+   * Histogram-matching resampler: thin the source corpus so a chosen
+   * statistic's distribution matches a REFERENCE corpus's (the
+   * standard distribution-repair step when a new crawl skews short /
+   * long / code-heavy relative to the curated mix — the
+   * length-distribution cousin of DSIR's importance weighting).
+   * Per bin, acceptance p = min(1, ref_share / src_share), applied as
+   * an EXACT INTEGER rule: p_permille by cross-multiplied BIGINT
+   * division, accepted iff md5(id) mod 1000 < p_permille — no floats,
+   * replayable, oracle-portable (the quantization to 1/1000 is the
+   * documented contract).
+   *
+   * Output is bin-level evidence: (bin, src_cnt, ref_cnt, p_permille,
+   * n_accepted) — the doc-level accept column is a narrow projection
+   * callers apply with the same rule.
+   *
+   * Scale shape: two bin-sized histograms (map-side combinable), the
+   * totals ride broadcast, and the acceptance pass is one narrow
+   * hash-mod filter on the scan — nothing corpus-sized shuffles.
+   */
+  def histogramMatch(src: org.apache.spark.sql.DataFrame,
+      ref: org.apache.spark.sql.DataFrame, idCol: String,
+      valueCol: String, binWidth: Long): org.apache.spark.sql.DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    val bin = expr(s"cast($valueCol as bigint) div $binWidth")
+    val srcB = src.select(bin.as("bin"), col(idCol).as("_id"))
+      .transform(graft.CacheScope.persist(_))
+    val sh = srcB.groupBy("bin").agg(count(lit(1)).as("src_cnt"))
+    val rh = ref.select(bin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("ref_cnt"))
+    val st = sh.agg(sum(col("src_cnt")).as("src_total"))
+    val rt = rh.agg(sum(col("ref_cnt")).as("ref_total"))
+    val plan = sh.join(rh, Seq("bin"), "left")
+      .na.fill(0L, Seq("ref_cnt"))
+      .crossJoin(broadcast(st)).crossJoin(broadcast(rt))
+      .select(col("bin"), col("src_cnt"), col("ref_cnt"),
+        least(lit(1000L),
+          expr("ref_cnt * src_total * 1000 div (src_cnt * ref_total)"))
+          .as("p_permille"))
+    val accepted = srcB
+      .join(broadcast(plan.select(col("bin"), col("p_permille"))), "bin")
+      .filter(conv(substring(md5(col("_id").cast("string")), 1, 8),
+        16, 10).cast("long") % 1000 < col("p_permille"))
+      .groupBy("bin").agg(count(lit(1)).as("n_accepted"))
+    plan.join(accepted, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_accepted"))
+  }
+
   def kAnonymityAudit(df: org.apache.spark.sql.DataFrame,
       quasiCols: Seq[String], sensitiveCol: String,
       k: Int, l: Int): org.apache.spark.sql.DataFrame = {

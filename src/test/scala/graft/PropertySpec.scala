@@ -347,4 +347,48 @@ class PropertySpec extends SparkSpec {
         s"w=$w n=$n edge=$got exact=$exact")
     }
   }
+
+  test("ppmi is symmetric when the window is symmetric") {
+    forAll(Gen.listOfN(8, textGen), n = 3) { texts =>
+      val ppmi = TextAnalysis.ppmi(texts.toDF("text"), "text",
+        window = 2, minCount = 1)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(5))).toMap
+      for (((w, c), (cnt, v)) <- ppmi) {
+        assert(ppmi.contains((c, w)), s"missing mirror of ($w,$c)")
+        val (mc, mv) = ppmi((c, w))
+        assert(mc == cnt && math.abs(mv - v) < 1e-12,
+          s"asymmetric PPMI for ($w,$c)")
+      }
+    }
+  }
+
+  test("bloom index never rejects a member (randomized sets)") {
+    val keysGen = Gen.listOfN(60, Gen.chooseNum(0L, 5000L))
+    forAll(keysGen, n = 4) { keys =>
+      val data = keys.toDF("key")
+        .select((col("key") % 4).as("bkt"), col("key"))
+      val idx = graft.operators.BloomIndex.build(data, "bkt", "key",
+        bits = 128, hashes = 2)
+      val missed = graft.operators.BloomIndex.probe(idx,
+        data.distinct(), data, "bkt", "key", bits = 128, hashes = 2)
+        .agg(sum("missed")).head().getLong(0)
+      assert(missed == 0L)
+    }
+  }
+
+  test("histogramMatch: identical source and reference accepts " +
+      "everything; acceptance respects the per-mille rule") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val self = graft.pipeline.Curation.histogramMatch(docs, docs,
+      "doc_id", "n_chars", binWidth = 100L).collect()
+    assert(self.forall(_.getLong(3) == 1000L), "p must be 1000 everywhere")
+    assert(self.forall(r => r.getLong(4) == r.getLong(1)),
+      "every source row accepted when distributions already match")
+    val en = graft.pipeline.Curation.histogramMatch(docs,
+      docs.filter(col("lang") === "en"), "doc_id", "n_chars", 100L)
+      .collect()
+    assert(en.forall(r => r.getLong(4) <= r.getLong(1)))
+    assert(en.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 1000L))
+  }
 }
