@@ -92,7 +92,7 @@ object Bench {
     "minhash_sig" -> "mh_sig", "text_search" -> "txt_srch",
     "tok_entropy" -> "tok_ent", "ev_run_tot" -> "ev_rtot",
     "ivf_recall" -> "ivf_rec",
-    "ivfpq_recall" -> "ivfpq_rec", "ivfpq_topk" -> "ivfpq", "line_dedup" -> "line_dd",
+    "ivfpq_recall" -> "ivfpq_rec", "ivfpq_residual" -> "ivfpq_res", "ivfpq_topk" -> "ivfpq", "line_dedup" -> "line_dd",
     "mix_sample" -> "mix_smp", "stats_hist" -> "st_hist",
     "stats_task" -> "st_task", "upd_vertex" -> "upd_vtx",
     "ups_vertex" -> "ups_vtx", "del_edges" -> "del_edg",

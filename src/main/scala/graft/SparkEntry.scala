@@ -529,6 +529,13 @@ object SparkEntry {
         queryIds = (0L to 4L), k = 5, nCells = 16, nProbe = 4,
         m = 2, kCodes = 4, iters = 2, dim = 64)),
 
+    // ---- Residual IVFADC (by_residual=true — the FAISS default):
+    // PQ over r = v − centroid(cell), cell-dependent ADC tables ----
+    "q_ivfpq_residual" -> ((s, dir) =>
+      Similarity.ivfPqResidualTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryIds = (0L to 4L), k = 5, nCells = 16,
+        nProbe = 4, m = 2, kCodes = 4, iters = 2, dim = 64)),
+
     // ---- IVF+PQ recall@k vs the exact-L2 ground truth: the dial
     // measurement for (nProbe, m, kCodes) at serving time ----
     "q_ivfpq_recall" -> ((s, dir) => {
@@ -2965,7 +2972,8 @@ object SparkEntry {
   /** Shared WITH-body for the PQ oracles: per subspace, the sliced
     * dyadic k-means chain (c{s}_{iters} = trained codebook) and the
     * final-codebook encode (f{s} = codes). */
-  private def pqChainsSql(m: Int, k: Int, iters: Int, dim: Int): String = {
+  private def pqChainsSql(m: Int, k: Int, iters: Int, dim: Int,
+      src: String = "embeddings"): String = {
     val subDim = dim / m
     // Rank-based seeding, mirroring pqTrain: the k smallest ids get
     // dense cell labels 0..k-1 (an id-value filter would under-seed on
@@ -2973,7 +2981,7 @@ object SparkEntry {
     val seedCte =
       s"""pqseed AS (SELECT id,
          |    CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cell
-         |  FROM (SELECT DISTINCT vec_id AS id FROM embeddings
+         |  FROM (SELECT DISTINCT vec_id AS id FROM $src
          |        ORDER BY id LIMIT $k))""".stripMargin
     seedCte + ",\n" + (0 until m).map { s =>
       val chain = (1 to iters).map { i =>
@@ -2998,7 +3006,7 @@ object SparkEntry {
       s"""sv$s AS (SELECT vec_id AS id,
          |    list_slice(embedding::DOUBLE[], ${s * subDim + 1},
          |      ${(s + 1) * subDim}) AS v
-         |  FROM embeddings),
+         |  FROM $src),
          |c${s}_0 AS (SELECT pqseed.cell, sv$s.v AS cvec
          |  FROM sv$s JOIN pqseed USING (id)),
          |$chain,
@@ -3178,6 +3186,78 @@ object SparkEntry {
   private def ivfPqSql(m: Int, k: Int, iters: Int, dim: Int,
       nCells: Int, nProbe: Int, nQueries: Int, topK: Int): String =
     s"""WITH ${ivfPqRankedCtes(m, k, iters, dim, nCells, nProbe, nQueries)}
+       |SELECT query_id, cand_id,
+       |  floor((d2) * 1000000.0 + 0.5) / 1000000.0 AS d2,
+       |  CAST(rk AS INTEGER) AS rk
+       |FROM ranked WHERE rk <= $topK""".stripMargin
+
+  /** Residual-IVFADC ranked CTEs (by_residual=true): coarse assign
+    * first, PQ chains over the RESIDUAL source, cell-dependent query
+    * distance tables keyed (query_id, cell, sub, code). */
+  private def ivfPqResidualRankedCtes(m: Int, k: Int, iters: Int,
+      dim: Int, nCells: Int, nProbe: Int, nQueries: Int): String = {
+    val subDim = dim / m
+    def residList(vec: String, cc: String): String =
+      s"""list_transform(range(1, ${dim + 1}), i ->
+         |    ($vec)[CAST(i AS INTEGER)] - ($cc)[CAST(i AS INTEGER)])"""
+        .stripMargin
+    val tabs = (0 until m).map { s =>
+      s"""t$s AS (SELECT qr.query_id, qr.cell, $s AS sub,
+         |    c.cell AS code,
+         |    ${graft.functions.Portable.dyadicSql(
+              pqD2Sql(
+                s"list_slice(qr.qres, ${s * subDim + 1}, " +
+                  s"${(s + 1) * subDim})", "c.cvec"))} AS td
+         |  FROM qres qr CROSS JOIN c${s}_$iters c)""".stripMargin
+    }.mkString(",\n")
+    s"""coarse AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS ccvec
+       |  FROM embeddings WHERE vec_id < $nCells),
+       |iasg AS (SELECT vec_id AS cand_id, cell FROM (
+       |  SELECT e.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${pqD2Sql("e.embedding::DOUBLE[]", "c.ccvec")} ASC,
+       |        c.cell) AS crk
+       |  FROM embeddings e CROSS JOIN coarse c) WHERE crk = 1),
+       |rsrc AS MATERIALIZED (SELECT e.vec_id,
+       |    ${residList("e.embedding::DOUBLE[]", "cc.ccvec")} AS embedding
+       |  FROM embeddings e
+       |  JOIN iasg a ON a.cand_id = e.vec_id
+       |  JOIN coarse cc ON cc.cell = a.cell),
+       |${pqChainsSql(m, k, iters, dim, src = "rsrc")},
+       |codes AS (${(0 until m).map(s => s"SELECT * FROM f$s")
+          .mkString(" UNION ALL ")}),
+       |probed AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, c.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${pqD2Sql("q.embedding::DOUBLE[]", "c.ccvec")} ASC,
+       |        c.cell) AS crk
+       |  FROM embeddings q CROSS JOIN coarse c
+       |  WHERE q.vec_id < $nQueries) WHERE crk <= $nProbe),
+       |qres AS (SELECT p.query_id, p.cell,
+       |    ${residList("q.embedding::DOUBLE[]", "cc.ccvec")} AS qres
+       |  FROM probed p
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN coarse cc ON cc.cell = p.cell),
+       |$tabs,
+       |tabs AS (${(0 until m).map(s => s"SELECT * FROM t$s")
+          .mkString(" UNION ALL ")}),
+       |scored AS (SELECT p.query_id, c.vec_id AS cand_id,
+       |    CAST(sum(t.td) AS DOUBLE) AS d2
+       |  FROM codes c
+       |  JOIN iasg a ON a.cand_id = c.vec_id
+       |  JOIN probed p ON p.cell = a.cell
+       |  JOIN tabs t ON t.query_id = p.query_id AND t.cell = a.cell
+       |    AND t.sub = c.sub AND t.code = c.code
+       |  WHERE c.vec_id <> p.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2 ASC, cand_id) AS rk FROM scored)""".stripMargin
+  }
+
+  private def ivfPqResidualSql(m: Int, k: Int, iters: Int, dim: Int,
+      nCells: Int, nProbe: Int, nQueries: Int, topK: Int): String =
+    s"""WITH ${ivfPqResidualRankedCtes(m, k, iters, dim, nCells,
+          nProbe, nQueries)}
        |SELECT query_id, cand_id,
        |  floor((d2) * 1000000.0 + 0.5) / 1000000.0 AS d2,
        |  CAST(rk AS INTEGER) AS rk
@@ -6887,6 +6967,9 @@ object SparkEntry {
     "q_ivfpq_topk" -> ivfPqSql(m = 2, k = 4, iters = 2, dim = 64,
       nCells = 16, nProbe = 4, nQueries = 5, topK = 5),
 
+    "q_ivfpq_residual" -> ivfPqResidualSql(m = 2, k = 4, iters = 2,
+      dim = 64, nCells = 16, nProbe = 4, nQueries = 5, topK = 5),
+
     "q_ivfpq_recall" -> ivfPqRecallSql(m = 2, k = 4, iters = 2, dim = 64,
       nCells = 16, nProbe = 4, nQueries = 5, topK = 5),
 
@@ -7614,6 +7697,7 @@ object SparkEntry {
     "q_pq_rerank_recall" -> Seq("recall"),
     "q_pq_recall" -> Seq("recall"),
     "q_ivfpq_topk" -> Seq("d2"),
+    "q_ivfpq_residual" -> Seq("d2"),
     "q_ivfpq_recall" -> Seq("recall"),
     "q_asof_join" -> Seq("buy_value"),
     "q_betweenness" -> Seq("delta"),

@@ -706,6 +706,81 @@ object Similarity {
   }
 
   /**
+   * Residual IVFADC (Jégou et al. 2011 §IV.A, `by_residual=true` — the
+   * variant FAISS serves by default): PQ codebooks are trained on and
+   * codes computed from the RESIDUAL r = v − centroid(cell(v)), which
+   * concentrates the quantizer's budget on the within-cell geometry
+   * (the coarse quantizer already explains the between-cell variance —
+   * the accuracy step up from [[ivfPqTopK]]'s raw-vector codes at the
+   * same bit budget). The query-side distance tables become
+   * CELL-DEPENDENT — td(q, cell, sub, code) over the query residual
+   * q − centroid(cell) — |Q|·nProbe·m·kCodes entries, still broadcast.
+   *
+   * Scale shape inherits [[ivfPqTopK]]: coarse quantizer, probed
+   * pairs, and tables all broadcast; the corpus-side work is the cell
+   * prune then m integer table lookups per surviving pair; the
+   * residual projection itself is one narrow zip_with on the
+   * assignment pass. Residual components are plain IEEE differences —
+   * identical in both engines — and all sums ride the dyadic grid.
+   */
+  def ivfPqResidualTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, nCells: Int, nProbe: Int,
+      m: Int, kCodes: Int, iters: Int, dim: Int,
+      roundTo: Int = 6): DataFrame = {
+    import graft.functions.Portable.dyadic
+    val subDim = dim / m
+    val coarse = broadcast(emb.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cell"),
+        col(vecCol).cast("array<double>").as("ccvec")))
+    val wAsg = Window.partitionBy(col(idCol))
+      .orderBy(col("cd2").asc, col("cell"))
+    val asg = emb.join(coarse)
+      .withColumn("cd2", l2sq(col(vecCol), col("ccvec")))
+      .withColumn("crk", row_number().over(wAsg)).filter(col("crk") === 1)
+      .select(col(idCol), col("cell"),
+        zip_with(col(vecCol).cast("array<double>"), col("ccvec"),
+          (a, b) => a - b).as("rvec"))
+      .transform(graft.CacheScope.persist(_)) // feeds train + encode
+    val cb = pqTrain(asg, idCol, "rvec", m, kCodes, iters, dim)
+    val codes = pqEncode(asg, idCol, "rvec", cb, m, dim)
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd2").asc, col("cell"))
+    val probed = broadcast(queries.join(coarse)
+      .withColumn("cd2", l2sq(col("qvec"), col("ccvec")))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nProbe)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qvec"), col("ccvec"), (a, b) => a - b).as("qres")))
+    val tables = (0 until m).map { s =>
+      probed.select(col("query_id"), col("cell"),
+          subVec(col("qres"), s, subDim).as("qv"), lit(s).as("sub"))
+        .join(cb.filter(col("sub") === s)
+          .select(col("cell").as("code"), col("cvec")))
+        .select(col("query_id"), col("cell"), col("sub"), col("code"),
+          dyadic(l2sq(col("qv"), col("cvec"))).as("td"))
+    }.reduce(_ unionByName _)
+    val scored = codes
+      .select(col(idCol).as("cand_id"), col("sub"), col("code"))
+      .join(asg.select(col(idCol).as("cand_id"), col("cell")),
+        Seq("cand_id"))
+      .join(broadcast(probed.select(col("query_id"), col("cell"))),
+        Seq("cell")) // prune to probed cells FIRST
+      .filter(col("cand_id") =!= col("query_id"))
+      .join(broadcast(tables), Seq("query_id", "cell", "sub", "code"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("td")).as("d2")) // on-grid summands: exact sum
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(wRank)).filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.Portable.quant(col("d2"), roundTo).as("d2"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  /**
    * Recall@k of an approximate result against the exact one: the
    * tuning metric for the LSH/IVF dials (share of exact top-k
    * neighbors the approximate search recovered, averaged over queries).

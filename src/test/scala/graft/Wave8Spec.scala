@@ -102,6 +102,23 @@ class Wave8Spec extends SparkSpec {
     assert(means.forall(m => m >= lo && m <= hi))
   }
 
+  test("ivfPqResidualTopK: ranked, bounded, partition-invariant") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def run(p: Int) = graft.pipeline.Similarity.ivfPqResidualTopK(
+      emb.repartition(p), "vec_id", "embedding",
+      queryIds = Seq(0L, 1L, 2L), k = 3, nCells = 8, nProbe = 3,
+      m = 2, kCodes = 4, iters = 1, dim = 64)
+      .orderBy("query_id", "rk").collect()
+    val a = run(1)
+    assert(a.toSeq == run(5).toSeq, "partition-count invariant")
+    val byQ = a.groupBy(_.getLong(0))
+    assert(byQ.values.forall(rows =>
+      rows.map(_.getInt(3)).toSeq == (1 to rows.length)),
+      "ranks contiguous from 1 per query")
+    assert(byQ.values.forall(_.length <= 3))
+    assert(a.forall(_.getDouble(2) >= 0.0), "ADC distance nonnegative")
+  }
+
   test("imagePatches tile the full raster exactly once") {
     import graft.pipeline.Multimodal
     val ids = Seq(10L, 33L, 57L).toDF("doc_id")
