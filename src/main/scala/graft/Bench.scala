@@ -168,7 +168,8 @@ object Bench {
     "ams_f2" -> "ams", "textrank" -> "trank",
     "cc_incremental" -> "ccinc", "k_anonymity" -> "kanon",
     "coreness" -> "coren", "poisson_bootstrap" -> "pboot",
-    "hist_match" -> "hmatch",
+    "hist_match" -> "hmatch", "conductance" -> "conduct",
+    "landmark_dist" -> "lmdist", "feature_hash" -> "fhash",
     "graph_contract" -> "gcontr", "audio_features" -> "audiof",
     "image_patches" -> "patches",
     "cc_bigstar" -> "ccstar", "bloom_index" -> "blmix",

@@ -1233,6 +1233,32 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.ccIncremental(labels, delta, 6)
     }),
 
+    // ---- Per-community conductance: cut / min(vol, 2m−vol) in exact
+    // permille — the community-quality readout for any partition ----
+    "q_conductance" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 120).as("a"),
+          (col("l_suppkey") % 120 + 200).as("b"))
+      val verts = e.select(col("a").as("v"))
+        .unionByName(e.select(col("b").as("v"))).distinct()
+      graft.analytics.GraphAnalytics.conductance(e,
+        verts.select(col("v"), (col("v") % 7).as("c")))
+    }),
+
+    // ---- Landmark distance sketch: 4-landmark bounded BFS frame,
+    // pairwise estimates as min_l d(u,l)+d(l,v) ----
+    "q_landmark_dist" -> ((s, dir) => {
+      import s.implicits._
+      val sketch = graft.analytics.GraphAnalytics.landmarkDistances(
+        t(s, dir, "lineitem")
+          .select((col("l_orderkey") % 250).as("a"),
+            (col("l_partkey") % 250).as("b")),
+        landmarks = Seq(1L, 2L, 3L, 4L), rounds = 3)
+      val pairs = (for { u <- 10L to 14L; v <- 20L to 24L }
+        yield (u, v)).toDF("u", "v")
+      graft.analytics.GraphAnalytics.landmarkPairEstimate(sketch, pairs)
+    }),
+
     // ---- Louvain phase 2: contract the moved communities into the
     // weighted super-graph (move ∘ contract = the Louvain outer loop) ----
     "q_graph_contract" -> ((s, dir) => {
@@ -1824,6 +1850,12 @@ object SparkEntry {
     "q_textrank" -> ((s, dir) =>
       TextAnalysis.textRank(t(s, dir, "documents"), "text",
         window = 2, minCount = 5, iters = 5, topK = 20)),
+
+    // ---- Feature hashing (the hashing trick): vocabulary-free
+    // 2^6-bucket term features + per-bucket collision evidence ----
+    "q_feature_hash" -> ((s, dir) =>
+      TextAnalysis.featureHash(t(s, dir, "documents"), "doc_id",
+        "text", b = 6)),
 
     // ---- Merkle anti-entropy bucket diff: replica B is the snapshot
     // with planted divergence (every 13th supplier's balance bumped,
@@ -5066,6 +5098,65 @@ object SparkEntry {
          |    AS moved
          |FROM mv""".stripMargin,
 
+    // conductance: exact integer cut/vol/2m accounting, permille div
+    "q_conductance" ->
+      """WITH e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM (SELECT l_orderkey % 120 AS a,
+        |          l_suppkey % 120 + 200 AS b FROM lineitem) __e
+        |  WHERE a <> b),
+        |vv AS (SELECT DISTINCT x FROM
+        |  (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) __x),
+        |cm AS (SELECT x, x % 7 AS c FROM vv),
+        |deg AS (SELECT x, count(*) AS k FROM
+        |  (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) __d
+        |  GROUP BY x),
+        |vol AS (SELECT cm.c, count(*) AS n_vertices,
+        |    CAST(sum(deg.k) AS BIGINT) AS vol
+        |  FROM cm JOIN deg USING (x) GROUP BY cm.c),
+        |lbl AS (SELECT c1.c AS cu, c2.c AS cv FROM e0
+        |  JOIN cm c1 ON c1.x = e0.u JOIN cm c2 ON c2.x = e0.v),
+        |cut AS (SELECT c, count(*) AS cut FROM (
+        |  SELECT cu AS c FROM lbl WHERE cu <> cv
+        |  UNION ALL SELECT cv FROM lbl WHERE cu <> cv) __c GROUP BY c),
+        |m2 AS (SELECT count(*) * 2 AS m2 FROM e0)
+        |SELECT vol.c, vol.n_vertices, vol.vol,
+        |  coalesce(cut.cut, 0) AS cut,
+        |  CASE WHEN least(vol.vol, m2.m2 - vol.vol) = 0 THEN 0
+        |    ELSE coalesce(cut.cut, 0) * 1000
+        |      // least(vol.vol, m2.m2 - vol.vol) END AS phi_permille
+        |FROM vol LEFT JOIN cut USING (c) CROSS JOIN m2""".stripMargin,
+
+    // landmark sketch: 3 unrolled per-landmark min-relaxations, then
+    // the triangle-inequality pair minimum
+    "q_landmark_dist" -> {
+      val relax = (1 to 3).map { i =>
+        s"""d$i AS (SELECT l, v, min(dist) AS dist FROM (
+           |  SELECT d${i - 1}.l, e.d AS v, d${i - 1}.dist + 1 AS dist
+           |  FROM e JOIN d${i - 1} ON d${i - 1}.v = e.s
+           |  UNION ALL SELECT l, v, dist FROM d${i - 1}) __r$i
+           |  GROUP BY l, v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT a, b FROM (
+         |  SELECT l_orderkey % 250 AS a, l_partkey % 250 AS b
+         |  FROM lineitem) __e WHERE a <> b),
+         |e AS (SELECT a AS s, b AS d FROM e0
+         |  UNION SELECT b, a FROM e0),
+         |d0 AS (SELECT l, CAST(l AS BIGINT) AS v, CAST(0 AS BIGINT)
+         |    AS dist
+         |  FROM (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS l) __l),
+         |$relax,
+         |pairs AS (SELECT CAST(u.u AS BIGINT) AS u,
+         |    CAST(v.v AS BIGINT) AS v
+         |  FROM unnest([10, 11, 12, 13, 14]) u(u)
+         |  CROSS JOIN unnest([20, 21, 22, 23, 24]) v(v))
+         |SELECT p.u, p.v, CAST(min(du.dist + dv.dist) AS BIGINT)
+         |  AS est_dist
+         |FROM pairs p
+         |JOIN d3 du ON du.v = p.u
+         |JOIN d3 dv ON dv.l = du.l AND dv.v = p.v
+         |GROUP BY p.u, p.v""".stripMargin
+    },
+
     // Louvain phase 2: contract the MOVED communities — shares the
     // entire local-move CTE chain, then two label joins + one count
     "q_graph_contract" ->
@@ -6587,6 +6678,19 @@ object SparkEntry {
     // TextRank: the weightedPageRank dyadic recurrence over the
     // skip-gram pair graph, top-20 terms (rank desc, term tie-break)
     "q_textrank" -> textRankSql(iters = 5, topK = 20),
+
+    // feature hashing: md5-window bucket, tf counts + collision audit
+    "q_feature_hash" ->
+      s"""WITH $TokCte,
+         |tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |hk AS (SELECT doc_id, tok, CAST('0x' ||
+         |    substr(md5(tok), 1, 8) AS BIGINT) % 64 AS bucket FROM tk),
+         |tf AS (SELECT doc_id, bucket, count(*) AS tf
+         |  FROM hk GROUP BY 1, 2),
+         |co AS (SELECT bucket, count(*) AS n_terms FROM (
+         |  SELECT DISTINCT bucket, tok FROM hk) __c GROUP BY bucket)
+         |SELECT tf.doc_id, tf.bucket, tf.tf, co.n_terms
+         |FROM tf JOIN co USING (bucket)""".stripMargin,
 
     "q_merkle_diff" ->
       """WITH a0 AS (SELECT s_suppkey, s_name,

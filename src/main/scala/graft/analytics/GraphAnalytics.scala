@@ -2189,6 +2189,103 @@ object GraphAnalytics {
   }
 
   /**
+   * Per-community conductance φ(C) = cut(C) / min(vol(C), 2m − vol(C))
+   * (Kannan, Vempala & Vetta 2004 — THE community-quality metric
+   * modularity optimizers are judged by; [[modularityStats]] scores
+   * the whole partition, this scores each community): cut counts
+   * edges with exactly one endpoint inside, vol sums member degrees.
+   * Exact integers throughout — φ ships as permille by cross-multiplied
+   * BIGINT division.
+   *
+   * Scale shape: one both-orientation label join (community map
+   * broadcast when small), then TWO combinable aggregates (per-vertex
+   * degrees fold into per-community volumes; per-edge label pairs fold
+   * into cuts); 2m rides broadcast. Output is community-sized.
+   */
+  def conductance(edges: DataFrame, comm: DataFrame): DataFrame = {
+    val und = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    val cm = comm.toDF("x", "c")
+    val lbl = und
+      .join(cm.select(col("x").as("u"), col("c").as("cu")), "u")
+      .join(cm.select(col("x").as("v"), col("c").as("cv")), "v")
+      .transform(graft.CacheScope.persist(_))
+    val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("k"))
+    val vol = cm.join(deg, "x").groupBy(col("c"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("k")).as("vol"))
+    val cut = lbl.filter(col("cu") =!= col("cv"))
+      .select(explode(array(col("cu"), col("cv"))).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("cut"))
+    val m2 = und.agg((count(lit(1)) * 2).as("m2"))
+    vol.join(cut, Seq("c"), "left").na.fill(0L, Seq("cut"))
+      .crossJoin(broadcast(m2))
+      .select(col("c"), col("n_vertices"), col("vol"), col("cut"),
+        when(least(col("vol"), col("m2") - col("vol")) === 0, lit(0L))
+          .otherwise(expr(
+            "cut * 1000 div least(vol, m2 - vol)")).as("phi_permille"))
+  }
+
+  /**
+   * Landmark distance sketch (Das Sarma et al. 2010 "A Sketch-Based
+   * Distance Oracle for Web-Scale Graphs"; the Potamias et al. 2009
+   * landmark method): precompute bounded-hop BFS distances from a
+   * small landmark set, then answer any pairwise distance query as
+   * the triangle-inequality upper bound est(u,v) = min_l d(u,l) +
+   * d(l,v) — O(|L|) lookups per query instead of a per-query BFS, the
+   * only distance oracle that works at web scale. Undirected unit
+   * edges; unreached (landmark, v) pairs simply don't appear (the
+   * estimate over the remaining landmarks still upper-bounds).
+   *
+   * Scale shape: the sketch is ONE frame keyed (landmark, v) built by
+   * `rounds` Bellman-Ford relaxations carrying the landmark id
+   * through (the eccentricity/earliestArrival family: one edge⋈frame
+   * join + a min-combine per round, O(1) pinned frames); pair queries
+   * are two sketch joins + one min aggregate.
+   */
+  def landmarkDistances(edges: DataFrame, landmarks: Seq[Long],
+      rounds: Int): DataFrame = {
+    require(landmarks.nonEmpty && rounds >= 1, "landmarks + rounds >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+    val e = und.select(col("a").as("s"), col("b").as("d"))
+      .unionByName(und.select(col("b").as("s"), col("a").as("d")))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    var dist = landmarks.toDF("l")
+      .select(col("l"), col("l").as("v"), lit(0L).as("dist"))
+    var prevCkptId: Option[Int] = None
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(dist, dist("v") === e("s"))
+        .select(col("l"), col("d").as("v"), (col("dist") + 1L).as("dist"))
+        .unionByName(dist.select(col("l"), col("v"), col("dist")))
+        .groupBy("l", "v").agg(min(col("dist")).as("dist"))
+      val (next, ckptId) = rotateCheckpoint(relaxed, prevCkptId)
+      prevCkptId = ckptId
+      dist = next
+    }
+    dist
+  }
+
+  /** Pairwise upper-bound estimates from a [[landmarkDistances]]
+    * sketch for a probe-pair frame (u, v): est = min_l d(u,l)+d(l,v).
+    * Pairs with no common reached landmark are omitted. */
+  def landmarkPairEstimate(sketch: DataFrame,
+      pairs: DataFrame): DataFrame =
+    pairs.toDF("u", "pv")
+      .join(sketch.select(col("l"), col("v").as("u"),
+        col("dist").as("du")), "u")
+      .join(sketch.select(col("l"), col("v").as("pv"),
+        col("dist").as("dv")), Seq("l", "pv"))
+      .groupBy(col("u"), col("pv"))
+      .agg(min(col("du") + col("dv")).as("est_dist"))
+      .select(col("u"), col("pv").as("v"), col("est_dist"))
+
+  /**
    * Core decomposition up to `maxK` — per-vertex coreness (Seidman
    * 1983; the distributed peel of Montresor et al. 2013): coreness(v)
    * is the largest k whose k-core contains v. [[kCore]] answers one

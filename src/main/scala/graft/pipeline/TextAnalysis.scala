@@ -972,6 +972,39 @@ object TextAnalysis {
    * TakeOrderedAndProject. Ties at the quantized-rank boundary break
    * by term — deterministic across engines.
    */
+  /**
+   * Feature hashing (Weinberger et al. 2009 "Feature Hashing for
+   * Large Scale Multitask Learning" — the hashing trick): project
+   * each document's term counts into a FIXED 2^b-bucket space by
+   * hashing tokens (md5 window law) — the vocabulary-free
+   * featurization every large-scale linear/GBDT text model uses (no
+   * dictionary to build, ship, or keep consistent across days).
+   * Output: (doc, bucket, tf) sparse rows plus the per-bucket
+   * collision evidence (n_terms — distinct tokens sharing the
+   * bucket corpus-wide; >1 means the bucket mixes features).
+   *
+   * Scale shape: one narrow tokenize + hash projection, one
+   * (doc, bucket) count shuffle (map-side combinable); the collision
+   * audit is a ≤2^b-row aggregate joined back by bucket (broadcast).
+   */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+      b: Int): DataFrame = {
+    require(b >= 2 && b <= 20, "bucket-space width b in [2,20]")
+    val buckets = 1L << b
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), col("tok"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % buckets).as("bucket"))
+      .transform(graft.CacheScope.persist(_))
+    val tf = tok.groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("tf"))
+    val collisions = tok.select(col("bucket"), col("tok")).distinct()
+      .groupBy("bucket").agg(count(lit(1)).as("n_terms"))
+    tf.join(broadcast(collisions), "bucket")
+      .select(col("doc_id"), col("bucket"), col("tf"), col("n_terms"))
+  }
+
   def textRank(docs: DataFrame, textCol: String, window: Int,
       minCount: Int, iters: Int, topK: Int): DataFrame = {
     require(topK >= 1 && iters >= 1, "topK and iters must be >= 1")

@@ -119,6 +119,44 @@ class Wave8Spec extends SparkSpec {
     assert(a.forall(_.getDouble(2) >= 0.0), "ADC distance nonnegative")
   }
 
+  test("conductance: two triangles with one bridge") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("x", "c")
+    val got = graft.analytics.GraphAnalytics.conductance(e, comm)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // vol = 2*3 intra-ends + 1 bridge-end = 7; cut = 1; 2m = 14
+    // phi = 1*1000 div min(7, 7) = 142
+    assert(got == Map(1L -> ((3L, 7L, 1L, 142L)),
+      4L -> ((3L, 7L, 1L, 142L))))
+  }
+
+  test("landmark estimates are exact when the landmark lies on the " +
+      "shortest path, and never underestimate") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val sketch = graft.analytics.GraphAnalytics.landmarkDistances(
+      path, landmarks = Seq(3L), rounds = 4)
+    val est = graft.analytics.GraphAnalytics.landmarkPairEstimate(
+      sketch, Seq((1L, 5L), (2L, 4L), (1L, 2L)).toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(est((1L, 5L)) == 4L, "landmark on the path: exact")
+    assert(est((2L, 4L)) == 2L)
+    assert(est((1L, 2L)) == 3L, "upper bound via the landmark (1-3-2)")
+  }
+
+  test("featureHash: tf sums to the token count per doc") {
+    val docs = Seq((1L, "a b a"), (2L, "c d")).toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.featureHash(docs, "doc_id",
+      "text", b = 4)
+    val sums = out.groupBy("doc_id").agg(sum("tf"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums == Map(1L -> 3L, 2L -> 2L))
+    assert(out.collect().forall(_.getLong(3) >= 1L))
+  }
+
   test("imagePatches tile the full raster exactly once") {
     import graft.pipeline.Multimodal
     val ids = Seq(10L, 33L, 57L).toDF("doc_id")
