@@ -170,6 +170,7 @@ object Bench {
     "coreness" -> "coren", "poisson_bootstrap" -> "pboot",
     "hist_match" -> "hmatch", "conductance" -> "conduct",
     "landmark_dist" -> "lmdist", "feature_hash" -> "fhash",
+    "audio_silence" -> "silence", "snm_pairs" -> "snm",
     "graph_contract" -> "gcontr", "audio_features" -> "audiof",
     "image_patches" -> "patches",
     "cc_bigstar" -> "ccstar", "bloom_index" -> "blmix",

@@ -605,6 +605,21 @@ object SparkEntry {
         Multimodal.synthesize(t(s, dir, "documents"), "doc_id"),
         grid = 4).toDF()),
 
+    // ---- Silence-run detection (gaps-and-islands over decoded PCM):
+    // the trim/VAD pre-filter before audio embedding ----
+    "q_audio_silence" -> ((s, dir) =>
+      Multimodal.silenceRuns(
+        Multimodal.synthesize(t(s, dir, "documents"), "doc_id"),
+        eps = 16).toDF()),
+
+    // ---- Sorted-neighborhood record-linkage pairs (two-level global
+    // rank, blocked in-window pair-gen) ----
+    "q_snm_pairs" -> ((s, dir) =>
+      Dedup.snmPairs(
+        t(s, dir, "part").select(col("p_partkey"),
+          lower(col("p_name")).as("nkey")),
+        "p_partkey", "nkey", window = 3)),
+
     // byte-level payload features over generic binary ingest (no codec
     // involved): exact-integer surrogates face the hash; mean_byte is
     // an exact rational (byte_sum/n_bytes, floor-quantized); entropy
@@ -4539,6 +4554,42 @@ object SparkEntry {
         |    AS zero_cross,
         |  CAST(sum((v - 128) * (v - 128)) AS BIGINT) AS energy
         |FROM f GROUP BY id""".stripMargin,
+
+    // silence runs: gaps-and-islands (i − row_number per silent row)
+    // over the analytic PCM spec; clips with no silence keep 0 rows
+    "q_audio_silence" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 50 + 1 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT id, u.i AS i,
+        |    CASE WHEN abs((id * 31 + 7 * u.i) % 256 - 128) <= 16
+        |      THEN 1 ELSE 0 END AS sil
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, nf)) u(i)),
+        |runs AS (SELECT id,
+        |    i - row_number() OVER (PARTITION BY id ORDER BY i) AS grp
+        |  FROM f WHERE sil = 1),
+        |lens AS (SELECT id, grp, count(*) AS len
+        |  FROM runs GROUP BY id, grp),
+        |agg AS (SELECT id, CAST(sum(len) AS BIGINT) AS n_silent,
+        |    CAST(count(*) AS BIGINT) AS n_runs,
+        |    CAST(max(len) AS BIGINT) AS longest_run
+        |  FROM lens GROUP BY id)
+        |SELECT d.id, CAST(d.nf AS BIGINT) AS n_frames,
+        |  coalesce(agg.n_silent, 0) AS n_silent,
+        |  coalesce(agg.n_runs, 0) AS n_runs,
+        |  coalesce(agg.longest_run, 0) AS longest_run
+        |FROM d LEFT JOIN agg ON agg.id = d.id""".stripMargin,
+
+    // SNM: global rank over the normalized key (oracle may sort
+    // globally; the engine's two-level rank is order-identical
+    // because the bucket is a key prefix), in-window pairs
+    "q_snm_pairs" ->
+      """WITH ranked AS (SELECT p_partkey AS id,
+        |    row_number() OVER (ORDER BY lower(p_name), p_partkey)
+        |      AS rk
+        |  FROM part)
+        |SELECT a.id AS id_a, b.id AS id_b, b.rk - a.rk AS rank_gap
+        |FROM ranked a JOIN ranked b
+        |  ON b.rk > a.rk AND b.rk - a.rk <= 3""".stripMargin,
 
     // patch tiling: pixel (x,y) -> patch ((x*4)//w, (y*4)//h); the
     // oracle regenerates pixels analytically (q_multimodal_pixels law)

@@ -638,4 +638,49 @@ object Dedup {
       .filter(col("dist") <= maxHamming)
       .distinct()
   }
+
+  /**
+   * Sorted-neighborhood method (Hernández & Stolfo 1995 — the classic
+   * record-linkage blocking [[fuzzyPairs]]' length-band blocking
+   * complements): sort all records by the normalized key and emit
+   * every pair within `window` positions of each other — catches
+   * typo-adjacent keys that land far apart under equality blocking
+   * but adjacent under lexicographic order. Output: (id_a, id_b,
+   * rank_gap), one row per in-window pair, id_a ranked before id_b.
+   *
+   * Scale shape: the global rank is the TWO-LEVEL law (local
+   * row_number inside key-prefix buckets + cumulative bucket offsets
+   * from a buckets-sized window — the sort never runs on one
+   * partition; prefix-bucket order is consistent with full-key order
+   * because the bucket IS a key prefix); pair generation joins rank
+   * blocks of width `window` against themselves and their successor —
+   * each row meets ≤ 2·window candidates, never a rank×rank join.
+   */
+  def snmPairs(df: DataFrame, idCol: String, keyCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val k = df.select(col(idCol).as("id"), col(keyCol).as("key"))
+      .withColumn("bkt", substring(col("key"), 1, 2))
+      .transform(graft.CacheScope.persist(_))
+    val local = k.withColumn("lrk", row_number().over(
+      Window.partitionBy(col("bkt")).orderBy(col("key"), col("id"))))
+    // buckets-sized frame: the only unpartitioned window in the plan
+    val offsets = k.groupBy("bkt").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val ranked = local.join(broadcast(offsets), "bkt")
+      .select(col("id"), col("key"), (col("off") + col("lrk")).as("rk"))
+      .transform(graft.CacheScope.persist(_))
+    val left = ranked.select(col("id").as("id_a"), col("rk").as("ra"),
+      expr(s"(rk - 1) div $window").as("blk"))
+    val right = ranked.select(col("id").as("id_b"), col("rk").as("rb"),
+        explode(array(expr(s"(rk - 1) div $window"),
+          expr(s"(rk - 1) div $window - 1"))).as("blk"))
+    left.join(right, "blk")
+      .filter(col("rb") > col("ra") && col("rb") - col("ra") <= window)
+      .select(col("id_a"), col("id_b"), (col("rb") - col("ra"))
+        .as("rank_gap"))
+  }
 }

@@ -274,6 +274,42 @@ object Multimodal {
         AudioRow(m.id, s.length.toLong, zc, en)
       })
 
+  final case class SilenceRow(id: Long, n_frames: Long, n_silent: Long,
+      n_runs: Long, longest_run: Long)
+  implicit val silenceEnc: Encoder[SilenceRow] =
+    Encoders.product[SilenceRow]
+
+  /**
+   * Silence-run detection over the decoded PCM (the gaps-and-islands
+   * sequence analysis): a sample is silent when |s − 128| ≤ `eps`;
+   * report per clip the silent-sample count, the number of maximal
+   * silent RUNS, and the longest run — the cheap trim/VAD pre-filter
+   * before any expensive audio model (all-silent and mostly-silent
+   * clips drop before embedding). Exact integers; one decoded pass.
+   */
+  def silenceRuns(media: Dataset[MediaRow], eps: Int):
+      Dataset[SilenceRow] = {
+    require(eps >= 0 && eps < 128, "eps in [0,128)")
+    media.filter(m => m.format == "wav")
+      .mapPartitions(_.map { m =>
+        val ais = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(m.media))
+        val s = try ais.readAllBytes() finally ais.close()
+        var nSil = 0L; var runs = 0L; var longest = 0L; var cur = 0L
+        var i = 0
+        while (i < s.length) {
+          val silent = math.abs((s(i) & 0xff) - 128) <= eps
+          if (silent) {
+            nSil += 1; cur += 1
+            if (cur == 1) runs += 1
+            if (cur > longest) longest = cur
+          } else cur = 0
+          i += 1
+        }
+        SilenceRow(m.id, s.length.toLong, nSil, runs, longest)
+      })
+  }
+
   final case class PatchRow(id: Long, px: Int, py: Int, n_px: Long,
       px_sum: Long)
   implicit val patchEnc: Encoder[PatchRow] = Encoders.product[PatchRow]

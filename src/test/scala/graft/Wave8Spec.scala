@@ -157,6 +157,43 @@ class Wave8Spec extends SparkSpec {
     assert(out.collect().forall(_.getLong(3) >= 1L))
   }
 
+  test("silenceRuns: hand PCM islands") {
+    import graft.pipeline.Multimodal
+    val id = 5L // wav (5 % 3 == 2)
+    val out = Multimodal.silenceRuns(
+      Multimodal.synthesize(Seq(id).toDF("doc_id"), "doc_id"), eps = 16)
+      .collect().head
+    val nf = Multimodal.specFrames(id)
+    val sil = (0 until nf).map(i =>
+      math.abs(Multimodal.specPixel(id, i, 0) - 128) <= 16)
+    val runs = sil.foldLeft(List.empty[Int]) {
+      case (acc, true) if acc.nonEmpty && acc.head > 0 =>
+        (acc.head + 1) :: acc.tail
+      case (acc, true) => 1 :: acc
+      case (acc, false) => 0 :: acc
+    }.filter(_ > 0)
+    assert(out.n_frames == nf.toLong)
+    assert(out.n_silent == sil.count(identity).toLong)
+    assert(out.n_runs == runs.length.toLong)
+    assert(out.longest_run == (if (runs.isEmpty) 0L else runs.max.toLong))
+  }
+
+  test("snmPairs: window pairs over the sorted key order, two-level " +
+      "rank == global sort") {
+    val df = Seq((1L, "apple"), (2L, "apply"), (3L, "banana"),
+      (4L, "band"), (5L, "cherry"), (6L, "appla")).toDF("id", "k")
+    val got = graft.pipeline.Dedup.snmPairs(df, "id", "k", window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // sorted: appla(6) apple(1) apply(2) banana(3) band(4) cherry(5)
+    val order = Seq(6L, 1L, 2L, 3L, 4L, 5L)
+    val expect = (for {
+      i <- order.indices; j <- order.indices
+      if j > i && j - i <= 2
+    } yield (order(i), order(j), (j - i).toLong)).toSet
+    assert(got == expect)
+  }
+
   test("imagePatches tile the full raster exactly once") {
     import graft.pipeline.Multimodal
     val ids = Seq(10L, 33L, 57L).toDF("doc_id")
