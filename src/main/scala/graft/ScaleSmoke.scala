@@ -670,6 +670,36 @@ object ScaleSmoke {
           .as("rid"), (col("l_partkey") % 97).cast("double").as("val")),
         "rid", "val", reps = 20).count())
 
+    // ---- round-10 waves 11-14 ----
+    time(s"hist match ${factor}x")(
+      graft.pipeline.Curation.histogramMatch(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "n_chars",
+        binWidth = 50L).count())
+    time(s"conductance ${factor}x")(
+      graft.analytics.GraphAnalytics.conductance(ampEdges.toDF("a", "b"),
+        ampVerts.select(col("v"), (col("v") % 7).as("c"))).count())
+    time(s"landmark sketch ${factor}x")(
+      graft.analytics.GraphAnalytics.landmarkPairEstimate(
+        graft.analytics.GraphAnalytics.landmarkDistances(
+          ampEdges.toDF("a", "b"), seeds.take(8), rounds = 3),
+        spark.createDataFrame(
+          Seq(1L, 2L, 3L).flatMap(u => Seq(4L, 5L).map(v => (u, v))))
+          .toDF("u", "v")).count())
+    time(s"feature hash ${factor}x")(
+      graft.pipeline.TextAnalysis.featureHash(docs, "doc_id", "text",
+        b = 10).count())
+    time(s"audio silence ${factor}x")(
+      graft.pipeline.Multimodal.silenceRuns(ampMedia, eps = 16)
+        .toDF().count())
+    time(s"snm pairs ${factor}x")(
+      graft.pipeline.Dedup.snmPairs(
+        docs.select(col("doc_id"), substring(col("text"), 1, 16)
+          .as("nkey")), "doc_id", "nkey", window = 3).count())
+    time(s"ivfpq residual ${factor}x")(
+      graft.pipeline.Similarity.ivfPqResidualTopK(emb, "vec_id",
+        "embedding", queryIds = (0L to 4L), k = 5, nCells = 16,
+        nProbe = 4, m = 2, kCodes = 4, iters = 2, dim = 64).count())
+
     spark.stop()
   }
 }
