@@ -171,6 +171,7 @@ object Bench {
     "hist_match" -> "hmatch", "conductance" -> "conduct",
     "landmark_dist" -> "lmdist", "feature_hash" -> "fhash",
     "audio_silence" -> "silence", "snm_pairs" -> "snm",
+    "item_cosine" -> "icos", "pagerank_converge" -> "prconv",
     "graph_contract" -> "gcontr", "audio_features" -> "audiof",
     "image_patches" -> "patches",
     "cc_bigstar" -> "ccstar", "bloom_index" -> "blmix",

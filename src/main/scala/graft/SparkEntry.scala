@@ -1248,6 +1248,21 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.ccIncremental(labels, delta, 6)
     }),
 
+    // ---- Item-item cosine CF (the symmetric similarity view of the
+    // association-rules basket pairs) ----
+    "q_item_cosine" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.itemCosine(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxPerBasket = 8, minCount = 2)),
+
+    // ---- PageRank convergence monitor: per-iteration L1 residual +
+    // max delta on the dyadic grid ----
+    "q_pagerank_converge" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.pageRankConvergence(
+        t(s, dir, "lineitem")
+          .select((col("l_orderkey") % 250).as("s"),
+            (col("l_partkey") % 250).as("d")),
+        iters = 5)),
+
     // ---- Per-community conductance: cut / min(vol, 2m−vol) in exact
     // permille — the community-quality readout for any partition ----
     "q_conductance" -> ((s, dir) => {
@@ -5149,6 +5164,55 @@ object SparkEntry {
          |    AS moved
          |FROM mv""".stripMargin,
 
+    // item cosine: the assoc-rules pair CTEs + one fixed sqrt ratio
+    "q_item_cosine" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r
+        |  FROM lineitem),
+        |ok AS (SELECT l FROM e GROUP BY l
+        |       HAVING count(*) BETWEEN 2 AND 8),
+        |ce AS (SELECT e.l, e.r FROM e JOIN ok USING (l)),
+        |ic AS (SELECT r AS i, count(*) AS icnt FROM ce GROUP BY r),
+        |pc AS (SELECT a.r AS a, b.r AS b, count(*) AS pair_cnt
+        |  FROM ce a JOIN ce b ON a.l = b.l AND a.r < b.r
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pc.a, pc.b, pc.pair_cnt,
+        |  ia.icnt AS a_cnt, ib.icnt AS b_cnt,
+        |  pc.pair_cnt / sqrt(CAST(ia.icnt * ib.icnt AS DOUBLE)) AS sim
+        |FROM pc JOIN ic ia ON ia.i = pc.a
+        |JOIN ic ib ON ib.i = pc.b""".stripMargin,
+
+    // pagerank convergence: unrolled recurrence + per-iter dyadic
+    // residual rows
+    "q_pagerank_converge" -> {
+      val dy = graft.functions.Portable.dyadicSql _
+      val iters = 5
+      val steps = (1 to iters).map { i =>
+        s"""m$i AS (SELECT e.d AS v, sum(${dy(s"r${i - 1}.r / e.ws")})
+           |    AS ms
+           |  FROM ew e JOIN r${i - 1} ON r${i - 1}.v = e.s GROUP BY e.d),
+           |r$i AS (SELECT v.v,
+           |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+           |      * coalesce(m$i.ms, 0) AS r
+           |  FROM v LEFT JOIN m$i ON m$i.v = v.v)""".stripMargin
+      }.mkString(",\n")
+      val res = (1 to iters).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS iter,
+           |  sum(${dy(s"abs(r$i.r - r${i - 1}.r)")}) AS l1_residual,
+           |  max(${dy(s"abs(r$i.r - r${i - 1}.r)")}) AS max_delta
+           |FROM r$i JOIN r${i - 1} ON r${i - 1}.v = r$i.v"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT DISTINCT l_orderkey % 250 AS s,
+         |    l_partkey % 250 AS d FROM lineitem),
+         |deg AS (SELECT s, count(*) AS ws FROM e GROUP BY s),
+         |ew AS (SELECT e.s, e.d, deg.ws FROM e JOIN deg USING (s)),
+         |v AS (SELECT DISTINCT x AS v FROM
+         |  (SELECT s AS x FROM e UNION SELECT d FROM e) __u),
+         |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM v),
+         |$steps
+         |$res""".stripMargin
+    },
+
     // conductance: exact integer cut/vol/2m accounting, permille div
     "q_conductance" ->
       """WITH e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
@@ -7848,6 +7912,8 @@ object SparkEntry {
     "q_textrank" -> Seq("rank"),
     "q_poisson_bootstrap" ->
       Seq("mean_rep", "ci_lo", "ci_hi", "mean_full"),
+    "q_item_cosine" -> Seq("sim"),
+    "q_pagerank_converge" -> Seq("l1_residual", "max_delta"),
     "q_pq_rerank" -> Seq("d2"),
     "q_pq_rerank_recall" -> Seq("recall"),
     "q_pq_recall" -> Seq("recall"),

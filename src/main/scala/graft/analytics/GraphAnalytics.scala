@@ -1904,6 +1904,47 @@ object GraphAnalytics {
   }
 
   /**
+   * Item–item cosine similarity from basket co-occurrence (Sarwar et
+   * al. 2001 "Item-Based Collaborative Filtering" §3.1 — the
+   * neighborhood model behind classical recommenders;
+   * [[associationRules]] gives the directional conf/lift view, this
+   * the symmetric similarity matrix): over distinct (basket, item),
+   * sim(i,j) = |B_i ∩ B_j| / √(|B_i|·|B_j|) for pairs co-occurring in
+   * ≥ `minCount` baskets. The √ ratio is one fixed expression tree on
+   * exact integer counts, quantized at 10⁻⁶ — engine-portable.
+   *
+   * Scale shape: identical to associationRules — capped intra-basket
+   * array pair-gen (never an all-pairs join), combinable item
+   * supports, one pair-count shuffle sized by the co-occurrence
+   * matrix.
+   */
+  def itemCosine(edges: DataFrame, basketCol: String, itemCol: String,
+      maxPerBasket: Int, minCount: Int): DataFrame = {
+    val e = edges.select(col(basketCol).as("l"), col(itemCol).as("r"))
+      .distinct()
+    val buckets = e.groupBy(col("l"))
+      .agg(sort_array(collect_list(col("r"))).as("rs"))
+      .filter(size(col("rs")).between(2, maxPerBasket))
+      .transform(graft.CacheScope.persist(_))
+    val items = buckets.select(explode(col("rs")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("icnt"))
+    val nestedPairs = transform(col("rs"), (x, i) =>
+      transform(slice(col("rs"), i + 2, size(col("rs"))),
+        y => struct(x.as("a"), y.as("b"))))
+    buckets.select(explode(flatten(nestedPairs)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minCount)
+      .join(items.select(col("i").as("a"), col("icnt").as("a_cnt")), "a")
+      .join(items.select(col("i").as("b"), col("icnt").as("b_cnt")), "b")
+      .select(col("a"), col("b"), col("pair_cnt"), col("a_cnt"),
+        col("b_cnt"),
+        graft.functions.Portable.quant(
+          col("pair_cnt") / sqrt((col("a_cnt") * col("b_cnt"))
+            .cast("double")), 6).as("sim"))
+  }
+
+  /**
    * HyperBall (Boldi & Vigna 2011 "HyperANF" / 2013 "In-Core
    * Computation of Geometric Centralities with HyperBall"): per-vertex
    * out-ball cardinality estimates via HLL-counter propagation — the
@@ -2227,6 +2268,60 @@ object GraphAnalytics {
         when(least(col("vol"), col("m2") - col("vol")) === 0, lit(0L))
           .otherwise(expr(
             "cut * 1000 div least(vol, m2 - vol)")).as("phi_permille"))
+  }
+
+  /**
+   * PageRank convergence monitor: the [[weightedPageRank]] dyadic
+   * recurrence (unit weights) instrumented with the per-iteration L1
+   * residual Σ_v |r_t(v) − r_{t−1}(v)| and max delta — the
+   * observability readout that tells an operator when an iterative
+   * job can stop early (the power-method residual decays ~ λ₂ per
+   * round; a flat-lining residual at 100 TB means wasted iterations,
+   * a spiking one means a bad graph drop). Residual summands ride the
+   * dyadic grid so the totals are order-independent and
+   * oracle-exact; each residual is ONE aggregated scalar per round
+   * (the documented single-row fetch shape).
+   *
+   * Output: (iter, l1_residual, max_delta) — one row per iteration.
+   */
+  def pageRankConvergence(edges: DataFrame, iters: Int,
+      resetProb: Double = 0.15): DataFrame = {
+    import graft.functions.Portable.{dyadic, quant}
+    require(iters >= 1, "iters must be >= 1")
+    val spark = edges.sparkSession
+    val e = edges.toDF("s", "d").distinct()
+      .transform(graft.CacheScope.persist(_))
+    val deg = e.groupBy(col("s")).agg(count(lit(1)).as("ws"))
+    val weighted = e.join(deg, Seq("s"))
+      .transform(graft.CacheScope.persist(_))
+    val vs = e.select(col("s").as("v")).union(e.select(col("d")))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    var ranks = vs.select(col("v"), lit(1.0).as("r"))
+      .transform(graft.CacheScope.persist(_))
+    val out = collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    for (i <- 1 to iters) {
+      val msgs = weighted.join(ranks, col("s") === col("v"))
+        .groupBy(col("d").as("mv"))
+        .agg(sum(dyadic(col("r") / col("ws"))).as("ms"))
+      val next = vs.join(msgs, col("v") === col("mv"), "left")
+        .select(col("v"),
+          (lit(resetProb) + lit(1 - resetProb) *
+            coalesce(col("ms"), lit(0.0))).as("r"))
+        .transform(graft.CacheScope.persist(_))
+      next.count()
+      val res = next.join(ranks.select(col("v"), col("r").as("r0")), "v")
+        .agg(sum(dyadic(abs(col("r") - col("r0")))).as("l1"),
+          max(dyadic(abs(col("r") - col("r0")))).as("mx"))
+        .head() // one aggregated scalar row per iteration
+      out += ((i.toLong, res.getDouble(0), res.getDouble(1)))
+      graft.CacheScope.unpersist(ranks)
+      ranks = next
+    }
+    import spark.implicits._
+    val df = out.toSeq.toDF("iter", "l1_residual", "max_delta")
+    df.select(col("iter"), quant(col("l1_residual"), 6).as("l1_residual"),
+      quant(col("max_delta"), 6).as("max_delta"))
   }
 
   /**

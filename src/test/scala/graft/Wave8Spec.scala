@@ -194,6 +194,35 @@ class Wave8Spec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("itemCosine: hand baskets") {
+    // baskets: {1,2}, {1,2}, {1,3}: pair (1,2) cnt 2, (1,3) cnt 1
+    val e = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L)).toDF("b", "i")
+    val got = graft.analytics.GraphAnalytics.itemCosine(e, "b", "i",
+      maxPerBasket = 8, minCount = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    def q(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got((1L, 2L)) == ((2L, q(2.0 / math.sqrt(3.0 * 2.0)))))
+    assert(got((1L, 3L)) == ((1L, q(1.0 / math.sqrt(3.0 * 1.0)))))
+  }
+
+  test("pageRankConvergence: residual decays monotonically on a " +
+      "well-mixed graph") {
+    val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select((col("l_orderkey") % 50).as("s"),
+        (col("l_partkey") % 50).as("d"))
+    val rows = graft.analytics.GraphAnalytics
+      .pageRankConvergence(e, iters = 4)
+      .orderBy("iter").collect()
+    assert(rows.length == 4)
+    val l1 = rows.map(_.getDouble(1))
+    assert(l1.zip(l1.tail).forall { case (a, b) => b <= a },
+      s"L1 residual must not increase: ${l1.toSeq}")
+    assert(rows.forall(r => r.getDouble(2) <= r.getDouble(1) + 1e-9),
+      "max delta bounded by the L1 total")
+  }
+
   test("imagePatches tile the full raster exactly once") {
     import graft.pipeline.Multimodal
     val ids = Seq(10L, 33L, 57L).toDF("doc_id")
