@@ -716,7 +716,7 @@ object Curation {
       .filter(conv(substring(md5(col("_id").cast("string")), 1, 8),
         16, 10).cast("long") % 1000 < col("p_permille"))
       .groupBy("bin").agg(count(lit(1)).as("n_accepted"))
-    plan.join(accepted, Seq("bin"), "left")
+    plan.join(broadcast(accepted), Seq("bin"), "left")
       .na.fill(0L, Seq("n_accepted"))
   }
 
