@@ -2063,11 +2063,17 @@ object GraphAnalytics {
    */
   def ccBigStar(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    var cur = edges.toDF("a", "b").filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
     var prevCkptId: Option[Int] = None
+    // materialize the canonical edge frame once: round 1 references it
+    // ~6 times through adj/mins/ls and would otherwise re-run the
+    // scan+distinct per reference
+    val (cur0, id0) = rotateCheckpoint(
+      edges.toDF("a", "b").filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct(), None)
+    prevCkptId = id0
+    var cur = cur0
     for (_ <- 1 to rounds) {
       // large-star over both orientations
       val adj = cur.select(col("u").as("c"), col("v").as("n"))
