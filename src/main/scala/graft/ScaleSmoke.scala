@@ -18,15 +18,27 @@ object ScaleSmoke {
   private val only: Option[Seq[String]] =
     sys.env.get("SPARK_GRAFT_SMOKE_ONLY").map(_.split(",").toSeq)
 
+  // set in main; lets time() sweep op-created RDD pins (localCheckpoint
+  // blocks, GraphX RDDs) without touching the amplified fixtures
+  @volatile private var sc: org.apache.spark.SparkContext = _
+
   def time(label: String)(f: => Long): Unit = {
     if (only.exists(pats => !pats.exists(label.contains) &&
         !label.contains("materialize"))) return
+    val before = sc.getPersistentRDDs.keySet
     val t0 = System.nanoTime()
     val n = f
     println(f"SMOKE $label%-30s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
     // operator-internal persists must not accrete into the next
-    // measurement; the smoke's own amplified fixtures stay cached
+    // measurement; the smoke's own amplified fixtures stay cached.
+    // drainRegistered alone leaks each op's FINAL localCheckpoint
+    // blocks (they are not CacheScope-registered) — with 100+ rows of
+    // checkpoint-rotating ops that creep OOM'd the 8g close run, so
+    // every RDD pinned DURING the row is swept by id here.
     CacheScope.drainRegistered()
+    if (!label.contains("materialize")) // fixture rows pin THEIR blocks
+      (sc.getPersistentRDDs.keySet -- before).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -41,6 +53,7 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
 
     def amplify(df: DataFrame, keyCols: Seq[String], textCol: Option[String]): DataFrame = {
       val copies = spark.range(factor).select(col("id").as("_copy"))
