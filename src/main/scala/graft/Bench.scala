@@ -172,6 +172,7 @@ object Bench {
     "landmark_dist" -> "lmdist", "feature_hash" -> "fhash",
     "audio_silence" -> "silence", "snm_pairs" -> "snm",
     "item_cosine" -> "icos", "pagerank_converge" -> "prconv",
+    "densest_subgraph" -> "densest", "weighted_median" -> "wmed",
     "graph_contract" -> "gcontr", "audio_features" -> "audiof",
     "image_patches" -> "patches",
     "cc_bigstar" -> "ccstar", "bloom_index" -> "blmix",

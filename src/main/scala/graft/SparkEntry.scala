@@ -1224,6 +1224,15 @@ object SparkEntry {
         verts.select(col("v"), (col("v") % 7).as("c")))
     }),
 
+    // ---- Densest subgraph by parallel peeling (Bahmani et al. 2012
+    // — the O(log n)-round 2(1+ε)-approx of Charikar's greedy) ----
+    "q_densest_subgraph" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.densestSubgraph(
+        t(s, dir, "lineitem")
+          .select((col("l_orderkey") % 500).as("a"),
+            (col("l_partkey") % 300 + 10000L).as("b")),
+        epsPermille = 0, rounds = 4)),
+
     // ---- Core decomposition: per-vertex coreness up to K by the
     // shrinking-frame peel sweep (kCore answers one k; this labels
     // every vertex) ----
@@ -1408,6 +1417,11 @@ object SparkEntry {
     "q_k_anonymity" -> ((s, dir) =>
       graft.pipeline.Curation.kAnonymityAudit(t(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10, l = 5)),
+
+    // ---- Weighted lower median per group (volume-weighted center) ----
+    "q_weighted_median" -> ((s, dir) =>
+      graft.operators.Stats.weightedMedian(t(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_linenumber")),
 
     // ---- AMS tug-of-war F2 sketch: self-join-size / skew estimate
     // from 3 signed sums; mergeable by adding Z columns ----
@@ -2755,6 +2769,53 @@ object SparkEntry {
             |FROM v$maxK""".stripMargin
     s"""WITH ${ctes.mkString(",\n")}
        |${levels.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** Densest-subgraph oracle: replay the exact avg-degree peel rounds
+    * (MATERIALIZED — every round references its predecessor 4×), emit
+    * round rows until the first empty round, flag the best density. */
+  private def densestSql(edgesSql: String, epsPermille: Int,
+      rounds: Int): String = {
+    val ctes = collection.mutable.ArrayBuffer(
+      s"""e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(a, b) AS s, greatest(a, b) AS d
+         |  FROM ($edgesSql) __e WHERE a <> b)""".stripMargin)
+    var cur = "e0"
+    for (r <- 1 to rounds) {
+      ctes += s"""dg$r AS MATERIALIZED (SELECT v, count(*) AS deg FROM
+         |  (SELECT s AS v FROM $cur UNION ALL SELECT d FROM $cur) __u
+         |  GROUP BY v)""".stripMargin
+      ctes += s"""tt$r AS (SELECT CAST(sum(deg) AS BIGINT) AS m2,
+         |  count(*) AS nv FROM dg$r)""".stripMargin
+      ctes += s"""kp$r AS (SELECT dg$r.v FROM dg$r CROSS JOIN tt$r
+         |  WHERE dg$r.deg * tt$r.nv * 1000 >
+         |    tt$r.m2 * ${1000L + epsPermille})""".stripMargin
+      ctes += s"""e$r AS MATERIALIZED (SELECT e.s, e.d FROM $cur e
+         |  JOIN kp$r x ON x.v = e.s
+         |  JOIN kp$r y ON y.v = e.d)""".stripMargin
+      cur = s"e$r"
+    }
+    val statRows = (0 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT count(*) FROM (SELECT DISTINCT v FROM
+         |    (SELECT s AS v FROM e$r UNION ALL SELECT d FROM e$r) __x)
+         |    __y) AS nv,
+         |  (SELECT count(*) FROM e$r) AS ne""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${ctes.mkString(",\n")},
+       |stats AS ($statRows),
+       |emit AS (SELECT s.* FROM stats s WHERE NOT EXISTS (
+       |  SELECT 1 FROM stats p WHERE p.round < s.round AND p.ne = 0)),
+       |dns AS (SELECT round, nv, ne,
+       |    CASE WHEN nv = 0 THEN 0 ELSE ne * 1000 // nv END
+       |      AS density_permille
+       |  FROM emit),
+       |b AS (SELECT min(round) AS br FROM dns
+       |  WHERE density_permille = (SELECT max(density_permille) FROM dns))
+       |SELECT round, nv AS n_vertices, ne AS n_edges, density_permille,
+       |  CAST(CASE WHEN round = br THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_best
+       |FROM dns CROSS JOIN b""".stripMargin
   }
 
   /** Shared DuckDB CTE snippets for the text oracles. */
@@ -5057,6 +5118,27 @@ object SparkEntry {
         |  SELECT u.d, r.label FROM reach r JOIN u ON u.s = r.v)
         |SELECT v AS _vid, min(label) AS component
         |FROM reach GROUP BY v""".stripMargin,
+
+    // densest subgraph: replay the avg-degree peel + best-round flag
+    "q_densest_subgraph" -> densestSql(
+      "SELECT l_orderkey % 500 AS a, l_partkey % 300 + 10000 AS b " +
+        "FROM lineitem",
+      epsPermille = 0, rounds = 4),
+
+    // weighted lower median: histogram windows + cross-multiplied half
+    "q_weighted_median" ->
+      """WITH h AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(sum(l_linenumber) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM h)
+        |SELECT l_returnflag, CAST(min(v) AS BIGINT) AS w_median,
+        |  CAST(max(tw) AS BIGINT) AS total_w
+        |FROM c WHERE cum * 2 >= tw GROUP BY l_returnflag""".stripMargin,
 
     // coreness: exact replay of the maxK x rounds peel sweep
     "q_coreness" -> corenessSql(

@@ -2387,6 +2387,82 @@ object GraphAnalytics {
       .select(col("u"), col("pv").as("v"), col("est_dist"))
 
   /**
+   * Densest-subgraph by parallel peeling (Bahmani, Kumar & Vassilvitskii
+   * 2012 "Densest Subgraph in Streaming and MapReduce" §3 — the
+   * 2(1+ε)-approximation of Charikar's greedy that runs in O(log n)
+   * ROUNDS instead of n sequential steps, i.e. the only form that
+   * works on a cluster): each round removes every vertex whose degree
+   * is ≤ (1+ε)·avg-degree (integer cross-multiply: peel v iff
+   * deg(v)·|V|·1000 ≤ 2·|E|·(1000+epsPermille)); the answer is the
+   * round prefix with the best density. Output: one row per round
+   * (round, n_vertices, n_edges, density_permille = 1000·|E|/|V|,
+   * is_best) — round 0 is the input graph; the best round's vertex
+   * set is the certified dense core (is_best ties → earliest round).
+   *
+   * Scale shape: per round ONE combinable degree aggregate + two
+   * semi-joins (the kCore peel shape) with the |V|/|E| scalars riding
+   * single aggregated rows; edge state rotates through localCheckpoint
+   * (O(1) pinned frames).
+   */
+  def densestSubgraph(edges: DataFrame, epsPermille: Int,
+      rounds: Int): DataFrame = {
+    require(epsPermille >= 0 && rounds >= 1, "eps >= 0, rounds >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var prevCkptId: Option[Int] = None
+    val (e0, id0) = rotateCheckpoint(
+      edges.toDF("a", "b").filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("s"),
+          greatest(col("a"), col("b")).as("d"))
+        .distinct(), None)
+    prevCkptId = id0
+    var e = e0
+    // two scalar jobs per round (edge count + distinct-vertex count) —
+    // never a collected edge list
+    def stats(f: DataFrame): (Long, Long) = (f.count(),
+      f.select(explode(array(col("s"), col("d"))).as("v"))
+        .distinct().count())
+    val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val (ne0, nv0) = stats(e)
+    out += ((0L, nv0, ne0))
+    var r = 1
+    var live = ne0 > 0
+    while (r <= rounds && live) {
+      val deg = e.select(explode(array(col("s"), col("d"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .transform(graft.CacheScope.persist(_))
+      val tot = deg.agg(sum(col("deg")).as("m2"),
+        count(lit(1)).as("nv")).head() // one aggregated scalar row
+      val (m2, nv) = (tot.getLong(0), tot.getLong(1))
+      // keep v iff deg·nv·1000 > m2·(1000+eps)
+      val keep = deg.filter(
+        col("deg") * nv * 1000L > m2 * (1000L + epsPermille))
+        .select(col("v"))
+      val peeled = e
+        .join(keep.select(col("v").as("s")), Seq("s"), "left_semi")
+        .join(keep.select(col("v").as("d")), Seq("d"), "left_semi")
+        .select("s", "d")
+      val (next, ckptId) = rotateCheckpoint(peeled, prevCkptId)
+      prevCkptId = ckptId
+      graft.CacheScope.unpersist(deg)
+      e = next
+      val (ne, nvAfter) = stats(e)
+      out += ((r.toLong, nvAfter, ne))
+      live = ne > 0
+      r += 1
+    }
+    val rows = out.toSeq.map { case (rr, nv, ne) =>
+      (rr, nv, ne, if (nv == 0) 0L else ne * 1000L / nv)
+    }
+    val bestD = rows.map(_._4).max
+    val bestR = rows.find(_._4 == bestD).get._1
+    rows.map { case (rr, nv, ne, d) =>
+      (rr, nv, ne, d, if (rr == bestR) 1L else 0L)
+    }.toDF("round", "n_vertices", "n_edges", "density_permille",
+      "is_best")
+  }
+
+  /**
    * Core decomposition up to `maxK` — per-vertex coreness (Seidman
    * 1983; the distributed peel of Montresor et al. 2013): coreness(v)
    * is the largest k whose k-core contains v. [[kCore]] answers one

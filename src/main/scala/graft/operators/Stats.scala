@@ -756,6 +756,34 @@ object Stats {
     signs.crossJoin(broadcast(med)).crossJoin(broadcast(exact))
   }
 
+  /**
+   * Weighted lower median per group — the smallest value whose
+   * cumulative weight reaches half the group's total (the weighted
+   * twin of [[madOutliers]]' lower-median law; the robust center for
+   * "median price weighted by volume"-class questions where the plain
+   * median over rows misweights bulk lines). Exact integers
+   * throughout: cum·2 ≥ total is the cross-multiplied half test.
+   *
+   * Scale shape: the corpus collapses to the (group, value) weight
+   * histogram first (map-side combinable); the two windows run over
+   * the HISTOGRAM frame partitioned by group — never over raw rows.
+   */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+    val cumW = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    h.withColumn("cum", sum(col("w")).over(cumW))
+      .withColumn("tw", sum(col("w")).over(allW))
+      .filter(col("cum") * 2 >= col("tw"))
+      .groupBy(col(groupCol))
+      .agg(min(col("v")).as("w_median"), max(col("tw")).as("total_w"))
+  }
+
   /** Cumulative Poisson(1) CDF × 2^52 as FIXED integer thresholds
     * (identical literals in the DuckDB oracles): a 52-bit hash below
     * threshold i draws weight i; above all six draws 6 (P ≈ 6e-5). */
