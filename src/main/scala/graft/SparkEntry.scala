@@ -1226,12 +1226,20 @@ object SparkEntry {
 
     // ---- Densest subgraph by parallel peeling (Bahmani et al. 2012
     // — the O(log n)-round 2(1+ε)-approx of Charikar's greedy) ----
-    "q_densest_subgraph" -> ((s, dir) =>
-      graft.analytics.GraphAnalytics.densestSubgraph(
-        t(s, dir, "lineitem")
-          .select((col("l_orderkey") % 500).as("a"),
-            (col("l_partkey") % 300 + 10000L).as("b")),
-        epsPermille = 0, rounds = 4)),
+    "q_densest_subgraph" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // two-scale fixture: a broad sparse stratum + a hub stratum —
+      // 5 emitted rounds with a non-monotone density trajectory
+      val e = li.filter(col("l_linenumber") <= 3)
+        .select((col("l_orderkey") % 1000).as("a"),
+          (col("l_partkey") % 500 + 10000L).as("b"))
+        .unionByName(li
+          .filter(col("l_linenumber") === 1 && col("l_orderkey") % 4 === 0)
+          .select((col("l_orderkey") % 1000).as("a"),
+            (col("l_partkey") % 25 + 20000L).as("b")))
+      graft.analytics.GraphAnalytics.densestSubgraph(e,
+        epsPermille = 0, rounds = 4)
+    }),
 
     // ---- Core decomposition: per-vertex coreness up to K by the
     // shrinking-frame peel sweep (kCore answers one k; this labels
@@ -5121,8 +5129,10 @@ object SparkEntry {
 
     // densest subgraph: replay the avg-degree peel + best-round flag
     "q_densest_subgraph" -> densestSql(
-      "SELECT l_orderkey % 500 AS a, l_partkey % 300 + 10000 AS b " +
-        "FROM lineitem",
+      "SELECT l_orderkey % 1000 AS a, l_partkey % 500 + 10000 AS b " +
+        "FROM lineitem WHERE l_linenumber <= 3 " +
+        "UNION ALL SELECT l_orderkey % 1000, l_partkey % 25 + 20000 " +
+        "FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 4 = 0",
       epsPermille = 0, rounds = 4),
 
     // weighted lower median: histogram windows + cross-multiplied half
@@ -5132,9 +5142,10 @@ object SparkEntry {
         |    CAST(sum(l_linenumber) AS BIGINT) AS w
         |  FROM lineitem GROUP BY 1, 2),
         |c AS (SELECT l_returnflag, v, w,
-        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
-        |      ROWS UNBOUNDED PRECEDING) AS cum,
-        |    sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |      AS tw
         |  FROM h)
         |SELECT l_returnflag, CAST(min(v) AS BIGINT) AS w_median,
         |  CAST(max(tw) AS BIGINT) AS total_w

@@ -223,6 +223,33 @@ class Wave8Spec extends SparkSpec {
       "max delta bounded by the L1 total")
   }
 
+  test("densestSubgraph: peel strips the sparse periphery, density " +
+      "rises, best flagged once") {
+    // K4,4 core (density 16/8 = 2) + 8 pendant edges off one vertex
+    val core = for { a <- 1L to 4L; b <- 11L to 14L } yield (a, b)
+    val pend = (1L to 8L).map(i => (1L, 100L + i))
+    val rows = graft.analytics.GraphAnalytics.densestSubgraph(
+      (core ++ pend).toDF("a", "b"), epsPermille = 0, rounds = 3)
+      .orderBy("round").collect()
+    assert(rows.map(_.getLong(4)).sum == 1L, "exactly one best round")
+    val d = rows.map(_.getLong(3))
+    assert(d.max > d.head, "peeling must beat the raw graph here")
+    // the flagged round realizes the max density
+    val best = rows.find(_.getLong(4) == 1L).get
+    assert(best.getLong(3) == d.max)
+  }
+
+  test("weightedMedian: hand histogram per group") {
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 10L),
+      ("b", 5L, 3L), ("b", 7L, 1L)).toDF("g", "v", "w")
+    val got = graft.operators.Stats.weightedMedian(df, "g", "v", "w")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // a: weights 1,1,10 of 12 -> cum at v=3 reaches 12 >= 6 first at 3
+    // b: cum at 5 is 3, 2*3 >= 4 -> median 5
+    assert(got == Map("a" -> ((3L, 12L)), "b" -> ((5L, 4L))))
+  }
+
   test("imagePatches tile the full raster exactly once") {
     import graft.pipeline.Multimodal
     val ids = Seq(10L, 33L, 57L).toDF("doc_id")
