@@ -713,6 +713,22 @@ object ScaleSmoke {
         "embedding", queryIds = (0L to 4L), k = 5, nCells = 16,
         nProbe = 4, m = 2, kCodes = 4, iters = 2, dim = 64).count())
 
+    // ---- round-10 waves 15/16 ----
+    time(s"item cosine ${factor}x")(
+      graft.analytics.GraphAnalytics.itemCosine(edges, "l_orderkey",
+        "l_partkey", maxPerBasket = 8, minCount = 2).count())
+    time(s"pagerank converge ${factor}x")(
+      graft.analytics.GraphAnalytics.pageRankConvergence(ampEdges,
+        iters = 3).count())
+    time(s"densest subgraph ${factor}x")(
+      graft.analytics.GraphAnalytics.densestSubgraph(
+        ampEdges.toDF("a", "b"), epsPermille = 0, rounds = 3).count())
+    time(s"weighted median ${factor}x")(
+      graft.operators.Stats.weightedMedian(
+        edges.select((col("l_partkey") % 7).as("g"),
+          (col("l_orderkey") % 50).as("v"),
+          (col("l_partkey") % 5 + 1).as("w")), "g", "v", "w").count())
+
     spark.stop()
   }
 }
