@@ -189,7 +189,24 @@ object Bench {
       if (s.startsWith(full)) short + s.substring(full.length) else s
     }
 
+  /** One-line rendering of a throwable: class + message head + top
+    * frames — enough to adjudicate benign-vs-real without a full
+    * stack dump polluting the metric tail. */
+  private def oneLine(where: String, t: Throwable): String = {
+    val frames = t.getStackTrace.take(3)
+      .map(f => s"${f.getClassName}.${f.getMethodName}:${f.getLineNumber}")
+      .mkString(" < ")
+    val msg = Option(t.getMessage).getOrElse("").takeWhile(_ != '\n').take(120)
+    s"[bench-trap $where] ${t.getClass.getName}: $msg @ $frames"
+  }
+
   def main(args: Array[String]): Unit = {
+    // r10 postmortem: the driver bench tail carried an UNCAPTURED netty
+    // thread stack (rc=0, all queries timed — a shutdown race). Async
+    // exceptions must land as one adjudicable line BEFORE the totals,
+    // never as a raw stack interleaved with (or after) the metric line.
+    Thread.setDefaultUncaughtExceptionHandler((th, t) =>
+      System.err.println(oneLine(s"thread=${th.getName}", t)))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -270,7 +287,8 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_local.json"),
       render(9, dropPrefix = false) + "\n")
-    spark.stop()
+    try spark.stop()
+    catch { case t: Throwable => System.err.println(oneLine("stop", t)) }
     // last line out — finest precision that still survives a 2000-char
     // output tail (sbt batch prints nothing after it: showSuccess is
     // off in build.sbt)
@@ -312,5 +330,12 @@ object Bench {
         .find(_.length <= 1950)
         .getOrElse(valve(Double.MaxValue)))
     println(safeLine)
+    Console.out.flush(); Console.err.flush()
+    // The metric line must be TERMINAL: JVM shutdown hooks (netty event
+    // loops, ShutdownHookManager) can print async traces after it —
+    // the r10 tail carried one. spark.stop() above already released the
+    // session; halt skips only the residual temp-dir sweep, which the
+    // bench environment recycles anyway.
+    Runtime.getRuntime.halt(0)
   }
 }

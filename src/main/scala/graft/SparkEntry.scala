@@ -5179,7 +5179,7 @@ object SparkEntry {
          |    floor((sum(${dy("w * l_quantity")})
          |      / CAST(sum(w) AS BIGINT)) * 1000000.0 + 0.5)
          |      / 1000000.0 AS mean_rep
-         |  FROM w GROUP BY rep),
+         |  FROM w GROUP BY rep HAVING sum(w) > 0),
          |rk AS (SELECT rep, mean_rep, row_number() OVER (
          |    ORDER BY mean_rep, rep) AS _rk FROM m),
          |ci AS (SELECT
@@ -6907,12 +6907,14 @@ object SparkEntry {
         |    CASE WHEN s_suppkey % 13 = 0 THEN s_name || '-X'
         |         ELSE s_name END AS s_name, s_nationkey
         |  FROM a0 WHERE s_suppkey % 29 <> 0),
-        |ba AS (SELECT s_suppkey % 16 AS bucket,
+        |ba AS (SELECT CAST('0x' || substr(md5(CAST(s_suppkey AS
+        |      VARCHAR)), 1, 8) AS BIGINT) % 16 AS bucket,
         |    CAST(sum(CAST('0x' || substr(md5(s_suppkey || '|' || s_name
         |      || '|' || s_nationkey), 1, 8) AS BIGINT)) AS BIGINT) AS fp_a,
         |    count(*) AS n_a
         |  FROM a0 GROUP BY 1),
-        |bb AS (SELECT s_suppkey % 16 AS bucket,
+        |bb AS (SELECT CAST('0x' || substr(md5(CAST(s_suppkey AS
+        |      VARCHAR)), 1, 8) AS BIGINT) % 16 AS bucket,
         |    CAST(sum(CAST('0x' || substr(md5(s_suppkey || '|' || s_name
         |      || '|' || s_nationkey), 1, 8) AS BIGINT)) AS BIGINT) AS fp_b,
         |    count(*) AS n_b

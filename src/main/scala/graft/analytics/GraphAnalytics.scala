@@ -1505,8 +1505,11 @@ object GraphAnalytics {
    * the positives (each test edge's `d` swapped with the next test
    * edge's inside a 16-way md5 bucket, canonicalized, minus anything
    * that is a real edge); both sets are scored by common-neighbor
-   * count over the TRAIN adjacency (hubs above `maxDegree` dropped
-   * from mediation — the cooccurrence hot-bucket law); AUC folds from
+   * count over the TRAIN adjacency, with ENDPOINTS whose train degree
+   * exceeds `maxDegree` capped out of it (a hub endpoint keeps no
+   * adjacency and scores 0; hub common-neighbors still mediate — the
+   * cap bounds the per-pair fan-out, the cooccurrence hot-bucket
+   * law); AUC folds from
    * the exact-integer concordance counts. Output one row: (n_pos,
    * n_neg, n_concordant, n_ties, auc2_ppm) with auc2_ppm =
    * (2·conc + ties)·10⁶ div (2·P·N) — the standard tie-corrected AUC

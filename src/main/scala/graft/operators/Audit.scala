@@ -125,6 +125,11 @@ object Audit {
    * bucket where either the fingerprint or the row count differs —
    * the key ranges a repair job would then re-transfer.
    *
+   * Bucketing hashes the KEY (md5 window of its string form) before
+   * the mod, so any key type — string, UUID, composite rendered to
+   * string — localizes correctly; a plain `key mod n` would NULL out
+   * non-numeric keys and collapse both replicas into one bucket.
+   *
    * Scale: each side is one aggregation pass collapsing to nBuckets
    * rows; the compare joins two nBuckets-sized frames (broadcast).
    * 100 TB replicas never ship rows — only the sketch. Sum of 32-bit
@@ -136,7 +141,9 @@ object Audit {
     def buckets(df: DataFrame, suffix: String): DataFrame = {
       val h = F.conv(F.substring(F.md5(F.concat_ws("|",
         (keyCol +: valCols).map(F.col): _*)), 1, 8), 16, 10).cast("long")
-      df.select(F.pmod(F.col(keyCol), F.lit(nBuckets.toLong)).as("bucket"),
+      val kh = F.conv(F.substring(F.md5(F.col(keyCol).cast("string")),
+        1, 8), 16, 10).cast("long")
+      df.select(F.pmod(kh, F.lit(nBuckets.toLong)).as("bucket"),
           h.as("h"))
         .groupBy("bucket")
         .agg(F.sum(F.col("h")).as("fp" + suffix),

@@ -833,6 +833,10 @@ object Stats {
       .groupBy("rep")
       .agg(sum(col("w")).as("n_eff"),
         sum(dyadic(col("w") * col(valueCol))).as("_sv"))
+      // a replicate whose every row drew weight 0 (prob ~e^-n per
+      // replicate) has no mean: drop it rather than emit a null that
+      // Spark and the oracle would ORDER differently in the CI window
+      .filter(col("n_eff") > 0)
       .select(col("rep"), col("n_eff"),
         quant(col("_sv") / col("n_eff"), 6).as("mean_rep"))
     val ranked = repMeans.withColumn("_rk",

@@ -657,22 +657,6 @@ object Curation {
   }
 
   /**
-   * k-anonymity / l-diversity audit (Sweeney 2002 "k-Anonymity";
-   * Machanavajjhala et al. 2007 "l-Diversity") — the privacy gate the
-   * PII family needs beyond [[piiScrub]]'s pattern redaction: group
-   * the table by its quasi-identifier columns and flag every
-   * equivalence class that is re-identifiable (size < k — a joinable
-   * fingerprint) or homogeneous (fewer than l distinct sensitive
-   * values — membership alone leaks the attribute). The operator a
-   * training-data release review runs before shipping any
-   * user-derived table.
-   *
-   * Scale shape: ONE group-by over the quasi columns (map-side
-   * partial counts) with an exact distinct-count on the sensitive
-   * column (two-level aggregate — (quasi, sensitive) first, then
-   * quasi); output is equivalence-class-sized, never row-sized.
-   */
-  /**
    * Histogram-matching resampler: thin the source corpus so a chosen
    * statistic's distribution matches a REFERENCE corpus's (the
    * standard distribution-repair step when a new crawl skews short /
@@ -720,6 +704,22 @@ object Curation {
       .na.fill(0L, Seq("n_accepted"))
   }
 
+  /**
+   * k-anonymity / l-diversity audit (Sweeney 2002 "k-Anonymity";
+   * Machanavajjhala et al. 2007 "l-Diversity") — the privacy gate the
+   * PII family needs beyond [[piiScrub]]'s pattern redaction: group
+   * the table by its quasi-identifier columns and flag every
+   * equivalence class that is re-identifiable (size < k — a joinable
+   * fingerprint) or homogeneous (fewer than l distinct sensitive
+   * values — membership alone leaks the attribute). The operator a
+   * training-data release review runs before shipping any
+   * user-derived table.
+   *
+   * Scale shape: ONE group-by over the quasi columns (map-side
+   * partial counts) with an exact distinct-count on the sensitive
+   * column (two-level aggregate — (quasi, sensitive) first, then
+   * quasi); output is equivalence-class-sized, never row-sized.
+   */
   def kAnonymityAudit(df: org.apache.spark.sql.DataFrame,
       quasiCols: Seq[String], sensitiveCol: String,
       k: Int, l: Int): org.apache.spark.sql.DataFrame = {

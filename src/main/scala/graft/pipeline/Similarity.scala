@@ -931,8 +931,12 @@ object Similarity {
    * corpus×|seeds| rows, and the argmax is a single-row
    * max(struct(dist, -id)) aggregate that rejoins by id in-plan (no
    * driver collect). The seed frame rotates through localCheckpoint;
-   * existing seeds re-select at distance exactly 0 (a−2a+a is exact in
-   * IEEE), so they can never win a later round.
+   * already-selected ids are anti-joined out of the candidate frame
+   * before the argmax — when k exceeds the number of distinct points
+   * every remaining min-distance is 0 and without the anti-join the
+   * min-id tie-break would re-emit an existing seed under a new srk.
+   * With fewer than k points the trailing rounds emit nothing and the
+   * output carries min(k, n) rows.
    */
   def kCenterSeeds(emb: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
@@ -946,7 +950,9 @@ object Similarity {
         lit(0.0).as("dist"))
       .localCheckpoint(true)
     for (r <- 2 to k) {
-      val mind = base.crossJoin(broadcast(seeds.select(col("svec"))))
+      val mind = base
+        .join(seeds.select(col("id")), Seq("id"), "left_anti")
+        .crossJoin(broadcast(seeds.select(col("svec"))))
         .withColumn("d", graft.functions.Portable.quant(
           l2sq(col("v"), col("svec")), 6))
         .groupBy(col("id")).agg(min(col("d")).as("mind"))
