@@ -604,7 +604,7 @@ object ScaleSmoke {
         rounds = 2).count())
     time(s"cc bigstar 6 rounds ${factor}x")(
       graft.analytics.GraphAnalytics.ccBigStar(
-        ampEdges.toDF("a", "b"), rounds = 6).count())
+        ampEdges.toDF("a", "b"), rounds = 16).count())
     val ampVerts = ampEdges.select(col("s").as("v"))
       .unionByName(ampEdges.select(col("d").as("v"))).distinct()
     time(s"louvain move ${factor}x")(
@@ -666,14 +666,14 @@ object ScaleSmoke {
         docs.select(col("lang"), col("source"), col("n_chars")),
         Seq("lang", "source"), "n_chars", k = 10, l = 5).count())
     val ccLabels = graft.analytics.GraphAnalytics
-      .ccBigStar(ampEdges.toDF("a", "b"), rounds = 6)
+      .ccBigStar(ampEdges.toDF("a", "b"), rounds = 16)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ccLabels.count()
     time(s"cc incremental ${factor}x delta")(
       graft.analytics.GraphAnalytics.ccIncremental(ccLabels,
         edges.filter(col("l_partkey") % 13 === 0)
           .select(col("l_partkey").as("a"), col("l_orderkey").as("b")),
-        rounds = 6).count())
+        rounds = 16).count())
     time(s"coreness K=3 ${factor}x")(
       graft.analytics.GraphAnalytics.coreness(ampEdges.toDF("a", "b"),
         maxK = 3, roundsPerK = 3).count())

@@ -1178,7 +1178,7 @@ object SparkEntry {
           .filter(col("l_linenumber") === 1 && col("l_quantity") < 4)
           .select((col("l_orderkey") % 250).as("s"),
             (col("l_partkey") % 250).as("d")),
-        "s", "d", numIter = 20)),
+        "s", "d", maxPeels = 20)),
 
     // ---- HyperBall (HyperANF): per-vertex 2-hop out-ball cardinality
     // estimates via HLL register propagation — distance statistics
@@ -1210,7 +1210,18 @@ object SparkEntry {
         t(s, dir, "lineitem")
           .select((col("l_orderkey") % 400 + 1000000L).as("a"),
             (col("l_suppkey") + 2000000L).as("b")),
-        rounds = 6)),
+        rounds = 12)),
+
+    // ---- Convergence monitor for the big-star label family: one row
+    // per executed round with the changed-star-edge count; the final
+    // row reads 0 == converged (the r10 guard: fixed round dials must
+    // never silently ship pre-convergence labels) ----
+    "q_cc_converged" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.ccBigStarTrace(
+        t(s, dir, "lineitem")
+          .select((col("l_orderkey") % 400 + 1000000L).as("a"),
+            (col("l_suppkey") + 2000000L).as("b")),
+        maxRounds = 8)),
 
     // ---- One synchronous Louvain local-move round from a hash
     // partition (v % 7) — exact-integer modularity gains ----
@@ -1261,8 +1272,8 @@ object SparkEntry {
       val delta = li.filter(col("l_partkey") % 13 === 0)
         .select((col("l_partkey") % 400 + 1000000L).as("a"),
           (col("l_suppkey") + 2000000L).as("b"))
-      val labels = graft.analytics.GraphAnalytics.ccBigStar(base, 6)
-      graft.analytics.GraphAnalytics.ccIncremental(labels, delta, 6)
+      val labels = graft.analytics.GraphAnalytics.ccBigStar(base, 12)
+      graft.analytics.GraphAnalytics.ccIncremental(labels, delta, 12)
     }),
 
     // ---- Item-item cosine CF (the symmetric similarity view of the
@@ -2638,6 +2649,45 @@ object SparkEntry {
        |      substr(md5(CAST(v AS VARCHAR)), 1, 8) AS BIGINT) AS h
        |    FROM vv)),
        |$prop""".stripMargin
+  }
+
+  /** Big-star/small-star round replay with the per-round changed-edge
+    * count |cur_t Δ cur_{t-1}| — the
+    * [[graft.analytics.GraphAnalytics.ccBigStarTrace]] law. Unrolls
+    * `rounds` rounds and emits 1..first-zero (the fixpoint
+    * confirmation round); post-fixpoint rounds are no-ops the final
+    * filter drops, so `rounds` only needs to COVER convergence. */
+  private def ccStarTraceSql(edgesSql: String, rounds: Int): String = {
+    val steps = (1 to rounds).map { t =>
+      val p = t - 1
+      s"""adj$t AS MATERIALIZED (SELECT u AS c, v AS n FROM cur$p
+         |  UNION ALL SELECT v, u FROM cur$p),
+         |mins$t AS (SELECT c, least(c, min(n)) AS m FROM adj$t GROUP BY c),
+         |ls$t AS MATERIALIZED (SELECT DISTINCT least(n, m) AS u,
+         |    greatest(n, m) AS v
+         |  FROM adj$t JOIN mins$t USING (c)
+         |  WHERE n > c AND least(n, m) <> greatest(n, m)),
+         |mins2_$t AS MATERIALIZED (SELECT v AS c, min(u) AS m
+         |  FROM ls$t GROUP BY v),
+         |cur$t AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+         |    SELECT m2.m AS u, l.u AS v FROM ls$t l
+         |    JOIN mins2_$t m2 ON m2.c = l.v WHERE m2.m <> l.u
+         |    UNION ALL SELECT m, c FROM mins2_$t) z$t),
+         |chg$t AS (SELECT CAST($t AS BIGINT) AS round,
+         |    CAST(count(*) AS BIGINT) AS changed FROM (
+         |    SELECT u, v FROM (SELECT u, v FROM cur$p
+         |      UNION ALL SELECT u, v FROM cur$t) zz$t
+         |    GROUP BY u, v HAVING count(*) = 1) q$t)""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to rounds).map(t => s"SELECT * FROM chg$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH cur0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS u,
+       |    greatest(a, b) AS v FROM ($edgesSql) WHERE a <> b),
+       |$steps,
+       |allchg AS ($all)
+       |SELECT round, changed FROM allchg
+       |WHERE round <= (SELECT min(round) FROM allchg
+       |  WHERE changed = 0)""".stripMargin
   }
 
   /** Per-group exact-integer raw HLL estimate over a register CTE:
@@ -5126,6 +5176,13 @@ object SparkEntry {
         |  SELECT u.d, r.label FROM reach r JOIN u ON u.s = r.v)
         |SELECT v AS _vid, min(label) AS component
         |FROM reach GROUP BY v""".stripMargin,
+
+    // big-star convergence trace: replay the rounds, count the
+    // changed-edge symmetric difference per round, emit 1..first-zero
+    "q_cc_converged" -> ccStarTraceSql(
+      "SELECT l_orderkey % 400 + 1000000 AS a, " +
+        "l_suppkey + 2000000 AS b FROM lineitem",
+      rounds = 8),
 
     // densest subgraph: replay the avg-degree peel + best-round flag
     "q_densest_subgraph" -> densestSql(

@@ -49,7 +49,7 @@ class HyperBallSpec extends SparkSpec {
     // two components: {1..5} ring + chain, {10,11,12}
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L),
       (10L, 11L), (11L, 12L)).toDF("a", "b")
-    val got = graft.analytics.GraphAnalytics.ccBigStar(e, rounds = 5)
+    val got = graft.analytics.GraphAnalytics.ccBigStar(e, rounds = 12)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // independent oracle: hash-min propagation to fixpoint
     val adj = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L),
@@ -71,7 +71,7 @@ class HyperBallSpec extends SparkSpec {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val e = li.select((col("l_orderkey") % 50 + 1000L).as("a"),
       (col("l_suppkey") + 2000L).as("b"))
-    val cc = graft.analytics.GraphAnalytics.ccBigStar(e, rounds = 6)
+    val cc = graft.analytics.GraphAnalytics.ccBigStar(e, rounds = 12)
     // component labels must be consistent across every original edge
     val bad = e.select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v")).distinct()

@@ -75,7 +75,7 @@ class AnalyticsSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
       (5L, 6L), (6L, 5L), (4L, 5L)).toDF("s", "d")
     val got = GraphAnalytics
-      .stronglyConnectedComponents(edges, "s", "d", numIter = 10)
+      .stronglyConnectedComponents(edges, "s", "d", maxPeels = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,  // the 3-cycle
       4L -> 4L,                                       // bridge vertex

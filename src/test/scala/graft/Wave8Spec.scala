@@ -61,14 +61,14 @@ class Wave8Spec extends SparkSpec {
       "singletons)") {
     val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
       .toDF("a", "b")
-    val labels = graft.analytics.GraphAnalytics.ccBigStar(base, 4)
+    val labels = graft.analytics.GraphAnalytics.ccBigStar(base, 12)
     // delta merges {1,2,3} with {10,11}; {20,21} untouched
     val delta = Seq((3L, 10L)).toDF("a", "b")
     val inc = graft.analytics.GraphAnalytics
-      .ccIncremental(labels, delta, 4)
+      .ccIncremental(labels, delta, 12)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val full = graft.analytics.GraphAnalytics
-      .ccBigStar(base.unionByName(delta), 4)
+      .ccBigStar(base.unionByName(delta), 12)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(inc == full)
     assert(inc(20L) == 20L && inc(21L) == 20L, "untouched component kept")
