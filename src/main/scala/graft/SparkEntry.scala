@@ -2232,6 +2232,12 @@ object SparkEntry {
       TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text",
         topK = 20)),
 
+    // ---- Iterated BPE training: 6 merges with re-pairing — the
+    // tokenizer-training loop q_bpe_merges computes step 1 of;
+    // leftmost-greedy literal merge algebra, vocab-sized state ----
+    "q_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", nMerges = 6)),
+
     // ---- k-core peeling (3 fixed rounds, k=3) over the part⋈supplier
     // bipartite graph — degeneracy summary; oracle replays the exact
     // peel rounds via a generated CTE chain ----
@@ -2649,6 +2655,46 @@ object SparkEntry {
        |      substr(md5(CAST(v AS VARCHAR)), 1, 8) AS BIGINT) AS h
        |    FROM vv)),
        |$prop""".stripMargin
+  }
+
+  /** Iterated-BPE oracle: unrolled merge steps over the word-frequency
+    * table — each step re-pairs (list adjacency), takes the argmax
+    * (count desc, pair asc) via ORDER BY ... LIMIT 1, and applies the
+    * same padded double-space literal-replace merge as
+    * [[graft.pipeline.TextAnalysis.bpeTrain]]. MATERIALIZED per step:
+    * DuckDB inlines CTEs and v_t references v_{t-1} multiply. */
+  private def bpeTrainSql(nMerges: Int): String = {
+    val steps = (1 to nMerges).map { t =>
+      val p = t - 1
+      s"""p$t AS MATERIALIZED (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM (SELECT list_extract(l, i) || ' ' ||
+         |      list_extract(l, i + 1) AS pair, f
+         |    FROM (SELECT string_split(w, ' ') AS l, f FROM v$p) lv$t
+         |    CROSS JOIN LATERAL unnest(range(1, len(l))) u$t(i)) z$t
+         |  GROUP BY pair),
+         |b$t AS MATERIALIZED (SELECT pair, cnt FROM p$t
+         |  ORDER BY cnt DESC, pair LIMIT 1),
+         |v$t AS MATERIALIZED (SELECT w, CAST(sum(f) AS BIGINT) AS f
+         |  FROM (SELECT trim(replace(replace(
+         |      ' ' || replace(w, ' ', '  ') || ' ',
+         |      (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM b$t),
+         |      (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM b$t)),
+         |      '  ', ' ')) AS w, f FROM v$p) m$t
+         |  GROUP BY w)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to nMerges).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS step, pair, cnt FROM b$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH v0 AS MATERIALIZED (SELECT
+       |    trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS w,
+       |    CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(list_filter(
+       |      string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+       |    FROM documents) tk
+       |  WHERE length(tok) >= 2
+       |  GROUP BY 1),
+       |$steps
+       |$out""".stripMargin
   }
 
   /** Big-star/small-star round replay with the per-round changed-edge
@@ -6654,6 +6700,8 @@ object SparkEntry {
         |SELECT * FROM (SELECT CAST(row_number() OVER
         |    (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk, pair, cnt
         |  FROM c) WHERE rnk <= 20""".stripMargin,
+
+    "q_bpe_train" -> bpeTrainSql(nMerges = 6),
 
     "q_zipf_table" ->
       s"""WITH $TokCte,

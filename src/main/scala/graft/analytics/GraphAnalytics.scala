@@ -968,7 +968,7 @@ object GraphAnalytics {
     * call; a diff that isn't exactly one new RDD degrades to None —
     * the harness's CacheScope.drain sweeps those instead of this
     * helper unpersisting a guess). Returns (checkpointed, newId). */
-  private def rotateCheckpoint(df: DataFrame,
+  private[graft] def rotateCheckpoint(df: DataFrame,
       prev: Option[Int]): (DataFrame, Option[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet

@@ -70,6 +70,89 @@ object TextAnalysis {
       .select("rnk", "pair", "cnt")
   }
 
+  /**
+   * Iterated BPE training loop (Sennrich et al. 2016 §3.2 — the loop
+   * [[bpePairCounts]] computes one step of): `nMerges` merges with
+   * re-pairing after each, over the vocab-sized word-frequency table.
+   * Words are space-joined symbol sequences (initially characters);
+   * each step counts adjacent symbol pairs weighted by word frequency,
+   * merges the argmax pair (count desc, pair asc — the q_bpe_merges
+   * law) everywhere with leftmost-greedy semantics, and re-pairs.
+   * Output: (step, pair, cnt) for steps 1..nMerges — the merge list IS
+   * the trained tokenizer artifact, prefix-stable in nMerges (step k
+   * depends only on steps < k). Stops early if the vocabulary runs out
+   * of adjacent pairs (everything merged to single symbols).
+   *
+   * The merge rewrite is pure literal string algebra — engine-portable
+   * with no regex lookaround (the DuckDB oracle's RE2 has none): the
+   * word is padded and DOUBLE-spaced (' '+replace(w,' ','  ')+' ') so
+   * every pair occurrence owns its flanking spaces, then ONE
+   * non-overlapping left-to-right literal replace of ' a  b ' → ' ab '
+   * is exactly the reference implementation's greedy merge, and
+   * collapsing double spaces restores the canonical form. Symbols
+   * never contain spaces, so the algebra is exact; merged symbols are
+   * new strings, so a retired pair's adjacency can never reappear.
+   *
+   * Scale shape: the corpus collapses ONCE to the vocab-sized word
+   * table (the zipfTable law); each step is one vocab×word-length pair
+   * explode feeding a combinable count, ONE single-row argmax
+   * aggregate fetched to the driver (the documented scalar-fetch shape
+   * — it parameterizes the next step's literal rewrite), and a narrow
+   * per-word rewrite; the vocab frame rotates with O(1) pinned copies
+   * (the HITS law). Nothing corpus-sized is touched after step 0.
+   */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rotate = graft.analytics.GraphAnalytics.rotateCheckpoint _
+    val init = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 2) // 1-char words never pair
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .select(trim(regexp_replace(col("tok"), "(.)", "$1 ")).as("w"),
+        col("f"))
+    var (vocab, prevId) = rotate(init, None)
+    val merges = collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var step = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      step += 1
+      val pairs = vocab.select(col("f"), split(col("w"), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(l) - 1), " +
+            "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      val best = pairs
+        .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("p")))
+          .as("b"))
+        .select(col("b.p").as("pair"), (-col("b.nc")).as("cnt"))
+        .head() // one aggregated scalar row per step (house law)
+      if (best.isNullAt(0)) exhausted = true
+      else {
+        val pair = best.getString(0)
+        merges += ((step.toLong, pair, best.getLong(1)))
+        val search = lit(" " + pair.replace(" ", "  ") + " ")
+        val repl = lit(" " + pair.replace(" ", "") + " ")
+        val padded = concat(lit(" "),
+          replace(col("w"), lit(" "), lit("  ")), lit(" "))
+        val next = vocab
+          .select(trim(replace(replace(padded, search, repl),
+            lit("  "), lit(" "))).as("w"), col("f"))
+          // merge rewrites are injective on symbol sequences (see doc)
+          // but the fold is kept as a defensive invariant
+          .groupBy("w").agg(sum(col("f")).as("f"))
+        val (v2, id2) = rotate(next, prevId)
+        vocab = v2
+        prevId = id2
+      }
+    }
+    prevId.foreach(i => spark.sparkContext.getPersistentRDDs.get(i)
+      .foreach(_.unpersist(blocking = false)))
+    merges.toSeq.toDF("step", "pair", "cnt")
+  }
+
   /** BPE-ish subword count estimate: word-piece regex splits on
     * non-alphanumerics and splits long runs — a cheap stand-in for a
     * tokenizer's token count at corpus-statistics accuracy. */
