@@ -1331,6 +1331,28 @@ object SparkEntry {
         moved.select(col("_vid"), col("new_c")))
     }),
 
+    // ---- Full multilevel Louvain: singleton init per level, budgeted
+    // synchronous move rounds (fixpoint-absorbing), weighted
+    // contraction, stop on modularity non-improvement; Q = q_num/q_den
+    // exact integers, invariant scale across levels ----
+    "q_louvain_levels" -> ((s, dir) => {
+      // ring-of-120-K5-cliques fixture: deliberately INSIDE the
+      // modularity resolution limit (Fortunato & Barthelemy 2007 —
+      // with 2m >> vol_c^2 merging ring-adjacent cliques RAISES Q), so
+      // the level loop provably has multiple levels to find: level 1
+      // resolves the cliques, later levels merge adjacent groups. A
+      // near-complete bipartite graph (max Q ~= 0) or a FEW large
+      // cliques (cliques already optimal) both stop at level 1.
+      val li = t(s, dir, "lineitem")
+      val v1 = col("l_orderkey") % 600
+      val head = v1 - (v1 % 5)
+      val intra = li.select(v1.as("a"),
+        (head + col("l_partkey") % 5).as("b"))
+      val ring = li.select(head.as("a"), ((head + 5) % 600).as("b"))
+      graft.analytics.GraphAnalytics.louvainLevels(
+        intra.unionByName(ring), maxLevels = 3, roundsPerLevel = 4)
+    }),
+
     // ---- Modularity sufficient statistics: communities from CC over
     // customer→nation edges, scored against the graph WITH region
     // edges (which cross communities) ----
@@ -2655,6 +2677,125 @@ object SparkEntry {
        |      substr(md5(CAST(v AS VARCHAR)), 1, 8) AS BIGINT) AS h
        |    FROM vv)),
        |$prop""".stripMargin
+  }
+
+  /** Multilevel-Louvain oracle: per level, `rounds` weighted move
+    * rounds (the LouvainCtes law with weights + self-loop degrees),
+    * exact-integer modularity, weighted contraction; final filter
+    * emits levels before the first non-improving Q transition —
+    * exactly [[graft.analytics.GraphAnalytics.louvainLevels]]'s
+    * stopping rule (fixpoint rounds are no-ops, so the fixed unroll
+    * replays the early-exiting Spark loop verbatim). MATERIALIZED
+    * everywhere: every CTE is referenced multiply. */
+  private def louvainLevelsSql(edgeSql: String, maxLevels: Int,
+      rounds: Int): String = {
+    def level(l: Int): String = {
+      val moves = (1 to rounds).map { r =>
+        val pc = if (r == 1) s"c_${l}_0" else s"c_${l}_${r - 1}"
+        s"""vol_${l}_$r AS MATERIALIZED (SELECT c,
+           |    CAST(sum(k) AS BIGINT) AS vol
+           |  FROM $pc JOIN deg_$l USING (x) GROUP BY c),
+           |wvc_${l}_$r AS MATERIALIZED (SELECT a.x, cm.c,
+           |    CAST(sum(a.w) AS BIGINT) AS wv
+           |  FROM adj_$l a JOIN $pc cm ON cm.x = a.n GROUP BY a.x, cm.c),
+           |ownz_${l}_$r AS MATERIALIZED (SELECT co.x, co.c,
+           |    CAST(0 AS BIGINT) AS wv FROM $pc co
+           |  LEFT JOIN wvc_${l}_$r w ON w.x = co.x AND w.c = co.c
+           |  WHERE w.x IS NULL),
+           |cand_${l}_$r AS MATERIALIZED (SELECT * FROM wvc_${l}_$r
+           |  UNION ALL SELECT * FROM ownz_${l}_$r),
+           |sc_${l}_$r AS MATERIALIZED (SELECT cand.x, cand.c,
+           |    co.c AS c_own,
+           |    m2_$l.m2 * cand.wv - deg_$l.k * (vol.vol -
+           |      CASE WHEN cand.c = co.c THEN deg_$l.k ELSE 0 END)
+           |      AS score
+           |  FROM cand_${l}_$r cand JOIN $pc co ON co.x = cand.x
+           |  JOIN deg_$l ON deg_$l.x = cand.x
+           |  JOIN vol_${l}_$r vol ON vol.c = cand.c CROSS JOIN m2_$l),
+           |ownsc_${l}_$r AS MATERIALIZED (SELECT x, score AS own_score
+           |  FROM sc_${l}_$r WHERE c = c_own),
+           |best_${l}_$r AS MATERIALIZED (SELECT x, score AS best_score,
+           |    c AS best_c FROM (
+           |  SELECT x, c, score, row_number() OVER (
+           |    PARTITION BY x ORDER BY score DESC, c ASC) AS rk
+           |  FROM sc_${l}_$r WHERE c <> c_own) __b WHERE rk = 1),
+           |c_${l}_$r AS MATERIALIZED (SELECT co.x,
+           |    CASE WHEN CAST('0x' || substr(md5(CAST(co.x AS VARCHAR)),
+           |          1, 8) AS BIGINT) % 2 = ${r % 2}
+           |        AND b.best_score > o.own_score
+           |      THEN b.best_c ELSE co.c END AS c
+           |  FROM $pc co
+           |  LEFT JOIN best_${l}_$r b ON b.x = co.x
+           |  JOIN ownsc_${l}_$r o ON o.x = co.x)""".stripMargin
+      }.mkString(",\n")
+      val fc = s"c_${l}_$rounds"
+      val mapPrev = s"map${l - 1}"
+      val contract =
+        if (l == maxLevels) ""
+        else s""",
+           |g${l + 1} AS MATERIALIZED (SELECT
+           |    least(cu.c, cv.c) AS u, greatest(cu.c, cv.c) AS v,
+           |    CAST(sum(g.w) AS BIGINT) AS w
+           |  FROM g$l g JOIN $fc cu ON cu.x = g.u
+           |  JOIN $fc cv ON cv.x = g.v GROUP BY 1, 2),
+           |map$l AS MATERIALIZED (SELECT m._vid, cm.c AS node
+           |  FROM $mapPrev m JOIN $fc cm ON cm.x = m.node)""".stripMargin
+      s"""nodes_$l AS MATERIALIZED (SELECT u AS x FROM g$l
+         |  UNION SELECT v FROM g$l),
+         |adj_$l AS MATERIALIZED (SELECT u AS x, v AS n, w FROM g$l
+         |    WHERE u <> v
+         |  UNION ALL SELECT v, u, w FROM g$l WHERE u <> v),
+         |deg_$l AS MATERIALIZED (SELECT n0.x,
+         |    CAST(coalesce(ka.ka, 0) + coalesce(ks.ks, 0) AS BIGINT) AS k
+         |  FROM nodes_$l n0
+         |  LEFT JOIN (SELECT x, CAST(sum(w) AS BIGINT) AS ka
+         |    FROM adj_$l GROUP BY x) ka ON ka.x = n0.x
+         |  LEFT JOIN (SELECT u AS x, CAST(2 * sum(w) AS BIGINT) AS ks
+         |    FROM g$l WHERE u = v GROUP BY u) ks ON ks.x = n0.x),
+         |m2_$l AS MATERIALIZED (SELECT CAST(sum(k) AS BIGINT) AS m2
+         |  FROM deg_$l),
+         |c_${l}_0 AS MATERIALIZED (SELECT x, x AS c FROM nodes_$l),
+         |$moves,
+         |volf_$l AS MATERIALIZED (SELECT c, CAST(sum(k) AS BIGINT) AS vol
+         |  FROM $fc JOIN deg_$l USING (x) GROUP BY c),
+         |wc_$l AS MATERIALIZED (SELECT cu.c, CAST(sum(g.w) AS BIGINT) AS wc
+         |  FROM g$l g JOIN $fc cu ON cu.x = g.u
+         |  JOIN $fc cv ON cv.x = g.v
+         |  WHERE cu.c = cv.c GROUP BY cu.c),
+         |q_$l AS MATERIALIZED (SELECT
+         |    CAST(sum(2 * m2.m2 * coalesce(wc.wc, 0)
+         |      - v.vol * v.vol) AS BIGINT) AS q_num,
+         |    CAST(max(m2.m2 * m2.m2) AS BIGINT) AS q_den
+         |  FROM volf_$l v LEFT JOIN wc_$l wc USING (c)
+         |  CROSS JOIN m2_$l m2),
+         |lvl_$l AS MATERIALIZED (SELECT CAST($l AS BIGINT) AS level,
+         |    m._vid, cm.c AS community
+         |  FROM $mapPrev m JOIN $fc cm ON cm.x = m.node)$contract"""
+        .stripMargin
+    }
+    val levels = (1 to maxLevels).map(level).mkString(",\n")
+    val qs = (1 to maxLevels).map(l =>
+      s"SELECT CAST($l AS BIGINT) AS level, " +
+        s"(SELECT q_num FROM q_$l) AS q_num").mkString("\n  UNION ALL ")
+    val lvls = (1 to maxLevels).map(l => s"SELECT * FROM lvl_$l")
+      .mkString("\n  UNION ALL ")
+    s"""WITH g1 AS MATERIALIZED (SELECT u, v, CAST(1 AS BIGINT) AS w
+       |  FROM (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |    FROM ($edgeSql) __e WHERE a <> b) __d),
+       |map0 AS MATERIALIZED (SELECT x AS _vid, x AS node FROM (
+       |  SELECT u AS x FROM g1 UNION SELECT v FROM g1) __n),
+       |$levels,
+       |qs AS ($qs),
+       |cut AS (SELECT coalesce(min(b.level),
+       |    CAST(${maxLevels + 1} AS BIGINT)) AS cutoff
+       |  FROM qs a JOIN qs b ON b.level = a.level + 1
+       |    AND b.q_num <= a.q_num)
+       |SELECT l.level, l._vid, l.community, qs.q_num,
+       |  (SELECT q_den FROM q_1) AS q_den
+       |FROM ($lvls) l
+       |JOIN qs ON qs.level = l.level
+       |CROSS JOIN cut
+       |WHERE l.level < cut.cutoff""".stripMargin
   }
 
   /** Iterated-BPE oracle: unrolled merge steps over the word-frequency
@@ -6702,6 +6843,15 @@ object SparkEntry {
         |  FROM c) WHERE rnk <= 20""".stripMargin,
 
     "q_bpe_train" -> bpeTrainSql(nMerges = 6),
+
+    "q_louvain_levels" -> louvainLevelsSql(
+      "SELECT l_orderkey % 600 AS a, " +
+        "(l_orderkey % 600) - (l_orderkey % 5) + l_partkey % 5 AS b " +
+        "FROM lineitem UNION ALL " +
+        "SELECT (l_orderkey % 600) - (l_orderkey % 5) AS a, " +
+        "((l_orderkey % 600) - (l_orderkey % 5) + 5) % 600 AS b " +
+        "FROM lineitem",
+      maxLevels = 3, rounds = 4),
 
     "q_zipf_table" ->
       s"""WITH $TokCte,

@@ -2380,6 +2380,227 @@ object GraphAnalytics {
   }
 
   /**
+   * Weighted synchronous Louvain local-move round — the [[louvainMove]]
+   * law generalized to the WEIGHTED graphs Louvain's own phase 2
+   * produces (contraction emits super-edges with summed weights and
+   * intra-community self-loops), which is what makes the multilevel
+   * composition [[louvainLevels]] possible. Input graph `g` is
+   * canonical (u ≤ v, one row per pair, integer weight `w`, self-loops
+   * allowed); `comm` is (x, c). Degrees follow the standard convention
+   * k_x = Σ_{non-self incident} w + 2·w_self(x); w_xc excludes the
+   * self-loop (it moves with x — a constant offset across candidates);
+   * the comparison stays the EXACT INTEGER score m2·w_xc − k_x·vol'_c
+   * with ties to the smaller community id, so every round is
+   * oracle-replayable. Output (_vid, old_c, new_c, moved).
+   *
+   * Scale shape identical to [[louvainMove]]: combinable degree/volume
+   * aggregates, ONE adjacency-sized weight shuffle for w_xc, a
+   * max(struct) argmax, m2 broadcast.
+   */
+  def louvainMoveWeighted(g: DataFrame, comm0: DataFrame): DataFrame = {
+    val gg = g.toDF("u", "v", "w")
+      .transform(graft.CacheScope.persist(_)) // adj both sides + self
+    val nonSelf = gg.filter(col("u") =!= col("v"))
+    val adj = nonSelf.select(col("u").as("x"), col("v").as("n"), col("w"))
+      .unionByName(
+        nonSelf.select(col("v").as("x"), col("u").as("n"), col("w")))
+    val comm = comm0.toDF("x", "c")
+      .transform(graft.CacheScope.persist(_))
+    val deg = comm.select("x")
+      .join(adj.groupBy("x").agg(sum(col("w")).as("ka")), Seq("x"), "left")
+      .join(gg.filter(col("u") === col("v"))
+        .groupBy(col("u").as("x")).agg((sum(col("w")) * 2).as("ks")),
+        Seq("x"), "left")
+      .select(col("x"), (coalesce(col("ka"), lit(0L)) +
+        coalesce(col("ks"), lit(0L))).as("k"))
+      .transform(graft.CacheScope.persist(_))
+    val vol = comm.join(deg, "x").groupBy(col("c"))
+      .agg(sum(col("k")).as("vol"))
+    val m2 = deg.agg(sum(col("k")).as("m2"))
+    val wvc = adj.join(comm.select(col("x").as("n"), col("c")), "n")
+      .groupBy(col("x"), col("c")).agg(sum(col("w")).as("wv"))
+    val own = comm.select(col("x"), col("c").as("c_own"))
+    val ownZero = own.select(col("x"), col("c_own").as("c"),
+        lit(0L).as("wv"))
+      .join(wvc.select(col("x"), col("c")), Seq("x", "c"), "left_anti")
+    val scored = wvc.unionByName(ownZero)
+      .join(own, "x").join(deg, "x")
+      .join(vol, "c").crossJoin(broadcast(m2))
+      .select(col("x"), col("c"), col("c_own"),
+        (col("m2") * col("wv") - col("k") *
+          (col("vol") - when(col("c") === col("c_own"), col("k"))
+            .otherwise(lit(0L)))).as("score"))
+    val ownScore = scored.filter(col("c") === col("c_own"))
+      .select(col("x"), col("score").as("own_score"))
+    val best = scored.filter(col("c") =!= col("c_own"))
+      .groupBy(col("x"))
+      .agg(max(struct(col("score"), (-col("c")).as("negc"))).as("b"))
+      .select(col("x"), col("b.score").as("best_score"),
+        (-col("b.negc")).as("best_c"))
+    own.join(best, Seq("x"), "left").join(ownScore, "x")
+      .select(col("x").as("_vid"), col("c_own").as("old_c"),
+        when(col("best_score") > col("own_score"), col("best_c"))
+          .otherwise(col("c_own")).as("new_c"))
+      .withColumn("moved", (col("new_c") =!= col("old_c")).cast("long"))
+  }
+
+  /** Weighted contraction — [[contractGraph]] for graphs that already
+    * carry weights and self-loops (Louvain levels ≥ 2): map both
+    * endpoints through the community map and SUM weights; intra edges
+    * fold into the (c, c) self-loop row, preserving total weight (the
+    * invariant that makes modularity comparable across levels). */
+  def contractGraphWeighted(g: DataFrame, comm: DataFrame): DataFrame = {
+    val gg = g.toDF("u", "v", "w")
+    val cm = comm.toDF("x", "c")
+    gg.join(cm.select(col("x").as("u"), col("c").as("cu")), "u")
+      .join(cm.select(col("x").as("v"), col("c").as("cv")), "v")
+      .select(least(col("cu"), col("cv")).as("u"),
+        greatest(col("cu"), col("cv")).as("v"), col("w"))
+      .groupBy("u", "v").agg(sum(col("w")).as("w"))
+  }
+
+  /** Exact-integer modularity of partition `comm` on weighted graph
+    * `g`: Q·(2m)² = Σ_c (2·m2·w_c − vol_c²) over qden = m2², with
+    * m2 = Σk (= 2m, invariant under contraction — weights below ~3·10⁹
+    * keep qden inside BIGINT; shard the additive numerator beyond).
+    * Returns the (q_num, q_den) scalars. */
+  private def modularityIntegersW(g: DataFrame,
+      comm: DataFrame): (Long, Long) = {
+    val gg = g.toDF("u", "v", "w")
+      .transform(graft.CacheScope.persist(_))
+    val cm = comm.toDF("x", "c")
+      .transform(graft.CacheScope.persist(_))
+    val nonSelf = gg.filter(col("u") =!= col("v"))
+    val deg = cm.select("x")
+      .join(nonSelf.select(col("u").as("x"), col("w"))
+        .unionByName(nonSelf.select(col("v").as("x"), col("w")))
+        .groupBy("x").agg(sum(col("w")).as("ka")), Seq("x"), "left")
+      .join(gg.filter(col("u") === col("v"))
+        .groupBy(col("u").as("x")).agg((sum(col("w")) * 2).as("ks")),
+        Seq("x"), "left")
+      .select(col("x"), (coalesce(col("ka"), lit(0L)) +
+        coalesce(col("ks"), lit(0L))).as("k"))
+    val m2 = deg.agg(sum(col("k")).as("m2"))
+    val vol = cm.join(deg, "x").groupBy(col("c"))
+      .agg(sum(col("k")).as("vol"))
+    val intra = gg
+      .join(cm.select(col("x").as("u"), col("c").as("cu")), "u")
+      .join(cm.select(col("x").as("v"), col("c").as("cv")), "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("c")).agg(sum(col("w")).as("wc"))
+    val row = vol.join(intra, Seq("c"), "left")
+      .na.fill(0L, Seq("wc"))
+      .crossJoin(broadcast(m2))
+      .agg(sum(lit(2L) * col("m2") * col("wc") -
+        col("vol") * col("vol")).as("q_num"),
+        max(col("m2") * col("m2")).as("q_den"))
+      .head() // one aggregated scalar row per level (house law)
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /**
+   * Full multilevel Louvain (Blondel et al. 2008 — the composition of
+   * [[louvainMoveWeighted]] and [[contractGraphWeighted]] the r10
+   * verdict asked for): per level, start from the SINGLETON partition
+   * of the current (contracted) graph, run `roundsPerLevel`
+   * PARITY-ALTERNATING move rounds, score the level's partition with
+   * exact-integer modularity, STOP when a level fails to strictly
+   * improve Q (its rows are not emitted), else contract and recurse.
+   * Q is comparable across levels because contraction preserves total
+   * edge weight (2m invariant) and Q(partition, G_l) =
+   * Q(singletons, G_{l+1}).
+   *
+   * Parity alternation: round r applies moves only to vertices with
+   * x mod 2 == r mod 2 — fully synchronous updates oscillate (on a
+   * dense bipartite graph every vertex swaps sides simultaneously and
+   * the rounds converge to the ANTI-community partition, Q = −1/2;
+   * observed on the near-complete gate fixture), and alternating a
+   * deterministic vertex half per round is the standard scalable fix
+   * (the vertex-partitioned sweeps of Lu, Halappanavar &
+   * Kalyanaraman 2015, "Parallel Heuristics for Scalable Community
+   * Detection"). Deterministic, hence oracle-replayable; use an even
+   * `roundsPerLevel` so both parities sweep equally.
+   *
+   * Output: (level, _vid, community, q_num, q_den) at ORIGINAL vertex
+   * granularity per emitted level — community ids are current-level
+   * node ids (= previous level's community ids), q_num/q_den the exact
+   * rationals Q = q_num/q_den.
+   *
+   * Scale shape: each level's graph is strictly smaller (the entire
+   * point of contraction at 100 TB); mapping back to original vertices
+   * is one |V|-sized equi-join per level; all per-round shapes are the
+   * [[louvainMoveWeighted]] ones. Levels and rounds are driver-side
+   * with one scalar fetch per round (moved count) and per level (Q).
+   */
+  def louvainLevels(edges: DataFrame, maxLevels: Int,
+      roundsPerLevel: Int): DataFrame = {
+    require(maxLevels >= 1 && roundsPerLevel >= 1,
+      "maxLevels and roundsPerLevel must be >= 1")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    import spark.implicits._
+    val slots = collection.mutable.Map.empty[String, Option[Int]]
+    def rotate(slot: String, df: DataFrame): DataFrame = {
+      val (next, id) = rotateCheckpoint(df, slots.getOrElse(slot, None))
+      slots(slot) = id
+      next
+    }
+    var g = rotate("g", edges.toDF("a", "b").filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct().select(col("u"), col("v"), lit(1L).as("w")))
+    var mapping = rotate("map",
+      g.select(col("u").as("node")).union(g.select(col("v"))).distinct()
+        .select(col("node").as("_vid"), col("node")))
+    var out: Option[DataFrame] = None
+    var prevQ: Option[Long] = None
+    var level = 0
+    var stop = false
+    while (level < maxLevels && !stop) {
+      level += 1
+      var comm = rotate("comm",
+        g.select(col("u").as("x")).union(g.select(col("v"))).distinct()
+          .select(col("x"), col("x").as("c")))
+      for (r <- 1 to roundsPerLevel) {
+        val mv = rotate("mv", louvainMoveWeighted(g, comm))
+        // parity alternation (see scaladoc): only this round's vertex
+        // half applies its move; the other half keeps its community.
+        // Parity = md5 window of the id, NOT id mod 2: contracted
+        // levels inherit elected community ids whose low bit is
+        // structurally correlated (an all-even level made id-parity
+        // rounds alternately no-op and fully synchronous)
+        val par = pmod(conv(substring(md5(col("_vid").cast("string")),
+          1, 8), 16, 10).cast("long"), lit(2L))
+        comm = rotate("comm",
+          mv.select(col("_vid").as("x"),
+            when(par === lit((r % 2).toLong),
+              col("new_c")).otherwise(col("old_c")).as("c")))
+      }
+      val (qNum, qDen) = modularityIntegersW(g, comm)
+      if (prevQ.exists(_ >= qNum)) stop = true
+      else {
+        prevQ = Some(qNum)
+        val lvlRows = mapping
+          .join(comm.select(col("x").as("node"), col("c")), "node")
+          .select(lit(level.toLong).as("level"), col("_vid"),
+            col("c").as("community"), lit(qNum).as("q_num"),
+            lit(qDen).as("q_den"))
+        out = Some(rotate("out",
+          out.map(_.unionByName(lvlRows)).getOrElse(lvlRows)))
+        if (level < maxLevels) {
+          mapping = rotate("map", mapping
+            .join(comm.select(col("x").as("node"), col("c")), "node")
+            .select(col("_vid"), col("c").as("node")))
+          g = rotate("g", contractGraphWeighted(g, comm))
+        }
+      }
+    }
+    (slots.keySet - "out").foreach(k => slots(k).foreach(i =>
+      sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false))))
+    out.get
+  }
+
+  /**
    * Incremental connected components — fold a batch of NEW edges into
    * EXISTING component labels without touching the base edge set (the
    * graph twin of [[graft.streaming.ChangeLogListener.ivmJoinDelta]]):

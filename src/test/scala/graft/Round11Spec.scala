@@ -31,6 +31,72 @@ class Round11Spec extends SparkSpec {
       s"greedy law diverged: $got")
   }
 
+  test("louvainMoveWeighted at w=1 reduces to the unweighted move") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val e = li.select((col("l_orderkey") % 40).as("a"),
+      (col("l_suppkey") % 40 + 100).as("b"))
+    val verts = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v"))).distinct()
+    val comm = verts.select(col("v"), (col("v") % 7).as("c"))
+    val want = graft.analytics.GraphAnalytics.louvainMove(e, comm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val g = e.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct().withColumn("w", lit(1L))
+    val got = graft.analytics.GraphAnalytics.louvainMoveWeighted(g, comm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "weighted move with unit weights diverged")
+  }
+
+  test("contractGraphWeighted preserves total edge weight (2m invariant)") {
+    val g = Seq((1L, 2L, 3L), (2L, 3L, 2L), (3L, 3L, 5L), (4L, 5L, 1L))
+      .toDF("u", "v", "w")
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L))
+      .toDF("x", "c")
+    val c = graft.analytics.GraphAnalytics.contractGraphWeighted(g, comm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(c == Set((1L, 1L, 3L), (1L, 3L, 2L), (3L, 3L, 5L),
+      (4L, 4L, 1L)), s"unexpected contraction: $c")
+    // total weight preserved: 3+2+5+1 == 3+2+5+1
+    assert(c.toSeq.map(_._3).sum == 11L)
+  }
+
+  test("louvainLevels: multilevel ascent on a resolution-limit ring") {
+    // 60 K5 cliques in a ring — inside the resolution limit, so
+    // merging adjacent cliques raises Q and the loop must emit >1 level
+    val n = 300
+    val intra = (0 until n).flatMap { v =>
+      val h = v - v % 5
+      (h until h + 5).filter(_ != v).map(b => (v.toLong, b.toLong))
+    }
+    val ring = (0 until n by 5).map(h =>
+      (h.toLong, ((h + 5) % n).toLong))
+    val e = (intra ++ ring).toDF("a", "b")
+    val out = graft.analytics.GraphAnalytics
+      .louvainLevels(e, maxLevels = 3, roundsPerLevel = 4)
+      .transform(graft.CacheScope.persist(_))
+    val levels = out.select("level", "q_num").distinct()
+      .orderBy("level").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(levels.length >= 2, s"expected a multilevel ascent: ${levels.toSeq}")
+    assert(levels.map(_._2).sliding(2).forall(p => p(1) > p(0)),
+      s"Q must strictly improve across emitted levels: ${levels.toSeq}")
+    // every level covers all original vertices
+    val perLevel = out.groupBy("level").count().collect()
+    assert(perLevel.forall(_.getLong(1) == n.toLong))
+    // level l+1 COARSENS level l: each level-1 community maps into
+    // exactly one level-2 community
+    val l1 = out.filter(col("level") === 1)
+      .select(col("_vid"), col("community").as("c1"))
+    val l2 = out.filter(col("level") === 2)
+      .select(col("_vid"), col("community").as("c2"))
+    val split = l1.join(l2, "_vid").groupBy("c1")
+      .agg(countDistinct(col("c2")).as("n2"))
+      .filter(col("n2") > 1).count()
+    assert(split == 0L, "levels must nest (contraction coarsens)")
+    graft.CacheScope.unpersist(out)
+  }
+
   test("bpeTrain merge list is prefix-stable as nMerges grows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .limit(40).select("text")
