@@ -729,6 +729,26 @@ object SparkEntry {
       Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, numPlanes = 6, dim = 64, maxBucketSize = 128)),
 
+    // ---- NN-descent round (Dong et al. 2011): capped undirected
+    // 2-hop expansion + exact re-rank over the LSH kNN graph ----
+    "q_knn_refine" -> ((s, dir) =>
+      Similarity.knnRefine(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 3, numPlanes = 6, dim = 64,
+        maxBucketSize = 128, expandCap = 6)),
+
+    // ---- Recall@3 of the refined kNN graph vs the EXACT graph on a
+    // 20-query probe — the refinement's measured-evidence row ----
+    "q_knn_refine_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 19L), k = 3),
+        Similarity.knnRefine(emb, "vec_id", "embedding", k = 3,
+          numPlanes = 6, dim = 64, maxBucketSize = 128, expandCap = 6)
+          .select(col("vec_id").as("query_id"),
+            col("nbr_id").as("cand_id")))
+    }),
+
     // ---- Label-noise audit: kNN label agreement over the LSH knn
     // graph (confident-learning-lite); all-integer evidence ----
     "q_label_noise" -> ((s, dir) =>
@@ -3682,18 +3702,18 @@ object SparkEntry {
   /** kNN-graph oracle: same plane literals as [[lshAnnSql]]
     * (Similarity.hyperplanes(6, 64, 42)), bucket-size window [2, 128],
     * both-direction candidates, per-vector cosine top-3. */
-  private def knnGraphSql: String = {
+  private def knnGraphCtes: String = {
     val planes = Similarity.hyperplanes(numPlanes = 6, dim = 64, seed = 42L)
     val bucket = planes.zipWithIndex.map { case (p, i) =>
       val lits = p.mkString("[", ", ", "]")
       s"CASE WHEN list_dot_product(embedding::DOUBLE[], $lits::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END"
     }.mkString("\n  + ")
-    s"""WITH sig AS (SELECT vec_id, embedding, $bucket AS bucket
+    s"""sig AS MATERIALIZED (SELECT vec_id, embedding, $bucket AS bucket
        |  FROM embeddings),
        |ok AS (SELECT bucket FROM sig GROUP BY bucket
        |       HAVING count(*) BETWEEN 2 AND 128),
-       |ib AS (SELECT s.* FROM sig s JOIN ok USING (bucket)),
-       |scored AS (
+       |ib AS MATERIALIZED (SELECT s.* FROM sig s JOIN ok USING (bucket)),
+       |scored AS MATERIALIZED (
        |  SELECT a.vec_id, b.vec_id AS nbr_id,
        |    floor((list_cosine_similarity(a.embedding::DOUBLE[],
        |      b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS sim,
@@ -3702,10 +3722,63 @@ object SparkEntry {
        |        b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 DESC,
        |        b.vec_id) AS rk
        |  FROM ib a JOIN ib b
-       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)""".stripMargin
+  }
+
+  private def knnGraphSql: String =
+    s"""WITH $knnGraphCtes
        |SELECT vec_id, nbr_id, CAST(rk AS BIGINT) AS rk, sim
        |FROM scored WHERE rk <= 3""".stripMargin
-  }
+
+  /** NN-descent refinement CTEs on top of [[knnGraphCtes]] — capped
+    * undirected 2-hop expansion, exact-cosine scoring of new pairs,
+    * union + re-rank: [[graft.pipeline.Similarity.knnRefine]]'s law.
+    * Ends at `g1(x, nbr_id, rk, sim)`. */
+  private def knnRefineCtes(k: Int, expandCap: Int): String =
+    s"""$knnGraphCtes,
+       |g0 AS MATERIALIZED (SELECT vec_id, nbr_id, sim FROM scored
+       |  WHERE rk <= $k),
+       |ring0 AS MATERIALIZED (SELECT x, n FROM (
+       |    SELECT x, coalesce(lead(x, 1) OVER w16,
+       |      first_value(x) OVER w16) AS n
+       |    FROM (SELECT vec_id AS x, md5(CAST(vec_id AS VARCHAR)) AS p,
+       |        CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+       |          AS BIGINT) % 16 AS b
+       |      FROM embeddings) __i
+       |    WINDOW w16 AS (PARTITION BY b ORDER BY p)) __r
+       |  WHERE x <> n),
+       |ring AS MATERIALIZED (SELECT r.x, r.n,
+       |    floor((list_cosine_similarity(e1.embedding::DOUBLE[],
+       |      e2.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS sim
+       |  FROM ring0 r JOIN embeddings e1 ON e1.vec_id = r.x
+       |  JOIN embeddings e2 ON e2.vec_id = r.n),
+       |und AS MATERIALIZED (SELECT x, n, max(sim) AS sim FROM (
+       |    SELECT vec_id AS x, nbr_id AS n, sim FROM g0
+       |    UNION ALL SELECT nbr_id, vec_id, sim FROM g0
+       |    UNION ALL SELECT x, n, sim FROM ring
+       |    UNION ALL SELECT n, x, sim FROM ring) __u
+       |  GROUP BY x, n),
+       |capped AS MATERIALIZED (SELECT x, n FROM (
+       |    SELECT x, n, row_number() OVER (PARTITION BY x
+       |      ORDER BY sim DESC, n) AS crk FROM und) __c
+       |  WHERE crk <= $expandCap),
+       |cand AS MATERIALIZED (SELECT DISTINCT a.x, b.n AS n2
+       |  FROM capped a JOIN capped b ON b.x = a.n WHERE a.x <> b.n),
+       |sc2 AS (SELECT c.x, c.n2 AS nbr_id,
+       |    floor((list_cosine_similarity(e1.embedding::DOUBLE[],
+       |      e2.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS sim
+       |  FROM cand c JOIN embeddings e1 ON e1.vec_id = c.x
+       |  JOIN embeddings e2 ON e2.vec_id = c.n2),
+       |allp AS MATERIALIZED (SELECT x, nbr_id, max(sim) AS sim FROM (
+       |    SELECT * FROM sc2
+       |    UNION ALL SELECT vec_id, nbr_id, sim FROM g0
+       |    UNION ALL SELECT x, n, sim FROM und) __a
+       |  GROUP BY x, nbr_id),
+       |g1 AS MATERIALIZED (SELECT x, nbr_id, CAST(rk AS BIGINT) AS rk,
+       |    sim FROM (
+       |    SELECT x, nbr_id, sim, row_number() OVER (PARTITION BY x
+       |      ORDER BY sim DESC, nbr_id) AS rk FROM allp) __g
+       |  WHERE rk <= $k)""".stripMargin
 
   /** JL-projection oracle: the seeded plane matrix as literals (same
     * Similarity.hyperplanes(outDim, dim, seed) constants), one
@@ -6459,6 +6532,29 @@ object SparkEntry {
     "q_lsh_ann" -> lshAnnSql,
 
     "q_knn_graph" -> knnGraphSql,
+
+    "q_knn_refine" ->
+      s"""WITH ${knnRefineCtes(k = 3, expandCap = 6)}
+         |SELECT x AS vec_id, nbr_id, rk, sim FROM g1""".stripMargin,
+
+    "q_knn_refine_recall" ->
+      s"""WITH ${knnRefineCtes(k = 3, expandCap = 6)},
+         |exact AS (SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY floor((list_cosine_similarity(
+         |          q.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+         |          * 1000000.0 + 0.5) / 1000000.0 DESC, c.vec_id) AS rk
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id BETWEEN 0 AND 19) __e WHERE rk <= 3)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN g.nbr_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  floor((sum(CASE WHEN g.nbr_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS recall
+         |FROM exact e LEFT JOIN g1 g
+         |  ON g.x = e.query_id AND g.nbr_id = e.cand_id
+         |GROUP BY e.query_id""".stripMargin,
 
     // knn graph + label attachment; all-integer agreement evidence
     "q_label_noise" ->

@@ -494,6 +494,102 @@ object Similarity {
   }
 
   /**
+   * One NN-descent refinement round over a [[knnGraph]] (Dong,
+   * Charikar & Li 2011, "Efficient K-Nearest Neighbor Graph
+   * Construction for Generic Similarity Measures" — THE way
+   * billion-scale kNN graphs are built without exactness): "a
+   * neighbor of my neighbor is likely my neighbor". Candidates are
+   * the 2-hop expansion of the UNDIRECTED graph (reverse edges
+   * included — Dong's key insight), exact-cosine scored, unioned with
+   * the existing edges, and re-ranked top-k per vertex.
+   *
+   * Dong's RANDOM-NEIGHBOR INIT is load-bearing, not decoration: a
+   * pure single-table-LSH graph has connected components == buckets,
+   * so a 2-hop walk can never leave a bucket and the round recovers
+   * NOTHING (observed — recall was bit-identical before/after). The
+   * deterministic stand-in is an md5-ring bootstrap: vertices sort by
+   * md5(id) inside 16 md5 buckets and each links to its successor
+   * (wrap via first_value — the linkPredAuc negative-rewiring
+   * device). Hash order is structure-free, so the ring crosses LSH
+   * buckets and also re-attaches vectors LSH left edgeless in
+   * dropped/singleton buckets. Recall is measured, not assumed
+   * ([[recallPerQuery]], q_knn_refine_recall).
+   *
+   * Scale shape: the undirected adjacency is capped at `expandCap`
+   * entries per vertex BEFORE the 2-hop join (Dong's ρK sampling made
+   * deterministic — rank by (sim desc, nbr asc); reverse IN-degree is
+   * unbounded at 100 TB even when out-degree is k, so the cap is what
+   * keeps the expansion ≤ expandCap² per vertex), the join is
+   * vertex-keyed, scoring touches only NEW candidate pairs, the ring
+   * windows run inside bounded md5 buckets (never a global order),
+   * and the re-rank window rides per-vertex frames of
+   * ≤ k + expandCap² rows.
+   */
+  def knnRefine(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, numPlanes: Int, dim: Int, maxBucketSize: Int,
+      expandCap: Int, seed: Long = 42L): DataFrame = {
+    require(expandCap >= 1, "expandCap must be >= 1")
+    val g0 = knnGraph(emb, idCol, vecCol, k, numPlanes, dim,
+      maxBucketSize, seed)
+      .transform(graft.CacheScope.persist(_)) // expansion + final union
+    val p = md5(col("x").cast("string"))
+    val wB = Window.partitionBy(col("b")).orderBy(col("p"))
+    val ring0 = emb.select(col(idCol).as("x"))
+      .withColumn("p", p)
+      .withColumn("b", pmod(conv(substring(col("p"), 1, 8), 16, 10)
+        .cast("long"), lit(16L)))
+      .withColumn("n", coalesce(lead(col("x"), 1).over(wB),
+        first(col("x")).over(wB)))
+      .filter(col("x") =!= col("n"))
+      .select(col("x"), col("n"))
+    val ring = ring0
+      .join(emb.select(col(idCol).as("x"), col(vecCol).as("xv")), "x")
+      .join(emb.select(col(idCol).as("n"), col(vecCol).as("nv")), "n")
+      .select(col("x"), col("n"),
+        graft.functions.Portable.quant(cosine(col("xv"), col("nv")), 6)
+          .as("sim"))
+    val undRaw = g0.select(col(idCol).as("x"), col("nbr_id").as("n"),
+        col("sim"))
+      .unionByName(g0.select(col("nbr_id").as("x"),
+        col(idCol).as("n"), col("sim")))
+      .unionByName(ring)
+      .unionByName(ring.select(col("n").as("x"), col("x").as("n"),
+        col("sim")))
+    val und = undRaw.groupBy("x", "n").agg(max(col("sim")).as("sim"))
+      .transform(graft.CacheScope.persist(_)) // capped expansion + final union
+    val wCap = Window.partitionBy(col("x"))
+      .orderBy(col("sim").desc, col("n"))
+    val capped = und.withColumn("crk", row_number().over(wCap))
+      .filter(col("crk") <= expandCap).select(col("x"), col("n"))
+      .transform(graft.CacheScope.persist(_)) // both sides of the 2-hop
+    val cand = capped
+      .join(capped.select(col("x").as("n"), col("n").as("n2")), "n")
+      .filter(col("x") =!= col("n2"))
+      .select(col("x"), col("n2")).distinct()
+    val scored = cand
+      .join(emb.select(col(idCol).as("x"), col(vecCol).as("xv")), "x")
+      .join(emb.select(col(idCol).as("n2"), col(vecCol).as("nv")), "n2")
+      .select(col("x"), col("n2").as("nbr_id"),
+        graft.functions.Portable.quant(cosine(col("xv"), col("nv")), 6)
+          .as("sim"))
+    val all = scored
+      .unionByName(g0.select(col(idCol).as("x"), col("nbr_id"),
+        col("sim")))
+      // every scored pair is a candidate — the bootstrap ring edges
+      // included (one may itself be a true neighbor)
+      .unionByName(und.select(col("x"), col("n").as("nbr_id"),
+        col("sim")))
+      // cosine is symmetric and quantized identically on both paths:
+      // duplicate (x, nbr) rows carry equal sims; max is a dedupe
+      .groupBy("x", "nbr_id").agg(max(col("sim")).as("sim"))
+    val w = Window.partitionBy(col("x"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    all.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("x").as(idCol), col("nbr_id"),
+        col("rk").cast("long").as("rk"), col("sim"))
+  }
+
+  /**
    * Johnson–Lindenstrauss random projection — the cheap dimensionality
    * cut in front of clustering/dedup when even PQ is too much
    * structure: y_j = Σ_i x_i·R_ij / √k with a seeded Gaussian matrix

@@ -97,6 +97,52 @@ class Round11Spec extends SparkSpec {
     graft.CacheScope.unpersist(out)
   }
 
+  test("knnRefine improves recall on clustered embeddings") {
+    import graft.pipeline.Similarity
+    // 8 tight clusters along the axes + deterministic noise big enough
+    // to split each cluster across LSH buckets (single-table LSH then
+    // MISSES intra-cluster edges; the NN-descent 2-hop round recovers
+    // them — the gate's random embeddings have no such structure to
+    // recover, so the improvement law lives here)
+    val n = 96
+    val dim = 8
+    val vecs = (0 until n).map { i =>
+      val c = i % 8
+      (i.toLong, (0 until dim).map(j =>
+        ((if (j == c) 7.0 else 0.0) +
+          ((i * 7 + j * 13) % 11 - 5).toDouble).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+      .transform(graft.CacheScope.persist(_))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryIds = (0L until n.toLong), k = 3)
+      .select(col("query_id"), col("cand_id"))
+      .transform(graft.CacheScope.persist(_))
+    def hits(g: org.apache.spark.sql.DataFrame, q: String,
+        c: String): Long =
+      exact.join(g.select(col(q).as("query_id"), col(c).as("cand_id")),
+        Seq("query_id", "cand_id"), "left_semi").count()
+    val g0 = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+      numPlanes = 6, dim = dim, maxBucketSize = 64)
+    val g1 = Similarity.knnRefine(emb, "vec_id", "embedding", k = 3,
+      numPlanes = 6, dim = dim, maxBucketSize = 64, expandCap = 6)
+    val (h0, h1) = (hits(g0, "vec_id", "nbr_id"),
+      hits(g1, "vec_id", "nbr_id"))
+    assert(h1 > h0, s"NN-descent round must recover edges: $h0 -> $h1")
+    // the refined graph never exceeds k edges per vertex
+    val overK = g1.groupBy("vec_id").count().filter(col("count") > 3)
+      .count()
+    assert(overK == 0L)
+    // refinement never DROPS below any existing edge quality: per
+    // vertex, the refined top-1 sim >= the unrefined top-1 sim
+    val t0 = g0.filter(col("rk") === 1)
+      .select(col("vec_id"), col("sim").as("s0"))
+    val t1 = g1.filter(col("rk") === 1)
+      .select(col("vec_id"), col("sim").as("s1"))
+    val worse = t0.join(t1, "vec_id").filter(col("s1") < col("s0")).count()
+    assert(worse == 0L, "re-rank can only improve the per-vertex top-1")
+  }
+
   test("bpeTrain merge list is prefix-stable as nMerges grows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .limit(40).select("text")
