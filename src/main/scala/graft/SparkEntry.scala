@@ -2520,6 +2520,16 @@ object SparkEntry {
         ev.where(col("event_type") === "view"),
         ev.where(col("event_type") === "purchase"),
         key = "user_id", window = "6 hours")
+    }),
+
+    // ---- Stream-stream FULL OUTER interval join: both sides' expired
+    // unmatched rows emit (orphan conversions included) ----
+    "q_interval_join_full" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      EventStream.intervalJoinFullStreaming(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"),
+        key = "user_id", window = "6 hours")
     })
   )
 
@@ -6848,6 +6858,18 @@ object SparkEntry {
         | AND p.ts > v.ts
         | AND p.ts <= v.ts + INTERVAL 6 HOUR""".stripMargin,
 
+    "q_interval_join_full" ->
+      """SELECT coalesce(v.user_id, p.user_id) AS user_id,
+        |  v.event_id AS l_id, p.event_id AS r_id,
+        |  p.value AS r_value,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |FULL OUTER JOIN
+        |  (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND p.ts > v.ts
+        | AND p.ts <= v.ts + INTERVAL 6 HOUR""".stripMargin,
+
     "q_unigram_logprob" ->
       s"""WITH $TokCte,
          |pt AS (SELECT doc_id, unnest(t) AS tok FROM toks),
@@ -8394,6 +8416,7 @@ object SparkEntry {
     "q_get_props_edges" -> Seq("l_quantity", "l_extendedprice"),
     "q_interval_join" -> Seq("r_value"),
     "q_interval_join_outer" -> Seq("r_value"),
+    "q_interval_join_full" -> Seq("r_value"),
     "q_ivf_recall" -> Seq("recall"),
     "q_ivf_topk" -> Seq("sim"),
     "q_lookup_prefix_range" -> Seq("l_quantity"),

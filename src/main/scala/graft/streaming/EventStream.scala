@@ -296,6 +296,36 @@ object EventStream {
   }
 
   /**
+   * Stream-stream FULL OUTER interval join — the symmetric completion
+   * of [[intervalJoinOuterStreaming]]: every left row gets a row
+   * (matched or expired-unmatched, null right columns) AND every right
+   * row gets a row (a purchase with no view inside its preceding
+   * window — the orphan-conversion shape attribution audits hunt).
+   * Structured Streaming emits each side's unmatched rows once the
+   * watermark clears that side's join horizon; the two-sided time
+   * bound keeps buffered state expirable, exactly the
+   * [[intervalJoinStreaming]] law. The key column coalesces across
+   * sides (null on the unmatched side of an outer row). Identical
+   * plan runs in batch (watermark no-op); the batch run faces the
+   * DuckDB oracle and StreamingSpec asserts stream == batch.
+   */
+  def intervalJoinFullStreaming(left: DataFrame, right: DataFrame,
+      key: String, window: String, watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col(key).as("_lk"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(key).as("_rk"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"""_lk = _rk AND r_ts > l_ts AND r_ts <= l_ts + interval $window"""),
+      "full_outer")
+      .select(coalesce(col("_lk"), col("_rk")).as(key), col("l_id"),
+        col("r_id"), col("r_value"), (unix_micros(col("r_ts")) -
+          unix_micros(col("l_ts"))).as("gap_us"))
+  }
+
+  /**
    * Gap-based sessionization (batch formulation): a new session starts
    * when a user's inter-event gap reaches `gapMinutes` (gap >= threshold
    * splits — the same boundary rule as Spark's `session_window`, whose

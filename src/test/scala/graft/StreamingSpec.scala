@@ -295,6 +295,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER interval join equals batch after flush") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val batch = EventStream.intervalJoinFullStreaming(
+        events.where(col("event_type") === "view"),
+        events.where(col("event_type") === "purchase"),
+        key = "user_id", window = "6 hours")
+      .collect().map(_.toSeq).toSet
+
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-ssjf").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    def streamed = spark.readStream.schema(raw.schema).parquet(streamDir)
+      .transform(graft.sources.Tables.normalizeTs)
+    val joined = EventStream.intervalJoinFullStreaming(
+      streamed.where(col("event_type") === "view"),
+      streamed.where(col("event_type") === "purchase"),
+      key = "user_id", window = "6 hours")
+    val q = joined.writeStream.format("memory").queryName("ssjf")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // same two-batch sentinel flush as the left-outer test: both
+      // sides' watermarks must advance for BOTH kinds of unmatched
+      // rows to finalize (views with no purchase AND purchases with
+      // no preceding view)
+      def flush(id: Long, days: Int): Unit = {
+        Seq("view", "purchase").zipWithIndex.foreach { case (et, i) =>
+          raw.limit(1)
+            .withColumn("event_id", lit(id - i))
+            .withColumn("user_id", lit(-999L))
+            .withColumn("event_type", lit(et))
+            .withColumn("ts", col("ts") + expr(s"INTERVAL $days DAYS"))
+            .coalesce(1).write.mode("append").parquet(streamDir)
+        }
+        q.processAllAvailable()
+      }
+      flush(-1L, 90)
+      flush(-3L, 91)
+      val got = spark.table("ssjf").collect().map(_.toSeq)
+        .filter(_.head != -999L).toSet
+      assert(got == batch)
+      // full outer genuinely adds BOTH kinds of unmatched rows
+      assert(batch.exists(_(2) == null), "expected unmatched views")
+      assert(batch.exists(_(1) == null), "expected orphan purchases")
+    } finally q.stop()
+  }
+
   test("foreachBatch bloom-dedup ingest equals the sequential batch replay") {
     import graft.streaming.IngestDedup
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
