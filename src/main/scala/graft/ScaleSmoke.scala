@@ -729,6 +729,42 @@ object ScaleSmoke {
           (col("l_orderkey") % 50).as("v"),
           (col("l_partkey") % 5 + 1).as("w")), "g", "v", "w").count())
 
+    // ---- round-11 rows (strict isolation protocol) ----
+    // per-copy modded graphs: copy-disjoint subgraphs with constant
+    // per-copy diameter — the partitioned-100TB shape; cost should
+    // ride the copy count, not blow up on it
+    val copyOf = (col("l_orderkey") / 10000000L).cast("long") * 1000000L
+    val sccE = edges.select(
+      (copyOf + pmod(col("l_orderkey"), lit(250L))).as("s"),
+      (copyOf + pmod(col("l_partkey"), lit(250L))).as("d"))
+    time(s"scc peeling ${factor}x")(
+      graft.analytics.GraphAnalytics.stronglyConnectedComponents(
+        sccE, "s", "d", maxPeels = 30).count())
+    time(s"cc converged trace ${factor}x")(
+      graft.analytics.GraphAnalytics.ccBigStarTrace(
+        ampEdges.toDF("a", "b"), maxRounds = 16).count())
+    val lv = pmod(col("l_orderkey"), lit(600L))
+    val lhead = lv - pmod(lv, lit(5L))
+    val louvE = edges.select((copyOf + lv).as("a"),
+        (copyOf + lhead + pmod(col("l_partkey"), lit(5L))).as("b"))
+      .unionByName(edges.select((copyOf + lhead).as("a"),
+        (copyOf + pmod(lhead + 5L, lit(600L))).as("b")))
+    time(s"louvain levels ${factor}x")(
+      graft.analytics.GraphAnalytics.louvainLevels(louvE,
+        maxLevels = 3, roundsPerLevel = 4).count())
+    time(s"bpe train 4 merges ${factor}x")(
+      graft.pipeline.TextAnalysis.bpeTrain(docs, "text", nMerges = 4)
+        .count())
+    time(s"knn refine ${factor}x (planes $knnPlanes)")(
+      graft.pipeline.Similarity.knnRefine(emb, "vec_id", "embedding",
+        k = 3, numPlanes = knnPlanes, dim = 64, maxBucketSize = 128,
+        expandCap = 6).count())
+    time(s"interval join full ${factor}x")(
+      graft.streaming.EventStream.intervalJoinFullStreaming(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"),
+        key = "user_id", window = "6 hours").count())
+
     spark.stop()
   }
 }

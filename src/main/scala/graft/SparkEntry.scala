@@ -2280,6 +2280,12 @@ object SparkEntry {
     "q_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", nMerges = 6)),
 
+    // ---- Apply the trained tokenizer: per-doc word/subword counts
+    // under the 6-merge BPE vocab (train -> apply, the full pipeline) ----
+    "q_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncodeCounts(t(s, dir, "documents"), "doc_id",
+        "text", nMerges = 6)),
+
     // ---- k-core peeling (3 fixed rounds, k=3) over the part⋈supplier
     // bipartite graph — degeneracy summary; oracle replays the exact
     // peel rounds via a generated CTE chain ----
@@ -2834,8 +2840,10 @@ object SparkEntry {
     * same padded double-space literal-replace merge as
     * [[graft.pipeline.TextAnalysis.bpeTrain]]. MATERIALIZED per step:
     * DuckDB inlines CTEs and v_t references v_{t-1} multiply. */
-  private def bpeTrainSql(nMerges: Int): String = {
-    val steps = (1 to nMerges).map { t =>
+  /** The BPE merge-step CTEs p$t/b$t/v$t for steps 1..nMerges —
+    * shared by the train and encode oracles. */
+  private def bpeStepsSql(nMerges: Int): String =
+    (1 to nMerges).map { t =>
       val p = t - 1
       s"""p$t AS MATERIALIZED (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
          |  FROM (SELECT list_extract(l, i) || ' ' ||
@@ -2853,10 +2861,10 @@ object SparkEntry {
          |      '  ', ' ')) AS w, f FROM v$p) m$t
          |  GROUP BY w)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to nMerges).map(t =>
-      s"SELECT CAST($t AS BIGINT) AS step, pair, cnt FROM b$t")
-      .mkString("\nUNION ALL ")
-    s"""WITH v0 AS MATERIALIZED (SELECT
+
+  /** v0 (character-split word-frequency table) + the merge steps. */
+  private def bpeVocabCtes(nMerges: Int): String =
+    s"""v0 AS MATERIALIZED (SELECT
        |    trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS w,
        |    CAST(count(*) AS BIGINT) AS f
        |  FROM (SELECT unnest(list_filter(
@@ -2864,9 +2872,31 @@ object SparkEntry {
        |    FROM documents) tk
        |  WHERE length(tok) >= 2
        |  GROUP BY 1),
-       |$steps
+       |${bpeStepsSql(nMerges)}""".stripMargin
+
+  private def bpeTrainSql(nMerges: Int): String = {
+    val out = (1 to nMerges).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS step, pair, cnt FROM b$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeVocabCtes(nMerges)}
        |$out""".stripMargin
   }
+
+  /** Trained-tokenizer application oracle: replay the training steps,
+    * then join every corpus token to its final-vocab symbol count
+    * (missing = single-char word = 1 symbol). */
+  private def bpeEncodeSql(nMerges: Int): String =
+    s"""WITH ${bpeVocabCtes(nMerges)},
+       |sy AS MATERIALIZED (SELECT replace(w, ' ', '') AS tok,
+       |    CAST(len(string_split(w, ' ')) AS BIGINT) AS n_sym
+       |  FROM v$nMerges),
+       |pt AS (SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+       |  FROM documents)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(coalesce(sy.n_sym, 1)) AS BIGINT) AS n_subwords
+       |FROM pt LEFT JOIN sy USING (tok)
+       |GROUP BY doc_id""".stripMargin
 
   /** Big-star/small-star round replay with the per-round changed-edge
     * count |cur_t Δ cur_{t-1}| — the
@@ -6961,6 +6991,8 @@ object SparkEntry {
         |  FROM c) WHERE rnk <= 20""".stripMargin,
 
     "q_bpe_train" -> bpeTrainSql(nMerges = 6),
+
+    "q_bpe_encode" -> bpeEncodeSql(nMerges = 6),
 
     "q_louvain_levels" -> louvainLevelsSql(
       "SELECT l_orderkey % 600 AS a, " +

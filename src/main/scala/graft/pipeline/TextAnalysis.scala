@@ -102,9 +102,23 @@ object TextAnalysis {
    * (the HITS law). Nothing corpus-sized is touched after step 0.
    */
   def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    require(nMerges >= 1, "nMerges must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
+    val (merges, _, ckptId) = bpeTrainLoop(docs, textCol, nMerges)
+    ckptId.foreach(i => spark.sparkContext.getPersistentRDDs.get(i)
+      .foreach(_.unpersist(blocking = false)))
+    merges.toDF("step", "pair", "cnt")
+  }
+
+  /** Shared BPE training loop: returns (merge list, final vocab frame
+    * (w space-joined symbols, f), the vocab's checkpoint-block id) —
+    * [[bpeTrain]] emits the merges and releases the vocab;
+    * [[bpeEncodeCounts]] consumes the vocab (swept by the harness's
+    * CacheScope.drain afterward, the house law for returned frames). */
+  private def bpeTrainLoop(docs: DataFrame, textCol: String,
+      nMerges: Int): (Seq[(Long, String, Long)], DataFrame, Option[Int]) = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val spark = docs.sparkSession
     val rotate = graft.analytics.GraphAnalytics.rotateCheckpoint _
     val init = docs.select(explode(tokens(col(textCol))).as("tok"))
       .filter(length(col("tok")) >= 2) // 1-char words never pair
@@ -148,9 +162,34 @@ object TextAnalysis {
         prevId = id2
       }
     }
-    prevId.foreach(i => spark.sparkContext.getPersistentRDDs.get(i)
-      .foreach(_.unpersist(blocking = false)))
-    merges.toSeq.toDF("step", "pair", "cnt")
+    (merges.toSeq, vocab, prevId)
+  }
+
+  /**
+   * Apply the trained BPE tokenizer — per-document subword statistics
+   * under the vocabulary [[bpeTrain]]'s `nMerges` merges produce (the
+   * train→apply pair every tokenizer pipeline runs; [[subwordCount]]
+   * is the heuristic stand-in this replaces when a trained vocab
+   * exists). Output: (id, n_words, n_subwords) — n_subwords sums each
+   * word's symbol count in the final vocab; words too short to train
+   * on (single chars) count one symbol.
+   *
+   * Scale shape: training is vocab-sized ([[bpeTrain]]); application
+   * is ONE corpus token explode joined to the vocab (broadcast when it
+   * fits) feeding a combinable per-doc count — the scan never pays
+   * per-merge work.
+   */
+  def bpeEncodeCounts(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    val (_, vocab, _) = bpeTrainLoop(docs, textCol, nMerges)
+    val sy = vocab.select(
+      replace(col("w"), lit(" "), lit("")).as("tok"),
+      size(split(col("w"), " ")).cast("long").as("n_sym"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .join(sy, Seq("tok"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sym"), lit(1L))).as("n_subwords"))
   }
 
   /** BPE-ish subword count estimate: word-piece regex splits on

@@ -143,6 +143,19 @@ class Round11Spec extends SparkSpec {
     assert(worse == 0L, "re-rank can only improve the per-vertex top-1")
   }
 
+  test("bpeEncodeCounts applies the trained vocab (hand-replayed)") {
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    // after 1 merge (a a): 'aaab' = [aa, a, b] (3 syms), 'ab' = [a, b]
+    // (2) -> 3 words, 3+3+2 = 8 subwords
+    val e1 = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e1.toSeq == Seq((1L, 3L, 8L)), s"got: ${e1.toSeq}")
+    // after 3 merges everything is a single symbol -> 3 subwords
+    val e3 = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e3.toSeq == Seq((1L, 3L, 3L)), s"got: ${e3.toSeq}")
+  }
+
   test("bpeTrain merge list is prefix-stable as nMerges grows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .limit(40).select("text")
