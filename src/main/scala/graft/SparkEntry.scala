@@ -5536,7 +5536,7 @@ object SparkEntry {
          |    floor((sum(${dy("w * l_quantity")})
          |      / CAST(sum(w) AS BIGINT)) * 1000000.0 + 0.5)
          |      / 1000000.0 AS mean_rep
-         |  FROM w GROUP BY rep HAVING sum(w) > 0),
+         |  FROM w GROUP BY rep HAVING CAST(sum(w) AS BIGINT) > 0),
          |rk AS (SELECT rep, mean_rep, row_number() OVER (
          |    ORDER BY mean_rep, rep) AS _rk FROM m),
          |ci AS (SELECT
@@ -8455,6 +8455,8 @@ object SparkEntry {
     "q_lookup_via_index" -> Seq("p_retailprice"),
     "q_kcenter_seeds" -> Seq("dist"),
     "q_knn_graph" -> Seq("sim"),
+    "q_knn_refine" -> Seq("sim"),
+    "q_knn_refine_recall" -> Seq("recall"),
     "q_containment" -> Seq("containment"),
     "q_matryoshka_recall" -> Seq("recall"),
     "q_random_project" -> (0 until 8).map(j => s"p$j"),

@@ -36,16 +36,24 @@ class CdcSpec extends SparkSpec {
       (17L, "q", 40L)).toDF("k", "name", "v")
     // identical replicas: no diverged buckets
     assert(Audit.merkleDiff(a, a, "k", Seq("name", "v"), 16).count() == 0)
-    // value flip on k=2 (bucket 2), missing row k=17 (bucket 1)
+    // buckets follow the md5-window-of-key law (key-type agnostic —
+    // ADVICE r10: pmod on the raw key NULLs out non-numeric keys)
+    def bkt(k: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 16
+    }
+    // value flip on k=2; missing row k=17 (shares bucket 14 with k=3)
     val b = Seq((1L, "a", 10L), (2L, "b", 99L), (3L, "c", 30L))
       .toDF("k", "name", "v")
     val d = Audit.merkleDiff(a, b, "k", Seq("name", "v"), 16)
       .collect().map(r => (r.getLong(0),
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    assert(d.keySet == Set(1L, 2L))
-    assert(d(1L)._1 == 2L && d(1L)._2 == 1L) // k=17 missing from b
-    assert(d(2L)._1 == 1L && d(2L)._2 == 1L &&
-      d(2L)._3 != d(2L)._4) // same count, different fingerprint
+    assert(d.keySet == Set(bkt(2L), bkt(17L)))
+    assert(d(bkt(17L))._1 == 2L && d(bkt(17L))._2 == 1L) // k=17 missing
+    assert(d(bkt(2L))._1 == 1L && d(bkt(2L))._2 == 1L &&
+      d(bkt(2L))._3 != d(bkt(2L))._4) // same count, different fp
     // order independence: fingerprints invariant under repartition
     val d2 = Audit.merkleDiff(a.repartition(7), b.repartition(3), "k",
       Seq("name", "v"), 16).collect()
