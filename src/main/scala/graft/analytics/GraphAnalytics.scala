@@ -2562,7 +2562,6 @@ object GraphAnalytics {
         g.select(col("u").as("x")).union(g.select(col("v"))).distinct()
           .select(col("x"), col("x").as("c")))
       for (r <- 1 to roundsPerLevel) {
-        val mv = rotate("mv", louvainMoveWeighted(g, comm))
         // parity alternation (see scaladoc): only this round's vertex
         // half applies its move; the other half keeps its community.
         // Parity = md5 window of the id, NOT id mod 2: contracted
@@ -2571,8 +2570,11 @@ object GraphAnalytics {
         // rounds alternately no-op and fully synchronous)
         val par = pmod(conv(substring(md5(col("_vid").cast("string")),
           1, 8), 16, 10).cast("long"), lit(2L))
+        // single rotation per round: the move output feeds only this
+        // projection, so materializing it separately doubles the
+        // per-round job count for nothing
         comm = rotate("comm",
-          mv.select(col("_vid").as("x"),
+          louvainMoveWeighted(g, comm).select(col("_vid").as("x"),
             when(par === lit((r % 2).toLong),
               col("new_c")).otherwise(col("old_c")).as("c")))
       }

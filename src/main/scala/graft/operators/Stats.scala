@@ -839,6 +839,11 @@ object Stats {
       .filter(col("n_eff") > 0)
       .select(col("rep"), col("n_eff"),
         quant(col("_sv") / col("n_eff"), 6).as("mean_rep"))
+      // B-row frame consumed by BOTH the CI window branch and the
+      // output branch: without the persist the filter above defeats
+      // ReuseExchange and the corpus-sized explode+md5 pass runs
+      // twice (measured 0.7 s -> 22 s at sf0.1)
+      .transform(graft.CacheScope.persist(_))
     val ranked = repMeans.withColumn("_rk",
       row_number().over(Window.orderBy(col("mean_rep"), col("rep"))))
     val loRank = math.max(1, math.ceil(0.025 * reps).toInt)
