@@ -242,14 +242,14 @@ object ScaleSmoke {
 
     time(s"kcore 3 rounds ${factor}x")(
       graft.analytics.GraphAnalytics.kCore(store, Seq("amp"), k = 3,
-        rounds = 3).count())
+        rounds = 12).count())
 
     // k-truss: per-round wedge join — Σdeg(a) candidate volume, which
     // the copy-disconnected graph keeps factor-linear (a fused graph
     // would square it; copies are the honest model of a bigger corpus)
     time(s"ktruss 2 rounds ${factor}x")(
       graft.analytics.GraphAnalytics.kTruss(store, Seq("amp"), k = 3,
-        rounds = 2).count())
+        rounds = 12).count())
     // bipartite co-occurrence + butterfly census: copies keep each
     // order's bucket size unchanged, so capped pair fan-out C(8,2)
     // stays per-bucket constant and total volume factor-linear
@@ -676,7 +676,7 @@ object ScaleSmoke {
         rounds = 16).count())
     time(s"coreness K=3 ${factor}x")(
       graft.analytics.GraphAnalytics.coreness(ampEdges.toDF("a", "b"),
-        maxK = 3, roundsPerK = 3).count())
+        maxK = 3, roundsPerK = 12).count())
     time(s"poisson bootstrap ${factor}x")(
       graft.operators.Stats.poissonBootstrap(
         edges.select((col("l_orderkey") * 100000 + col("l_partkey"))

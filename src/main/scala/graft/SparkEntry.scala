@@ -1280,7 +1280,7 @@ object SparkEntry {
         t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
           .select((col("l_orderkey") % 6000).as("a"),
             (col("l_partkey") % 6000).as("b")),
-        maxK = 3, roundsPerK = 3)),
+        maxK = 3, roundsPerK = 10)),
 
     // ---- Incremental CC: fold a delta edge batch into existing
     // labels (labels-as-star-forest ∪ ΔE) — cost independent of
@@ -5512,7 +5512,7 @@ object SparkEntry {
     "q_coreness" -> corenessSql(
       "SELECT l_orderkey % 6000 AS a, l_partkey % 6000 AS b " +
         "FROM lineitem WHERE l_linenumber = 1",
-      maxK = 3, rounds = 3),
+      maxK = 3, rounds = 10),
 
     // Poisson bootstrap: hashed Poisson(1) weights against the FIXED
     // 2^52-scaled CDF thresholds; dyadic replicate sums; lower-rank

@@ -937,18 +937,36 @@ object GraphAnalytics {
     require(k >= 3, "k-truss needs k >= 3")
     require(rounds >= 1, "rounds must be >= 1")
     var edges = simpleEdges(store, edgeTypes)
-    for (_ <- 1 to rounds) {
-      val sup = wedgeCounts(edges)
-      val next = edges.join(sup, Seq("s", "d"), "left")
-        .filter(coalesce(col("common"), lit(0L)) >= k - 2)
-        .select("s", "d")
-        .transform(graft.CacheScope.persist(_))
-      // Materialize-then-rotate (same law as pageRank/labelPropagation):
-      // only the current survivor frame stays pinned, so peel depth 50
-      // holds O(1) cache instead of O(rounds) frames.
-      next.count()
-      graft.CacheScope.unpersist(edges)
-      edges = next
+    // convergence-guarded peel (the r11 label-family law; see kCore):
+    // run to the no-edge-below-support fixpoint or throw — a truncated
+    // peel returns a superset of the k-truss with no signal
+    // wedgeCounts references the survivor frame several times:
+    // rotateCheckpoint per round keeps the plan AND the pinned blocks
+    // O(1) in peel depth (the kCore note)
+    var prevCkptId: Option[Int] = None
+    val (e0, id0) = rotateCheckpoint(edges, None)
+    prevCkptId = id0
+    edges = e0
+    var peels = 0
+    var below = -1L
+    while (below != 0L) {
+      val sup = edges.join(wedgeCounts(edges), Seq("s", "d"), "left")
+        .select(col("s"), col("d"),
+          coalesce(col("common"), lit(0L)).as("common"))
+        .transform(graft.CacheScope.persist(_)) // below-count + survivors
+      below = sup.filter(col("common") < k - 2).count()
+      if (below != 0L) {
+        peels += 1
+        if (peels > rounds) throw new IllegalStateException(
+          s"kTruss: peel not converged within $rounds rounds " +
+            s"($below edges still below support ${k - 2}) — raise the " +
+            "budget; a truncated peel returns a superset of the k-truss")
+        val (next, ckptId) = rotateCheckpoint(
+          sup.filter(col("common") >= k - 2).select("s", "d"), prevCkptId)
+        prevCkptId = ckptId
+        edges = next
+      }
+      graft.CacheScope.unpersist(sup)
     }
     edges.join(wedgeCounts(edges), Seq("s", "d"), "left")
       .select(col("s").as("a"), col("d").as("b"),
@@ -1217,14 +1235,41 @@ object GraphAnalytics {
     def degrees(e: DataFrame): DataFrame = e
       .select(explode(array(col("s"), col("d"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-    for (_ <- 1 to rounds) {
-      val keep = degrees(edges).filter(col("deg") >= k)
-        .select(col("v")).transform(graft.CacheScope.persist(_))
-      edges = edges
-        .join(keep.select(col("v").as("s")), Seq("s"), "left_semi")
-        .join(keep.select(col("v").as("d")), Seq("d"), "left_semi")
-        .select("s", "d")
-        .transform(graft.CacheScope.persist(_))
+    // convergence-guarded peel (the r11 label-family law): the peel
+    // runs to its FIXPOINT (no vertex below k) or throws — a fixed
+    // round budget that stops early returns a SUPERSET of the k-core
+    // with no signal. `rounds` bounds the peel count; fixpoint rounds
+    // in the oracle's fixed unroll are no-ops, so generous budgets are
+    // free on both sides.
+    // each round references the survivor frame ~3x (degrees + both
+    // semi-joins): rotateCheckpoint bottoms the plan out per round —
+    // persist alone lets the analyzed plan grow 3^rounds (the HITS
+    // law; OOM'd in plan STRINGIFICATION at depth 11 on a path spec)
+    var prevCkptId: Option[Int] = None
+    val (e0, id0) = rotateCheckpoint(edges, None)
+    prevCkptId = id0
+    edges = e0
+    var peels = 0
+    var below = -1L
+    while (below != 0L) {
+      val degs = degrees(edges)
+        .transform(graft.CacheScope.persist(_)) // below-count + keep set
+      below = degs.filter(col("deg") < k).count()
+      if (below != 0L) {
+        peels += 1
+        if (peels > rounds) throw new IllegalStateException(
+          s"kCore: peel not converged within $rounds rounds " +
+            s"($below vertices still below k=$k) — raise the budget; " +
+            "a truncated peel returns a superset of the k-core")
+        val keep = degs.filter(col("deg") >= k).select(col("v"))
+        val (next, ckptId) = rotateCheckpoint(edges
+          .join(keep.select(col("v").as("s")), Seq("s"), "left_semi")
+          .join(keep.select(col("v").as("d")), Seq("d"), "left_semi")
+          .select("s", "d"), prevCkptId)
+        prevCkptId = ckptId
+        edges = next
+      }
+      graft.CacheScope.unpersist(degs)
     }
     degrees(edges).filter(col("deg") >= k)
       .select(col("v").as("_vid"), col("deg"))
@@ -2898,15 +2943,29 @@ object GraphAnalytics {
     survivors.count()
     val dropped = collection.mutable.ArrayBuffer.empty[DataFrame]
     for (k <- 1 to maxK) {
-      for (_ <- 1 to roundsPerK) {
-        val keep = degs(e).filter(col("deg") >= k).select(col("v"))
-        val peeled = e
-          .join(keep.select(col("v").as("s")), Seq("s"), "left_semi")
-          .join(keep.select(col("v").as("d")), Seq("d"), "left_semi")
-          .select("s", "d")
-        val (next, ckptId) = rotateCheckpoint(peeled, prevCkptId)
-        prevCkptId = ckptId
-        e = next
+      // convergence-guarded peel per level (the r11 label-family law;
+      // see kCore): an unconverged level k silently inflates coreness
+      var peels = 0
+      var below = -1L
+      while (below != 0L) {
+        val dg = degs(e).transform(graft.CacheScope.persist(_))
+        below = dg.filter(col("deg") < k).count()
+        if (below != 0L) {
+          // (released at the bottom of this round)
+          peels += 1
+          if (peels > roundsPerK) throw new IllegalStateException(
+            s"coreness: level k=$k not converged within $roundsPerK " +
+              s"rounds ($below vertices still below) — raise the budget")
+          val keep = dg.filter(col("deg") >= k).select(col("v"))
+          val peeled = e
+            .join(keep.select(col("v").as("s")), Seq("s"), "left_semi")
+            .join(keep.select(col("v").as("d")), Seq("d"), "left_semi")
+            .select("s", "d")
+          val (next, ckptId) = rotateCheckpoint(peeled, prevCkptId)
+          prevCkptId = ckptId
+          e = next
+        }
+        graft.CacheScope.unpersist(dg)
       }
       val surv = verts(e).transform(graft.CacheScope.persist(_))
       surv.count()

@@ -59,6 +59,35 @@ class ConvergenceSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 4L), s"unexpected labels: $got")
   }
 
+  test("kCore/coreness throw loudly when the peel budget is too small") {
+    // a path peels ONE layer per round under k=2: budget 1 on a long
+    // path must throw instead of returning a superset of the 2-core
+    val pathEdges = path(12)
+    val store = graft.model.GraphStore(
+      Map.empty,
+      Map("p" -> pathEdges.select(
+        col("a").as(graft.model.GraphStore.SRC),
+        col("b").as(graft.model.GraphStore.DST),
+        lit(0L).as(graft.model.GraphStore.RANK))),
+      Map("p" -> 1))
+    val ex = intercept[IllegalStateException] {
+      GraphAnalytics.kCore(store, Seq("p"), k = 2, rounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("not converged"))
+    // with budget: a path has NO 2-core at all
+    assert(GraphAnalytics.kCore(store, Seq("p"), k = 2, rounds = 12)
+      .count() == 0L)
+    val ex2 = intercept[IllegalStateException] {
+      GraphAnalytics.coreness(pathEdges, maxK = 2, roundsPerK = 1)
+        .collect()
+    }
+    assert(ex2.getMessage.contains("not converged"))
+    // converged: every path vertex has coreness 1
+    val cv = GraphAnalytics.coreness(pathEdges, maxK = 2, roundsPerK = 12)
+      .select("coreness").distinct().collect().map(_.getLong(0)).toSeq
+    assert(cv == Seq(1L))
+  }
+
   test("scc trims a pure DAG to all-singleton SCCs in one peel") {
     val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
       .toDF("s", "d")
