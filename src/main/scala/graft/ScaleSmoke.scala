@@ -571,7 +571,7 @@ object ScaleSmoke {
         .count())
     time(s"maximal matching ${factor}x")(
       graft.analytics.GraphAnalytics.maximalMatching(store, Seq("amp"),
-        rounds = 3).count())
+        rounds = 25).count())
     time(s"indep cascade ${factor}x seeds")(
       graft.analytics.GraphAnalytics.independentCascade(store,
         Seq("amp"), seeds, thetaPermille = 500, rounds = 3).count())

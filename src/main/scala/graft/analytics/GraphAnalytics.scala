@@ -1561,9 +1561,11 @@ object GraphAnalytics {
    * round's winners are a valid matching, and matched endpoints leave.
    * Priorities are unique full md5 hex, so `p = min(p)` is the strict
    * local-minimum test and every round replays bit-identically in both
-   * engines. Expected O(log n) rounds empty the graph; a fixed budget
-   * leaves the tail unmatched. Output one row per matched edge:
-   * (v, mate, round), v < mate.
+   * engines. Expected O(log n) rounds empty the graph; the loop runs
+   * until it DOES (early-exiting a generous budget) and THROWS if the
+   * budget exhausts first — "maximal" is a claim, and a silently
+   * truncated run is not maximal (the r11 convergence-guard law).
+   * Output one row per matched edge: (v, mate, round), v < mate.
    *
    * Scale shape per round: incidence is a 2-rows-per-edge projection
    * into a map-side-combinable per-vertex min; winners are two
@@ -1581,7 +1583,18 @@ object GraphAnalytics {
     var live = ep
     val matchedRounds = scala.collection.mutable.ArrayBuffer
       .empty[DataFrame]
-    for (r <- 1 to rounds) {
+    // convergence-guarded (the r11 label-family law): "maximal" is a
+    // CLAIM — a fixed budget that stops with live edges left returns a
+    // non-maximal matching indistinguishable from a maximal one. Run
+    // until the live frame empties (every round matches >= 1 edge —
+    // the globally-minimum live edge always wins) or throw.
+    var r = 0
+    var nLive = live.count()
+    while (nLive > 0L) {
+      r += 1
+      if (r > rounds) throw new IllegalStateException(
+        s"maximalMatching: $nLive live edges remain after $rounds " +
+          "rounds — raise the budget; a truncated run is not maximal")
       val inc = live.select(col("s").as("v"), col("p"))
         .unionByName(live.select(col("d").as("v"), col("p")))
       val vmin = inc.groupBy(col("v")).agg(min(col("p")).as("mn"))
@@ -1605,6 +1618,7 @@ object GraphAnalytics {
       prevCkptId = ckptId
       graft.CacheScope.unpersist(vmin)
       live = next
+      nLive = live.count()
     }
     matchedRounds.reduce(_ unionByName _)
       .select(col("s").as("v"), col("d").as("mate"), col("round"))
