@@ -2333,6 +2333,16 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.maximalMatching(store(s, dir),
         Seq("in_nation", "supp_nation", "in_region"), rounds = 3)),
 
+    // ---- Greedy MAX-WEIGHT matching (Preis locally-heaviest-edge,
+    // 1/2-approx): dedup-pair resolution by co-occurrence weight ----
+    "q_weighted_matching" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.weightedMatching(
+        t(s, dir, "lineitem")
+          .groupBy((col("l_partkey") % 200).as("a"),
+            (col("l_suppkey") % 200 + 300).as("b"))
+          .agg(count(lit(1)).as("w")),
+        rounds = 10)),
+
     // ---- Independent-cascade influence spread over the deep
     // traversal graph (coin = md5 percolation, KKT 2003 live-edge
     // equivalence); seeds 1-5, theta 500 permille, 3 rounds ----
@@ -2897,6 +2907,32 @@ object SparkEntry {
        |  CAST(sum(coalesce(sy.n_sym, 1)) AS BIGINT) AS n_subwords
        |FROM pt LEFT JOIN sy USING (tok)
        |GROUP BY doc_id""".stripMargin
+
+  /** Local-extremum matching round replay (shared shape with the
+    * hand-unrolled q_maximal_matching oracle): per round, per-vertex
+    * min priority, both-endpoint winners, matched vertices leave.
+    * Post-fixpoint rounds yield empty m_t — no-ops, so the unroll
+    * only needs to COVER convergence. */
+  private def matchingRoundsSql(epSql: String, rounds: Int): String = {
+    val steps = (1 to rounds).map { t =>
+      s"""v$t AS MATERIALIZED (SELECT v, min(p) AS mn FROM (
+         |    SELECT s AS v, p FROM e$t UNION ALL SELECT d, p FROM e$t) i$t
+         |  GROUP BY v),
+         |m$t AS MATERIALIZED (SELECT e$t.s, e$t.d FROM e$t
+         |  JOIN v$t a ON a.v = e$t.s AND a.mn = e$t.p
+         |  JOIN v$t b ON b.v = e$t.d AND b.mn = e$t.p),
+         |w$t AS (SELECT s AS v FROM m$t UNION ALL SELECT d FROM m$t),
+         |e${t + 1} AS MATERIALIZED (SELECT * FROM e$t
+         |  WHERE s NOT IN (SELECT v FROM w$t)
+         |    AND d NOT IN (SELECT v FROM w$t))""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map(t =>
+      s"SELECT s AS v, d AS mate, CAST($t AS INT) AS round FROM m$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH e1 AS MATERIALIZED ($epSql),
+       |$steps
+       |$out""".stripMargin
+  }
 
   /** Big-star/small-star round replay with the per-round changed-edge
     * count |cur_t Δ cur_{t-1}| — the
@@ -6991,6 +7027,18 @@ object SparkEntry {
         |  FROM c) WHERE rnk <= 20""".stripMargin,
 
     "q_bpe_train" -> bpeTrainSql(nMerges = 6),
+
+    "q_weighted_matching" -> matchingRoundsSql(
+      """SELECT s, d,
+        |  lpad(CAST(1000000000 - w AS VARCHAR), 10, '0') ||
+        |    md5('w#' || s || '#' || d) AS p
+        |FROM (SELECT least(a, b) AS s, greatest(a, b) AS d,
+        |    CAST(max(w) AS BIGINT) AS w
+        |  FROM (SELECT l_partkey % 200 AS a,
+        |      l_suppkey % 200 + 300 AS b, count(*) AS w
+        |    FROM lineitem GROUP BY 1, 2) q0
+        |  WHERE a <> b GROUP BY 1, 2) q1""".stripMargin,
+      rounds = 10),
 
     "q_bpe_encode" -> bpeEncodeSql(nMerges = 6),
 

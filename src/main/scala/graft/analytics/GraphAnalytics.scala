@@ -1574,11 +1574,40 @@ object GraphAnalytics {
    * via localCheckpoint (O(1) pinned frames — the lubyMIS law).
    */
   def maximalMatching(store: GraphStore, edgeTypes: Seq[String],
-      rounds: Int): DataFrame = {
-    require(rounds >= 1, "rounds must be >= 1")
-    val ep = simpleEdges(store, edgeTypes)
+      rounds: Int): DataFrame =
+    localMinMatchingLoop(
+      simpleEdges(store, edgeTypes).select(col("s"), col("d"),
+        md5(concat_ws("#", lit("m"), col("s"), col("d"))).as("p")),
+      rounds, "maximalMatching")
+
+  /**
+   * Greedy MAX-WEIGHT matching (Preis 1999 locally-heaviest-edge /
+   * Manne & Bisseling 2007 parallel variant — the 1/2-approximation of
+   * maximum-weight matching): same local-extremum loop as
+   * [[maximalMatching]], but the priority is (weight DESC, md5 ASC) —
+   * an edge matches when it is the locally HEAVIEST live edge at both
+   * endpoints. The ER workhorse: resolve near-duplicate PAIRS (weights
+   * = similarity permille from the dedup/LSH family) into disjoint
+   * best-partner assignments instead of arbitrary ones. Integer
+   * weights ride a zero-padded decimal key so both engines compare
+   * plain lexicographic; inherits the convergence guard (a truncated
+   * run is neither maximal nor 1/2-approx).
+   */
+  def weightedMatching(pairs: DataFrame, rounds: Int): DataFrame = {
+    val ep = pairs.toDF("a", "b", "w")
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("s"),
+        greatest(col("a"), col("b")).as("d"), col("w"))
+      .groupBy("s", "d").agg(max(col("w")).as("w"))
       .select(col("s"), col("d"),
-        md5(concat_ws("#", lit("m"), col("s"), col("d"))).as("p"))
+        concat(lpad((lit(1000000000L) - col("w")).cast("string"), 10, "0"),
+          md5(concat_ws("#", lit("w"), col("s"), col("d")))).as("p"))
+    localMinMatchingLoop(ep, rounds, "weightedMatching")
+  }
+
+  private def localMinMatchingLoop(ep: DataFrame, rounds: Int,
+      what: String): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
     var prevCkptId: Option[Int] = None
     var live = ep
     val matchedRounds = scala.collection.mutable.ArrayBuffer
@@ -1593,7 +1622,7 @@ object GraphAnalytics {
     while (nLive > 0L) {
       r += 1
       if (r > rounds) throw new IllegalStateException(
-        s"maximalMatching: $nLive live edges remain after $rounds " +
+        s"$what: $nLive live edges remain after $rounds " +
           "rounds — raise the budget; a truncated run is not maximal")
       val inc = live.select(col("s").as("v"), col("p"))
         .unionByName(live.select(col("d").as("v"), col("p")))

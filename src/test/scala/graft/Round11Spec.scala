@@ -156,6 +156,24 @@ class Round11Spec extends SparkSpec {
     assert(e3.toSeq == Seq((1L, 3L, 3L)), s"got: ${e3.toSeq}")
   }
 
+  test("weightedMatching prefers the heavy edge (1/2-approx greedy)") {
+    import graft.analytics.GraphAnalytics
+    // path 1-2-3-4 with the middle edge heaviest: greedy picks (2,3)
+    // and kills both side edges — total weight 9 vs the
+    // max-CARDINALITY matching's 10, the textbook 1/2-approx trade
+    val pairs = Seq((1L, 2L, 5L), (2L, 3L, 9L), (3L, 4L, 5L))
+      .toDF("a", "b", "w")
+    val got = GraphAnalytics.weightedMatching(pairs, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 3L)), s"expected the heavy edge: $got")
+    // under-budget throws (inherits the convergence guard)
+    val long = (0 until 20).map(i => (i.toLong, i + 1L, 1L))
+      .toDF("a", "b", "w")
+    intercept[IllegalStateException] {
+      GraphAnalytics.weightedMatching(long, rounds = 1).collect()
+    }
+  }
+
   test("bpeTrain merge list is prefix-stable as nMerges grows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .limit(40).select("text")
