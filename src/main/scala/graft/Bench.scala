@@ -182,6 +182,11 @@ object Bench {
     "peak_concurrency" -> "peakc",
     "quality_sweep" -> "qsweep", "quantile_assign" -> "qassign",
     "embedding_audit" -> "eaudit",
+    // round-11 additions
+    "louvain_levels" -> "louvlv", "weighted_matching" -> "wmatch",
+    "knn_refine_recall" -> "knnrr", "knn_refine" -> "knnrf",
+    "cc_converged" -> "ccconv", "bpe_train" -> "bpetr",
+    "bpe_encode" -> "bpeenc",
     "update_" -> "upd_", "upsert_" -> "ups_")
 
   private[graft] def shortName(k: String): String =
