@@ -1200,6 +1200,16 @@ object SparkEntry {
             (col("l_partkey") % 250).as("d")),
         "s", "d", maxPeels = 20)),
 
+    // ---- Condensation DAG: SCCs collapsed to min-vid nodes,
+    // inter-SCC arcs bundled with multiplicities (cycle-free quotient) ----
+    "q_scc_condensation" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.sccCondensation(
+        t(s, dir, "lineitem")
+          .filter(col("l_linenumber") === 1 && col("l_quantity") < 4)
+          .select((col("l_orderkey") % 250).as("s"),
+            (col("l_partkey") % 250).as("d")),
+        "s", "d", maxPeels = 20)),
+
     // ---- HyperBall (HyperANF): per-vertex 2-hop out-ball cardinality
     // estimates via HLL register propagation — distance statistics
     // with O(|V|·2^b) state instead of exact frontiers ----
@@ -5465,6 +5475,31 @@ object SparkEntry {
         |  least(v.n, coalesce(min(m.y), v.n)) AS component
         |FROM v LEFT JOIN mutual m ON m.x = v.n
         |GROUP BY v.n""".stripMargin,
+
+    "q_scc_condensation" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l_orderkey % 250 AS s, l_partkey % 250 AS d
+        |  FROM lineitem WHERE l_linenumber = 1 AND l_quantity < 4),
+        |v AS (SELECT s AS n FROM e UNION SELECT d FROM e),
+        |reach(a, b) AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.a, e.d FROM reach r JOIN e ON e.s = r.b),
+        |mutual AS (
+        |  SELECT r1.a AS x, r1.b AS y FROM reach r1
+        |  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+        |lbl AS (SELECT v.n AS _vid,
+        |    least(v.n, coalesce(min(m.y), v.n)) AS component
+        |  FROM v LEFT JOIN mutual m ON m.x = v.n
+        |  GROUP BY v.n),
+        |raw AS (SELECT l_orderkey % 250 AS s, l_partkey % 250 AS d
+        |  FROM lineitem WHERE l_linenumber = 1 AND l_quantity < 4)
+        |SELECT ls.component AS comp_src, ld.component AS comp_dst,
+        |  count(*) AS n_arcs
+        |FROM raw JOIN lbl ls ON ls._vid = raw.s
+        |JOIN lbl ld ON ld._vid = raw.d
+        |WHERE raw.s <> raw.d
+        |GROUP BY 1, 2""".stripMargin,
 
     // HyperBall: 2 unrolled register-propagation rounds + the exact-
     // integer raw estimate per vertex (all-BIGINT currency)

@@ -814,6 +814,37 @@ object GraphAnalytics {
   }
 
   /**
+   * Condensation (quotient) DAG of the directed edge relation: every
+   * SCC collapses to one node labeled by its minimum vid
+   * ([[stronglyConnectedComponents]]'s convention) and inter-SCC arcs
+   * bundle with multiplicities. The condensation is provably acyclic —
+   * the cycle-free dependency/citation structure schedulers and
+   * topological analyses need; intra-SCC arcs fold into the diagnostic
+   * self-loop row (comp, comp, n) so no arc is silently dropped.
+   *
+   * Scale shape: the SCC labeling is the dominant term; on top of it
+   * two vertex-keyed label joins (AQE-broadcast while the label frame
+   * fits) and ONE combinable count sized by the QUOTIENT — strictly
+   * smaller than the input, the same contraction economics as
+   * [[contractGraph]].
+   */
+  def sccCondensation(edges: DataFrame, srcCol: String, dstCol: String,
+      maxPeels: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .transform(graft.CacheScope.persist(_)) // SCC + the label joins
+    val lbl = stronglyConnectedComponents(e, "s", "d", maxPeels)
+      .transform(graft.CacheScope.persist(_)) // both join sides
+    e.filter(col("s") =!= col("d"))
+      .join(lbl.select(col("_vid").as("s"), col("component").as("cs")),
+        "s")
+      .join(lbl.select(col("_vid").as("d"), col("component").as("cd")),
+        "d")
+      .groupBy(col("cs").as("comp_src"), col("cd").as("comp_dst"))
+      .agg(count(lit(1)).as("n_arcs"))
+  }
+
+  /**
    * Per-component summary — the whole-graph statistics rollup over the
    * reachability partition: component label (GraphX CC = min vid,
    * deterministic), vertex count, and stored-arc count (every stored

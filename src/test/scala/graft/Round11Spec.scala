@@ -174,6 +174,30 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("sccCondensation: quotient is a DAG with bundled arcs") {
+    import graft.analytics.GraphAnalytics
+    // two chained 3-cycles + a parallel arc between them + a tail
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (2L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (6L, 7L)).toDF("s", "d")
+    val q = GraphAnalytics.sccCondensation(edges, "s", "d", maxPeels = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // SCCs: {1,2,3} -> 1, {4,5,6} -> 4, {7} -> 7; arcs 3->4 and 2->4
+    // bundle; intra-SCC arcs fold into self-loop rows
+    assert(q == Map((1L, 4L) -> 2L, (4L, 7L) -> 1L,
+      (1L, 1L) -> 3L, (4L, 4L) -> 3L), s"unexpected quotient: $q")
+    // acyclic across distinct components: trim to empty
+    var dag = q.keySet.filter(p => p._1 != p._2)
+    var ok = true
+    while (dag.nonEmpty && ok) {
+      val srcs = dag.map(_._1); val dsts = dag.map(_._2)
+      val removable = dag.filter(p =>
+        !dsts.contains(p._1) || !srcs.contains(p._2))
+      if (removable.isEmpty) ok = false else dag --= removable
+    }
+    assert(ok, "condensation must be acyclic")
+  }
+
   test("bpeTrain merge list is prefix-stable as nMerges grows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .limit(40).select("text")
