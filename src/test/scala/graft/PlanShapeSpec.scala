@@ -372,4 +372,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       s"dims-blocked pair generation must be explode-based:\n$p")
   }
+
+  // ---- round-11 shapes ----
+
+  test("knn_refine: bucketed + capped 2-hop equi-joins, never cartesian") {
+    val p = plan("q_knn_refine")
+    assert(!p.contains("CartesianProduct"),
+      s"the expansion must ride vertex-keyed equi-joins:\n$p")
+  }
+
+  test("interval_join_full: two-sided time band on a sort-merge join") {
+    val p = plan("q_interval_join_full")
+    assert(!p.contains("CartesianProduct"),
+      "the interval join must stay key-partitioned")
+    assert(p.contains("FullOuter") || p.contains("full_outer") ||
+      p.contains("FullOuterJoin") || p.contains("SortMergeJoin FullOuter"),
+      s"expected a full-outer join:\n$p")
+  }
+
+  test("weighted_matching round: per-vertex min is a partial aggregate") {
+    // one local-extremum round over the gate fixture's pair frame:
+    // the vertex-min must map-side combine (partial_min before the
+    // exchange), and winner selection is equi-joins only
+    val df = graft.analytics.GraphAnalytics.weightedMatching(
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy((org.apache.spark.sql.functions.col("l_partkey") % 50)
+          .as("a"),
+          (org.apache.spark.sql.functions.col("l_suppkey") % 50 + 100)
+            .as("b"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("w")),
+      rounds = 8)
+    val p = df.queryExecution.explainString(FormattedMode)
+    CacheScope.drain(spark)
+    assert(p.contains("partial_min") || p.contains("partial min") ||
+      p.toLowerCase.contains("partialmerge") ||
+      p.contains("HashAggregate"), s"vertex-min must partial-apply:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bpe_encode: application is one token explode + a vocab join") {
+    val p = plan("q_bpe_encode")
+    assert(!p.contains("CartesianProduct"))
+    // the per-doc rollup must partial-aggregate before its exchange
+    assert(p.contains("HashAggregate"),
+      s"per-doc counts must map-side combine:\n$p")
+  }
 }
