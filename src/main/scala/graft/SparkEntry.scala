@@ -749,6 +749,13 @@ object SparkEntry {
             col("nbr_id").as("cand_id")))
     }),
 
+    // ---- Full iterated NN-descent: k-bounded init (LSH ∪ ring),
+    // expand/score/re-rank rounds to the fixpoint (budget 2 here) ----
+    "q_knn_descent" -> ((s, dir) =>
+      Similarity.knnDescent(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 3, numPlanes = 6, dim = 64,
+        maxBucketSize = 128, expandCap = 6, maxRounds = 2)),
+
     // ---- Label-noise audit: kNN label agreement over the LSH knn
     // graph (confident-learning-lite); all-integer evidence ----
     "q_label_noise" -> ((s, dir) =>
@@ -2918,6 +2925,59 @@ object SparkEntry {
        |FROM pt LEFT JOIN sy USING (tok)
        |GROUP BY doc_id""".stripMargin
 
+  /** Full-NN-descent oracle: k-bounded init graph d0 (LSH edges ∪
+    * ring, both directions, top-k), then `rounds` unrolled rounds of
+    * capped-2-hop expand → score → union → re-rank. Post-fixpoint
+    * rounds are no-ops (the round is a deterministic graph function),
+    * so the unroll replays the early-exiting Spark loop verbatim. */
+  private def knnDescentCtes(k: Int, expandCap: Int,
+      rounds: Int): String = {
+    val roundsSql = (1 to rounds).map { t =>
+      val pg = s"d${t - 1}"
+      s"""und_$t AS MATERIALIZED (SELECT x, n, max(sim) AS sim FROM (
+         |    SELECT x, nbr_id AS n, sim FROM $pg
+         |    UNION ALL SELECT nbr_id, x, sim FROM $pg) u_$t
+         |  GROUP BY x, n),
+         |cap_$t AS MATERIALIZED (SELECT x, n FROM (
+         |    SELECT x, n, row_number() OVER (PARTITION BY x
+         |      ORDER BY sim DESC, n) AS crk FROM und_$t) c_$t
+         |  WHERE crk <= $expandCap),
+         |sc_$t AS (SELECT q.x, q.n2 AS nbr_id,
+         |    floor((list_cosine_similarity(e1.embedding::DOUBLE[],
+         |      e2.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0
+         |      AS sim
+         |  FROM (SELECT DISTINCT a.x, b.n AS n2 FROM cap_$t a
+         |    JOIN cap_$t b ON b.x = a.n WHERE a.x <> b.n) q
+         |  JOIN embeddings e1 ON e1.vec_id = q.x
+         |  JOIN embeddings e2 ON e2.vec_id = q.n2),
+         |d$t AS MATERIALIZED (SELECT x, nbr_id,
+         |    CAST(rk AS BIGINT) AS rk, sim FROM (
+         |    SELECT x, nbr_id, sim, row_number() OVER (PARTITION BY x
+         |      ORDER BY sim DESC, nbr_id) AS rk FROM (
+         |      SELECT x, nbr_id, max(sim) AS sim FROM (
+         |        SELECT * FROM sc_$t
+         |        UNION ALL SELECT x, n, sim FROM und_$t) p_$t
+         |      GROUP BY x, nbr_id) m_$t) r_$t
+         |  WHERE rk <= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""$knnGraphCtes,
+       |lshg AS MATERIALIZED (SELECT vec_id AS x, nbr_id, sim
+       |  FROM scored WHERE rk <= $k),
+       |$RingCtes,
+       |d0 AS MATERIALIZED (SELECT x, nbr_id, CAST(rk AS BIGINT) AS rk,
+       |    sim FROM (
+       |    SELECT x, nbr_id, sim, row_number() OVER (PARTITION BY x
+       |      ORDER BY sim DESC, nbr_id) AS rk FROM (
+       |      SELECT x, nbr_id, max(sim) AS sim FROM (
+       |        SELECT x, nbr_id, sim FROM lshg
+       |        UNION ALL SELECT nbr_id, x, sim FROM lshg
+       |        UNION ALL SELECT x, n, sim FROM ring
+       |        UNION ALL SELECT n, x, sim FROM ring) p0
+       |      GROUP BY x, nbr_id) m0) r0
+       |  WHERE rk <= $k),
+       |$roundsSql""".stripMargin
+  }
+
   /** Local-extremum matching round replay (shared shape with the
     * hand-unrolled q_maximal_matching oracle): per round, per-vertex
     * min priority, both-endpoint winners, matched vertices leave.
@@ -3816,6 +3876,24 @@ object SparkEntry {
        |SELECT vec_id, nbr_id, CAST(rk AS BIGINT) AS rk, sim
        |FROM scored WHERE rk <= 3""".stripMargin
 
+  /** The md5-ring bootstrap CTEs (ring0, ring) — shared by the
+    * NN-descent oracle family; mirrors Similarity.ringEdges. */
+  private val RingCtes: String =
+    """ring0 AS MATERIALIZED (SELECT x, n FROM (
+      |    SELECT x, coalesce(lead(x, 1) OVER w16,
+      |      first_value(x) OVER w16) AS n
+      |    FROM (SELECT vec_id AS x, md5(CAST(vec_id AS VARCHAR)) AS p,
+      |        CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+      |          AS BIGINT) % 16 AS b
+      |      FROM embeddings) __i
+      |    WINDOW w16 AS (PARTITION BY b ORDER BY p)) __r
+      |  WHERE x <> n),
+      |ring AS MATERIALIZED (SELECT r.x, r.n,
+      |    floor((list_cosine_similarity(e1.embedding::DOUBLE[],
+      |      e2.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS sim
+      |  FROM ring0 r JOIN embeddings e1 ON e1.vec_id = r.x
+      |  JOIN embeddings e2 ON e2.vec_id = r.n)""".stripMargin
+
   /** NN-descent refinement CTEs on top of [[knnGraphCtes]] — capped
     * undirected 2-hop expansion, exact-cosine scoring of new pairs,
     * union + re-rank: [[graft.pipeline.Similarity.knnRefine]]'s law.
@@ -3824,20 +3902,7 @@ object SparkEntry {
     s"""$knnGraphCtes,
        |g0 AS MATERIALIZED (SELECT vec_id, nbr_id, sim FROM scored
        |  WHERE rk <= $k),
-       |ring0 AS MATERIALIZED (SELECT x, n FROM (
-       |    SELECT x, coalesce(lead(x, 1) OVER w16,
-       |      first_value(x) OVER w16) AS n
-       |    FROM (SELECT vec_id AS x, md5(CAST(vec_id AS VARCHAR)) AS p,
-       |        CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
-       |          AS BIGINT) % 16 AS b
-       |      FROM embeddings) __i
-       |    WINDOW w16 AS (PARTITION BY b ORDER BY p)) __r
-       |  WHERE x <> n),
-       |ring AS MATERIALIZED (SELECT r.x, r.n,
-       |    floor((list_cosine_similarity(e1.embedding::DOUBLE[],
-       |      e2.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS sim
-       |  FROM ring0 r JOIN embeddings e1 ON e1.vec_id = r.x
-       |  JOIN embeddings e2 ON e2.vec_id = r.n),
+       |$RingCtes,
        |und AS MATERIALIZED (SELECT x, n, max(sim) AS sim FROM (
        |    SELECT vec_id AS x, nbr_id AS n, sim FROM g0
        |    UNION ALL SELECT nbr_id, vec_id, sim FROM g0
@@ -6644,6 +6709,10 @@ object SparkEntry {
 
     "q_knn_graph" -> knnGraphSql,
 
+    "q_knn_descent" ->
+      s"""WITH ${knnDescentCtes(k = 3, expandCap = 6, rounds = 2)}
+         |SELECT x AS vec_id, nbr_id, rk, sim FROM d2""".stripMargin,
+
     "q_knn_refine" ->
       s"""WITH ${knnRefineCtes(k = 3, expandCap = 6)}
          |SELECT x AS vec_id, nbr_id, rk, sim FROM g1""".stripMargin,
@@ -8539,6 +8608,7 @@ object SparkEntry {
     "q_kcenter_seeds" -> Seq("dist"),
     "q_knn_graph" -> Seq("sim"),
     "q_knn_refine" -> Seq("sim"),
+    "q_knn_descent" -> Seq("sim"),
     "q_knn_refine_recall" -> Seq("recall"),
     "q_containment" -> Seq("containment"),
     "q_matryoshka_recall" -> Seq("recall"),

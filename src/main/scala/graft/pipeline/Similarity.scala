@@ -493,6 +493,122 @@ object Similarity {
         col("sim"))
   }
 
+  /** The md5-ring bootstrap: every vector links to its successor in
+    * md5(id) order inside 16 md5 buckets (wrap via first_value — the
+    * linkPredAuc rewiring device), exact-cosine scored. Hash order is
+    * structure-free, so the ring crosses LSH buckets and re-attaches
+    * vectors LSH left edgeless — the deterministic stand-in for Dong's
+    * random-neighbor init (see [[knnRefine]]). */
+  private def ringEdges(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val p = md5(col("x").cast("string"))
+    val wB = Window.partitionBy(col("b")).orderBy(col("p"))
+    emb.select(col(idCol).as("x"))
+      .withColumn("p", p)
+      .withColumn("b", pmod(conv(substring(col("p"), 1, 8), 16, 10)
+        .cast("long"), lit(16L)))
+      .withColumn("n", coalesce(lead(col("x"), 1).over(wB),
+        first(col("x")).over(wB)))
+      .filter(col("x") =!= col("n"))
+      .select(col("x"), col("n"))
+      .join(emb.select(col(idCol).as("x"), col(vecCol).as("xv")), "x")
+      .join(emb.select(col(idCol).as("n"), col(vecCol).as("nv")), "n")
+      .select(col("x"), col("n"),
+        graft.functions.Portable.quant(cosine(col("xv"), col("nv")), 6)
+          .as("sim"))
+  }
+
+  /** Top-k per vertex over a scored (x, nbr_id, sim) edge pool —
+    * (sim desc, nbr asc) rank, duplicate pairs deduped by max (sims
+    * are identical across duplicates: cosine is symmetric and
+    * quantized once). */
+  private def topkGraph(pool: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("x"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    pool.groupBy("x", "nbr_id").agg(max(col("sim")).as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("x"), col("nbr_id"), col("rk").cast("long").as("rk"),
+        col("sim"))
+  }
+
+  /**
+   * Full iterated NN-descent (Dong, Charikar & Li 2011 — the complete
+   * loop [[knnRefine]] runs one round of): init the k-bounded graph
+   * from the LSH edges ∪ the md5-ring bootstrap, then repeat { capped
+   * undirected 2-hop expansion → exact-cosine score new pairs → union
+   * → top-k re-rank } until the graph reaches a FIXPOINT (the round is
+   * a deterministic function of the graph, so a fixpoint is absorbing
+   * and the oracle's fixed unroll replays the early-exiting loop
+   * verbatim). No throw on budget exhaustion: an early stop is an
+   * APPROXIMATION, not a wrong label — quality is measured, not
+   * assumed (q_knn_refine_recall's law); the changed-edge count per
+   * round is the convergence observable.
+   *
+   * Scale shape per round: exactly [[knnRefine]]'s — expandCap bounds
+   * the 2-hop fan-out at expandCap², joins are vertex-keyed, windows
+   * ride per-vertex frames ≤ k + cap²; the graph rotates through
+   * localCheckpoint (O(1) pinned frames) and the changed count is one
+   * anti-join over two k-bounded graphs per round.
+   */
+  def knnDescent(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, numPlanes: Int, dim: Int, maxBucketSize: Int,
+      expandCap: Int, maxRounds: Int, seed: Long = 42L): DataFrame = {
+    require(expandCap >= 1 && maxRounds >= 1,
+      "expandCap and maxRounds must be >= 1")
+    val rotate = graft.analytics.GraphAnalytics.rotateCheckpoint _
+    val lsh = knnGraph(emb, idCol, vecCol, k, numPlanes, dim,
+      maxBucketSize, seed)
+      .select(col(idCol).as("x"), col("nbr_id"), col("sim"))
+    val ring = ringEdges(emb, idCol, vecCol)
+    val pool0 = lsh
+      .unionByName(lsh.select(col("nbr_id").as("x"),
+        col("x").as("nbr_id"), col("sim")))
+      .unionByName(ring.select(col("x"), col("n").as("nbr_id"),
+        col("sim")))
+      .unionByName(ring.select(col("n").as("x"), col("x").as("nbr_id"),
+        col("sim")))
+    var (g, gid) = rotate(topkGraph(pool0, k), None)
+    var prevId = gid
+    var r = 0
+    var changed = -1L
+    while (r < maxRounds && changed != 0L) {
+      r += 1
+      val und = g.select(col("x"), col("nbr_id").as("n"), col("sim"))
+        .unionByName(g.select(col("nbr_id").as("x"), col("x").as("n"),
+          col("sim")))
+        .groupBy("x", "n").agg(max(col("sim")).as("sim"))
+        .transform(graft.CacheScope.persist(_)) // cap + pool union
+      val wCap = Window.partitionBy(col("x"))
+        .orderBy(col("sim").desc, col("n"))
+      val capped = und.withColumn("crk", row_number().over(wCap))
+        .filter(col("crk") <= expandCap).select(col("x"), col("n"))
+        .transform(graft.CacheScope.persist(_)) // both 2-hop sides
+      val scored = capped
+        .join(capped.select(col("x").as("n"), col("n").as("n2")), "n")
+        .filter(col("x") =!= col("n2"))
+        .select(col("x"), col("n2")).distinct()
+        .join(emb.select(col(idCol).as("x"), col(vecCol).as("xv")), "x")
+        .join(emb.select(col(idCol).as("n2"), col(vecCol).as("nv")),
+          "n2")
+        .select(col("x"), col("n2").as("nbr_id"),
+          graft.functions.Portable.quant(cosine(col("xv"), col("nv")),
+            6).as("sim"))
+      val (next, nid) = rotate(topkGraph(scored.unionByName(
+        und.select(col("x"), col("n").as("nbr_id"), col("sim"))), k),
+        None)
+      changed = next.select(col("x"), col("nbr_id"))
+        .join(g.select(col("x"), col("nbr_id")), Seq("x", "nbr_id"),
+          "left_anti").count()
+      prevId.foreach(i => emb.sparkSession.sparkContext
+        .getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
+      prevId = nid
+      g = next
+      graft.CacheScope.unpersist(capped)
+      graft.CacheScope.unpersist(und)
+    }
+    g.select(col("x").as(idCol), col("nbr_id"), col("rk"), col("sim"))
+  }
+
   /**
    * One NN-descent refinement round over a [[knnGraph]] (Dong,
    * Charikar & Li 2011, "Efficient K-Nearest Neighbor Graph
@@ -532,22 +648,7 @@ object Similarity {
     val g0 = knnGraph(emb, idCol, vecCol, k, numPlanes, dim,
       maxBucketSize, seed)
       .transform(graft.CacheScope.persist(_)) // expansion + final union
-    val p = md5(col("x").cast("string"))
-    val wB = Window.partitionBy(col("b")).orderBy(col("p"))
-    val ring0 = emb.select(col(idCol).as("x"))
-      .withColumn("p", p)
-      .withColumn("b", pmod(conv(substring(col("p"), 1, 8), 16, 10)
-        .cast("long"), lit(16L)))
-      .withColumn("n", coalesce(lead(col("x"), 1).over(wB),
-        first(col("x")).over(wB)))
-      .filter(col("x") =!= col("n"))
-      .select(col("x"), col("n"))
-    val ring = ring0
-      .join(emb.select(col(idCol).as("x"), col(vecCol).as("xv")), "x")
-      .join(emb.select(col(idCol).as("n"), col(vecCol).as("nv")), "n")
-      .select(col("x"), col("n"),
-        graft.functions.Portable.quant(cosine(col("xv"), col("nv")), 6)
-          .as("sim"))
+    val ring = ringEdges(emb, idCol, vecCol)
     val undRaw = g0.select(col(idCol).as("x"), col("nbr_id").as("n"),
         col("sim"))
       .unionByName(g0.select(col("nbr_id").as("x"),

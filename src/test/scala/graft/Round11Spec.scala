@@ -174,6 +174,40 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("knnDescent converges to a fixpoint and beats one round") {
+    import graft.pipeline.Similarity
+    val n = 96
+    val dim = 8
+    val vecs = (0 until n).map { i =>
+      val c = i % 8
+      (i.toLong, (0 until dim).map(j =>
+        ((if (j == c) 7.0 else 0.0) +
+          ((i * 7 + j * 13) % 11 - 5).toDouble).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+      .transform(graft.CacheScope.persist(_))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryIds = (0L until n.toLong), k = 3)
+      .select(col("query_id"), col("cand_id"))
+      .transform(graft.CacheScope.persist(_))
+    def hits(g: org.apache.spark.sql.DataFrame): Long =
+      exact.join(g.select(col("vec_id").as("query_id"),
+        col("nbr_id").as("cand_id")),
+        Seq("query_id", "cand_id"), "left_semi").count()
+    def descend(r: Int) = Similarity.knnDescent(emb, "vec_id",
+      "embedding", k = 3, numPlanes = 6, dim = dim, maxBucketSize = 64,
+      expandCap = 6, maxRounds = r)
+    val h1 = hits(descend(1))
+    val h3 = hits(descend(3))
+    assert(h3 >= h1, s"more descent rounds must not lose recall: $h1 -> $h3")
+    assert(h3 > 0L)
+    // fixpoint is absorbing: a generous budget early-exits to the
+    // same graph a larger budget reaches
+    val g8 = descend(8).collect().map(_.toSeq).toSet
+    val g12 = descend(12).collect().map(_.toSeq).toSet
+    assert(g8 == g12, "early exit must land on the fixpoint graph")
+  }
+
   test("sccCondensation: quotient is a DAG with bundled arcs") {
     import graft.analytics.GraphAnalytics
     // two chained 3-cycles + a parallel arc between them + a tail
