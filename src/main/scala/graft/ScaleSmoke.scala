@@ -759,6 +759,19 @@ object ScaleSmoke {
       graft.pipeline.Similarity.knnRefine(emb, "vec_id", "embedding",
         k = 3, numPlanes = knnPlanes, dim = 64, maxBucketSize = 128,
         expandCap = 6).count())
+    time(s"weighted matching ${factor}x")(
+      graft.analytics.GraphAnalytics.weightedMatching(
+        edges.groupBy((col("l_partkey") % 200).as("a"),
+          (col("l_orderkey") % 200 + 300).as("b"))
+          .agg(count(lit(1)).as("w")),
+        rounds = 15).count())
+    time(s"scc condensation ${factor}x")(
+      graft.analytics.GraphAnalytics.sccCondensation(sccE, "s", "d",
+        maxPeels = 30).count())
+    time(s"knn descent 2 rounds ${factor}x (planes $knnPlanes)")(
+      graft.pipeline.Similarity.knnDescent(emb, "vec_id", "embedding",
+        k = 3, numPlanes = knnPlanes, dim = 64, maxBucketSize = 128,
+        expandCap = 6, maxRounds = 2).count())
     time(s"interval join full ${factor}x")(
       graft.streaming.EventStream.intervalJoinFullStreaming(
         ev.where(col("event_type") === "view"),
