@@ -2429,6 +2429,18 @@ object SparkEntry {
         "n_chars", lo = 0L, width = 100L, nBins = 30)
     }),
 
+    // ---- Quantile-normalization map: calibrate the source's binned
+    // score CDF onto a (shifted) reference's — the transform behind a
+    // ksDrift alarm; all-integer cross-multiplied CDF compare ----
+    "q_quantile_normalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Stats.quantileNormalize(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1)
+          .select((col("n_chars") + 150).as("n_chars")),
+        "n_chars", lo = 0L, width = 100L, nBins = 30)
+    }),
+
     // ---- CMS inner product: self-join size / F2 of l_partkey from
     // the register sketch alone (min over hash rows of Σ cnt²) vs the
     // exact Σ c(k)² — the cardinality a planner reads off two at-rest
@@ -6429,6 +6441,30 @@ object SparkEntry {
         |SELECT max(h.na) AS n_a, max(h.nb) AS n_b,
         |  max(m.ks_ppm) AS ks_ppm, min(h.bin) AS ks_bin
         |FROM h, m WHERE h.gap_ppm = m.ks_ppm""".stripMargin,
+
+    "q_quantile_normalize" ->
+      """WITH sv AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT least(greatest(CAST(floor((n_chars - 0) / 100)
+        |      AS BIGINT), 0), 29) AS bin
+        |    FROM documents WHERE doc_id % 2 = 0) s0 GROUP BY 1),
+        |sc AS (SELECT bin, cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS scum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS ns FROM sv),
+        |rv AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT least(greatest(CAST(floor((n_chars + 150 - 0) / 100)
+        |      AS BIGINT), 0), 29) AS bin
+        |    FROM documents WHERE doc_id % 2 = 1) r0 GROUP BY 1),
+        |rc AS (SELECT bin AS ref_bin,
+        |    CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS rcum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS nr FROM rv)
+        |SELECT s.bin, s.cnt AS src_cnt,
+        |  s.scum * 1000000 // s.ns AS src_cdf_ppm,
+        |  min(r.ref_bin) AS ref_bin,
+        |  0 + min(r.ref_bin) * 100 AS ref_value
+        |FROM sc s JOIN rc r ON r.rcum * s.ns >= s.scum * r.nr
+        |GROUP BY s.bin, s.cnt, s.scum, s.ns""".stripMargin,
 
     // register inner product per hash row, min across rows; exact F2
     // from the grouped counts — both sides pure BIGINT

@@ -130,6 +130,50 @@ object Stats {
    * combinable — the [[binCounts]] additive state, so shards/days
    * merge by +); everything after runs on the bin frame only.
    */
+  /**
+   * Quantile normalization map between two corpora over binned values
+   * — the TRANSFORM counterpart of the histogram-matching THINNER
+   * ([[graft.pipeline.Curation.histogramMatch]]) and the repair action
+   * behind a [[ksDrift]] alarm: calibrate one source's score
+   * distribution onto a reference's (Bolstad et al. 2003 — the
+   * microarray quantile-normalization standard, here at sketch
+   * granularity) by mapping each source bin to the FIRST reference bin
+   * whose CDF reaches the source bin's CDF. All-integer: the CDF
+   * comparison is the cross-multiplied `refCum·nSrc ≥ srcCum·nRef`, so
+   * no division and no float ranks. Output one row per populated
+   * source bin: (bin, src_cnt, src_cdf_ppm, ref_bin, ref_value = the
+   * mapped bin's lower bound) — the lookup table a calibration pass
+   * broadcasts and applies as a narrow map.
+   *
+   * Scale shape: both corpora collapse to their ≤nBins additive
+   * [[binCounts]] states (shards/days merge by +); cum sums ride
+   * windows over the bin frames only; the mapping is a bin×bin
+   * non-equi join + min aggregate — everything after the two count
+   * shuffles is sketch-sized.
+   */
+  def quantileNormalize(src: DataFrame, ref: DataFrame, valueCol: String,
+      lo: Long, width: Long, nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def cdf(df: DataFrame): DataFrame =
+      binCounts(df, valueCol, lo, width, nBins)
+        .withColumn("cum", sum(col("cnt")).over(cumW))
+        .withColumn("n", sum(col("cnt")).over(allW))
+    val s = cdf(src).select(col("bin"), col("cnt").as("src_cnt"),
+      col("cum").as("scum"), col("n").as("ns"))
+    val r = cdf(ref).select(col("bin").as("ref_bin"),
+      col("cum").as("rcum"), col("n").as("nr"))
+    s.join(broadcast(r), col("rcum") * col("ns") >= col("scum") * col("nr"))
+      .groupBy(col("bin"), col("src_cnt"), col("scum"), col("ns"))
+      .agg(min(col("ref_bin")).as("ref_bin"))
+      .select(col("bin"), col("src_cnt"),
+        expr("scum * 1000000 div ns").as("src_cdf_ppm"), col("ref_bin"),
+        (lit(lo) + col("ref_bin") * lit(width)).as("ref_value"))
+  }
+
   def ksDrift(a: DataFrame, b: DataFrame, valueCol: String, lo: Long,
       width: Long, nBins: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

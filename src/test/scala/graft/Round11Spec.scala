@@ -232,6 +232,25 @@ class Round11Spec extends SparkSpec {
     assert(ok, "condensation must be acyclic")
   }
 
+  test("quantileNormalize: identity on itself, shift maps to shift") {
+    import graft.operators.Stats
+    val vals = (0 until 300).map(i => ((i * 37) % 900).toLong)
+      .toDF("v")
+    // self-normalization is the identity on every populated bin
+    val selfMap = Stats.quantileNormalize(vals, vals, "v",
+      lo = 0L, width = 100L, nBins = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(3))
+    assert(selfMap.nonEmpty && selfMap.forall(p => p._1 == p._2),
+      s"self-map must be identity: ${selfMap.toSeq}")
+    // a +200 reference shift maps every bin up by exactly 2
+    val shifted = vals.select((col("v") + 200L).as("v"))
+    val m = Stats.quantileNormalize(vals, shifted, "v",
+      lo = 0L, width = 100L, nBins = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(3))
+    assert(m.forall(p => p._2 == p._1 + 2),
+      s"+200 shift must map bins +2: ${m.toSeq}")
+  }
+
   test("bpeTrain merge list is prefix-stable as nMerges grows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .limit(40).select("text")
