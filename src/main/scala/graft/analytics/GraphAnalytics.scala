@@ -1628,7 +1628,15 @@ object GraphAnalytics {
     val ep = pairs.toDF("a", "b", "w")
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("s"),
-        greatest(col("a"), col("b")).as("d"), col("w"))
+        greatest(col("a"), col("b")).as("d"),
+        // the zero-padded decimal key is only a total order for
+        // weights in [0, 1e9): out-of-range weights would SILENTLY
+        // break the lexicographic compare, so fail loudly instead
+        when(col("w").between(0L, 999999999L), col("w"))
+          .otherwise(raise_error(concat(lit("weightedMatching: weight "),
+            col("w").cast("string"),
+            lit(" outside [0, 1e9) — rescale (e.g. permille sims)"))))
+          .as("w"))
       .groupBy("s", "d").agg(max(col("w")).as("w"))
       .select(col("s"), col("d"),
         concat(lpad((lit(1000000000L) - col("w")).cast("string"), 10, "0"),
