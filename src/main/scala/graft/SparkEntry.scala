@@ -723,6 +723,13 @@ object SparkEntry {
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = (0L to 4L), k = 5, numPlanes = 6, dim = 64)),
 
+    // ---- Multi-probe LSH (Lv 2007): own bucket + every Hamming-1
+    // flip — recall of numPlanes+1 tables at one table's storage ----
+    "q_lsh_multiprobe" -> ((s, dir) =>
+      Similarity.lshMultiProbeTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryIds = (0L to 4L), k = 5, numPlanes = 6,
+        dim = 64)),
+
     // ---- Approximate kNN graph: every vector a query, LSH-bucketed
     // candidates (cap 128), top-3 exact-cosine edges per vector ----
     "q_knn_graph" -> ((s, dir) =>
@@ -3857,6 +3864,36 @@ object SparkEntry {
        |SELECT query_id, cand_id, sim FROM scored WHERE rk <= 5""".stripMargin
   }
 
+  /** Multi-probe variant of [[lshAnnSql]]: the query side explodes
+    * into its own bucket + every single-plane flip (xor), candidates
+    * dedup by max before the rank. */
+  private def lshMultiProbeSql: String = {
+    val planes = Similarity.hyperplanes(numPlanes = 6, dim = 64, seed = 42L)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(embedding::DOUBLE[], $lits::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("\n  + ")
+    val flips = (0 until 6).map(i => 1L << i).mkString("[0, ", ", ", "]")
+    s"""WITH sig AS MATERIALIZED (SELECT vec_id, embedding,
+       |    $bucket AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec,
+       |    xor(bucket, CAST(u.f AS BIGINT)) AS bucket
+       |  FROM sig CROSS JOIN LATERAL unnest($flips) u(f)
+       |  WHERE vec_id BETWEEN 0 AND 4),
+       |cand AS (SELECT q.query_id, c.vec_id AS cand_id,
+       |    max(floor((list_cosine_similarity(q.qvec::DOUBLE[],
+       |      c.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0)
+       |      AS sim
+       |  FROM q JOIN sig c
+       |    ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+       |  GROUP BY q.query_id, c.vec_id),
+       |rk AS (SELECT query_id, cand_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, cand_id) AS rk FROM cand)
+       |SELECT query_id, cand_id, sim FROM rk WHERE rk <= 5""".stripMargin
+  }
+
   /** kNN-graph oracle: same plane literals as [[lshAnnSql]]
     * (Similarity.hyperplanes(6, 64, 42)), bucket-size window [2, 128],
     * both-direction candidates, per-vector cosine top-3. */
@@ -6742,6 +6779,7 @@ object SparkEntry {
          |FROM n LEFT JOIN c ON c.query_id = n.query_id""".stripMargin,
 
     "q_lsh_ann" -> lshAnnSql,
+    "q_lsh_multiprobe" -> lshMultiProbeSql,
 
     "q_knn_graph" -> knnGraphSql,
 
@@ -8652,6 +8690,7 @@ object SparkEntry {
     "q_rolling_window" -> Seq("max_v_win"),
     "q_group_centroids" -> Seq("s2", "snorm", "mean_pair_dot"),
     "q_lsh_ann" -> Seq("sim"),
+    "q_lsh_multiprobe" -> Seq("sim"),
     "q_multimodal_features" -> Seq("mean_byte"),
     "q_multimodal_resize" -> Seq("scale"),
     "q_ngram_jaccard" -> Seq("jaccard"),

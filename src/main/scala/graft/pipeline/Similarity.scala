@@ -450,6 +450,52 @@ object Similarity {
   }
 
   /**
+   * Multi-probe LSH top-k (Lv et al. 2007, "Multi-Probe LSH:
+   * Efficient Indexing for High-Dimensional Similarity Search" — the
+   * standard recall dial that does NOT grow the index): each query
+   * probes its own bucket PLUS every bucket at Hamming distance 1
+   * (one hyperplane sign flipped — the perturbation most likely to
+   * hold a near neighbor that landed just across one boundary).
+   * numPlanes+1 probes ≈ the recall of that many independent tables
+   * at one table's storage. Candidates dedup before scoring (a
+   * candidate can match through several probes).
+   *
+   * Scale shape: the query frame (bounded) explodes ×(numPlanes+1) —
+   * corpus-side cost is ONE signature scan and one equi-join on the
+   * probed bucket, exactly [[lshTopK]]'s; the per-query candidate set
+   * grows by the probed buckets' occupancy, the documented
+   * recall/cost trade.
+   */
+  def lshMultiProbeTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, numPlanes: Int, dim: Int,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val signed = emb.select(col(idCol), col(vecCol),
+        lshSignature(col(vecCol), planes).as("bucket"))
+      .transform(graft.CacheScope.persist(_)) // query + candidate sides
+    val flips = array((0 until numPlanes).map(i => lit(1L << i)) :+
+      lit(0L): _*)
+    val queries = broadcast(signed.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(flips).as("flip"), col("bucket"))
+      .select(col("query_id"), col("qvec"),
+        expr("bucket ^ flip").as("bucket")))
+    val scored = queries.join(
+        signed.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
+          col("bucket")), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.Portable.quant(cosine(col("qvec"), col("cvec")),
+          6).as("sim"))
+      // a candidate can match through several probes — dedup first
+      .groupBy("query_id", "cand_id").agg(max(col("sim")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "cand_id", "sim")
+  }
+
+  /**
    * Approximate k-nearest-neighbor GRAPH over the whole corpus — the
    * backbone structure for graph-based dedup clustering, label
    * propagation over embeddings, and kNN-classifier curation. Unlike

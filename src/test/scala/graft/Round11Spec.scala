@@ -251,6 +251,29 @@ class Round11Spec extends SparkSpec {
       s"+200 shift must map bins +2: ${m.toSeq}")
   }
 
+  test("multi-probe LSH dominates single-probe (candidate superset)") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def tops(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("query_id").agg(sum("sim").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    val single = tops(Similarity.lshTopK(emb, "vec_id", "embedding",
+      queryIds = (0L to 4L), k = 5, numPlanes = 6, dim = 64))
+    val multi = tops(Similarity.lshMultiProbeTopK(emb, "vec_id",
+      "embedding", queryIds = (0L to 4L), k = 5, numPlanes = 6,
+      dim = 64))
+    // flip 0 is among the probes, so multiprobe candidates are a
+    // SUPERSET: per query it returns at least as many results and at
+    // least as good a top-k sim mass
+    for ((q, (ss, sn)) <- single) {
+      val (ms, mn) = multi(q)
+      assert(mn >= sn, s"query $q lost candidates: $sn -> $mn")
+      assert(ms >= ss - 1e-9 || mn > sn,
+        s"query $q sim mass dropped: $ss -> $ms")
+    }
+  }
+
   test("bpeTrain merge list is prefix-stable as nMerges grows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .limit(40).select("text")
