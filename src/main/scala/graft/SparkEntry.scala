@@ -1689,6 +1689,16 @@ object SparkEntry {
     // k-means-refined IVF centroids (2 deterministic iterations); the
     // centroid vector serializes to a canonical decimal string for the
     // scalar-cell oracle hash.
+    // ---- Incremental IVF ingest: assign the new batch against
+    // centroids trained on the base corpus — no retraining ----
+    "q_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfAppend(
+        Similarity.ivfTrain(emb.filter(col("vec_id") < 400), "vec_id",
+          "embedding", nCells = 16, iters = 2),
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding")
+    }),
+
     "q_ivf_train" -> ((s, dir) =>
       Similarity.ivfTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
           nCells = 16, iters = 2)
@@ -3481,14 +3491,16 @@ object SparkEntry {
   /** k-means IVF training oracle: unrolled iterations, mirroring
     * Similarity.ivfTrain (cosine argmax assignment with lowest-cell
     * ties, element-wise mean, empty cells keep the prior centroid). */
-  private def ivfTrainSql(iters: Int): String = {
+  private def ivfTrainCtes(iters: Int,
+      where: String = "TRUE"): String = {
     val steps = (1 to iters).map { i =>
       s"""a$i AS (SELECT vec_id, embedding, cell FROM (
          |  SELECT e.vec_id, e.embedding, c.cell,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
          |        c.cvec) DESC, c.cell) AS crk
-         |  FROM embeddings e CROSS JOIN c${i - 1} c) WHERE crk = 1),
+         |  FROM (SELECT * FROM embeddings WHERE $where) e
+         |  CROSS JOIN c${i - 1} c) WHERE crk = 1),
          |m$i AS (SELECT cell, i AS pos,
          |    sum(${graft.functions.Portable.dyadicSql(
               "CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)")})
@@ -3504,14 +3516,17 @@ object SparkEntry {
          |  FROM c${i - 1} LEFT JOIN l$i USING (cell)
          |  LEFT JOIN n$i USING (cell))""".stripMargin
     }.mkString(",\n")
-    s"""WITH c0 AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
-       |  FROM embeddings WHERE vec_id < 16),
-       |$steps
+    s"""c0 AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
+       |  FROM embeddings WHERE vec_id < 16 AND ($where)),
+       |$steps""".stripMargin
+  }
+
+  private def ivfTrainSql(iters: Int): String =
+    s"""WITH ${ivfTrainCtes(iters)}
        |SELECT cell, n, array_to_string(list_transform(cvec,
        |  x -> CAST(CAST(floor((x) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(12,6)) AS VARCHAR)), ',')
        |  AS centroid
        |FROM c$iters""".stripMargin
-  }
 
   /** Product-quantization oracle: per subspace, replay the sliced
     * dyadic k-means chain (same laws as [[ivfTrainSql]]) and the final
@@ -6722,6 +6737,16 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q_ivf_train" -> ivfTrainSql(2),
+
+    "q_ivf_append" ->
+      s"""WITH ${ivfTrainCtes(iters = 2, where = "vec_id < 400")}
+         |SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, c.cell, row_number() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+         |      c.cvec) DESC, c.cell) AS crk
+         |  FROM embeddings e CROSS JOIN c2 c
+         |  WHERE e.vec_id >= 400) __a WHERE crk = 1""".stripMargin,
 
     "q_ivf_topk" -> IvfTopKSql,
 

@@ -783,6 +783,27 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("cell"))
   }
 
+    /**
+   * Assign a NEW batch against already-trained IVF centroids — the
+   * incremental-ingest path of the serving family: a crawl batch
+   * lands, the index grows, nothing retrains (retraining cadence is an
+   * offline decision the cell-occupancy drift informs). Ties break to
+   * the lowest cell, same as [[ivfTrain]]'s assignment step.
+   *
+   * Scale shape: ONE broadcast join (the centroid frame is nCells
+   * rows, always bounded) + a per-row argmax window keyed by the new
+   * vector id — the batch never shuffles against the base corpus.
+   */
+  def ivfAppend(centroids: DataFrame, emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("csim").desc, col("cell"))
+    emb.join(broadcast(centroids.select(col("cell"), col("cvec"))))
+      .withColumn("csim", cosine(col(vecCol), col("cvec")))
+      .withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
+      .select(col(idCol), col("cell"))
+  }
+
   /**
    * Deterministic k-means refinement of the IVF coarse centroids (the
    * production path the first-N-by-id init stands in for). Init = the

@@ -274,6 +274,28 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("ivfAppend assigns every batch vector to a trained cell") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Similarity.ivfTrain(emb.filter(col("vec_id") < 60),
+        "vec_id", "embedding", nCells = 8, iters = 2)
+      .transform(graft.CacheScope.persist(_))
+    val batch = emb.filter(col("vec_id") >= 60)
+    val out = Similarity.ivfAppend(cents, batch, "vec_id", "embedding")
+      .transform(graft.CacheScope.persist(_))
+    assert(out.count() == batch.count(), "every batch vector assigned")
+    assert(out.select("vec_id").distinct().count() == batch.count(),
+      "exactly one cell per vector")
+    val cells = cents.select("cell").collect().map(_.getLong(0)).toSet
+    assert(out.select("cell").distinct().collect()
+      .forall(r => cells.contains(r.getLong(0))),
+      "assignments land only in trained cells")
+    // partition-count invariant (determinism)
+    val out2 = Similarity.ivfAppend(cents, batch.repartition(7),
+      "vec_id", "embedding").collect().map(_.toSeq).toSet
+    assert(out2 == out.collect().map(_.toSeq).toSet)
+  }
+
   test("bpeTrain merge list is prefix-stable as nMerges grows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .limit(40).select("text")
