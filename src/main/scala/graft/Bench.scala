@@ -238,23 +238,54 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 
-    val results = names.map { name =>
-      // No cross-query cache inheritance; the warmup's own caches stay
-      // hot for the timed run (steady-state measurement).
-      CacheScope.drain(spark)
-      def run(): Option[String] =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      run() // warmup
-      val t0 = System.nanoTime()
-      val err = run()
-      val sec = (System.nanoTime() - t0) / 1e9
-      // A crashed query must NOT record as a fast success (round-4
-      // postmortem: three aborting queries hid inside a 35s total as
-      // 0.1s entries). It renders as "err:<class>" and is excluded
-      // from the headline total.
-      (name, sec, err)
+    // r11 postmortem: the driver bench carried two >10x driver-vs-local
+    // outliers (q_louvain_move 24.5s vs 1.0s isolated) that the metric
+    // line had no data to adjudicate. Each query slot now records
+    // adjudication data: wall-clock start offset (stall vs engine),
+    // warmup seconds (a slow warmup + slow timed run = consistent cost;
+    // fast warmup + slow timed run = environmental stall), JVM GC-time
+    // delta during the timed run AND across the whole slot (heap
+    // carry-over shows as slot-GC >> timed-GC), and pinned-RDD count
+    // after the timed run (a leak shows as pin > 0 pre-drain).
+    def gcSec(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
     }
+    val bench0 = System.nanoTime()
+    // name, timedSec, err, [startOffSec, warmSec, gcTimedSec, gcSlotSec, pinnedCount]
+    val results: Seq[(String, Double, Option[String], Array[Double])] =
+      names.map { name =>
+        // No cross-query cache inheritance; the warmup's own caches stay
+        // hot for the timed run (steady-state measurement).
+        CacheScope.drain(spark)
+        // Heap carry-over valve: if a prior query's churn left >half the
+        // heap occupied by (likely unreferenced) garbage, collect it
+        // OUTSIDE the next timed run so its GC cost cannot masquerade as
+        // the next operator's cost. Fraction-of-max, not absolute: the
+        // bench heap is whatever the launcher granted (~8 GiB under sbt).
+        val rt = Runtime.getRuntime
+        if (rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
+        val startOff = (System.nanoTime() - bench0) / 1e9
+        val gc0 = gcSec()
+        def run(): Option[String] =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+        val w0 = System.nanoTime()
+        run() // warmup
+        val warm = (System.nanoTime() - w0) / 1e9
+        val gcW = gcSec()
+        val t0 = System.nanoTime()
+        val err = run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val gc1 = gcSec()
+        val pinned = spark.sparkContext.getPersistentRDDs.size.toDouble
+        // A crashed query must NOT record as a fast success (round-4
+        // postmortem: three aborting queries hid inside a 35s total as
+        // 0.1s entries). It renders as "err:<class>" and is excluded
+        // from the headline total.
+        (name, sec, err, Array(startOff, warm, gc1 - gcW, gc1 - gc0, pinned))
+      }
     CacheScope.drain(spark)
     // trailing zeros carry no information but cost tail budget
     // ("0.500" -> "0.5") — with 80+ queries the saved chars decide
@@ -273,6 +304,18 @@ object Bench {
       }
       require(dup.isEmpty, s"shortName collisions: ${dup.mkString("; ")}")
     }
+    // Compact adjudication field for the driver-tail line: the 6
+    // slowest queries, each as [startOffset, warmupSec, gcTimedSec,
+    // pinnedCount] — enough to tell engine cost (warm ≈ timed, gc
+    // proportional) from environment stall (warm ≪ timed, gc ≈ 0) from
+    // heap carry-over (gcTimed ≫ operator churn).
+    def adjField(topK: Int): String = {
+      val top = results.filter(_._3.isEmpty).sortBy(-_._2).take(topK)
+      if (top.isEmpty) "" else top.map { case (k, _, _, a) =>
+        "\"" + shortName(k) + "\":[" + fmt(a(0), 0) + "," + fmt(a(1), 1) +
+          "," + fmt(a(2), 1) + "," + fmt(a(4), 0) + "]"
+      }.mkString(""","adj":{""", ",", "}")
+    }
     def render(dec: Int, dropPrefix: Boolean,
         abbrev: Boolean = false): String = {
       def nm(k: String) = {
@@ -280,18 +323,27 @@ object Bench {
         else if (dropPrefix) k.stripPrefix("q_") else k
       }
       val qs = results.map {
-        case (k, _, Some(err)) => "\"" + nm(k) + "\":\"err:" + err + "\""
-        case (k, v, None) => "\"" + nm(k) + "\":" + fmt(v, dec)
+        case (k, _, Some(err), _) => "\"" + nm(k) + "\":\"err:" + err + "\""
+        case (k, v, None, _) => "\"" + nm(k) + "\":" + fmt(v, dec)
       }.mkString("{", ",", "}")
-      val total = fmt(results.collect { case (_, v, None) => v }.sum, dec)
+      val total = fmt(results.collect { case (_, v, None, _) => v }.sum, dec)
       val nErr = results.count(_._3.isDefined)
       val sf = if (dropPrefix) sfDir.split('/').last else sfDir
       val errField = if (nErr > 0) s""","errors":$nErr""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sf"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField${adjField(6)},"sf":"$sf"}"""
     }
+    // bench_local.json carries the FULL adjudication table (every
+    // query: [startOff, warm, gcTimed, gcSlot, pinned]) at nanosecond
+    // precision — the driver runs Bench in the repo cwd, so this file
+    // is the full-fidelity record of the driver environment's run.
+    val fullAdj = results.map { case (k, _, _, a) =>
+      "\"" + k + "\":[" + a.take(4).map(fmt(_, 3)).mkString(",") +
+        "," + fmt(a(4), 0) + "]"
+    }.mkString("""{"fields":["startOff","warm","gcTimed","gcSlot","pinned"],"q":{""", ",", "}}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_local.json"),
-      render(9, dropPrefix = false) + "\n")
+      render(9, dropPrefix = false) + "\n" +
+        s"""{"metric":"adjudication","data":$fullAdj}""" + "\n")
     try spark.stop()
     catch { case t: Throwable => System.err.println(oneLine("stop", t)) }
     // last line out — finest precision that still survives a 2000-char
@@ -309,18 +361,19 @@ object Bench {
     // JSON line loses EVERYTHING, so the floor escalates as far as it
     // must.
     def valve(floorSec: Double): String = {
-      val kept = results.filter { case (_, v, e) => e.isDefined || v >= floorSec }
-      val omitted = results.filterNot { case (_, v, e) => e.isDefined || v >= floorSec }
+      val kept = results.filter { case (_, v, e, _) => e.isDefined || v >= floorSec }
+      val omitted = results.filterNot { case (_, v, e, _) => e.isDefined || v >= floorSec }
       val qs = kept.map {
-        case (k, _, Some(err)) => "\"" + shortName(k) + "\":\"err:" + err + "\""
-        case (k, v, None) => "\"" + shortName(k) + "\":" + fmt(v, 1)
+        case (k, _, Some(err), _) => "\"" + shortName(k) + "\":\"err:" + err + "\""
+        case (k, v, None, _) => "\"" + shortName(k) + "\":" + fmt(v, 1)
       }.mkString("{", ",", "}")
-      val total = fmt(results.collect { case (_, v, None) => v }.sum, 1)
+      val total = fmt(results.collect { case (_, v, None, _) => v }.sum, 1)
       val nErr = results.count(_._3.isDefined)
       val errField = if (nErr > 0) s""","errors":$nErr""" else ""
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
         s""","fast_omitted":${omitted.length}""" +
         s""","fast_sum":${fmt(omitted.map(_._2).sum, 1)}$errField""" +
+        adjField(6) +
         s""","sf":"${sfDir.split('/').last}"}"""
     }
     // Pick the FINEST floor that fits: omit as few entries as the
