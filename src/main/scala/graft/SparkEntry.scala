@@ -5737,11 +5737,14 @@ object SparkEntry {
          |      / CAST(sum(w) AS BIGINT)) * 1000000.0 + 0.5)
          |      / 1000000.0 AS mean_rep
          |  FROM w GROUP BY rep HAVING CAST(sum(w) AS BIGINT) > 0),
-         |rk AS (SELECT rep, mean_rep, row_number() OVER (
-         |    ORDER BY mean_rep, rep) AS _rk FROM m),
+         |n AS (SELECT count(*) AS nb FROM m),
+         |rk AS (SELECT rep, mean_rep, nb, row_number() OVER (
+         |    ORDER BY mean_rep, rep) AS _rk FROM m CROSS JOIN n),
          |ci AS (SELECT
-         |    min(CASE WHEN _rk = 1 THEN mean_rep END) AS ci_lo,
-         |    min(CASE WHEN _rk = 20 THEN mean_rep END) AS ci_hi
+         |    min(CASE WHEN _rk = greatest(1, (25 * nb + 999) // 1000)
+         |      THEN mean_rep END) AS ci_lo,
+         |    min(CASE WHEN _rk = least(nb, (975 * nb + 999) // 1000)
+         |      THEN mean_rep END) AS ci_hi
          |  FROM rk),
          |f AS (SELECT floor((sum(${dy("l_quantity")}) / count(*))
          |    * 1000000.0 + 0.5) / 1000000.0 AS mean_full

@@ -719,12 +719,16 @@ object GraphAnalytics {
       slots(slot) = id
       next
     }
+    val rawEdges = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d"))
     var work = rotate("work",
-      edges.select(col(srcCol).cast("long").as("s"),
-          col(dstCol).cast("long").as("d"))
-        .filter(col("s") =!= col("d")).distinct())
+      rawEdges.filter(col("s") =!= col("d")).distinct())
+    // Vertex set from the RAW edges, before the self-loop filter: a
+    // vertex whose only arcs are self-loops must still be emitted as
+    // its own singleton SCC (the trim step retires it in round 1).
     var verts = rotate("verts",
-      work.select(col("s").as("v")).union(work.select(col("d"))).distinct())
+      rawEdges.select(col("s").as("v")).union(rawEdges.select(col("d")))
+        .distinct())
     var done = Seq.empty[(Long, Long)].toDF("v", "component")
     var nLeft = verts.count()
     var peel = 0
@@ -1688,7 +1692,11 @@ object GraphAnalytics {
       live = next
       nLive = live.count()
     }
-    matchedRounds.reduce(_ unionByName _)
+    // Edge-free input: the while loop never runs and matchedRounds is
+    // empty — the empty matching IS maximal, so return an empty typed
+    // frame instead of letting reduce throw on the empty buffer.
+    matchedRounds.reduceOption(_ unionByName _)
+      .getOrElse(ep.limit(0).select(col("s"), col("d"), lit(0).as("round")))
       .select(col("s").as("v"), col("d").as("mate"), col("round"))
   }
 
@@ -2676,6 +2684,15 @@ object GraphAnalytics {
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .distinct().select(col("u"), col("v"), lit(1L).as("w")))
+    // Empty canonicalized graph (no edges, or self-loops only): there
+    // is nothing to contract and modularity's aggregate row would carry
+    // null sums (NPE on getLong). The empty partition is the answer.
+    if (g.isEmpty) {
+      slots.values.foreach(_.foreach(i =>
+        sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false))))
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("level", "_vid", "community", "q_num", "q_den")
+    }
     var mapping = rotate("map",
       g.select(col("u").as("node")).union(g.select(col("v"))).distinct()
         .select(col("node").as("_vid"), col("node")))

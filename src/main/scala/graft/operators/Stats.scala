@@ -888,13 +888,24 @@ object Stats {
       // ReuseExchange and the corpus-sized explode+md5 pass runs
       // twice (measured 0.7 s -> 22 s at sf0.1)
       .transform(graft.CacheScope.persist(_))
-    val ranked = repMeans.withColumn("_rk",
-      row_number().over(Window.orderBy(col("mean_rep"), col("rep"))))
-    val loRank = math.max(1, math.ceil(0.025 * reps).toInt)
-    val hiRank = math.min(reps, math.ceil(0.975 * reps).toInt)
+    // CI ranks from the SURVIVING replicate count, not the constant
+    // reps: if a replicate dropped (n_eff = 0), a reps-based hiRank
+    // would exceed the frame and the upper-CI row would silently
+    // vanish, truncating the CI. Integer ceil on both engines:
+    // ceil(q*nb) = (q_permille*nb + 999) div 1000.
+    val nSurv = repMeans.agg(count(lit(1)).as("_nb"))
+    val ranked = repMeans.crossJoin(broadcast(nSurv))
+      .withColumn("_rk",
+        row_number().over(Window.orderBy(col("mean_rep"), col("rep"))))
+      .withColumn("_lo", greatest(lit(1L),
+        floor((lit(25L) * col("_nb") + lit(999L)) / lit(1000L))
+          .cast("long")))
+      .withColumn("_hi", least(col("_nb"),
+        floor((lit(975L) * col("_nb") + lit(999L)) / lit(1000L))
+          .cast("long")))
     val ci = ranked.agg(
-      min(when(col("_rk") === loRank, col("mean_rep"))).as("ci_lo"),
-      min(when(col("_rk") === hiRank, col("mean_rep"))).as("ci_hi"))
+      min(when(col("_rk") === col("_lo"), col("mean_rep"))).as("ci_lo"),
+      min(when(col("_rk") === col("_hi"), col("mean_rep"))).as("ci_hi"))
     val full = df.agg(
       quant(sum(dyadic(col(valueCol))) / count(lit(1)), 6)
         .as("mean_full"))
