@@ -182,6 +182,8 @@ object Bench {
     "peak_concurrency" -> "peakc",
     "quality_sweep" -> "qsweep", "quantile_assign" -> "qassign",
     "embedding_audit" -> "eaudit",
+    // round-12 additions (before the unigram_* round-10 rules)
+    "unigram_train" -> "ugtr", "unigram_encode" -> "ugenc",
     // round-11 additions
     "louvain_levels" -> "louvlv", "weighted_matching" -> "wmatch",
     "knn_refine_recall" -> "knnrr", "knn_refine" -> "knnrf",

@@ -2320,6 +2320,22 @@ object SparkEntry {
       TextAnalysis.bpeEncodeCounts(t(s, dir, "documents"), "doc_id",
         "text", nMerges = 6)),
 
+    // ---- Unigram-LM (SentencePiece-style) tokenizer trainer: 3
+    // hard-EM rounds (Viterbi E-step, top-η prune M-step) over
+    // substring seeds — the other half of the tokenizer duopoly
+    // (Kudo 2018); all-integer so the oracle replays the EM rounds
+    // bit-for-bit by brute segmentation enumeration ----
+    "q_unigram_train" -> ((s, dir) =>
+      TextAnalysis.unigramTrain(t(s, dir, "documents"), "text",
+        maxPieceLen = 4, seedSize = 40, vocabSize = 24, nRounds = 3)),
+
+    // ---- Apply the trained unigram tokenizer: per-doc word/piece
+    // counts under the final vocab's Viterbi segmentation ----
+    "q_unigram_encode" -> ((s, dir) =>
+      TextAnalysis.unigramEncodeCounts(t(s, dir, "documents"),
+        "doc_id", "text", maxPieceLen = 4, seedSize = 40,
+        vocabSize = 24, nRounds = 3)),
+
     // ---- k-core peeling (3 fixed rounds, k=3) over the part⋈supplier
     // bipartite graph — degeneracy summary; oracle replays the exact
     // peel rounds via a generated CTE chain ----
@@ -2936,6 +2952,113 @@ object SparkEntry {
       .mkString("\nUNION ALL ")
     s"""WITH ${bpeVocabCtes(nMerges)}
        |$out""".stripMargin
+  }
+
+  /** One unigram-LM hard-EM round: matches of vocab pieces against
+    * word substrings, brute segmentation ENUMERATION via a recursive
+    * CTE (the Spark side runs a linear DP — the criterion (k asc,
+    * s desc, path asc) is total and implementation-independent, so
+    * both converge to the same best segmentation), Viterbi usage
+    * counts, then the prune (singles always kept, multi-char top-η by
+    * cnt desc / tok asc). `vin` is the previous round's vocab CTE. */
+  private def unigramRoundCtes(r: Int, vin: String, maxPieceLen: Int,
+      vocabSize: Int): String =
+    s"""m_$r AS MATERIALIZED (
+       |  SELECT wf.w, ua.a::INT AS a, (ua.a + um.m - 1)::INT AS b,
+       |    substr(wf.w, ua.a::INT, um.m::INT) AS tok, v.cnt
+       |  FROM wf
+       |  CROSS JOIN LATERAL unnest(range(1, length(wf.w) + 1)) ua(a)
+       |  CROSS JOIN LATERAL unnest(range(1, 1 + least($maxPieceLen,
+       |    length(wf.w) - ua.a + 1))) um(m)
+       |  JOIN $vin v ON v.tok = substr(wf.w, ua.a::INT, um.m::INT)),
+       |s_$r AS (
+       |  SELECT w, 0 AS pos, 0 AS k, CAST(0 AS BIGINT) AS s,
+       |    '' AS path FROM wf
+       |  UNION ALL
+       |  SELECT m.w, m.b, s.k + 1, s.s + m.cnt,
+       |    CASE WHEN s.path = '' THEN m.tok
+       |      ELSE s.path || ' ' || m.tok END
+       |  FROM s_$r s JOIN m_$r m ON m.w = s.w AND m.a = s.pos + 1),
+       |best_$r AS MATERIALIZED (
+       |  SELECT w, k, path FROM (
+       |    SELECT w, k, s, path, row_number() OVER (PARTITION BY w
+       |      ORDER BY k, s DESC, path) AS rk
+       |    FROM s_$r WHERE pos = length(w)) z_$r WHERE rk = 1),
+       |u_$r AS MATERIALIZED (
+       |  SELECT t.tok, CAST(sum(wf.f) AS BIGINT) AS cnt
+       |  FROM best_$r b JOIN wf USING (w)
+       |  CROSS JOIN LATERAL unnest(string_split(b.path, ' ')) t(tok)
+       |  GROUP BY 1),
+       |uv$r AS MATERIALIZED (
+       |  SELECT ch.tok, coalesce(u.cnt, 0) AS cnt
+       |  FROM uchars ch LEFT JOIN u_$r u USING (tok)
+       |  UNION ALL
+       |  SELECT tok, cnt FROM (
+       |    SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok)
+       |      AS rk
+       |    FROM u_$r WHERE length(tok) >= 2) p_$r
+       |  WHERE rk <= $vocabSize)""".stripMargin
+
+  /** Word table, char set, substring seed vocab (uv0) and the EM
+    * rounds 1..nRounds — shared by the train and encode oracles.
+    * Starts with WITH RECURSIVE (the s_r enumeration CTEs). */
+  private def unigramVocabCtes(maxPieceLen: Int, seedSize: Int,
+      vocabSize: Int, nRounds: Int): String = {
+    val rounds = (1 to nRounds)
+      .map(r => unigramRoundCtes(r, s"uv${r - 1}", maxPieceLen,
+        vocabSize))
+      .mkString(",\n")
+    s"""wf AS MATERIALIZED (
+       |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(list_filter(
+       |      string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+       |    FROM documents) tk
+       |  GROUP BY 1),
+       |usub AS MATERIALIZED (
+       |  SELECT substr(w, ua.a::INT, um.m::INT) AS tok,
+       |    CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM wf
+       |  CROSS JOIN LATERAL unnest(range(1, length(w) + 1)) ua(a)
+       |  CROSS JOIN LATERAL unnest(range(1, 1 + least($maxPieceLen,
+       |    length(w) - ua.a + 1))) um(m)
+       |  GROUP BY 1),
+       |uchars AS MATERIALIZED (
+       |  SELECT tok FROM usub WHERE length(tok) = 1),
+       |uv0 AS MATERIALIZED (
+       |  SELECT tok, cnt FROM usub WHERE length(tok) = 1
+       |  UNION ALL
+       |  SELECT tok, cnt FROM (
+       |    SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok)
+       |      AS rk
+       |    FROM usub WHERE length(tok) >= 2) z0
+       |  WHERE rk <= $seedSize),
+       |$rounds""".stripMargin
+  }
+
+  private def unigramTrainSql(maxPieceLen: Int, seedSize: Int,
+      vocabSize: Int, nRounds: Int): String =
+    s"""WITH RECURSIVE
+       |${unigramVocabCtes(maxPieceLen, seedSize, vocabSize, nRounds)}
+       |SELECT tok, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+       |  AS BIGINT) AS rnk
+       |FROM uv$nRounds""".stripMargin
+
+  /** Encode oracle: replay the EM rounds, segment once more under the
+    * FINAL vocab (round nRounds+1's match/enumerate/best CTEs), then
+    * join every corpus token to its piece count. */
+  private def unigramEncodeSql(maxPieceLen: Int, seedSize: Int,
+      vocabSize: Int, nRounds: Int): String = {
+    val fin = nRounds + 1
+    s"""WITH RECURSIVE
+       |${unigramVocabCtes(maxPieceLen, seedSize, vocabSize, nRounds)},
+       |${unigramRoundCtes(fin, s"uv$nRounds", maxPieceLen, vocabSize)},
+       |pt AS (SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+       |  FROM documents)
+       |SELECT pt.doc_id, count(*) AS n_words,
+       |  CAST(sum(b.k) AS BIGINT) AS n_pieces
+       |FROM pt JOIN best_$fin b USING (w)
+       |GROUP BY pt.doc_id""".stripMargin
   }
 
   /** Trained-tokenizer application oracle: replay the training steps,
@@ -7247,6 +7370,14 @@ object SparkEntry {
       rounds = 10),
 
     "q_bpe_encode" -> bpeEncodeSql(nMerges = 6),
+
+    // unigram-LM trainer: 3 hard-EM rounds replayed by brute
+    // segmentation enumeration (recursive CTE) — same total criterion
+    // as the Spark DP, so both converge to identical segmentations
+    "q_unigram_train" -> unigramTrainSql(maxPieceLen = 4,
+      seedSize = 40, vocabSize = 24, nRounds = 3),
+    "q_unigram_encode" -> unigramEncodeSql(maxPieceLen = 4,
+      seedSize = 40, vocabSize = 24, nRounds = 3),
 
     "q_louvain_levels" -> louvainLevelsSql(
       "SELECT l_orderkey % 600 AS a, " +

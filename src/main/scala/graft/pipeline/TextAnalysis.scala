@@ -1182,4 +1182,188 @@ object TextAnalysis {
       .select(col("phrase_id"), col("doc_id"), col("n_matches"),
         col("first_pos"))
   }
+
+  // ------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer — Kudo 2018 "Subword
+  // Regularization" §3: the other half of the tokenizer-training
+  // duopoly next to [[bpeTrain]].
+  // ------------------------------------------------------------------
+
+  /**
+   * Viterbi segmentation of every word in `wf` (w, f) under `vocab`
+   * (tok, cnt) — the hard-EM E-step and the encoder's core. The
+   * criterion is total and implementation-independent so an oracle can
+   * replay it by brute segmentation enumeration while this side runs a
+   * linear DP: fewest pieces first, then LARGEST summed piece count,
+   * then lexicographically smallest space-joined piece sequence.
+   * All-integer — no log-probabilities, so no libm divergence between
+   * engines (the house float law); with every single character in the
+   * vocab (the [[unigramTrain]] coverage invariant) every word has a
+   * segmentation. Output: (w, f, k, s, path).
+   *
+   * Scale shape: pieces are generated per word as one flatten/
+   * transform explode (length × maxPieceLen rows per VOCAB word — the
+   * corpus never re-enters), joined to the broadcast vocab, collected
+   * back per word, and the DP runs inside ONE codegen'd higher-order
+   * aggregate expression — no per-position joins, no driver loop, no
+   * UDF. Cost is O(len × maxPieceLen) per distinct word.
+   */
+  def viterbiSegments(wf: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 32,
+      "maxPieceLen in [1, 32]")
+    val pieces = wf.select(col("w"), col("f"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), a ->
+           |  transform(sequence(a, least(a + ${maxPieceLen - 1},
+           |      length(w))), b ->
+           |    named_struct('a', a, 'b', b,
+           |      'tok', substring(w, a, b - a + 1)))))""".stripMargin))
+        .as("p"))
+      .select(col("w"), col("f"), col("p.a").as("a"), col("p.b").as("b"),
+        col("p.tok").as("tok"))
+      .join(broadcast(vocab.select(col("tok"), col("cnt"))), Seq("tok"))
+    // DP over end positions: acc[p+1] = best state covering chars
+    // 1..p; each step folds the pieces ending at i (min-k, max-s,
+    // min-path — evaluated in that order), then appends.
+    val dp = expr(
+      """element_at(
+        |  aggregate(sequence(1, length(w)),
+        |    array(named_struct('k', 0, 's', CAST(0 AS BIGINT),
+        |      'path', '')),
+        |    (acc, i) -> concat(acc, array(
+        |      aggregate(filter(ms, m -> m.b = i),
+        |        named_struct('k', 999999, 's', CAST(0 AS BIGINT),
+        |          'path', CAST(NULL AS STRING)),
+        |        (bb, m) -> CASE
+        |          WHEN element_at(acc, m.a).k >= 999999 THEN bb
+        |          WHEN bb.path IS NULL
+        |            OR element_at(acc, m.a).k + 1 < bb.k
+        |            OR (element_at(acc, m.a).k + 1 = bb.k
+        |              AND element_at(acc, m.a).s + m.cnt > bb.s)
+        |            OR (element_at(acc, m.a).k + 1 = bb.k
+        |              AND element_at(acc, m.a).s + m.cnt = bb.s
+        |              AND concat(element_at(acc, m.a).path,
+        |                CASE WHEN element_at(acc, m.a).path = ''
+        |                  THEN '' ELSE ' ' END, m.tok) < bb.path)
+        |          THEN named_struct(
+        |            'k', element_at(acc, m.a).k + 1,
+        |            's', element_at(acc, m.a).s + m.cnt,
+        |            'path', concat(element_at(acc, m.a).path,
+        |              CASE WHEN element_at(acc, m.a).path = ''
+        |                THEN '' ELSE ' ' END, m.tok))
+        |          ELSE bb END)))),
+        |  length(w) + 1)""".stripMargin)
+    pieces
+      .groupBy("w", "f")
+      .agg(collect_list(struct(col("a"), col("b"), col("tok"),
+        col("cnt"))).as("ms"))
+      .withColumn("dp", dp)
+      .select(col("w"), col("f"), col("dp.k").cast("long").as("k"),
+        col("dp.s").as("s"), col("dp.path").as("path"))
+  }
+
+  /** Shared unigram-LM trainer loop. Returns (word-frequency table,
+    * single-char set, final vocab frame, slots to release). Vocab per
+    * round = ALL single characters (coverage floor, usage-counted,
+    * never pruned) ∪ top-`vocabSize` multi-char tokens by Viterbi
+    * usage (cnt desc, tok asc — the q_bpe_merges tie-break law);
+    * round 0 seeds multi-char tokens from raw substring counts
+    * (top `seedSize`). Hard-EM: expected counts are Viterbi counts,
+    * which keeps every statistic an exact integer both engines
+    * reproduce bit-for-bit.
+    *
+    * Scale shape: the corpus collapses ONCE to the word table; every
+    * round touches only vocab-sized frames ([[bpeTrain]]'s frame
+    * discipline) — a piece explode bounded by len × maxPieceLen, one
+    * combinable usage aggregate, and a rank window over the BOUNDED
+    * candidate vocabulary (≤ |chars| + corpus substring vocab; the
+    * zipfTable global-window law). The vocab rotates via
+    * localCheckpoint with O(1) pinned frames. */
+  private def unigramTrainLoop(docs: DataFrame, textCol: String,
+      maxPieceLen: Int, seedSize: Int, vocabSize: Int, nRounds: Int)
+      : (DataFrame, DataFrame, Option[Int], Seq[DataFrame]) = {
+    require(nRounds >= 1 && seedSize >= 1 && vocabSize >= 1,
+      "nRounds, seedSize, vocabSize must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val rotate = graft.analytics.GraphAnalytics.rotateCheckpoint _
+    val wf = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .transform(graft.CacheScope.persist(_)) // consumed every round
+    val subs = wf.select(explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), a ->
+           |  transform(sequence(a, least(a + ${maxPieceLen - 1},
+           |    length(w))), b -> substring(w, a, b - a + 1))))"""
+          .stripMargin)).as("tok"), col("f"))
+      .groupBy("tok").agg(sum(col("f")).as("cnt"))
+      .transform(graft.CacheScope.persist(_)) // singles + seed branches
+    val chars = subs.filter(length(col("tok")) === 1).select("tok")
+      .transform(graft.CacheScope.persist(_)) // re-joined every round
+    val seed = subs.filter(length(col("tok")) === 1)
+      .unionByName(subs.filter(length(col("tok")) >= 2)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok"))))
+        .filter(col("rk") <= seedSize).drop("rk"))
+    var (vocab, prevId) = rotate(seed, None)
+    for (_ <- 1 to nRounds) {
+      val usage = viterbiSegments(wf, vocab, maxPieceLen)
+        .select(explode(split(col("path"), " ")).as("tok"), col("f"))
+        .groupBy("tok").agg(sum(col("f")).as("cnt"))
+        .transform(graft.CacheScope.persist(_)) // singles + multi branches
+      val next = chars.join(usage, Seq("tok"), "left")
+        .select(col("tok"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .unionByName(usage.filter(length(col("tok")) >= 2)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("cnt").desc, col("tok"))))
+          .filter(col("rk") <= vocabSize).drop("rk"))
+      val (v2, id2) = rotate(next, prevId)
+      vocab = v2
+      prevId = id2
+      graft.CacheScope.unpersist(usage)
+    }
+    (wf, vocab, prevId, Seq(subs, chars))
+  }
+
+  /**
+   * Train the unigram-LM tokenizer: `nRounds` of hard EM (Viterbi
+   * E-step, top-η prune M-step) over substring seeds — see
+   * [[unigramTrainLoop]] for the law and scale shape. Output: the
+   * final vocabulary (tok, cnt, rnk), rnk by (cnt desc, tok asc) over
+   * the BOUNDED vocab frame.
+   */
+  def unigramTrain(docs: DataFrame, textCol: String, maxPieceLen: Int,
+      seedSize: Int, vocabSize: Int, nRounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (wf, vocab, _, extras) = unigramTrainLoop(docs, textCol,
+      maxPieceLen, seedSize, vocabSize, nRounds)
+    (extras :+ wf).foreach(graft.CacheScope.unpersist)
+    vocab.withColumn("rnk", row_number().over(
+      Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
+  }
+
+  /**
+   * Apply the trained unigram-LM tokenizer: per-document word and
+   * piece counts under the final vocabulary's Viterbi segmentation
+   * (train → apply, the [[bpeEncodeCounts]] twin). Output:
+   * (id, n_words, n_pieces).
+   *
+   * Scale shape: training and the per-word segmentation are
+   * vocab-sized; application is ONE corpus token explode joined to the
+   * per-word piece counts (broadcast when they fit) feeding a
+   * combinable per-doc aggregate — the scan never pays per-round work.
+   */
+  def unigramEncodeCounts(docs: DataFrame, idCol: String,
+      textCol: String, maxPieceLen: Int, seedSize: Int, vocabSize: Int,
+      nRounds: Int): DataFrame = {
+    val (wf, vocab, _, extras) = unigramTrainLoop(docs, textCol,
+      maxPieceLen, seedSize, vocabSize, nRounds)
+    val segK = viterbiSegments(wf, vocab, maxPieceLen)
+      .select(col("w"), col("k"))
+    val out = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(segK, Seq("w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_pieces"))
+    extras.foreach(graft.CacheScope.unpersist)
+    out
+  }
 }

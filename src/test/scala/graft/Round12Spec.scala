@@ -33,6 +33,43 @@ class Round12Spec extends SparkSpec {
     assert(got.size == 4, s"expected 4 labeled vertices: $got")
   }
 
+  test("viterbiSegments applies (min k, max s, lexicographic path)") {
+    import graft.pipeline.TextAnalysis
+    val wf = Seq(("abc", 1L), ("abab", 2L)).toDF("w", "f")
+    val vocab = Seq(("a", 5L), ("b", 3L), ("c", 1L), ("ab", 4L),
+      ("abc", 2L)).toDF("tok", "cnt")
+    val got = TextAnalysis.viterbiSegments(wf, vocab, maxPieceLen = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got("abc") == ((1L, 2L, "abc")), s"k=1 piece must win: $got")
+    assert(got("abab") == ((2L, 8L, "ab ab")), s"greedy pair: $got")
+  }
+
+  test("viterbiSegments breaks (k, s) ties by smallest path") {
+    import graft.pipeline.TextAnalysis
+    // 'abc' under {ab:1, c:2} vs {a:2, bc:1}: both k=2, s=3 — the
+    // lexicographically smaller joined path 'a bc' must win
+    val wf = Seq(("abc", 1L)).toDF("w", "f")
+    val vocab = Seq(("ab", 1L), ("c", 2L), ("a", 2L), ("bc", 1L))
+      .toDF("tok", "cnt")
+    val got = TextAnalysis.viterbiSegments(wf, vocab, maxPieceLen = 4)
+      .collect().head
+    assert(got.getLong(2) == 2L && got.getString(4) == "a bc",
+      s"tie-break diverged: $got")
+  }
+
+  test("unigramTrain keeps every single character (coverage floor)") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq("aaab aaab ab zq").toDF("text")
+    val v = TextAnalysis.unigramTrain(docs, "text", maxPieceLen = 3,
+      seedSize = 5, vocabSize = 2, nRounds = 2)
+    val toks = v.collect().map(_.getString(0)).toSet
+    assert(Set("a", "b", "z", "q").subsetOf(toks),
+      s"single chars pruned: $toks")
+    val multi = toks.filter(_.length >= 2)
+    assert(multi.size <= 2, s"vocabSize prune failed: $multi")
+  }
+
   test("louvainLevels on empty and self-loop-only inputs returns empty") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(GraphAnalytics.louvainLevels(empty, 3, 4).count() == 0L)
