@@ -1901,6 +1901,40 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.labelPropagation(store(s, dir),
         Seq("in_nation", "in_region"), iters = 2)),
 
+    // ---- Convergence monitors for the distance family (the r11
+    // convergence-observable law extended): per-round changed counts,
+    // early-exit at the absorbing fixpoint; a final 0 = converged,
+    // a final > 0 = the documented bounded horizon (flag, not throw) ----
+    "q_spath_converged" -> ((s, dir) => {
+      val st = store(s, dir)
+      val edges = st.edge("placed")
+        .select(col("_src"), col("_dst"), lit(1.0).as("w"))
+        .unionByName(st.edge("contains")
+          .select(col("_src"), col("_dst"),
+            col("l_quantity").cast("double").as("w")))
+        .unionByName(st.edge("supplied_by")
+          .select(col("_src"), col("_dst"), lit(1.0).as("w")))
+      graft.analytics.GraphAnalytics.shortestPathsTrace(edges,
+        seeds = Seq(1L, 2L, 3L, 4L, 5L), maxIters = 6)
+    }),
+    "q_earr_converged" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e = t(s, dir, "orders").select(col("o_custkey").as("src"),
+          col("o_orderkey").as("dst"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+        .unionByName(li.select(col("l_orderkey").as("src"),
+          col("l_partkey").as("dst"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("t")))
+        .unionByName(li.select(col("l_partkey").as("src"),
+          col("l_suppkey").as("dst"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("t")))
+      graft.analytics.GraphAnalytics.earliestArrivalTrace(
+        e, seeds = Seq(1L, 2L, 3L, 4L, 5L), maxRounds = 6)
+    }),
+    "q_lprop_converged" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.labelPropagationTrace(store(s, dir),
+        Seq("in_nation", "in_region"), maxIters = 6)),
+
     // ---- Weighted sampling without replacement (A-ES, replayable) ----
     "q_weighted_sample" -> ((s, dir) =>
       Sample.weightedByGroup(t(s, dir, "part"), "p_brand", "p_partkey",
@@ -2740,6 +2774,107 @@ object SparkEntry {
        |             CAST(0 AS BIGINT) AS arr_us),
        |$relax
        |SELECT seed, vid, arr_us FROM a$rounds""".stripMargin
+  }
+
+  /** Emit rule shared by the distance-family convergence monitors:
+    * rounds 1..first-zero (the confirmation round) or the full budget
+    * if the horizon was bounded — exactly the Spark loop's trace. */
+  private def traceEmitSql(rounds: Int): String = {
+    val all = (1 to rounds).map(t => s"SELECT * FROM chg$t")
+      .mkString("\nUNION ALL ")
+    s"""allchg AS ($all)
+       |SELECT round, changed FROM allchg
+       |WHERE round <= coalesce((SELECT min(round) FROM allchg
+       |  WHERE changed = 0), $rounds)""".stripMargin
+  }
+
+  /** Bellman-Ford trace: replay the q_shortest_paths relaxation with a
+    * per-round improved-row count (left-anti on (v, dist) — min-combine
+    * is monotone, and both engines fold d_prev + w over the identical
+    * candidate set, so the double equality is engine-safe).
+    * MATERIALIZED per round: d_t is referenced 3× by round t+1. */
+  private def spathTraceSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""d$i AS MATERIALIZED (SELECT v, min(dist) AS dist FROM (
+         |  SELECT v, dist FROM d$p
+         |  UNION ALL
+         |  SELECT e.d, d$p.dist + e.w FROM d$p
+         |  JOIN e ON e.s = d$p.v) z$i GROUP BY v),
+         |chg$i AS (SELECT CAST($i AS BIGINT) AS round,
+         |    CAST(count(*) AS BIGINT) AS changed
+         |  FROM d$i a LEFT JOIN d$p b ON b.v = a.v AND b.dist = a.dist
+         |  WHERE b.v IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT o_custkey AS s, o_orderkey AS d, 1.0 AS w FROM orders
+       |  UNION ALL SELECT l_orderkey, l_partkey,
+       |    CAST(l_quantity AS DOUBLE) FROM lineitem
+       |  UNION ALL SELECT l_partkey, l_suppkey, 1.0 FROM lineitem),
+       |d0 AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS v,
+       |       0.0 AS dist),
+       |$steps,
+       |${traceEmitSql(rounds)}""".stripMargin
+  }
+
+  /** Earliest-arrival trace: q_earliest_arrival's relaxation with a
+    * per-round improved-(seed,vid,arr_us) count — all integers. */
+  private def earrTraceSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""a$i AS MATERIALIZED (SELECT seed, vid, min(arr_us) AS arr_us
+         |  FROM (
+         |  SELECT a.seed, te.d AS vid, te.t AS arr_us
+         |  FROM te JOIN a$p a ON te.s = a.vid AND te.t >= a.arr_us
+         |  UNION ALL SELECT seed, vid, arr_us FROM a$p) z$i
+         |  GROUP BY seed, vid),
+         |chg$i AS (SELECT CAST($i AS BIGINT) AS round,
+         |    CAST(count(*) AS BIGINT) AS changed
+         |  FROM a$i x LEFT JOIN a$p b ON b.seed = x.seed
+         |    AND b.vid = x.vid AND b.arr_us = x.arr_us
+         |  WHERE b.vid IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH te AS MATERIALIZED (
+       |  SELECT o_custkey AS s, o_orderkey AS d,
+       |    epoch_us(o_orderdate) AS t FROM orders
+       |  UNION ALL SELECT l_orderkey, l_partkey, epoch_us(l_shipdate)
+       |  FROM lineitem
+       |  UNION ALL SELECT l_partkey, l_suppkey, epoch_us(l_shipdate)
+       |  FROM lineitem),
+       |a0 AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS seed,
+       |             CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS vid,
+       |             CAST(0 AS BIGINT) AS arr_us),
+       |$steps,
+       |${traceEmitSql(rounds)}""".stripMargin
+  }
+
+  /** LPA trace: q_label_propagation's sync vote rounds with a
+    * per-round changed-label count. */
+  private def lpropTraceSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""v$i AS (SELECT e.s, l$p.label, count(*) AS n
+         |  FROM e JOIN l$p ON l$p.v = e.d GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT s AS v, label FROM (
+         |  SELECT s, label, row_number() OVER (PARTITION BY s
+         |    ORDER BY n DESC, label) AS rk FROM v$i) z$i WHERE rk = 1),
+         |chg$i AS (SELECT CAST($i AS BIGINT) AS round,
+         |    CAST(count(*) AS BIGINT) AS changed
+         |  FROM l$i a LEFT JOIN l$p b ON b.v = a.v AND b.label = a.label
+         |  WHERE b.v IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH de AS (
+       |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+       |  FROM nation),
+       |e AS MATERIALIZED (SELECT DISTINCT s, d FROM
+       |  (SELECT s, d FROM de UNION ALL SELECT d, s FROM de) u0),
+       |l0 AS MATERIALIZED (SELECT v, v AS label FROM
+       |  (SELECT DISTINCT s AS v FROM e) n0),
+       |$steps,
+       |${traceEmitSql(rounds)}""".stripMargin
   }
 
   /** The supplierChangelog fixture as a DuckDB CTE (shared by the
@@ -4468,6 +4603,9 @@ object SparkEntry {
     // min-arrival relaxation rounds mirrored exactly (relax from the
     // FULL arrival frame each round, min-fold with the carry-over)
     "q_earliest_arrival" -> earliestArrivalSql(3),
+    "q_spath_converged" -> spathTraceSql(6),
+    "q_earr_converged" -> earrTraceSql(6),
+    "q_lprop_converged" -> lpropTraceSql(6),
 
     // σ chain: per level, sum of predecessor sigmas grouped BEFORE the
     // visited anti-filter; dist is the level index

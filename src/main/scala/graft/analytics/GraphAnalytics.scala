@@ -1936,7 +1936,30 @@ object GraphAnalytics {
    * released as soon as the next round materializes.
    */
   def labelPropagation(store: GraphStore, edgeTypes: Seq[String],
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    labelPropagationLoop(store, edgeTypes, iters)._1
+      .select(col("v").as("_vid"), col("label").as("community"))
+
+  /** Convergence monitor for [[labelPropagation]]: one row per
+    * executed round with the changed-label count; the loop early-exits
+    * at the first zero-change round (the fixpoint is absorbing — the
+    * sync round is a deterministic function of the labels), so a final
+    * row of 0 reads CONVERGED and a final row > 0 reads BUDGET-BOUNDED
+    * (the documented k-round horizon — a flag, not a throw: a bounded
+    * sweep is a legitimate ask, unlike the label family's silent
+    * truncation this law replaced). */
+  def labelPropagationTrace(store: GraphStore, edgeTypes: Seq[String],
+      maxIters: Int): DataFrame = {
+    val spark = store.edges.valuesIterator.next().sparkSession
+    import spark.implicits._
+    labelPropagationLoop(store, edgeTypes, maxIters)._2
+      .toDF("round", "changed")
+  }
+
+  private def labelPropagationLoop(store: GraphStore,
+      edgeTypes: Seq[String], maxIters: Int)
+      : (DataFrame, Seq[(Long, Long)]) = {
+    require(maxIters >= 1, "maxIters must be >= 1")
     val dirEdges = edgeTypes.map { et =>
       store.edge(et).select(col(GraphStore.SRC).as("s"),
         col(GraphStore.DST).as("d"))
@@ -1947,26 +1970,36 @@ object GraphAnalytics {
       .unionByName(dirEdges.select(col("d").as("s"), col("s").as("d")))
       .distinct()
       .transform(graft.CacheScope.persist(_))
-    var labels = e.select(col("s").as("v")).distinct()
-      .withColumn("label", col("v"))
-      .transform(graft.CacheScope.persist(_))
-    var prev: Option[DataFrame] = None
-    for (_ <- 1 to iters) {
+    val sc = e.sparkSession.sparkContext
+    val (labels0, id0) = rotateCheckpoint(
+      e.select(col("s").as("v")).distinct()
+        .withColumn("label", col("v")), None)
+    var labels = labels0
+    var prevId = id0
+    val trace = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var round = 0L
+    var changed = -1L
+    while (round < maxIters && changed != 0L) {
+      round += 1
       val votes = e.join(labels, e("d") === labels("v"))
         .groupBy(col("s"), col("label"))
         .agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("s"))
         .orderBy(col("n").desc, col("label"))
-      val next = votes.withColumn("_rk", row_number().over(w))
-        .filter(col("_rk") === 1)
-        .select(col("s").as("v"), col("label"))
-        .transform(graft.CacheScope.persist(_))
-      next.count()
-      prev.foreach(graft.CacheScope.unpersist)
-      prev = Some(next)
+      // lineage break per round (the bigStarLoop law): the round
+      // references `labels` twice (votes + the change diff below)
+      val (next, ckptId) = rotateCheckpoint(
+        votes.withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") === 1)
+          .select(col("s").as("v"), col("label")), None)
+      changed = next.join(labels, Seq("v", "label"), "left_anti").count()
+      prevId.foreach(i => sc.getPersistentRDDs.get(i)
+        .foreach(_.unpersist(blocking = false)))
+      prevId = ckptId
       labels = next
+      trace += ((round, changed))
     }
-    labels.select(col("v").as("_vid"), col("label").as("community"))
+    (labels, trace.toSeq)
   }
 
   /**
@@ -1985,27 +2018,63 @@ object GraphAnalytics {
    * and the result is oracle-exact.
    */
   def shortestPaths(edges: DataFrame, seeds: Seq[Long],
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    shortestPathsLoop(edges, seeds, iters)._1
+      .select(col("v").as("_vid"),
+        graft.functions.Portable.quant(col("dist"), 4).as("dist"))
+
+  /** Convergence monitor for [[shortestPaths]]: one row per executed
+    * round with the count of vertices whose distance improved (new
+    * vertex or strictly smaller dist — min-combine is monotone). The
+    * loop early-exits at the first zero-change round (Bellman-Ford's
+    * fixpoint is absorbing), so a final 0 reads CONVERGED = exact
+    * distances, and a final row > 0 reads BUDGET-BOUNDED (the
+    * documented ≤-iters-edges horizon — a flag, not a throw). At 100×
+    * scale an undersized budget would otherwise silently report
+    * far-horizon vertices as unreachable. */
+  def shortestPathsTrace(edges: DataFrame, seeds: Seq[Long],
+      maxIters: Int): DataFrame = {
     val spark = edges.sparkSession
+    import spark.implicits._
+    shortestPathsLoop(edges, seeds, maxIters)._2.toDF("round", "changed")
+  }
+
+  private def shortestPathsLoop(edges: DataFrame, seeds: Seq[Long],
+      maxIters: Int): (DataFrame, Seq[(Long, Long)]) = {
+    require(maxIters >= 1, "maxIters must be >= 1")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
     import spark.implicits._
     val e = edges.toDF("s", "d", "w")
       .transform(graft.CacheScope.persist(_))
     var dist = seeds.toDF("v").withColumn("dist", lit(0.0))
-      .transform(graft.CacheScope.persist(_))
-    var prev: Option[DataFrame] = None
-    for (_ <- 1 to iters) {
-      val relaxed = e.join(dist, e("s") === dist("v"))
-        .select(col("d").as("v"), (col("dist") + col("w")).as("dist"))
-        .unionByName(dist)
-        .groupBy("v").agg(min(col("dist")).as("dist"))
-        .transform(graft.CacheScope.persist(_))
-      relaxed.count()
-      prev.foreach(graft.CacheScope.unpersist)
-      prev = Some(relaxed)
+    var prevId: Option[Int] = None
+    val trace = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var round = 0L
+    var changed = -1L
+    while (round < maxIters && changed != 0L) {
+      round += 1
+      // lineage break per round: the round references `dist` three
+      // times (relax, union, change diff) — persist alone grows the
+      // analyzed plan ~3^rounds (the kCore stringification lesson)
+      val (relaxed, ckptId) = rotateCheckpoint(
+        e.join(dist, e("s") === dist("v"))
+          .select(col("d").as("v"), (col("dist") + col("w")).as("dist"))
+          .unionByName(dist)
+          .groupBy("v").agg(min(col("dist")).as("dist")), None)
+      // min-combine never worsens a distance, so "changed" is exactly
+      // the (v, dist) pairs absent from the previous frame. The double
+      // equality is engine-safe: both engines fold d_prev + w over the
+      // identical candidate set (see scaladoc above), so min picks
+      // bit-identical doubles.
+      changed = relaxed.join(dist, Seq("v", "dist"), "left_anti").count()
+      prevId.foreach(i => sc.getPersistentRDDs.get(i)
+        .foreach(_.unpersist(blocking = false)))
+      prevId = ckptId
       dist = relaxed
+      trace += ((round, changed))
     }
-    dist.select(col("v").as("_vid"),
-      graft.functions.Portable.quant(col("dist"), 4).as("dist"))
+    (dist, trace.toSeq)
   }
 
   /**
@@ -2030,29 +2099,57 @@ object GraphAnalytics {
    * fixed-round oracles.
    */
   def earliestArrival(edges: DataFrame, seeds: Seq[Long],
-      rounds: Int): DataFrame = {
-    require(rounds >= 1, "rounds must be >= 1")
+      rounds: Int): DataFrame =
+    earliestArrivalLoop(edges, seeds, rounds)._1
+
+  /** Convergence monitor for [[earliestArrival]]: one row per executed
+    * round with the count of (seed, vid) arrivals that appeared or
+    * improved; early-exit at the first zero-change round (monotone
+    * min-relaxation, absorbing fixpoint). Final 0 = CONVERGED, final
+    * > 0 = BUDGET-BOUNDED temporal-hop horizon (flag, not throw). All
+    * integers — exactly oracle-replayable. */
+  def earliestArrivalTrace(edges: DataFrame, seeds: Seq[Long],
+      maxRounds: Int): DataFrame = {
     val spark = edges.sparkSession
+    import spark.implicits._
+    earliestArrivalLoop(edges, seeds, maxRounds)._2
+      .toDF("round", "changed")
+  }
+
+  private def earliestArrivalLoop(edges: DataFrame, seeds: Seq[Long],
+      maxRounds: Int): (DataFrame, Seq[(Long, Long)]) = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
     import spark.implicits._
     val e = edges.toDF("s", "d", "t")
       .transform(graft.CacheScope.persist(_))
     var arr = seeds.map(s => (s, s)).toDF("seed", "vid")
       .withColumn("arr_us", lit(0L))
-      .transform(graft.CacheScope.persist(_))
-    var prev: Option[DataFrame] = None
-    for (_ <- 1 to rounds) {
-      val relaxed = e.join(arr, e("s") === arr("vid") &&
-          e("t") >= col("arr_us"))
-        .select(col("seed"), col("d").as("vid"), col("t").as("arr_us"))
-        .unionByName(arr)
-        .groupBy("seed", "vid").agg(min(col("arr_us")).as("arr_us"))
-        .transform(graft.CacheScope.persist(_))
-      relaxed.count()
-      prev.foreach(graft.CacheScope.unpersist)
-      prev = Some(relaxed)
+    var prevId: Option[Int] = None
+    val trace = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var round = 0L
+    var changed = -1L
+    while (round < maxRounds && changed != 0L) {
+      round += 1
+      // lineage break per round (3 references to `arr`: relax, union,
+      // change diff — the shortestPathsLoop law)
+      val (relaxed, ckptId) = rotateCheckpoint(
+        e.join(arr, e("s") === arr("vid") && e("t") >= col("arr_us"))
+          .select(col("seed"), col("d").as("vid"),
+            col("t").as("arr_us"))
+          .unionByName(arr)
+          .groupBy("seed", "vid").agg(min(col("arr_us")).as("arr_us")),
+        None)
+      changed = relaxed
+        .join(arr, Seq("seed", "vid", "arr_us"), "left_anti").count()
+      prevId.foreach(i => sc.getPersistentRDDs.get(i)
+        .foreach(_.unpersist(blocking = false)))
+      prevId = ckptId
       arr = relaxed
+      trace += ((round, changed))
     }
-    arr
+    (arr, trace.toSeq)
   }
 
   /**
