@@ -185,7 +185,7 @@ object Bench {
     // round-12 additions (before the unigram_* round-10 rules)
     "unigram_train" -> "ugtr", "unigram_encode" -> "ugenc",
     "spath_converged" -> "spconv", "earr_converged" -> "eaconv",
-    "lprop_converged" -> "lpconv",
+    "lprop_converged" -> "lpconv", "ivf_drift" -> "ivfdr",
     // round-11 additions
     "louvain_levels" -> "louvlv", "weighted_matching" -> "wmatch",
     "knn_refine_recall" -> "knnrr", "knn_refine" -> "knnrf",

@@ -1699,6 +1699,18 @@ object SparkEntry {
         emb.filter(col("vec_id") >= 400), "vec_id", "embedding")
     }),
 
+    // ---- IVF maintenance observable: trained-vs-post-append cell
+    // occupancy with integer-permille share deltas; max_drift_pm is
+    // the retrain trigger the ivfAppend contract points at ----
+    "q_ivf_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val trained = Similarity.ivfTrain(emb.filter(col("vec_id") < 400),
+        "vec_id", "embedding", nCells = 16, iters = 2)
+      Similarity.ivfOccupancyDrift(trained,
+        Similarity.ivfAppend(trained, emb.filter(col("vec_id") >= 400),
+          "vec_id", "embedding"))
+    }),
+
     "q_ivf_train" -> ((s, dir) =>
       Similarity.ivfTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
           nCells = 16, iters = 2)
@@ -7011,6 +7023,32 @@ object SparkEntry {
          |      c.cvec) DESC, c.cell) AS crk
          |  FROM embeddings e CROSS JOIN c2 c
          |  WHERE e.vec_id >= 400) __a WHERE crk = 1""".stripMargin,
+
+    "q_ivf_drift" ->
+      s"""WITH ${ivfTrainCtes(iters = 2, where = "vec_id < 400")},
+         |app AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, c.cell, row_number() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+         |      c.cvec) DESC, c.cell) AS crk
+         |  FROM embeddings e CROSS JOIN c2 c
+         |  WHERE e.vec_id >= 400) __a WHERE crk = 1),
+         |nn AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_new
+         |  FROM app GROUP BY cell),
+         |occ AS MATERIALIZED (SELECT c.cell, c.n AS n_base,
+         |    coalesce(nn.n_new, 0) AS n_new
+         |  FROM c2 c LEFT JOIN nn USING (cell)),
+         |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+         |    CAST(sum(n_base + n_new) AS BIGINT) AS ta FROM occ),
+         |d AS MATERIALIZED (SELECT cell, n_base, n_new,
+         |    n_base + n_new AS n_total,
+         |    n_base * 1000 // tb AS share_base_pm,
+         |    (n_base + n_new) * 1000 // ta AS share_post_pm,
+         |    abs((n_base + n_new) * 1000 // ta -
+         |      n_base * 1000 // tb) AS drift_pm
+         |  FROM occ CROSS JOIN tot)
+         |SELECT d.*, (SELECT max(drift_pm) FROM d) AS max_drift_pm
+         |FROM d""".stripMargin,
 
     "q_ivf_topk" -> IvfTopKSql,
 

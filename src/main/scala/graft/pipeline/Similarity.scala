@@ -805,6 +805,50 @@ object Similarity {
   }
 
   /**
+   * Cell-occupancy drift monitor — the operational observable
+   * [[ivfAppend]]'s contract points at ("retraining cadence is an
+   * offline decision the cell-occupancy drift informs"): the trained
+   * index's occupancy histogram vs the post-append one, with the
+   * per-cell share delta in integer permille (cross-multiplied BIGINT
+   * division — no floats) and the max delta attached as the headline
+   * drift metric. A cell whose share swells after ingest is where
+   * recall degrades first; max_drift_pm crossing a threshold is the
+   * retrain trigger.
+   *
+   * `trained` is [[ivfTrain]] output (cell, cvec, n); `appended` is
+   * [[ivfAppend]] output (id, cell). Output per cell: (cell, n_base,
+   * n_new, n_total, share_base_pm, share_post_pm, drift_pm,
+   * max_drift_pm).
+   *
+   * Scale shape: ONE combinable cell-keyed count over the append
+   * batch, then everything rides nCells-sized frames — the totals and
+   * the max are broadcast 1-row scalars (the house scalar-attachment
+   * shape), and the base corpus is never touched (its occupancy
+   * shipped with the trained index).
+   */
+  def ivfOccupancyDrift(trained: DataFrame,
+      appended: DataFrame): DataFrame = {
+    val newc = appended.groupBy("cell").agg(count(lit(1)).as("n_new"))
+    val occ = trained.select(col("cell"), col("n").as("n_base"))
+      .join(newc, Seq("cell"), "left")
+      .select(col("cell"), col("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .transform(graft.CacheScope.persist(_)) // totals + output branches
+    val tot = occ.agg(sum(col("n_base")).as("tb"),
+      sum(col("n_base") + col("n_new")).as("ta"))
+    val d = occ.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_base"), col("n_new"),
+        (col("n_base") + col("n_new")).as("n_total"),
+        expr("n_base * 1000 div tb").as("share_base_pm"),
+        expr("(n_base + n_new) * 1000 div ta").as("share_post_pm"))
+      .withColumn("drift_pm",
+        abs(col("share_post_pm") - col("share_base_pm")))
+      .transform(graft.CacheScope.persist(_)) // max + output branches
+    d.crossJoin(broadcast(d.agg(max(col("drift_pm"))
+      .as("max_drift_pm"))))
+  }
+
+  /**
    * Deterministic k-means refinement of the IVF coarse centroids (the
    * production path the first-N-by-id init stands in for). Init = the
    * first `nCells` vectors by id, cast to double. Each iteration:
