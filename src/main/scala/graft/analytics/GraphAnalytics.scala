@@ -2629,15 +2629,20 @@ object GraphAnalytics {
    * aggregates, ONE adjacency-sized weight shuffle for w_xc, a
    * max(struct) argmax, m2 broadcast.
    */
-  def louvainMoveWeighted(g: DataFrame, comm0: DataFrame): DataFrame = {
-    val gg = g.toDF("u", "v", "w")
-      .transform(graft.CacheScope.persist(_)) // adj both sides + self
+  def louvainMoveWeighted(g: DataFrame, comm0: DataFrame,
+      persistInputs: Boolean = true): DataFrame = {
+    // persistInputs = false when BOTH inputs are already materialized
+    // leaves (louvainLevels passes checkpointed frames): re-persisting
+    // a checkpointed frame buys nothing and costs a second in-memory
+    // copy per round across the 36 calls of a 3-level run
+    def pin(df: DataFrame): DataFrame =
+      if (persistInputs) graft.CacheScope.persist(df) else df
+    val gg = pin(g.toDF("u", "v", "w")) // adj both sides + self
     val nonSelf = gg.filter(col("u") =!= col("v"))
     val adj = nonSelf.select(col("u").as("x"), col("v").as("n"), col("w"))
       .unionByName(
         nonSelf.select(col("v").as("x"), col("u").as("n"), col("w")))
-    val comm = comm0.toDF("x", "c")
-      .transform(graft.CacheScope.persist(_))
+    val comm = pin(comm0.toDF("x", "c"))
     val deg = comm.select("x")
       .join(adj.groupBy("x").agg(sum(col("w")).as("ka")), Seq("x"), "left")
       .join(gg.filter(col("u") === col("v"))
@@ -2802,22 +2807,27 @@ object GraphAnalytics {
       var comm = rotate("comm",
         g.select(col("u").as("x")).union(g.select(col("v"))).distinct()
           .select(col("x"), col("x").as("c")))
+      // parity alternation (see scaladoc): only one round's vertex
+      // half applies its move; the other half keeps its community.
+      // Parity = md5 window of the id, NOT id mod 2: contracted
+      // levels inherit elected community ids whose low bit is
+      // structurally correlated (an all-even level made id-parity
+      // rounds alternately no-op and fully synchronous)
+      val par = pmod(conv(substring(md5(col("_vid").cast("string")),
+        1, 8), 16, 10).cast("long"), lit(2L))
+      // One rotation per round. NOTE (r12 measured): fusing round
+      // pairs into one plan per rotation (compose moveRound twice,
+      // rotate once) was tried and measured 2.6x WORSE at sf0.1
+      // (36.0 s vs 13.8 s) — the fused mid-state's ~5 references
+      // rehydrate through the cache for more than the saved job floor.
+      // Both inputs are checkpointed leaves here, so the in-call
+      // persists are skipped (persistInputs = false).
       for (r <- 1 to roundsPerLevel) {
-        // parity alternation (see scaladoc): only this round's vertex
-        // half applies its move; the other half keeps its community.
-        // Parity = md5 window of the id, NOT id mod 2: contracted
-        // levels inherit elected community ids whose low bit is
-        // structurally correlated (an all-even level made id-parity
-        // rounds alternately no-op and fully synchronous)
-        val par = pmod(conv(substring(md5(col("_vid").cast("string")),
-          1, 8), 16, 10).cast("long"), lit(2L))
-        // single rotation per round: the move output feeds only this
-        // projection, so materializing it separately doubles the
-        // per-round job count for nothing
         comm = rotate("comm",
-          louvainMoveWeighted(g, comm).select(col("_vid").as("x"),
-            when(par === lit((r % 2).toLong),
-              col("new_c")).otherwise(col("old_c")).as("c")))
+          louvainMoveWeighted(g, comm, persistInputs = false)
+            .select(col("_vid").as("x"),
+              when(par === lit((r % 2).toLong),
+                col("new_c")).otherwise(col("old_c")).as("c")))
       }
       val (qNum, qDen) = modularityIntegersW(g, comm)
       if (prevQ.exists(_ >= qNum)) stop = true
