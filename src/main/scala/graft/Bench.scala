@@ -186,6 +186,7 @@ object Bench {
     "unigram_train" -> "ugtr", "unigram_encode" -> "ugenc",
     "spath_converged" -> "spconv", "earr_converged" -> "eaconv",
     "lprop_converged" -> "lpconv", "ivf_drift" -> "ivfdr",
+    "lprop_stable_trace" -> "lpstt", "lprop_stable" -> "lpst",
     // round-11 additions
     "louvain_levels" -> "louvlv", "weighted_matching" -> "wmatch",
     "knn_refine_recall" -> "knnrr", "knn_refine" -> "knnrf",

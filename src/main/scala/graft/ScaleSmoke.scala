@@ -778,6 +778,34 @@ object ScaleSmoke {
         ev.where(col("event_type") === "purchase"),
         key = "user_id", window = "6 hours").count())
 
+    // ---- round-12 rows (strict isolation protocol) ----
+    // unigram trainer: corpus collapses once to the word table; the
+    // copytag suffixes multiply the WORD vocab by ~factor, so the EM
+    // rounds ride a factor-linear vocab — the frame the smoke checks
+    time(s"unigram train 2 rounds ${factor}x")(
+      graft.pipeline.TextAnalysis.unigramTrain(docs, "text",
+        maxPieceLen = 4, seedSize = 40, vocabSize = 24,
+        nRounds = 2).count())
+    time(s"unigram encode ${factor}x")(
+      graft.pipeline.TextAnalysis.unigramEncodeCounts(docs, "doc_id",
+        "text", maxPieceLen = 4, seedSize = 40, vocabSize = 24,
+        nRounds = 2).count())
+    // distance-family traces: per-round one extra anti-join count on
+    // the vertex-sized frame — cost must stay round x frontier-linear
+    time(s"spath trace ${factor}x")(
+      graft.analytics.GraphAnalytics.shortestPathsTrace(
+        ampEdges.toDF("s", "d").withColumn("w", lit(1.0)),
+        seeds = (1L to 5L), maxIters = 6).count())
+    time(s"ivf drift ${factor}x (cells x$factor)")({
+      val trained = graft.pipeline.Similarity.ivfTrain(
+        embDense.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+        nCells = 16 * factor, iters = 1)
+      graft.pipeline.Similarity.ivfOccupancyDrift(trained,
+        graft.pipeline.Similarity.ivfAppend(trained,
+          embDense.filter(col("vec_id") % 3 === 0), "vec_id",
+          "embedding")).count()
+    })
+
     spark.stop()
   }
 }

@@ -1947,6 +1947,19 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.labelPropagationTrace(store(s, dir),
         Seq("in_nation", "in_region"), maxIters = 6)),
 
+    // ---- Semi-synchronous LPA (Cordasco & Gargano 2012): proper
+    // coloring first, one color class updates per step — the
+    // convergence fix for the oscillation q_lprop_converged observes
+    // (sync LPA 2-cycles; parity is not a proper coloring) ----
+    "q_lprop_stable" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.labelPropagationStable(
+        store(s, dir), Seq("in_nation", "in_region"),
+        colorRounds = 8, maxSweeps = 4)),
+    "q_lprop_stable_trace" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.labelPropagationStableTrace(
+        store(s, dir), Seq("in_nation", "in_region"),
+        colorRounds = 8, maxSweeps = 4)),
+
     // ---- Weighted sampling without replacement (A-ES, replayable) ----
     "q_weighted_sample" -> ((s, dir) =>
       Sample.weightedByGroup(t(s, dir, "part"), "p_brand", "p_partkey",
@@ -2887,6 +2900,87 @@ object SparkEntry {
        |  (SELECT DISTINCT s AS v FROM e) n0),
        |$steps,
        |${traceEmitSql(rounds)}""".stripMargin
+  }
+
+  /** Semi-synchronous LPA oracle body: Jones–Plassmann coloring
+    * rounds (the q_priority_coloring pattern), then maxSweeps ×
+    * colorRounds class-step CTEs — one vote/argmax/update/changed
+    * block per step. Shared by the labels and trace oracles. */
+  private def lpropStableCtes(colorRounds: Int, maxSweeps: Int): String = {
+    val coloring = (1 to colorRounds).map { k =>
+      val live = if (k == 1) "verts" else s"u${k - 1}"
+      val liveFilter =
+        if (k == 1) "" else s" AND e.d IN (SELECT v FROM $live)"
+      s"""m$k AS MATERIALIZED (SELECT x.v FROM $live x
+         |  WHERE md5('c#' || x.v) <
+         |    coalesce((SELECT min(md5('c#' || e.d)) FROM e
+         |      WHERE e.s = x.v$liveFilter), 'z')),
+         |u$k AS (SELECT v FROM $live
+         |  WHERE v NOT IN (SELECT v FROM m$k))""".stripMargin
+    }.mkString(",\n")
+    val colorRows = (1 to colorRounds)
+      .map(k => s"SELECT v, ${k - 1} AS color FROM m$k")
+      .mkString("\n  UNION ALL ")
+    val steps = (1 to maxSweeps * colorRounds).map { t =>
+      val p = t - 1
+      val sweep = (t - 1) / colorRounds + 1
+      val c = (t - 1) % colorRounds
+      s"""v$t AS (SELECT e.s, l$p.label, count(*) AS n
+         |  FROM e JOIN l$p ON l$p.v = e.d GROUP BY 1, 2),
+         |b$t AS (SELECT s AS v, label AS blabel FROM (
+         |  SELECT s, label, row_number() OVER (PARTITION BY s
+         |    ORDER BY n DESC, label) AS rk FROM v$t) z$t WHERE rk = 1),
+         |l$t AS MATERIALIZED (SELECT l$p.v,
+         |    CASE WHEN co.color = $c THEN b$t.blabel
+         |      ELSE l$p.label END AS label
+         |  FROM l$p JOIN b$t ON b$t.v = l$p.v
+         |  JOIN colors co ON co.v = l$p.v),
+         |chg$t AS (SELECT CAST($sweep AS BIGINT) AS sweep,
+         |    CAST($c AS BIGINT) AS color,
+         |    CAST(count(*) AS BIGINT) AS changed
+         |  FROM l$t a LEFT JOIN l$p b ON b.v = a.v AND b.label = a.label
+         |  WHERE b.v IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""de AS (
+       |  SELECT c_custkey AS s, CAST(c_nationkey AS BIGINT) AS d
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+       |  FROM nation),
+       |e AS MATERIALIZED (SELECT DISTINCT s, d FROM
+       |  (SELECT s, d FROM de UNION ALL SELECT d, s FROM de) u0
+       |  WHERE s <> d),
+       |verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM e),
+       |$coloring,
+       |colors AS MATERIALIZED ($colorRows),
+       |l0 AS MATERIALIZED (SELECT v, v AS label FROM verts),
+       |$steps""".stripMargin
+  }
+
+  /** Final labels: sweeps past the fixpoint are no-ops, so the full
+    * unroll's last frame equals the early-exiting Spark loop's. */
+  private def lpropStableSql(colorRounds: Int, maxSweeps: Int): String =
+    s"""WITH ${lpropStableCtes(colorRounds, maxSweeps)}
+       |SELECT v AS _vid, label AS community
+       |FROM l${maxSweeps * colorRounds}""".stripMargin
+
+  /** Trace: executed steps only — the Spark loop skips colors with no
+    * members (the class list is data-dependent but deterministic), so
+    * absent-class step rows are filtered out, then sweeps ≤ the first
+    * all-zero sweep (or the budget) — the exact emit rule. */
+  private def lpropStableTraceSql(colorRounds: Int,
+      maxSweeps: Int): String = {
+    val all = (1 to maxSweeps * colorRounds)
+      .map(t => s"SELECT * FROM chg$t").mkString("\nUNION ALL ")
+    s"""WITH ${lpropStableCtes(colorRounds, maxSweeps)},
+       |allchg0 AS ($all),
+       |allchg AS (SELECT a.* FROM allchg0 a
+       |  JOIN (SELECT DISTINCT color FROM colors) pc USING (color)),
+       |sw AS (SELECT sweep, CAST(sum(changed) AS BIGINT) AS total
+       |  FROM allchg GROUP BY sweep)
+       |SELECT sweep, color, changed FROM allchg
+       |WHERE sweep <= coalesce((SELECT min(sweep) FROM sw
+       |  WHERE total = 0), $maxSweeps)""".stripMargin
   }
 
   /** The supplierChangelog fixture as a DuckDB CTE (shared by the
@@ -4618,6 +4712,9 @@ object SparkEntry {
     "q_spath_converged" -> spathTraceSql(6),
     "q_earr_converged" -> earrTraceSql(6),
     "q_lprop_converged" -> lpropTraceSql(6),
+    "q_lprop_stable" -> lpropStableSql(colorRounds = 8, maxSweeps = 4),
+    "q_lprop_stable_trace" ->
+      lpropStableTraceSql(colorRounds = 8, maxSweeps = 4),
 
     // σ chain: per level, sum of predecessor sigmas grouped BEFORE the
     // visited anti-filter; dist is the level index

@@ -1956,6 +1956,124 @@ object GraphAnalytics {
       .toDF("round", "changed")
   }
 
+  /**
+   * Semi-synchronous label propagation (Cordasco & Gargano 2012 — the
+   * convergence fix for the oscillation [[labelPropagationTrace]]
+   * OBSERVES: synchronous LPA 2-cycles on bipartite-like structure
+   * because adjacent vertices swap labels simultaneously; md5-parity
+   * alternation is NOT enough, measured — a 2-cycle survives across
+   * parity classes when neighbors share parity). Vertices are first
+   * properly colored ([[priorityColoring]] — adjacent vertices never
+   * share a color), then each sweep updates one color class at a
+   * time: simultaneous updaters form an independent set, so every
+   * update is equivalent to a sequential LPA move and the labeling
+   * reaches a stable fixpoint instead of a limit cycle.
+   *
+   * The sweep iterates ALL color slots 0..colorRounds−1 (empty slots
+   * no-op) so the step sequence is deterministic and the oracle can
+   * unroll it; an uncolored vertex (coloring budget exhausted) THROWS
+   * — a vertex that never updates would silently freeze its initial
+   * label. Early-exit at the first all-zero sweep (stable labelings
+   * are absorbing: every later class update is a no-op); a budget
+   * exhaustion leaves the final sweep's nonzero counts in the trace
+   * (flag, not throw — the distance-family law).
+   *
+   * Scale shape: coloring is the lubyMIS shape; each class step is
+   * ONE edge⋈labels vote join + a combinable (vertex, label) count +
+   * a WindowGroupLimit argmax + a vertex-sized projection, rotated
+   * via localCheckpoint (O(1) pinned frames). Sweep cost = nColors ×
+   * the sync-LPA round cost — the price of determinism-with-
+   * convergence, flat in corpus size.
+   */
+  def labelPropagationStable(store: GraphStore, edgeTypes: Seq[String],
+      colorRounds: Int, maxSweeps: Int): DataFrame =
+    semiSyncLpaLoop(store, edgeTypes, colorRounds, maxSweeps)._1
+      .select(col("v").as(GraphStore.VID), col("label").as("community"))
+
+  /** Per-step convergence trace of [[labelPropagationStable]]:
+    * (sweep, color, changed) for every executed class step; the final
+    * sweep reads all-zero iff the labeling converged. */
+  def labelPropagationStableTrace(store: GraphStore,
+      edgeTypes: Seq[String], colorRounds: Int,
+      maxSweeps: Int): DataFrame = {
+    val spark = store.edges.valuesIterator.next().sparkSession
+    import spark.implicits._
+    semiSyncLpaLoop(store, edgeTypes, colorRounds, maxSweeps)._2
+      .toDF("sweep", "color", "changed")
+  }
+
+  private def semiSyncLpaLoop(store: GraphStore, edgeTypes: Seq[String],
+      colorRounds: Int, maxSweeps: Int)
+      : (DataFrame, Seq[(Long, Long, Long)]) = {
+    require(colorRounds >= 1 && maxSweeps >= 1,
+      "colorRounds and maxSweeps must be >= 1")
+    val dirEdges = edgeTypes.map { et =>
+      store.edge(et).select(col(GraphStore.SRC).as("s"),
+        col(GraphStore.DST).as("d"))
+    }.reduce(_ unionByName _)
+    // self-loops dropped — a self-voter is inert for LPA, but a
+    // self-LOOP deadlocks priority coloring (a vertex can never beat
+    // its own priority), and the coloring's vertex set must equal the
+    // LPA vertex set so the class join is total
+    val e = dirEdges.select(col("s"), col("d"))
+      .unionByName(dirEdges.select(col("d").as("s"), col("s").as("d")))
+      .filter(col("s") =!= col("d"))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    val sc = e.sparkSession.sparkContext
+    val colors = priorityColoring(store, edgeTypes, colorRounds)
+      .select(col(GraphStore.VID).as("v"), col("color"))
+      .transform(graft.CacheScope.persist(_)) // guard + every step
+    val nUncolored = colors.filter(col("color") === -1).count()
+    if (nUncolored > 0L) throw new IllegalStateException(
+      s"labelPropagationStable: $nUncolored vertices uncolored after " +
+        s"$colorRounds coloring rounds — raise colorRounds; an " +
+        "uncolored vertex would silently never update")
+    // Class list: the colors actually present, ascending — one
+    // aggregated scalar row (the house scalar-fetch shape); empty
+    // slots would cost a full no-op vote job per sweep otherwise
+    val present = colors.select(col("color")).distinct()
+      .agg(sort_array(collect_list(col("color"))).as("cs"))
+      .head().getSeq[Int](0)
+    val (labels0, id0) = rotateCheckpoint(
+      e.select(col("s").as("v")).distinct()
+        .withColumn("label", col("v")), None)
+    var labels = labels0
+    var prevId = id0
+    val trace = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var sweep = 0L
+    var sweepChanged = -1L
+    while (sweep < maxSweeps && sweepChanged != 0L) {
+      sweep += 1
+      sweepChanged = 0L
+      for (c <- present) {
+        val votes = e.join(labels, e("d") === labels("v"))
+          .groupBy(col("s"), col("label"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("s"))
+          .orderBy(col("n").desc, col("label"))
+        val best = votes.withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") === 1)
+          .select(col("s").as("v"), col("label").as("blabel"))
+        val (next, ckptId) = rotateCheckpoint(
+          labels.join(best, Seq("v"))
+            .join(colors, Seq("v"))
+            .select(col("v"),
+              when(col("color") === c, col("blabel"))
+                .otherwise(col("label")).as("label")), None)
+        val changed = next.join(labels, Seq("v", "label"), "left_anti")
+          .count()
+        prevId.foreach(i => sc.getPersistentRDDs.get(i)
+          .foreach(_.unpersist(blocking = false)))
+        prevId = ckptId
+        labels = next
+        sweepChanged += changed
+        trace += ((sweep, c.toLong, changed))
+      }
+    }
+    (labels, trace.toSeq)
+  }
+
   private def labelPropagationLoop(store: GraphStore,
       edgeTypes: Seq[String], maxIters: Int)
       : (DataFrame, Seq[(Long, Long)]) = {

@@ -70,6 +70,23 @@ class Round12Spec extends SparkSpec {
     assert(multi.size <= 2, s"vocabSize prune failed: $multi")
   }
 
+  test("labelPropagationStable converges where sync LPA oscillates") {
+    val store = graft.model.GraphStore.tpch(spark, sfDir)
+    val trace = GraphAnalytics.labelPropagationStableTrace(store,
+      Seq("in_nation", "in_region"), colorRounds = 8, maxSweeps = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val lastSweep = trace.map(_._1).max
+    assert(lastSweep < 6L, s"no early exit: $lastSweep sweeps used")
+    assert(trace.filter(_._1 == lastSweep).forall(_._2 == 0L),
+      "final sweep must be all-zero (converged)")
+    // sync LPA on the same graph: the trace never reaches zero within
+    // the same budget (the oscillation the stable variant fixes)
+    val sync = GraphAnalytics.labelPropagationTrace(store,
+      Seq("in_nation", "in_region"), maxIters = 6)
+      .collect().map(_.getLong(1))
+    assert(sync.last != 0L, "expected sync-LPA oscillation on fixture")
+  }
+
   test("louvainLevels on empty and self-loop-only inputs returns empty") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(GraphAnalytics.louvainLevels(empty, 3, 4).count() == 0L)
