@@ -806,6 +806,28 @@ object ScaleSmoke {
           "embedding")).count()
     })
 
+    // ---- round-13 rows (strict isolation protocol) ----
+    // semi-sync LPA (the r12 op without a smoke row): after the r13
+    // pruning a sweep's vote volume sums to |E| across the classes
+    // (edges pre-split by src color), so cost must scale with
+    // factor x |E| + (nColors + nSweeps) job floors — NOT
+    // nColors x |E| (the r12 shape this row guards against). Graph:
+    // one edge per orderkey (a factor-x star forest like the gate
+    // fixture's shape) — the full bipartite graph needs 40+ colors
+    // (each a priority-coloring round) and would measure the coloring
+    // loop's round floor, not the sweep volume this row checks.
+    val starStore = graft.model.GraphStore(
+      Map.empty, Map("amp" -> edges
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("l_partkey")).as("p"))
+        .select(col("l_orderkey").as(graft.model.GraphStore.SRC),
+          col("p").as(graft.model.GraphStore.DST),
+          lit(0L).as(graft.model.GraphStore.RANK))),
+      Map("amp" -> 1))
+    time(s"lpa stable 2 sweeps ${factor}x")(
+      graft.analytics.GraphAnalytics.labelPropagationStable(
+        starStore, Seq("amp"), colorRounds = 24, maxSweeps = 2).count())
+
     spark.stop()
   }
 }

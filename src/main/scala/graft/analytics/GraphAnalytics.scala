@@ -1558,7 +1558,9 @@ object GraphAnalytics {
     var prevCkptId: Option[Int] = None
     var state = arcs.select(col("v")).distinct()
       .select(col("v"), lit(-1).as("color"))
-    for (r <- 1 to rounds) {
+    var r = 1
+    var fullyColored = false
+    while (r <= rounds && !fullyColored) {
       val undec = state.filter(col("color") === -1).select(col("v"))
         .transform(graft.CacheScope.persist(_)) // live filter + winners
       val minNbr = arcs.join(undec, Seq("v"), "left_semi")
@@ -1581,6 +1583,12 @@ object GraphAnalytics {
       prevCkptId = ckptId
       graft.CacheScope.unpersist(undec)
       state = next
+      // Early-exit once fully colored (cheap limit-1 probe over the
+      // just-checkpointed frame): every remaining round is a provable
+      // no-op — a winner needs an uncolored vertex — so the output is
+      // bit-identical to running the full budget.
+      fullyColored = state.filter(col("color") === -1).isEmpty
+      r += 1
     }
     state.select(col("v").as(GraphStore.VID), col("color"))
   }
@@ -1978,12 +1986,16 @@ object GraphAnalytics {
    * exhaustion leaves the final sweep's nonzero counts in the trace
    * (flag, not throw — the distance-family law).
    *
-   * Scale shape: coloring is the lubyMIS shape; each class step is
-   * ONE edge⋈labels vote join + a combinable (vertex, label) count +
-   * a WindowGroupLimit argmax + a vertex-sized projection, rotated
-   * via localCheckpoint (O(1) pinned frames). Sweep cost = nColors ×
-   * the sync-LPA round cost — the price of determinism-with-
-   * convergence, flat in corpus size.
+   * Scale shape: coloring is the lubyMIS shape. Each edge is
+   * annotated with its SOURCE's color once before the sweep loop (one
+   * join total, persisted), so a class step votes and argmaxes ONLY
+   * the class-c sources — Σ over the classes of one sweep = one
+   * edge-set's worth of vote volume (|E|), the same total work as a
+   * single synchronous LPA round; determinism costs the *scheduling*
+   * of nColors steps, not nColors full-graph scans. The changed count
+   * is class-sized (best⋈labels on the class members), the projection
+   * is one vertex-sized left join, rotated via localCheckpoint (O(1)
+   * pinned frames).
    */
   def labelPropagationStable(store: GraphStore, edgeTypes: Seq[String],
       colorRounds: Int, maxSweeps: Int): DataFrame =
@@ -2024,20 +2036,33 @@ object GraphAnalytics {
     val colors = priorityColoring(store, edgeTypes, colorRounds)
       .select(col(GraphStore.VID).as("v"), col("color"))
       .transform(graft.CacheScope.persist(_)) // guard + every step
-    val nUncolored = colors.filter(col("color") === -1).count()
+    // Uncolored guard + class list in ONE aggregated scalar row (the
+    // house scalar-fetch shape — two separate jobs before r13). The
+    // class list is the colors actually present, ascending; empty
+    // slots would cost a full no-op vote job per sweep otherwise.
+    val guardRow = colors.agg(
+      sum(when(col("color") === -1, 1L).otherwise(0L)).as("nu"),
+      sort_array(collect_set(col("color"))).as("cs")).head()
+    val nUncolored = if (guardRow.isNullAt(0)) 0L else guardRow.getLong(0)
     if (nUncolored > 0L) throw new IllegalStateException(
       s"labelPropagationStable: $nUncolored vertices uncolored after " +
         s"$colorRounds coloring rounds — raise colorRounds; an " +
         "uncolored vertex would silently never update")
-    // Class list: the colors actually present, ascending — one
-    // aggregated scalar row (the house scalar-fetch shape); empty
-    // slots would cost a full no-op vote job per sweep otherwise
-    val present = colors.select(col("color")).distinct()
-      .agg(sort_array(collect_list(col("color"))).as("cs"))
-      .head().getSeq[Int](0)
+    val present = guardRow.getSeq[Int](1)
+    // Annotate each (s,d) edge with its source's color ONCE, outside
+    // the sweep loop (r12 weak-mark fix: the sweep used to vote and
+    // argmax EVERY vertex per class step and keep only class c, making
+    // one sweep cost nColors × a full LPA round). Step c only needs
+    // votes for class-c sources, so its vote input is a filter over
+    // this persisted frame — Σ over classes = |E| vote rows per sweep.
+    val eByColor = e.join(colors.withColumnRenamed("v", "s"), Seq("s"))
+      .select(col("s"), col("d"), col("color"))
+      .transform(graft.CacheScope.persist(_))
+    // init from the coloring's vertex set — identical to e's source
+    // set by the invariant above, and already materialized (saves the
+    // distinct-over-edges shuffle the r12 code paid here)
     val (labels0, id0) = rotateCheckpoint(
-      e.select(col("s").as("v")).distinct()
-        .withColumn("label", col("v")), None)
+      colors.select(col("v")).withColumn("label", col("v")), None)
     var labels = labels0
     var prevId = id0
     val trace = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
@@ -2047,26 +2072,35 @@ object GraphAnalytics {
       sweep += 1
       sweepChanged = 0L
       for (c <- present) {
-        val votes = e.join(labels, e("d") === labels("v"))
+        // votes/argmax restricted to the class-c sources: only they
+        // can change this step, so voting anyone else is waste
+        val active = eByColor.filter(col("color") === c)
+        val votes = active.join(labels, active("d") === labels("v"))
           .groupBy(col("s"), col("label"))
           .agg(count(lit(1)).as("n"))
-        val w = Window.partitionBy(col("s"))
-          .orderBy(col("n").desc, col("label"))
-        val best = votes.withColumn("_rk", row_number().over(w))
-          .filter(col("_rk") === 1)
-          .select(col("s").as("v"), col("label").as("blabel"))
+        // argmax by (n desc, label asc) as a combinable min-struct
+        // aggregate — same tie-break law as the sync loop's window,
+        // without the window's sort stage (labels are vertex ids,
+        // so -label orders ties ascending under min)
+        val best = votes
+          .groupBy(col("s"))
+          .agg(min(struct((-col("n")).as("nn"), col("label"))).as("m"))
+          .select(col("s").as("v"), col("m.label").as("blabel"))
+        // ONE materializing job per step: the projection carries a
+        // chg flag so the changed count below is a shuffle-free scan
+        // of the checkpointed frame, not a second vote computation
+        // (r12 paid a full-vertex anti-join job per step here)
         val (next, ckptId) = rotateCheckpoint(
-          labels.join(best, Seq("v"))
-            .join(colors, Seq("v"))
+          labels.join(best, Seq("v"), "left")
             .select(col("v"),
-              when(col("color") === c, col("blabel"))
-                .otherwise(col("label")).as("label")), None)
-        val changed = next.join(labels, Seq("v", "label"), "left_anti")
-          .count()
+              coalesce(col("blabel"), col("label")).as("label"),
+              (col("blabel").isNotNull &&
+                col("blabel") =!= col("label")).as("chg")), None)
+        val changed = next.filter(col("chg")).count()
         prevId.foreach(i => sc.getPersistentRDDs.get(i)
           .foreach(_.unpersist(blocking = false)))
         prevId = ckptId
-        labels = next
+        labels = next.select(col("v"), col("label"))
         sweepChanged += changed
         trace += ((sweep, c.toLong, changed))
       }
@@ -2900,9 +2934,12 @@ object GraphAnalytics {
       slots(slot) = id
       next
     }
+    // u/v cast to long so the non-empty path's output schema matches
+    // the typed empty-input early return below for ANY input edge
+    // type (Int-typed edges used to make the two paths disagree)
     var g = rotate("g", edges.toDF("a", "b").filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
+      .select(least(col("a"), col("b")).cast("long").as("u"),
+        greatest(col("a"), col("b")).cast("long").as("v"))
       .distinct().select(col("u"), col("v"), lit(1L).as("w")))
     // Empty canonicalized graph (no edges, or self-loops only): there
     // is nothing to contract and modularity's aggregate row would carry

@@ -836,6 +836,14 @@ object Similarity {
       .transform(graft.CacheScope.persist(_)) // totals + output branches
     val tot = occ.agg(sum(col("n_base")).as("tb"),
       sum(col("n_base") + col("n_new")).as("ta"))
+    // Degenerate-input guard (the d817f9a law): an empty/zero-count
+    // trained index makes the share divisors 0/NULL — Spark's `div`
+    // would emit NULL shares while the DuckDB oracle's `//` raises,
+    // an engine-divergent silent wrong answer. Fail loudly instead.
+    val totRow = tot.head()
+    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0L,
+      "ivfOccupancyDrift: trained index is empty (total base occupancy" +
+        " 0) — drift shares are undefined; train the index first")
     val d = occ.crossJoin(broadcast(tot))
       .select(col("cell"), col("n_base"), col("n_new"),
         (col("n_base") + col("n_new")).as("n_total"),

@@ -1199,7 +1199,13 @@ object TextAnalysis {
    * All-integer — no log-probabilities, so no libm divergence between
    * engines (the house float law); with every single character in the
    * vocab (the [[unigramTrain]] coverage invariant) every word has a
-   * segmentation. Output: (w, f, k, s, path).
+   * segmentation. Output: (w, f, k, s, path) — one row per input word
+   * ALWAYS: a word the vocab cannot fully segment (possible only when
+   * the caller passes a vocab without the single-char coverage floor)
+   * is emitted with the sentinel k=999999, s=0, path=NULL, whether it
+   * matched some pieces or none at all (the two degenerate cases were
+   * inconsistent before r13: zero-match words silently vanished
+   * through the vocab inner join).
    *
    * Scale shape: pieces are generated per word as one flatten/
    * transform explode (length × maxPieceLen rows per VOCAB word — the
@@ -1253,13 +1259,24 @@ object TextAnalysis {
         |                THEN '' ELSE ' ' END, m.tok))
         |          ELSE bb END)))),
         |  length(w) + 1)""".stripMargin)
-    pieces
+    val seg = pieces
       .groupBy("w", "f")
       .agg(collect_list(struct(col("a"), col("b"), col("tok"),
         col("cnt"))).as("ms"))
       .withColumn("dp", dp)
       .select(col("w"), col("f"), col("dp.k").cast("long").as("k"),
         col("dp.s").as("s"), col("dp.path").as("path"))
+    // Re-attach words the vocab inner join dropped entirely (zero
+    // matching pieces) as sentinel rows, so both uncovered cases —
+    // no pieces at all and partial-but-incomplete pieces — render
+    // identically; word-table-sized left join, the corpus never
+    // re-enters. No-op under the trainer's coverage invariant.
+    wf.select(col("w"), col("f"))
+      .join(seg.drop("f"), Seq("w"), "left")
+      .select(col("w"), col("f"),
+        coalesce(col("k"), lit(999999L)).as("k"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        col("path"))
   }
 
   /** Shared unigram-LM trainer loop. Returns (word-frequency table,
