@@ -790,6 +790,12 @@ object ScaleSmoke {
       graft.pipeline.TextAnalysis.unigramEncodeCounts(docs, "doc_id",
         "text", maxPieceLen = 4, seedSize = 40, vocabSize = 24,
         nRounds = 2).count())
+    // loss pruner adds one vocab-sized self-re-segmentation DP per
+    // round on top of the trainer — same factor-linear word table
+    time(s"unigram train loss 2 rounds ${factor}x")(
+      graft.pipeline.TextAnalysis.unigramTrainLoss(docs, "text",
+        maxPieceLen = 4, seedSize = 40, vocabSize = 12,
+        nRounds = 2).count())
     // distance-family traces: per-round one extra anti-join count on
     // the vertex-sized frame — cost must stay round x frontier-linear
     time(s"spath trace ${factor}x")(

@@ -2388,6 +2388,13 @@ object SparkEntry {
       TextAnalysis.unigramTrain(t(s, dir, "documents"), "text",
         maxPieceLen = 4, seedSize = 40, vocabSize = 24, nRounds = 3)),
 
+    // ---- Likelihood-loss prune variant (Kudo 2018 §3.2): the M-step
+    // keeps tokens by removal cost usage × (kRepl − 1), not raw
+    // usage — drops frequent-but-redundant substrings of kept pieces ----
+    "q_unigram_train_loss" -> ((s, dir) =>
+      TextAnalysis.unigramTrainLoss(t(s, dir, "documents"), "text",
+        maxPieceLen = 4, seedSize = 40, vocabSize = 12, nRounds = 3)),
+
     // ---- Apply the trained unigram tokenizer: per-doc word/piece
     // counts under the final vocab's Viterbi segmentation ----
     "q_unigram_encode" -> ((s, dir) =>
@@ -3202,8 +3209,8 @@ object SparkEntry {
     * both converge to the same best segmentation), Viterbi usage
     * counts, then the prune (singles always kept, multi-char top-η by
     * cnt desc / tok asc). `vin` is the previous round's vocab CTE. */
-  private def unigramRoundCtes(r: Int, vin: String, maxPieceLen: Int,
-      vocabSize: Int): String =
+  private def unigramEStepCtes(r: Int, vin: String,
+      maxPieceLen: Int): String =
     s"""m_$r AS MATERIALIZED (
        |  SELECT wf.w, ua.a::INT AS a, (ua.a + um.m - 1)::INT AS b,
        |    substr(wf.w, ua.a::INT, um.m::INT) AS tok, v.cnt
@@ -3229,7 +3236,11 @@ object SparkEntry {
        |  SELECT t.tok, CAST(sum(wf.f) AS BIGINT) AS cnt
        |  FROM best_$r b JOIN wf USING (w)
        |  CROSS JOIN LATERAL unnest(string_split(b.path, ' ')) t(tok)
-       |  GROUP BY 1),
+       |  GROUP BY 1)""".stripMargin
+
+  private def unigramRoundCtes(r: Int, vin: String, maxPieceLen: Int,
+      vocabSize: Int): String =
+    s"""${unigramEStepCtes(r, vin, maxPieceLen)},
        |uv$r AS MATERIALIZED (
        |  SELECT ch.tok, coalesce(u.cnt, 0) AS cnt
        |  FROM uchars ch LEFT JOIN u_$r u USING (tok)
@@ -3240,13 +3251,52 @@ object SparkEntry {
        |    FROM u_$r WHERE length(tok) >= 2) p_$r
        |  WHERE rk <= $vocabSize)""".stripMargin
 
+  /** Loss-pruned M-step round (q_unigram_train_loss): same E-step,
+    * then each used multi-char token's removal cost is the brute
+    * re-enumeration of its OWN string under vin WITHOUT the full-span
+    * self piece; loss = cnt × (krepl − 1), keep top-η by
+    * (loss desc, cnt desc, tok asc). */
+  private def unigramLossRoundCtes(r: Int, vin: String,
+      maxPieceLen: Int, vocabSize: Int): String =
+    s"""${unigramEStepCtes(r, vin, maxPieceLen)},
+       |lw_$r AS MATERIALIZED (
+       |  SELECT tok AS w, cnt FROM u_$r WHERE length(tok) >= 2),
+       |lm_$r AS MATERIALIZED (
+       |  SELECT c.w, ua.a::INT AS a, (ua.a + um.m - 1)::INT AS b
+       |  FROM lw_$r c
+       |  CROSS JOIN LATERAL unnest(range(1, length(c.w) + 1)) ua(a)
+       |  CROSS JOIN LATERAL unnest(range(1, 1 + least($maxPieceLen,
+       |    length(c.w) - ua.a + 1))) um(m)
+       |  JOIN $vin v ON v.tok = substr(c.w, ua.a::INT, um.m::INT)
+       |  WHERE NOT (ua.a = 1 AND ua.a + um.m - 1 = length(c.w))),
+       |ls_$r AS (
+       |  SELECT w, 0 AS pos, 0 AS k FROM lw_$r
+       |  UNION ALL
+       |  SELECT m.w, m.b, s.k + 1
+       |  FROM ls_$r s JOIN lm_$r m ON m.w = s.w AND m.a = s.pos + 1),
+       |lk_$r AS MATERIALIZED (
+       |  SELECT w AS tok, CAST(min(k) AS BIGINT) AS krepl
+       |  FROM ls_$r WHERE pos = length(w) GROUP BY 1),
+       |uv$r AS MATERIALIZED (
+       |  SELECT ch.tok, coalesce(u.cnt, 0) AS cnt
+       |  FROM uchars ch LEFT JOIN u_$r u USING (tok)
+       |  UNION ALL
+       |  SELECT tok, cnt FROM (
+       |    SELECT c.w AS tok, c.cnt, row_number() OVER (
+       |      ORDER BY c.cnt * (l.krepl - 1) DESC, c.cnt DESC, c.w)
+       |      AS rk
+       |    FROM lw_$r c JOIN lk_$r l ON l.tok = c.w) p_$r
+       |  WHERE rk <= $vocabSize)""".stripMargin
+
   /** Word table, char set, substring seed vocab (uv0) and the EM
     * rounds 1..nRounds — shared by the train and encode oracles.
     * Starts with WITH RECURSIVE (the s_r enumeration CTEs). */
   private def unigramVocabCtes(maxPieceLen: Int, seedSize: Int,
-      vocabSize: Int, nRounds: Int): String = {
+      vocabSize: Int, nRounds: Int,
+      roundCtes: (Int, String, Int, Int) => String =
+        unigramRoundCtes): String = {
     val rounds = (1 to nRounds)
-      .map(r => unigramRoundCtes(r, s"uv${r - 1}", maxPieceLen,
+      .map(r => roundCtes(r, s"uv${r - 1}", maxPieceLen,
         vocabSize))
       .mkString(",\n")
     s"""wf AS MATERIALIZED (
@@ -3280,6 +3330,21 @@ object SparkEntry {
       vocabSize: Int, nRounds: Int): String =
     s"""WITH RECURSIVE
        |${unigramVocabCtes(maxPieceLen, seedSize, vocabSize, nRounds)}
+       |SELECT tok, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+       |  AS BIGINT) AS rnk
+       |FROM uv$nRounds""".stripMargin
+
+  private def unigramTrainLossSql(maxPieceLen: Int, seedSize: Int,
+      vocabSize: Int, nRounds: Int): String =
+    s"""WITH RECURSIVE
+       |${unigramVocabCtes(maxPieceLen, seedSize, vocabSize, nRounds,
+           // per-round shrinking keep budget — MUST match the Spark
+           // loop's schedule (same integer interpolation, computed
+           // here at SQL-generation time so both engines share the
+           // exact constants)
+           (r, vin, mpl, _) => unigramLossRoundCtes(r, vin, mpl,
+             TextAnalysis.unigramKeepSize(seedSize, vocabSize,
+               nRounds, r)))}
        |SELECT tok, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, tok)
        |  AS BIGINT) AS rnk
        |FROM uv$nRounds""".stripMargin
@@ -7649,6 +7714,11 @@ object SparkEntry {
     // as the Spark DP, so both converge to identical segmentations
     "q_unigram_train" -> unigramTrainSql(maxPieceLen = 4,
       seedSize = 40, vocabSize = 24, nRounds = 3),
+    // vocabSize 12 < the post-attrition candidate count, so the
+    // shrinking loss budget BINDS in round 3 and the output provably
+    // differs from usage pruning (keeps 'batc' over 'row' on sf0.01)
+    "q_unigram_train_loss" -> unigramTrainLossSql(maxPieceLen = 4,
+      seedSize = 40, vocabSize = 12, nRounds = 3),
     "q_unigram_encode" -> unigramEncodeSql(maxPieceLen = 4,
       seedSize = 40, vocabSize = 24, nRounds = 3),
 

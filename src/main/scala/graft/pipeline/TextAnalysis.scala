@@ -1218,7 +1218,18 @@ object TextAnalysis {
       maxPieceLen: Int): DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 32,
       "maxPieceLen in [1, 32]")
-    val pieces = wf.select(col("w"), col("f"), explode(expr(
+    viterbiCore(wf, vocab, maxPieceLen, excludeSelf = false)
+  }
+
+  /** [[viterbiSegments]] internals with one extra switch: with
+    * `excludeSelf` the full-span piece (a=1, b=len(w) — the word
+    * matching itself as a single vocab token) is removed from the DP,
+    * which makes the output the best RE-segmentation of each word
+    * without itself — the per-token removal cost the likelihood-loss
+    * pruner ([[unigramTrainLoss]]) charges. */
+  private def viterbiCore(wf: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int, excludeSelf: Boolean): DataFrame = {
+    val allPieces = wf.select(col("w"), col("f"), explode(expr(
         s"""flatten(transform(sequence(1, length(w)), a ->
            |  transform(sequence(a, least(a + ${maxPieceLen - 1},
            |      length(w))), b ->
@@ -1227,10 +1238,18 @@ object TextAnalysis {
         .as("p"))
       .select(col("w"), col("f"), col("p.a").as("a"), col("p.b").as("b"),
         col("p.tok").as("tok"))
+    val pieces = (if (excludeSelf)
+        allPieces.filter(!(col("a") === 1 && col("b") === length(col("w"))))
+      else allPieces)
       .join(broadcast(vocab.select(col("tok"), col("cnt"))), Seq("tok"))
     // DP over end positions: acc[p+1] = best state covering chars
     // 1..p; each step folds the pieces ending at i (min-k, max-s,
     // min-path — evaluated in that order), then appends.
+    // the unreached/zero state carries path '' (NOT NULL: a NULL
+    // inside the fold struct trips a non-nullable codegen write the
+    // first time an uncovered word actually materializes it) and is
+    // detected via k >= 999999; the public NULL-path sentinel is
+    // restored in the output projection below
     val dp = expr(
       """element_at(
         |  aggregate(sequence(1, length(w)),
@@ -1239,10 +1258,10 @@ object TextAnalysis {
         |    (acc, i) -> concat(acc, array(
         |      aggregate(filter(ms, m -> m.b = i),
         |        named_struct('k', 999999, 's', CAST(0 AS BIGINT),
-        |          'path', CAST(NULL AS STRING)),
+        |          'path', ''),
         |        (bb, m) -> CASE
         |          WHEN element_at(acc, m.a).k >= 999999 THEN bb
-        |          WHEN bb.path IS NULL
+        |          WHEN bb.k >= 999999
         |            OR element_at(acc, m.a).k + 1 < bb.k
         |            OR (element_at(acc, m.a).k + 1 = bb.k
         |              AND element_at(acc, m.a).s + m.cnt > bb.s)
@@ -1265,7 +1284,9 @@ object TextAnalysis {
         col("cnt"))).as("ms"))
       .withColumn("dp", dp)
       .select(col("w"), col("f"), col("dp.k").cast("long").as("k"),
-        col("dp.s").as("s"), col("dp.path").as("path"))
+        col("dp.s").as("s"),
+        when(col("dp.k") >= 999999, lit(null).cast("string"))
+          .otherwise(col("dp.path")).as("path"))
     // Re-attach words the vocab inner join dropped entirely (zero
     // matching pieces) as sentinel rows, so both uncovered cases —
     // no pieces at all and partial-but-incomplete pieces — render
@@ -1278,6 +1299,20 @@ object TextAnalysis {
         coalesce(col("s"), lit(0L)).as("s"),
         col("path"))
   }
+
+  /** Per-round keep budget of the loss pruner's shrink schedule
+    * (Kudo 2018 §3.2 prunes a fixed fraction per round from a large
+    * seed down to the target — an all-at-once round-1 cut is
+    * PROVABLY inert: the substring seed is prefix-closed under
+    * (cnt desc, tok asc) because substring counts dominate
+    * superstring counts, so every candidate re-segments in 2 pieces
+    * and loss ≡ usage; rounds 2+ then never exceed the budget at
+    * all). Linear integer interpolation seed → target: round
+    * nRounds lands exactly on vocabSize, all arithmetic exact so
+    * both engines compute the same constants. */
+  private[graft] def unigramKeepSize(seedSize: Int, vocabSize: Int,
+      nRounds: Int, r: Int): Int =
+    vocabSize + ((seedSize - vocabSize).max(0) * (nRounds - r)) / nRounds
 
   /** Shared unigram-LM trainer loop. Returns (word-frequency table,
     * single-char set, final vocab frame, slots to release). Vocab per
@@ -1297,7 +1332,8 @@ object TextAnalysis {
     * zipfTable global-window law). The vocab rotates via
     * localCheckpoint with O(1) pinned frames. */
   private def unigramTrainLoop(docs: DataFrame, textCol: String,
-      maxPieceLen: Int, seedSize: Int, vocabSize: Int, nRounds: Int)
+      maxPieceLen: Int, seedSize: Int, vocabSize: Int, nRounds: Int,
+      lossPrune: Boolean = false)
       : (DataFrame, DataFrame, Option[Int], Seq[DataFrame]) = {
     require(nRounds >= 1 && seedSize >= 1 && vocabSize >= 1,
       "nRounds, seedSize, vocabSize must be >= 1")
@@ -1321,17 +1357,45 @@ object TextAnalysis {
           Window.orderBy(col("cnt").desc, col("tok"))))
         .filter(col("rk") <= seedSize).drop("rk"))
     var (vocab, prevId) = rotate(seed, None)
-    for (_ <- 1 to nRounds) {
+    for (r <- 1 to nRounds) {
       val usage = viterbiSegments(wf, vocab, maxPieceLen)
         .select(explode(split(col("path"), " ")).as("tok"), col("f"))
         .groupBy("tok").agg(sum(col("f")).as("cnt"))
         .transform(graft.CacheScope.persist(_)) // singles + multi branches
+      val multiUsed = usage.filter(length(col("tok")) >= 2)
+      val kept =
+        if (!lossPrune)
+          // top-η by raw Viterbi usage (cnt desc, tok asc)
+          multiUsed
+            .withColumn("rk", row_number().over(
+              Window.orderBy(col("cnt").desc, col("tok"))))
+            .filter(col("rk") <= vocabSize).drop("rk")
+        else {
+          // Likelihood-loss prune (Kudo 2018 §3.2, hard-EM integer
+          // form): loss(t) = usage(t) × (kRepl(t) − 1), where kRepl
+          // is the Viterbi piece count of t's OWN string re-segmented
+          // under the current vocab WITHOUT t (the full-span self
+          // piece excluded — the single-char coverage floor
+          // guarantees kRepl is finite). Usage-count pruning keeps
+          // frequent-but-redundant pieces that are cheap to re-derive
+          // from other kept pieces; loss pruning drops exactly those.
+          // The repl DP runs over the VOCAB-sized used-token table —
+          // the corpus never re-enters.
+          val repl = viterbiCore(
+            multiUsed.select(col("tok").as("w"), col("cnt").as("f")),
+            vocab, maxPieceLen, excludeSelf = true)
+            .select(col("w").as("tok"), col("k").as("krepl"))
+          multiUsed.join(repl, Seq("tok"))
+            .withColumn("loss", col("cnt") * (col("krepl") - 1L))
+            .withColumn("rk", row_number().over(Window.orderBy(
+              col("loss").desc, col("cnt").desc, col("tok"))))
+            .filter(col("rk") <= unigramKeepSize(seedSize, vocabSize,
+              nRounds, r))
+            .select(col("tok"), col("cnt"))
+        }
       val next = chars.join(usage, Seq("tok"), "left")
         .select(col("tok"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-        .unionByName(usage.filter(length(col("tok")) >= 2)
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("cnt").desc, col("tok"))))
-          .filter(col("rk") <= vocabSize).drop("rk"))
+        .unionByName(kept)
       val (v2, id2) = rotate(next, prevId)
       vocab = v2
       prevId = id2
@@ -1352,6 +1416,41 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val (wf, vocab, _, extras) = unigramTrainLoop(docs, textCol,
       maxPieceLen, seedSize, vocabSize, nRounds)
+    (extras :+ wf).foreach(graft.CacheScope.unpersist)
+    vocab.withColumn("rnk", row_number().over(
+      Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
+  }
+
+  /**
+   * [[unigramTrain]] with Kudo 2018 §3.2's likelihood-loss prune in
+   * the M-step instead of raw top-η usage: each round keeps the
+   * multi-char tokens whose REMOVAL would hurt the corpus most —
+   * loss(t) = usage(t) × (kRepl(t) − 1), kRepl(t) the Viterbi piece
+   * count of t's own string under the current vocab without t (always
+   * finite: the single-char coverage floor is never pruned). Ranked
+   * (loss desc, cnt desc, tok asc) — the integer tie-break law; a
+   * frequent token that is a cheap concatenation of other kept pieces
+   * (kRepl = 2 covers most redundant substrings) now loses to a rarer
+   * token with no good replacement, which is the vocab SentencePiece's
+   * loss pruner converges to. The keep budget SHRINKS per round
+   * ([[unigramKeepSize]]: linear seed → target, Kudo's prune-a-
+   * fraction-per-round schedule) — an all-at-once cut is provably
+   * inert against the prefix-closed substring seed (see
+   * [[unigramKeepSize]]); the gradual schedule is where loss pruning
+   * and usage pruning actually diverge. Output (tok, cnt, rnk) as
+   * [[unigramTrain]].
+   *
+   * Scale shape: identical to [[unigramTrain]] plus one vocab-sized
+   * re-segmentation DP per round (the used-token table re-enters
+   * [[viterbiSegments]]' explode with itself as the word list — the
+   * corpus is never touched).
+   */
+  def unigramTrainLoss(docs: DataFrame, textCol: String,
+      maxPieceLen: Int, seedSize: Int, vocabSize: Int,
+      nRounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (wf, vocab, _, extras) = unigramTrainLoop(docs, textCol,
+      maxPieceLen, seedSize, vocabSize, nRounds, lossPrune = true)
     (extras :+ wf).foreach(graft.CacheScope.unpersist)
     vocab.withColumn("rnk", row_number().over(
       Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
