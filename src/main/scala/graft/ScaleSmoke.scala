@@ -752,6 +752,20 @@ object ScaleSmoke {
     time(s"louvain levels ${factor}x")(
       graft.analytics.GraphAnalytics.louvainLevels(louvE,
         maxLevels = 3, roundsPerLevel = 4).count())
+    // Leiden = the same level loop + per-level intra-community CC;
+    // gadget chains + clique pulls (the q_leiden_levels shape) keep
+    // the refinement pass genuinely splitting at scale
+    val gid = pmod(col("l_orderkey"), lit(60L))
+    val leidE = louvE
+      .unionByName(edges.select((copyOf + gid + 1000L).as("a"),
+        (copyOf + gid + 1200L).as("b")))
+      .unionByName(edges.select((copyOf + gid + 1100L).as("a"),
+        (copyOf + gid + 1200L).as("b")))
+      .unionByName(edges.select((copyOf + gid + 1200L).as("a"),
+        (copyOf + gid * 5L + pmod(col("l_partkey"), lit(3L))).as("b")))
+    time(s"leiden levels ${factor}x")(
+      graft.analytics.GraphAnalytics.leidenLevels(leidE,
+        maxLevels = 3, roundsPerLevel = 4).count())
     time(s"bpe train 4 merges ${factor}x")(
       graft.pipeline.TextAnalysis.bpeTrain(docs, "text", nMerges = 4)
         .count())

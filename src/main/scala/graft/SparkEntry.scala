@@ -430,6 +430,13 @@ object SparkEntry {
         "doc_id", "text", k = 3)
         .select("doc_id", "term", "tf", "df", "rk")),
 
+    // ---- Okapi BM25 ranked retrieval (Lucene idf variant): per-term
+    // contributions floored to the dyadic grid so the double score is
+    // order-independent and hash-exact; score descaled at the gate ----
+    "q_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Queries, k = 15)),
+
     // ---- Gopher-style repetition quality signals ----
     "q_repetition_stats" -> ((s, dir) =>
       TextAnalysis.repetitionStats(t(s, dir, "documents"),
@@ -1397,6 +1404,30 @@ object SparkEntry {
         intra.unionByName(ring), maxLevels = 3, roundsPerLevel = 4)
     }),
 
+    // ---- Leiden = Louvain + per-level refinement (split every move
+    // community into its intra-community connected components before
+    // scoring/contracting — Traag et al. 2019's connectivity
+    // guarantee). Fixture: clique ring + disconnection gadgets (chain
+    // A−B−C whose cut vertex B holds 3 clique edges; once the clique
+    // consolidates, B defects and strands the non-adjacent A, C under
+    // B's old label — the community the refinement pass must split) ----
+    "q_leiden_levels" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val v1 = col("l_orderkey") % 300
+      val head = v1 - (v1 % 5)
+      val intra = li.select(v1.as("a"),
+        (head + col("l_partkey") % 5).as("b"))
+      val ring = li.select(head.as("a"), ((head + 5) % 300).as("b"))
+      val g = col("l_orderkey") % 60
+      val chain = li.select((g + 1000).as("a"), (g + 1200).as("b"))
+        .unionByName(li.select((g + 1100).as("a"), (g + 1200).as("b")))
+      val pull = li.select((g + 1200).as("a"),
+        (g * 5 + col("l_partkey") % 3).as("b"))
+      graft.analytics.GraphAnalytics.leidenLevels(
+        intra.unionByName(ring).unionByName(chain).unionByName(pull),
+        maxLevels = 3, roundsPerLevel = 4)
+    }),
+
     // ---- Modularity sufficient statistics: communities from CC over
     // customer→nation edges, scored against the graph WITH region
     // edges (which cross communities) ----
@@ -1718,6 +1749,14 @@ object SparkEntry {
           array_join(transform(col("cvec"),
             x => Portable.quant(x, 6).cast("decimal(12,6)").cast("string")), ",")
             .as("centroid"))),
+
+    // ---- k-means|| seeding (Bahmani et al. 2012): min-id seed, 3
+    // oversampling rounds with the md5-coin h·φ < ℓ·d²·2⁷² draft, φ an
+    // exact integer cost; output = weighted candidate table (all
+    // BIGINT — the one distributed-init stage of k-means++) ----
+    "q_kmeanspar_init" -> ((s, dir) =>
+      Similarity.kmeansParallelInit(t(s, dir, "embeddings"),
+        "vec_id", "embedding", ell = 8, rounds = 3)),
 
     // ---- Nested reference-shaped GetNeighbors ----
     // The nested ArrayType(Struct) `_edges` cell is the product shape
@@ -3043,8 +3082,83 @@ object SparkEntry {
     * stopping rule (fixpoint rounds are no-ops, so the fixed unroll
     * replays the early-exiting Spark loop verbatim). MATERIALIZED
     * everywhere: every CTE is referenced multiply. */
+  /** BM25 gate fixture: multi-term queries over the synthetic corpus
+    * vocabulary (shared by the Spark query and the oracle builder so
+    * the two sides can never drift). */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    (0L, "row scan filter"), (1L, "stream table hash join"),
+    (2L, "spark window agg partition"))
+
+  /** Okapi-BM25 oracle: replays [[graft.pipeline.TextAnalysis
+    * .bm25TopK]]'s exact expression tree — double constants are
+    * embedded via Double.toString + CAST(AS DOUBLE) (shortest
+    * round-trip repr parses back to the identical bits; a bare SQL
+    * decimal literal would route through DuckDB DECIMAL and can
+    * resolve k1+1 to a DIFFERENT nearest-double than the Scala-side
+    * Double addition), per-term contributions ride the dyadic grid
+    * (Portable.dyadicSql), so sums and ranks are bit-identical. */
+  private def bm25Sql(queries: Seq[(Long, String)], k: Int,
+      k1Permille: Int = 1200, bPermille: Int = 750): String = {
+    def d(x: Double): String = s"CAST('${x}' AS DOUBLE)"
+    val k1 = k1Permille / 1000.0
+    val b = bPermille / 1000.0
+    val qvals = queries.map { case (id, text) =>
+      s"(CAST($id AS BIGINT), '$text')"
+    }.mkString(", ")
+    val idf = "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)" +
+      " + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    val tfn = s"CAST(tf AS DOUBLE) * ${d(k1 + 1.0)} / " +
+      s"(CAST(tf AS DOUBLE) + ${d(k1)} * (${d(1.0 - b)} + ${d(b)} * " +
+      "CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / " +
+      "CAST(tot_dl AS DOUBLE)))"
+    s"""WITH tf AS MATERIALIZED (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(list_filter(
+       |      string_split_regex(lower(text), '[^a-z0-9]+'),
+       |      x -> x <> '')) AS term FROM documents) __t
+       |  GROUP BY 1, 2),
+       |dl AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |  FROM tf GROUP BY 1),
+       |dfreq AS MATERIALIZED (SELECT term, CAST(count(*) AS BIGINT)
+       |    AS df FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+       |q AS (SELECT DISTINCT query_id, unnest(list_filter(
+       |    string_split_regex(lower(q_text), '[^a-z0-9]+'),
+       |    x -> x <> '')) AS term
+       |  FROM (VALUES $qvals) __q(query_id, q_text)),
+       |contrib AS (SELECT q.query_id, tf.doc_id,
+       |    ${graft.functions.Portable.dyadicSql(s"($idf) * ($tfn)")} AS c
+       |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       |  JOIN dl USING (doc_id) CROSS JOIN tot),
+       |scored AS (SELECT query_id, doc_id,
+       |    CAST(sum(c) AS DOUBLE) AS score,
+       |    CAST(count(*) AS BIGINT) AS n_terms_hit
+       |  FROM contrib GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, doc_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk,
+       |    n_terms_hit, score
+       |  FROM scored)
+       |SELECT query_id, doc_id, rk, n_terms_hit, score
+       |FROM ranked WHERE rk <= $k""".stripMargin
+  }
+
   private def louvainLevelsSql(edgeSql: String, maxLevels: Int,
-      rounds: Int): String = {
+      rounds: Int): String =
+    multilevelCommunitiesSql(edgeSql, maxLevels, rounds, refine = false)
+
+  /** Leiden oracle = the Louvain one + per level a refinement block:
+    * budgeted min-label propagation over the intra-community edge set
+    * (unrolled — see the in-builder note on why WITH RECURSIVE is
+    * unusable next to MATERIALIZED move chains), min component id as
+    * the refined label, singletons falling back to their own id;
+    * Q/contraction/level rows all read the REFINED partition. */
+  private def leidenLevelsSql(edgeSql: String, maxLevels: Int,
+      rounds: Int): String =
+    multilevelCommunitiesSql(edgeSql, maxLevels, rounds, refine = true)
+
+  private def multilevelCommunitiesSql(edgeSql: String, maxLevels: Int,
+      rounds: Int, refine: Boolean): String = {
     def level(l: Int): String = {
       val moves = (1 to rounds).map { r =>
         val pc = if (r == 1) s"c_${l}_0" else s"c_${l}_${r - 1}"
@@ -3085,6 +3199,42 @@ object SparkEntry {
            |  JOIN ownsc_${l}_$r o ON o.x = co.x)""".stripMargin
       }.mkString(",\n")
       val fc = s"c_${l}_$rounds"
+      // the partition every downstream block (Q, level rows,
+      // contraction, mapping) reads: the move result, or its
+      // connected-component refinement when `refine`
+      val fin = if (refine) s"rc_$l" else fc
+      // Leiden refinement: min-label propagation over intra-community
+      // edges, UNROLLED to a fixed budget (a recursive CTE would be
+      // the natural closure, but DuckDB 1.0.0's WITH RECURSIVE stops
+      // honoring MATERIALIZED hints, re-inlining the move chain
+      // exponentially — measured: the same probe runs 1.7 s without
+      // the keyword and never finishes with it). Propagated labels
+      // compound (a label that traveled k hops travels k more next
+      // round), so `lpRounds` rounds cover any intra-community
+      // diameter ≤ 2^lpRounds-ish; the gate fixtures' community
+      // diameters are ≤ ~4, and a budget shortfall reads as a hash
+      // mismatch, never a silent pass. Refined label = component-min
+      // vertex id; nodes with no intra edge keep their own id.
+      val lpRounds = 8
+      val lpChain = (1 to lpRounds).map { t =>
+        s"""lp_${l}_$t AS MATERIALIZED (SELECT n0.x,
+           |    least(n0.lab, coalesce(m.mn, n0.lab)) AS lab
+           |  FROM lp_${l}_${t - 1} n0
+           |  LEFT JOIN (SELECT iu.d AS x, min(p.lab) AS mn
+           |    FROM iu_$l iu JOIN lp_${l}_${t - 1} p ON p.x = iu.s
+           |    GROUP BY iu.d) m ON m.x = n0.x)""".stripMargin
+      }.mkString(",\n")
+      val refineCtes = if (!refine) "" else s""",
+         |intra_$l AS MATERIALIZED (SELECT g.u AS s, g.v AS d
+         |  FROM g$l g JOIN $fc cu ON cu.x = g.u
+         |  JOIN $fc cv ON cv.x = g.v
+         |  WHERE cu.c = cv.c AND g.u <> g.v),
+         |iu_$l AS MATERIALIZED (SELECT s, d FROM intra_$l
+         |  UNION SELECT d, s FROM intra_$l),
+         |lp_${l}_0 AS MATERIALIZED (SELECT x, x AS lab FROM nodes_$l),
+         |$lpChain,
+         |rc_$l AS MATERIALIZED (SELECT x, lab AS c
+         |  FROM lp_${l}_$lpRounds)""".stripMargin
       val mapPrev = s"map${l - 1}"
       val contract =
         if (l == maxLevels) ""
@@ -3092,10 +3242,10 @@ object SparkEntry {
            |g${l + 1} AS MATERIALIZED (SELECT
            |    least(cu.c, cv.c) AS u, greatest(cu.c, cv.c) AS v,
            |    CAST(sum(g.w) AS BIGINT) AS w
-           |  FROM g$l g JOIN $fc cu ON cu.x = g.u
-           |  JOIN $fc cv ON cv.x = g.v GROUP BY 1, 2),
+           |  FROM g$l g JOIN $fin cu ON cu.x = g.u
+           |  JOIN $fin cv ON cv.x = g.v GROUP BY 1, 2),
            |map$l AS MATERIALIZED (SELECT m._vid, cm.c AS node
-           |  FROM $mapPrev m JOIN $fc cm ON cm.x = m.node)""".stripMargin
+           |  FROM $mapPrev m JOIN $fin cm ON cm.x = m.node)""".stripMargin
       s"""nodes_$l AS MATERIALIZED (SELECT u AS x FROM g$l
          |  UNION SELECT v FROM g$l),
          |adj_$l AS MATERIALIZED (SELECT u AS x, v AS n, w FROM g$l
@@ -3111,12 +3261,12 @@ object SparkEntry {
          |m2_$l AS MATERIALIZED (SELECT CAST(sum(k) AS BIGINT) AS m2
          |  FROM deg_$l),
          |c_${l}_0 AS MATERIALIZED (SELECT x, x AS c FROM nodes_$l),
-         |$moves,
+         |$moves$refineCtes,
          |volf_$l AS MATERIALIZED (SELECT c, CAST(sum(k) AS BIGINT) AS vol
-         |  FROM $fc JOIN deg_$l USING (x) GROUP BY c),
+         |  FROM $fin JOIN deg_$l USING (x) GROUP BY c),
          |wc_$l AS MATERIALIZED (SELECT cu.c, CAST(sum(g.w) AS BIGINT) AS wc
-         |  FROM g$l g JOIN $fc cu ON cu.x = g.u
-         |  JOIN $fc cv ON cv.x = g.v
+         |  FROM g$l g JOIN $fin cu ON cu.x = g.u
+         |  JOIN $fin cv ON cv.x = g.v
          |  WHERE cu.c = cv.c GROUP BY cu.c),
          |q_$l AS MATERIALIZED (SELECT
          |    CAST(sum(2 * m2.m2 * coalesce(wc.wc, 0)
@@ -3126,7 +3276,7 @@ object SparkEntry {
          |  CROSS JOIN m2_$l m2),
          |lvl_$l AS MATERIALIZED (SELECT CAST($l AS BIGINT) AS level,
          |    m._vid, cm.c AS community
-         |  FROM $mapPrev m JOIN $fc cm ON cm.x = m.node)$contract"""
+         |  FROM $mapPrev m JOIN $fin cm ON cm.x = m.node)$contract"""
         .stripMargin
     }
     val levels = (1 to maxLevels).map(level).mkString(",\n")
@@ -3965,6 +4115,49 @@ object SparkEntry {
   private def pqD2Sql(v: String, c: String) =
     s"list_dot_product($v, $v) - 2 * list_dot_product($v, $c)" +
       s" + list_dot_product($c, $c)"
+
+  /** k-means|| oracle: replay [[graft.pipeline.Similarity
+    * .kmeansParallelInit]] round by round — min-over-candidates d²
+    * (the [[pqD2Sql]] L2² law, bit-identical dot folds), φ = Σ
+    * floor(d²·2²⁰) as exact BIGINT, the md5 52-bit coin drafted by
+    * h·φ < ℓ·d²·2⁷² (2⁷² embedded via its round-trip repr), then the
+    * nearest-candidate weighting window. Spark's l2sq writes the 2
+    * multiplier as 2.0 and this replay as integer 2 — both exact. */
+  private def kmeansParSql(ell: Int, rounds: Int): String = {
+    val p72 = s"CAST('${math.pow(2.0, 72)}' AS DOUBLE)"
+    val d2 = pqD2Sql("p.v", "c.cv")
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d_$r AS MATERIALIZED (SELECT p.id, min($d2) AS d2
+         |  FROM pts p CROSS JOIN c_${r - 1} c GROUP BY p.id),
+         |phi_$r AS (SELECT CAST(sum(floor(d2 * 1048576.0)) AS BIGINT)
+         |    AS phi FROM d_$r),
+         |s_$r AS MATERIALIZED (SELECT d.id FROM d_$r d CROSS JOIN phi_$r
+         |  WHERE CAST(CAST('0x' || substr(md5(
+         |      CAST(d.id AS VARCHAR) || ':' || '$r'), 1, 13)
+         |    AS BIGINT) AS DOUBLE)
+         |    * CAST(phi AS DOUBLE)
+         |    < CAST($ell AS DOUBLE) * d.d2 * $p72),
+         |c_$r AS MATERIALIZED (SELECT cand_id, cv, round_added
+         |    FROM c_${r - 1}
+         |  UNION ALL SELECT p.id, p.v, CAST($r AS BIGINT)
+         |    FROM pts p JOIN s_$r ON s_$r.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS MATERIALIZED (SELECT vec_id AS id,
+       |    embedding::DOUBLE[] AS v FROM embeddings),
+       |c_0 AS MATERIALIZED (SELECT id AS cand_id, v AS cv,
+       |    CAST(0 AS BIGINT) AS round_added
+       |  FROM pts WHERE id = (SELECT min(id) FROM pts)),
+       |$roundCtes,
+       |asg AS (SELECT cand_id, CAST(count(*) AS BIGINT) AS weight
+       |  FROM (SELECT p.id, c.cand_id, row_number() OVER (
+       |      PARTITION BY p.id ORDER BY $d2 ASC, c.cand_id ASC) AS rk
+       |    FROM pts p CROSS JOIN c_$rounds c) __a
+       |  WHERE rk = 1 GROUP BY cand_id)
+       |SELECT c.cand_id, c.round_added,
+       |  CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
+       |FROM c_$rounds c LEFT JOIN asg w ON w.cand_id = c.cand_id"""
+      .stripMargin
+  }
 
   /** Shared WITH-body for the PQ oracles: per subspace, the sliced
     * dyadic k-means chain (c{s}_{iters} = trained codebook) and the
@@ -5355,6 +5548,8 @@ object SparkEntry {
         |      ORDER BY floor((tf * ln(n.n / df)) * 1000000.0 + 0.5) / 1000000.0 DESC, term) AS rk
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, rk FROM scored WHERE rk <= 3""".stripMargin,
+
+    "q_bm25_topk" -> bm25Sql(Bm25Queries, k = 15),
 
     "q_repetition_stats" ->
       """WITH tarr AS (
@@ -7176,6 +7371,8 @@ object SparkEntry {
 
     "q_ivf_train" -> ivfTrainSql(2),
 
+    "q_kmeanspar_init" -> kmeansParSql(ell = 8, rounds = 3),
+
     "q_ivf_append" ->
       s"""WITH ${ivfTrainCtes(iters = 2, where = "vec_id < 400")}
          |SELECT vec_id, cell FROM (
@@ -7729,6 +7926,21 @@ object SparkEntry {
         "SELECT (l_orderkey % 600) - (l_orderkey % 5) AS a, " +
         "((l_orderkey % 600) - (l_orderkey % 5) + 5) % 600 AS b " +
         "FROM lineitem",
+      maxLevels = 3, rounds = 4),
+
+    "q_leiden_levels" -> leidenLevelsSql(
+      "SELECT l_orderkey % 300 AS a, " +
+        "(l_orderkey % 300) - (l_orderkey % 5) + l_partkey % 5 AS b " +
+        "FROM lineitem UNION ALL " +
+        "SELECT (l_orderkey % 300) - (l_orderkey % 5) AS a, " +
+        "((l_orderkey % 300) - (l_orderkey % 5) + 5) % 300 AS b " +
+        "FROM lineitem UNION ALL " +
+        "SELECT l_orderkey % 60 + 1000 AS a, " +
+        "l_orderkey % 60 + 1200 AS b FROM lineitem UNION ALL " +
+        "SELECT l_orderkey % 60 + 1100 AS a, " +
+        "l_orderkey % 60 + 1200 AS b FROM lineitem UNION ALL " +
+        "SELECT l_orderkey % 60 + 1200 AS a, " +
+        "(l_orderkey % 60) * 5 + l_partkey % 3 AS b FROM lineitem",
       maxLevels = 3, rounds = 4),
 
     "q_zipf_table" ->
@@ -9134,6 +9346,7 @@ object SparkEntry {
     "q_add_edges" -> Seq("o_totalprice"),
     "q_add_vertices_ifnotexists" -> Seq("c_acctbal"),
     "q_ann_topk" -> Seq("sim"),
+    "q_bm25_topk" -> Seq("score"),
     "q_contrastive_pairs" -> Seq("sim"),
     "q_pq_adc" -> Seq("d2"),
     "q_ppmi" -> Seq("ppmi"),

@@ -2576,8 +2576,8 @@ object GraphAnalytics {
    * if the budget exhausts unconverged instead of returning labels.
    * `rounds` is therefore a MAX budget — generous values cost nothing.
    */
-  private def bigStarLoop(edges: DataFrame,
-      maxRounds: Int): (DataFrame, Seq[(Long, Long)]) = {
+  private def bigStarLoop(edges: DataFrame, maxRounds: Int)
+      : (DataFrame, Seq[(Long, Long)], Option[Int]) = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val sc = edges.sparkSession.sparkContext
     var prevCkptId: Option[Int] = None
@@ -2631,7 +2631,10 @@ object GraphAnalytics {
       cur = next
       trace += ((round, changed))
     }
-    (cur, trace.toSeq)
+    // the final frame stays pinned (callers consume it); its ckpt id is
+    // returned so loop-embedded callers (leidenLevels) can release it
+    // once the derived labels are materialized
+    (cur, trace.toSeq, prevCkptId)
   }
 
   /** See [[bigStarLoop]]. Returns (_vid, component); throws if the
@@ -2640,7 +2643,7 @@ object GraphAnalytics {
     * results either: per-request plans run to completion,
     * src/storage/exec/StoragePlan.h:17-53). */
   def ccBigStar(edges: DataFrame, rounds: Int): DataFrame = {
-    val (cur, trace) = bigStarLoop(edges, rounds)
+    val (cur, trace, _) = bigStarLoop(edges, rounds)
     if (trace.nonEmpty && trace.last._2 != 0L)
       throw new IllegalStateException(
         s"ccBigStar: no fixpoint within $rounds rounds (last round " +
@@ -2661,7 +2664,7 @@ object GraphAnalytics {
   def ccBigStarTrace(edges: DataFrame, maxRounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val (_, trace) = bigStarLoop(edges, maxRounds)
+    val (_, trace, _) = bigStarLoop(edges, maxRounds)
     trace.toDF("round", "changed")
   }
 
@@ -2922,7 +2925,50 @@ object GraphAnalytics {
    * with one scalar fetch per round (moved count) and per level (Q).
    */
   def louvainLevels(edges: DataFrame, maxLevels: Int,
-      roundsPerLevel: Int): DataFrame = {
+      roundsPerLevel: Int): DataFrame =
+    multilevelCommunities(edges, maxLevels, roundsPerLevel,
+      refine = false)
+
+  /**
+   * Multilevel community detection WITH Leiden's refinement guarantee
+   * (Traag, Waltman & van Eck 2019, "From Louvain to Leiden"): plain
+   * Louvain can emit INTERNALLY DISCONNECTED communities — a vertex
+   * that moved into community c while its only bridge to c moved out
+   * keeps c's label with no path to the rest of c (the paper's Fig. 2
+   * defect, and synchronous BSP moves make it easy to hit). The fix is
+   * the refinement pass: before scoring/contracting each level, split
+   * every community into the connected components of its intra-
+   * community subgraph ([[ccBigStar]] restricted to edges whose
+   * endpoints share a community — min-vertex-id component labels, so
+   * the refined partition is deterministic and oracle-replayable).
+   * Splitting a disconnected community never lowers Q (intra weight is
+   * unchanged while Σ vol² shrinks), so the strict-improvement stop
+   * rule is unchanged. Every emitted community is connected — the
+   * theorem the paper names as Leiden's headline guarantee (§"Leiden
+   * algorithm", guarantee 1).
+   *
+   * Scope: this is Louvain + the refinement pass, the composition the
+   * connectivity guarantee actually needs — NOT the paper's full
+   * pipeline (randomized θ-sampled refinement merges and seeding the
+   * aggregate level from the unrefined partition are quality
+   * heuristics, orthogonal to the guarantee; our levels re-start from
+   * singletons exactly like [[louvainLevels]]).
+   *
+   * Scale shape: adds per level ONE intra-community semi-join (two
+   * label joins on the current — strictly shrinking — level graph) and
+   * one [[ccBigStar]] run over the intra subgraph, whose components
+   * are community-bounded (diameter ≤ community diameter ⇒ the
+   * O(log n) star rounds are O(log maxCommunity)); the CC frame is
+   * released as soon as the refined labels are checkpointed, keeping
+   * the loop's O(1) pinned-frame law.
+   */
+  def leidenLevels(edges: DataFrame, maxLevels: Int,
+      roundsPerLevel: Int): DataFrame =
+    multilevelCommunities(edges, maxLevels, roundsPerLevel,
+      refine = true)
+
+  private def multilevelCommunities(edges: DataFrame, maxLevels: Int,
+      roundsPerLevel: Int, refine: Boolean): DataFrame = {
     require(maxLevels >= 1 && roundsPerLevel >= 1,
       "maxLevels and roundsPerLevel must be >= 1")
     val spark = edges.sparkSession
@@ -2983,6 +3029,34 @@ object GraphAnalytics {
             .select(col("_vid").as("x"),
               when(par === lit((r % 2).toLong),
                 col("new_c")).otherwise(col("old_c")).as("c")))
+      }
+      if (refine) {
+        // Leiden refinement: CC over the intra-community subgraph.
+        // Components never span communities, so min-vertex-id labels
+        // are globally consistent; vertices with no intra-community
+        // neighbor fall back to their own id (singleton component).
+        val intra = g.filter(col("u") =!= col("v"))
+          .join(comm.select(col("x").as("u"), col("c").as("cu")), "u")
+          .join(comm.select(col("x").as("v"), col("c").as("cv")), "v")
+          .filter(col("cu") === col("cv"))
+          .select(col("u").as("a"), col("v").as("b"))
+        val (stars, ccTrace, ccId) = bigStarLoop(intra, maxRounds = 30)
+        if (ccTrace.nonEmpty && ccTrace.last._2 != 0L)
+          throw new IllegalStateException(
+            "leidenLevels: refinement CC did not converge in 30 star " +
+              s"rounds (last changed ${ccTrace.last._2}) — raise the " +
+              "budget; unrefined labels would void the connectivity " +
+              "guarantee")
+        val comp = stars
+          .select(col("v").as("x"), col("u").as("comp"))
+          .unionByName(
+            stars.select(col("u").as("x"), col("u").as("comp")))
+          .groupBy("x").agg(min(col("comp")).as("comp"))
+        comm = rotate("comm", comm.select(col("x"))
+          .join(comp, Seq("x"), "left")
+          .select(col("x"), coalesce(col("comp"), col("x")).as("c")))
+        ccId.foreach(i => sc.getPersistentRDDs.get(i)
+          .foreach(_.unpersist(blocking = false)))
       }
       val (qNum, qDen) = modularityIntegersW(g, comm)
       if (prevQ.exists(_ >= qNum)) stop = true

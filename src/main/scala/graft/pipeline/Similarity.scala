@@ -920,6 +920,95 @@ object Similarity {
     centroids
   }
 
+  /**
+   * k-means|| seeding (Bahmani, Moseley, Vattani, Kumar &
+   * Vassilvitskii 2012, "Scalable k-means++") — the principled
+   * distributed init the first-N-by-id seed in [[ivfTrain]] stands in
+   * for. k-means++ needs k sequential corpus passes (one per center);
+   * k-means|| compresses that to `rounds` passes by OVERSAMPLING: each
+   * round every point joins the candidate set independently with
+   * probability ℓ·d²(x,C)/φ(C), where φ = Σ_x d²(x,C) is the current
+   * cost, so each pass drafts ~ℓ well-spread candidates at once; the
+   * candidates are then weighted by the size of their nearest-neighbor
+   * cell (the paper reclusters those weighted candidates with local
+   * k-means++; the weighted candidate table this returns IS that
+   * step's input).
+   *
+   * Determinism: the seed is the min-id vector; the per-point coin is
+   * the md5 52-bit window of "id:round" compared cross-multiplied —
+   * h·φ < ℓ·d²·2⁷² — so runs are reproducible and oracle-replayable.
+   * φ is an exact INTEGER: Σ floor(d²·2²⁰) (unit-norm embeddings keep
+   * the summand ≤ 4·2²⁰, so ~2⁴¹ rows fit in BIGINT — shard the sum or
+   * widen the grid beyond that); d² itself stays a raw double on both
+   * engines (single IEEE expression tree, [[l2sq]]).
+   *
+   * Scale shape: per round ONE broadcast join of the candidate set
+   * (≤ 1+ℓ·rounds rows) against the corpus + a min-aggregate (map-side
+   * combinable) + one scalar φ row — never a corpus shuffle; the
+   * final weighting is the same broadcast join + one candidate-sized
+   * count. Candidate frames rotate through localCheckpoint, O(1)
+   * pinned.
+   *
+   * Returns (cand_id, round_added, weight).
+   */
+  def kmeansParallelInit(emb: DataFrame, idCol: String, vecCol: String,
+      ell: Int, rounds: Int): DataFrame = {
+    require(ell >= 1 && rounds >= 1, "ell and rounds must be >= 1")
+    val pts = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .transform(graft.CacheScope.persist(_))
+    val seed = pts.crossJoin(broadcast(pts.agg(min(col("id")).as("mid"))))
+      .filter(col("id") === col("mid"))
+      .select(col("id").as("cand_id"), col("v").as("cv"),
+        lit(0L).as("round_added"))
+    var prevCkpt: Option[Int] = None
+    val sc = emb.sparkSession.sparkContext
+    def rotate(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val next = df.localCheckpoint(true)
+      val id = (sc.getPersistentRDDs.keySet -- before).toList match {
+        case only :: Nil => Some(only); case _ => None
+      }
+      prevCkpt.foreach(i => sc.getPersistentRDDs.get(i)
+        .foreach(_.unpersist(blocking = false)))
+      prevCkpt = id
+      next
+    }
+    var cands = rotate(seed)
+    val p72 = math.pow(2.0, 72) // exact power-of-two double
+    for (r <- 1 to rounds) {
+      // d²(x, C) = min over the broadcast candidate set — candidates
+      // themselves get exactly 0 (identical-vector l2sq cancels) and
+      // can never re-select
+      val d2 = pts.crossJoin(broadcast(cands.select(col("cv"))))
+        .withColumn("dd", l2sq(col("v"), col("cv")))
+        .groupBy(col("id")).agg(min(col("dd")).as("d2"))
+      val phi = d2.agg(sum(floor(col("d2") * lit(1048576.0)))
+        .as("phi")) // Σ floor(d²·2^20): exact integer cost
+      val h = conv(substring(md5(concat(col("id").cast("string"),
+        lit(":"), lit(r.toString))), 1, 13), 16, 10).cast("double")
+      val chosen = d2.crossJoin(broadcast(phi))
+        .filter(h * col("phi").cast("double") <
+          lit(ell.toDouble) * col("d2") * lit(p72))
+        .select(col("id"))
+      cands = rotate(cands.unionByName(pts.join(chosen, "id")
+        .select(col("id").as("cand_id"), col("v").as("cv"),
+          lit(r.toLong).as("round_added"))))
+    }
+    // weight = |nearest-neighbor cell| (ties → smaller cand_id)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("dd").asc, col("cand_id").asc)
+    val assigned = pts.crossJoin(
+        broadcast(cands.select(col("cand_id"), col("cv"))))
+      .withColumn("dd", l2sq(col("v"), col("cv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("cand_id")).agg(count(lit(1)).as("weight"))
+    cands.select(col("cand_id"), col("round_added"))
+      .join(assigned, Seq("cand_id"), "left")
+      .select(col("cand_id"), col("round_added"),
+        coalesce(col("weight"), lit(0L)).as("weight"))
+  }
+
   /** ANN top-k through the IVF index: probe the nProbe nearest cells. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, nCells: Int, nProbe: Int): DataFrame = {

@@ -374,6 +374,79 @@ object TextAnalysis {
   }
 
   /**
+   * Okapi BM25 ranked retrieval (Robertson & Walker 1994; the Lucene
+   * `BM25Similarity` idf variant, which is ≥ 0 for every df):
+   * score(q, d) = Σ_{t ∈ q∩d} ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) ·
+   * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), top-k docs per query
+   * by (score desc, doc asc). k1/b arrive as permille integers
+   * (1200/750 = the standard 1.2/0.75) so the parameter surface stays
+   * engine-portable. Repeated query terms count once (the binary-qtf
+   * form — Robertson's k3→0 limit).
+   *
+   * Determinism: each (query, doc, term) contribution is floored onto
+   * the dyadic 2^-30 grid ([[graft.functions.Portable.dyadic]]) before
+   * the per-doc sum, so the score is bit-identical under any partial-
+   * aggregation order and across engines; ranks read that exact sum.
+   *
+   * Scale shape: ONE corpus scan builds the persisted (doc, term, tf)
+   * frame feeding df / doc-length / match join; N and avgdl ride as a
+   * broadcast scalar row (never a driver collect); the query-term
+   * frame is queries×terms-sized and broadcast into the term-keyed
+   * match join, so the corpus shuffles once by term and once by
+   * (query, doc) for the sum; the final top-k is a per-query
+   * WindowGroupLimit over candidate docs only (docs sharing ≥ 1 term).
+   */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], k: Int,
+      k1Permille: Int = 1200, bPermille: Int = 750): DataFrame = {
+    require(k >= 1 && k1Permille >= 0 && bPermille >= 0 &&
+      bPermille <= 1000, "k >= 1, k1 >= 0, b in [0, 1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k1 = k1Permille / 1000.0
+    val b = bPermille / 1000.0
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(terms(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheScope.persist(_))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N and total length in ONE aggregated scalar row (avgdl = totdl/N
+    // is the identical double division on both engines)
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_dl"))
+    val qterms = queries.toDF("query_id", "q_text")
+      .select(col("query_id"), explode(terms(col("q_text"))).as("term"))
+      .distinct()
+    val contrib = tf.join(broadcast(qterms), "term")
+      .join(dfreq, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast("double") -
+          col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("tfn",
+        col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") *
+              col("n_docs").cast("double") /
+              col("tot_dl").cast("double"))))
+      .select(col("query_id"), col("doc_id"),
+        graft.functions.Portable.dyadic(col("idf") * col("tfn"))
+          .as("c"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("c")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rk"),
+        col("n_terms_hit"), col("score"))
+  }
+
+  /**
    * Gopher-style repetition signals per document: token count, duplicate
    * -word fraction (1 − distinct/total), top-word fraction, and
    * top-bigram fraction. High values flag boilerplate/spam for corpus

@@ -85,4 +85,160 @@ class Round13Spec extends SparkSpec {
       s"paths disagree: ${got.schema} vs ${empty.schema}")
     assert(got.count() > 0 && empty.count() == 0)
   }
+
+  // ---- Leiden refinement (Traag et al. 2019) ----
+
+  /** Ring of 5-cliques + disconnection gadgets: chain A−B−C whose cut
+    * vertex B also has 3 edges into a clique — once the clique
+    * consolidates, B defects (w=3 beats its own w=2), stranding the
+    * non-adjacent A and C under B's old label: the Fig. 2 defect. */
+  private def gadgetGraph(nCliques: Int, nGadgets: Int) = {
+    val clique = for {
+      q <- 0 until nCliques; i <- 0 until 5; j <- (i + 1) until 5
+    } yield ((q * 5 + i).toLong, (q * 5 + j).toLong)
+    val ring = (0 until nCliques).map(q =>
+      ((q * 5).toLong, (((q + 1) % nCliques) * 5).toLong))
+    val gadgets = (0 until nGadgets).flatMap { g =>
+      val (a, c, b) = (1000L + g, 1100L + g, 1200L + g)
+      Seq((a, b), (c, b)) ++
+        (0 until 3).map(j => (b, ((g % nCliques) * 5 + j).toLong))
+    }
+    (clique ++ ring ++ gadgets).toDF("a", "b")
+  }
+
+  /** (level, community) -> number of connected components of the
+    * community's induced subgraph in the ORIGINAL graph. */
+  private def componentsPerCommunity(edges: org.apache.spark.sql.DataFrame,
+      levels: org.apache.spark.sql.DataFrame) = {
+    val e = edges.toDF("a", "b")
+    levels.select("level").distinct().collect().map(_.getLong(0)).map { l =>
+      val cm = levels.filter(col("level") === l)
+        .select(col("_vid").as("x"), col("community").as("c"))
+      val intra = e
+        .join(cm.select(col("x").as("a"), col("c").as("ca")), "a")
+        .join(cm.select(col("x").as("b"), col("c").as("cb")), "b")
+        .filter(col("ca") === col("cb")).select("a", "b")
+      val comp = GraphAnalytics.ccBigStar(intra, rounds = 30)
+      val n = cm.join(comp.withColumnRenamed("_vid", "x"), Seq("x"), "left")
+        .select(col("c"),
+          coalesce(col("component"), col("x")).as("comp"))
+        .groupBy("c").agg(countDistinct(col("comp")).as("n"))
+      l -> n.agg(max(col("n"))).head().getLong(0)
+    }.toMap
+  }
+
+  test("leidenLevels: every emitted community is connected; louvain's is not") {
+    val e = gadgetGraph(nCliques = 12, nGadgets = 24)
+    val louvain = GraphAnalytics.louvainLevels(e, maxLevels = 3,
+      roundsPerLevel = 4)
+    val leiden = GraphAnalytics.leidenLevels(e, maxLevels = 3,
+      roundsPerLevel = 4)
+    val maxCompLouvain = componentsPerCommunity(e, louvain)
+    val maxCompLeiden = componentsPerCommunity(e, leiden)
+    // the fixture must actually exercise the defect, else this test
+    // proves nothing — tune gadget count/parities if this trips
+    assert(maxCompLouvain.values.max >= 2L,
+      s"fixture too weak, louvain stayed connected: $maxCompLouvain")
+    assert(maxCompLeiden.values.forall(_ == 1L),
+      s"leiden emitted a disconnected community: $maxCompLeiden")
+    // refinement never lowers level-1 modularity (same move phase,
+    // split of a disconnected community only shrinks Σ vol²)
+    def q1(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("level") === 1).select("q_num").head().getLong(0)
+    assert(q1(leiden) >= q1(louvain),
+      "refinement lowered level-1 Q")
+  }
+
+  test("leidenLevels == louvainLevels when every move community is connected") {
+    // a single clique: the move phase consolidates it whole; the
+    // refinement CC is one component per community — provably inert
+    val e = (for { i <- 0 until 6; j <- (i + 1) until 6 }
+      yield (i.toLong, j.toLong)).toDF("a", "b")
+    val louvain = GraphAnalytics.louvainLevels(e, 2, 4).collect().toSet
+    val leiden = GraphAnalytics.leidenLevels(e, 2, 4).collect().toSet
+    assert(louvain == leiden, s"inert refinement diverged")
+  }
+
+  // ---- BM25 (Robertson & Walker 1994, Lucene idf variant) ----
+
+  test("bm25TopK: hand-checked scores, rank order, and laws") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "cat dog cat"),          // tf(cat)=2, dl=3
+      (2L, "cat"),                  // tf(cat)=1, dl=1
+      (3L, "dog dog dog dog"),      // dl=4
+      (4L, "bird bird")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq((0L, "cat"), (1L, "cat bird")), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getLong(3), r.getDouble(4)))).toMap
+    // query 0 "cat": docs 1 and 2 match. N=4, df(cat)=2, avgdl=2.5.
+    // idf = ln(1 + 2.5/2.5) = ln 2. Shorter doc 2 with tf=1:
+    // tfn = 2.2/(1 + 1.2*(0.25+0.75*0.4)) = 2.2/1.66; doc 1 tf=2 dl=3:
+    // tfn = 4.4/(2+1.2*(0.25+0.9)) = 4.4/3.38
+    val k1 = 1.2; val b = 0.75
+    def tfn(tf: Double, dl: Double) =
+      tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl * 4.0 / 10.0))
+    def dy(x: Double) = math.floor(x * 1073741824.0) / 1073741824.0
+    val idf2 = math.log(1.0 + (4.0 - 2.0 + 0.5) / 2.5)
+    assert(math.abs(got((0L, 1L))._3 - dy(idf2 * tfn(2, 3))) < 1e-12)
+    assert(math.abs(got((0L, 2L))._3 - dy(idf2 * tfn(1, 1))) < 1e-12)
+    // for "cat", length normalization beats raw tf at these dials:
+    // doc 2 (tf=1, dl=1) = 0.9186 outranks doc 1 (tf=2, dl=3) = 0.9023
+    assert(got((0L, 2L))._1 == 1 && got((0L, 1L))._1 == 2)
+    assert(!got.contains((0L, 3L)) && !got.contains((0L, 4L)))
+    // query 1 "cat bird": doc 4 matches rarer 'bird' (df=1) with its
+    // whole length and must outrank both cat docs
+    assert(got((1L, 4L))._1 == 1, s"rare-term doc must rank first: $got")
+    assert(got((1L, 4L))._2 == 1L && got((1L, 1L))._2 == 1L)
+  }
+
+  test("bm25TopK is partition-invariant and respects k") {
+    import graft.pipeline.TextAnalysis
+    val docs = (1 to 40).map(i =>
+      (i.toLong, if (i % 3 == 0) "alpha beta gamma" else "beta delta"))
+      .toDF("doc_id", "text")
+    val q = Seq((7L, "alpha beta"))
+    val a = TextAnalysis.bm25TopK(docs, "doc_id", "text", q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val b = TextAnalysis.bm25TopK(docs.repartition(11), "doc_id",
+      "text", q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(a == b, "bm25 rank set changed under repartition")
+    assert(a.size == 5, s"k=5 expected, got ${a.size}")
+  }
+
+  // ---- k-means|| seeding (Bahmani et al. 2012) ----
+
+  test("kmeansParallelInit: seed, weights partition the corpus, invariance") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = Similarity.kmeansParallelInit(emb, "vec_id", "embedding",
+      ell = 8, rounds = 2)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the round-0 seed is the min-id vector
+    val seeds = rows.filter(_._2 == 0L)
+    assert(seeds.map(_._1).toSeq == Seq(0L), s"seed: ${seeds.toSeq}")
+    // oversampling drafted more candidates beyond the seed
+    assert(rows.length > 1, "no candidate ever drafted")
+    // nearest-candidate weights partition the corpus exactly
+    assert(rows.map(_._3).sum == emb.count(),
+      s"weights must sum to corpus size: ${rows.toSeq}")
+    // deterministic under repartition
+    val again = Similarity.kmeansParallelInit(emb.repartition(7),
+      "vec_id", "embedding", ell = 8, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == again.toSet, "repartition changed the draft")
+  }
+
+  test("leidenLevels is partition-invariant") {
+    val e = gadgetGraph(nCliques = 6, nGadgets = 8)
+    val a = GraphAnalytics.leidenLevels(e, 2, 4).collect().toSet
+    val b = GraphAnalytics.leidenLevels(e.repartition(13), 2, 4)
+      .collect().toSet
+    assert(a == b, "repartition changed the leiden partition")
+  }
 }
