@@ -1561,8 +1561,11 @@ object GraphAnalytics {
     var r = 1
     var fullyColored = false
     while (r <= rounds && !fullyColored) {
+      // NOT persisted (r13): both consumers re-filter the already-
+      // checkpointed `state` — a cached-frame scan — and the persist's
+      // 32 block writes per round cost more than the recompute at any
+      // scale (state is always a materialized leaf here)
       val undec = state.filter(col("color") === -1).select(col("v"))
-        .transform(graft.CacheScope.persist(_)) // live filter + winners
       val minNbr = arcs.join(undec, Seq("v"), "left_semi")
         .join(undec.select(col("v").as("n")), Seq("n"), "left_semi")
         .groupBy(col("v")).agg(min(prio(col("n"))).as("mn"))
@@ -1578,16 +1581,20 @@ object GraphAnalytics {
       // localCheckpoint lineage break per round — the lubyMIS/hits law
       // (the analyzer's self-join dedup clones the per-round subtrees
       // exponentially otherwise); superseded checkpoint blocks release
-      // by RDD id so pinned state stays O(1).
-      val (next, ckptId) = rotateCheckpoint(round_, prevCkptId)
+      // by RDD id so pinned state stays O(1). The remaining-uncolored
+      // count rides the checkpoint job as a CollectMetrics observation
+      // (the semiSyncLpaLoop law) — early exit once fully colored is
+      // bit-identical to running the full budget (a winner needs an
+      // uncolored vertex), and the round IS its one checkpoint job.
+      val obs = org.apache.spark.sql.Observation()
+      val (next, ckptId) = rotateCheckpoint(
+        round_.observe(obs,
+          count(when(col("color") === -1, lit(1))).as("n")), prevCkptId)
       prevCkptId = ckptId
-      graft.CacheScope.unpersist(undec)
       state = next
-      // Early-exit once fully colored (cheap limit-1 probe over the
-      // just-checkpointed frame): every remaining round is a provable
-      // no-op — a winner needs an uncolored vertex — so the output is
-      // bit-identical to running the full budget.
-      fullyColored = state.filter(col("color") === -1).isEmpty
+      fullyColored = scala.concurrent.Await
+        .result(obs.future, scala.concurrent.duration.Duration(60,
+          java.util.concurrent.TimeUnit.SECONDS)).getLong(0) == 0L
       r += 1
     }
     state.select(col("v").as(GraphStore.VID), col("color"))
@@ -1993,9 +2000,10 @@ object GraphAnalytics {
    * edge-set's worth of vote volume (|E|), the same total work as a
    * single synchronous LPA round; determinism costs the *scheduling*
    * of nColors steps, not nColors full-graph scans. The changed count
-   * is class-sized (best⋈labels on the class members), the projection
-   * is one vertex-sized left join, rotated via localCheckpoint (O(1)
-   * pinned frames).
+   * rides the checkpoint job as a CollectMetrics observation — a class
+   * step costs exactly ONE Spark job — and the projection is one
+   * vertex-sized left join, rotated via localCheckpoint (O(1) pinned
+   * frames).
    */
   def labelPropagationStable(store: GraphStore, edgeTypes: Seq[String],
       colorRounds: Int, maxSweeps: Int): DataFrame =
@@ -2086,17 +2094,26 @@ object GraphAnalytics {
           .groupBy(col("s"))
           .agg(min(struct((-col("n")).as("nn"), col("label"))).as("m"))
           .select(col("s").as("v"), col("m.label").as("blabel"))
-        // ONE materializing job per step: the projection carries a
-        // chg flag so the changed count below is a shuffle-free scan
-        // of the checkpointed frame, not a second vote computation
-        // (r12 paid a full-vertex anti-join job per step here)
+        // ONE job per step, total: the changed count rides the
+        // checkpoint job itself as a CollectMetrics observation
+        // (eager localCheckpoint executes through the SQL action path,
+        // so the metric fires with the materialization — measured with
+        // ScratchObs before relying on it). r12 paid a full-vertex
+        // anti-join job per step; the first r13 cut made it a cached
+        // scan; this removes the second job entirely — the class step
+        // IS its checkpoint job now.
+        val obs = org.apache.spark.sql.Observation()
         val (next, ckptId) = rotateCheckpoint(
           labels.join(best, Seq("v"), "left")
             .select(col("v"),
               coalesce(col("blabel"), col("label")).as("label"),
               (col("blabel").isNotNull &&
-                col("blabel") =!= col("label")).as("chg")), None)
-        val changed = next.filter(col("chg")).count()
+                col("blabel") =!= col("label")).as("chg"))
+            .observe(obs, count(when(col("chg"), lit(1))).as("n")),
+          None)
+        val changed = scala.concurrent.Await
+          .result(obs.future, scala.concurrent.duration.Duration(60,
+            java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
         prevId.foreach(i => sc.getPersistentRDDs.get(i)
           .foreach(_.unpersist(blocking = false)))
         prevId = ckptId
