@@ -2156,12 +2156,21 @@ object GraphAnalytics {
       val w = Window.partitionBy(col("s"))
         .orderBy(col("n").desc, col("label"))
       // lineage break per round (the bigStarLoop law): the round
-      // references `labels` twice (votes + the change diff below)
+      // references `labels` twice (votes + the change flag); changed
+      // rides the checkpoint job as a CollectMetrics observation
+      val obs = org.apache.spark.sql.Observation()
       val (next, ckptId) = rotateCheckpoint(
         votes.withColumn("_rk", row_number().over(w))
           .filter(col("_rk") === 1)
-          .select(col("s").as("v"), col("label")), None)
-      changed = next.join(labels, Seq("v", "label"), "left_anti").count()
+          .select(col("s").as("v"), col("label"))
+          .join(labels.select(col("v"), col("label").as("_prev")),
+            Seq("v"), "left")
+          .observe(obs, count(when(col("_prev").isNull ||
+            col("label") =!= col("_prev"), lit(1))).as("n"))
+          .select(col("v"), col("label")), None)
+      changed = scala.concurrent.Await
+        .result(obs.future, scala.concurrent.duration.Duration(60,
+          java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
       prevId.foreach(i => sc.getPersistentRDDs.get(i)
         .foreach(_.unpersist(blocking = false)))
       prevId = ckptId
@@ -2225,18 +2234,27 @@ object GraphAnalytics {
       round += 1
       // lineage break per round: the round references `dist` three
       // times (relax, union, change diff) — persist alone grows the
-      // analyzed plan ~3^rounds (the kCore stringification lesson)
+      // analyzed plan ~3^rounds (the kCore stringification lesson).
+      // min-combine never worsens a distance, so "changed" is exactly
+      // the (v, dist) pairs absent from the previous frame (new vertex
+      // or strictly smaller double — bit-identical folds, see scaladoc)
+      // — computed as a flag INSIDE the checkpoint job and read via
+      // CollectMetrics (the semiSyncLpaLoop one-job-per-round law),
+      // not as a separate anti-join job.
+      val obs = org.apache.spark.sql.Observation()
       val (relaxed, ckptId) = rotateCheckpoint(
         e.join(dist, e("s") === dist("v"))
           .select(col("d").as("v"), (col("dist") + col("w")).as("dist"))
           .unionByName(dist)
-          .groupBy("v").agg(min(col("dist")).as("dist")), None)
-      // min-combine never worsens a distance, so "changed" is exactly
-      // the (v, dist) pairs absent from the previous frame. The double
-      // equality is engine-safe: both engines fold d_prev + w over the
-      // identical candidate set (see scaladoc above), so min picks
-      // bit-identical doubles.
-      changed = relaxed.join(dist, Seq("v", "dist"), "left_anti").count()
+          .groupBy("v").agg(min(col("dist")).as("dist"))
+          .join(dist.select(col("v"), col("dist").as("_prev")),
+            Seq("v"), "left")
+          .observe(obs, count(when(col("_prev").isNull ||
+            col("dist") =!= col("_prev"), lit(1))).as("n"))
+          .select(col("v"), col("dist")), None)
+      changed = scala.concurrent.Await
+        .result(obs.future, scala.concurrent.duration.Duration(60,
+          java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
       prevId.foreach(i => sc.getPersistentRDDs.get(i)
         .foreach(_.unpersist(blocking = false)))
       prevId = ckptId
@@ -2302,16 +2320,25 @@ object GraphAnalytics {
     while (round < maxRounds && changed != 0L) {
       round += 1
       // lineage break per round (3 references to `arr`: relax, union,
-      // change diff — the shortestPathsLoop law)
+      // change diff); changed = appeared-or-improved (seed, vid)
+      // arrivals, flagged inside the checkpoint job and read via
+      // CollectMetrics (the shortestPathsLoop law)
+      val obs = org.apache.spark.sql.Observation()
       val (relaxed, ckptId) = rotateCheckpoint(
         e.join(arr, e("s") === arr("vid") && e("t") >= col("arr_us"))
           .select(col("seed"), col("d").as("vid"),
             col("t").as("arr_us"))
           .unionByName(arr)
-          .groupBy("seed", "vid").agg(min(col("arr_us")).as("arr_us")),
+          .groupBy("seed", "vid").agg(min(col("arr_us")).as("arr_us"))
+          .join(arr.select(col("seed"), col("vid"),
+            col("arr_us").as("_prev")), Seq("seed", "vid"), "left")
+          .observe(obs, count(when(col("_prev").isNull ||
+            col("arr_us") =!= col("_prev"), lit(1))).as("n"))
+          .select(col("seed"), col("vid"), col("arr_us")),
         None)
-      changed = relaxed
-        .join(arr, Seq("seed", "vid", "arr_us"), "left_anti").count()
+      changed = scala.concurrent.Await
+        .result(obs.future, scala.concurrent.duration.Duration(60,
+          java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
       prevId.foreach(i => sc.getPersistentRDDs.get(i)
         .foreach(_.unpersist(blocking = false)))
       prevId = ckptId
@@ -2600,14 +2627,20 @@ object GraphAnalytics {
     var prevCkptId: Option[Int] = None
     // materialize the canonical edge frame once: round 1 references it
     // ~6 times through adj/mins/ls and would otherwise re-run the
-    // scan+distinct per reference
+    // scan+distinct per reference; its size is observed off the same
+    // job (the symmetric-diff arithmetic below needs |cur| per round)
+    val obs0 = org.apache.spark.sql.Observation()
     val (cur0, id0) = rotateCheckpoint(
       edges.toDF("a", "b").filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("u"),
           greatest(col("a"), col("b")).as("v"))
-        .distinct(), None)
+        .distinct()
+        .observe(obs0, count(lit(1)).as("n")), None)
     prevCkptId = id0
     var cur = cur0
+    var curCount = scala.concurrent.Await
+      .result(obs0.future, scala.concurrent.duration.Duration(60,
+        java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
     val trace = collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var round = 0L
     var changed = -1L
@@ -2635,13 +2668,25 @@ object GraphAnalytics {
       // CLONES the subtree per reference — exponential plan growth by
       // round 4 without a localCheckpoint bottom-out. Superseded
       // round blocks release by RDD id: O(1) pinned state — but only
-      // AFTER the fixpoint diff below consumed the superseded frame
-      // (its lineage is truncated; released blocks are unrecoverable).
-      val (next, ckptId) = rotateCheckpoint(ss, None)
-      changed = cur.select(col("u"), col("v"))
-        .unionByName(next.select(col("u"), col("v")))
-        .groupBy("u", "v").agg(count(lit(1)).as("n"))
-        .filter(col("n") === 1).count()
+      // AFTER this materialization consumed the superseded frame (its
+      // lineage is truncated; released blocks are unrecoverable). The
+      // fixpoint diff |curΔnext| = |cur| + |next| − 2·|cur∩next| rides
+      // the SAME job: both star frames are distinct sets, so the
+      // intersection is a left-join match count and |cur| is the
+      // previous round's observed |next| — one job per round, total.
+      val obs = org.apache.spark.sql.Observation()
+      val (next, ckptId) = rotateCheckpoint(
+        ss.join(cur.select(col("u"), col("v"), lit(1).as("_old")),
+            Seq("u", "v"), "left")
+          .observe(obs, count(lit(1)).as("n"),
+            count(col("_old")).as("inter"))
+          .select(col("u"), col("v")), None)
+      val row = scala.concurrent.Await
+        .result(obs.future, scala.concurrent.duration.Duration(60,
+          java.util.concurrent.TimeUnit.SECONDS))
+      val nextCount = row.getLong(0)
+      changed = curCount + nextCount - 2L * row.getLong(1)
+      curCount = nextCount
       prevCkptId.foreach(i =>
         sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
       prevCkptId = ckptId
