@@ -766,6 +766,9 @@ object ScaleSmoke {
     time(s"leiden levels ${factor}x")(
       graft.analytics.GraphAnalytics.leidenLevels(leidE,
         maxLevels = 3, roundsPerLevel = 4).count())
+    time(s"balanced partition ${factor}x")(
+      graft.analytics.GraphAnalytics.balancedPartition(louvE,
+        k = 8, rounds = 4, capPermille = 1250).count())
     time(s"bpe train 4 merges ${factor}x")(
       graft.pipeline.TextAnalysis.bpeTrain(docs, "text", nMerges = 4)
         .count())

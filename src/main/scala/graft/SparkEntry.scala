@@ -1428,6 +1428,38 @@ object SparkEntry {
         maxLevels = 3, roundsPerLevel = 4)
     }),
 
+    // ---- Balanced k-way partition refinement (Ugander & Backstrom
+    // 2013 / LDG / Fennel, integer core): start from the reference's
+    // id-hash placement (NebulaKeyUtils.h:97), greedily co-locate
+    // neighborhoods under a soft balance cap ----
+    "q_partition_refine" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val v1 = col("l_orderkey") % 600
+      val head = v1 - (v1 % 5)
+      val intra = li.select(v1.as("a"),
+        (head + col("l_partkey") % 5).as("b"))
+      val ring = li.select(head.as("a"), ((head + 5) % 600).as("b"))
+      graft.analytics.GraphAnalytics.balancedPartition(
+        intra.unionByName(ring), k = 8, rounds = 4, capPermille = 1250)
+    }),
+    "q_partition_quality" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val v1 = col("l_orderkey") % 600
+      val head = v1 - (v1 % 5)
+      val intra = li.select(v1.as("a"),
+        (head + col("l_partkey") % 5).as("b"))
+      val ring = li.select(head.as("a"), ((head + 5) % 600).as("b"))
+      val e = intra.unionByName(ring)
+      val parts = graft.analytics.GraphAnalytics.balancedPartition(
+        e, k = 8, rounds = 4, capPermille = 1250)
+      graft.analytics.GraphAnalytics.partitionQuality(e,
+          parts.select(col("_vid"), col("part_init")))
+        .select(lit("init").as("stage"), col("*"))
+        .unionByName(graft.analytics.GraphAnalytics.partitionQuality(e,
+            parts.select(col("_vid"), col("part")))
+          .select(lit("refined").as("stage"), col("*")))
+    }),
+
     // ---- Modularity sufficient statistics: communities from CC over
     // customer→nation edges, scored against the graph WITH region
     // edges (which cross communities) ----
@@ -3082,6 +3114,119 @@ object SparkEntry {
     * stopping rule (fixpoint rounds are no-ops, so the fixed unroll
     * replays the early-exiting Spark loop verbatim). MATERIALIZED
     * everywhere: every CTE is referenced multiply. */
+  /** Balanced-partition oracle: replay [[graft.analytics
+    * .GraphAnalytics.balancedPartition]]'s rounds — md5-hash init,
+    * per-round k-row loads, neighbor-partition counts, soft-cap
+    * filter on the previous round's loads, argmax (nv desc, p asc),
+    * md5-parity move gate. All integers. The shared CTE prefix is
+    * reused by the quality oracle. */
+  private def balancedPartitionCtes(edgeSql: String, k: Int,
+      rounds: Int, capPermille: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val pc = s"bp_${r - 1}"
+      s"""bpload_$r AS MATERIALIZED (SELECT p,
+         |    CAST(count(*) AS BIGINT) AS load FROM $pc GROUP BY p),
+         |bpnvp_$r AS MATERIALIZED (SELECT a.x, pm.p,
+         |    CAST(count(*) AS BIGINT) AS nv
+         |  FROM bpadj a JOIN $pc pm ON pm.x = a.n GROUP BY 1, 2),
+         |bpown_$r AS MATERIALIZED (SELECT nvp.x, nvp.nv AS nv_own
+         |  FROM bpnvp_$r nvp JOIN $pc o ON o.x = nvp.x
+         |    AND o.p = nvp.p),
+         |bpbest_$r AS MATERIALIZED (SELECT x, nv AS nv_best,
+         |    p AS p_best FROM (
+         |  SELECT nvp.x, nvp.p, nvp.nv, row_number() OVER (
+         |      PARTITION BY nvp.x ORDER BY nvp.nv DESC, nvp.p ASC)
+         |      AS rk
+         |  FROM bpnvp_$r nvp JOIN $pc o ON o.x = nvp.x
+         |    AND o.p <> nvp.p
+         |  JOIN bpload_$r l ON l.p = nvp.p CROSS JOIN bpnk
+         |  WHERE l.load * $k * 1000 <= $capPermille * bpnk.n) __b
+         |  WHERE rk = 1),
+         |bp_$r AS MATERIALIZED (SELECT o.x,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(o.x AS VARCHAR)),
+         |          9, 8) AS BIGINT) % 2 = ${r % 2}
+         |        AND b.nv_best > coalesce(onv.nv_own, 0)
+         |      THEN b.p_best ELSE o.p END AS p
+         |  FROM $pc o
+         |  LEFT JOIN bpbest_$r b ON b.x = o.x
+         |  LEFT JOIN bpown_$r onv ON onv.x = o.x)""".stripMargin
+    }.mkString(",\n")
+    s"""bpe AS MATERIALIZED (SELECT DISTINCT least(a, b) AS u,
+       |    greatest(a, b) AS v
+       |  FROM ($edgeSql) __e WHERE a <> b),
+       |bpnodes AS MATERIALIZED (SELECT u AS x FROM bpe
+       |  UNION SELECT v FROM bpe),
+       |bpadj AS MATERIALIZED (SELECT u AS x, v AS n FROM bpe
+       |  UNION ALL SELECT v, u FROM bpe),
+       |bpnk AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bpnodes),
+       |bp_0 AS MATERIALIZED (SELECT x,
+       |    CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8)
+       |      AS BIGINT) % $k AS p
+       |  FROM bpnodes),
+       |$roundCtes,
+       |bpfinal AS MATERIALIZED (SELECT f.x AS _vid,
+       |    CAST('0x' || substr(md5(CAST(f.x AS VARCHAR)), 1, 8)
+       |      AS BIGINT) % $k AS part_init,
+       |    f.p AS part
+       |  FROM bp_$rounds f)""".stripMargin
+  }
+
+  private def balancedPartitionSql(edgeSql: String, k: Int,
+      rounds: Int, capPermille: Int): String =
+    s"""WITH ${balancedPartitionCtes(edgeSql, k, rounds, capPermille)}
+       |SELECT _vid, part_init, part FROM bpfinal""".stripMargin
+
+  /** Quality oracle: per-partition load/internal/cut-incident rows +
+    * the global cut/imbalance permilles, for BOTH the hash placement
+    * (stage 'init') and the refined one (stage 'refined'). */
+  private def partitionQualitySql(edgeSql: String, k: Int,
+      rounds: Int, capPermille: Int): String = {
+    def quality(stage: String, partCol: String): String =
+      s"""SELECT '$stage' AS stage, pp.p AS part, pp.load, pp.internal,
+         |  pp.cut_incident,
+         |  t.cut * 1000 // greatest(t.m, 1) AS cut_permille,
+         |  mx.max_load * nkk.kk * 1000 // greatest(nkk.n, 1)
+         |    AS imbalance_permille
+         |FROM (
+         |  SELECT pm.p, CAST(count(*) AS BIGINT) AS load,
+         |    CAST(coalesce(i.internal, 0) AS BIGINT) AS internal,
+         |    CAST(coalesce(c.cut_incident, 0) AS BIGINT) AS cut_incident
+         |  FROM (SELECT _vid AS x, $partCol AS p FROM bpfinal) pm
+         |  LEFT JOIN (SELECT pu.$partCol AS p,
+         |      count(*) AS internal
+         |    FROM bpe e JOIN bpfinal pu ON pu._vid = e.u
+         |    JOIN bpfinal pv ON pv._vid = e.v
+         |    WHERE pu.$partCol = pv.$partCol GROUP BY 1) i
+         |    ON i.p = pm.p
+         |  LEFT JOIN (SELECT p, count(*) AS cut_incident FROM (
+         |    SELECT pu.$partCol AS p FROM bpe e
+         |      JOIN bpfinal pu ON pu._vid = e.u
+         |      JOIN bpfinal pv ON pv._vid = e.v
+         |      WHERE pu.$partCol <> pv.$partCol
+         |    UNION ALL
+         |    SELECT pv.$partCol FROM bpe e
+         |      JOIN bpfinal pu ON pu._vid = e.u
+         |      JOIN bpfinal pv ON pv._vid = e.v
+         |      WHERE pu.$partCol <> pv.$partCol) __c GROUP BY p) c
+         |    ON c.p = pm.p
+         |  GROUP BY pm.p, i.internal, c.cut_incident) pp
+         |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(CASE WHEN pu.$partCol <> pv.$partCol THEN 1
+         |      ELSE 0 END) AS BIGINT) AS cut
+         |  FROM bpe e JOIN bpfinal pu ON pu._vid = e.u
+         |  JOIN bpfinal pv ON pv._vid = e.v) t
+         |CROSS JOIN (SELECT CAST(max(load) AS BIGINT) AS max_load
+         |  FROM (SELECT $partCol AS p, count(*) AS load FROM bpfinal
+         |    GROUP BY 1) __l) mx
+         |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT $partCol) AS BIGINT) AS kk
+         |  FROM bpfinal) nkk""".stripMargin
+    s"""WITH ${balancedPartitionCtes(edgeSql, k, rounds, capPermille)}
+       |${quality("init", "part_init")}
+       |UNION ALL
+       |${quality("refined", "part")}""".stripMargin
+  }
+
   /** BM25 gate fixture: multi-term queries over the synthetic corpus
     * vocabulary (shared by the Spark query and the oracle builder so
     * the two sides can never drift). */
@@ -7927,6 +8072,23 @@ object SparkEntry {
         "((l_orderkey % 600) - (l_orderkey % 5) + 5) % 600 AS b " +
         "FROM lineitem",
       maxLevels = 3, rounds = 4),
+
+    "q_partition_refine" -> balancedPartitionSql(
+      "SELECT l_orderkey % 600 AS a, " +
+        "(l_orderkey % 600) - (l_orderkey % 5) + l_partkey % 5 AS b " +
+        "FROM lineitem UNION ALL " +
+        "SELECT (l_orderkey % 600) - (l_orderkey % 5) AS a, " +
+        "((l_orderkey % 600) - (l_orderkey % 5) + 5) % 600 AS b " +
+        "FROM lineitem",
+      k = 8, rounds = 4, capPermille = 1250),
+    "q_partition_quality" -> partitionQualitySql(
+      "SELECT l_orderkey % 600 AS a, " +
+        "(l_orderkey % 600) - (l_orderkey % 5) + l_partkey % 5 AS b " +
+        "FROM lineitem UNION ALL " +
+        "SELECT (l_orderkey % 600) - (l_orderkey % 5) AS a, " +
+        "((l_orderkey % 600) - (l_orderkey % 5) + 5) % 600 AS b " +
+        "FROM lineitem",
+      k = 8, rounds = 4, capPermille = 1250),
 
     "q_leiden_levels" -> leidenLevelsSql(
       "SELECT l_orderkey % 300 AS a, " +

@@ -3325,6 +3325,144 @@ object GraphAnalytics {
       .select(col("u"), col("pv").as("v"), col("est_dist"))
 
   /**
+   * Balanced k-way edge-cut partition refinement — the data-placement
+   * operator a distributed graph store lives or dies by. The reference
+   * places every vertex by pure id hash (partId baked into the key,
+   * src/utils/NebulaKeyUtils.h:97), which is perfectly balanced and
+   * perfectly locality-blind: at 100 TB every neighborhood fans out
+   * to all parts and every GetNeighbors is a full-cluster scatter.
+   * This operator starts FROM that hash placement and greedily heals
+   * locality under a balance cap — the capacitated label-propagation
+   * family of Ugander & Backstrom 2013 ("Balanced Label Propagation
+   * for Partitioning Massive Graphs"), with the one-pass greedy
+   * objective of Stanton & Kliot 2012 (LDG) / Tsourakakis et al. 2014
+   * (Fennel) reduced to its integer core:
+   *
+   * per round, a vertex (in the round's md5-parity half — the louvain
+   * oscillation fix) moves to the partition holding strictly MORE of
+   * its neighbors than its own does (ties → smaller part id), but
+   * only into partitions under the soft cap load_p·k·1000 ≤
+   * capPermille·n evaluated on the PREVIOUS round's loads (the BLP
+   * relaxation of the LP constraint: a round may overshoot the cap,
+   * the next round closes the door — deterministic, no LP solve).
+   * Everything is exact integers, so rounds are oracle-replayable.
+   *
+   * Output (_vid, part_init, part): the hash placement it started
+   * from and where refinement left it. Use [[partitionQuality]] to
+   * read the edge-cut/balance improvement.
+   *
+   * Scale shape: per round ONE adjacency-sized count shuffle (n_vp) +
+   * a k-row load aggregate (broadcast) + a max(struct) argmax — the
+   * louvainMove frame discipline; partition state rotates through
+   * localCheckpoint, O(1) pinned frames.
+   */
+  def balancedPartition(edges: DataFrame, k: Int, rounds: Int,
+      capPermille: Int): DataFrame = {
+    require(k >= 2 && rounds >= 1 && capPermille >= 1000,
+      "k >= 2, rounds >= 1, cap >= 1000 permille")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val und = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    val adj = und.select(col("u").as("x"), col("v").as("n"))
+      .unionByName(und.select(col("v").as("x"), col("u").as("n")))
+    // init = the reference's placement: id-hash mod k (md5 window so
+    // contiguous ids don't stripe)
+    val hashPart = pmod(conv(substring(md5(col("x").cast("string")),
+      1, 8), 16, 10).cast("long"), lit(k.toLong))
+    var prevId: Option[Int] = None
+    val (parts0, id0) = rotateCheckpoint(
+      und.select(col("u").as("x")).union(und.select(col("v"))).distinct()
+        .select(col("x"), hashPart.as("p")), None)
+    prevId = id0
+    var parts = parts0
+    val nVerts = parts.count() // once; loads are k-row frames after
+    val parity = pmod(conv(substring(md5(col("x").cast("string")),
+      9, 8), 16, 10).cast("long"), lit(2L))
+    for (r <- 1 to rounds) {
+      val load = parts.groupBy(col("p")).agg(count(lit(1)).as("load"))
+      val nvp = adj.join(parts.select(col("x").as("n"), col("p")), "n")
+        .groupBy(col("x"), col("p")).agg(count(lit(1)).as("nv"))
+      val own = parts.select(col("x"), col("p").as("p_own"))
+      val ownNv = nvp.toDF("x", "p_own", "nv")
+        .join(own, Seq("x", "p_own"))
+        .select(col("x"), col("nv").as("nv_own"))
+      val best = nvp.join(own, "x")
+        .filter(col("p") =!= col("p_own"))
+        .join(broadcast(load), "p")
+        // soft cap on the TARGET partition, previous round's loads
+        .filter(col("load") * k * 1000L <= lit(capPermille) * nVerts)
+        .groupBy(col("x"))
+        .agg(max(struct(col("nv"), (-col("p")).as("np"))).as("b"))
+        .select(col("x"), col("b.nv").as("nv_best"),
+          (-col("b.np")).as("p_best"))
+      val (next, ckptId) = rotateCheckpoint(
+        own.join(best, Seq("x"), "left")
+          .join(ownNv, Seq("x"), "left")
+          .select(col("x"),
+            when(parity === lit((r % 2).toLong) &&
+              col("nv_best") > coalesce(col("nv_own"), lit(0L)),
+              col("p_best")).otherwise(col("p_own")).as("p")), None)
+      prevId.foreach(i => sc.getPersistentRDDs.get(i)
+        .foreach(_.unpersist(blocking = false)))
+      prevId = ckptId
+      parts = next
+    }
+    parts.select(col("x").as("_vid"), col("p").as("part"))
+      .withColumn("part_init",
+        pmod(conv(substring(md5(col("_vid").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(k.toLong)))
+      .select(col("_vid"), col("part_init"), col("part"))
+  }
+
+  /**
+   * Partition-quality audit for a (vertex, part) placement: per
+   * partition its vertex load, internal edge count, and incident cut
+   * edges, plus the global summary every placement decision reads —
+   * cut_permille (share of edges crossing parts) and
+   * imbalance_permille (1000·k·max_load/n; 1000 = perfect). One
+   * label join per endpoint + k-row aggregates; nothing bigger than
+   * the edge set shuffles.
+   */
+  def partitionQuality(edges: DataFrame, parts: DataFrame): DataFrame = {
+    val und = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val pm = parts.toDF("x", "p")
+      .transform(graft.CacheScope.persist(_))
+    val tagged = und
+      .join(pm.select(col("x").as("u"), col("p").as("pu")), "u")
+      .join(pm.select(col("x").as("v"), col("p").as("pv")), "v")
+      .transform(graft.CacheScope.persist(_))
+    val perPart = pm.groupBy(col("p")).agg(count(lit(1)).as("load"))
+      .join(tagged.filter(col("pu") === col("pv"))
+        .groupBy(col("pu").as("p")).agg(count(lit(1)).as("internal")),
+        Seq("p"), "left")
+      .join(tagged.filter(col("pu") =!= col("pv"))
+        .select(col("pu").as("p")).unionByName(
+          tagged.filter(col("pu") =!= col("pv"))
+            .select(col("pv").as("p")))
+        .groupBy(col("p")).agg(count(lit(1)).as("cut_incident")),
+        Seq("p"), "left")
+      .na.fill(0L, Seq("internal", "cut_incident"))
+    val totals = tagged.agg(count(lit(1)).as("m"),
+      sum(when(col("pu") =!= col("pv"), 1L).otherwise(0L)).as("cut"))
+    val nk = pm.agg(count(lit(1)).as("n"),
+      count_distinct(col("p")).as("kk"))
+    perPart.crossJoin(broadcast(totals)).crossJoin(broadcast(nk))
+      .crossJoin(broadcast(perPart.agg(max(col("load")).as("max_load"))))
+      .select(col("p").as("part"), col("load"), col("internal"),
+        col("cut_incident"),
+        expr("cut * 1000 div greatest(m, 1)").as("cut_permille"),
+        expr("max_load * kk * 1000 div greatest(n, 1)")
+          .as("imbalance_permille"))
+  }
+
+  /**
    * Densest-subgraph by parallel peeling (Bahmani, Kumar & Vassilvitskii
    * 2012 "Densest Subgraph in Streaming and MapReduce" §3 — the
    * 2(1+ε)-approximation of Charikar's greedy that runs in O(log n)

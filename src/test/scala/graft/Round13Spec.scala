@@ -234,6 +234,40 @@ class Round13Spec extends SparkSpec {
     assert(rows.toSet == again.toSet, "repartition changed the draft")
   }
 
+  // ---- Balanced k-way partition refinement ----
+
+  test("balancedPartition: cut improves, parts valid, invariance") {
+    // ring of 24 5-cliques: hash init scatters each clique over the
+    // parts; refinement should pull cliques together
+    val e = (for {
+      q <- 0 until 24; i <- 0 until 5; j <- (i + 1) until 5
+    } yield ((q * 5 + i).toLong, (q * 5 + j).toLong)) ++
+      (0 until 24).map(q => ((q * 5).toLong, (((q + 1) % 24) * 5).toLong))
+    val edges = e.toDF("a", "b")
+    val parts = GraphAnalytics.balancedPartition(edges, k = 4,
+      rounds = 4, capPermille = 1300)
+    val rows = parts.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 120 && rows.map(_._1).distinct.length == 120)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 4 &&
+      r._3 >= 0 && r._3 < 4), "part ids out of range")
+    def cut(sel: ((Long, Long, Long)) => Long): Int = {
+      val m = rows.map(r => r._1 -> sel(r)).toMap
+      e.count { case (u, v) => m(u) != m(v) }
+    }
+    val (ci, cr) = (cut(_._2), cut(_._3))
+    assert(cr < ci, s"refinement must reduce the cut: init=$ci refined=$cr")
+    // quality audit agrees with the hand cut
+    val q = GraphAnalytics.partitionQuality(edges,
+      parts.select(col("_vid"), col("part")))
+    val cutPm = q.select("cut_permille").head().getLong(0)
+    assert(cutPm == cr * 1000L / e.size, s"audit cut: $cutPm vs $cr")
+    val again = GraphAnalytics.balancedPartition(edges.repartition(9),
+      k = 4, rounds = 4, capPermille = 1300).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.toSet == again, "repartition changed the placement")
+  }
+
   test("leidenLevels is partition-invariant") {
     val e = gadgetGraph(nCliques = 6, nGadgets = 8)
     val a = GraphAnalytics.leidenLevels(e, 2, 4).collect().toSet
