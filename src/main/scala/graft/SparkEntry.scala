@@ -2047,6 +2047,21 @@ object SparkEntry {
           queryIds = (0L to 9L), k = 5, nCells = 16, nProbe = 4))
     }),
 
+    // ---- SQ8 serving: corpus-global int8 quantization, candidates
+    // ranked by the EXACT integer code dot product (all-BIGINT path;
+    // the FAISS scalar-quantizer layout) + its recall vs exact ----
+    "q_sq8_topk" -> ((s, dir) =>
+      Similarity.sq8TopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = (0L to 9L), k = 5)),
+    "q_sq8_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 9L), k = 5),
+        Similarity.sq8TopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 9L), k = 5))
+    }),
+
     // rank displacement (integer Spearman footrule over the common
     // candidates) of the IVF list vs exact — order quality, which
     // recall@k is blind to
@@ -4257,6 +4272,26 @@ object SparkEntry {
     * encode against the trained codebook. L2² distance is pure +·−
     * over list_dot_product — bit-identical to the Spark side's dot
     * Expression, so the argmin ranks agree exactly. */
+  /** Shared SQ8 CTEs: corpus-global max-abs scale, int8 code vectors
+    * (kept as integer-valued DOUBLE[] so the dot stays the proven
+    * list_dot_product law), ranked code-dot scan for queries 0..9. */
+  private val Sq8Ctes: String =
+    """sq8g AS (SELECT max(list_max(list_transform(
+      |    embedding::DOUBLE[], x -> abs(x)))) AS g FROM embeddings),
+      |sq8c AS MATERIALIZED (SELECT vec_id AS id,
+      |    CASE WHEN g = 0.0
+      |      THEN list_transform(embedding::DOUBLE[], x -> 0.0)
+      |      ELSE list_transform(embedding::DOUBLE[],
+      |        x -> floor(x * 127.0 / g + 0.5)) END AS c8
+      |  FROM embeddings CROSS JOIN sq8g),
+      |sq8rank AS MATERIALIZED (SELECT query_id, cand_id, qdot,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY qdot DESC, cand_id) AS rk
+      |  FROM (SELECT q.id AS query_id, c.id AS cand_id,
+      |      CAST(list_dot_product(q.c8, c.c8) AS BIGINT) AS qdot
+      |    FROM sq8c q JOIN sq8c c ON q.id <> c.id
+      |    WHERE q.id BETWEEN 0 AND 9) __s)""".stripMargin
+
   private def pqD2Sql(v: String, c: String) =
     s"list_dot_product($v, $v) - 2 * list_dot_product($v, $c)" +
       s" + list_dot_product($c, $c)"
@@ -7578,6 +7613,35 @@ object SparkEntry {
          |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
          |GROUP BY e.query_id""".stripMargin,
 
+    // SQ8: one corpus-global scale, int8 codes, EXACT integer code
+    // dot ranking (the dot of integer-valued doubles is exact far
+    // below 2^53, so CAST AS BIGINT is lossless on both engines)
+    "q_sq8_topk" ->
+      s"""WITH $Sq8Ctes
+         |SELECT query_id, cand_id, qdot, rk FROM sq8rank
+         |WHERE rk <= 5""".stripMargin,
+
+    "q_sq8_recall" ->
+      s"""WITH $Sq8Ctes,
+         |exact AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY floor((list_cosine_similarity(
+         |          q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0
+         |          DESC, c.vec_id) AS rk
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id BETWEEN 0 AND 9) __e WHERE rk <= 5),
+         |approx AS (SELECT query_id, cand_id FROM sq8rank WHERE rk <= 5)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  floor((sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+         |GROUP BY e.query_id""".stripMargin,
+
     // exact and approx lists re-ranked by their own (sim desc, cand)
     // order; footrule stats over the (query, cand) join — all-integer
     "q_rank_displacement" ->
@@ -9553,6 +9617,7 @@ object SparkEntry {
     "q_interval_join_outer" -> Seq("r_value"),
     "q_interval_join_full" -> Seq("r_value"),
     "q_ivf_recall" -> Seq("recall"),
+    "q_sq8_recall" -> Seq("recall"),
     "q_ivf_topk" -> Seq("sim"),
     "q_lookup_prefix_range" -> Seq("l_quantity"),
     "q_lookup_via_index" -> Seq("p_retailprice"),

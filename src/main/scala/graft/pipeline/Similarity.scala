@@ -1507,6 +1507,51 @@ object Similarity {
         sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"))
   }
 
+  /**
+   * SQ8 ANN serving — scalar-quantized brute force (the FAISS
+   * `SQ8`/`IndexScalarQuantizer` serving layout, Jégou et al.'s
+   * memory-bandwidth answer when PQ's codebook indirection is too
+   * slow): every vector is quantized to int8 against ONE corpus-global
+   * scale (g = max |component|; code = floor(x·127/g + 0.5)), and
+   * candidates rank by the raw INTEGER dot product of code vectors —
+   * 8× less memory traffic than float scan, no codebook lookups, and
+   * with a single global scale the score is exact BIGINT end to end
+   * (per-vector scales, [[quantizeInt8]], trade range for a float
+   * rescale at query time; the global scale keeps serving all-integer
+   * — products ≤ 127²·dim sit far below 2^53, so the codegen'd double
+   * dot fold IS the exact integer sum).
+   *
+   * Scale shape: one corpus pass quantizes (g rides a broadcast
+   * scalar); scoring is the [[bruteForceTopK]] broadcast-queries scan
+   * in the code domain; per-query top-k is a WindowGroupLimit.
+   * Output (query_id, cand_id, qdot, rk) — all integers.
+   */
+  def sq8TopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val v = col(vecCol).cast("array<double>")
+    val g = emb.agg(max(array_max(transform(v, x => abs(x))))
+      .as("g"))
+    val codes = emb.crossJoin(broadcast(g))
+      .select(col(idCol).as("id"),
+        when(col("g") === 0.0, transform(v, _ => lit(0.0)))
+          .otherwise(transform(v,
+            x => floor(x * 127.0 / col("g") + 0.5).cast("double")))
+          .as("c8"))
+      .transform(graft.CacheScope.persist(_)) // queries + corpus scan
+    val queries = broadcast(codes.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("c8").as("q8")))
+    val scored = queries.join(
+        codes.select(col("id").as("cand_id"), col("c8")),
+        col("query_id") =!= col("cand_id"))
+      // integer-valued doubles: the dot fold is exact (≤ 127²·dim)
+      .withColumn("qdot", dot(col("q8"), col("c8")).cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("qdot"), col("rk"))
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val maxabs = array_max(transform(v, x => abs(x)))

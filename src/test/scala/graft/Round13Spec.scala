@@ -234,6 +234,32 @@ class Round13Spec extends SparkSpec {
     assert(rows.toSet == again.toSet, "repartition changed the draft")
   }
 
+  // ---- SQ8 scalar-quantized ANN serving ----
+
+  test("sq8TopK: integer scores, self-excluded, high recall, invariance") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = Similarity.sq8TopK(emb, "vec_id", "embedding",
+      queryIds = (0L to 4L), k = 5)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.length == 25, s"5 queries x k=5: ${rows.length}")
+    assert(rows.forall(r => r._1 != r._2), "self must be excluded")
+    // code dots are bounded by 127^2 * dim
+    assert(rows.forall(r => math.abs(r._3) <= 127L * 127L * 64L))
+    // quantization keeps most of the exact top-k (unit vectors, 8 bit)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryIds = (0L to 4L), k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = rows.count(r => exact((r._1, r._2)))
+    assert(hit * 10 >= exact.size * 7, s"recall too low: $hit/${exact.size}")
+    val again = Similarity.sq8TopK(emb.repartition(7), "vec_id",
+      "embedding", queryIds = (0L to 4L), k = 5).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(rows.toSet == again, "repartition changed sq8 ranking")
+  }
+
   // ---- Balanced k-way partition refinement ----
 
   test("balancedPartition: cut improves, parts valid, invariance") {
