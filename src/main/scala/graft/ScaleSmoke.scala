@@ -850,6 +850,38 @@ object ScaleSmoke {
     time(s"lpa stable 2 sweeps ${factor}x")(
       graft.analytics.GraphAnalytics.labelPropagationStable(
         starStore, Seq("amp"), colorRounds = 24, maxSweeps = 2).count())
+    // centrality power iterations: one edge join + one groupBy-sum
+    // per round; the mod scales with factor so the vertex set (and
+    // the distinct edge set) grows ~linearly instead of saturating
+    time(s"katz 4 iters ${factor}x")(
+      graft.analytics.GraphAnalytics.katzCentrality(
+        edges.select((col("l_orderkey") % (250 * factor)).as("s"),
+          (col("l_partkey") % (250 * factor)).as("d")),
+        iters = 4, alpha = 0.002).count())
+    time(s"eigencentrality 4 iters ${factor}x")(
+      graft.analytics.GraphAnalytics.eigenvectorCentrality(
+        edges.select((col("l_orderkey") % (250 * factor)).as("s"),
+          (col("l_partkey") % (250 * factor)).as("d")),
+        iters = 4).count())
+    // wordpiece trainer: corpus collapses once to the word table;
+    // per merge a vocab-sized symbol count + pair count + argmax row
+    time(s"wordpiece train 4 merges ${factor}x")(
+      graft.pipeline.TextAnalysis.wordpieceTrain(docs, "text",
+        nMerges = 4).count())
+    time(s"wordpiece encode ${factor}x")({
+      val v = graft.pipeline.TextAnalysis.wordpieceVocab(docs, "text",
+        nMerges = 4)
+      graft.pipeline.TextAnalysis.wordpieceEncodeCounts(docs, "doc_id",
+        "text", v, maxPieceLen = 8).count()
+    })
+    // boruvka: per round one edge double-join + component-keyed
+    // argmax; the chosen component graph halves per round
+    time(s"boruvka mst ${factor}x")(
+      graft.analytics.GraphAnalytics.boruvkaMst(
+        edges.select((col("l_orderkey") % (24 * factor)).as("a"),
+          (col("l_partkey") % (24 * factor)).as("b"),
+          (col("l_quantity") % 97).as("w")),
+        maxRounds = 12).count())
 
     spark.stop()
   }

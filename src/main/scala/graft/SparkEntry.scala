@@ -477,6 +477,16 @@ object SparkEntry {
       Similarity.blockedNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", blockCol = "label", threshold = 0.35)),
 
+    // ---- PCA rotation (OPQ-lite): top principal direction by power
+    // iteration over the exact on-grid covariance — the pre-
+    // quantization rotation step; + the corpus-wide projection ----
+    "q_pca_power" -> ((s, dir) =>
+      Similarity.pcaPower(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, iters = 4)),
+    "q_pca_project" -> ((s, dir) =>
+      Similarity.pcaProject(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, iters = 4)),
+
     // ---- Product quantization: per-subspace dyadic k-means codebooks
     // + final-codebook codes; the billion-scale ANN compression ----
     "q_pq_codes" -> ((s, dir) =>
@@ -1256,6 +1266,19 @@ object SparkEntry {
 
     // ---- Connected components WITHOUT GraphX: alternating
     // large-star/small-star over an order⇄supplier bipartite graph ----
+    // ---- Boruvka minimum spanning forest: per-round min-edge hook +
+    // component contraction under the (w,u,v) total order — unique
+    // MSF, oracle-verified via the cycle rule (minimax path = the
+    // edge itself); the single-linkage clustering backbone ----
+    "q_boruvka_mst" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.boruvkaMst(
+        t(s, dir, "lineitem")
+          .filter(col("l_linenumber") === 1 && col("l_quantity") < 4)
+          .select((col("l_orderkey") % 24).as("a"),
+            (col("l_partkey") % 24).as("b"),
+            col("l_quantity")),
+        maxRounds = 8)),
+
     "q_cc_bigstar" -> ((s, dir) =>
       graft.analytics.GraphAnalytics.ccBigStar(
         t(s, dir, "lineitem")
@@ -1481,6 +1504,26 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) =>
       graft.analytics.GraphAnalytics.pageRank(store(s, dir),
         Seq("contains"), iters = 5)),
+
+    // ---- Katz centrality (attenuated walk counts; no out-degree
+    // dilution): same dyadic-grid recurrence law as q_pagerank, on the
+    // cyclic mod-250 projection so walks actually compound ----
+    "q_katz" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.katzCentrality(
+        t(s, dir, "lineitem").select(
+          (col("l_orderkey") % 250).as("s"),
+          (col("l_partkey") % 250).as("d")),
+        iters = 5, alpha = 0.002)),
+
+    // ---- Eigenvector centrality: L1-normalized power iteration
+    // (HITS's auth half standalone), same dyadic + broadcast-scalar
+    // normalization law, on the cyclic mod-250 projection ----
+    "q_eigencentrality" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.eigenvectorCentrality(
+        t(s, dir, "lineitem").select(
+          (col("l_orderkey") % 250).as("s"),
+          (col("l_partkey") % 250).as("d")),
+        iters = 5)),
 
     // ---- Personalized PageRank: teleport restricted to the seed
     // orders — proximity-to-seed-set ranking (recommendation feature);
@@ -2464,6 +2507,23 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncodeCounts(t(s, dir, "documents"), "doc_id",
         "text", nMerges = 6)),
+
+    // ---- WordPiece training (BERT tokenizer family): 6 merges scored
+    // by likelihood gain cnt/(ca*cb) on the exact 2^40 integer grid —
+    // the third tokenizer family next to BPE and unigram-LM ----
+    "q_wordpiece_train" -> ((s, dir) =>
+      TextAnalysis.wordpieceTrain(t(s, dir, "documents"), "text",
+        nMerges = 6)),
+
+    // ---- Apply the WordPiece vocab by greedy longest-match-first
+    // (train -> vocab -> encode, the full BERT tokenizer pipeline);
+    // per-doc word/piece/UNK counts ----
+    "q_wordpiece_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.wordpieceEncodeCounts(docs, "doc_id", "text",
+        TextAnalysis.wordpieceVocab(docs, "text", nMerges = 6),
+        maxPieceLen = 8)
+    }),
 
     // ---- Unigram-LM (SentencePiece-style) tokenizer trainer: 3
     // hard-EM rounds (Viterbi E-step, top-η prune M-step) over
@@ -3512,6 +3572,119 @@ object SparkEntry {
        |$out""".stripMargin
   }
 
+  /** WordPiece merge steps: the [[bpeStepsSql]] loop with the
+    * likelihood-gain selection — per step a symbol-count CTE, pair
+    * counts, then the argmax of the exact integer key
+    * floor(cnt * 2^40 / (ca * cb)) (HUGEINT product, BIGINT result —
+    * cnt <= min(ca, cb) bounds the key by 2^40), ties by pair asc.
+    * Same injective space-rewrite as BPE. */
+  private def wordpieceStepsSql(nMerges: Int): String =
+    (1 to nMerges).map { t =>
+      val p = t - 1
+      s"""sc$t AS MATERIALIZED (SELECT sym, CAST(sum(f) AS BIGINT) AS c
+         |  FROM (SELECT unnest(string_split(w, ' ')) AS sym, f
+         |    FROM wv$p) sy$t
+         |  GROUP BY sym),
+         |wp$t AS MATERIALIZED (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM (SELECT list_extract(l, i) || ' ' ||
+         |      list_extract(l, i + 1) AS pair, f
+         |    FROM (SELECT string_split(w, ' ') AS l, f FROM wv$p) lv$t
+         |    CROSS JOIN LATERAL unnest(range(1, len(l))) u$t(i)) z$t
+         |  GROUP BY pair),
+         |wb$t AS MATERIALIZED (SELECT pair, cnt,
+         |    CAST((CAST(cnt AS HUGEINT) * 1099511627776)
+         |      // (ca.c * cb.c) AS BIGINT) AS score_x40
+         |  FROM wp$t
+         |  JOIN sc$t ca ON ca.sym = string_split(wp$t.pair, ' ')[1]
+         |  JOIN sc$t cb ON cb.sym = string_split(wp$t.pair, ' ')[2]
+         |  ORDER BY score_x40 DESC, pair LIMIT 1),
+         |wv$t AS MATERIALIZED (SELECT w, CAST(sum(f) AS BIGINT) AS f
+         |  FROM (SELECT trim(replace(replace(
+         |      ' ' || replace(w, ' ', '  ') || ' ',
+         |      (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM wb$t),
+         |      (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM wb$t)),
+         |      '  ', ' ')) AS w, f FROM wv$p) m$t
+         |  GROUP BY w)""".stripMargin
+    }.mkString(",\n")
+
+  /** wv0 (character-split word-frequency table, identical law to the
+    * BPE v0) + the WordPiece merge steps. */
+  private def wordpieceVocabCtes(nMerges: Int): String =
+    s"""wv0 AS MATERIALIZED (SELECT
+       |    trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS w,
+       |    CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(list_filter(
+       |      string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+       |    FROM documents) tk
+       |  WHERE length(tok) >= 2
+       |  GROUP BY 1),
+       |${wordpieceStepsSql(nMerges)}""".stripMargin
+
+  private def wordpieceTrainSql(nMerges: Int): String = {
+    val out = (1 to nMerges).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS step, pair, cnt, score_x40 FROM wb$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${wordpieceVocabCtes(nMerges)}
+       |$out""".stripMargin
+  }
+
+  /** WordPiece greedy longest-match-first encode: vocab = corpus char
+    * inventory + merged tokens; per DISTINCT word a position x length
+    * match lateral joined to the vocab, the longest match per start
+    * position folded into a jump map, and the SAME `list_reduce` fold
+    * as the Spark side's `aggregate` (no recursion — DuckDB 1.0
+    * re-inlines MATERIALIZED CTEs under WITH RECURSIVE, the leiden
+    * probe; list_reduce keeps the whole train chain materialized). */
+  private def wordpieceEncodeSql(nMerges: Int, maxPieceLen: Int): String = {
+    val mergeToks = (1 to nMerges)
+      .map(t => s"SELECT replace(pair, ' ', '') AS tok FROM wb$t")
+      .mkString("\n    UNION ALL ")
+    s"""WITH ${wordpieceVocabCtes(nMerges)},
+       |toks AS MATERIALIZED (SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+       |  FROM documents),
+       |words AS MATERIALIZED (SELECT DISTINCT w FROM toks),
+       |vocab AS MATERIALIZED (SELECT DISTINCT tok FROM (
+       |  SELECT substr(w, ci.i::INT, 1) AS tok FROM words
+       |    CROSS JOIN LATERAL unnest(range(1, length(w) + 1)) ci(i)
+       |  UNION ALL
+       |  $mergeToks) vv),
+       |mm AS MATERIALIZED (
+       |  SELECT words.w, ua.a::INT AS a, (ua.a + um.m - 1)::INT AS b
+       |  FROM words
+       |  CROSS JOIN LATERAL unnest(range(1, length(w) + 1)) ua(a)
+       |  CROSS JOIN LATERAL unnest(range(1, 1 + least($maxPieceLen,
+       |    length(w) - ua.a + 1))) um(m)
+       |  JOIN vocab v ON v.tok = substr(words.w, ua.a::INT, um.m::INT)),
+       |jump AS MATERIALIZED (
+       |  SELECT w, map(list(a ORDER BY a), list(mb ORDER BY a)) AS jm
+       |  FROM (SELECT w, a, max(b) AS mb FROM mm GROUP BY w, a) jj
+       |  GROUP BY w),
+       |walked AS MATERIALIZED (
+       |  SELECT words.w, list_reduce(
+       |    list_concat([{'pos': 1, 'k': CAST(0 AS BIGINT), 'unk': false}],
+       |      list_transform(range(1, length(words.w) + 1),
+       |        i -> {'pos': 0, 'k': CAST(0 AS BIGINT), 'unk': false})),
+       |    (acc, x) -> CASE
+       |      WHEN acc.unk OR acc.pos > length(words.w) THEN acc
+       |      WHEN jump.jm IS NULL
+       |          OR len(map_extract(jump.jm, acc.pos)) = 0
+       |        THEN {'pos': acc.pos, 'k': acc.k, 'unk': true}
+       |      ELSE {'pos': map_extract(jump.jm, acc.pos)[1] + 1,
+       |        'k': acc.k + 1, 'unk': false} END) AS st
+       |  FROM words LEFT JOIN jump ON jump.w = words.w),
+       |ws AS (SELECT w,
+       |    CASE WHEN st.unk THEN CAST(1 AS BIGINT) ELSE st.k END
+       |      AS n_pieces_w,
+       |    CASE WHEN st.unk THEN 1 ELSE 0 END AS unk_w
+       |  FROM walked)
+       |SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(ws.n_pieces_w) AS BIGINT) AS n_pieces,
+       |  CAST(sum(ws.unk_w) AS BIGINT) AS n_unk
+       |FROM toks JOIN ws USING (w)
+       |GROUP BY toks.doc_id""".stripMargin
+  }
+
   /** One unigram-LM hard-EM round: matches of vocab pieces against
     * word substrings, brute segmentation ENUMERATION via a recursive
     * CTE (the Spark side runs a linear DP — the criterion (k asc,
@@ -4123,6 +4296,112 @@ object SparkEntry {
        |SELECT v AS _vid,
        |  floor((${dy("r")} / (SELECT sum(${dy("r")}) FROM r$iters)
        |          * (SELECT count(*) FROM v)) * 1000000.0 + 0.5) / 1000000.0 AS rank
+       |FROM r$iters""".stripMargin
+  }
+
+  /** Eigenvector-centrality oracle: the [[hitsSql]] authority half —
+    * dyadic messages, exact on-grid L1 total via sum() OVER (),
+    * dyadic normalized quotient — on the mod-250 cyclic graph. */
+  private def eigencentralitySql(iters: Int): String = {
+    val dy = graft.functions.Portable.dyadicSql _
+    val steps = (1 to iters).map { i =>
+      s"""mr$i AS MATERIALIZED (
+         |  SELECT e.d AS v, sum(${dy(s"x${i - 1}.r")}) AS ms
+         |  FROM e JOIN x${i - 1} ON x${i - 1}.v = e.s GROUP BY e.d),
+         |x$i AS MATERIALIZED (
+         |  SELECT v.v, CASE WHEN sum(mr$i.ms) OVER () > 0
+         |    THEN ${dy(s"coalesce(mr$i.ms, 0) / sum(mr$i.ms) OVER ()")}
+         |    ELSE CAST(0 AS DOUBLE) END AS r
+         |  FROM v LEFT JOIN mr$i ON mr$i.v = v.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey % 250 AS s,
+       |    l_partkey % 250 AS d FROM lineitem),
+       |v AS MATERIALIZED (SELECT DISTINCT x AS v FROM
+       |  (SELECT s AS x FROM e UNION SELECT d FROM e)),
+       |x0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM v),
+       |$steps
+       |SELECT v AS _vid, ${graft.functions.Portable.sql("r", 6)} AS score
+       |FROM x$iters""".stripMargin
+  }
+
+  /** PCA power-iteration CTEs shared by q_pca_power / q_pca_project:
+    * exact on-grid per-dimension mean, upper-triangle dyadic-floored
+    * covariance mirrored to the full matrix, then `iters` unrolled
+    * matvec + L-inf-normalize rounds (zero-variance guarded to the
+    * all-zero loading, the eigenvector zero-mass law). */
+  private def pcaCtes(dim: Int, iters: Int): String = {
+    val dy = graft.functions.Portable.dyadicSql _
+    val steps = (1 to iters).map { r =>
+      s"""py$r AS MATERIALIZED (SELECT cov.i,
+         |    sum(${dy(s"cov.c * pv${r - 1}.v")}) AS y
+         |  FROM cov JOIN pv${r - 1} ON pv${r - 1}.j = cov.j
+         |  GROUP BY cov.i),
+         |pv$r AS MATERIALIZED (SELECT py$r.i AS j,
+         |    CASE WHEN (SELECT max(abs(y)) FROM py$r) > 0
+         |      THEN ${dy(s"y / (SELECT max(abs(y)) FROM py$r)")}
+         |      ELSE CAST(0 AS DOUBLE) END AS v
+         |  FROM py$r)""".stripMargin
+    }.mkString(",\n")
+    s"""prows AS MATERIALIZED (SELECT vec_id,
+       |    embedding::DOUBLE[] AS x FROM embeddings),
+       |pmu AS MATERIALIZED (SELECT i, sum(xv) / count(*) AS mu FROM (
+       |  SELECT ii.i::INT AS i, ${dy("x[ii.i::INT]")} AS xv
+       |  FROM prows
+       |  CROSS JOIN LATERAL unnest(range(1, $dim + 1)) ii(i)) e
+       |  GROUP BY i),
+       |pcx AS MATERIALIZED (SELECT prows.vec_id, pmu.i,
+       |    prows.x[pmu.i] - pmu.mu AS cxv
+       |  FROM prows CROSS JOIN pmu),
+       |phalf AS MATERIALIZED (SELECT a.i, b.i AS j,
+       |    sum(${dy("a.cxv * b.cxv")}) AS c
+       |  FROM pcx a JOIN pcx b ON b.vec_id = a.vec_id AND b.i >= a.i
+       |  GROUP BY 1, 2),
+       |cov AS MATERIALIZED (SELECT i, j, c FROM phalf
+       |  UNION ALL SELECT j, i, c FROM phalf WHERE i <> j),
+       |pv0 AS (SELECT ii.i::INT AS j, CAST(1.0 AS DOUBLE) AS v
+       |  FROM unnest(range(1, $dim + 1)) ii(i)),
+       |$steps""".stripMargin
+  }
+
+  private def pcaPowerSql(dim: Int, iters: Int): String =
+    s"""WITH ${pcaCtes(dim, iters)}
+       |SELECT j AS dim_i, ${graft.functions.Portable.sql("v", 6)}
+       |  AS loading
+       |FROM pv$iters""".stripMargin
+
+  private def pcaProjectSql(dim: Int, iters: Int): String = {
+    val dy = graft.functions.Portable.dyadicSql _
+    s"""WITH ${pcaCtes(dim, iters)},
+       |pload AS (SELECT j, ${graft.functions.Portable.sql("v", 6)}
+       |    AS pv FROM pv$iters)
+       |SELECT pcx.vec_id,
+       |  ${graft.functions.Portable.sql(
+      s"sum(${dy("pcx.cxv * pload.pv")})", 6)} AS proj
+       |FROM pcx JOIN pload ON pload.j = pcx.i
+       |GROUP BY pcx.vec_id""".stripMargin
+  }
+
+  /** Katz-centrality oracle: x_{i} = beta + alpha * sum of incoming
+    * x_{i-1}, messages on the dyadic 2^-30 grid so every superstep sum
+    * is exact (order-independent) — the identical recurrence to the
+    * Spark side's [[graft.analytics.GraphAnalytics.katzCentrality]]. */
+  private def katzSql(iters: Int): String = {
+    val dy = graft.functions.Portable.dyadicSql _
+    val steps = (1 to iters).map { i =>
+      s"""m$i AS (SELECT e.d AS v, sum(${dy(s"r${i - 1}.r")}) AS ms
+         |  FROM e JOIN r${i - 1} ON r${i - 1}.v = e.s GROUP BY e.d),
+         |r$i AS (SELECT v.v,
+         |    CAST(1.0 AS DOUBLE) + CAST(0.002 AS DOUBLE)
+         |      * coalesce(m$i.ms, 0) AS r
+         |  FROM v LEFT JOIN m$i ON m$i.v = v.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT l_orderkey % 250 AS s,
+       |    l_partkey % 250 AS d FROM lineitem),
+       |v AS (SELECT DISTINCT x AS v FROM
+       |  (SELECT s AS x FROM e UNION SELECT d FROM e)),
+       |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM v),
+       |$steps
+       |SELECT v AS _vid, ${graft.functions.Portable.sql("r", 6)} AS katz
        |FROM r$iters""".stripMargin
   }
 
@@ -6396,6 +6675,34 @@ object SparkEntry {
         |SELECT v AS _vid, min(label) AS component
         |FROM reach GROUP BY v""".stripMargin,
 
+    // Boruvka MSF: implementation-independent replay via the cycle
+    // rule — rank edges by the (w,u,v) total order, compute the
+    // minimax closure (min over paths of max edge rank), and keep
+    // exactly the edges whose own rank IS the minimax between their
+    // endpoints (the unique-MST characterization; no round replay)
+    "q_boruvka_mst" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT l_orderkey % 24 AS a, l_partkey % 24 AS b,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem WHERE l_linenumber = 1 AND l_quantity < 4),
+        |e0 AS (SELECT least(a, b) AS u, greatest(a, b) AS v,
+        |    min(w) AS w
+        |  FROM raw WHERE a <> b GROUP BY 1, 2),
+        |re AS (SELECT u, v, w,
+        |    row_number() OVER (ORDER BY w, u, v) AS rk FROM e0),
+        |sym AS (SELECT u AS x, v AS y, rk FROM re
+        |  UNION ALL SELECT v, u, rk FROM re),
+        |mm(x, y, m) AS (
+        |  SELECT x, y, rk FROM sym
+        |  UNION
+        |  SELECT mm.x, s.y, greatest(mm.m, s.rk)
+        |  FROM mm JOIN sym s ON s.x = mm.y
+        |  WHERE mm.x <> s.y),
+        |best AS (SELECT x, y, min(m) AS m FROM mm GROUP BY x, y)
+        |SELECT re.u, re.v, re.w FROM re
+        |JOIN best ON best.x = re.u AND best.y = re.v
+        |WHERE best.m = re.rk""".stripMargin,
+
     // SCC: exact mutual reachability — closure in both orientations
     // joined on (a→b AND b→a); component = min of the mutual set
     "q_scc" ->
@@ -6873,6 +7180,10 @@ object SparkEntry {
         |FROM cv LEFT JOIN ce USING (component)""".stripMargin,
 
     "q_pagerank" -> pageRankSql(5),
+    "q_katz" -> katzSql(5),
+    "q_eigencentrality" -> eigencentralitySql(5),
+    "q_pca_power" -> pcaPowerSql(dim = 64, iters = 4),
+    "q_pca_project" -> pcaProjectSql(dim = 64, iters = 4),
     "q_weighted_pagerank" -> weightedPageRankSql(5),
 
     // RANGE frame semantics are value-based on both engines (ties in t
@@ -8100,6 +8411,9 @@ object SparkEntry {
         |  FROM c) WHERE rnk <= 20""".stripMargin,
 
     "q_bpe_train" -> bpeTrainSql(nMerges = 6),
+    "q_wordpiece_train" -> wordpieceTrainSql(nMerges = 6),
+    "q_wordpiece_encode" -> wordpieceEncodeSql(nMerges = 6,
+      maxPieceLen = 8),
 
     "q_weighted_matching" -> matchingRoundsSql(
       """SELECT s, d,
@@ -9637,6 +9951,10 @@ object SparkEntry {
     "q_multimodal_resize" -> Seq("scale"),
     "q_ngram_jaccard" -> Seq("jaccard"),
     "q_pagerank" -> Seq("rank"),
+    "q_katz" -> Seq("katz"),
+    "q_eigencentrality" -> Seq("score"),
+    "q_pca_power" -> Seq("loading"),
+    "q_pca_project" -> Seq("proj"),
     "q_weighted_pagerank" -> Seq("rank"),
     "q_ppr" -> Seq("rank"),
     "q_hits" -> Seq("auth", "hub"),

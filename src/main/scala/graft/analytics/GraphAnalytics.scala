@@ -131,6 +131,206 @@ object GraphAnalytics {
   }
 
   /**
+   * Katz centrality (Katz 1953 "A new status index derived from
+   * sociometric analysis"; the nebula-algorithm centrality family next
+   * to PageRank/HITS): x_{t+1}(v) = beta + alpha * SUM_{(u,v) in E}
+   * x_t(u) — each vertex scores the attenuated count of ALL walks
+   * ending at it (alpha^len per walk), the centrality that, unlike
+   * PageRank, does not dilute a source's contribution by its
+   * out-degree. Converges for alpha < 1/lambda_max; callers pick a
+   * conservative alpha (default 0.05) and a fixed iteration budget,
+   * the same contract as [[pageRank]].
+   *
+   * Same determinism law as [[pageRank]]: messages floored to the
+   * dyadic 2^-30 grid BEFORE the sum, so each superstep's aggregate is
+   * exact (order-independent) and `beta + alpha * ms` is a fixed
+   * two-op IEEE chain on identical inputs — the oracle replays the
+   * recurrence bit-identically. Same scale shape: one edge-frame join
+   * + one groupBy-sum per superstep on the persisted loop invariants
+   * (edge frame, vertex frame), O(1) pinned rank frames.
+   */
+  def katzCentrality(rawEdges: DataFrame, iters: Int,
+      alpha: Double = 0.05, beta: Double = 1.0): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")
+    // simple directed graph: parallel edges collapse (one walk per
+    // distinct arc), matching the oracle's DISTINCT projection
+    val edges = rawEdges.toDF("s", "d").distinct()
+      .transform(graft.CacheScope.persist(_))
+    val verts = edges.select(col("s").as("v"))
+      .union(edges.select(col("d")))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    var ranks = verts.select(col("v"), lit(beta).as("r"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      // walk mass flows s -> d undiluted (no degree divide: Katz counts
+      // walks, PageRank spreads probability) — dyadic-floor each
+      // message so the sum is exact in any order on any engine
+      val msgs = edges.join(ranks, col("s") === col("v"))
+        .groupBy(col("d").as("mv"))
+        .agg(sum(graft.functions.Portable.dyadic(col("r"))).as("ms"))
+      val next = verts.join(msgs, col("v") === col("mv"), "left")
+        .select(col("v"),
+          (lit(beta) + lit(alpha) * coalesce(col("ms"), lit(0.0))).as("r"))
+        .transform(graft.CacheScope.persist(_))
+      next.count()
+      prev.foreach(graft.CacheScope.unpersist)
+      prev = Some(next)
+      ranks = next
+    }
+    ranks.select(col("v").as("_vid"),
+      graft.functions.Portable.quant(col("r"), 6).as("katz"))
+  }
+
+  /**
+   * Eigenvector centrality (Bonacich 1972): the L1-normalized power
+   * iteration x <- A^T x on directed in-edges — [[hits]]'s authority
+   * half without the hub coupling, [[katzCentrality]] without the
+   * attenuation/bias terms. A vertex is central in proportion to the
+   * centrality of the vertices pointing at it; the per-round L1
+   * normalization keeps the iterate on the simplex (scores sum to 1)
+   * instead of growing with lambda_max^t.
+   *
+   * Determinism law ([[hits]]): messages AND the normalized quotient
+   * ride the dyadic 2^-30 grid, the L1 total is an exact on-grid sum,
+   * so every round is bit-reproducible and the oracle replays it.
+   * Scale shape: one edge join + one groupBy-sum + a broadcast
+   * scalar-total attach per round on persisted loop invariants; O(1)
+   * pinned frames.
+   */
+  def eigenvectorCentrality(rawEdges: DataFrame, iters: Int): DataFrame = {
+    import graft.functions.Portable.dyadic
+    require(iters >= 1, "iters must be >= 1")
+    val edges = rawEdges.toDF("s", "d").distinct()
+      .transform(graft.CacheScope.persist(_))
+    val verts = edges.select(col("s").as("v"))
+      .union(edges.select(col("d")))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    // localCheckpoint rotation, NOT plain persist: the in-plan L1
+    // scalar references the round's message frame a second time, so a
+    // persist-rotated loop TRIPLES the logical plan per round and
+    // planning OOMs by iteration 5 (the [[hits]] lesson; reproduced
+    // here in the r13 bench) — the eager checkpoint bottoms every
+    // subtree out at a LogicalRDD
+    var (x, xId) = rotateCheckpoint(
+      verts.select(col("v"), lit(1.0).as("r")), None)
+    for (_ <- 1 to iters) {
+      val raw = edges.join(x, col("s") === col("v"))
+        .groupBy(col("d").as("mv"))
+        .agg(sum(dyadic(col("r"))).as("ms"))
+        .transform(graft.CacheScope.persist(_))
+      val tot = raw.agg(sum(col("ms")).as("mt")) // exact on-grid sum
+      // zero-mass guard (degenerate-input law): on a DAG the message
+      // mass can drain to nothing — define the result as all-zero
+      // scores instead of a NULL/NaN-poisoning division
+      val next = verts.join(raw, col("v") === col("mv"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("v"),
+          when(col("mt") > lit(0.0),
+            dyadic(coalesce(col("ms"), lit(0.0)) / col("mt")))
+            .otherwise(lit(0.0)).as("r"))
+      val (x2, id2) = rotateCheckpoint(next, xId)
+      graft.CacheScope.unpersist(raw)
+      x = x2; xId = id2
+    }
+    x.select(col("v").as("_vid"),
+      graft.functions.Portable.quant(col("r"), 6).as("score"))
+  }
+
+  /**
+   * Minimum spanning forest by Boruvka's algorithm (Boruvka 1926; the
+   * canonical Pregel/MapReduce MST — each round every component hooks
+   * its minimum outgoing edge, components at least halve, so log2(V)
+   * rounds span any graph). The edge order is the TOTAL order
+   * (w, u, v) — ties cannot exist, so the MSF is UNIQUE and the
+   * oracle can verify it implementation-independently via the cycle
+   * rule: e=(u,v) is in the MSF iff the minimax path between u and v
+   * (minimum over paths of the maximum edge rank) is e itself.
+   * Downstream this is the single-linkage clustering backbone
+   * (cut the forest at a threshold) for embedding-space dedup.
+   *
+   * Scale shape: per round ONE edge-frame double-join against the
+   * vertex-sized component labels + a component-keyed min-struct
+   * argmax (combinable, map-side partial), then [[ccBigStar]] on the
+   * CHOSEN component graph — a frame bounded by the component count,
+   * which at least halves per round. Component labels and the
+   * accumulating forest rotate through localCheckpoint: O(1) pinned
+   * frames for the run. Throws if candidate edges remain after
+   * `maxRounds` (pre-convergence forests are wrong answers, the
+   * [[ccBigStar]] law).
+   */
+  def boruvkaMst(rawEdges: DataFrame, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val e = rawEdges.toDF("a", "b", "ww")
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).cast("long").as("u"),
+        greatest(col("a"), col("b")).cast("long").as("v"),
+        col("ww").cast("long").as("w"))
+      .groupBy("u", "v").agg(min(col("w")).as("w"))
+      .transform(graft.CacheScope.persist(_))
+    val verts = e.select(col("u").as("x")).union(e.select(col("v")))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    var (comp, compId) = rotateCheckpoint(
+      verts.select(col("x"), col("x").as("c")), None)
+    var (mst, mstId) = rotateCheckpoint(e.limit(0).select("u", "v", "w"),
+      None)
+    var round = 0
+    var remaining = -1L
+    while (round < maxRounds && remaining != 0L) {
+      round += 1
+      val lab = e
+        .join(comp.select(col("x").as("u"), col("c").as("cu")), Seq("u"))
+        .join(comp.select(col("x").as("v"), col("c").as("cv")), Seq("v"))
+        .filter(col("cu") =!= col("cv"))
+      // min outgoing edge per component under the (w, u, v) total
+      // order; cu/cv ride along (determined by u/v, never ordered on)
+      val ed = struct(col("w"), col("u"), col("v"), col("cu"), col("cv"))
+      val byComp = lab.select(col("cu").as("cc"), ed.as("ed"))
+        .union(lab.select(col("cv").as("cc"), ed.as("ed")))
+        .groupBy("cc").agg(min(col("ed")).as("me"))
+      val chosen = byComp
+        .select(col("me.u").as("u"), col("me.v").as("v"),
+          col("me.w").as("w"), col("me.cu").as("cu"),
+          col("me.cv").as("cv"))
+        .distinct() // both endpoints' components may pick the same edge
+        .transform(graft.CacheScope.persist(_))
+      remaining = chosen.count() // the round's one observable job
+      if (remaining > 0L) {
+        val (m2, mId2) = rotateCheckpoint(
+          mst.union(chosen.select("u", "v", "w")), mstId)
+        mst = m2; mstId = mId2
+        // merge the hooked components: min-label CC over the chosen
+        // component graph (component-count-sized, halves per round)
+        val cl = ccBigStar(chosen.select(col("cu"), col("cv")), 16)
+        val (c2, cId2) = rotateCheckpoint(
+          comp.join(cl, col("c") === col("_vid"), "left")
+            .select(col("x"), coalesce(col("component"), col("c"))
+              .as("c")), compId)
+        comp = c2; compId = cId2
+      }
+      graft.CacheScope.unpersist(chosen)
+    }
+    // `remaining` counts CHOSEN edges, which is positive on a final
+    // successful round too — when the budget ran out mid-merge, probe
+    // for surviving cross-component candidates before declaring done
+    if (remaining != 0L) {
+      val leftover = e
+        .join(comp.select(col("x").as("u"), col("c").as("cu")), Seq("u"))
+        .join(comp.select(col("x").as("v"), col("c").as("cv")), Seq("v"))
+        .filter(col("cu") =!= col("cv")).limit(1).count()
+      if (leftover > 0L)
+        throw new IllegalStateException(
+          s"boruvkaMst: components still unmerged after $maxRounds " +
+            "rounds — raise the budget; a partial forest is a wrong " +
+            "answer")
+    }
+    mst
+  }
+
+  /**
    * Personalized PageRank from a seed set (nebula-algorithm's PPR; the
    * standard graph feature for recommendation / related-entity
    * ranking): the random surfer teleports only to seeds, so rank mass

@@ -1552,6 +1552,127 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("qdot"), col("rk"))
   }
 
+  /**
+   * Top principal direction of an embedding corpus by POWER ITERATION
+   * over the (uncentered-scale, mean-centered) covariance — the
+   * PCA/OPQ-lite rotation step ANN pipelines run before quantization
+   * (center + project along dominant directions so PQ/SQ codebooks
+   * spend bits where the variance is; Ge et al. 2013 OPQ motivates
+   * the rotation, one power pass is its rank-1 core).
+   *
+   * Determinism laws: the mean is an exact on-grid sum over an exact
+   * count; every covariance entry is an exact on-grid sum of dyadic-
+   * floored centered products (order-independent, engine-portable);
+   * each iteration's matvec summands ride the grid, and the L-inf
+   * normalization divides by an exactly-agreed max — so the iterate
+   * is bit-identical across engines and the oracle replays it
+   * unrolled. An all-constant corpus (zero covariance) is defined as
+   * the all-zero loading vector (the eigenvector zero-mass law).
+   *
+   * Scale shape: ONE corpus scan explodes each row into its d(d+1)/2
+   * upper-triangle products which partial-aggregate map-side down to
+   * d² combinable cells — no self-join, no shuffle of pair rows; the
+   * iteration then runs entirely on d²-sized frames with a broadcast
+   * scalar per round. d is the embedding width (64 here), so 100 TB
+   * of rows stream through one combinable aggregation.
+   */
+  def pcaPower(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int): DataFrame = {
+    import graft.functions.Portable.dyadic
+    require(dim >= 1 && iters >= 1, "dim and iters must be >= 1")
+    val spark = emb.sparkSession
+    val dy = graft.functions.Portable.dyadicSql _
+    val rows = emb.select(col(idCol).as("id"),
+      expr(s"slice(cast($vecCol as array<double>), 1, $dim)").as("x"))
+      .transform(graft.CacheScope.persist(_))
+    // exact mean per dimension: on-grid sum / exact count
+    val mu = rows
+      .select(explode(expr(
+        s"""transform(sequence(1, $dim), i ->
+           |  named_struct('i', i, 'xv', ${dy("element_at(x, i)")}))"""
+          .stripMargin)).as("e"))
+      .groupBy(col("e.i").as("i"))
+      .agg((sum(col("e.xv")) / count(lit(1))).as("mu"))
+    val muArr = mu.agg(expr(
+      "transform(sort_array(collect_list(struct(i, mu))), s -> s.mu)")
+      .as("mu"))
+    // upper-triangle centered products, dyadic-floored BEFORE the sum;
+    // partial aggregation collapses them map-side to d(d+1)/2 cells
+    val half = rows.crossJoin(broadcast(muArr))
+      .withColumn("cx", expr(s"""transform(sequence(1, $dim),
+        |  i -> element_at(x, i) - element_at(mu, i))""".stripMargin))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, $dim), i ->
+           |  transform(sequence(i, $dim), j ->
+           |    named_struct('i', i, 'j', j, 'p',
+           |      ${dy("element_at(cx, i) * element_at(cx, j)")}))))"""
+          .stripMargin)).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).as("c"))
+    val cov = half.union(
+        half.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("c")))
+      .transform(graft.CacheScope.persist(_))
+    import spark.implicits._
+    // localCheckpoint rotation: the in-plan max scalar references the
+    // round's matvec twice, so persist rotation triples the plan per
+    // round (the eigenvectorCentrality/hits planning-OOM shape)
+    val rotate = graft.analytics.GraphAnalytics.rotateCheckpoint _
+    var (v, vId) = rotate((1 to dim).map(i => (i, 1.0)).toDF("j", "v"),
+      None)
+    for (_ <- 1 to iters) {
+      val y = cov.join(v, Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(dyadic(col("c") * col("v"))).as("y"))
+        .transform(graft.CacheScope.persist(_))
+      val m = y.agg(max(abs(col("y"))).as("m"))
+      val next = y.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          when(col("m") > lit(0.0), dyadic(col("y") / col("m")))
+            .otherwise(lit(0.0)).as("v"))
+      val (v2, id2) = rotate(next, vId)
+      graft.CacheScope.unpersist(y)
+      v = v2; vId = id2
+    }
+    v.select(col("j").as("dim_i"),
+      graft.functions.Portable.quant(col("v"), 6).as("loading"))
+  }
+
+  /**
+   * Project every embedding onto the [[pcaPower]] direction: per-row
+   * score = Σ_i dyadic((x_i - mu_i) · v_i), the centering + rank-1
+   * rotation applied corpus-wide (the "apply" half of the train→apply
+   * pair). One corpus scan against two broadcast arrays (mean and
+   * loading); the fold is sequential and on-grid, hence exact.
+   */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int): DataFrame = {
+    val dy = graft.functions.Portable.dyadicSql _
+    val loading = pcaPower(emb, idCol, vecCol, dim, iters)
+    val vArr = loading.agg(expr(
+      """transform(sort_array(collect_list(struct(dim_i, loading))),
+        |  s -> s.loading)""".stripMargin).as("pv"))
+    val rows = emb.select(col(idCol).as("vec_id"),
+      expr(s"slice(cast($vecCol as array<double>), 1, $dim)").as("x"))
+    val mu = rows
+      .select(explode(expr(
+        s"""transform(sequence(1, $dim), i ->
+           |  named_struct('i', i, 'xv', ${dy("element_at(x, i)")}))"""
+          .stripMargin)).as("e"))
+      .groupBy(col("e.i").as("i"))
+      .agg((sum(col("e.xv")) / count(lit(1))).as("mu"))
+    val muArr = mu.agg(expr(
+      "transform(sort_array(collect_list(struct(i, mu))), s -> s.mu)")
+      .as("mu"))
+    rows.crossJoin(broadcast(muArr)).crossJoin(broadcast(vArr))
+      .select(col("vec_id"),
+        graft.functions.Portable.quant(expr(
+          s"""aggregate(sequence(1, $dim), CAST(0.0 AS DOUBLE),
+             |  (acc, i) -> acc + ${dy(
+            "(element_at(x, i) - element_at(mu, i)) * element_at(pv, i)")})"""
+            .stripMargin), 6).as("proj"))
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val maxabs = array_max(transform(v, x => abs(x)))

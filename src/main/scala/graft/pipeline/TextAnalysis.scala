@@ -192,6 +192,194 @@ object TextAnalysis {
         sum(coalesce(col("n_sym"), lit(1L))).as("n_subwords"))
   }
 
+  /**
+   * WordPiece tokenizer trainer (Schuster & Nakajima 2012 "Japanese
+   * and Korean voice search"; the BERT tokenizer family, Devlin et
+   * al. 2019): iterative adjacent-pair merges like [[bpeTrain]], but
+   * the merged pair is the one maximizing the LIKELIHOOD GAIN
+   * count(ab) / (count(a) * count(b)) — the unigram-LM log-likelihood
+   * delta of fusing a,b into one token — not the raw pair count. The
+   * two trainers genuinely diverge: BPE favors frequent pairs of
+   * frequent symbols; WordPiece favors pairs that co-occur far above
+   * chance even when rare (Round13Spec pins a corpus where they pick
+   * different merges).
+   *
+   * Determinism law: the selection key is the exact integer
+   * score_x40 = floor(cnt * 2^40 / (ca * cb)) computed in
+   * decimal(38,0) (HUGEINT on the oracle side) so no float ratio's
+   * ulp can diverge between engines; ties break by pair string asc.
+   * cnt <= min(ca, cb) bounds the key by 2^40, so the SURFACED column
+   * is plain BIGINT on both sides.
+   *
+   * Scale shape (identical to [[bpeTrain]]): the corpus collapses
+   * ONCE to the word-frequency table; each merge step touches only
+   * vocab-sized frames (symbol counts, pair counts, one aggregated
+   * argmax row), with the vocab state rotated through localCheckpoint
+   * so a 10k-merge run pins O(1) frames.
+   */
+  def wordpieceTrain(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, ckptId) = wordpieceTrainLoop(docs, textCol, nMerges)
+    ckptId.foreach(i => spark.sparkContext.getPersistentRDDs.get(i)
+      .foreach(_.unpersist(blocking = false)))
+    merges.toDF("step", "pair", "cnt", "score_x40")
+  }
+
+  private def wordpieceTrainLoop(docs: DataFrame, textCol: String,
+      nMerges: Int): (Seq[(Long, String, Long, Long)], Option[Int]) = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val rotate = graft.analytics.GraphAnalytics.rotateCheckpoint _
+    val init = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .select(trim(regexp_replace(col("tok"), "(.)", "$1 ")).as("w"),
+        col("f"))
+    var (vocab, prevId) = rotate(init, None)
+    val merges = collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    var step = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      step += 1
+      val syms = vocab
+        .select(col("f"), explode(split(col("w"), " ")).as("sym"))
+        .groupBy("sym").agg(sum(col("f")).as("c"))
+      val pairs = vocab.select(col("f"), split(col("w"), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(l) - 1), " +
+            "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      // likelihood score on the exact decimal grid: cnt*2^40 stays
+      // below 10^38 (decimal38-exact), ca*cb below 2^63; the integral
+      // divide is floor for positives on both engines
+      val best = pairs
+        .select(col("pair"), col("cnt"),
+          split(col("pair"), " ").getItem(0).as("sa"),
+          split(col("pair"), " ").getItem(1).as("sb"))
+        .join(broadcast(syms.select(col("sym").as("sa"),
+          col("c").as("ca"))), Seq("sa"))
+        .join(broadcast(syms.select(col("sym").as("sb"),
+          col("c").as("cb"))), Seq("sb"))
+        .select(col("pair"), col("cnt"), expr(
+          "(cast(cnt as decimal(38,0)) * 1099511627776) div (ca * cb)")
+          .as("key"))
+        .agg(min(struct((-col("key")).as("nk"), col("pair").as("p"),
+          col("cnt").as("c"))).as("b"))
+        .select(col("b.p").as("pair"), col("b.c").as("cnt"),
+          (-col("b.nk")).as("key"))
+        .head() // one aggregated scalar row per step (house law)
+      if (best.isNullAt(0)) exhausted = true
+      else {
+        val pair = best.getString(0)
+        merges += ((step.toLong, pair, best.getLong(1), best.getLong(2)))
+        val search = lit(" " + pair.replace(" ", "  ") + " ")
+        val repl = lit(" " + pair.replace(" ", "") + " ")
+        val padded = concat(lit(" "),
+          replace(col("w"), lit(" "), lit("  ")), lit(" "))
+        val next = vocab
+          .select(trim(replace(replace(padded, search, repl),
+            lit("  "), lit(" "))).as("w"), col("f"))
+          .groupBy("w").agg(sum(col("f")).as("f"))
+        val (v2, id2) = rotate(next, prevId)
+        vocab = v2
+        prevId = id2
+      }
+    }
+    (merges.toSeq, prevId)
+  }
+
+  /**
+   * The WordPiece vocabulary [[wordpieceTrain]]'s merges induce: every
+   * single character seen in the corpus (the coverage floor — BERT's
+   * vocab always contains the byte/char alphabet) plus one
+   * concatenated token per merge. One corpus collapse + an nMerges-row
+   * union; the result is vocab-sized (broadcastable downstream).
+   */
+  def wordpieceVocab(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, ckptId) = wordpieceTrainLoop(docs, textCol, nMerges)
+    ckptId.foreach(i => spark.sparkContext.getPersistentRDDs.get(i)
+      .foreach(_.unpersist(blocking = false)))
+    val chars = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+      .select(explode(expr(
+        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"))
+        .as("tok"))
+      .distinct()
+    chars.union(
+      merges.map(_._2.replace(" ", "")).toDF("tok")).distinct()
+  }
+
+  /**
+   * Apply a WordPiece vocabulary by GREEDY LONGEST-MATCH-FIRST
+   * (BERT's WordpieceTokenizer law: at each position consume the
+   * longest vocab piece that matches; if any position has NO match
+   * the whole word becomes one [UNK]). Output per document:
+   * (id, n_words, n_pieces, n_unk) — n_pieces counts an UNK word as
+   * one piece, n_unk counts the UNK words.
+   *
+   * Scale shape: the corpus collapses once to the distinct-word
+   * table; candidate matches are a len x maxPieceLen explode per
+   * DISTINCT word joined to the broadcast vocab; the greedy walk is
+   * ONE codegen'd `aggregate` fold over a per-word jump map (longest
+   * match per start position) — no per-step joins, no UDF; per-doc
+   * counts come from one token explode joined to the broadcast
+   * word-stats frame.
+   */
+  def wordpieceEncodeCounts(docs: DataFrame, idCol: String,
+      textCol: String, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 32,
+      "maxPieceLen in [1, 32]")
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .distinct()
+    val matches = words.select(col("w"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), a ->
+           |  transform(sequence(a, least(a + ${maxPieceLen - 1},
+           |      length(w))), b ->
+           |    named_struct('a', a, 'b', b,
+           |      'tok', substring(w, a, b - a + 1)))))""".stripMargin))
+        .as("p"))
+      .select(col("w"), col("p.a").as("a"), col("p.b").as("b"),
+        col("p.tok").as("tok"))
+      .join(broadcast(vocab.select("tok")), Seq("tok"))
+    // longest match per start position -> a functional jump map;
+    // the greedy walk follows it left to right in one fold
+    val jmap = matches.groupBy(col("w"), col("a"))
+      .agg(max(col("b")).as("mb"))
+      .groupBy("w")
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("a"), col("mb"))))).as("jm"))
+    val walked = words.join(jmap, Seq("w"), "left")
+      .select(col("w"), expr(
+        """aggregate(sequence(1, length(w)),
+          |  named_struct('pos', 1, 'k', CAST(0 AS BIGINT),
+          |    'unk', false),
+          |  (acc, i) -> CASE
+          |    WHEN acc.unk OR acc.pos > length(w) THEN acc
+          |    WHEN jm IS NULL OR element_at(jm, acc.pos) IS NULL
+          |      THEN named_struct('pos', acc.pos, 'k', acc.k,
+          |        'unk', true)
+          |    ELSE named_struct('pos', element_at(jm, acc.pos) + 1,
+          |      'k', acc.k + CAST(1 AS BIGINT), 'unk', false)
+          |  END)""".stripMargin).as("st"))
+    val wstats = walked.select(col("w"),
+      when(col("st.unk"), lit(1L)).otherwise(col("st.k"))
+        .as("n_pieces_w"),
+      when(col("st.unk"), lit(1L)).otherwise(lit(0L)).as("unk_w"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(wstats), Seq("w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces_w")).as("n_pieces"),
+        sum(col("unk_w")).as("n_unk"))
+  }
+
   /** BPE-ish subword count estimate: word-piece regex splits on
     * non-alphanumerics and splits long runs — a cheap stand-in for a
     * tokenizer's token count at corpus-statistics accuracy. */

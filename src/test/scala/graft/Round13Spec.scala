@@ -301,4 +301,168 @@ class Round13Spec extends SparkSpec {
       .collect().toSet
     assert(a == b, "repartition changed the leiden partition")
   }
+
+  test("wordpieceTrain picks the likelihood merge, not the count merge") {
+    // 'aa' x9 vs 'zq' x2: BPE merges the frequent pair (a a, cnt 9);
+    // WordPiece scores a-a at 9/(18*18) but z-q at 2/(2*2) and must
+    // merge the above-chance rare pair first
+    val docs = Seq((Seq.fill(9)("aa") ++ Seq.fill(2)("zq"))
+      .mkString(" ")).toDF("text")
+    val bpe = TextAnalysis.bpeTrain(docs, "text", nMerges = 1)
+      .collect().head.getString(1)
+    val wp = TextAnalysis.wordpieceTrain(docs, "text", nMerges = 1)
+      .collect().head
+    assert(bpe == "a a", s"bpe picked $bpe")
+    assert(wp.getString(1) == "z q", s"wordpiece picked ${wp.getString(1)}")
+    assert(wp.getLong(2) == 2L, s"cnt: ${wp.getLong(2)}")
+    // score_x40 = floor(2 * 2^40 / (2*2)) = 2^39
+    assert(wp.getLong(3) == (1L << 39), s"score: ${wp.getLong(3)}")
+  }
+
+  test("wordpieceEncodeCounts walks greedy longest-match with UNK law") {
+    // vocab {a,b,c,ab,abc}: 'abcab' -> abc + ab (2 pieces, greedy
+    // longest first); 'zz' has no match anywhere -> one [UNK]
+    val docs = Seq((1L, "abcab zz abcab")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "c", "ab", "abc").toDF("tok")
+    val got = TextAnalysis.wordpieceEncodeCounts(docs, "doc_id", "text",
+      vocab, maxPieceLen = 4).collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((3L, 5L, 1L)), s"got $got")
+  }
+
+  test("wordpieceTrain is partition-invariant") {
+    val docs = (1 to 120).map(i =>
+      s"tok${i % 7} alpha beta tok${i % 5} gamma").toDF("text")
+    val a = TextAnalysis.wordpieceTrain(docs, "text", 4)
+      .collect().toSeq
+    val b = TextAnalysis.wordpieceTrain(docs.repartition(13), "text", 4)
+      .collect().toSeq
+    assert(a == b, s"repartition changed merges: $a vs $b")
+  }
+
+  test("katzCentrality matches the hand-computed recurrence") {
+    // 1->2->3 plus 1->3, alpha=0.5, beta=1: r(1)=1 (no in-edges),
+    // r(2)=1+0.5*r(1)=1.5, r(3)=1+0.5*(r(1)+r(2))=2.25 at fixpoint
+    // (reached by iter 2; parallel duplicate of 1->3 must collapse)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 3L)).toDF("s", "d")
+    val got = GraphAnalytics.katzCentrality(edges, iters = 3,
+      alpha = 0.5, beta = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 1.5, 3L -> 2.25), s"katz: $got")
+  }
+
+  test("eigenvectorCentrality: hand fixpoint and the DAG zero-mass law") {
+    // 2-cycle 1<->2 plus spectator 3->1: fixpoint puts all mass on the
+    // cycle; L1 keeps the simplex. Round 1: raw(1)=2, raw(2)=1, t=3;
+    // round 2: raw(1)=1/3, raw(2)=2/3 (3's score is 0 from round 1 on)
+    val cyc = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("s", "d")
+    val got = GraphAnalytics.eigenvectorCentrality(cyc, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(3L) == 0.0 && math.abs(got(1L) - 1.0 / 3) < 1e-6 &&
+      math.abs(got(2L) - 2.0 / 3) < 1e-6, s"cycle: $got")
+    // pure DAG: mass drains after the diameter; defined as all-zero
+    val dag = Seq((2L, 1L), (3L, 1L)).toDF("s", "d")
+    val z = GraphAnalytics.eigenvectorCentrality(dag, iters = 3)
+      .collect().map(_.getDouble(1))
+    assert(z.forall(_ == 0.0), s"dag must drain to zero: ${z.toSeq}")
+  }
+
+  test("pcaPower finds the dominant direction; pcaProject applies it") {
+    // points (t, 2t): covariance is rank-1 along (1, 2); the L-inf
+    // normalized top direction is (0.5, 1) and power iteration lands
+    // on it in one round from the all-ones start
+    val emb = Seq(-2, -1, 0, 1, 2).zipWithIndex.map { case (t, i) =>
+      (i.toLong, Array(t.toFloat, (2 * t).toFloat))
+    }.toDF("vec_id", "embedding")
+    val v = Similarity.pcaPower(emb, "vec_id", "embedding",
+      dim = 2, iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(v == Map(1 -> 0.5, 2 -> 1.0), s"loading: $v")
+    // projection of (t, 2t) onto (0.5, 1) is 2.5t (data already
+    // centered: the mean is the origin)
+    val p = Similarity.pcaProject(emb, "vec_id", "embedding",
+      dim = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Seq(-2, -1, 0, 1, 2).zipWithIndex
+      .map { case (t, i) => i.toLong -> 2.5 * t }.toMap
+    assert(p == want, s"proj: $p")
+  }
+
+  test("pcaPower is partition-invariant and zero-variance-safe") {
+    val emb = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * (d + 3) + d) % 11).toFloat / 7)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.pcaPower(emb, "vec_id", "embedding", 8, 3)
+      .collect().toSet
+    val b = Similarity.pcaPower(emb.repartition(13), "vec_id",
+      "embedding", 8, 3).collect().toSet
+    assert(a == b, "repartition changed the loading")
+    val const = (0L until 5L).map(i => (i, Array.fill(4)(2.5f)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.pcaPower(const, "vec_id", "embedding", 4, 2)
+      .collect().map(_.getDouble(1))
+    assert(z.forall(_ == 0.0), s"constant corpus must load zero: ${z.toSeq}")
+  }
+
+  test("boruvkaMst equals Kruskal under the (w,u,v) total order") {
+    // two separate components (0-39 and 100-139) so the FOREST case
+    // is exercised; deterministic pseudo-random weights
+    val raw = (0L until 40L).flatMap { i =>
+      Seq((i, (i + 7) % 40, (i * 31 + 11) % 97),
+        (i, (i * 3 + 1) % 40, (i * 17 + 5) % 97),
+        (i + 100, (i + 13) % 40 + 100, (i * 23 + 2) % 97))
+    }
+    val edges = raw.toDF("a", "b", "w")
+    val got = GraphAnalytics.boruvkaMst(edges, maxRounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // reference Kruskal over the same canonicalized edge set
+    val canon = raw.filter(t => t._1 != t._2)
+      .map(t => (math.min(t._1, t._2), math.max(t._1, t._2), t._3))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((u, v), ts) => (ts.map(_._3).min, u, v) }
+      .toSeq.sorted
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val kruskal = canon.flatMap { case (w, u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru == rv) None else { parent(ru) = rv; Some((u, v, w)) }
+    }.toSet
+    assert(got == kruskal,
+      s"diff: ${(got -- kruskal)} / ${(kruskal -- got)}")
+    val again = GraphAnalytics.boruvkaMst(edges.repartition(13), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(again == got, "repartition changed the forest")
+  }
+
+  test("boruvkaMst throws when the round budget can't span") {
+    // cheap edges pair the vertices up in round 1; the expensive
+    // inter-pair edges need a second round — so maxRounds=1 must
+    // refuse rather than return a partial forest (a monotone chain
+    // would NOT work here: every vertex hooks its left edge and the
+    // whole path merges in one round)
+    val cheap = (0L until 32L).map(i => (2 * i, 2 * i + 1, i))
+    val dear = (0L until 31L).map(i => (2 * i + 1, 2 * i + 2, 1000 + i))
+    val edges = (cheap ++ dear).toDF("a", "b", "w")
+    intercept[IllegalStateException] {
+      GraphAnalytics.boruvkaMst(edges, maxRounds = 1)
+    }
+    // and with budget it spans: a tree on 64 vertices has 63 edges
+    assert(GraphAnalytics.boruvkaMst(edges, maxRounds = 6).count() == 63L)
+  }
+
+  test("katzCentrality is partition-invariant") {
+    val edges = (1L to 400L)
+      .flatMap(i => Seq((i, i % 37), (i, (i * 7) % 41)))
+      .toDF("s", "d")
+    val a = GraphAnalytics.katzCentrality(edges, iters = 4,
+      alpha = 0.01).collect().toSet
+    val b = GraphAnalytics.katzCentrality(edges.repartition(11),
+      iters = 4, alpha = 0.01).collect().toSet
+    assert(a == b, "repartition changed katz scores")
+  }
 }
