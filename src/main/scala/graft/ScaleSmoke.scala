@@ -874,6 +874,15 @@ object ScaleSmoke {
       graft.pipeline.TextAnalysis.wordpieceEncodeCounts(docs, "doc_id",
         "text", v, maxPieceLen = 8).count()
     })
+    // single-linkage cuts: one composite-keyed CC pass for all cuts
+    time(s"single linkage cuts ${factor}x")(
+      graft.pipeline.Similarity.singleLinkageCuts(
+        graft.pipeline.Similarity.knnGraph(emb, "vec_id", "embedding",
+          k = 3, numPlanes = knnPlanes, dim = 64, maxBucketSize = 128)
+          .select(col("vec_id"), col("nbr_id"),
+            floor(col("sim") * lit(1000000.0) + lit(0.5)).cast("long")
+              .as("simx")),
+        thresholds = Seq(300000L, 340000L), maxRounds = 16).count())
     // boruvka: per round one edge double-join + component-keyed
     // argmax; the chosen component graph halves per round
     time(s"boruvka mst ${factor}x")(

@@ -477,6 +477,20 @@ object SparkEntry {
       Similarity.blockedNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", blockCol = "label", threshold = 0.35)),
 
+    // ---- Single-linkage dedup cuts: every threshold's clusters are
+    // the CC of the threshold-filtered kNN similarity graph; all cuts
+    // ride ONE composite-keyed bigStar pass (the MSF route measured
+    // 5x slower for a bounded cut set — Similarity scaladoc) ----
+    "q_single_linkage" -> ((s, dir) => {
+      val g = Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 3, numPlanes = 6, dim = 64, maxBucketSize = 128)
+      Similarity.singleLinkageCuts(
+        g.select(col("vec_id"), col("nbr_id"),
+          floor(col("sim") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("simx")),
+        thresholds = Seq(300000L, 340000L, 400000L), maxRounds = 16)
+    }),
+
     // ---- PCA rotation (OPQ-lite): top principal direction by power
     // iteration over the exact on-grid covariance — the pre-
     // quantization rotation step; + the corpus-wide projection ----
@@ -7182,6 +7196,36 @@ object SparkEntry {
     "q_pagerank" -> pageRankSql(5),
     "q_katz" -> katzSql(5),
     "q_eigencentrality" -> eigencentralitySql(5),
+    // single-linkage cuts: implementation-independent replay — the
+    // cluster labels at threshold t are the CC (min-label reachability)
+    // of the t-filtered kNN similarity graph; the Spark side's
+    // MSF-then-cut must land on exactly these labels (dendrogram law)
+    "q_single_linkage" -> {
+      val cuts = Seq(300000L, 340000L, 400000L)
+      s"""WITH RECURSIVE ${knnGraphCtes},
+         |kedges AS (SELECT vec_id AS a, nbr_id AS b,
+         |    CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS simx
+         |  FROM scored WHERE rk <= 3),
+         |kverts AS (SELECT DISTINCT x FROM
+         |  (SELECT a AS x FROM kedges UNION ALL SELECT b FROM kedges)),
+         |cuts(th) AS (VALUES ${cuts.map(t => s"(CAST($t AS BIGINT))")
+          .mkString(", ")}),
+         |uk AS (SELECT cuts.th, least(a, b) AS s, greatest(a, b) AS d
+         |  FROM kedges CROSS JOIN cuts WHERE simx >= cuts.th AND a <> b),
+         |symk AS (SELECT th, s, d FROM uk UNION SELECT th, d, s FROM uk),
+         |reach(th, v, label) AS (
+         |  SELECT th, s, s FROM symk
+         |  UNION
+         |  SELECT symk.th, symk.d, r.label FROM reach r
+         |  JOIN symk ON symk.th = r.th AND symk.s = r.v),
+         |lbl AS (SELECT th, v, min(label) AS cluster FROM reach
+         |  GROUP BY th, v)
+         |SELECT cuts.th AS threshold_x, kverts.x AS vec_id,
+         |  coalesce(lbl.cluster, kverts.x) AS cluster
+         |FROM cuts CROSS JOIN kverts
+         |LEFT JOIN lbl ON lbl.th = cuts.th AND lbl.v = kverts.x"""
+        .stripMargin
+    },
     "q_pca_power" -> pcaPowerSql(dim = 64, iters = 4),
     "q_pca_project" -> pcaProjectSql(dim = 64, iters = 4),
     "q_weighted_pagerank" -> weightedPageRankSql(5),

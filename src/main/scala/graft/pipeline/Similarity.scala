@@ -1673,6 +1673,64 @@ object Similarity {
             .stripMargin), 6).as("proj"))
   }
 
+  /**
+   * Single-linkage clustering CUTS over the kNN similarity graph (the
+   * embedding-dedup workhorse: cluster near-dups at several tightness
+   * levels in one pass). Single-linkage law: the clusters at
+   * threshold t are exactly the connected components of the
+   * t-filtered similarity graph — so ALL requested cuts ride ONE
+   * composite-keyed [[graft.analytics.GraphAnalytics.ccBigStar]]
+   * pass, with (threshold-index, vertex) encoded as idx*2^40 + v
+   * (within a component every idx is equal, so the min composite
+   * label decodes back to the min vertex id).
+   *
+   * Tried and measured: the MSF route — [[graft.analytics
+   * .GraphAnalytics.boruvkaMst]] once, then forest-sized CC per cut —
+   * benched 14.5 s at sf0.1 vs ~3 s for this direct pass, because
+   * Boruvka's outer rounds each pay an inner contraction loop's job
+   * floor. The MSF route wins only when thresholds are MANY or
+   * interactive (the dendrogram is cut-once-query-forever, V-1 edges
+   * per cut instead of |E|); for a bounded threshold set the single
+   * composite CC over |cuts|x|E| edges is strictly cheaper at any
+   * scale. `q_boruvka_mst` keeps the MSF itself gated standalone.
+   *
+   * `simEdges`: (a, b, simx) with simx an exact integer similarity
+   * (e.g. floor(cosine*10^6+0.5)); direction and parallel duplicates
+   * are harmless (CC is orientation-free). Output: (threshold_x,
+   * vec_id, cluster) — cluster is the min vertex id of the group.
+   */
+  def singleLinkageCuts(simEdges: DataFrame, thresholds: Seq[Long],
+      maxRounds: Int): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold")
+    val se = simEdges.toDF("a", "b", "simx")
+      .select(col("a").cast("long").as("a"),
+        col("b").cast("long").as("b"), col("simx"))
+      .transform(graft.CacheScope.persist(_))
+    val verts = se.select(col("a").as("x"))
+      .union(se.select(col("b")))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    val Shift = 1L << 40
+    val maxV = verts.agg(max(col("x"))).head().getLong(0)
+    require(maxV >= 0 && maxV < Shift && thresholds.size < (1 << 22),
+      s"vertex ids must fit the 2^40 cut-encoding (max seen $maxV)")
+    val spark = simEdges.sparkSession
+    import spark.implicits._
+    val thDf = thresholds.sorted.zipWithIndex
+      .map { case (t, i) => (t, i.toLong) }.toDF("thx", "idx")
+    val keyed = se.crossJoin(broadcast(thDf))
+      .filter(col("simx") >= col("thx"))
+      .select((col("idx") * Shift + col("a")).as("ku"),
+        (col("idx") * Shift + col("b")).as("kv"))
+    val lbl = graft.analytics.GraphAnalytics.ccBigStar(keyed, maxRounds)
+      .transform(graft.CacheScope.persist(_))
+    verts.crossJoin(broadcast(thDf))
+      .join(lbl, col("idx") * Shift + col("x") === col("_vid"), "left")
+      .select(col("thx").as("threshold_x"), col("x").as("vec_id"),
+        coalesce(col("component") - col("idx") * Shift, col("x"))
+          .as("cluster"))
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val maxabs = array_max(transform(v, x => abs(x)))

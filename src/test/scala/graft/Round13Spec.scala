@@ -367,6 +367,30 @@ class Round13Spec extends SparkSpec {
     assert(z.forall(_ == 0.0), s"dag must drain to zero: ${z.toSeq}")
   }
 
+  test("singleLinkageCuts: dendrogram cuts match direct threshold-CC") {
+    // chain 1-2(90) 2-3(80) 3-4(50) plus a separate pair 10-11(70);
+    // cuts at 60, 85, 95 walk the dendrogram from coarse to singleton
+    val edges = Seq((1L, 2L, 90L), (2L, 3L, 80L), (3L, 4L, 50L),
+      (10L, 11L, 70L)).toDF("a", "b", "simx")
+    val got = Similarity.singleLinkageCuts(edges, Seq(60L, 85L, 95L),
+      maxRounds = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = Map(
+      (60L, 1L) -> 1L, (60L, 2L) -> 1L, (60L, 3L) -> 1L, (60L, 4L) -> 4L,
+      (60L, 10L) -> 10L, (60L, 11L) -> 10L,
+      (85L, 1L) -> 1L, (85L, 2L) -> 1L, (85L, 3L) -> 3L, (85L, 4L) -> 4L,
+      (85L, 10L) -> 10L, (85L, 11L) -> 11L,
+      (95L, 1L) -> 1L, (95L, 2L) -> 2L, (95L, 3L) -> 3L, (95L, 4L) -> 4L,
+      (95L, 10L) -> 10L, (95L, 11L) -> 11L)
+    assert(got == want, s"got $got")
+    val again = Similarity.singleLinkageCuts(edges.repartition(7),
+      Seq(60L, 85L, 95L), maxRounds = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == got, "repartition changed the cuts")
+  }
+
   test("pcaPower finds the dominant direction; pcaProject applies it") {
     // points (t, 2t): covariance is rank-1 along (1, 2); the L-inf
     // normalized top direction is (0.5, 1) and power iteration lands
