@@ -1981,6 +1981,18 @@ object SparkEntry {
       Curation.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
         MixtureWeights)),
 
+    // ---- Temperature-resampled mixture (alpha-sampling, alpha=2^-2
+    // via exact sqrt chains — no libm pow): skewed 8:4:2:1 source
+    // buckets derived from doc_id so the flattening binds ----
+    "q_temperature_mix" -> ((s, dir) =>
+      Curation.temperatureMixture(
+        t(s, dir, "documents").withColumn("src_t",
+          when(col("doc_id") % 15 < 8, lit("a"))
+            .when(col("doc_id") % 15 < 12, lit("b"))
+            .when(col("doc_id") % 15 < 14, lit("c"))
+            .otherwise(lit("d"))),
+        "doc_id", "src_t", sqrtDepth = 2)),
+
     // ---- ExactSubstr duplicate spans (Lee et al. 2022): k-token
     // windows seen earlier in the corpus, merged into maximal
     // per-doc spans (all-integer output) ----
@@ -8598,6 +8610,41 @@ object SparkEntry {
          |  CAST(unnest(range(1, n + 1)) AS BIGINT) AS copy_idx
          |FROM n WHERE n >= 1""".stripMargin
     },
+
+    // temperature mixture: identical exactly-rounded op chain —
+    // n_i/N, two nested sqrts (IEEE-exact, no pow), dyadic floor,
+    // /Z, *N, /n_i — then the mixtureSample hash gate
+    "q_temperature_mix" ->
+      s"""WITH src AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 15 < 8 THEN 'a'
+         |         WHEN doc_id % 15 < 12 THEN 'b'
+         |         WHEN doc_id % 15 < 14 THEN 'c'
+         |         ELSE 'd' END AS src_t
+         |  FROM documents),
+         |st AS (SELECT src_t, CAST(count(*) AS BIGINT) AS n_src
+         |  FROM src GROUP BY src_t),
+         |tt AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_tot FROM st),
+         |qq AS (SELECT src_t, n_src, n_tot,
+         |    ${graft.functions.Portable.dyadicSql(
+          "sqrt(sqrt(CAST(n_src AS DOUBLE) / CAST(n_tot AS DOUBLE)))")}
+         |    AS q
+         |  FROM st CROSS JOIN tt),
+         |zz AS (SELECT sum(q) AS z FROM qq),
+         |fac AS (SELECT src_t,
+         |    q / zz.z * CAST(n_tot AS DOUBLE) / CAST(n_src AS DOUBLE)
+         |      AS f
+         |  FROM qq CROSS JOIN zz),
+         |fr AS (SELECT src_t, CAST(floor(f) AS BIGINT) AS whole,
+         |    CAST(floor((f - floor(f)) * 4294967296.0) AS BIGINT)
+         |      AS frac
+         |  FROM fac),
+         |n AS (SELECT src.doc_id, src.src_t,
+         |    whole + CASE WHEN (src.doc_id * 2654435761) % 4294967296
+         |        < frac THEN 1 ELSE 0 END AS n
+         |  FROM src JOIN fr USING (src_t))
+         |SELECT doc_id, src_t,
+         |  CAST(unnest(range(1, n + 1)) AS BIGINT) AS copy_idx
+         |FROM n WHERE n >= 1""".stripMargin,
 
     "q_sequence_pack" ->
       s"""WITH $TokCte,

@@ -412,6 +412,56 @@ object Curation {
         explode(sequence(lit(1L), col("_n"))).as("copy_idx"))
   }
 
+  /**
+   * Temperature-resampled source mixture (the multilingual alpha-
+   * sampling law: Conneau & Lample 2019 XLM §3.1, mT5 — draw source i
+   * with q_i ∝ p_i^alpha; alpha < 1 flattens the head so low-resource
+   * sources up-sample and dominant ones down-sample). alpha is given
+   * as a SQRT DEPTH (alpha = 2^-depth): sqrt is the one power IEEE 754
+   * requires exactly rounded, so the per-source factor chain
+   * n_i/N → depth nested sqrts → dyadic floor → /Z → ·N → /n_i is a
+   * fixed sequence of exactly-rounded ops on identical integer inputs
+   * — bit-identical across engines, with no libm pow() anywhere.
+   *
+   * Expected copy factor f_i = (q_i/Z)·N/n_i (mean one under q): each
+   * row replicates floor(f_i) times plus one more when its id-hash
+   * falls under the 2^32-scaled fractional part (the [[mixtureSample]]
+   * gate — exact, deterministic, no rand()); f_i < 1 becomes a
+   * downsample (whole = 0, the hash gate keeps the fraction).
+   *
+   * Scale shape: ONE combinable per-source count, source-count-sized
+   * factor frames with two broadcast scalar attaches, then one
+   * broadcast join + hash gate per row — corpus touched once.
+   */
+  def temperatureMixture(df: DataFrame, idCol: String, sourceCol: String,
+      sqrtDepth: Int): DataFrame = {
+    import graft.functions.Portable.dyadic
+    require(sqrtDepth >= 1 && sqrtDepth <= 4, "sqrtDepth in [1, 4]")
+    val stats = df.groupBy(sourceCol).agg(count(lit(1)).as("n_src"))
+    val tot = stats.agg(sum(col("n_src")).as("n_tot"))
+    var q: Column = col("n_src").cast("double") /
+      col("n_tot").cast("double")
+    for (_ <- 1 to sqrtDepth) q = sqrt(q)
+    val withQ = stats.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_src"), col("n_tot"),
+        dyadic(q).as("q"))
+    val z = withQ.agg(sum(col("q")).as("z")) // on-grid exact
+    val fac = withQ.crossJoin(broadcast(z))
+      .select(col(sourceCol),
+        (col("q") / col("z") * col("n_tot").cast("double") /
+          col("n_src").cast("double")).as("f"))
+      .select(col(sourceCol), floor(col("f")).cast("long").as("whole"),
+        floor((col("f") - floor(col("f"))) * lit(4294967296.0))
+          .cast("long").as("fr"))
+    df.join(broadcast(fac), Seq(sourceCol))
+      .withColumn("_n", col("whole") +
+        when(graft.operators.Sample.hashRank(col(idCol)) < col("fr"),
+          1L).otherwise(0L))
+      .filter(col("_n") >= 1)
+      .select(col(idCol), col(sourceCol),
+        explode(sequence(lit(1L), col("_n"))).as("copy_idx"))
+  }
+
   /** Fixed-width token windows as synthetic "lines" for corpora whose
     * text carries no newlines (chunk i = tokens [i*n+1, i*n+n]).
     * Takes a MATERIALIZED token-array column — HOF lambdas evaluate

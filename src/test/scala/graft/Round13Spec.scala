@@ -367,6 +367,43 @@ class Round13Spec extends SparkSpec {
     assert(z.forall(_ == 0.0), s"dag must drain to zero: ${z.toSeq}")
   }
 
+  test("temperatureMixture flattens a skewed mixture with the exact gate") {
+    // 8:4:2:1 sources over 150 ids; alpha = 2^-2 via two exact sqrts
+    val df = (0L until 150L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .withColumn("src_t",
+        when(col("doc_id") % 15 < 8, lit("a"))
+          .when(col("doc_id") % 15 < 12, lit("b"))
+          .when(col("doc_id") % 15 < 14, lit("c"))
+          .otherwise(lit("d")))
+    val out = graft.pipeline.Curation
+      .temperatureMixture(df, "doc_id", "src_t", sqrtDepth = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // replay the exactly-rounded chain in plain scala
+    val n = Map("a" -> 80L, "b" -> 40L, "c" -> 20L, "d" -> 10L)
+    def dy(x: Double) = math.floor(x * 1073741824.0) / 1073741824.0
+    val q = n.map { case (s, c) =>
+      s -> dy(math.sqrt(math.sqrt(c.toDouble / 150.0))) }
+    val z = q.values.sum // on-grid summands: any order is exact
+    val f = q.map { case (s, qq) => s -> (qq / z * 150.0 / n(s)) }
+    def srcOf(i: Long) = if (i % 15 < 8) "a" else if (i % 15 < 12) "b"
+      else if (i % 15 < 14) "c" else "d"
+    val want = (0L until 150L).flatMap { i =>
+      val s = srcOf(i)
+      val whole = math.floor(f(s)).toLong
+      val frac = math.floor((f(s) - math.floor(f(s))) * 4294967296.0).toLong
+      val copies = whole +
+        (if ((i * 2654435761L) % 4294967296L < frac) 1L else 0L)
+      (1L to copies).map(c => (i, s, c))
+    }.toSet
+    assert(out == want,
+      s"extra: ${out -- want} missing: ${want -- out}")
+    // the flattening direction: rare 'd' gains copies, dominant 'a'
+    // loses rows
+    val perSrc = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perSrc("d") > 10 && perSrc("a") < 80, s"flattening: $perSrc")
+  }
+
   test("singleLinkageCuts: dendrogram cuts match direct threshold-CC") {
     // chain 1-2(90) 2-3(80) 3-4(50) plus a separate pair 10-11(70);
     // cuts at 60, 85, 95 walk the dendrogram from coarse to singleton
