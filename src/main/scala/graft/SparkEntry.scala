@@ -2157,6 +2157,13 @@ object SparkEntry {
       TextAnalysis.bigramCounts(t(s, dir, "documents"), "doc_id", "text",
         minCount = 5)),
 
+    // ---- Interpolated Kneser-Ney bigram smoothing (D=3/4 exact):
+    // the KenLM-family smoother as exact BIGINT rationals over the
+    // common denominator 4*c(v)*Npp — continuation counts included ----
+    "q_kn_bigram" -> ((s, dir) =>
+      TextAnalysis.knBigrams(t(s, dir, "documents"), "text",
+        minCount = 5)),
+
     // ---- PMI collocation mining: bigrams beating the independence
     // expectation; integer-scaled ratio keeps the gate float-free ----
     "q_collocations" -> ((s, dir) =>
@@ -8769,6 +8776,30 @@ object SparkEntry {
          |c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY 1)
          |SELECT w1, w2, c12, c1 FROM c12 JOIN c1 USING (w1)
          |WHERE c12 >= 5""".stripMargin,
+
+    // Kneser-Ney bigrams: the identical exact-rational law — numerator
+    // (4c-3)*Npp + 3*N1p*N1m over denominator 4*c(v)*Npp, all BIGINT
+    "q_kn_bigram" ->
+      s"""WITH $TokCte,
+         |pr AS (SELECT
+         |    list_extract(t, CAST(u.i AS INTEGER)) AS w1,
+         |    list_extract(t, CAST(u.i AS INTEGER) + 1) AS w2
+         |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(t))) u(i)
+         |  WHERE len(t) >= 2),
+         |jt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |  FROM pr GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n1p
+         |  FROM jt GROUP BY w1),
+         |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1m
+         |  FROM jt GROUP BY w2),
+         |npp AS (SELECT CAST(count(*) AS BIGINT) AS npp FROM jt)
+         |SELECT jt.w1, jt.w2, jt.c12,
+         |  (4 * jt.c12 - 3) * npp.npp + 3 * ctx.n1p * cont.n1m AS p_num,
+         |  4 * ctx.c1 * npp.npp AS p_den
+         |FROM jt JOIN ctx USING (w1) JOIN cont USING (w2)
+         |CROSS JOIN npp
+         |WHERE jt.c12 >= 5""".stripMargin,
 
     // integer-scaled PMI: identical op order (parenthesized) on both
     // engines; corpus total CAST to BIGINT (HUGEINT law)

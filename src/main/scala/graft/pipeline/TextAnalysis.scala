@@ -742,6 +742,53 @@ object TextAnalysis {
   }
 
   /**
+   * Interpolated Kneser-Ney bigram smoothing (Kneser & Ney 1995; Chen
+   * & Goodman 1998 §2.7, the standard n-gram LM smoother KenLM
+   * implements — the CCNet perplexity filter's model family) with the
+   * canonical discount D = 3/4 kept EXACT: every probability is the
+   * rational
+   *
+   *   p(w|v) = (c(vw) - 3/4)/c(v) + (3/4)·N1+(v·)/c(v) · N1+(·w)/N1+(··)
+   *
+   * put over the common denominator 4·c(v)·N1+(··), so the surfaced
+   * columns are the exact BIGINT numerator/denominator
+   *   p_num = (4·c(vw) - 3)·Npp + 3·N1p(v)·N1m(w),  p_den = 4·c(v)·Npp
+   * — no float division, no libm, engine-identical by construction.
+   * (N1p(v) = distinct continuations of v; N1m(w) = distinct contexts
+   * preceding w — the continuation counts that make KN rank "Francisco"
+   * low despite its raw frequency; Npp = distinct bigram types.)
+   *
+   * Scale shape: ONE bigram explode feeding four combinable
+   * aggregates (pair counts; per-v sum+distinct in one pass; per-w
+   * distinct; one scalar), then vocab-sized joins + a broadcast
+   * scalar attach. The corpus is scanned once.
+   */
+  def knBigrams(df: DataFrame, textCol: String,
+      minCount: Int): DataFrame = {
+    val pairs = df
+      .select(tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("_t")) - 1),
+        i => struct(element_at(col("_t"), i).as("w1"),
+          element_at(col("_t"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val joint = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .transform(graft.CacheScope.persist(_))
+    val ctx = joint.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = joint.groupBy("w2").agg(count(lit(1)).as("n1m"))
+    val npp = joint.agg(count(lit(1)).as("npp"))
+    joint.filter(col("c12") >= minCount)
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(npp))
+      .select(col("w1"), col("w2"), col("c12"),
+        ((lit(4L) * col("c12") - lit(3L)) * col("npp") +
+          lit(3L) * col("n1p") * col("n1m")).as("p_num"),
+        (lit(4L) * col("c1") * col("npp")).as("p_den"))
+  }
+
+  /**
    * PMI collocation mining — the classic corpus-linguistics signal for
    * multiword expressions ("new york", "machine learning"): bigrams
    * whose joint frequency beats the independence expectation. PMI =

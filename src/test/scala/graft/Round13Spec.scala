@@ -367,6 +367,27 @@ class Round13Spec extends SparkSpec {
     assert(z.forall(_ == 0.0), s"dag must drain to zero: ${z.toSeq}")
   }
 
+  test("knBigrams emits the exact interpolated-KN rationals") {
+    // corpus "a b a b a c": c12 ab=2 ba=2 ac=1; c(a)=3 n1p(a)=2;
+    // c(b)=2 n1p(b)=1; n1m(a)=n1m(b)=n1m(c)=1; Npp=3
+    val docs = Seq("a b a b a c").toDF("text")
+    val byPair = TextAnalysis.knBigrams(docs, "text", minCount = 1)
+      .select("w1", "w2", "c12", "p_num", "p_den")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(byPair == Map(
+      ("a", "b") -> ((2L, 21L, 36L)), // (4*2-3)*3 + 3*2*1 = 21 / 36
+      ("b", "a") -> ((2L, 18L, 24L)), // (4*2-3)*3 + 3*1*1 = 18 / 24
+      ("a", "c") -> ((1L, 9L, 36L))), // (4*1-3)*3 + 3*2*1 = 9 / 36
+      s"got $byPair")
+    // seen-mass identity for context 'a': 21/36 + 9/36 = 30/36, the
+    // missing 6/36 is exactly the reserved discount mass D*N1p/c(a)
+    // = (3/4)*2/3 = 1/2 times the unseen continuation share (pcont of
+    // the one unseen continuation 'a' is 1/3: 1/2 * 1/3 = 6/36)
+    assert(byPair(("a", "b"))._2 + byPair(("a", "c"))._2 == 30L)
+  }
+
   test("temperatureMixture flattens a skewed mixture with the exact gate") {
     // 8:4:2:1 sources over 150 ids; alpha = 2^-2 via two exact sqrts
     val df = (0L until 150L).map(i => (i, s"t$i")).toDF("doc_id", "text")
