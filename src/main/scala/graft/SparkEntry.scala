@@ -500,6 +500,9 @@ object SparkEntry {
     "q_pca_project" -> ((s, dir) =>
       Similarity.pcaProject(t(s, dir, "embeddings"), "vec_id",
         "embedding", dim = 64, iters = 4)),
+    "q_pca_top2" -> ((s, dir) =>
+      Similarity.pcaPower2(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, iters = 4)),
 
     // ---- Product quantization: per-subspace dyadic k-means codebooks
     // + final-codebook codes; the billion-scale ANN compression ----
@@ -4362,19 +4365,29 @@ object SparkEntry {
     * covariance mirrored to the full matrix, then `iters` unrolled
     * matvec + L-inf-normalize rounds (zero-variance guarded to the
     * all-zero loading, the eigenvector zero-mass law). */
-  private def pcaCtes(dim: Int, iters: Int): String = {
+  /** One L-inf power loop unrolled over matrix CTE `mat` with CTE
+    * name prefix `p` (${p}v0 .. ${p}v$iters). */
+  private def pcaLoopSteps(mat: String, p: String, dim: Int,
+      iters: Int): String = {
     val dy = graft.functions.Portable.dyadicSql _
     val steps = (1 to iters).map { r =>
-      s"""py$r AS MATERIALIZED (SELECT cov.i,
-         |    sum(${dy(s"cov.c * pv${r - 1}.v")}) AS y
-         |  FROM cov JOIN pv${r - 1} ON pv${r - 1}.j = cov.j
-         |  GROUP BY cov.i),
-         |pv$r AS MATERIALIZED (SELECT py$r.i AS j,
-         |    CASE WHEN (SELECT max(abs(y)) FROM py$r) > 0
-         |      THEN ${dy(s"y / (SELECT max(abs(y)) FROM py$r)")}
+      s"""${p}y$r AS MATERIALIZED (SELECT $mat.i,
+         |    sum(${dy(s"$mat.c * ${p}v${r - 1}.v")}) AS y
+         |  FROM $mat JOIN ${p}v${r - 1} ON ${p}v${r - 1}.j = $mat.j
+         |  GROUP BY $mat.i),
+         |${p}v$r AS MATERIALIZED (SELECT ${p}y$r.i AS j,
+         |    CASE WHEN (SELECT max(abs(y)) FROM ${p}y$r) > 0
+         |      THEN ${dy(s"y / (SELECT max(abs(y)) FROM ${p}y$r)")}
          |      ELSE CAST(0 AS DOUBLE) END AS v
-         |  FROM py$r)""".stripMargin
+         |  FROM ${p}y$r)""".stripMargin
     }.mkString(",\n")
+    s"""${p}v0 AS (SELECT ii.i::INT AS j, CAST(1.0 AS DOUBLE) AS v
+       |  FROM unnest(range(1, $dim + 1)) ii(i)),
+       |$steps""".stripMargin
+  }
+
+  private def pcaCtes(dim: Int, iters: Int): String = {
+    val dy = graft.functions.Portable.dyadicSql _
     s"""prows AS MATERIALIZED (SELECT vec_id,
        |    embedding::DOUBLE[] AS x FROM embeddings),
        |pmu AS MATERIALIZED (SELECT i, sum(xv) / count(*) AS mu FROM (
@@ -4391,9 +4404,32 @@ object SparkEntry {
        |  GROUP BY 1, 2),
        |cov AS MATERIALIZED (SELECT i, j, c FROM phalf
        |  UNION ALL SELECT j, i, c FROM phalf WHERE i <> j),
-       |pv0 AS (SELECT ii.i::INT AS j, CAST(1.0 AS DOUBLE) AS v
-       |  FROM unnest(range(1, $dim + 1)) ii(i)),
-       |$steps""".stripMargin
+       |${pcaLoopSteps("cov", "p", dim, iters)}""".stripMargin
+  }
+
+  /** q_pca_top2 oracle: [[pcaCtes]]' first loop, Hotelling deflation
+    * with the Rayleigh quotient of pv$iters, then a second unrolled
+    * power loop (prefix q) over the deflated matrix. */
+  private def pcaTop2Sql(dim: Int, iters: Int): String = {
+    val dy = graft.functions.Portable.dyadicSql _
+    s"""WITH ${pcaCtes(dim, iters)},
+       |ray AS MATERIALIZED (SELECT
+       |    (SELECT sum(${dy("a.v * cov.c * b.v")}) FROM cov
+       |      JOIN pv$iters a ON a.j = cov.i
+       |      JOIN pv$iters b ON b.j = cov.j) AS num,
+       |    (SELECT sum(${dy("v * v")}) FROM pv$iters) AS den),
+       |cov2 AS MATERIALIZED (SELECT cov.i, cov.j,
+       |    cov.c - ${dy(
+      "ray.num * a.v * b.v / (ray.den * ray.den)")} AS c
+       |  FROM cov JOIN pv$iters a ON a.j = cov.i
+       |  JOIN pv$iters b ON b.j = cov.j
+       |  CROSS JOIN ray),
+       |${pcaLoopSteps("cov2", "q", dim, iters)}
+       |SELECT pv$iters.j AS dim_i,
+       |  ${graft.functions.Portable.sql(s"pv$iters.v", 6)} AS loading1,
+       |  ${graft.functions.Portable.sql(s"qv$iters.v", 6)} AS loading2
+       |FROM pv$iters JOIN qv$iters ON qv$iters.j = pv$iters.j"""
+      .stripMargin
   }
 
   private def pcaPowerSql(dim: Int, iters: Int): String =
@@ -7247,6 +7283,7 @@ object SparkEntry {
     },
     "q_pca_power" -> pcaPowerSql(dim = 64, iters = 4),
     "q_pca_project" -> pcaProjectSql(dim = 64, iters = 4),
+    "q_pca_top2" -> pcaTop2Sql(dim = 64, iters = 4),
     "q_weighted_pagerank" -> weightedPageRankSql(5),
 
     // RANGE frame semantics are value-based on both engines (ties in t
@@ -10077,6 +10114,7 @@ object SparkEntry {
     "q_eigencentrality" -> Seq("score"),
     "q_pca_power" -> Seq("loading"),
     "q_pca_project" -> Seq("proj"),
+    "q_pca_top2" -> Seq("loading1", "loading2"),
     "q_weighted_pagerank" -> Seq("rank"),
     "q_ppr" -> Seq("rank"),
     "q_hits" -> Seq("auth", "hub"),

@@ -1578,9 +1578,59 @@ object Similarity {
    */
   def pcaPower(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, iters: Int): DataFrame = {
+    require(dim >= 1 && iters >= 1, "dim and iters must be >= 1")
+    powerLoop(covarianceFrame(emb, idCol, vecCol, dim), dim, iters)
+      .select(col("j").as("dim_i"),
+        graft.functions.Portable.quant(col("v"), 6).as("loading"))
+  }
+
+  /**
+   * Top TWO principal directions: [[pcaPower]]'s loop for the first,
+   * then HOTELLING DEFLATION — C' = C - lambda * u u^T with
+   * lambda = (v^T C v)/(v^T v) the Rayleigh quotient of the converged
+   * iterate — and a second power loop on C'. Every deflation entry
+   * subtracts a dyadic-floored value from an on-grid one, so C' stays
+   * engine-exact and the oracle replays both loops unrolled. Output
+   * (dim_i, loading1, loading2); loading2 is a power ESTIMATE of the
+   * second PC (exact determinism, approximation bounded by the
+   * iteration budget — the [[pcaPower]] contract).
+   */
+  def pcaPower2(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int): DataFrame = {
     import graft.functions.Portable.dyadic
     require(dim >= 1 && iters >= 1, "dim and iters must be >= 1")
-    val spark = emb.sparkSession
+    val cov = covarianceFrame(emb, idCol, vecCol, dim)
+    val v1 = powerLoop(cov, dim, iters)
+      .transform(graft.CacheScope.persist(_))
+    // Rayleigh numerator v^T C v and denominator v^T v: on-grid sums
+    val ray = cov
+      .join(v1.select(col("j").as("i"), col("v").as("vi")), Seq("i"))
+      .join(v1.select(col("j"), col("v").as("vj")), Seq("j"))
+      .agg(sum(dyadic(col("vi") * col("c") * col("vj"))).as("num"))
+      .crossJoin(broadcast(
+        v1.agg(sum(dyadic(col("v") * col("v"))).as("den"))))
+    val defl = cov
+      .join(v1.select(col("j").as("i"), col("v").as("vi")), Seq("i"))
+      .join(v1.select(col("j"), col("v").as("vj")), Seq("j"))
+      .crossJoin(broadcast(ray))
+      .select(col("i"), col("j"),
+        (col("c") - dyadic(col("num") * col("vi") * col("vj") /
+          (col("den") * col("den")))).as("c"))
+      .transform(graft.CacheScope.persist(_))
+    val v2 = powerLoop(defl, dim, iters)
+    v1.join(v2.select(col("j"), col("v").as("v2")), Seq("j"))
+      .select(col("j").as("dim_i"),
+        graft.functions.Portable.quant(col("v"), 6).as("loading1"),
+        graft.functions.Portable.quant(col("v2"), 6).as("loading2"))
+  }
+
+  /** Exact on-grid covariance of an embedding corpus as a mirrored
+    * (i, j, c) frame — one corpus scan exploding each row into its
+    * d(d+1)/2 upper-triangle centered products, partial-aggregated
+    * map-side; mean per dimension is an on-grid sum over an exact
+    * count. Persisted (feeds the power loop every round). */
+  private def covarianceFrame(emb: DataFrame, idCol: String,
+      vecCol: String, dim: Int): DataFrame = {
     val dy = graft.functions.Portable.dyadicSql _
     val rows = emb.select(col(idCol).as("id"),
       expr(s"slice(cast($vecCol as array<double>), 1, $dim)").as("x"))
@@ -1609,14 +1659,23 @@ object Similarity {
           .stripMargin)).as("e"))
       .groupBy(col("e.i").as("i"), col("e.j").as("j"))
       .agg(sum(col("e.p")).as("c"))
-    val cov = half.union(
+    half.union(
         half.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("c")))
       .transform(graft.CacheScope.persist(_))
+  }
+
+  /** The L-inf-normalized power loop over a (i, j, c) matrix frame —
+    * localCheckpoint rotation, NOT plain persist: the in-plan max
+    * scalar references the round's matvec twice, so a persist-rotated
+    * loop TRIPLES the logical plan per round and planning OOMs by
+    * iteration 5 (the eigenvectorCentrality/hits lesson, reproduced
+    * in the r13 bench). Returns the (j, v) iterate. */
+  private def powerLoop(cov: DataFrame, dim: Int,
+      iters: Int): DataFrame = {
+    import graft.functions.Portable.dyadic
+    val spark = cov.sparkSession
     import spark.implicits._
-    // localCheckpoint rotation: the in-plan max scalar references the
-    // round's matvec twice, so persist rotation triples the plan per
-    // round (the eigenvectorCentrality/hits planning-OOM shape)
     val rotate = graft.analytics.GraphAnalytics.rotateCheckpoint _
     var (v, vId) = rotate((1 to dim).map(i => (i, 1.0)).toDF("j", "v"),
       None)
@@ -1634,8 +1693,7 @@ object Similarity {
       graft.CacheScope.unpersist(y)
       v = v2; vId = id2
     }
-    v.select(col("j").as("dim_i"),
-      graft.functions.Portable.quant(col("v"), 6).as("loading"))
+    v
   }
 
   /**

@@ -470,6 +470,30 @@ class Round13Spec extends SparkSpec {
     assert(p == want, s"proj: $p")
   }
 
+  test("pcaPower2 deflates to the second direction") {
+    // block-diagonal covariance: strong direction (1,2,0) (lambda 150)
+    // plus weak orthogonal (0,0,1) (lambda 10) — deflation must hand
+    // the second loop the weak axis
+    val pts = for (t <- Seq(-2, -1, 0, 1, 2); u <- Seq(-1, 0, 1))
+      yield Array(t.toFloat, (2 * t).toFloat, u.toFloat)
+    val emb = pts.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pcaPower2(emb, "vec_id", "embedding",
+      dim = 3, iters = 6)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(math.abs(got(1)._1 - 0.5) < 1e-3 &&
+      math.abs(got(2)._1 - 1.0) < 1e-3 && math.abs(got(3)._1) < 1e-3,
+      s"loading1: $got")
+    assert(got(3)._2 == 1.0 && math.abs(got(1)._2) < 0.01 &&
+      math.abs(got(2)._2) < 0.01, s"loading2: $got")
+    val again = Similarity.pcaPower2(emb.repartition(7), "vec_id",
+      "embedding", 3, 6).collect().toSet
+    assert(again == Similarity.pcaPower2(emb, "vec_id", "embedding",
+      3, 6).collect().toSet, "repartition changed top-2")
+  }
+
   test("pcaPower is partition-invariant and zero-variance-safe") {
     val emb = (0L until 60L).map(i =>
       (i, Array.tabulate(8)(d => ((i * (d + 3) + d) % 11).toFloat / 7)))
