@@ -889,7 +889,7 @@ object ScaleSmoke {
       graft.analytics.GraphAnalytics.boruvkaMst(
         edges.select((col("l_orderkey") % (24 * factor)).as("a"),
           (col("l_partkey") % (24 * factor)).as("b"),
-          (col("l_quantity") % 97).as("w")),
+          ((col("l_orderkey") * 7 + col("l_partkey")) % 97).as("w")),
         maxRounds = 12).count())
 
     spark.stop()

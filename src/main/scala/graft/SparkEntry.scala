@@ -2160,6 +2160,12 @@ object SparkEntry {
       TextAnalysis.bigramCounts(t(s, dir, "documents"), "doc_id", "text",
         minCount = 5)),
 
+    // ---- Gopher-style hard quality gate: all-integer cross-
+    // multiplied rules (no float ratios), reason bitmask + pass ----
+    "q_quality_gate" -> ((s, dir) =>
+      TextAnalysis.qualityGate(t(s, dir, "documents"), "doc_id",
+        "text", minTok = 20)),
+
     // ---- Interpolated Kneser-Ney bigram smoothing (D=3/4 exact):
     // the KenLM-family smoother as exact BIGINT rationals over the
     // common denominator 4*c(v)*Npp — continuation counts included ----
@@ -8813,6 +8819,34 @@ object SparkEntry {
          |c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY 1)
          |SELECT w1, w2, c12, c1 FROM c12 JOIN c1 USING (w1)
          |WHERE c12 >= 5""".stripMargin,
+
+    // quality gate: identical all-integer rules; punctuation counted
+    // by the same explicit class as the Spark PunctClass
+    "q_quality_gate" ->
+      s"""WITH $TokCte,
+         |m AS (SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tok,
+         |    CAST(coalesce(list_sum(list_transform(t,
+         |      x -> length(x))), 0) AS BIGINT) AS n_char,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(t,
+         |      x -> list_contains($Stoplist, x))) AS BIGINT) AS n_stop,
+         |    CAST(len(t) - len(list_distinct(t)) AS BIGINT) AS n_dup
+         |  FROM toks),
+         |b AS (SELECT doc_id, n_tok,
+         |    (CASE WHEN n_tok < 20 OR n_tok > 100000 THEN 1 ELSE 0 END
+         |     + CASE WHEN n_char < 3 * n_tok OR n_char > 10 * n_tok
+         |         THEN 2 ELSE 0 END
+         |     + CASE WHEN 10 * n_punct > n_tok THEN 4 ELSE 0 END
+         |     + CASE WHEN n_stop < 2 THEN 8 ELSE 0 END
+         |     + CASE WHEN 10 * n_dup > 3 * n_tok THEN 16 ELSE 0 END)
+         |      AS reason_bits
+         |  FROM m)
+         |SELECT doc_id, n_tok, CAST(reason_bits AS BIGINT) AS reason_bits,
+         |  CAST(CASE WHEN reason_bits = 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS pass
+         |FROM b""".stripMargin,
 
     // Kneser-Ney bigrams: the identical exact-rational law — numerator
     // (4c-3)*Npp + 3*N1p*N1m over denominator 4*c(v)*Npp, all BIGINT

@@ -742,6 +742,42 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher-style quality GATE (Rae et al. 2021 Gopher appendix A1.1 /
+   * C4 heuristics as a hard filter verdict, not just scores): per
+   * document a reason bitmask and a pass flag. Every rule is an
+   * ALL-INTEGER cross-multiplied comparison — `mean token length < 3`
+   * becomes `n_char < 3*n_tok` — so the gate is exact on both engines
+   * with no float ratio anywhere (the [[qualityColumns]] scores stay
+   * the soft variant).
+   *
+   * Bits: 1 = token count outside [minTok, maxTok]; 2 = mean token
+   * length outside [3, 10]; 4 = punctuation-to-token ratio > 1/10;
+   * 8 = fewer than 2 stopword hits; 16 = duplicate-token fraction
+   * > 3/10. pass = (bits == 0). One corpus scan, per-row expressions
+   * only — embarrassingly parallel at any scale.
+   */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      minTok: Int = 50, maxTok: Int = 100000): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val nChar = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val nPunct = punctCount(col(textCol)).cast("long")
+    val nStop = stopwordCount(col(textCol), DefaultStopwords).cast("long")
+    val nDup = nTok - size(array_distinct(toks)).cast("long")
+    val bits =
+      when(nTok < minTok || nTok > maxTok, lit(1L)).otherwise(lit(0L)) +
+        when(nChar < lit(3L) * nTok || nChar > lit(10L) * nTok, lit(2L))
+          .otherwise(lit(0L)) +
+        when(lit(10L) * nPunct > nTok, lit(4L)).otherwise(lit(0L)) +
+        when(nStop < lit(2L), lit(8L)).otherwise(lit(0L)) +
+        when(lit(10L) * nDup > lit(3L) * nTok, lit(16L))
+          .otherwise(lit(0L))
+    df.select(col(idCol), nTok.as("n_tok"), bits.as("reason_bits"),
+      when(bits === 0L, lit(1L)).otherwise(lit(0L)).as("pass"))
+  }
+
+  /**
    * Interpolated Kneser-Ney bigram smoothing (Kneser & Ney 1995; Chen
    * & Goodman 1998 §2.7, the standard n-gram LM smoother KenLM
    * implements — the CCNet perplexity filter's model family) with the

@@ -367,6 +367,39 @@ class Round13Spec extends SparkSpec {
     assert(z.forall(_ == 0.0), s"dag must drain to zero: ${z.toSeq}")
   }
 
+  test("qualityGate reason bits match the integer law exactly") {
+    val docs = Seq(
+      1L -> ("the cat sat of mat and runs to park in story is fine " +
+        "it goes well done more words here extra tail words now"),
+      2L -> "short doc only",                        // bit 1 (too few)
+      3L -> Seq.fill(25)("a").mkString(" "),         // bits 2+16 (len/dup)
+      4L -> (Seq.fill(22)("wordy").mkString(" ") + " !!!; ., .,;; ..!"),
+      5L -> ("the of " + (1 to 22).map(i => s"w$i ..").mkString(" ")))
+    val out = TextAnalysis.qualityGate(docs.toDF("doc_id", "text"),
+      "doc_id", "text", minTok = 20)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    val want = docs.map { case (id, text) =>
+      val t = text.trim.split("\\s+").filter(_.nonEmpty)
+      val nTok = t.length.toLong
+      val nChar = t.map(_.length.toLong).sum
+      val nPunct = text.count(".,!?;:".contains(_)).toLong
+      val nStop = t.count(stop).toLong
+      val nDup = nTok - t.distinct.length
+      val bits = (if (nTok < 20 || nTok > 100000) 1L else 0L) +
+        (if (nChar < 3 * nTok || nChar > 10 * nTok) 2L else 0L) +
+        (if (10 * nPunct > nTok) 4L else 0L) +
+        (if (nStop < 2) 8L else 0L) +
+        (if (10 * nDup > 3 * nTok) 16L else 0L)
+      id -> ((nTok, bits, if (bits == 0L) 1L else 0L))
+    }.toMap
+    assert(out == want, s"got $out want $want")
+    assert(out(1L)._3 == 1L, "doc 1 must pass")
+    assert(out.values.count(_._3 == 0L) == 4, "docs 2-5 must fail")
+  }
+
   test("knBigrams emits the exact interpolated-KN rationals") {
     // corpus "a b a b a c": c12 ab=2 ba=2 ac=1; c(a)=3 n1p(a)=2;
     // c(b)=2 n1p(b)=1; n1m(a)=n1m(b)=n1m(c)=1; Npp=3
