@@ -1283,6 +1283,15 @@ object SparkEntry {
 
     // ---- Connected components WITHOUT GraphX: alternating
     // large-star/small-star over an order⇄supplier bipartite graph ----
+    // ---- Rich-club coefficient: exact-integer phi(k) evidence over
+    // the degree>k induced subgraph, one threshold-keyed pass ----
+    "q_rich_club" -> ((s, dir) =>
+      graft.analytics.GraphAnalytics.richClub(
+        t(s, dir, "lineitem").select(
+          (col("l_orderkey") % 200).as("a"),
+          (col("l_partkey") % 200 + 200).as("b")),
+        ks = Seq(4, 16, 64))),
+
     // ---- Boruvka minimum spanning forest: per-round min-edge hook +
     // component contraction under the (w,u,v) total order — unique
     // MSF, oracle-verified via the cycle rule (minimax path = the
@@ -6749,6 +6758,30 @@ object SparkEntry {
         |  SELECT u.d, r.label FROM reach r JOIN u ON u.s = r.v)
         |SELECT v AS _vid, min(label) AS component
         |FROM reach GROUP BY v""".stripMargin,
+
+    // rich club: exact integers over the bipartite mod projection
+    "q_rich_club" ->
+      """WITH e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM (SELECT l_orderkey % 200 AS a,
+        |      l_partkey % 200 + 200 AS b FROM lineitem) __e
+        |  WHERE a <> b),
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT u AS x FROM e UNION ALL SELECT v FROM e) __d
+        |  GROUP BY x),
+        |ks(k) AS (VALUES (CAST(4 AS BIGINT)), (CAST(16 AS BIGINT)),
+        |  (CAST(64 AS BIGINT))),
+        |rich AS (SELECT ks.k, deg.x FROM deg CROSS JOIN ks
+        |  WHERE deg.deg > ks.k),
+        |nr AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rich FROM rich
+        |  GROUP BY k),
+        |er AS (SELECT r1.k, CAST(count(*) AS BIGINT) AS e_rich
+        |  FROM e JOIN rich r1 ON r1.x = e.u
+        |  JOIN rich r2 ON r2.x = e.v AND r2.k = r1.k
+        |  GROUP BY r1.k)
+        |SELECT nr.k, nr.n_rich, coalesce(er.e_rich, 0) AS e_rich,
+        |  2 * coalesce(er.e_rich, 0) AS phi_num,
+        |  nr.n_rich * (nr.n_rich - 1) AS phi_den
+        |FROM nr LEFT JOIN er USING (k)""".stripMargin,
 
     // Boruvka MSF: implementation-independent replay via the cycle
     // rule — rank edges by the (w,u,v) total order, compute the

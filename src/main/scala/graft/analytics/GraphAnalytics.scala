@@ -240,6 +240,48 @@ object GraphAnalytics {
   }
 
   /**
+   * Rich-club coefficient (Zhou & Mondragon 2004): for each degree
+   * threshold k, phi(k) = 2*E_k / (N_k*(N_k-1)) over the subgraph
+   * induced by vertices of degree > k — do the high-degree vertices
+   * preferentially interconnect? Surfaced as EXACT integers
+   * (n_rich, e_rich, phi_num = 2*E_k, phi_den = N_k*(N_k-1)); the
+   * Colizza et al. 2006 null-model normalization is a caller-side
+   * divide of two runs. Scale shape: one degree aggregation, then ONE
+   * threshold-keyed semi-join pass for all k (the edge frame joins
+   * the broadcast-able (k, rich-vertex) set on both endpoints);
+   * nothing pairwise.
+   */
+  def richClub(rawEdges: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "at least one threshold")
+    val spark = rawEdges.sparkSession
+    import spark.implicits._
+    val e = rawEdges.toDF("a", "b")
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).cast("long").as("u"),
+        greatest(col("a"), col("b")).cast("long").as("v"))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    val deg = e.select(col("u").as("x")).union(e.select(col("v")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+    val thDf = ks.sorted.map(_.toLong).toDF("k")
+    val rich = deg.crossJoin(broadcast(thDf))
+      .filter(col("deg") > col("k"))
+      .select(col("k"), col("x"))
+      .transform(graft.CacheScope.persist(_))
+    val nRich = rich.groupBy("k").agg(count(lit(1)).as("n_rich"))
+    val eRich = e
+      .join(rich.select(col("k"), col("x").as("u")), Seq("u"))
+      .join(rich.select(col("k").as("k2"), col("x").as("v")), Seq("v"))
+      .filter(col("k") === col("k2"))
+      .groupBy("k").agg(count(lit(1)).as("e_rich"))
+    nRich.join(eRich, Seq("k"), "left")
+      .select(col("k"), col("n_rich"),
+        coalesce(col("e_rich"), lit(0L)).as("e_rich"),
+        (lit(2L) * coalesce(col("e_rich"), lit(0L))).as("phi_num"),
+        (col("n_rich") * (col("n_rich") - lit(1L))).as("phi_den"))
+  }
+
+  /**
    * Minimum spanning forest by Boruvka's algorithm (Boruvka 1926; the
    * canonical Pregel/MapReduce MST — each round every component hooks
    * its minimum outgoing edge, components at least halve, so log2(V)

@@ -367,6 +367,21 @@ class Round13Spec extends SparkSpec {
     assert(z.forall(_ == 0.0), s"dag must drain to zero: ${z.toSeq}")
   }
 
+  test("richClub counts the induced high-degree subgraph exactly") {
+    // K4 on {1,2,3,4} (deg 3 each) plus pendant 5-1 (deg(1)=4,
+    // deg(5)=1): at k=2 the rich set is {1,2,3,4} with all 6 K4
+    // edges; at k=3 only vertex 1 survives (no pairs, phi_den 0)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L)).toDF("a", "b")
+    val got = GraphAnalytics.richClub(e, Seq(2, 3))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      2L -> ((4L, 6L, 12L, 12L)),
+      3L -> ((1L, 0L, 0L, 0L))), s"got $got")
+  }
+
   test("qualityGate reason bits match the integer law exactly") {
     val docs = Seq(
       1L -> ("the cat sat of mat and runs to park in story is fine " +
