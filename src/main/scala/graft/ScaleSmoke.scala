@@ -874,6 +874,13 @@ object ScaleSmoke {
       graft.pipeline.TextAnalysis.wordpieceEncodeCounts(docs, "doc_id",
         "text", v, maxPieceLen = 8).count()
     })
+    // bert wordpiece: two-inventory spans x broadcast vocab + one fold
+    time(s"wordpiece bert encode ${factor}x")({
+      val v = graft.pipeline.TextAnalysis.wordpieceBertVocab(docs,
+        "text", nMerges = 4)
+      graft.pipeline.TextAnalysis.wordpieceBertEncodeCounts(docs,
+        "doc_id", "text", v, maxPieceLen = 8).count()
+    })
     // single-linkage cuts: one composite-keyed CC pass for all cuts
     time(s"single linkage cuts ${factor}x")(
       graft.pipeline.Similarity.singleLinkageCuts(

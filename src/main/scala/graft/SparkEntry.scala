@@ -2576,6 +2576,20 @@ object SparkEntry {
         maxPieceLen = 8)
     }),
 
+    // ---- BERT-faithful WordPiece: position-annotated symbols (first
+    // char bare, continuations ##-prefixed) so initial and
+    // continuation pieces never pool counts; two-inventory greedy
+    // encode where [UNK] is genuinely reachable ----
+    "q_wordpiece_bert_train" -> ((s, dir) =>
+      TextAnalysis.wordpieceBertTrain(t(s, dir, "documents"), "text",
+        nMerges = 6)),
+    "q_wordpiece_bert_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.wordpieceBertEncodeCounts(docs, "doc_id", "text",
+        TextAnalysis.wordpieceBertVocab(docs, "text", nMerges = 6),
+        maxPieceLen = 8)
+    }),
+
     // ---- Unigram-LM (SentencePiece-style) tokenizer trainer: 3
     // hard-EM rounds (Viterbi E-step, top-η prune M-step) over
     // substring seeds — the other half of the tokenizer duopoly
@@ -3629,32 +3643,38 @@ object SparkEntry {
     * floor(cnt * 2^40 / (ca * cb)) (HUGEINT product, BIGINT result —
     * cnt <= min(ca, cb) bounds the key by 2^40), ties by pair asc.
     * Same injective space-rewrite as BPE. */
-  private def wordpieceStepsSql(nMerges: Int): String =
+  private def wordpieceStepsSql(nMerges: Int,
+      px: String = "w"): String =
     (1 to nMerges).map { t =>
       val p = t - 1
-      s"""sc$t AS MATERIALIZED (SELECT sym, CAST(sum(f) AS BIGINT) AS c
+      s"""${px}sc$t AS MATERIALIZED (SELECT sym,
+         |    CAST(sum(f) AS BIGINT) AS c
          |  FROM (SELECT unnest(string_split(w, ' ')) AS sym, f
-         |    FROM wv$p) sy$t
+         |    FROM ${px}v$p) sy$t
          |  GROUP BY sym),
-         |wp$t AS MATERIALIZED (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+         |${px}p$t AS MATERIALIZED (SELECT pair,
+         |    CAST(sum(f) AS BIGINT) AS cnt
          |  FROM (SELECT list_extract(l, i) || ' ' ||
          |      list_extract(l, i + 1) AS pair, f
-         |    FROM (SELECT string_split(w, ' ') AS l, f FROM wv$p) lv$t
+         |    FROM (SELECT string_split(w, ' ') AS l, f
+         |      FROM ${px}v$p) lv$t
          |    CROSS JOIN LATERAL unnest(range(1, len(l))) u$t(i)) z$t
          |  GROUP BY pair),
-         |wb$t AS MATERIALIZED (SELECT pair, cnt,
+         |${px}b$t AS MATERIALIZED (SELECT pair, cnt,
          |    CAST((CAST(cnt AS HUGEINT) * 1099511627776)
          |      // (ca.c * cb.c) AS BIGINT) AS score_x40
-         |  FROM wp$t
-         |  JOIN sc$t ca ON ca.sym = string_split(wp$t.pair, ' ')[1]
-         |  JOIN sc$t cb ON cb.sym = string_split(wp$t.pair, ' ')[2]
+         |  FROM ${px}p$t
+         |  JOIN ${px}sc$t ca ON ca.sym = string_split(${px}p$t.pair, ' ')[1]
+         |  JOIN ${px}sc$t cb ON cb.sym = string_split(${px}p$t.pair, ' ')[2]
          |  ORDER BY score_x40 DESC, pair LIMIT 1),
-         |wv$t AS MATERIALIZED (SELECT w, CAST(sum(f) AS BIGINT) AS f
+         |${px}v$t AS MATERIALIZED (SELECT w, CAST(sum(f) AS BIGINT) AS f
          |  FROM (SELECT trim(replace(replace(
          |      ' ' || replace(w, ' ', '  ') || ' ',
-         |      (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM wb$t),
-         |      (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM wb$t)),
-         |      '  ', ' ')) AS w, f FROM wv$p) m$t
+         |      (SELECT ' ' || replace(pair, ' ', '  ') || ' '
+         |        FROM ${px}b$t),
+         |      (SELECT ' ' || replace(pair, ' ', '') || ' '
+         |        FROM ${px}b$t)),
+         |      '  ', ' ')) AS w, f FROM ${px}v$p) m$t
          |  GROUP BY w)""".stripMargin
     }.mkString(",\n")
 
@@ -3676,6 +3696,29 @@ object SparkEntry {
       s"SELECT CAST($t AS BIGINT) AS step, pair, cnt, score_x40 FROM wb$t")
       .mkString("\nUNION ALL ")
     s"""WITH ${wordpieceVocabCtes(nMerges)}
+       |$out""".stripMargin
+  }
+
+  /** BERT-annotated wv0 analog: first char bare, later chars
+    * `##`-prefixed; '#'-carrying tokens excluded (annotation
+    * unambiguity) — mirrors TextAnalysis.wordpieceBertInit. */
+  private def wordpieceBertVocabCtes(nMerges: Int): String =
+    s"""bv0 AS MATERIALIZED (SELECT
+       |    substr(tok, 1, 1) || regexp_replace(substr(tok, 2),
+       |      '(.)', ' ##\\1', 'g') AS w,
+       |    CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(list_filter(
+       |      string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+       |    FROM documents) tk
+       |  WHERE length(tok) >= 2 AND tok NOT LIKE '%#%'
+       |  GROUP BY 1),
+       |${wordpieceStepsSql(nMerges, px = "b")}""".stripMargin
+
+  private def wordpieceBertTrainSql(nMerges: Int): String = {
+    val out = (1 to nMerges).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS step, pair, cnt, score_x40 FROM bb$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${wordpieceBertVocabCtes(nMerges)}
        |$out""".stripMargin
   }
 
@@ -3707,7 +3750,56 @@ object SparkEntry {
        |  CROSS JOIN LATERAL unnest(range(1, 1 + least($maxPieceLen,
        |    length(w) - ua.a + 1))) um(m)
        |  JOIN vocab v ON v.tok = substr(words.w, ua.a::INT, um.m::INT)),
-       |jump AS MATERIALIZED (
+       |${wordpieceWalkTailSql()}""".stripMargin
+  }
+
+  /** BERT encode oracle: the two-inventory match — position 1 joins
+    * the initial-surface vocab, positions >= 2 the continuation
+    * surfaces (## stripped) — feeding the SAME jump/fold tail. */
+  private def wordpieceBertEncodeSql(nMerges: Int,
+      maxPieceLen: Int): String = {
+    val mergeSyms = (1 to nMerges)
+      .map(t => s"SELECT replace(pair, ' ', '') AS sym FROM bb$t")
+      .mkString("\n    UNION ALL ")
+    s"""WITH ${wordpieceBertVocabCtes(nMerges)},
+       |toks AS MATERIALIZED (SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+       |  FROM documents),
+       |words AS MATERIALIZED (SELECT DISTINCT w FROM toks),
+       |btoksd AS MATERIALIZED (SELECT DISTINCT w AS tok FROM toks
+       |  WHERE w NOT LIKE '%#%'),
+       |msym AS ($mergeSyms),
+       |bvinit AS MATERIALIZED (SELECT DISTINCT tok FROM (
+       |  SELECT substr(tok, 1, 1) AS tok FROM btoksd
+       |  UNION ALL
+       |  SELECT replace(sym, '#', '') FROM msym
+       |  WHERE sym NOT LIKE '##%') x),
+       |bvcont AS MATERIALIZED (SELECT DISTINCT tok FROM (
+       |  SELECT substr(tok, ci.i::INT, 1) AS tok FROM btoksd
+       |    CROSS JOIN LATERAL unnest(range(2, length(tok) + 1)) ci(i)
+       |  UNION ALL
+       |  SELECT replace(sym, '#', '') FROM msym
+       |  WHERE sym LIKE '##%') x),
+       |sp AS MATERIALIZED (
+       |  SELECT words.w, ua.a::INT AS a, (ua.a + um.m - 1)::INT AS b,
+       |    substr(words.w, ua.a::INT, um.m::INT) AS sub
+       |  FROM words
+       |  CROSS JOIN LATERAL unnest(range(1, length(w) + 1)) ua(a)
+       |  CROSS JOIN LATERAL unnest(range(1, 1 + least($maxPieceLen,
+       |    length(w) - ua.a + 1))) um(m)),
+       |mm AS MATERIALIZED (
+       |  SELECT sp.w, sp.a, sp.b FROM sp
+       |  JOIN bvinit v ON sp.a = 1 AND v.tok = sp.sub
+       |  UNION ALL
+       |  SELECT sp.w, sp.a, sp.b FROM sp
+       |  JOIN bvcont v ON sp.a > 1 AND v.tok = sp.sub),
+       |${wordpieceWalkTailSql()}""".stripMargin
+  }
+
+  /** The shared greedy-walk tail (jump map, list_reduce fold, per-doc
+    * counts) over CTEs `toks`, `words`, `mm`. */
+  private def wordpieceWalkTailSql(): String =
+    s"""jump AS MATERIALIZED (
        |  SELECT w, map(list(a ORDER BY a), list(mb ORDER BY a)) AS jm
        |  FROM (SELECT w, a, max(b) AS mb FROM mm GROUP BY w, a) jj
        |  GROUP BY w),
@@ -3734,7 +3826,6 @@ object SparkEntry {
        |  CAST(sum(ws.unk_w) AS BIGINT) AS n_unk
        |FROM toks JOIN ws USING (w)
        |GROUP BY toks.doc_id""".stripMargin
-  }
 
   /** One unigram-LM hard-EM round: matches of vocab pieces against
     * word substrings, brute segmentation ENUMERATION via a recursive
@@ -8552,6 +8643,9 @@ object SparkEntry {
     "q_bpe_train" -> bpeTrainSql(nMerges = 6),
     "q_wordpiece_train" -> wordpieceTrainSql(nMerges = 6),
     "q_wordpiece_encode" -> wordpieceEncodeSql(nMerges = 6,
+      maxPieceLen = 8),
+    "q_wordpiece_bert_train" -> wordpieceBertTrainSql(nMerges = 6),
+    "q_wordpiece_bert_encode" -> wordpieceBertEncodeSql(nMerges = 6,
       maxPieceLen = 8),
 
     "q_weighted_matching" -> matchingRoundsSql(

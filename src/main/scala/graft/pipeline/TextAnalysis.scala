@@ -229,13 +229,35 @@ object TextAnalysis {
 
   private def wordpieceTrainLoop(docs: DataFrame, textCol: String,
       nMerges: Int): (Seq[(Long, String, Long, Long)], Option[Int]) = {
-    require(nMerges >= 1, "nMerges must be >= 1")
-    val rotate = graft.analytics.GraphAnalytics.rotateCheckpoint _
     val init = docs.select(explode(tokens(col(textCol))).as("tok"))
       .filter(length(col("tok")) >= 2)
       .groupBy("tok").agg(count(lit(1)).as("f"))
       .select(trim(regexp_replace(col("tok"), "(.)", "$1 ")).as("w"),
         col("f"))
+    wordpieceMergeLoop(init, nMerges)
+  }
+
+  /** BERT-annotated initial state: first char bare, every later char
+    * prefixed `##` ("hello" -> "h ##e ##l ##l ##o"). Tokens containing
+    * a literal '#' are excluded from training (the annotation must
+    * stay unambiguous — the assumption every WordPiece implementation
+    * makes; such tokens still encode, as [UNK]). */
+  private def wordpieceBertInit(docs: DataFrame,
+      textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 2 && !col("tok").contains("#"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .select(concat(substring(col("tok"), 1, 1),
+        regexp_replace(expr("substring(tok, 2)"), "(.)", " ##$1"))
+        .as("w"), col("f"))
+
+  /** The merge loop shared by the plain and BERT-annotated trainers:
+    * the symbol algebra (pair counting, likelihood argmax, injective
+    * space-rewrite) never inspects the annotation. */
+  private def wordpieceMergeLoop(init: DataFrame,
+      nMerges: Int): (Seq[(Long, String, Long, Long)], Option[Int]) = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val rotate = graft.analytics.GraphAnalytics.rotateCheckpoint _
     var (vocab, prevId) = rotate(init, None)
     val merges = collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
     var step = 0
@@ -338,7 +360,15 @@ object TextAnalysis {
       "maxPieceLen in [1, 32]")
     val words = docs.select(explode(tokens(col(textCol))).as("w"))
       .distinct()
-    val matches = words.select(col("w"), explode(expr(
+    val matches = wordpieceSpans(words, maxPieceLen)
+      .join(broadcast(vocab.select("tok")), Seq("tok"))
+    greedyWalkCounts(docs, idCol, textCol, words, matches)
+  }
+
+  /** All (a, b, substring) candidate spans per distinct word. */
+  private def wordpieceSpans(words: DataFrame,
+      maxPieceLen: Int): DataFrame =
+    words.select(col("w"), explode(expr(
         s"""flatten(transform(sequence(1, length(w)), a ->
            |  transform(sequence(a, least(a + ${maxPieceLen - 1},
            |      length(w))), b ->
@@ -347,9 +377,14 @@ object TextAnalysis {
         .as("p"))
       .select(col("w"), col("p.a").as("a"), col("p.b").as("b"),
         col("p.tok").as("tok"))
-      .join(broadcast(vocab.select("tok")), Seq("tok"))
-    // longest match per start position -> a functional jump map;
-    // the greedy walk follows it left to right in one fold
+
+  /** Greedy longest-match walk + per-doc counts, shared by the plain
+    * and BERT encoders: longest match per start position becomes a
+    * functional jump map, one codegen'd `aggregate` fold follows it
+    * left to right (whole-word [UNK] on any gap). */
+  private def greedyWalkCounts(docs: DataFrame, idCol: String,
+      textCol: String, words: DataFrame,
+      matches: DataFrame): DataFrame = {
     val jmap = matches.groupBy(col("w"), col("a"))
       .agg(max(col("b")).as("mb"))
       .groupBy("w")
@@ -378,6 +413,96 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_pieces_w")).as("n_pieces"),
         sum(col("unk_w")).as("n_unk"))
+  }
+
+  /**
+   * BERT-faithful WordPiece trainer (Devlin et al. 2019; the HF/
+   * google-research `WordpieceTokenizer` contract): symbols carry the
+   * POSITION annotation — a word starts bare and continues with
+   * `##`-prefixed characters ("hello" -> h ##e ##l ##l ##o) — so a
+   * merge of (h, ##e) produces the initial-form piece "he" while
+   * (##l, ##l) produces the continuation piece "##ll", and the two
+   * never pool counts (the distinction [[wordpieceTrain]]'s
+   * position-agnostic variant deliberately drops). Same likelihood
+   * argmax and exact integer score as [[wordpieceTrain]]; emitted
+   * pairs keep their annotations. Tokens containing '#' are excluded
+   * from training (annotation unambiguity — the standard assumption).
+   */
+  def wordpieceBertTrain(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, ckptId) =
+      wordpieceMergeLoop(wordpieceBertInit(docs, textCol), nMerges)
+    ckptId.foreach(i => spark.sparkContext.getPersistentRDDs.get(i)
+      .foreach(_.unpersist(blocking = false)))
+    merges.toDF("step", "pair", "cnt", "score_x40")
+  }
+
+  /**
+   * The BERT WordPiece vocabulary in display form (tok, is_cont):
+   * every first character of a '#'-free corpus token (initial
+   * coverage), every `##c` for characters seen at position >= 2
+   * (continuation coverage), plus each merge's concatenated symbol
+   * normalized to its display form (`##` kept only as the leading
+   * marker: the symbol h##e displays as "he", ##l##l as "##ll").
+   */
+  def wordpieceBertVocab(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, ckptId) =
+      wordpieceMergeLoop(wordpieceBertInit(docs, textCol), nMerges)
+    ckptId.foreach(i => spark.sparkContext.getPersistentRDDs.get(i)
+      .foreach(_.unpersist(blocking = false)))
+    val toksD = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(!col("tok").contains("#"))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    val initChars = toksD
+      .select(substring(col("tok"), 1, 1).as("tok"),
+        lit(0L).as("is_cont"))
+    val contChars = toksD.filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, length(tok)), i -> substring(tok, i, 1))"))
+        .as("c"))
+      .select(concat(lit("##"), col("c")).as("tok"), lit(1L).as("is_cont"))
+    val mergedSurf = merges.map(_._2.replace(" ", "")).toDF("sym")
+      .select(
+        when(col("sym").startsWith("##"),
+          concat(lit("##"), regexp_replace(col("sym"), "#", "")))
+          .otherwise(regexp_replace(col("sym"), "#", "")).as("tok"),
+        when(col("sym").startsWith("##"), lit(1L)).otherwise(lit(0L))
+          .as("is_cont"))
+    initChars.union(contChars).union(mergedSurf).distinct()
+  }
+
+  /**
+   * BERT WordPiece greedy encode against a (tok, is_cont) vocabulary:
+   * position 1 of each word may only consume initial-form pieces,
+   * positions >= 2 only continuation pieces (matched on the surface
+   * behind the `##` marker) — the faithful two-inventory variant of
+   * [[wordpieceEncodeCounts]]'s single-inventory law; same jump-map
+   * fold, same whole-word [UNK] rule (now genuinely reachable: a
+   * character never seen in continuation position has no ## form).
+   */
+  def wordpieceBertEncodeCounts(docs: DataFrame, idCol: String,
+      textCol: String, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 32,
+      "maxPieceLen in [1, 32]")
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .distinct()
+    val spans = wordpieceSpans(words, maxPieceLen)
+      .transform(graft.CacheScope.persist(_))
+    val vinit = vocab.filter(col("is_cont") === 0L).select("tok")
+    val vcont = vocab.filter(col("is_cont") === 1L)
+      .select(expr("substring(tok, 3)").as("tok"))
+    val matches = spans.filter(col("a") === 1)
+      .join(broadcast(vinit), Seq("tok"))
+      .unionByName(spans.filter(col("a") > 1)
+        .join(broadcast(vcont), Seq("tok")))
+    greedyWalkCounts(docs, idCol, textCol, words, matches)
   }
 
   /** BPE-ish subword count estimate: word-piece regex splits on

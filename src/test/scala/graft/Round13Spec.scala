@@ -330,6 +330,35 @@ class Round13Spec extends SparkSpec {
       ((3L, 5L, 1L)), s"got $got")
   }
 
+  test("wordpieceBertTrain separates initial and continuation counts") {
+    // "ab" x4 + "cab" x4: the position-agnostic trainer pools 'a b'
+    // across both words (score ties resolved to 'a b'); the BERT
+    // trainer sees (a,##b) at 1/8, (##a,##b) at 1/8, but (c,##a) at
+    // 1/4 — the annotation changes the argmax
+    val docs = Seq((Seq.fill(4)("ab") ++ Seq.fill(4)("cab"))
+      .mkString(" ")).toDF("text")
+    val plain = TextAnalysis.wordpieceTrain(docs, "text", 1)
+      .collect().head.getString(1)
+    val bert = TextAnalysis.wordpieceBertTrain(docs, "text", 1)
+      .collect().head
+    assert(plain == "a b", s"plain picked $plain")
+    assert(bert.getString(1) == "c ##a", s"bert picked ${bert.getString(1)}")
+    // score = floor(4 * 2^40 / (4*4)) = 2^38
+    assert(bert.getLong(3) == (1L << 38), s"score ${bert.getLong(3)}")
+  }
+
+  test("wordpieceBertEncodeCounts enforces the position inventories") {
+    // vocab: initial {a, b, ab}, continuation {##b}: 'ab' -> one
+    // initial piece; 'bb' -> b + ##b; 'ba' -> UNK (no ##a)
+    val docs = Seq((1L, "ab ba bb")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 0L), ("b", 0L), ("ab", 0L), ("##b", 1L))
+      .toDF("tok", "is_cont")
+    val got = TextAnalysis.wordpieceBertEncodeCounts(docs, "doc_id",
+      "text", vocab, maxPieceLen = 4).collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((3L, 4L, 1L)), s"got $got")
+  }
+
   test("wordpieceTrain is partition-invariant") {
     val docs = (1 to 120).map(i =>
       s"tok${i % 7} alpha beta tok${i % 5} gamma").toDF("text")
