@@ -874,6 +874,15 @@ object ScaleSmoke {
       graft.pipeline.TextAnalysis.wordpieceEncodeCounts(docs, "doc_id",
         "text", v, maxPieceLen = 8).count()
     })
+    // graph ANN: frontier frames are (queries x beam x degree)-sized
+    time(s"graph ann topk ${factor}x")(
+      graft.pipeline.Similarity.graphAnnTopK(emb, "vec_id", "embedding",
+        graft.pipeline.Similarity.knnRefine(emb, "vec_id", "embedding",
+          k = 6, numPlanes = knnPlanes, dim = 64, maxBucketSize = 128,
+          expandCap = 8).select("vec_id", "nbr_id"),
+        queryIds = (0L to 9L),
+        entryIds = Seq(7L, 42L, 97L, 123L, 211L, 333L),
+        beam = 8, rounds = 6, k = 5).count())
     // bert wordpiece: two-inventory spans x broadcast vocab + one fold
     time(s"wordpiece bert encode ${factor}x")({
       val v = graft.pipeline.TextAnalysis.wordpieceBertVocab(docs,

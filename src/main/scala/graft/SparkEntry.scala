@@ -491,6 +491,33 @@ object SparkEntry {
         thresholds = Seq(300000L, 340000L, 400000L), maxRounds = 16)
     }),
 
+    // ---- Graph-based ANN serving: deterministic beam search over
+    // the kNN graph (HNSW layer-0 pattern) from fixed entry points;
+    // + recall vs the exact brute-force top-k ----
+    "q_graph_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.graphAnnTopK(e, "vec_id", "embedding",
+        Similarity.knnRefine(e, "vec_id", "embedding", k = 6,
+          numPlanes = 6, dim = 64, maxBucketSize = 128, expandCap = 8)
+          .select("vec_id", "nbr_id"),
+        queryIds = (0L to 9L),
+        entryIds = Seq(7L, 42L, 97L, 123L, 211L, 333L),
+        beam = 8, rounds = 6, k = 5)
+    }),
+    "q_graph_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          queryIds = (0L to 9L), k = 5),
+        Similarity.graphAnnTopK(e, "vec_id", "embedding",
+          Similarity.knnRefine(e, "vec_id", "embedding", k = 6,
+            numPlanes = 6, dim = 64, maxBucketSize = 128, expandCap = 8)
+            .select("vec_id", "nbr_id"),
+          queryIds = (0L to 9L),
+          entryIds = Seq(7L, 42L, 97L, 123L, 211L, 333L),
+          beam = 8, rounds = 6, k = 5))
+    }),
+
     // ---- PCA rotation (OPQ-lite): top principal direction by power
     // iteration over the exact on-grid covariance — the pre-
     // quantization rotation step; + the corpus-wide projection ----
@@ -4889,6 +4916,86 @@ object SparkEntry {
        |  CAST(rk AS INTEGER) AS rk
        |FROM ranked WHERE rk <= $topK""".stripMargin
 
+  /** Beam-search-over-kNN-graph CTEs (on [[knnGraphCtes]]' `scored`):
+    * fixed entry points scored for every query, then `rounds` unrolled
+    * rounds of expand -> NOT-EXISTS-visited -> score -> per-query
+    * top-`beam` — the identical batch beam-search law as
+    * Similarity.graphAnnTopK. Yields vis$rounds(qid, v, simx). */
+  private def graphAnnCtes(beam: Int, rounds: Int, nQ: Int,
+      entries: Seq[Long], gSql: String): String = {
+    def simx(q: String, e: String) =
+      s"""CAST(floor(list_cosine_similarity($q::DOUBLE[],
+         |      $e::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""cd$r AS (SELECT DISTINCT f.qid, g.n AS v
+         |  FROM fr$p f JOIN g ON g.v = f.v
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis$p x
+         |    WHERE x.qid = f.qid AND x.v = g.n)),
+         |gsc$r AS MATERIALIZED (SELECT c.qid, c.v,
+         |    ${simx("q.embedding", "e.embedding")} AS simx
+         |  FROM cd$r c JOIN qv q ON q.qid = c.qid
+         |  JOIN embeddings e ON e.vec_id = c.v),
+         |vis$r AS MATERIALIZED (SELECT * FROM vis$p
+         |  UNION ALL SELECT * FROM gsc$r),
+         |fr$r AS (SELECT qid, v, simx FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY simx DESC, v) AS brk FROM gsc$r) z$r
+         |  WHERE brk <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""g AS MATERIALIZED ($gSql),
+       |qv AS MATERIALIZED (SELECT vec_id AS qid, embedding
+       |  FROM embeddings WHERE vec_id < $nQ),
+       |ent(ev) AS (VALUES ${entries.map(e => s"($e)").mkString(", ")}),
+       |vis0 AS MATERIALIZED (SELECT qv.qid, CAST(ent.ev AS BIGINT) AS v,
+       |    ${simx("qv.embedding", "e.embedding")} AS simx
+       |  FROM qv CROSS JOIN ent
+       |  JOIN embeddings e ON e.vec_id = ent.ev),
+       |fr0 AS (SELECT qid, v, simx FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY simx DESC, v) AS brk FROM vis0) z0
+       |  WHERE brk <= $beam),
+       |$steps""".stripMargin
+  }
+
+  private def graphAnnTopKSql(beam: Int, rounds: Int, nQ: Int,
+      topK: Int, entries: Seq[Long]): String =
+    s"""WITH ${knnRefineCtes(k = 6, expandCap = 8)},
+       |${graphAnnCtes(beam, rounds, nQ, entries,
+        "SELECT x AS v, nbr_id AS n FROM g1")}
+       |SELECT qid AS query_id, v AS cand_id, simx,
+       |  CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY simx DESC, v) AS rk
+       |  FROM vis$rounds WHERE v <> qid) zf
+       |WHERE rk <= $topK""".stripMargin
+
+  private def graphAnnRecallSql(beam: Int, rounds: Int, nQ: Int,
+      topK: Int, entries: Seq[Long]): String =
+    s"""WITH ${knnRefineCtes(k = 6, expandCap = 8)},
+       |${graphAnnCtes(beam, rounds, nQ, entries,
+        "SELECT x AS v, nbr_id AS n FROM g1")},
+       |approx AS (SELECT qid AS query_id, v AS cand_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY simx DESC, v) AS rk
+       |  FROM vis$rounds WHERE v <> qid) za WHERE rk <= $topK),
+       |exact AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY floor((list_cosine_similarity(
+       |        q.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+       |        * 1000000.0 + 0.5) / 1000000.0 DESC, c.vec_id) AS rk
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $nQ) ze WHERE rk <= $topK)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  floor((sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |GROUP BY e.query_id""".stripMargin
+
   /** PQ recall oracle: ADC top-k vs exact-L2² top-k, per query —
     * mirrors the q_ivf_recall recall computation. */
   private def pqRecallSql(m: Int, k: Int, iters: Int, dim: Int,
@@ -8644,6 +8751,10 @@ object SparkEntry {
     "q_wordpiece_train" -> wordpieceTrainSql(nMerges = 6),
     "q_wordpiece_encode" -> wordpieceEncodeSql(nMerges = 6,
       maxPieceLen = 8),
+    "q_graph_ann_topk" -> graphAnnTopKSql(beam = 8, rounds = 6,
+      nQ = 10, topK = 5, entries = Seq(7L, 42L, 97L, 123L, 211L, 333L)),
+    "q_graph_ann_recall" -> graphAnnRecallSql(beam = 8, rounds = 6,
+      nQ = 10, topK = 5, entries = Seq(7L, 42L, 97L, 123L, 211L, 333L)),
     "q_wordpiece_bert_train" -> wordpieceBertTrainSql(nMerges = 6),
     "q_wordpiece_bert_encode" -> wordpieceBertEncodeSql(nMerges = 6,
       maxPieceLen = 8),
@@ -10218,6 +10329,7 @@ object SparkEntry {
     "q_pq_rerank" -> Seq("d2"),
     "q_pq_rerank_recall" -> Seq("recall"),
     "q_pq_recall" -> Seq("recall"),
+    "q_graph_ann_recall" -> Seq("recall"),
     "q_ivfpq_topk" -> Seq("d2"),
     "q_ivfpq_residual" -> Seq("d2"),
     "q_ivfpq_recall" -> Seq("recall"),

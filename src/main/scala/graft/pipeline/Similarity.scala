@@ -1789,6 +1789,94 @@ object Similarity {
           .as("cluster"))
   }
 
+  /**
+   * Graph-based ANN serving: deterministic BEAM SEARCH over a kNN
+   * graph (the HNSW layer-0 / NSG / Vamana serving pattern, Malkov &
+   * Yashunin 2018 — greedy best-first from fixed entry points,
+   * expanding the current beam's out-neighbors and keeping the best
+   * `beam` new candidates each round). This completes the serving
+   * family: brute (exact), LSH (bucket), IVF (coarse cells), PQ
+   * (compressed scan), and now graph walk — the lowest-latency shape
+   * when the index fits as an edge frame.
+   *
+   * Determinism law: batch beam search with total-order ranking
+   * (simx desc, vertex asc); simx = floor(cosine*10^6 + 0.5) exactly
+   * as the rest of the similarity family. All `rounds` rounds run for
+   * every query (no per-query early exit — the batch law), each round
+   * ONE frontier⋈adjacency expand + one anti-join against the
+   * visited set + one bounded scoring join; frontier/visited frames
+   * are (queries x beam x degree)-sized, never corpus-sized, and
+   * rotate through localCheckpoint (O(1) pinned).
+   *
+   * Recall expectation, measured on the gate corpus (UNSTRUCTURED
+   * random 64-d vectors — graph ANN's hard case): graph degree is the
+   * dominant lever, exactly as in the HNSW literature (their M is
+   * 16..48). Swept: k=3 LSH graph 0.12, k=3 refined 0.18, k=6
+   * refined 0.52 mean recall@5 at beam=8/rounds=6 (exact-graph
+   * ceiling 0.62 at k=3, 0.82 at beam=16/rounds=10). The gate runs
+   * the k=6 refined graph and reports the honest number via
+   * q_graph_ann_recall.
+   */
+  def graphAnnTopK(emb: DataFrame, idCol: String, vecCol: String,
+      knnEdges: DataFrame, queryIds: Seq[Long], entryIds: Seq[Long],
+      beam: Int, rounds: Int, k: Int): DataFrame = {
+    require(queryIds.nonEmpty && entryIds.nonEmpty, "queries + entries")
+    require(beam >= 1 && rounds >= 1 && k >= 1, "beam/rounds/k >= 1")
+    val rotate = graft.analytics.GraphAnalytics.rotateCheckpoint _
+    val vecs = emb.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("vv"))
+      .transform(graft.CacheScope.persist(_))
+    val qvecs = vecs.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("vv").as("qv"))
+      .transform(graft.CacheScope.persist(_))
+    val adj = knnEdges.toDF("av", "an")
+      .select(col("av").cast("long"), col("an").cast("long"))
+      .distinct()
+      .transform(graft.CacheScope.persist(_))
+    def score(cands: DataFrame): DataFrame = cands
+      .join(vecs, col("v") === col("vid"))
+      .join(broadcast(qvecs), Seq("qid"))
+      .select(col("qid"), col("v"),
+        floor(cosine(col("qv"), col("vv")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("simx"))
+    def topBeam(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("simx").desc, col("v"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= beam).drop("rk")
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val entry = queryIds.flatMap(q => entryIds.map(e => (q, e)))
+      .toDF("qid", "v")
+    // visited carries the round tag: the next round's frontier is a
+    // cheap window over the CHECKPOINTED frame's newest rows, so each
+    // round pays exactly ONE rotation job (frontier needs no second
+    // checkpoint — its lineage bottoms out at visited's LogicalRDD)
+    var (visited, visId) = rotate(
+      score(entry).withColumn("r", lit(0)), None)
+    for (r <- 1 to rounds) {
+      val frontier = topBeam(
+        visited.filter(col("r") === r - 1).drop("r"))
+      val cand = frontier
+        .join(adj, col("v") === col("av"))
+        .select(col("qid"), col("an").as("v"))
+        .distinct()
+        .join(visited, Seq("qid", "v"), "left_anti")
+      val (v2, vId2) = rotate(
+        visited.unionByName(score(cand).withColumn("r", lit(r))),
+        visId)
+      visited = v2; visId = vId2
+    }
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("simx").desc, col("v"))
+    visited.filter(col("v") =!= col("qid"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("v").as("cand_id"),
+        col("simx"), col("rk").cast("long").as("rk"))
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val maxabs = array_max(transform(v, x => abs(x)))

@@ -396,6 +396,30 @@ class Round13Spec extends SparkSpec {
     assert(z.forall(_ == 0.0), s"dag must drain to zero: ${z.toSeq}")
   }
 
+  test("graphAnnTopK walks the beam toward the query's neighborhood") {
+    // unit vectors at 20-degree steps: sim to the query (id 0) is
+    // strictly decreasing in id; the graph is the chain 5-4-3-2-1 and
+    // the entry point is the WORST vertex (5) — 4 rounds of beam
+    // search must walk all the way down and rank 1 first
+    def v(i: Int) = {
+      val th = math.toRadians(20.0 * i)
+      Array(math.cos(th).toFloat, math.sin(th).toFloat)
+    }
+    val emb = (0 to 5).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
+      (4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L)).toDF("a", "b")
+    val got = Similarity.graphAnnTopK(emb, "vec_id", "embedding",
+      edges, queryIds = Seq(0L), entryIds = Seq(5L),
+      beam = 2, rounds = 4, k = 5)
+      .collect().map(r => r.getLong(3) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L),
+      s"ranked: $got")
+    val again = Similarity.graphAnnTopK(emb.repartition(5), "vec_id",
+      "embedding", edges.repartition(3), Seq(0L), Seq(5L), 2, 4, 5)
+      .collect().map(r => r.getLong(3) -> r.getLong(1)).toMap
+    assert(again == got, "repartition changed the walk")
+  }
+
   test("richClub counts the induced high-degree subgraph exactly") {
     // K4 on {1,2,3,4} (deg 3 each) plus pendant 5-1 (deg(1)=4,
     // deg(5)=1): at k=2 the rich set is {1,2,3,4} with all 6 K4
