@@ -4478,7 +4478,8 @@ object SparkEntry {
          |  SELECT e.d AS v, sum(${dy(s"x${i - 1}.r")}) AS ms
          |  FROM e JOIN x${i - 1} ON x${i - 1}.v = e.s GROUP BY e.d),
          |x$i AS MATERIALIZED (
-         |  SELECT v.v, CASE WHEN sum(mr$i.ms) OVER () > 0
+         |  SELECT v.v, CASE WHEN CAST(sum(mr$i.ms) OVER ()
+         |      AS DOUBLE) > 0
          |    THEN ${dy(s"coalesce(mr$i.ms, 0) / sum(mr$i.ms) OVER ()")}
          |    ELSE CAST(0 AS DOUBLE) END AS r
          |  FROM v LEFT JOIN mr$i ON mr$i.v = v.v)""".stripMargin
@@ -4523,7 +4524,8 @@ object SparkEntry {
     val dy = graft.functions.Portable.dyadicSql _
     s"""prows AS MATERIALIZED (SELECT vec_id,
        |    embedding::DOUBLE[] AS x FROM embeddings),
-       |pmu AS MATERIALIZED (SELECT i, sum(xv) / count(*) AS mu FROM (
+       |pmu AS MATERIALIZED (SELECT i,
+       |    CAST(sum(xv) AS DOUBLE) / count(*) AS mu FROM (
        |  SELECT ii.i::INT AS i, ${dy("x[ii.i::INT]")} AS xv
        |  FROM prows
        |  CROSS JOIN LATERAL unnest(range(1, $dim + 1)) ii(i)) e
@@ -8917,7 +8919,7 @@ object SparkEntry {
           "sqrt(sqrt(CAST(n_src AS DOUBLE) / CAST(n_tot AS DOUBLE)))")}
          |    AS q
          |  FROM st CROSS JOIN tt),
-         |zz AS (SELECT sum(q) AS z FROM qq),
+         |zz AS (SELECT CAST(sum(q) AS DOUBLE) AS z FROM qq),
          |fac AS (SELECT src_t,
          |    q / zz.z * CAST(n_tot AS DOUBLE) / CAST(n_src AS DOUBLE)
          |      AS f
