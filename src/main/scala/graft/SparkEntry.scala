@@ -2603,6 +2603,15 @@ object SparkEntry {
         maxPieceLen = 8)
     }),
 
+    // ---- Per-source tokenizer fertility (pieces/word, chars/piece
+    // as exact permille integers) under the trained WordPiece vocab ----
+    "q_tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.tokenizerFertility(docs, "doc_id", "text", "source",
+        TextAnalysis.wordpieceVocab(docs, "text", nMerges = 6),
+        maxPieceLen = 8)
+    }),
+
     // ---- BERT-faithful WordPiece: position-annotated symbols (first
     // char bare, continuations ##-prefixed) so initial and
     // continuation pieces never pool counts; two-inventory greedy
@@ -8757,6 +8766,28 @@ object SparkEntry {
       nQ = 10, topK = 5, entries = Seq(7L, 42L, 97L, 123L, 211L, 333L)),
     "q_graph_ann_recall" -> graphAnnRecallSql(beam = 8, rounds = 6,
       nQ = 10, topK = 5, entries = Seq(7L, 42L, 97L, 123L, 211L, 333L)),
+    // fertility rollup: the encode oracle as a derived table joined
+    // to per-doc char counts; exact permille integer ratios
+    "q_tokenizer_fertility" ->
+      s"""WITH dsrc AS (SELECT doc_id, source,
+         |  CAST(coalesce(list_sum(list_transform(list_filter(
+         |    string_split_regex(text, '\\s+'), x -> x <> ''),
+         |    x -> length(x))), 0) AS BIGINT) AS n_chars
+         |  FROM documents)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(enc.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(enc.n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST(sum(enc.n_unk) AS BIGINT) AS n_unk,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+         |  (1000 * CAST(sum(enc.n_pieces) AS BIGINT))
+         |    // CAST(sum(enc.n_words) AS BIGINT) AS fertility_permille,
+         |  (1000 * CAST(sum(d.n_chars) AS BIGINT))
+         |    // CAST(sum(enc.n_pieces) AS BIGINT)
+         |    AS chars_per_piece_permille
+         |FROM (${wordpieceEncodeSql(nMerges = 6, maxPieceLen = 8)}) enc
+         |JOIN dsrc d USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
+
     "q_wordpiece_bert_train" -> wordpieceBertTrainSql(nMerges = 6),
     "q_wordpiece_bert_encode" -> wordpieceBertEncodeSql(nMerges = 6,
       maxPieceLen = 8),

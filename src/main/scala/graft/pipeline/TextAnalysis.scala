@@ -416,6 +416,41 @@ object TextAnalysis {
   }
 
   /**
+   * Per-source tokenizer FERTILITY rollup (the standard tokenizer-eval
+   * table: pieces-per-word and chars-per-piece by corpus slice —
+   * multilingual tokenizer fairness reviews read exactly this, cf.
+   * the fertility metric in the XLM-R / NLLB tokenizer analyses):
+   * [[wordpieceEncodeCounts]] per document, joined to the source
+   * column and rolled up with EXACT integer ratios
+   * (fertility_permille = 1000*n_pieces div n_words;
+   * chars_per_piece_permille = 1000*n_chars div n_pieces). One
+   * corpus scan for the char counts + the encoder's own scan;
+   * everything after is source-count-sized.
+   */
+  def tokenizerFertility(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    val enc = wordpieceEncodeCounts(docs, idCol, textCol, vocab,
+      maxPieceLen)
+    val chars = docs.select(col(idCol), col(srcCol).as("source"),
+      aggregate(transform(tokens(col(textCol)),
+        t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
+        .as("n_chars"))
+    chars.join(enc, Seq(idCol))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_unk")).as("n_unk"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_pieces"), col("n_unk"), col("n_chars"),
+        expr("(1000 * n_pieces) div n_words").as("fertility_permille"),
+        expr("(1000 * n_chars) div n_pieces")
+          .as("chars_per_piece_permille"))
+  }
+
+  /**
    * BERT-faithful WordPiece trainer (Devlin et al. 2019; the HF/
    * google-research `WordpieceTokenizer` contract): symbols carry the
    * POSITION annotation — a word starts bare and continues with

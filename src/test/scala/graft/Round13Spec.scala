@@ -330,6 +330,23 @@ class Round13Spec extends SparkSpec {
       ((3L, 5L, 1L)), s"got $got")
   }
 
+  test("tokenizerFertility rolls up exact permille ratios per source") {
+    // vocab {a, b, ab}: "ab" = 1 piece, "a" = 1, "b a" = 2 pieces;
+    // source s1: doc "ab ab" (2 words, 2 pieces, 4 chars);
+    // source s2: doc "a b ab" (3 words, 3 pieces, 4 chars)
+    val docs = Seq((1L, "s1", "ab ab"), (2L, "s2", "a b ab"))
+      .toDF("doc_id", "source", "text")
+    val vocab = Seq("a", "b", "ab").toDF("tok")
+    val got = TextAnalysis.tokenizerFertility(docs, "doc_id", "text",
+      "source", vocab, maxPieceLen = 4)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got == Map(
+      "s1" -> ((2L, 2L, 4L, 1000L, 2000L)),
+      "s2" -> ((3L, 3L, 4L, 1000L, 1333L))), s"got $got")
+  }
+
   test("wordpieceBertTrain separates initial and continuation counts") {
     // "ab" x4 + "cab" x4: the position-agnostic trainer pools 'a b'
     // across both words (score ties resolved to 'a b'); the BERT
