@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# Checked ScaleSmoke runner (VERDICT r13 Next #5): the ad-hoc
+# `sbt ... | grep SMOKE` pipeline masked a crashed smoke run to exit 0
+# (grep's status won, boruvka's 10x crash shipped unseen). This runner
+# fails loudly: pipefail + an explicit assertion that the run printed
+# at least one SMOKE row and ended with the SMOKE-DONE sentinel.
+#
+# Usage: scripts/smoke.sh [amplify] [only-substr,only-substr...]
+#   scripts/smoke.sh            # full smoke at 10x
+#   scripts/smoke.sh 10 boruvka # just the boruvka rows
+set -euo pipefail
+
+AMPLIFY="${1:-10}"
+ONLY="${2:-}"
+
+cd "$(dirname "$0")/.."
+out="$(mktemp /tmp/smoke.XXXXXX.log)"
+trap 'rm -f "$out"' EXIT
+
+env_vars=(SPARK_GRAFT_AMPLIFY="$AMPLIFY")
+[ -n "$ONLY" ] && env_vars+=(SPARK_GRAFT_SMOKE_ONLY="$ONLY")
+
+# sbt's own exit code is the primary check (pipefail keeps it); tee so
+# the full log survives for triage while SMOKE rows stream to stdout.
+env "${env_vars[@]}" sbt -batch "runMain graft.ScaleSmoke" 2>&1 \
+  | tee "$out" | grep --line-buffered -E 'SMOKE|error|Exception' || true
+
+# sbt -batch swallows runMain's nonzero exit into [error] lines on some
+# paths — re-derive the verdict from the log, not just the pipe status.
+if grep -qE '\[error\]|Exception in thread' "$out"; then
+  echo "smoke.sh: FAILED — errors in log:" >&2
+  grep -E '\[error\]|Exception' "$out" | head -20 >&2
+  exit 1
+fi
+n_rows=$(grep -c '^SMOKE ' "$out" || true)
+if [ "$n_rows" -eq 0 ]; then
+  echo "smoke.sh: FAILED — no SMOKE rows printed (crashed before first row?)" >&2
+  tail -20 "$out" >&2
+  exit 1
+fi
+if ! grep -q '^SMOKE-DONE' "$out"; then
+  echo "smoke.sh: FAILED — run ended before the SMOKE-DONE sentinel" >&2
+  tail -20 "$out" >&2
+  exit 1
+fi
+echo "smoke.sh: OK — $n_rows SMOKE rows, zero errors"

