@@ -3097,12 +3097,38 @@ object GraphAnalytics {
    * aggregates, ONE adjacency-sized weight shuffle for w_xc, a
    * max(struct) argmax, m2 broadcast.
    */
+  /** Vertex strengths k_x of weighted graph `g` over vertex universe
+    * `verts`: non-self edges contribute w at BOTH endpoints, self
+    * loops contribute 2w — the per-level invariant that
+    * [[louvainMoveWeighted]] and [[multilevelCommunities]]'s
+    * modularity readout share (it depends only on g, never on the
+    * evolving partition). */
+  private def strengthFrame(g: DataFrame, verts: DataFrame): DataFrame = {
+    val gg = g.toDF("u", "v", "w")
+    val nonSelf = gg.filter(col("u") =!= col("v"))
+    verts.toDF("x")
+      .join(nonSelf.select(col("u").as("x"), col("w"))
+        .unionByName(nonSelf.select(col("v").as("x"), col("w")))
+        .groupBy("x").agg(sum(col("w")).as("ka")), Seq("x"), "left")
+      .join(gg.filter(col("u") === col("v"))
+        .groupBy(col("u").as("x")).agg((sum(col("w")) * 2).as("ks")),
+        Seq("x"), "left")
+      .select(col("x"), (coalesce(col("ka"), lit(0L)) +
+        coalesce(col("ks"), lit(0L))).as("k"))
+  }
+
   def louvainMoveWeighted(g: DataFrame, comm0: DataFrame,
-      persistInputs: Boolean = true): DataFrame = {
+      persistInputs: Boolean = true,
+      pre: Option[(DataFrame, Long)] = None): DataFrame = {
     // persistInputs = false when BOTH inputs are already materialized
     // leaves (louvainLevels passes checkpointed frames): re-persisting
     // a checkpointed frame buys nothing and costs a second in-memory
-    // copy per round across the 36 calls of a 3-level run
+    // copy per round across the 36 calls of a 3-level run.
+    // `pre` = (strength frame (x, k), m2 scalar) when the caller has
+    // them precomputed: both are LEVEL-invariant (they depend only on
+    // g, never on comm), so the multilevel loops hoist them out of
+    // the per-round rebuild — r14 measured ~25% of leiden's AQE-stage
+    // floor was deg/m2 recomputation across the 12 move rounds.
     def pin(df: DataFrame): DataFrame =
       if (persistInputs) graft.CacheScope.persist(df) else df
     val gg = pin(g.toDF("u", "v", "w")) // adj both sides + self
@@ -3111,33 +3137,35 @@ object GraphAnalytics {
       .unionByName(
         nonSelf.select(col("v").as("x"), col("u").as("n"), col("w")))
     val comm = pin(comm0.toDF("x", "c"))
-    val deg = comm.select("x")
-      .join(adj.groupBy("x").agg(sum(col("w")).as("ka")), Seq("x"), "left")
-      .join(gg.filter(col("u") === col("v"))
-        .groupBy(col("u").as("x")).agg((sum(col("w")) * 2).as("ks")),
-        Seq("x"), "left")
-      .select(col("x"), (coalesce(col("ka"), lit(0L)) +
-        coalesce(col("ks"), lit(0L))).as("k"))
-      .transform(graft.CacheScope.persist(_))
+    val deg = pre.map(_._1).getOrElse(
+      strengthFrame(gg, comm.select("x"))
+        .transform(graft.CacheScope.persist(_)))
     val vol = comm.join(deg, "x").groupBy(col("c"))
       .agg(sum(col("k")).as("vol"))
-    val m2 = deg.agg(sum(col("k")).as("m2"))
     val wvc = adj.join(comm.select(col("x").as("n"), col("c")), "n")
       .groupBy(col("x"), col("c")).agg(sum(col("w")).as("wv"))
     val own = comm.select(col("x"), col("c").as("c_own"))
-    val ownZero = own.select(col("x"), col("c_own").as("c"),
-        lit(0L).as("wv"))
-      .join(wvc.select(col("x"), col("c")), Seq("x", "c"), "left_anti")
-    val scored = wvc.unionByName(ownZero)
-      .join(own, "x").join(deg, "x")
-      .join(vol, "c").crossJoin(broadcast(m2))
-      .select(col("x"), col("c"), col("c_own"),
-        (col("m2") * col("wv") - col("k") *
-          (col("vol") - when(col("c") === col("c_own"), col("k"))
-            .otherwise(lit(0L)))).as("score"))
-    val ownScore = scored.filter(col("c") === col("c_own"))
-      .select(col("x"), col("score").as("own_score"))
-    val best = scored.filter(col("c") =!= col("c_own"))
+    def withM2(df: DataFrame): DataFrame = pre match {
+      case Some((_, m2v)) => df.withColumn("m2", lit(m2v))
+      case None => df.crossJoin(
+        broadcast(deg.agg(sum(col("k")).as("m2"))))
+    }
+    // Stay score via ONE left join (wv to the own community is zero
+    // when absent) — r14: this replaces the anti-join + zero-row
+    // union injection, two fewer exchanges per round.
+    val ownScore = withM2(own
+      .join(wvc.select(col("x"), col("c").as("c_own"), col("wv")),
+        Seq("x", "c_own"), "left")
+      .join(deg, "x")
+      .join(vol.select(col("c").as("c_own"), col("vol")), "c_own"))
+      .select(col("x"),
+        (col("m2") * coalesce(col("wv"), lit(0L)) - col("k") *
+          (col("vol") - col("k"))).as("own_score"))
+    val best = withM2(wvc.join(own, "x")
+      .filter(col("c") =!= col("c_own"))
+      .join(deg, "x").join(vol, "c"))
+      .select(col("x"), col("c"),
+        (col("m2") * col("wv") - col("k") * col("vol")).as("score"))
       .groupBy(col("x"))
       .agg(max(struct(col("score"), (-col("c")).as("negc"))).as("b"))
       .select(col("x"), col("b.score").as("best_score"),
@@ -3162,45 +3190,6 @@ object GraphAnalytics {
       .select(least(col("cu"), col("cv")).as("u"),
         greatest(col("cu"), col("cv")).as("v"), col("w"))
       .groupBy("u", "v").agg(sum(col("w")).as("w"))
-  }
-
-  /** Exact-integer modularity of partition `comm` on weighted graph
-    * `g`: Q·(2m)² = Σ_c (2·m2·w_c − vol_c²) over qden = m2², with
-    * m2 = Σk (= 2m, invariant under contraction — weights below ~3·10⁹
-    * keep qden inside BIGINT; shard the additive numerator beyond).
-    * Returns the (q_num, q_den) scalars. */
-  private def modularityIntegersW(g: DataFrame,
-      comm: DataFrame): (Long, Long) = {
-    val gg = g.toDF("u", "v", "w")
-      .transform(graft.CacheScope.persist(_))
-    val cm = comm.toDF("x", "c")
-      .transform(graft.CacheScope.persist(_))
-    val nonSelf = gg.filter(col("u") =!= col("v"))
-    val deg = cm.select("x")
-      .join(nonSelf.select(col("u").as("x"), col("w"))
-        .unionByName(nonSelf.select(col("v").as("x"), col("w")))
-        .groupBy("x").agg(sum(col("w")).as("ka")), Seq("x"), "left")
-      .join(gg.filter(col("u") === col("v"))
-        .groupBy(col("u").as("x")).agg((sum(col("w")) * 2).as("ks")),
-        Seq("x"), "left")
-      .select(col("x"), (coalesce(col("ka"), lit(0L)) +
-        coalesce(col("ks"), lit(0L))).as("k"))
-    val m2 = deg.agg(sum(col("k")).as("m2"))
-    val vol = cm.join(deg, "x").groupBy(col("c"))
-      .agg(sum(col("k")).as("vol"))
-    val intra = gg
-      .join(cm.select(col("x").as("u"), col("c").as("cu")), "u")
-      .join(cm.select(col("x").as("v"), col("c").as("cv")), "v")
-      .filter(col("cu") === col("cv"))
-      .groupBy(col("cu").as("c")).agg(sum(col("w")).as("wc"))
-    val row = vol.join(intra, Seq("c"), "left")
-      .na.fill(0L, Seq("wc"))
-      .crossJoin(broadcast(m2))
-      .agg(sum(lit(2L) * col("m2") * col("wc") -
-        col("vol") * col("vol")).as("q_num"),
-        max(col("m2") * col("m2")).as("q_den"))
-      .head() // one aggregated scalar row per level (house law)
-    (row.getLong(0), row.getLong(1))
   }
 
   /**
@@ -3321,6 +3310,13 @@ object GraphAnalytics {
       var comm = rotate("comm",
         g.select(col("u").as("x")).union(g.select(col("v"))).distinct()
           .select(col("x"), col("x").as("c")))
+      // Level-invariant strengths + total weight, hoisted OUT of the
+      // per-round move (r14: deg/m2 were rebuilt — 2 joins + 3 aggs +
+      // a broadcast — inside every one of the 12 move rounds of a
+      // 3-level run; they depend only on g). One checkpoint rotation
+      // + one scalar job per level replaces all of it.
+      val deg = rotate("deg", strengthFrame(g, comm.select("x")))
+      val m2v = deg.agg(sum(col("k")).as("m2")).head().getLong(0)
       // parity alternation (see scaladoc): only one round's vertex
       // half applies its move; the other half keeps its community.
       // Parity = md5 window of the id, NOT id mod 2: contracted
@@ -3338,7 +3334,8 @@ object GraphAnalytics {
       // persists are skipped (persistInputs = false).
       for (r <- 1 to roundsPerLevel) {
         comm = rotate("comm",
-          louvainMoveWeighted(g, comm, persistInputs = false)
+          louvainMoveWeighted(g, comm, persistInputs = false,
+            pre = Some((deg, m2v)))
             .select(col("_vid").as("x"),
               when(par === lit((r % 2).toLong),
                 col("new_c")).otherwise(col("old_c")).as("c")))
@@ -3371,24 +3368,47 @@ object GraphAnalytics {
         ccId.foreach(i => sc.getPersistentRDDs.get(i)
           .foreach(_.unpersist(blocking = false)))
       }
-      val (qNum, qDen) = modularityIntegersW(g, comm)
+      // Annotate g with the level's FINAL labels ONCE; the modularity
+      // readout (intra weights) and the contraction both derive from
+      // this same community-keyed double join (r14 — they used to each
+      // re-join g against comm). deg/m2v are reused from the hoist:
+      // q_den = m2², q_num = Σ_c (2·m2·w_c − vol_c²), all exact.
+      val gAnno = graft.CacheScope.persist(g
+        .join(comm.select(col("x").as("u"), col("c").as("cu")), "u")
+        .join(comm.select(col("x").as("v"), col("c").as("cv")), "v"))
+      val vol = comm.join(deg, "x").groupBy(col("c"))
+        .agg(sum(col("k")).as("vol"))
+      val intraW = gAnno.filter(col("cu") === col("cv"))
+        .groupBy(col("cu").as("c")).agg(sum(col("w")).as("wc"))
+      val qNum = vol.join(intraW, Seq("c"), "left")
+        .na.fill(0L, Seq("wc"))
+        .agg(sum(lit(2L) * lit(m2v) * col("wc") -
+          col("vol") * col("vol")).as("q_num"))
+        .head().getLong(0) // one aggregated scalar row per level
+      val qDen = m2v * m2v
       if (prevQ.exists(_ >= qNum)) stop = true
       else {
         prevQ = Some(qNum)
-        val lvlRows = mapping
+        // Rotate the mapping FIRST; the level's output rows are a
+        // projection of the rotated frame (r14 — the mapping⋈comm
+        // join used to run twice per level, once for each)
+        mapping = rotate("map", mapping
           .join(comm.select(col("x").as("node"), col("c")), "node")
+          .select(col("_vid"), col("c").as("node")))
+        val lvlRows = mapping
           .select(lit(level.toLong).as("level"), col("_vid"),
-            col("c").as("community"), lit(qNum).as("q_num"),
+            col("node").as("community"), lit(qNum).as("q_num"),
             lit(qDen).as("q_den"))
         out = Some(rotate("out",
           out.map(_.unionByName(lvlRows)).getOrElse(lvlRows)))
         if (level < maxLevels) {
-          mapping = rotate("map", mapping
-            .join(comm.select(col("x").as("node"), col("c")), "node")
-            .select(col("_vid"), col("c").as("node")))
-          g = rotate("g", contractGraphWeighted(g, comm))
+          g = rotate("g", gAnno
+            .select(least(col("cu"), col("cv")).as("u"),
+              greatest(col("cu"), col("cv")).as("v"), col("w"))
+            .groupBy("u", "v").agg(sum(col("w")).as("w")))
         }
       }
+      gAnno.unpersist(blocking = false)
     }
     (slots.keySet - "out").foreach(k => slots(k).foreach(i =>
       sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false))))
