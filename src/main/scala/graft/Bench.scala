@@ -187,6 +187,8 @@ object Bench {
     "spath_converged" -> "spconv", "earr_converged" -> "eaconv",
     "lprop_converged" -> "lpconv", "ivf_drift" -> "ivfdr",
     "lprop_stable_trace" -> "lpstt", "lprop_stable" -> "lpst",
+    // round-14 additions
+    "leiden_full" -> "leidf", "bpe_bytes" -> "bpeby",
     // round-11 additions
     "louvain_levels" -> "louvlv", "weighted_matching" -> "wmatch",
     "knn_refine_recall" -> "knnrr", "knn_refine" -> "knnrf",

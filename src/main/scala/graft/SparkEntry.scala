@@ -1509,6 +1509,29 @@ object SparkEntry {
         maxLevels = 3, roundsPerLevel = 4)
     }),
 
+    // ---- FULL Leiden (Traag et al. 2019, all three phases —
+    // guarantees 2-3): θ-sampled refinement merges (θ→∞ uniform draw
+    // by seeded md5 coin over positive-gain well-connected targets),
+    // connectivity split, aggregation over the REFINED partition
+    // seeded from the unrefined one. Same composite fixture as
+    // q_leiden_levels so the two variants are directly comparable ----
+    "q_leiden_full" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val v1 = col("l_orderkey") % 300
+      val head = v1 - (v1 % 5)
+      val intra = li.select(v1.as("a"),
+        (head + col("l_partkey") % 5).as("b"))
+      val ring = li.select(head.as("a"), ((head + 5) % 300).as("b"))
+      val g = col("l_orderkey") % 60
+      val chain = li.select((g + 1000).as("a"), (g + 1200).as("b"))
+        .unionByName(li.select((g + 1100).as("a"), (g + 1200).as("b")))
+      val pull = li.select((g + 1200).as("a"),
+        (g * 5 + col("l_partkey") % 3).as("b"))
+      graft.analytics.GraphAnalytics.leidenFull(
+        intra.unionByName(ring).unionByName(chain).unionByName(pull),
+        maxLevels = 3, roundsPerLevel = 4, mergeSweeps = 2)
+    }),
+
     // ---- Balanced k-way partition refinement (Ugander & Backstrom
     // 2013 / LDG / Fennel, integer core): start from the reference's
     // id-hash placement (NebulaKeyUtils.h:97), greedily co-locate
@@ -3496,47 +3519,239 @@ object SparkEntry {
       rounds: Int): String =
     multilevelCommunitiesSql(edgeSql, maxLevels, rounds, refine = true)
 
+  /** The per-level parity-alternating move-round CTE chain
+    * c_l_1..c_l_rounds (reads nodes_/adj_/deg_/m2_$l and the initial
+    * partition c_l_0) — shared by the Louvain/Leiden level oracle and
+    * the full-Leiden oracle (whose c_l_0 is the aggregate seed). */
+  private def louvainMovesSql(l: Int, rounds: Int): String =
+    (1 to rounds).map { r =>
+      val pc = if (r == 1) s"c_${l}_0" else s"c_${l}_${r - 1}"
+      s"""vol_${l}_$r AS MATERIALIZED (SELECT c,
+         |    CAST(sum(k) AS BIGINT) AS vol
+         |  FROM $pc JOIN deg_$l USING (x) GROUP BY c),
+         |wvc_${l}_$r AS MATERIALIZED (SELECT a.x, cm.c,
+         |    CAST(sum(a.w) AS BIGINT) AS wv
+         |  FROM adj_$l a JOIN $pc cm ON cm.x = a.n GROUP BY a.x, cm.c),
+         |ownz_${l}_$r AS MATERIALIZED (SELECT co.x, co.c,
+         |    CAST(0 AS BIGINT) AS wv FROM $pc co
+         |  LEFT JOIN wvc_${l}_$r w ON w.x = co.x AND w.c = co.c
+         |  WHERE w.x IS NULL),
+         |cand_${l}_$r AS MATERIALIZED (SELECT * FROM wvc_${l}_$r
+         |  UNION ALL SELECT * FROM ownz_${l}_$r),
+         |sc_${l}_$r AS MATERIALIZED (SELECT cand.x, cand.c,
+         |    co.c AS c_own,
+         |    m2_$l.m2 * cand.wv - deg_$l.k * (vol.vol -
+         |      CASE WHEN cand.c = co.c THEN deg_$l.k ELSE 0 END)
+         |      AS score
+         |  FROM cand_${l}_$r cand JOIN $pc co ON co.x = cand.x
+         |  JOIN deg_$l ON deg_$l.x = cand.x
+         |  JOIN vol_${l}_$r vol ON vol.c = cand.c CROSS JOIN m2_$l),
+         |ownsc_${l}_$r AS MATERIALIZED (SELECT x, score AS own_score
+         |  FROM sc_${l}_$r WHERE c = c_own),
+         |best_${l}_$r AS MATERIALIZED (SELECT x, score AS best_score,
+         |    c AS best_c FROM (
+         |  SELECT x, c, score, row_number() OVER (
+         |    PARTITION BY x ORDER BY score DESC, c ASC) AS rk
+         |  FROM sc_${l}_$r WHERE c <> c_own) __b WHERE rk = 1),
+         |c_${l}_$r AS MATERIALIZED (SELECT co.x,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(co.x AS VARCHAR)),
+         |          1, 8) AS BIGINT) % 2 = ${r % 2}
+         |        AND b.best_score > o.own_score
+         |      THEN b.best_c ELSE co.c END AS c
+         |  FROM $pc co
+         |  LEFT JOIN best_${l}_$r b ON b.x = co.x
+         |  JOIN ownsc_${l}_$r o ON o.x = co.x)""".stripMargin
+    }.mkString(",\n")
+
+  /** The per-level graph-statistics CTEs nodes_/adj_/deg_/m2_$l —
+    * shared by the two multilevel oracles. */
+  private def levelStatsSql(l: Int): String =
+    s"""nodes_$l AS MATERIALIZED (SELECT u AS x FROM g$l
+       |  UNION SELECT v FROM g$l),
+       |adj_$l AS MATERIALIZED (SELECT u AS x, v AS n, w FROM g$l
+       |    WHERE u <> v
+       |  UNION ALL SELECT v, u, w FROM g$l WHERE u <> v),
+       |deg_$l AS MATERIALIZED (SELECT n0.x,
+       |    CAST(coalesce(ka.ka, 0) + coalesce(ks.ks, 0) AS BIGINT) AS k
+       |  FROM nodes_$l n0
+       |  LEFT JOIN (SELECT x, CAST(sum(w) AS BIGINT) AS ka
+       |    FROM adj_$l GROUP BY x) ka ON ka.x = n0.x
+       |  LEFT JOIN (SELECT u AS x, CAST(2 * sum(w) AS BIGINT) AS ks
+       |    FROM g$l WHERE u = v GROUP BY u) ks ON ks.x = n0.x),
+       |m2_$l AS MATERIALIZED (SELECT CAST(sum(k) AS BIGINT) AS m2
+       |  FROM deg_$l)""".stripMargin
+
+  /** Full-Leiden oracle (Traag et al. 2019 all three phases): per
+    * level the shared move chain to P, then `sweeps` θ-sampled merge
+    * sweeps (θ→∞ uniform draw = argmin md5(x:D) over positive-gain
+    * well-connected targets; integer cross-multiplied γ=1/(2m)
+    * well-connectedness on both vertex and community), a min-label
+    * connectivity split over intra-REFINED edges, the level readout
+    * on P, and contraction over the refined labels with the next
+    * level's c_(l+1)_0 SEEDED as refined-label → P-community. */
+  private def leidenFullSql(edgeSql: String, maxLevels: Int,
+      rounds: Int, sweeps: Int): String = {
+    def level(l: Int): String = {
+      val p = s"c_${l}_$rounds"
+      val sweepCtes = (1 to sweeps).map { s =>
+        val pr = s"r_${l}_${s - 1}"
+        s"""rsz_${l}_$s AS MATERIALIZED (SELECT r.rc,
+           |    CAST(count(*) AS BIGINT) AS members,
+           |    CAST(sum(d.k) AS BIGINT) AS volr
+           |  FROM $pr r JOIN deg_$l d USING (x) GROUP BY r.rc),
+           |er_${l}_$s AS MATERIALIZED (SELECT ip.u, ip.v, ip.w,
+           |    ru.rc AS ru, rv.rc AS rv
+           |  FROM intp_$l ip JOIN $pr ru ON ru.x = ip.u
+           |  JOIN $pr rv ON rv.x = ip.v),
+           |cutr_${l}_$s AS MATERIALIZED (SELECT rc,
+           |    CAST(sum(w) AS BIGINT) AS cutr FROM (
+           |    SELECT ru AS rc, w FROM er_${l}_$s WHERE ru <> rv
+           |    UNION ALL SELECT rv, w FROM er_${l}_$s WHERE ru <> rv)
+           |    __c$s GROUP BY rc),
+           |wellr_${l}_$s AS MATERIALIZED (SELECT z.rc, z.members,
+           |    z.volr,
+           |    (m2_$l.m2 * coalesce(c.cutr, 0) >=
+           |      z.volr * (wv.volp - z.volr)) AS well_r
+           |  FROM rsz_${l}_$s z
+           |  JOIN wellv_$l wv ON wv.x = z.rc
+           |  LEFT JOIN cutr_${l}_$s c ON c.rc = z.rc
+           |  CROSS JOIN m2_$l),
+           |mv_${l}_$s AS MATERIALIZED (SELECT r.x
+           |  FROM $pr r JOIN rsz_${l}_$s z ON z.rc = r.rc
+           |  JOIN wellv_$l wv ON wv.x = r.x
+           |  WHERE r.rc = r.x AND z.members = 1 AND wv.well_v
+           |    AND CAST('0x' || substr(md5(CAST(r.x AS VARCHAR)),
+           |      1, 8) AS BIGINT) % 2 = ${s % 2}),
+           |wxd_${l}_$s AS MATERIALIZED (SELECT x, d,
+           |    CAST(sum(w) AS BIGINT) AS wxd FROM (
+           |    SELECT u AS x, rv AS d, w FROM er_${l}_$s WHERE ru <> rv
+           |    UNION ALL SELECT v, ru, w FROM er_${l}_$s WHERE ru <> rv)
+           |    __w$s GROUP BY x, d),
+           |ch_${l}_$s AS MATERIALIZED (SELECT x, d AS new_rc FROM (
+           |    SELECT m.x, wx.d, row_number() OVER (PARTITION BY m.x
+           |      ORDER BY md5(CAST(m.x AS VARCHAR) || ':' ||
+           |        CAST(wx.d AS VARCHAR)) ASC, wx.d ASC) AS rk
+           |    FROM mv_${l}_$s m
+           |    JOIN wxd_${l}_$s wx ON wx.x = m.x
+           |    JOIN deg_$l dg ON dg.x = m.x
+           |    JOIN wellr_${l}_$s wr ON wr.rc = wx.d
+           |    CROSS JOIN m2_$l
+           |    WHERE wr.well_r
+           |      AND m2_$l.m2 * wx.wxd - dg.k * wr.volr > 0) __h$s
+           |  WHERE rk = 1),
+           |r_${l}_$s AS MATERIALIZED (SELECT r.x,
+           |    coalesce(c.new_rc, r.rc) AS rc
+           |  FROM $pr r LEFT JOIN ch_${l}_$s c ON c.x = r.x)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rl = s"r_${l}_$sweeps"
+      val lpRounds = 8
+      val lpChain = (1 to lpRounds).map { t =>
+        s"""lp_${l}_$t AS MATERIALIZED (SELECT n0.x,
+           |    least(n0.lab, coalesce(m.mn, n0.lab)) AS lab
+           |  FROM lp_${l}_${t - 1} n0
+           |  LEFT JOIN (SELECT iu.d AS x, min(pp.lab) AS mn
+           |    FROM iu_$l iu JOIN lp_${l}_${t - 1} pp ON pp.x = iu.s
+           |    GROUP BY iu.d) m ON m.x = n0.x)""".stripMargin
+      }.mkString(",\n")
+      val contract =
+        if (l == maxLevels) ""
+        else s""",
+           |g${l + 1} AS MATERIALIZED (SELECT
+           |    least(cu.rc, cv.rc) AS u, greatest(cu.rc, cv.rc) AS v,
+           |    CAST(sum(g.w) AS BIGINT) AS w
+           |  FROM g$l g JOIN rf_$l cu ON cu.x = g.u
+           |  JOIN rf_$l cv ON cv.x = g.v GROUP BY 1, 2),
+           |map$l AS MATERIALIZED (SELECT m._vid, cm.rc AS node
+           |  FROM map${l - 1} m JOIN rf_$l cm ON cm.x = m.node),
+           |c_${l + 1}_0 AS MATERIALIZED (SELECT dr.rc AS x, pp.c
+           |  FROM (SELECT DISTINCT rc FROM rf_$l) dr
+           |  JOIN $p pp ON pp.x = dr.rc)""".stripMargin
+      // level 1 starts from singletons; later levels read the
+      // aggregate-seeded c_l_0 emitted by the previous level
+      val init = if (l > 1) ""
+        else s"c_${l}_0 AS MATERIALIZED (SELECT x, x AS c" +
+          s" FROM nodes_$l),\n"
+      s"""${levelStatsSql(l)},
+         |$init${louvainMovesSql(l, rounds)},
+         |intp_$l AS MATERIALIZED (SELECT g.u, g.v, g.w, cu.c AS pc
+         |  FROM g$l g JOIN $p cu ON cu.x = g.u
+         |  JOIN $p cv ON cv.x = g.v
+         |  WHERE cu.c = cv.c AND g.u <> g.v),
+         |volp_$l AS MATERIALIZED (SELECT c,
+         |    CAST(sum(k) AS BIGINT) AS volp
+         |  FROM $p JOIN deg_$l USING (x) GROUP BY c),
+         |wown_$l AS MATERIALIZED (SELECT x,
+         |    CAST(sum(w) AS BIGINT) AS wown FROM (
+         |    SELECT u AS x, w FROM intp_$l
+         |    UNION ALL SELECT v, w FROM intp_$l) __o GROUP BY x),
+         |wellv_$l AS MATERIALIZED (SELECT pp.x,
+         |    (m2_$l.m2 * coalesce(wo.wown, 0) >=
+         |      dg.k * (vp.volp - dg.k)) AS well_v,
+         |    pp.c AS pc, vp.volp
+         |  FROM $p pp JOIN deg_$l dg ON dg.x = pp.x
+         |  JOIN volp_$l vp ON vp.c = pp.c
+         |  LEFT JOIN wown_$l wo ON wo.x = pp.x
+         |  CROSS JOIN m2_$l),
+         |r_${l}_0 AS MATERIALIZED (SELECT x, x AS rc FROM nodes_$l),
+         |$sweepCtes,
+         |ir_$l AS MATERIALIZED (SELECT ip.u AS s, ip.v AS d
+         |  FROM intp_$l ip JOIN $rl ru ON ru.x = ip.u
+         |  JOIN $rl rv ON rv.x = ip.v WHERE ru.rc = rv.rc),
+         |iu_$l AS MATERIALIZED (SELECT s, d FROM ir_$l
+         |  UNION SELECT d, s FROM ir_$l),
+         |lp_${l}_0 AS MATERIALIZED (SELECT x, x AS lab FROM nodes_$l),
+         |$lpChain,
+         |rf_$l AS MATERIALIZED (SELECT x, lab AS rc
+         |  FROM lp_${l}_$lpRounds),
+         |volf_$l AS MATERIALIZED (SELECT c,
+         |    CAST(sum(k) AS BIGINT) AS vol
+         |  FROM $p JOIN deg_$l USING (x) GROUP BY c),
+         |wc_$l AS MATERIALIZED (SELECT cu.c,
+         |    CAST(sum(g.w) AS BIGINT) AS wc
+         |  FROM g$l g JOIN $p cu ON cu.x = g.u
+         |  JOIN $p cv ON cv.x = g.v
+         |  WHERE cu.c = cv.c GROUP BY cu.c),
+         |q_$l AS MATERIALIZED (SELECT
+         |    CAST(sum(2 * m2.m2 * coalesce(wc.wc, 0)
+         |      - v.vol * v.vol) AS BIGINT) AS q_num,
+         |    CAST(max(m2.m2 * m2.m2) AS BIGINT) AS q_den
+         |  FROM volf_$l v LEFT JOIN wc_$l wc USING (c)
+         |  CROSS JOIN m2_$l m2),
+         |lvl_$l AS MATERIALIZED (SELECT
+         |    CAST($l AS BIGINT) AS level, m._vid, cm.c AS community
+         |  FROM map${l - 1} m JOIN $p cm ON cm.x = m.node)$contract"""
+        .stripMargin
+    }
+    val levels = (1 to maxLevels).map(level).mkString(",\n")
+    val qs = (1 to maxLevels).map(l =>
+      s"SELECT CAST($l AS BIGINT) AS level, " +
+        s"(SELECT q_num FROM q_$l) AS q_num").mkString("\n  UNION ALL ")
+    val lvls = (1 to maxLevels).map(l => s"SELECT * FROM lvl_$l")
+      .mkString("\n  UNION ALL ")
+    s"""WITH g1 AS MATERIALIZED (SELECT u, v, CAST(1 AS BIGINT) AS w
+       |  FROM (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |    FROM ($edgeSql) __e WHERE a <> b) __d),
+       |map0 AS MATERIALIZED (SELECT x AS _vid, x AS node FROM (
+       |  SELECT u AS x FROM g1 UNION SELECT v FROM g1) __n),
+       |$levels,
+       |qs AS ($qs),
+       |cut AS (SELECT coalesce(min(b.level),
+       |    CAST(${maxLevels + 1} AS BIGINT)) AS cutoff
+       |  FROM qs a JOIN qs b ON b.level = a.level + 1
+       |    AND b.q_num <= a.q_num)
+       |SELECT l.level, l._vid, l.community, qs.q_num,
+       |  (SELECT q_den FROM q_1) AS q_den
+       |FROM ($lvls) l
+       |JOIN qs ON qs.level = l.level
+       |CROSS JOIN cut
+       |WHERE l.level < cut.cutoff""".stripMargin
+  }
+
   private def multilevelCommunitiesSql(edgeSql: String, maxLevels: Int,
       rounds: Int, refine: Boolean): String = {
     def level(l: Int): String = {
-      val moves = (1 to rounds).map { r =>
-        val pc = if (r == 1) s"c_${l}_0" else s"c_${l}_${r - 1}"
-        s"""vol_${l}_$r AS MATERIALIZED (SELECT c,
-           |    CAST(sum(k) AS BIGINT) AS vol
-           |  FROM $pc JOIN deg_$l USING (x) GROUP BY c),
-           |wvc_${l}_$r AS MATERIALIZED (SELECT a.x, cm.c,
-           |    CAST(sum(a.w) AS BIGINT) AS wv
-           |  FROM adj_$l a JOIN $pc cm ON cm.x = a.n GROUP BY a.x, cm.c),
-           |ownz_${l}_$r AS MATERIALIZED (SELECT co.x, co.c,
-           |    CAST(0 AS BIGINT) AS wv FROM $pc co
-           |  LEFT JOIN wvc_${l}_$r w ON w.x = co.x AND w.c = co.c
-           |  WHERE w.x IS NULL),
-           |cand_${l}_$r AS MATERIALIZED (SELECT * FROM wvc_${l}_$r
-           |  UNION ALL SELECT * FROM ownz_${l}_$r),
-           |sc_${l}_$r AS MATERIALIZED (SELECT cand.x, cand.c,
-           |    co.c AS c_own,
-           |    m2_$l.m2 * cand.wv - deg_$l.k * (vol.vol -
-           |      CASE WHEN cand.c = co.c THEN deg_$l.k ELSE 0 END)
-           |      AS score
-           |  FROM cand_${l}_$r cand JOIN $pc co ON co.x = cand.x
-           |  JOIN deg_$l ON deg_$l.x = cand.x
-           |  JOIN vol_${l}_$r vol ON vol.c = cand.c CROSS JOIN m2_$l),
-           |ownsc_${l}_$r AS MATERIALIZED (SELECT x, score AS own_score
-           |  FROM sc_${l}_$r WHERE c = c_own),
-           |best_${l}_$r AS MATERIALIZED (SELECT x, score AS best_score,
-           |    c AS best_c FROM (
-           |  SELECT x, c, score, row_number() OVER (
-           |    PARTITION BY x ORDER BY score DESC, c ASC) AS rk
-           |  FROM sc_${l}_$r WHERE c <> c_own) __b WHERE rk = 1),
-           |c_${l}_$r AS MATERIALIZED (SELECT co.x,
-           |    CASE WHEN CAST('0x' || substr(md5(CAST(co.x AS VARCHAR)),
-           |          1, 8) AS BIGINT) % 2 = ${r % 2}
-           |        AND b.best_score > o.own_score
-           |      THEN b.best_c ELSE co.c END AS c
-           |  FROM $pc co
-           |  LEFT JOIN best_${l}_$r b ON b.x = co.x
-           |  JOIN ownsc_${l}_$r o ON o.x = co.x)""".stripMargin
-      }.mkString(",\n")
+      val moves = louvainMovesSql(l, rounds)
       val fc = s"c_${l}_$rounds"
       // the partition every downstream block (Q, level rows,
       // contraction, mapping) reads: the move result, or its
@@ -3585,20 +3800,7 @@ object SparkEntry {
            |  JOIN $fin cv ON cv.x = g.v GROUP BY 1, 2),
            |map$l AS MATERIALIZED (SELECT m._vid, cm.c AS node
            |  FROM $mapPrev m JOIN $fin cm ON cm.x = m.node)""".stripMargin
-      s"""nodes_$l AS MATERIALIZED (SELECT u AS x FROM g$l
-         |  UNION SELECT v FROM g$l),
-         |adj_$l AS MATERIALIZED (SELECT u AS x, v AS n, w FROM g$l
-         |    WHERE u <> v
-         |  UNION ALL SELECT v, u, w FROM g$l WHERE u <> v),
-         |deg_$l AS MATERIALIZED (SELECT n0.x,
-         |    CAST(coalesce(ka.ka, 0) + coalesce(ks.ks, 0) AS BIGINT) AS k
-         |  FROM nodes_$l n0
-         |  LEFT JOIN (SELECT x, CAST(sum(w) AS BIGINT) AS ka
-         |    FROM adj_$l GROUP BY x) ka ON ka.x = n0.x
-         |  LEFT JOIN (SELECT u AS x, CAST(2 * sum(w) AS BIGINT) AS ks
-         |    FROM g$l WHERE u = v GROUP BY u) ks ON ks.x = n0.x),
-         |m2_$l AS MATERIALIZED (SELECT CAST(sum(k) AS BIGINT) AS m2
-         |  FROM deg_$l),
+      s"""${levelStatsSql(l)},
          |c_${l}_0 AS MATERIALIZED (SELECT x, x AS c FROM nodes_$l),
          |$moves$refineCtes,
          |volf_$l AS MATERIALIZED (SELECT c, CAST(sum(k) AS BIGINT) AS vol
@@ -8925,6 +9127,21 @@ object SparkEntry {
         "SELECT l_orderkey % 60 + 1200 AS a, " +
         "(l_orderkey % 60) * 5 + l_partkey % 3 AS b FROM lineitem",
       maxLevels = 3, rounds = 4),
+
+    "q_leiden_full" -> leidenFullSql(
+      "SELECT l_orderkey % 300 AS a, " +
+        "(l_orderkey % 300) - (l_orderkey % 5) + l_partkey % 5 AS b " +
+        "FROM lineitem UNION ALL " +
+        "SELECT (l_orderkey % 300) - (l_orderkey % 5) AS a, " +
+        "((l_orderkey % 300) - (l_orderkey % 5) + 5) % 300 AS b " +
+        "FROM lineitem UNION ALL " +
+        "SELECT l_orderkey % 60 + 1000 AS a, " +
+        "l_orderkey % 60 + 1200 AS b FROM lineitem UNION ALL " +
+        "SELECT l_orderkey % 60 + 1100 AS a, " +
+        "l_orderkey % 60 + 1200 AS b FROM lineitem UNION ALL " +
+        "SELECT l_orderkey % 60 + 1200 AS a, " +
+        "(l_orderkey % 60) * 5 + l_partkey % 3 AS b FROM lineitem",
+      maxLevels = 3, rounds = 4, sweeps = 2),
 
     "q_zipf_table" ->
       s"""WITH $TokCte,

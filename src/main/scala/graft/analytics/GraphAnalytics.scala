@@ -1276,7 +1276,14 @@ object GraphAnalytics {
       prev: Option[Int]): (DataFrame, Option[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val next = df.localCheckpoint(true)
+    // capCheckpointStats: localCheckpoint FREEZES the origin plan's
+    // estimated Statistics into the LogicalRDD leaf, so rotation
+    // loops compound size products exponentially across rounds until
+    // stats lookups grind the driver in million-digit BigInteger
+    // multiplies (see the bridge scaladoc; bit first in leidenFull's
+    // seeded levels). The cap only fires on already-garbage values.
+    val next = org.apache.spark.sql.GraftExpressionBridge
+      .capCheckpointStats(df.localCheckpoint(true))
     val id = (sc.getPersistentRDDs.keySet -- before).toList match {
       case only :: Nil => Some(only)
       case _ => None
@@ -3412,6 +3419,256 @@ object GraphAnalytics {
     }
     (slots.keySet - "out").foreach(k => slots(k).foreach(i =>
       sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false))))
+    out.get
+  }
+
+  /**
+   * FULL Leiden (Traag, Waltman & van Eck 2019 — all three phases,
+   * delivering guarantees 2-3 on top of [[leidenLevels]]' guarantee
+   * 1): per level (1) parity-alternating local moves to partition P,
+   * (2) a REFINEMENT phase that rebuilds each P-community from
+   * singletons by θ-SAMPLED merges — a singleton vertex that is
+   * well-connected inside its P-community merges into a
+   * well-connected refined community chosen among its positive-gain
+   * neighbors — followed by a connectivity split (so every
+   * aggregation unit is connected even under synchronous-merge
+   * races), and (3) aggregation over the REFINED partition with the
+   * next level's initial partition SEEDED from the unrefined P (the
+   * paper's γ-aggregate seeding; levels no longer restart from
+   * singletons, which is what lets later levels escape the greedy
+   * merge path — guarantee 3's convergence argument).
+   *
+   * Determinism laws (both engines replay bit-identically):
+   *  - well-connectedness is the paper's γ = 1/(2m) test
+   *    cross-multiplied to exact integers: a vertex v qualifies iff
+   *    m2·w(v, C∖v) ≥ k_v·(vol_C − k_v); a refined community D ⊆ C
+   *    qualifies iff m2·cut(D, C∖D) ≥ vol_D·(vol_C − vol_D);
+   *  - the paper draws the merge target ∝ exp(ΔQ/θ) over
+   *    nonnegative-gain candidates; this implementation is the
+   *    θ → ∞ point of that family — UNIFORM over positive-gain
+   *    well-connected candidates — drawn deterministically as
+   *    argmin md5(v || ':' || D) (hex order agrees across engines);
+   *  - a sweep moves only vertices whose md5-window parity matches
+   *    the sweep index (the [[louvainMoveWeighted]] synchrony gate),
+   *    and only vertices still in SINGLETON refined communities (the
+   *    paper's restriction).
+   *
+   * Output rows report the UNREFINED per-level partition P (the
+   * partition the paper surfaces; refinement only shapes what the
+   * next level aggregates): (level, _vid, community, q_num, q_den)
+   * with Q the exact-integer modularity of P, strictly increasing
+   * across emitted levels.
+   *
+   * Scale shape: everything rides the [[multilevelCommunities]]
+   * discipline — level-invariant deg/m2 hoisted, one community-keyed
+   * annotation frame per phase, merge sweeps touch only
+   * (vertex + intra-edge)-sized frames, state rotates through
+   * localCheckpoint with O(1) pinned frames.
+   */
+  def leidenFull(edges: DataFrame, maxLevels: Int,
+      roundsPerLevel: Int, mergeSweeps: Int = 2): DataFrame = {
+    require(maxLevels >= 1 && roundsPerLevel >= 1 && mergeSweeps >= 1,
+      "maxLevels, roundsPerLevel and mergeSweeps must be >= 1")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    import spark.implicits._
+    val slots = collection.mutable.Map.empty[String, Option[Int]]
+    def rotate(slot: String, df: DataFrame): DataFrame = {
+      val (next, id) = rotateCheckpoint(df, slots.getOrElse(slot, None))
+      slots(slot) = id
+      next
+    }
+    def release(): Unit =
+      (slots.keySet - "out").foreach(k => slots(k).foreach(i =>
+        sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false))))
+    var g = rotate("g", edges.toDF("a", "b").filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).cast("long").as("u"),
+        greatest(col("a"), col("b")).cast("long").as("v"))
+      .distinct().select(col("u"), col("v"), lit(1L).as("w")))
+    if (g.isEmpty) {
+      release()
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("level", "_vid", "community", "q_num", "q_den")
+    }
+    var mapping = rotate("map",
+      g.select(col("u").as("node")).union(g.select(col("v"))).distinct()
+        .select(col("node").as("_vid"), col("node")))
+    // The aggregate-seeded initial partition of the CURRENT level's
+    // graph (None = singletons, level 1 only).
+    var seed: Option[DataFrame] = None
+    var out: Option[DataFrame] = None
+    var prevQ: Option[Long] = None
+    var level = 0
+    var stop = false
+    val parityOf = (c: org.apache.spark.sql.Column) =>
+      pmod(conv(substring(
+        md5(c.cast("string")), 1, 8), 16, 10).cast("long"), lit(2L))
+    while (level < maxLevels && !stop) {
+      level += 1
+      val verts = g.select(col("u").as("x")).union(g.select(col("v")))
+        .distinct()
+      var comm = rotate("comm", seed.getOrElse(
+        verts.select(col("x"), col("x").as("c"))))
+      val deg = rotate("deg", strengthFrame(g, comm.select("x")))
+      val m2v = deg.agg(sum(col("k")).as("m2")).head().getLong(0)
+      for (r <- 1 to roundsPerLevel) {
+        comm = rotate("comm",
+          louvainMoveWeighted(g, comm, persistInputs = false,
+            pre = Some((deg, m2v)))
+            .select(col("_vid").as("x"),
+              when(parityOf(col("_vid")) === lit((r % 2).toLong),
+                col("new_c")).otherwise(col("old_c")).as("c")))
+      }
+      val p = comm // the level's unrefined partition P
+      // ---- phase 2: θ-sampled refinement inside each P-community ----
+      // intra-P non-self edges, annotated once. CHECKPOINTED, not
+      // persisted: each sweep embeds this frame ~6 times into a tree
+      // that itself nests — with a live join lineage Catalyst's
+      // sizeInBytes estimation multiplies down every cloned subtree
+      // and the BigInt products ground the driver for minutes
+      // (jstack: SizeInBytesOnlyStatsPlanVisitor in ToomCook3
+      // multiply). A LogicalRDD leaf pins the stats at the measured
+      // size and caps the recursion — the hits/ccBigStar lesson, now
+      // extended from plan GROWTH to stats ARITHMETIC.
+      val intraP = rotate("intrap", g
+        .filter(col("u") =!= col("v"))
+        .join(p.select(col("x").as("u"), col("c").as("cu")), "u")
+        .join(p.select(col("x").as("v"), col("c").as("cv")), "v")
+        .filter(col("cu") === col("cv"))
+        .select(col("u"), col("v"), col("w"), col("cu").as("pc")))
+      val volP = p.join(deg, "x").groupBy(col("c"))
+        .agg(sum(col("k")).as("volp"))
+      // vertex well-connectedness: m2·w(v, C∖v) ≥ k_v·(vol_C − k_v)
+      val wvOwn = intraP.select(col("u").as("x"), col("w"))
+        .unionByName(intraP.select(col("v").as("x"), col("w")))
+        .groupBy("x").agg(sum(col("w")).as("wown"))
+      val wellV = rotate("wellv", p
+        .join(deg, "x").join(volP, "c")
+        .join(wvOwn, Seq("x"), "left")
+        .select(col("x"),
+          (lit(m2v) * coalesce(col("wown"), lit(0L)) >=
+            col("k") * (col("volp") - col("k"))).as("well_v"),
+          col("c").as("pc"), col("volp")))
+      var ref = rotate("ref", verts.select(col("x"), col("x").as("rc")))
+      for (s <- 1 to mergeSweeps) {
+        val rSize = ref.join(deg, "x").groupBy(col("rc"))
+          .agg(count(lit(1)).as("members"), sum(col("k")).as("volr"))
+        // cut(D, C∖D): intra-P edges whose endpoints sit in different
+        // refined communities contribute w to BOTH sides
+        val eR = intraP
+          .join(ref.select(col("x").as("u"), col("rc").as("ru")), "u")
+          .join(ref.select(col("x").as("v"), col("rc").as("rv")), "v")
+        val cutR = eR.filter(col("ru") =!= col("rv"))
+          .select(col("ru").as("rc"), col("w"))
+          .unionByName(eR.filter(col("ru") =!= col("rv"))
+            .select(col("rv").as("rc"), col("w")))
+          .groupBy("rc").agg(sum(col("w")).as("cutr"))
+        // refined-community well-connectedness; the community label is
+        // a vertex id whose P-community is shared by all members
+        val wellR = rSize
+          .join(wellV.select(col("x").as("rc"), col("volp")), "rc")
+          .join(cutR, Seq("rc"), "left")
+          .select(col("rc"), col("members"), col("volr"),
+            (lit(m2v) * coalesce(col("cutr"), lit(0L)) >=
+              col("volr") * (col("volp") - col("volr"))).as("well_r"))
+        // movers: still-singleton, well-connected, parity-gated
+        val movers = ref.join(rSize, "rc")
+          .filter(col("rc") === col("x") && col("members") === 1L)
+          .join(wellV.filter(col("well_v")), "x")
+          .filter(parityOf(col("x")) === lit((s % 2).toLong))
+          .select(col("x"))
+        // positive-gain, well-connected adjacent targets; uniform
+        // θ→∞ draw = argmin md5(x:D)
+        val wxD = eR.filter(col("ru") =!= col("rv"))
+          .select(col("u").as("x"), col("rv").as("d"), col("w"))
+          .unionByName(eR.filter(col("ru") =!= col("rv"))
+            .select(col("v").as("x"), col("ru").as("d"), col("w")))
+          .groupBy("x", "d").agg(sum(col("w")).as("wxd"))
+        val chosen = movers.join(wxD, "x")
+          .join(deg, "x")
+          .join(wellR.select(col("rc").as("d"), col("volr"),
+            col("well_r")), "d")
+          .filter(col("well_r") &&
+            lit(m2v) * col("wxd") - col("k") * col("volr") > lit(0L))
+          .groupBy("x")
+          .agg(min(struct(
+            md5(concat(col("x").cast("string"), lit(":"),
+              col("d").cast("string"))).as("coin"),
+            col("d").as("d"))).as("b"))
+          .select(col("x"), col("b.d").as("new_rc"))
+        ref = rotate("ref", ref.join(chosen, Seq("x"), "left")
+          .select(col("x"), coalesce(col("new_rc"), col("rc")).as("rc")))
+      }
+      // connectivity split: synchronous merges could in principle chase
+      // a vanished owner; CC over intra-refined edges restores
+      // guarantee 1 unconditionally (min-member labels)
+      val intraR = intraP
+        .join(ref.select(col("x").as("u"), col("rc").as("ru")), "u")
+        .join(ref.select(col("x").as("v"), col("rc").as("rv")), "v")
+        .filter(col("ru") === col("rv"))
+        .select(col("u").as("a"), col("v").as("b"))
+      val (stars, ccTrace, ccId) = bigStarLoop(intraR, maxRounds = 30)
+      if (ccTrace.nonEmpty && ccTrace.last._2 != 0L)
+        throw new IllegalStateException(
+          "leidenFull: refinement CC did not converge in 30 star " +
+            s"rounds (last changed ${ccTrace.last._2})")
+      val comp = stars
+        .select(col("v").as("x"), col("u").as("comp"))
+        .unionByName(stars.select(col("u").as("x"), col("u").as("comp")))
+        .groupBy("x").agg(min(col("comp")).as("comp"))
+      ref = rotate("ref", ref.select(col("x"))
+        .join(comp, Seq("x"), "left")
+        .select(col("x"), coalesce(col("comp"), col("x")).as("rc")))
+      ccId.foreach(i => sc.getPersistentRDDs.get(i)
+        .foreach(_.unpersist(blocking = false)))
+      // ---- level readout on P; aggregation on the refined labels ----
+      val gAnnoP = graft.CacheScope.persist(g
+        .join(p.select(col("x").as("u"), col("c").as("cu")), "u")
+        .join(p.select(col("x").as("v"), col("c").as("cv")), "v"))
+      val volPQ = p.join(deg, "x").groupBy(col("c"))
+        .agg(sum(col("k")).as("vol"))
+      val qNum = volPQ
+        .join(gAnnoP.filter(col("cu") === col("cv"))
+          .groupBy(col("cu").as("c")).agg(sum(col("w")).as("wc")),
+          Seq("c"), "left")
+        .na.fill(0L, Seq("wc"))
+        .agg(sum(lit(2L) * lit(m2v) * col("wc") -
+          col("vol") * col("vol")).as("q_num"))
+        .head().getLong(0)
+      val qDen = m2v * m2v
+      if (prevQ.exists(_ >= qNum)) stop = true
+      else {
+        prevQ = Some(qNum)
+        val lvlRows = mapping
+          .join(p.select(col("x").as("node"), col("c")), "node")
+          .select(lit(level.toLong).as("level"), col("_vid"),
+            col("c").as("community"), lit(qNum).as("q_num"),
+            lit(qDen).as("q_den"))
+        out = Some(rotate("out",
+          out.map(_.unionByName(lvlRows)).getOrElse(lvlRows)))
+        if (level < maxLevels) {
+          // next level: aggregate on REFINED labels, seed from P
+          mapping = rotate("map", mapping
+            .join(ref.select(col("x").as("node"), col("rc")), "node")
+            .select(col("_vid"), col("rc").as("node")))
+          val gAnnoR = g
+            .join(ref.select(col("x").as("u"), col("rc").as("ru")), "u")
+            .join(ref.select(col("x").as("v"), col("rc").as("rv")), "v")
+          g = rotate("g", gAnnoR
+            .select(least(col("ru"), col("rv")).as("u"),
+              greatest(col("ru"), col("rv")).as("v"), col("w"))
+            .groupBy("u", "v").agg(sum(col("w")).as("w")))
+          // refined label rc IS a member vertex id; its P community
+          // seeds the aggregated node (guarantee-3 seeding)
+          seed = Some(rotate("seed",
+            ref.select(col("rc")).distinct()
+              .join(p.select(col("x").as("rc"), col("c")), "rc")
+              .select(col("rc").as("x"), col("c"))))
+        }
+      }
+      gAnnoP.unpersist(blocking = false)
+    }
+    release()
     out.get
   }
 
