@@ -3530,7 +3530,7 @@ object GraphAnalytics {
       // multiply). A LogicalRDD leaf pins the stats at the measured
       // size and caps the recursion — the hits/ccBigStar lesson, now
       // extended from plan GROWTH to stats ARITHMETIC.
-      val intraP = rotate("intrap", g
+      val intraP = graft.CacheScope.persist(g
         .filter(col("u") =!= col("v"))
         .join(p.select(col("x").as("u"), col("c").as("cu")), "u")
         .join(p.select(col("x").as("v"), col("c").as("cv")), "v")
@@ -3542,7 +3542,7 @@ object GraphAnalytics {
       val wvOwn = intraP.select(col("u").as("x"), col("w"))
         .unionByName(intraP.select(col("v").as("x"), col("w")))
         .groupBy("x").agg(sum(col("w")).as("wown"))
-      val wellV = rotate("wellv", p
+      val wellV = graft.CacheScope.persist(p
         .join(deg, "x").join(volP, "c")
         .join(wvOwn, Seq("x"), "left")
         .select(col("x"),
@@ -3666,6 +3666,8 @@ object GraphAnalytics {
               .select(col("rc").as("x"), col("c"))))
         }
       }
+      intraP.unpersist(blocking = false)
+      wellV.unpersist(blocking = false)
       gAnnoP.unpersist(blocking = false)
     }
     release()
