@@ -766,6 +766,19 @@ object ScaleSmoke {
     time(s"leiden levels ${factor}x")(
       graft.analytics.GraphAnalytics.leidenLevels(leidE,
         maxLevels = 3, roundsPerLevel = 4).count())
+    // full Leiden adds the theta-sampled merge sweeps + connectivity
+    // split + seeded aggregation; per-sweep frames are (vertex +
+    // intra-edge)-sized, so the curve must stay near-linear
+    time(s"leiden full ${factor}x")(
+      graft.analytics.GraphAnalytics.leidenFull(leidE,
+        maxLevels = 3, roundsPerLevel = 4, mergeSweeps = 2).count())
+    // byte-fallback encode: fallback decomposition rides the
+    // DISTINCT-WORD table; the corpus pays one token explode
+    time(s"bpe bytes encode ${factor}x")(
+      graft.pipeline.TextAnalysis.bpeEncodeBytes(docs, "text",
+        docs.select(col("doc_id"),
+          concat_ws(" ", col("source"), col("text")).as("btext")),
+        "doc_id", "btext", nMerges = 4).count())
     time(s"balanced partition ${factor}x")(
       graft.analytics.GraphAnalytics.balancedPartition(louvE,
         k = 8, rounds = 4, capPermille = 1250).count())

@@ -2644,6 +2644,20 @@ object SparkEntry {
         maxPieceLen = 8)
     }),
 
+    // ---- Byte-fallback WordPiece: the greedy walk's whole-word
+    // [UNK] replaced by whole-word UTF-8 byte decomposition — vocab
+    // trained on `text`, encode corpus source‖text so the fallback
+    // binds on the digit-bearing source tags; UNK impossible ----
+    "q_wordpiece_bytes" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.wordpieceEncodeBytes(
+        d.select(col("doc_id"),
+          concat_ws(" ", col("source"), col("text")).as("btext")),
+        "doc_id", "btext",
+        TextAnalysis.wordpieceVocab(d, "text", nMerges = 6),
+        maxPieceLen = 8)
+    }),
+
     // ---- Per-source tokenizer fertility (pieces/word, chars/piece
     // as exact permille integers) under the trained WordPiece vocab ----
     "q_tokenizer_fertility" -> ((s, dir) => {
@@ -4006,7 +4020,40 @@ object SparkEntry {
        |  CROSS JOIN LATERAL unnest(range(1, 1 + least($maxPieceLen,
        |    length(w) - ua.a + 1))) um(m)
        |  JOIN vocab v ON v.tok = substr(words.w, ua.a::INT, um.m::INT)),
-       |${wordpieceWalkTailSql()}""".stripMargin
+       |${wordpieceWalkTailSql(byteFallback = false)}""".stripMargin
+  }
+
+  /** Byte-fallback WordPiece oracle: singles from the TRAIN corpus
+    * (text) + merge tokens, spans over the ENCODE corpus
+    * (source‖text), the shared walk core, and the byte-fallback
+    * consequence (whole uncovered word → octet_length UTF-8 bytes). */
+  private def wordpieceEncodeBytesSql(nMerges: Int,
+      maxPieceLen: Int): String = {
+    val mergeToks = (1 to nMerges)
+      .map(t => s"SELECT replace(pair, ' ', '') AS tok FROM wb$t")
+      .mkString("\n    UNION ALL ")
+    s"""WITH ${wordpieceVocabCtes(nMerges)},
+       |toks AS MATERIALIZED (SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(source || ' ' || text, '\\s+'),
+       |    x -> x <> '')) AS w
+       |  FROM documents),
+       |words AS MATERIALIZED (SELECT DISTINCT w FROM toks),
+       |twords AS MATERIALIZED (SELECT DISTINCT w FROM (
+       |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |    x -> x <> '')) AS w FROM documents) tw),
+       |vocab AS MATERIALIZED (SELECT DISTINCT tok FROM (
+       |  SELECT substr(w, ci.i::INT, 1) AS tok FROM twords
+       |    CROSS JOIN LATERAL unnest(range(1, length(w) + 1)) ci(i)
+       |  UNION ALL
+       |  $mergeToks) vv),
+       |mm AS MATERIALIZED (
+       |  SELECT words.w, ua.a::INT AS a, (ua.a + um.m - 1)::INT AS b
+       |  FROM words
+       |  CROSS JOIN LATERAL unnest(range(1, length(w) + 1)) ua(a)
+       |  CROSS JOIN LATERAL unnest(range(1, 1 + least($maxPieceLen,
+       |    length(w) - ua.a + 1))) um(m)
+       |  JOIN vocab v ON v.tok = substr(words.w, ua.a::INT, um.m::INT)),
+       |${wordpieceWalkTailSql(byteFallback = true)}""".stripMargin
   }
 
   /** BERT encode oracle: the two-inventory match — position 1 joins
@@ -4049,12 +4096,45 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT sp.w, sp.a, sp.b FROM sp
        |  JOIN bvcont v ON sp.a > 1 AND v.tok = sp.sub),
-       |${wordpieceWalkTailSql()}""".stripMargin
+       |${wordpieceWalkTailSql(byteFallback = false)}""".stripMargin
   }
 
   /** The shared greedy-walk tail (jump map, list_reduce fold, per-doc
     * counts) over CTEs `toks`, `words`, `mm`. */
-  private def wordpieceWalkTailSql(): String =
+  /** `byteFallback`: whole-word [UNK] (the BERT law) vs whole-word
+    * UTF-8 byte decomposition (the byte_fallback law — UNK
+    * impossible, byte pieces surfaced instead). */
+  private def wordpieceWalkTailSql(byteFallback: Boolean): String = {
+    val (ws, tail) =
+      if (!byteFallback) (
+        s"""ws AS (SELECT w,
+           |    CASE WHEN st.unk THEN CAST(1 AS BIGINT) ELSE st.k END
+           |      AS n_pieces_w,
+           |    CASE WHEN st.unk THEN 1 ELSE 0 END AS unk_w
+           |  FROM walked)""".stripMargin,
+        s"""SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(ws.n_pieces_w) AS BIGINT) AS n_pieces,
+           |  CAST(sum(ws.unk_w) AS BIGINT) AS n_unk
+           |FROM toks JOIN ws USING (w)
+           |GROUP BY toks.doc_id""".stripMargin)
+      else (
+        s"""ws AS (SELECT w,
+           |    CASE WHEN st.unk THEN octet_length(encode(w))
+           |      ELSE st.k END AS n_pieces_w,
+           |    CASE WHEN st.unk THEN octet_length(encode(w))
+           |      ELSE 0 END AS bytes_w
+           |  FROM walked)""".stripMargin,
+        s"""SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(ws.n_pieces_w) AS BIGINT) AS n_pieces,
+           |  CAST(sum(ws.bytes_w) AS BIGINT) AS n_byte_pieces
+           |FROM toks JOIN ws USING (w)
+           |GROUP BY toks.doc_id""".stripMargin)
+    s"""${wordpieceWalkCoreSql()},
+       |$ws
+       |$tail"""
+  }
+
+  private def wordpieceWalkCoreSql(): String =
     s"""jump AS MATERIALIZED (
        |  SELECT w, map(list(a ORDER BY a), list(mb ORDER BY a)) AS jm
        |  FROM (SELECT w, a, max(b) AS mb FROM mm GROUP BY w, a) jj
@@ -4071,17 +4151,7 @@ object SparkEntry {
        |        THEN {'pos': acc.pos, 'k': acc.k, 'unk': true}
        |      ELSE {'pos': map_extract(jump.jm, acc.pos)[1] + 1,
        |        'k': acc.k + 1, 'unk': false} END) AS st
-       |  FROM words LEFT JOIN jump ON jump.w = words.w),
-       |ws AS (SELECT w,
-       |    CASE WHEN st.unk THEN CAST(1 AS BIGINT) ELSE st.k END
-       |      AS n_pieces_w,
-       |    CASE WHEN st.unk THEN 1 ELSE 0 END AS unk_w
-       |  FROM walked)
-       |SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_words,
-       |  CAST(sum(ws.n_pieces_w) AS BIGINT) AS n_pieces,
-       |  CAST(sum(ws.unk_w) AS BIGINT) AS n_unk
-       |FROM toks JOIN ws USING (w)
-       |GROUP BY toks.doc_id""".stripMargin
+       |  FROM words LEFT JOIN jump ON jump.w = words.w)""".stripMargin
 
   /** One unigram-LM hard-EM round: matches of vocab pieces against
     * word substrings, brute segmentation ENUMERATION via a recursive
@@ -9025,6 +9095,8 @@ object SparkEntry {
 
     "q_bpe_train" -> bpeTrainSql(nMerges = 6),
     "q_wordpiece_train" -> wordpieceTrainSql(nMerges = 6),
+    "q_wordpiece_bytes" -> wordpieceEncodeBytesSql(nMerges = 6,
+      maxPieceLen = 8),
     "q_wordpiece_encode" -> wordpieceEncodeSql(nMerges = 6,
       maxPieceLen = 8),
     "q_graph_ann_topk" -> graphAnnTopKSql(beam = 12, rounds = 7,

@@ -444,6 +444,71 @@ object TextAnalysis {
     greedyWalkCounts(docs, idCol, textCol, words, matches)
   }
 
+  /** The greedy longest-match-first walk itself: longest match per
+    * start position becomes a functional jump map, one codegen'd
+    * `aggregate` fold follows it left to right. Returns (w, st) with
+    * st = (pos, k pieces, unk flag); the UNK consequence (whole-word
+    * [UNK] vs byte decomposition) is the caller's law. */
+  private def greedyWalk(words: DataFrame,
+      matches: DataFrame): DataFrame = {
+    val jmap = matches.groupBy(col("w"), col("a"))
+      .agg(max(col("b")).as("mb"))
+      .groupBy("w")
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("a"), col("mb"))))).as("jm"))
+    words.join(jmap, Seq("w"), "left")
+      .select(col("w"), expr(
+        """aggregate(sequence(1, length(w)),
+          |  named_struct('pos', 1, 'k', CAST(0 AS BIGINT),
+          |    'unk', false),
+          |  (acc, i) -> CASE
+          |    WHEN acc.unk OR acc.pos > length(w) THEN acc
+          |    WHEN jm IS NULL OR element_at(jm, acc.pos) IS NULL
+          |      THEN named_struct('pos', acc.pos, 'k', acc.k,
+          |        'unk', true)
+          |    ELSE named_struct('pos', element_at(jm, acc.pos) + 1,
+          |      'k', acc.k + CAST(1 AS BIGINT), 'unk', false)
+          |  END)""".stripMargin).as("st"))
+  }
+
+  /**
+   * Byte-fallback WordPiece encode: [[wordpieceEncodeCounts]]' greedy
+   * walk with the whole-word [UNK] consequence replaced by WHOLE-WORD
+   * BYTE DECOMPOSITION — a word the walk cannot cover encodes as its
+   * UTF-8 bytes, octet_length(w) byte pieces (the byte-fallback dual
+   * of BERT's whole-word [UNK]; SentencePiece `byte_fallback`
+   * semantics at the walk's failure granularity). UNK is structurally
+   * impossible. Train/encode separation is the caller's: pass a vocab
+   * trained on the TRAIN corpus ([[wordpieceVocab]]) and any encode
+   * corpus. Output: (id, n_words, n_pieces, n_byte_pieces); n_pieces
+   * includes the byte pieces.
+   *
+   * Scale shape: identical to [[wordpieceEncodeCounts]] — the walk
+   * runs on the distinct-word table, the corpus pays one token
+   * explode against the broadcast word stats.
+   */
+  def wordpieceEncodeBytes(docs: DataFrame, idCol: String,
+      textCol: String, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 32,
+      "maxPieceLen in [1, 32]")
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .distinct()
+    val matches = wordpieceSpans(words, maxPieceLen)
+      .join(broadcast(vocab.select("tok")), Seq("tok"))
+    val wstats = greedyWalk(words, matches).select(col("w"),
+      when(col("st.unk"), octet_length(col("w")).cast("long"))
+        .otherwise(col("st.k")).as("n_pieces_w"),
+      when(col("st.unk"), octet_length(col("w")).cast("long"))
+        .otherwise(lit(0L)).as("bytes_w"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(wstats), Seq("w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces_w")).as("n_pieces"),
+        sum(col("bytes_w")).as("n_byte_pieces"))
+  }
+
   /** All (a, b, substring) candidate spans per distinct word. */
   private def wordpieceSpans(words: DataFrame,
       maxPieceLen: Int): DataFrame =
@@ -464,24 +529,7 @@ object TextAnalysis {
   private def greedyWalkCounts(docs: DataFrame, idCol: String,
       textCol: String, words: DataFrame,
       matches: DataFrame): DataFrame = {
-    val jmap = matches.groupBy(col("w"), col("a"))
-      .agg(max(col("b")).as("mb"))
-      .groupBy("w")
-      .agg(map_from_entries(sort_array(
-        collect_list(struct(col("a"), col("mb"))))).as("jm"))
-    val walked = words.join(jmap, Seq("w"), "left")
-      .select(col("w"), expr(
-        """aggregate(sequence(1, length(w)),
-          |  named_struct('pos', 1, 'k', CAST(0 AS BIGINT),
-          |    'unk', false),
-          |  (acc, i) -> CASE
-          |    WHEN acc.unk OR acc.pos > length(w) THEN acc
-          |    WHEN jm IS NULL OR element_at(jm, acc.pos) IS NULL
-          |      THEN named_struct('pos', acc.pos, 'k', acc.k,
-          |        'unk', true)
-          |    ELSE named_struct('pos', element_at(jm, acc.pos) + 1,
-          |      'k', acc.k + CAST(1 AS BIGINT), 'unk', false)
-          |  END)""".stripMargin).as("st"))
+    val walked = greedyWalk(words, matches)
     val wstats = walked.select(col("w"),
       when(col("st.unk"), lit(1L)).otherwise(col("st.k"))
         .as("n_pieces_w"),

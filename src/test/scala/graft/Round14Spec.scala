@@ -45,6 +45,25 @@ class Round14Spec extends SparkSpec {
     assert(r.getLong(3) == 0L, s"byte pieces on covered corpus: $r")
   }
 
+  test("wordpieceEncodeBytes: uncovered words become UTF-8 bytes, " +
+      "covered words match the [UNK] encoder piece-for-piece") {
+    val train = Seq("abab abab cd cd").toDF("text")
+    val vocab = TextAnalysis.wordpieceVocab(train, "text", nMerges = 3)
+    val docs = Seq((1L, "abab axé cd")).toDF("doc_id", "text")
+    val unk = TextAnalysis.wordpieceEncodeCounts(docs, "doc_id",
+      "text", vocab, maxPieceLen = 8).head()
+    val byt = TextAnalysis.wordpieceEncodeBytes(docs, "doc_id",
+      "text", vocab, maxPieceLen = 8).head()
+    // 'axé': a covered, x uncovered -> walk fails -> whole word to
+    // bytes: a(1) + x(1) + é(2) = 4 byte pieces
+    assert(unk.getLong(3) == 1L, s"unk law: $unk")
+    assert(byt.getLong(3) == 4L, s"byte law: $byt")
+    // covered words contribute identical piece counts in both laws:
+    // total(bytes) - bytePieces == total(unk) - unkWordPieces(=1 each)
+    assert(byt.getLong(2) - byt.getLong(3) ==
+      unk.getLong(2) - unk.getLong(3), s"covered drift: $unk vs $byt")
+  }
+
   // ---- full Leiden ----
 
   private def leidenFixture = {
