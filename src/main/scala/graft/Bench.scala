@@ -189,7 +189,7 @@ object Bench {
     "lprop_stable_trace" -> "lpstt", "lprop_stable" -> "lpst",
     // round-14 additions
     "leiden_full" -> "leidf", "bpe_bytes" -> "bpeby",
-    "wordpiece_bytes" -> "wpby",
+    "wordpiece_bytes" -> "wpby", "unigram_bytes" -> "ugby",
     // round-11 additions
     "louvain_levels" -> "louvlv", "weighted_matching" -> "wmatch",
     "knn_refine_recall" -> "knnrr", "knn_refine" -> "knnrf",

@@ -2704,6 +2704,20 @@ object SparkEntry {
         "doc_id", "text", maxPieceLen = 4, seedSize = 40,
         vocabSize = 24, nRounds = 3)),
 
+    // ---- Byte-fallback unigram encode (SentencePiece byte_fallback):
+    // the Viterbi DP extended with per-char byte pieces for unseen
+    // characters — TRUE mixing (covered sub-spans still segment
+    // optimally, only the unseen chars pay byte costs); train on
+    // `text`, encode source‖text; UNK impossible ----
+    "q_unigram_bytes" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.unigramEncodeBytes(d, "text",
+        d.select(col("doc_id"),
+          concat_ws(" ", col("source"), col("text")).as("btext")),
+        "doc_id", "btext", maxPieceLen = 4, seedSize = 40,
+        vocabSize = 24, nRounds = 3)
+    }),
+
     // ---- k-core peeling (3 fixed rounds, k=3) over the part⋈supplier
     // bipartite graph — degeneracy summary; oracle replays the exact
     // peel rounds via a generated CTE chain ----
@@ -4316,6 +4330,61 @@ object SparkEntry {
        |  CAST(sum(b.k) AS BIGINT) AS n_pieces
        |FROM pt JOIN best_$fin b USING (w)
        |GROUP BY pt.doc_id""".stripMargin
+  }
+
+  /** Byte-fallback unigram encode oracle: the trained-vocab rounds,
+    * then the ENCODE corpus (source‖text) re-enumerated recursively
+    * over vocab pieces (kc = 1) ∪ per-char byte-fallback pieces for
+    * chars outside the trained single floor (kc = byc =
+    * octet_length UTF-8); best = (total kc asc, usage desc, path
+    * asc) — the identical criterion with byte costs. */
+  private def unigramEncodeBytesSql(maxPieceLen: Int, seedSize: Int,
+      vocabSize: Int, nRounds: Int): String = {
+    val fv = s"uv$nRounds"
+    s"""WITH RECURSIVE
+       |${unigramVocabCtes(maxPieceLen, seedSize, vocabSize, nRounds)},
+       |ept AS MATERIALIZED (SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(source || ' ' || text, '\\s+'),
+       |    x -> x <> '')) AS w
+       |  FROM documents),
+       |ewords AS MATERIALIZED (SELECT DISTINCT w FROM ept),
+       |em AS MATERIALIZED (
+       |  SELECT e.w, ua.a::INT AS a, (ua.a + um.m - 1)::INT AS b,
+       |    substr(e.w, ua.a::INT, um.m::INT) AS tok, v.cnt,
+       |    1 AS kc, CAST(0 AS BIGINT) AS byc
+       |  FROM ewords e
+       |  CROSS JOIN LATERAL unnest(range(1, length(e.w) + 1)) ua(a)
+       |  CROSS JOIN LATERAL unnest(range(1, 1 + least($maxPieceLen,
+       |    length(e.w) - ua.a + 1))) um(m)
+       |  JOIN $fv v ON v.tok = substr(e.w, ua.a::INT, um.m::INT)
+       |  UNION ALL
+       |  SELECT cw.w, cw.i::INT, cw.i::INT, cw.ch,
+       |    CAST(0 AS BIGINT) AS cnt,
+       |    octet_length(encode(cw.ch))::INT AS kc,
+       |    CAST(octet_length(encode(cw.ch)) AS BIGINT) AS byc
+       |  FROM (SELECT e.w, ci.i, substr(e.w, ci.i::INT, 1) AS ch
+       |    FROM ewords e CROSS JOIN LATERAL
+       |      unnest(range(1, length(e.w) + 1)) ci(i)) cw
+       |  WHERE NOT EXISTS (SELECT 1 FROM $fv v
+       |    WHERE length(v.tok) = 1 AND v.tok = cw.ch)),
+       |es AS (
+       |  SELECT w, 0 AS pos, 0 AS k, CAST(0 AS BIGINT) AS s,
+       |    CAST(0 AS BIGINT) AS by, '' AS path FROM ewords
+       |  UNION ALL
+       |  SELECT m.w, m.b, e.k + m.kc, e.s + m.cnt, e.by + m.byc,
+       |    CASE WHEN e.path = '' THEN m.tok
+       |      ELSE e.path || ' ' || m.tok END
+       |  FROM es e JOIN em m ON m.w = e.w AND m.a = e.pos + 1),
+       |ebest AS MATERIALIZED (
+       |  SELECT w, k, by FROM (
+       |    SELECT w, k, by, row_number() OVER (PARTITION BY w
+       |      ORDER BY k, s DESC, path) AS rk
+       |    FROM es WHERE pos = length(w)) ez WHERE rk = 1)
+       |SELECT ept.doc_id, count(*) AS n_words,
+       |  CAST(sum(b.k) AS BIGINT) AS n_pieces,
+       |  CAST(sum(b.by) AS BIGINT) AS n_byte_pieces
+       |FROM ept JOIN ebest b USING (w)
+       |GROUP BY 1""".stripMargin
   }
 
   /** Trained-tokenizer application oracle: replay the training steps,
@@ -9156,6 +9225,8 @@ object SparkEntry {
     // differs from usage pruning (keeps 'batc' over 'row' on sf0.01)
     "q_unigram_train_loss" -> unigramTrainLossSql(maxPieceLen = 4,
       seedSize = 40, vocabSize = 12, nRounds = 3),
+    "q_unigram_bytes" -> unigramEncodeBytesSql(maxPieceLen = 4,
+      seedSize = 40, vocabSize = 24, nRounds = 3),
     "q_unigram_encode" -> unigramEncodeSql(maxPieceLen = 4,
       seedSize = 40, vocabSize = 24, nRounds = 3),
 

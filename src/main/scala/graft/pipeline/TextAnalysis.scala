@@ -2098,6 +2098,109 @@ object TextAnalysis {
    * per-word piece counts (broadcast when they fit) feeding a
    * combinable per-doc aggregate — the scan never pays per-round work.
    */
+  /**
+   * Byte-fallback unigram-LM encode (SentencePiece `byte_fallback`,
+   * Kudo & Richardson 2018 — the third tokenizer family's
+   * never-UNK law, completing BPE/[[bpeEncodeBytes]] and
+   * WordPiece/[[wordpieceEncodeBytes]]): the Viterbi DP runs over the
+   * trained vocab pieces (cost 1 piece each) EXTENDED with per-char
+   * FALLBACK pieces for characters outside the trained single-char
+   * floor, costing octet_length(char) byte pieces. Every position is
+   * coverable (vocab single or byte fallback), so segmentation always
+   * completes — UNK structurally impossible. The criterion stays the
+   * exact-integer total order (total piece count asc, usage sum desc,
+   * path asc), so a covered sub-span still segments optimally inside
+   * a word that needs fallback (true byte_fallback mixing, not
+   * whole-word decomposition).
+   *
+   * Train/encode corpora are separate arguments; output per encode
+   * document: (id, n_words, n_pieces, n_byte_pieces) with n_pieces
+   * counting byte pieces individually.
+   *
+   * Scale shape: training is [[unigramTrainLoop]] (vocab-sized EM
+   * rounds); the DP runs once per DISTINCT encode word as one
+   * codegen'd aggregate fold; the corpus pays one token explode
+   * against the broadcast word stats.
+   */
+  def unigramEncodeBytes(train: DataFrame, trainTextCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      maxPieceLen: Int, seedSize: Int, vocabSize: Int,
+      nRounds: Int): DataFrame = {
+    val (_, vocab, _, extras) = unigramTrainLoop(train, trainTextCol,
+      maxPieceLen, seedSize, vocabSize, nRounds)
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .distinct()
+    val spans = words.select(col("w"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), a ->
+           |  transform(sequence(a, least(a + ${maxPieceLen - 1},
+           |      length(w))), b ->
+           |    named_struct('a', a, 'b', b,
+           |      'tok', substring(w, a, b - a + 1)))))""".stripMargin))
+        .as("p"))
+      .select(col("w"), col("p.a").as("a"), col("p.b").as("b"),
+        col("p.tok").as("tok"))
+    val vp = spans
+      .join(broadcast(vocab.select(col("tok"), col("cnt"))), Seq("tok"))
+      .select(col("w"), col("a"), col("b"), col("tok"), col("cnt"),
+        lit(1).as("kc"), lit(0L).as("byc"))
+    val singles = vocab.filter(length(col("tok")) === 1)
+      .select(col("tok").as("ch")).withColumn("cov", lit(1))
+    val fb = words
+      .select(col("w"), posexplode(filter(split(col("w"), ""),
+        c => c =!= "")).as(Seq("pos0", "ch")))
+      .join(broadcast(singles), Seq("ch"), "left")
+      .filter(col("cov").isNull)
+      .select(col("w"), (col("pos0") + 1).as("a"),
+        (col("pos0") + 1).as("b"), col("ch").as("tok"),
+        lit(0L).as("cnt"), octet_length(col("ch")).as("kc"),
+        octet_length(col("ch")).cast("long").as("byc"))
+    val dp = expr(
+      """element_at(
+        |  aggregate(sequence(1, length(w)),
+        |    array(named_struct('k', 0, 's', CAST(0 AS BIGINT),
+        |      'by', CAST(0 AS BIGINT), 'path', '')),
+        |    (acc, i) -> concat(acc, array(
+        |      aggregate(filter(ms, m -> m.b = i),
+        |        named_struct('k', 999999, 's', CAST(0 AS BIGINT),
+        |          'by', CAST(0 AS BIGINT), 'path', ''),
+        |        (bb, m) -> CASE
+        |          WHEN element_at(acc, m.a).k >= 999999 THEN bb
+        |          WHEN bb.k >= 999999
+        |            OR element_at(acc, m.a).k + m.kc < bb.k
+        |            OR (element_at(acc, m.a).k + m.kc = bb.k
+        |              AND element_at(acc, m.a).s + m.cnt > bb.s)
+        |            OR (element_at(acc, m.a).k + m.kc = bb.k
+        |              AND element_at(acc, m.a).s + m.cnt = bb.s
+        |              AND concat(element_at(acc, m.a).path,
+        |                CASE WHEN element_at(acc, m.a).path = ''
+        |                  THEN '' ELSE ' ' END, m.tok) < bb.path)
+        |          THEN named_struct(
+        |            'k', element_at(acc, m.a).k + m.kc,
+        |            's', element_at(acc, m.a).s + m.cnt,
+        |            'by', element_at(acc, m.a).by + m.byc,
+        |            'path', concat(element_at(acc, m.a).path,
+        |              CASE WHEN element_at(acc, m.a).path = ''
+        |                THEN '' ELSE ' ' END, m.tok))
+        |          ELSE bb END)))),
+        |  length(w) + 1)""".stripMargin)
+    val wstats = vp.unionByName(fb)
+      .groupBy("w")
+      .agg(collect_list(struct(col("a"), col("b"), col("tok"),
+        col("cnt"), col("kc"), col("byc"))).as("ms"))
+      .withColumn("dp", dp)
+      .select(col("w"), col("dp.k").cast("long").as("k_w"),
+        col("dp.by").as("by_w"))
+    val out = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(wstats), Seq("w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("k_w")).as("n_pieces"),
+        sum(col("by_w")).as("n_byte_pieces"))
+    extras.foreach(graft.CacheScope.unpersist)
+    out
+  }
+
   def unigramEncodeCounts(docs: DataFrame, idCol: String,
       textCol: String, maxPieceLen: Int, seedSize: Int, vocabSize: Int,
       nRounds: Int): DataFrame = {

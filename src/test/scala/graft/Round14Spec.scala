@@ -64,6 +64,20 @@ class Round14Spec extends SparkSpec {
       unk.getLong(2) - unk.getLong(3), s"covered drift: $unk vs $byt")
   }
 
+  test("unigramEncodeBytes mixes optimally: covered sub-spans use " +
+      "vocab pieces, only unseen chars pay byte costs") {
+    val train = Seq("abab abab ab").toDF("text")
+    val docs = Seq((1L, "abé ab")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramEncodeBytes(train, "text", docs,
+      "doc_id", "text", maxPieceLen = 2, seedSize = 4, vocabSize = 2,
+      nRounds = 1).head()
+    // 'abé': the DP picks [ab][é-bytes] = 1 + 2 = 3 pieces (2 byte
+    // pieces) — NOT the 4-piece whole-word decomposition; 'ab' = 1.
+    assert(r.getLong(1) == 2L, s"n_words: $r")
+    assert(r.getLong(2) == 4L, s"n_pieces (3 + 1): $r")
+    assert(r.getLong(3) == 2L, s"byte pieces: $r")
+  }
+
   // ---- full Leiden ----
 
   private def leidenFixture = {
