@@ -213,10 +213,11 @@ object TextAnalysis {
    * includes the byte pieces, n_byte_pieces counts only them (the
    * fallback-rate observability a corpus owner monitors).
    *
-   * Character granularity is the code-point grid on both engines
-   * (Spark split-by-empty-regex over BMP text; DuckDB
-   * string_split(w, '')); supplementary-plane text rides the same
-   * law per engine-native char unit.
+   * Character granularity is the CODE-POINT grid on both engines,
+   * verified including supplementary-plane chars: Spark's
+   * split-by-empty-regex, substring and length are all
+   * code-point-based on UTF8String (an emoji is ONE char of
+   * octet_length 4), matching DuckDB's string_split(w, '') exactly.
    *
    * Scale shape: training is vocab-sized ([[bpeTrainLoop]]); the
    * fallback decomposition runs on the DISTINCT-WORD table of the

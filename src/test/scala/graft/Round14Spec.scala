@@ -20,9 +20,13 @@ class Round14Spec extends SparkSpec {
     // encode corpus: 'abab' covered (merges to <=2 symbols), 'cd'
     // covered, 'axe' has a,x?,e — 'x'/'e' unseen chars (1 byte each),
     // 'café' has 'f' unseen (1 byte) and 'é' unseen (2 bytes),
-    // '中文' both unseen (3 bytes each)
-    val docs = Seq((1L, "abab axe"), (2L, "café 中文 cd"))
-      .toDF("doc_id", "text")
+    // '中文' both unseen (3 bytes each); doc 3 pins the
+    // supplementary-plane law — an emoji is ONE code point of
+    // octet_length 4 on BOTH engines (Spark UTF8String split/length
+    // are code-point-based, verified r14)
+    val emoji = new String(Character.toChars(0x1F600))
+    val docs = Seq((1L, "abab axe"), (2L, "café 中文 cd"),
+      (3L, "a" + emoji)).toDF("doc_id", "text")
     val got = TextAnalysis.bpeEncodeBytes(train, "text", docs,
       "doc_id", "text", nMerges = 4)
       .orderBy("doc_id")
@@ -36,6 +40,8 @@ class Round14Spec extends SparkSpec {
     // 'cd' trained -> 1 symbol. total pieces 5+6+1=12, bytes 9
     assert(got(0) == ((1L, 2L, 1L + 3L, 2L)), s"doc1: ${got(0)}")
     assert(got(1) == ((2L, 3L, 12L, 9L)), s"doc2: ${got(1)}")
+    // doc 3: 'a' covered (1) + emoji uncovered (4 bytes) = 5 pieces
+    assert(got(2) == ((3L, 1L, 5L, 4L)), s"doc3: ${got(2)}")
   }
 
   test("bpeEncodeBytes on a fully covered corpus reports zero bytes") {
