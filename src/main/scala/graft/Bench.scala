@@ -190,6 +190,7 @@ object Bench {
     // round-14 additions
     "leiden_full" -> "leidf", "bpe_bytes" -> "bpeby",
     "wordpiece_bytes" -> "wpby", "unigram_bytes" -> "ugby",
+    "graph_ann_ivf_recall" -> "gaivr", "graph_ann_ivf" -> "gaiv",
     // round-11 additions
     "louvain_levels" -> "louvlv", "weighted_matching" -> "wmatch",
     "knn_refine_recall" -> "knnrr", "knn_refine" -> "knnrf",

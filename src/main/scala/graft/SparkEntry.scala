@@ -523,6 +523,32 @@ object SparkEntry {
           beam = 12, rounds = 7, k = 5))
     }),
 
+    // ---- Two-layer serving: IVF-centroid entry layer (coarse) over
+    // the kNN-graph beam search (fine) — the HNSW shape; per-query
+    // entries = nProbe nearest cell seeds, buying one beam round
+    // (rounds=6 here vs 7 for fixed entries at equal 0.94 recall) ----
+    "q_graph_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.graphAnnIvfTopK(e, "vec_id", "embedding",
+        Similarity.knnRefine(e, "vec_id", "embedding", k = 12,
+          numPlanes = 6, dim = 64, maxBucketSize = 128, expandCap = 12)
+          .select("vec_id", "nbr_id"),
+        queryIds = (0L to 9L), nCells = 32, nProbe = 6,
+        beam = 12, rounds = 6, k = 5)
+    }),
+    "q_graph_ann_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          queryIds = (0L to 9L), k = 5),
+        Similarity.graphAnnIvfTopK(e, "vec_id", "embedding",
+          Similarity.knnRefine(e, "vec_id", "embedding", k = 12,
+            numPlanes = 6, dim = 64, maxBucketSize = 128,
+            expandCap = 12).select("vec_id", "nbr_id"),
+          queryIds = (0L to 9L), nCells = 32, nProbe = 6,
+          beam = 12, rounds = 6, k = 5))
+    }),
+
     // ---- PCA rotation (OPQ-lite): top principal direction by power
     // iteration over the exact on-grid covariance — the pre-
     // quantization rotation step; + the corpus-wide projection ----
@@ -5334,8 +5360,14 @@ object SparkEntry {
     * rounds of expand -> NOT-EXISTS-visited -> score -> per-query
     * top-`beam` — the identical batch beam-search law as
     * Similarity.graphAnnTopK. Yields vis$rounds(qid, v, simx). */
+  /** `ivfEntry = Some((nCells, nProbe))` swaps the fixed VALUES
+    * entry list for the per-query coarse layer: each query's entries
+    * are its nProbe nearest cell seeds (vec_id < nCells) on the
+    * exact simx grid, ties by cell asc — mirroring
+    * [[graft.pipeline.Similarity.graphAnnIvfTopK]]. */
   private def graphAnnCtes(beam: Int, rounds: Int, nQ: Int,
-      entries: Seq[Long], gSql: String): String = {
+      entries: Seq[Long], gSql: String,
+      ivfEntry: Option[(Int, Int)] = None): String = {
     def simx(q: String, e: String) =
       s"""CAST(floor(list_cosine_similarity($q::DOUBLE[],
          |      $e::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
@@ -5356,14 +5388,35 @@ object SparkEntry {
          |    ORDER BY simx DESC, v) AS brk FROM gsc$r) z$r
          |  WHERE brk <= $beam)""".stripMargin
     }.mkString(",\n")
+    val entryCtes = ivfEntry match {
+      case None =>
+        s"""ent(ev) AS (VALUES ${entries.map(e => s"($e)")
+          .mkString(", ")}),
+           |vis0 AS MATERIALIZED (SELECT qv.qid,
+           |    CAST(ent.ev AS BIGINT) AS v,
+           |    ${simx("qv.embedding", "e.embedding")} AS simx
+           |  FROM qv CROSS JOIN ent
+           |  JOIN embeddings e ON e.vec_id = ent.ev)""".stripMargin
+      case Some((nCells, nProbe)) =>
+        s"""cells AS MATERIALIZED (SELECT vec_id AS cell, embedding
+           |    AS cvec
+           |  FROM embeddings WHERE vec_id < $nCells),
+           |entq AS MATERIALIZED (SELECT qid, cell FROM (
+           |  SELECT qv.qid, c.cell, row_number() OVER (
+           |      PARTITION BY qv.qid
+           |      ORDER BY ${simx("qv.embedding", "c.cvec")} DESC,
+           |        c.cell) AS crk
+           |  FROM qv CROSS JOIN cells c) ze WHERE crk <= $nProbe),
+           |vis0 AS MATERIALIZED (SELECT eq.qid,
+           |    CAST(eq.cell AS BIGINT) AS v,
+           |    ${simx("qv.embedding", "e.embedding")} AS simx
+           |  FROM entq eq JOIN qv ON qv.qid = eq.qid
+           |  JOIN embeddings e ON e.vec_id = eq.cell)""".stripMargin
+    }
     s"""g AS MATERIALIZED ($gSql),
        |qv AS MATERIALIZED (SELECT vec_id AS qid, embedding
        |  FROM embeddings WHERE vec_id < $nQ),
-       |ent(ev) AS (VALUES ${entries.map(e => s"($e)").mkString(", ")}),
-       |vis0 AS MATERIALIZED (SELECT qv.qid, CAST(ent.ev AS BIGINT) AS v,
-       |    ${simx("qv.embedding", "e.embedding")} AS simx
-       |  FROM qv CROSS JOIN ent
-       |  JOIN embeddings e ON e.vec_id = ent.ev),
+       |$entryCtes,
        |fr0 AS (SELECT qid, v, simx FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid
        |    ORDER BY simx DESC, v) AS brk FROM vis0) z0
@@ -5373,10 +5426,10 @@ object SparkEntry {
 
   private def graphAnnTopKSql(beam: Int, rounds: Int, nQ: Int,
       topK: Int, entries: Seq[Long], graphK: Int,
-      expandCap: Int): String =
+      expandCap: Int, ivfEntry: Option[(Int, Int)] = None): String =
     s"""WITH ${knnRefineCtes(k = graphK, expandCap = expandCap)},
        |${graphAnnCtes(beam, rounds, nQ, entries,
-        "SELECT x AS v, nbr_id AS n FROM g1")}
+        "SELECT x AS v, nbr_id AS n FROM g1", ivfEntry)}
        |SELECT qid AS query_id, v AS cand_id, simx,
        |  CAST(rk AS BIGINT) AS rk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid
@@ -5386,10 +5439,10 @@ object SparkEntry {
 
   private def graphAnnRecallSql(beam: Int, rounds: Int, nQ: Int,
       topK: Int, entries: Seq[Long], graphK: Int,
-      expandCap: Int): String =
+      expandCap: Int, ivfEntry: Option[(Int, Int)] = None): String =
     s"""WITH ${knnRefineCtes(k = graphK, expandCap = expandCap)},
        |${graphAnnCtes(beam, rounds, nQ, entries,
-        "SELECT x AS v, nbr_id AS n FROM g1")},
+        "SELECT x AS v, nbr_id AS n FROM g1", ivfEntry)},
        |approx AS (SELECT qid AS query_id, v AS cand_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid
        |    ORDER BY simx DESC, v) AS rk
@@ -9174,6 +9227,12 @@ object SparkEntry {
     "q_graph_ann_recall" -> graphAnnRecallSql(beam = 12, rounds = 7,
       nQ = 10, topK = 5, entries = Seq(7L, 42L, 97L, 123L, 211L, 333L),
       graphK = 12, expandCap = 12),
+    "q_graph_ann_ivf" -> graphAnnTopKSql(beam = 12, rounds = 6,
+      nQ = 10, topK = 5, entries = Seq.empty,
+      graphK = 12, expandCap = 12, ivfEntry = Some((32, 6))),
+    "q_graph_ann_ivf_recall" -> graphAnnRecallSql(beam = 12,
+      rounds = 6, nQ = 10, topK = 5, entries = Seq.empty,
+      graphK = 12, expandCap = 12, ivfEntry = Some((32, 6))),
     // fertility rollup: the encode oracle as a derived table joined
     // to per-doc char counts; exact permille integer ratios
     "q_tokenizer_fertility" ->
@@ -10789,6 +10848,7 @@ object SparkEntry {
     "q_pq_rerank_recall" -> Seq("recall"),
     "q_pq_recall" -> Seq("recall"),
     "q_graph_ann_recall" -> Seq("recall"),
+    "q_graph_ann_ivf_recall" -> Seq("recall"),
     "q_ivfpq_topk" -> Seq("d2"),
     "q_ivfpq_residual" -> Seq("d2"),
     "q_ivfpq_recall" -> Seq("recall"),

