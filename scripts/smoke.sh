@@ -20,10 +20,19 @@ trap 'rm -f "$out"' EXIT
 env_vars=(SPARK_GRAFT_AMPLIFY="$AMPLIFY")
 [ -n "$ONLY" ] && env_vars+=(SPARK_GRAFT_SMOKE_ONLY="$ONLY")
 
-# sbt's own exit code is the primary check (pipefail keeps it); tee so
-# the full log survives for triage while SMOKE rows stream to stdout.
-env "${env_vars[@]}" sbt -batch "runMain graft.ScaleSmoke" 2>&1 \
-  | tee "$out" | grep --line-buffered -E 'SMOKE' || true
+# sbt's own exit code is the primary check. The grep guard (grep
+# exits 1 when a crashed run printed no SMOKE rows) must live INSIDE
+# the last pipeline segment: a trailing `|| true` on the pipeline
+# itself binds to the WHOLE pipeline and defeats pipefail — the r14
+# verdict caught exactly that swallow, where a nonzero sbt exit
+# passed silently. With the guard inside, pipefail's verdict is
+# sbt's own status. tee keeps the full log while SMOKE rows stream.
+if ! env "${env_vars[@]}" sbt -batch "runMain graft.ScaleSmoke" 2>&1 \
+    | tee "$out" | { grep --line-buffered -E 'SMOKE' || true; }; then
+  echo "smoke.sh: FAILED — sbt exited nonzero" >&2
+  tail -20 "$out" >&2
+  exit 1
+fi
 
 # Narrow content scan for real failures sbt might soften: a main-thread
 # crash or a nonzero forked exit. Broad '[error]' matching is WRONG

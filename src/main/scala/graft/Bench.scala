@@ -333,8 +333,11 @@ object Bench {
         var retries = 0
         while (err.isEmpty && sec > suspectAbove && retries < 2) {
           val r0 = System.nanoTime()
-          run()
-          sec = math.min(sec, (System.nanoTime() - r0) / 1e9)
+          // A crashed retry must not lower `sec` — a fast failure
+          // would otherwise record as a fast success (r14 ADVICE)
+          val retryErr = run()
+          if (retryErr.isEmpty)
+            sec = math.min(sec, (System.nanoTime() - r0) / 1e9)
           retries += 1
         }
         val gc1 = gcSec()

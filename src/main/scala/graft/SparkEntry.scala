@@ -549,6 +549,42 @@ object SparkEntry {
           beam = 12, rounds = 6, k = 5))
     }),
 
+    // ---- Clustered-corpus recall certification (r14 verdict Next
+    // #3): a deterministic mixture-of-Gaussians fixture (8 widely
+    // separated clusters — the structure real embedding corpora have
+    // and the unstructured gate corpus lacks) over an EXACT kNN
+    // substrate (the control: recall differences isolate the ENTRY
+    // strategy). Same budget both ways (beam=12, rounds=6, 6 entries
+    // per query): the IVF coarse layer routes every query into its
+    // own cluster (recall 1.0); 6 FIXED entries cover at most 6 of 8
+    // clusters, and the exact kNN graph has no cross-cluster edges to
+    // recover through — the two-layer recall win the unstructured
+    // corpus honestly could not show. Round15Spec pins mean(ivf) ≥
+    // 0.9 AND mean(ivf) > mean(fixed). ----
+    "q_mog_ivf_recall" -> ((s, dir) => {
+      val mog = Similarity.mogEmbeddings(s, n = 512, dim = 16,
+        nClusters = 8)
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopK(mog, "vec_id", "embedding",
+          queryIds = (0L to 15L), k = 5),
+        Similarity.graphAnnIvfTopK(mog, "vec_id", "embedding",
+          Similarity.exactKnnEdges(mog, "vec_id", "embedding", k = 8),
+          queryIds = (0L to 15L), nCells = 32, nProbe = 6,
+          beam = 12, rounds = 6, k = 5))
+    }),
+    "q_mog_fixed_recall" -> ((s, dir) => {
+      val mog = Similarity.mogEmbeddings(s, n = 512, dim = 16,
+        nClusters = 8)
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopK(mog, "vec_id", "embedding",
+          queryIds = (0L to 15L), k = 5),
+        Similarity.graphAnnTopK(mog, "vec_id", "embedding",
+          Similarity.exactKnnEdges(mog, "vec_id", "embedding", k = 8),
+          queryIds = (0L to 15L),
+          entryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L),
+          beam = 12, rounds = 6, k = 5))
+    }),
+
     // ---- PCA rotation (OPQ-lite): top principal direction by power
     // iteration over the exact on-grid covariance — the pre-
     // quantization rotation step; + the corpus-wide projection ----
@@ -1556,6 +1592,30 @@ object SparkEntry {
       graft.analytics.GraphAnalytics.leidenFull(
         intra.unionByName(ring).unionByName(chain).unionByName(pull),
         maxLevels = 3, roundsPerLevel = 4, mergeSweeps = 2)
+    }),
+
+    // ---- Finite-θ Leiden (Traag et al. 2019 eq. 4 — the exp(ΔQ/θ)
+    // merge distribution the θ→∞ gate degenerates; r14 verdict
+    // Missing #5): dyadic weights 2^min(20, gain//θ) + a seeded md5
+    // inverse-CDF draw over the exact integer gain grid; θ sized so
+    // the fixture's gains span several octaves (see PLANS.md probe).
+    // 2 levels (the θ law binds per sweep, level count orthogonal) ----
+    "q_leiden_theta" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val v1 = col("l_orderkey") % 300
+      val head = v1 - (v1 % 5)
+      val intra = li.select(v1.as("a"),
+        (head + col("l_partkey") % 5).as("b"))
+      val ring = li.select(head.as("a"), ((head + 5) % 300).as("b"))
+      val g = col("l_orderkey") % 60
+      val chain = li.select((g + 1000).as("a"), (g + 1200).as("b"))
+        .unionByName(li.select((g + 1100).as("a"), (g + 1200).as("b")))
+      val pull = li.select((g + 1200).as("a"),
+        (g * 5 + col("l_partkey") % 3).as("b"))
+      graft.analytics.GraphAnalytics.leidenFull(
+        intra.unionByName(ring).unionByName(chain).unionByName(pull),
+        maxLevels = 2, roundsPerLevel = 4, mergeSweeps = 2,
+        theta = Some(LeidenThetaGain))
     }),
 
     // ---- Balanced k-way partition refinement (Ugander & Backstrom
@@ -2744,6 +2804,43 @@ object SparkEntry {
         vocabSize = 24, nRounds = 3)
     }),
 
+    // ---- Tokenizer decode + lossless round-trip, all three families
+    // (the production byte-fallback contract decode(encode(x)) == x,
+    // r14 verdict Missing #4): piece SEQUENCES surfaced, decoded back
+    // per doc, and compared against the whitespace-canonical text.
+    // Encode corpus = source‖text‖a fixed multibyte probe (2-byte é,
+    // 3-byte 中, 4-byte astral 😀 — all OUTSIDE the ASCII train
+    // corpus, so every doc exercises 2/3/4-octet byte reassembly);
+    // the oracle reconstructs the text from its own independently
+    // segmented pieces ----
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.bpeRoundtrip(d, "text",
+        d.select(col("doc_id"),
+          concat_ws(" ", col("source"), col("text"),
+            lit(RtProbe)).as("btext")),
+        "doc_id", "btext", nMerges = 6)
+    }),
+    "q_wordpiece_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.wordpieceRoundtrip(
+        d.select(col("doc_id"),
+          concat_ws(" ", col("source"), col("text"),
+            lit(RtProbe)).as("btext")),
+        "doc_id", "btext",
+        TextAnalysis.wordpieceVocab(d, "text", nMerges = 6),
+        maxPieceLen = 8)
+    }),
+    "q_unigram_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.unigramRoundtrip(d, "text",
+        d.select(col("doc_id"),
+          concat_ws(" ", col("source"), col("text"),
+            lit(RtProbe)).as("btext")),
+        "doc_id", "btext", maxPieceLen = 4, seedSize = 40,
+        vocabSize = 24, nRounds = 3)
+    }),
+
     // ---- k-core peeling (3 fixed rounds, k=3) over the part⋈supplier
     // bipartite graph — degeneracy summary; oracle replays the exact
     // peel rounds via a generated CTE chain ----
@@ -3023,6 +3120,19 @@ object SparkEntry {
     * drop (0.0), half-epoch (0.5), keep (1.0), upsample (2.5). The
     * oracle SQL is generated from this same map so the CASE constants
     * can never drift. */
+  /** Finite-θ Leiden gate's θ in exact integer gain units
+    * (gain = m2·wxd − k·volr): sized from the measured fixture gain
+    * distribution (level-1 gains cluster in ~1885..1915, spread ~30)
+    * so the max-anchored dyadic weights 2^(20 − (gmax−gain)//θ) span
+    * several octaves — see PLANS.md (r15) for the probe. */
+  private val LeidenThetaGain = 8L
+
+  /** Multibyte probe appended to every roundtrip-gate encode doc:
+    * 2-byte é, 3-byte 中, 4-byte astral 😀 — all outside the ASCII
+    * train corpus, so byte-fallback decode reassembles 2/3/4-octet
+    * UTF-8 sequences on every document. */
+  private val RtProbe = "café 中文 x😀y"
+
   private val MixtureWeights: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (i % 4 match {
       case 0 => 0.0
@@ -3644,7 +3754,54 @@ object SparkEntry {
     * on P, and contraction over the refined labels with the next
     * level's c_(l+1)_0 SEEDED as refined-label → P-community. */
   private def leidenFullSql(edgeSql: String, maxLevels: Int,
-      rounds: Int, sweeps: Int): String = {
+      rounds: Int, sweeps: Int, theta: Option[Long] = None): String = {
+    // merge-target draw per sweep: θ→∞ = argmin md5(x:d) over the
+    // candidates; finite θ = the max-anchored dyadic exp(ΔQ/θ)
+    // inverse-CDF draw (weight 2^(20 − min(20, (gmax−gain) // θ)),
+    // u = md5('u:'x':'s) on the 2^20 grid, target = first d in d-asc
+    // order with cum·2^20 > u·tot) — integer-for-integer the
+    // engine's law
+    def chSql(l: Int, s: Int): String = {
+      val candJoin =
+        s"""FROM mv_${l}_$s m
+           |    JOIN wxd_${l}_$s wx ON wx.x = m.x
+           |    JOIN deg_$l dg ON dg.x = m.x
+           |    JOIN wellr_${l}_$s wr ON wr.rc = wx.d
+           |    CROSS JOIN m2_$l
+           |    WHERE wr.well_r
+           |      AND m2_$l.m2 * wx.wxd - dg.k * wr.volr > 0""".stripMargin
+      theta match {
+        case None =>
+          s"""ch_${l}_$s AS MATERIALIZED (SELECT x, d AS new_rc FROM (
+             |    SELECT m.x, wx.d, row_number() OVER (PARTITION BY m.x
+             |      ORDER BY md5(CAST(m.x AS VARCHAR) || ':' ||
+             |        CAST(wx.d AS VARCHAR)) ASC, wx.d ASC) AS rk
+             |    $candJoin) __h$s
+             |  WHERE rk = 1)""".stripMargin
+        case Some(t) =>
+          s"""cg_${l}_$s AS MATERIALIZED (SELECT m.x, wx.d,
+             |    m2_$l.m2 * wx.wxd - dg.k * wr.volr AS gain
+             |    $candJoin),
+             |cw_${l}_$s AS MATERIALIZED (SELECT x, d,
+             |    (CAST(1 AS BIGINT) << CAST(20 - least(20,
+             |      (max(gain) OVER (PARTITION BY x) - gain) // $t)
+             |      AS INT)) AS wgt
+             |  FROM cg_${l}_$s),
+             |ch_${l}_$s AS MATERIALIZED (SELECT x,
+             |    min(d) AS new_rc FROM (
+             |    SELECT x, d,
+             |      CAST(sum(wgt) OVER (PARTITION BY x ORDER BY d
+             |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |      CAST(sum(wgt) OVER (PARTITION BY x) AS BIGINT)
+             |        AS tot,
+             |      CAST('0x' || substr(md5('u:' ||
+             |        CAST(x AS VARCHAR) || ':$s'), 1, 8) AS BIGINT)
+             |        % 1048576 AS u
+             |    FROM cw_${l}_$s) __h$s
+             |  WHERE cum * 1048576 > u * tot
+             |  GROUP BY x)""".stripMargin
+      }
+    }
     def level(l: Int): String = {
       val p = s"c_${l}_$rounds"
       val sweepCtes = (1 to sweeps).map { s =>
@@ -3681,24 +3838,18 @@ object SparkEntry {
            |    SELECT u AS x, rv AS d, w FROM er_${l}_$s WHERE ru <> rv
            |    UNION ALL SELECT v, ru, w FROM er_${l}_$s WHERE ru <> rv)
            |    __w$s GROUP BY x, d),
-           |ch_${l}_$s AS MATERIALIZED (SELECT x, d AS new_rc FROM (
-           |    SELECT m.x, wx.d, row_number() OVER (PARTITION BY m.x
-           |      ORDER BY md5(CAST(m.x AS VARCHAR) || ':' ||
-           |        CAST(wx.d AS VARCHAR)) ASC, wx.d ASC) AS rk
-           |    FROM mv_${l}_$s m
-           |    JOIN wxd_${l}_$s wx ON wx.x = m.x
-           |    JOIN deg_$l dg ON dg.x = m.x
-           |    JOIN wellr_${l}_$s wr ON wr.rc = wx.d
-           |    CROSS JOIN m2_$l
-           |    WHERE wr.well_r
-           |      AND m2_$l.m2 * wx.wxd - dg.k * wr.volr > 0) __h$s
-           |  WHERE rk = 1),
+           |${chSql(l, s)},
            |r_${l}_$s AS MATERIALIZED (SELECT r.x,
            |    coalesce(c.new_rc, r.rc) AS rc
            |  FROM $pr r LEFT JOIN ch_${l}_$s c ON c.x = r.x)"""
           .stripMargin
       }.mkString(",\n")
       val rl = s"r_${l}_$sweeps"
+      // fixed-budget unroll of the engine's run-to-convergence
+      // ccBigStar (same DuckDB WITH RECURSIVE caveat as
+      // multilevelCommunitiesSql); the lpdiv assertion below makes a
+      // budget shortfall error() loudly instead of silently diverging
+      // from the engine (r14 ADVICE)
       val lpRounds = 8
       val lpChain = (1 to lpRounds).map { t =>
         s"""lp_${l}_$t AS MATERIALIZED (SELECT n0.x,
@@ -3756,8 +3907,17 @@ object SparkEntry {
          |  UNION SELECT d, s FROM ir_$l),
          |lp_${l}_0 AS MATERIALIZED (SELECT x, x AS lab FROM nodes_$l),
          |$lpChain,
-         |rf_$l AS MATERIALIZED (SELECT x, lab AS rc
-         |  FROM lp_${l}_$lpRounds),
+         |lpdiv_$l AS MATERIALIZED (SELECT count(*) AS n
+         |  FROM lp_${l}_$lpRounds a
+         |  JOIN lp_${l}_${lpRounds - 1} b ON a.x = b.x
+         |  WHERE a.lab <> b.lab),
+         |rf_$l AS MATERIALIZED (SELECT a.x,
+         |    CASE WHEN d.n > 0 THEN CAST(error(
+         |        'leiden lp chain not converged at level $l: ' ||
+         |        CAST(d.n AS VARCHAR) || ' labels still moving — ' ||
+         |        'raise lpRounds') AS BIGINT)
+         |      ELSE a.lab END AS rc
+         |  FROM lp_${l}_$lpRounds a CROSS JOIN lpdiv_$l d),
          |volf_$l AS MATERIALIZED (SELECT c,
          |    CAST(sum(k) AS BIGINT) AS vol
          |  FROM $p JOIN deg_$l USING (x) GROUP BY c),
@@ -4470,6 +4630,199 @@ object SparkEntry {
        |  CAST(sum(wt.w_bytes) AS BIGINT) AS n_byte_pieces
        |FROM pt JOIN wt ON wt.tok = pt.tok
        |GROUP BY pt.doc_id""".stripMargin
+
+  // ---- tokenizer round-trip oracles (decode(encode(x)) == x) ----
+
+  /** DuckDB byte pieces "<0xHH>" of expression `e` — one per UTF-8
+    * octet, uppercase hex (DuckDB hex() and Spark hex() agree). */
+  private def rtBytePiecesSql(e: String): String =
+    s"list_transform(range(1, octet_length(encode($e)) + 1), " +
+      s"i -> '<0x' || substr(hex(encode($e)), (2 * i - 1)::INT, 2)" +
+      " || '>')"
+
+  /** Encode-corpus text of the roundtrip gates: source‖text‖probe. */
+  private val RtEncTextSql = s"source || ' ' || text || ' $RtProbe'"
+
+  /** Head CTEs shared by the three roundtrip oracles: the ordered
+    * token list per doc (`ptl`/`pt`) and the distinct word table. */
+  private val RtHeadSql: String =
+    s"""ptl AS MATERIALIZED (SELECT doc_id, list_filter(
+       |    string_split_regex($RtEncTextSql, '\\s+'),
+       |    x -> x <> '') AS lw
+       |  FROM documents),
+       |pt AS MATERIALIZED (SELECT doc_id, i.i AS pos, lw[i.i::INT] AS w
+       |  FROM ptl CROSS JOIN LATERAL
+       |    unnest(range(1, len(lw) + 1)) i(i)),
+       |words AS MATERIALIZED (SELECT DISTINCT w FROM pt)""".stripMargin
+
+  /** Tail shared by the three roundtrip oracles, over a family-built
+    * `wt(w, pieces)` CTE: per-word decode (byte piece → its octet,
+    * other piece → its own UTF-8 bytes, concatenation UTF-8-decoded),
+    * per-doc ordered reassembly, and the ok compare against the
+    * whitespace-canonical text. */
+  private val RtTailSql: String =
+    s"""dwx AS MATERIALIZED (SELECT w,
+       |    CAST(len(pieces) AS BIGINT) AS np,
+       |    CAST(len(list_filter(pieces, p -> regexp_matches(p,
+       |      '^<0x[0-9A-F]{2}>$$'))) AS BIGINT) AS nb,
+       |    decode(unhex(list_reduce(list_prepend('', pieces),
+       |      (h, p) -> h || CASE WHEN regexp_matches(p,
+       |          '^<0x[0-9A-F]{2}>$$') THEN substr(p, 4, 2)
+       |        ELSE hex(encode(p)) END))) AS dw
+       |  FROM wt),
+       |rtagg AS (SELECT pt.doc_id,
+       |    CAST(sum(d.np) AS BIGINT) AS n_pieces,
+       |    CAST(sum(d.nb) AS BIGINT) AS n_byte_pieces,
+       |    string_agg(d.dw, ' ' ORDER BY pt.pos) AS decoded
+       |  FROM pt JOIN dwx d ON d.w = pt.w
+       |  GROUP BY pt.doc_id)
+       |SELECT rtagg.doc_id, n_pieces, n_byte_pieces, decoded,
+       |  (decoded = array_to_string(ptl.lw, ' ')) AS ok
+       |FROM rtagg JOIN ptl ON ptl.doc_id = rtagg.doc_id""".stripMargin
+
+  /** BPE roundtrip oracle: train-vocab symbols for trained words,
+    * per-char inventory/byte decomposition otherwise — the
+    * [[bpeEncodeBytesSql]] law with sequences surfaced. */
+  private def bpeRoundtripSql(nMerges: Int): String =
+    s"""WITH ${bpeVocabCtes(nMerges)},
+       |sy AS MATERIALIZED (SELECT replace(w, ' ', '') AS tok,
+       |    string_split(w, ' ') AS syms
+       |  FROM v$nMerges),
+       |inv AS MATERIALIZED (SELECT DISTINCT
+       |    unnest(string_split(tok, '')) AS ch
+       |  FROM (SELECT unnest(list_filter(
+       |      string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+       |    FROM documents) it),
+       |$RtHeadSql,
+       |wc AS MATERIALIZED (SELECT w, ci.i AS cpos,
+       |    substr(w, ci.i::INT, 1) AS ch
+       |  FROM words CROSS JOIN LATERAL
+       |    unnest(range(1, length(w) + 1)) ci(i)),
+       |wcp AS MATERIALIZED (SELECT wc.w, wc.cpos,
+       |    CASE WHEN inv.ch IS NOT NULL THEN [wc.ch]
+       |      ELSE ${rtBytePiecesSql("wc.ch")} END AS cp
+       |  FROM wc LEFT JOIN inv ON inv.ch = wc.ch),
+       |fbp AS MATERIALIZED (SELECT w,
+       |    flatten(list(cp ORDER BY cpos)) AS fbp
+       |  FROM wcp GROUP BY w),
+       |wt AS MATERIALIZED (SELECT words.w,
+       |    coalesce(sy.syms, fbp.fbp) AS pieces
+       |  FROM words LEFT JOIN sy ON sy.tok = words.w
+       |  JOIN fbp ON fbp.w = words.w),
+       |$RtTailSql""".stripMargin
+
+  /** WordPiece roundtrip oracle: the greedy longest-match walk with
+    * the winning pieces accumulated in the fold; an uncovered word
+    * decomposes whole into its byte pieces.
+    *
+    * HOUSE LAW (measured on DuckDB 1.0.0): `list_reduce` mutates the
+    * accumulator struct IN PLACE, field by field, in declaration
+    * order — a field expression that reads a field already written
+    * this step sees the NEW value ('pos' first + 'path' reading
+    * acc.pos turned "fast" into f,s,t,t). Order the struct so every
+    * cross-field read happens before its target is overwritten:
+    * 'path' (reads old pos) BEFORE 'pos'. The counts walk
+    * ([[wordpieceWalkCoreSql]]) never reads across fields, which is
+    * why it was immune. */
+  private def wordpieceRoundtripSql(nMerges: Int,
+      maxPieceLen: Int): String = {
+    val mergeToks = (1 to nMerges)
+      .map(t => s"SELECT replace(pair, ' ', '') AS tok FROM wb$t")
+      .mkString("\n    UNION ALL ")
+    s"""WITH ${wordpieceVocabCtes(nMerges)},
+       |$RtHeadSql,
+       |twords AS MATERIALIZED (SELECT DISTINCT w FROM (
+       |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |    x -> x <> '')) AS w FROM documents) tw),
+       |vocab AS MATERIALIZED (SELECT DISTINCT tok FROM (
+       |  SELECT substr(w, ci.i::INT, 1) AS tok FROM twords
+       |    CROSS JOIN LATERAL unnest(range(1, length(w) + 1)) ci(i)
+       |  UNION ALL
+       |  $mergeToks) vv),
+       |mm AS MATERIALIZED (
+       |  SELECT words.w, ua.a::INT AS a, (ua.a + um.m - 1)::INT AS b
+       |  FROM words
+       |  CROSS JOIN LATERAL unnest(range(1, length(w) + 1)) ua(a)
+       |  CROSS JOIN LATERAL unnest(range(1, 1 + least($maxPieceLen,
+       |    length(w) - ua.a + 1))) um(m)
+       |  JOIN vocab v ON v.tok = substr(words.w, ua.a::INT, um.m::INT)),
+       |jump AS MATERIALIZED (
+       |  SELECT w, map(list(a ORDER BY a), list(mb ORDER BY a)) AS jm
+       |  FROM (SELECT w, a, max(b) AS mb FROM mm GROUP BY w, a) jj
+       |  GROUP BY w),
+       |walkedp AS MATERIALIZED (
+       |  SELECT words.w, list_reduce(
+       |    list_concat([{'path': '', 'pos': 1, 'unk': false}],
+       |      list_transform(range(1, length(words.w) + 1),
+       |        i -> {'path': '', 'pos': 0, 'unk': false})),
+       |    (acc, x) -> CASE
+       |      WHEN acc.unk OR acc.pos > length(words.w) THEN acc
+       |      WHEN jump.jm IS NULL
+       |          OR len(map_extract(jump.jm, acc.pos)) = 0
+       |        THEN {'path': acc.path, 'pos': acc.pos, 'unk': true}
+       |      ELSE {'path': acc.path ||
+       |          (CASE WHEN acc.path = '' THEN '' ELSE ' ' END) ||
+       |          substr(words.w, acc.pos::INT,
+       |            (map_extract(jump.jm, acc.pos)[1] - acc.pos
+       |              + 1)::INT),
+       |        'pos': map_extract(jump.jm, acc.pos)[1] + 1,
+       |        'unk': false} END) AS st
+       |  FROM words LEFT JOIN jump ON jump.w = words.w),
+       |wt AS MATERIALIZED (SELECT w,
+       |    CASE WHEN st.unk THEN ${rtBytePiecesSql("w")}
+       |      ELSE string_split(st.path, ' ') END AS pieces
+       |  FROM walkedp),
+       |$RtTailSql""".stripMargin
+  }
+
+  /** Unigram roundtrip oracle: brute segmentation enumeration (the
+    * [[unigramEncodeBytesSql]] recursion) with fallback chars carried
+    * as their expanded "<0xHH>" byte-piece surface — the tie-break
+    * key IS the piece surface, matching the Spark DP's law — and the
+    * winning path surfaced and split into pieces. */
+  private def unigramRoundtripSql(maxPieceLen: Int, seedSize: Int,
+      vocabSize: Int, nRounds: Int): String = {
+    val fv = s"uv$nRounds"
+    s"""WITH RECURSIVE
+       |${unigramVocabCtes(maxPieceLen, seedSize, vocabSize, nRounds)},
+       |$RtHeadSql,
+       |em AS MATERIALIZED (
+       |  SELECT e.w, ua.a::INT AS a, (ua.a + um.m - 1)::INT AS b,
+       |    substr(e.w, ua.a::INT, um.m::INT) AS tok, v.cnt,
+       |    1 AS kc
+       |  FROM words e
+       |  CROSS JOIN LATERAL unnest(range(1, length(e.w) + 1)) ua(a)
+       |  CROSS JOIN LATERAL unnest(range(1, 1 + least($maxPieceLen,
+       |    length(e.w) - ua.a + 1))) um(m)
+       |  JOIN $fv v ON v.tok = substr(e.w, ua.a::INT, um.m::INT)
+       |  UNION ALL
+       |  SELECT cw.w, cw.i::INT, cw.i::INT,
+       |    array_to_string(${rtBytePiecesSql("cw.ch")}, ' ') AS tok,
+       |    CAST(0 AS BIGINT) AS cnt,
+       |    octet_length(encode(cw.ch))::INT AS kc
+       |  FROM (SELECT e.w, ci.i, substr(e.w, ci.i::INT, 1) AS ch
+       |    FROM words e CROSS JOIN LATERAL
+       |      unnest(range(1, length(e.w) + 1)) ci(i)) cw
+       |  WHERE NOT EXISTS (SELECT 1 FROM $fv v
+       |    WHERE length(v.tok) = 1 AND v.tok = cw.ch)),
+       |es AS (
+       |  SELECT w, 0 AS pos, 0 AS k, CAST(0 AS BIGINT) AS s,
+       |    '' AS path FROM words
+       |  UNION ALL
+       |  SELECT m.w, m.b, e.k + m.kc, e.s + m.cnt,
+       |    CASE WHEN e.path = '' THEN m.tok
+       |      ELSE e.path || ' ' || m.tok END
+       |  FROM es e JOIN em m ON m.w = e.w AND m.a = e.pos + 1),
+       |ebest AS MATERIALIZED (
+       |  SELECT w, path FROM (
+       |    SELECT w, path, row_number() OVER (PARTITION BY w
+       |      ORDER BY k, s DESC, path) AS rk
+       |    FROM es WHERE pos = length(w)) ez WHERE rk = 1),
+       |wt AS MATERIALIZED (SELECT w,
+       |    string_split(path, ' ') AS pieces
+       |  FROM ebest),
+       |$RtTailSql""".stripMargin
+  }
 
   /** Full-NN-descent oracle: k-bounded init graph d0 (LSH edges ∪
     * ring, both directions, top-k), then `rounds` unrolled rounds of
@@ -5367,7 +5720,8 @@ object SparkEntry {
     * [[graft.pipeline.Similarity.graphAnnIvfTopK]]. */
   private def graphAnnCtes(beam: Int, rounds: Int, nQ: Int,
       entries: Seq[Long], gSql: String,
-      ivfEntry: Option[(Int, Int)] = None): String = {
+      ivfEntry: Option[(Int, Int)] = None,
+      emb: String = "embeddings"): String = {
     def simx(q: String, e: String) =
       s"""CAST(floor(list_cosine_similarity($q::DOUBLE[],
          |      $e::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
@@ -5380,7 +5734,7 @@ object SparkEntry {
          |gsc$r AS MATERIALIZED (SELECT c.qid, c.v,
          |    ${simx("q.embedding", "e.embedding")} AS simx
          |  FROM cd$r c JOIN qv q ON q.qid = c.qid
-         |  JOIN embeddings e ON e.vec_id = c.v),
+         |  JOIN $emb e ON e.vec_id = c.v),
          |vis$r AS MATERIALIZED (SELECT * FROM vis$p
          |  UNION ALL SELECT * FROM gsc$r),
          |fr$r AS (SELECT qid, v, simx FROM (
@@ -5396,11 +5750,11 @@ object SparkEntry {
            |    CAST(ent.ev AS BIGINT) AS v,
            |    ${simx("qv.embedding", "e.embedding")} AS simx
            |  FROM qv CROSS JOIN ent
-           |  JOIN embeddings e ON e.vec_id = ent.ev)""".stripMargin
+           |  JOIN $emb e ON e.vec_id = ent.ev)""".stripMargin
       case Some((nCells, nProbe)) =>
         s"""cells AS MATERIALIZED (SELECT vec_id AS cell, embedding
            |    AS cvec
-           |  FROM embeddings WHERE vec_id < $nCells),
+           |  FROM $emb WHERE vec_id < $nCells),
            |entq AS MATERIALIZED (SELECT qid, cell FROM (
            |  SELECT qv.qid, c.cell, row_number() OVER (
            |      PARTITION BY qv.qid
@@ -5411,11 +5765,11 @@ object SparkEntry {
            |    CAST(eq.cell AS BIGINT) AS v,
            |    ${simx("qv.embedding", "e.embedding")} AS simx
            |  FROM entq eq JOIN qv ON qv.qid = eq.qid
-           |  JOIN embeddings e ON e.vec_id = eq.cell)""".stripMargin
+           |  JOIN $emb e ON e.vec_id = eq.cell)""".stripMargin
     }
     s"""g AS MATERIALIZED ($gSql),
        |qv AS MATERIALIZED (SELECT vec_id AS qid, embedding
-       |  FROM embeddings WHERE vec_id < $nQ),
+       |  FROM $emb WHERE vec_id < $nQ),
        |$entryCtes,
        |fr0 AS (SELECT qid, v, simx FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid
@@ -5423,6 +5777,62 @@ object SparkEntry {
        |  WHERE brk <= $beam),
        |$steps""".stripMargin
   }
+
+  /** The deterministic mixture-of-Gaussians fixture as a CTE —
+    * replays Similarity.mogEmbeddings' two md5 integer draws
+    * (center ∈ [-1000,1000] keyed by cluster=i%nClusters, noise ∈
+    * [-50,50] keyed by i) per dimension; integer-valued doubles. */
+  private def mogCtes(n: Int, dim: Int, nClusters: Int): String =
+    s"""mog AS MATERIALIZED (SELECT CAST(t.i AS BIGINT) AS vec_id,
+       |    list_transform(range(0, $dim), d -> CAST(
+       |      ((CAST('0x' || substr(md5('c' ||
+       |          CAST(t.i % $nClusters AS VARCHAR) || ':' ||
+       |          CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2001) - 1000)
+       |      + ((CAST('0x' || substr(md5('p' ||
+       |          CAST(t.i AS VARCHAR) || ':' ||
+       |          CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 101) - 50)
+       |      AS DOUBLE)) AS embedding
+       |  FROM range($n) t(i))""".stripMargin
+
+  /** Clustered-fixture graph-ANN recall oracle: the MoG fixture, an
+    * EXACT all-pairs kNN substrate (the control — recall differences
+    * isolate the ENTRY strategy), the shared beam CTEs over `mog`,
+    * and the recall tail vs exact cosine top-k. */
+  private def mogAnnRecallSql(n: Int, dim: Int, nClusters: Int,
+      substrateK: Int, beam: Int, rounds: Int, nQ: Int, topK: Int,
+      entries: Seq[Long],
+      ivfEntry: Option[(Int, Int)] = None): String =
+    s"""WITH ${mogCtes(n, dim, nClusters)},
+       |msc AS MATERIALIZED (SELECT z.x, z.n
+       |  FROM (SELECT a.vec_id AS x, b.vec_id AS n,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY CAST(floor(list_cosine_similarity(
+       |          a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+       |          * 1000000.0 + 0.5) AS BIGINT) DESC, b.vec_id) AS rk
+       |    FROM mog a JOIN mog b ON a.vec_id <> b.vec_id) z
+       |  WHERE z.rk <= $substrateK),
+       |${graphAnnCtes(beam, rounds, nQ, entries,
+        "SELECT x AS v, n FROM msc", ivfEntry, emb = "mog")},
+       |approx AS (SELECT qid AS query_id, v AS cand_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY simx DESC, v) AS rk
+       |  FROM vis$rounds WHERE v <> qid) za WHERE rk <= $topK),
+       |exact AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY floor((list_cosine_similarity(
+       |        q.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+       |        * 1000000.0 + 0.5) / 1000000.0 DESC, c.vec_id) AS rk
+       |  FROM mog q JOIN mog c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $nQ) ze WHERE rk <= $topK)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  floor((sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |GROUP BY e.query_id""".stripMargin
 
   private def graphAnnTopKSql(beam: Int, rounds: Int, nQ: Int,
       topK: Int, entries: Seq[Long], graphK: Int,
@@ -9233,6 +9643,13 @@ object SparkEntry {
     "q_graph_ann_ivf_recall" -> graphAnnRecallSql(beam = 12,
       rounds = 6, nQ = 10, topK = 5, entries = Seq.empty,
       graphK = 12, expandCap = 12, ivfEntry = Some((32, 6))),
+    "q_mog_ivf_recall" -> mogAnnRecallSql(n = 512, dim = 16,
+      nClusters = 8, substrateK = 8, beam = 12, rounds = 6, nQ = 16,
+      topK = 5, entries = Seq.empty, ivfEntry = Some((32, 6))),
+    "q_mog_fixed_recall" -> mogAnnRecallSql(n = 512, dim = 16,
+      nClusters = 8, substrateK = 8, beam = 12, rounds = 6, nQ = 16,
+      topK = 5, entries = Seq(0L, 1L, 2L, 3L, 4L, 5L),
+      ivfEntry = None),
     // fertility rollup: the encode oracle as a derived table joined
     // to per-doc char counts; exact permille integer ratios
     "q_tokenizer_fertility" ->
@@ -9285,6 +9702,11 @@ object SparkEntry {
     "q_unigram_train_loss" -> unigramTrainLossSql(maxPieceLen = 4,
       seedSize = 40, vocabSize = 12, nRounds = 3),
     "q_unigram_bytes" -> unigramEncodeBytesSql(maxPieceLen = 4,
+      seedSize = 40, vocabSize = 24, nRounds = 3),
+    "q_bpe_roundtrip" -> bpeRoundtripSql(nMerges = 6),
+    "q_wordpiece_roundtrip" -> wordpieceRoundtripSql(nMerges = 6,
+      maxPieceLen = 8),
+    "q_unigram_roundtrip" -> unigramRoundtripSql(maxPieceLen = 4,
       seedSize = 40, vocabSize = 24, nRounds = 3),
     "q_unigram_encode" -> unigramEncodeSql(maxPieceLen = 4,
       seedSize = 40, vocabSize = 24, nRounds = 3),
@@ -9344,6 +9766,22 @@ object SparkEntry {
         "SELECT l_orderkey % 60 + 1200 AS a, " +
         "(l_orderkey % 60) * 5 + l_partkey % 3 AS b FROM lineitem",
       maxLevels = 3, rounds = 4, sweeps = 2),
+
+    "q_leiden_theta" -> leidenFullSql(
+      "SELECT l_orderkey % 300 AS a, " +
+        "(l_orderkey % 300) - (l_orderkey % 5) + l_partkey % 5 AS b " +
+        "FROM lineitem UNION ALL " +
+        "SELECT (l_orderkey % 300) - (l_orderkey % 5) AS a, " +
+        "((l_orderkey % 300) - (l_orderkey % 5) + 5) % 300 AS b " +
+        "FROM lineitem UNION ALL " +
+        "SELECT l_orderkey % 60 + 1000 AS a, " +
+        "l_orderkey % 60 + 1200 AS b FROM lineitem UNION ALL " +
+        "SELECT l_orderkey % 60 + 1100 AS a, " +
+        "l_orderkey % 60 + 1200 AS b FROM lineitem UNION ALL " +
+        "SELECT l_orderkey % 60 + 1200 AS a, " +
+        "(l_orderkey % 60) * 5 + l_partkey % 3 AS b FROM lineitem",
+      maxLevels = 2, rounds = 4, sweeps = 2,
+      theta = Some(LeidenThetaGain)),
 
     "q_zipf_table" ->
       s"""WITH $TokCte,
@@ -10849,6 +11287,8 @@ object SparkEntry {
     "q_pq_recall" -> Seq("recall"),
     "q_graph_ann_recall" -> Seq("recall"),
     "q_graph_ann_ivf_recall" -> Seq("recall"),
+    "q_mog_ivf_recall" -> Seq("recall"),
+    "q_mog_fixed_recall" -> Seq("recall"),
     "q_ivfpq_topk" -> Seq("d2"),
     "q_ivfpq_residual" -> Seq("d2"),
     "q_ivfpq_recall" -> Seq("recall"),

@@ -3126,7 +3126,8 @@ object GraphAnalytics {
 
   def louvainMoveWeighted(g: DataFrame, comm0: DataFrame,
       persistInputs: Boolean = true,
-      pre: Option[(DataFrame, Long)] = None): DataFrame = {
+      pre: Option[(DataFrame, Long)] = None,
+      bc: DataFrame => DataFrame = identity): DataFrame = {
     // persistInputs = false when BOTH inputs are already materialized
     // leaves (louvainLevels passes checkpointed frames): re-persisting
     // a checkpointed frame buys nothing and costs a second in-memory
@@ -3147,9 +3148,9 @@ object GraphAnalytics {
     val deg = pre.map(_._1).getOrElse(
       strengthFrame(gg, comm.select("x"))
         .transform(graft.CacheScope.persist(_)))
-    val vol = comm.join(deg, "x").groupBy(col("c"))
+    val vol = comm.join(bc(deg), "x").groupBy(col("c"))
       .agg(sum(col("k")).as("vol"))
-    val wvc = adj.join(comm.select(col("x").as("n"), col("c")), "n")
+    val wvc = adj.join(bc(comm.select(col("x").as("n"), col("c"))), "n")
       .groupBy(col("x"), col("c")).agg(sum(col("w")).as("wv"))
     val own = comm.select(col("x"), col("c").as("c_own"))
     def withM2(df: DataFrame): DataFrame = pre match {
@@ -3163,21 +3164,21 @@ object GraphAnalytics {
     val ownScore = withM2(own
       .join(wvc.select(col("x"), col("c").as("c_own"), col("wv")),
         Seq("x", "c_own"), "left")
-      .join(deg, "x")
-      .join(vol.select(col("c").as("c_own"), col("vol")), "c_own"))
+      .join(bc(deg), "x")
+      .join(bc(vol.select(col("c").as("c_own"), col("vol"))), "c_own"))
       .select(col("x"),
         (col("m2") * coalesce(col("wv"), lit(0L)) - col("k") *
           (col("vol") - col("k"))).as("own_score"))
-    val best = withM2(wvc.join(own, "x")
+    val best = withM2(wvc.join(bc(own), "x")
       .filter(col("c") =!= col("c_own"))
-      .join(deg, "x").join(vol, "c"))
+      .join(bc(deg), "x").join(bc(vol), "c"))
       .select(col("x"), col("c"),
         (col("m2") * col("wv") - col("k") * col("vol")).as("score"))
       .groupBy(col("x"))
       .agg(max(struct(col("score"), (-col("c")).as("negc"))).as("b"))
       .select(col("x"), col("b.score").as("best_score"),
         (-col("b.negc")).as("best_c"))
-    own.join(best, Seq("x"), "left").join(ownScore, "x")
+    own.join(bc(best), Seq("x"), "left").join(bc(ownScore), "x")
       .select(col("x").as("_vid"), col("c_own").as("old_c"),
         when(col("best_score") > col("own_score"), col("best_c"))
           .otherwise(col("c_own")).as("new_c"))
@@ -3323,7 +3324,16 @@ object GraphAnalytics {
       // 3-level run; they depend only on g). One checkpoint rotation
       // + one scalar job per level replaces all of it.
       val deg = rotate("deg", strengthFrame(g, comm.select("x")))
-      val m2v = deg.agg(sum(col("k")).as("m2")).head().getLong(0)
+      // one scalar job reads m2 AND the node count arming the
+      // broadcast hints (the leidenFull r15 law — see its scaladoc:
+      // capped leaf stats force SMJ everywhere and AQE pays a
+      // materialization job per exchange; measured-small levels hint
+      // the vertex/community-sized sides broadcast instead)
+      val degStats = deg.agg(sum(col("k")).as("m2"),
+        count(lit(1)).as("n")).head()
+      val m2v = degStats.getLong(0)
+      val bc: DataFrame => DataFrame =
+        if (degStats.getLong(1) <= 500000L) broadcast _ else identity
       // parity alternation (see scaladoc): only one round's vertex
       // half applies its move; the other half keeps its community.
       // Parity = md5 window of the id, NOT id mod 2: contracted
@@ -3342,7 +3352,7 @@ object GraphAnalytics {
       for (r <- 1 to roundsPerLevel) {
         comm = rotate("comm",
           louvainMoveWeighted(g, comm, persistInputs = false,
-            pre = Some((deg, m2v)))
+            pre = Some((deg, m2v)), bc = bc)
             .select(col("_vid").as("x"),
               when(par === lit((r % 2).toLong),
                 col("new_c")).otherwise(col("old_c")).as("c")))
@@ -3466,9 +3476,11 @@ object GraphAnalytics {
    * localCheckpoint with O(1) pinned frames.
    */
   def leidenFull(edges: DataFrame, maxLevels: Int,
-      roundsPerLevel: Int, mergeSweeps: Int = 2): DataFrame = {
+      roundsPerLevel: Int, mergeSweeps: Int = 2,
+      theta: Option[Long] = None): DataFrame = {
     require(maxLevels >= 1 && roundsPerLevel >= 1 && mergeSweeps >= 1,
       "maxLevels, roundsPerLevel and mergeSweeps must be >= 1")
+    require(theta.forall(_ >= 1L), "theta must be >= 1 when set")
     val spark = edges.sparkSession
     val sc = spark.sparkContext
     import spark.implicits._
@@ -3510,30 +3522,54 @@ object GraphAnalytics {
       var comm = rotate("comm", seed.getOrElse(
         verts.select(col("x"), col("x").as("c"))))
       val deg = rotate("deg", strengthFrame(g, comm.select("x")))
-      val m2v = deg.agg(sum(col("k")).as("m2")).head().getLong(0)
+      // ONE scalar job per level reads m2 AND the node count; the
+      // count arms static broadcast hints below (r15): rotated leaves
+      // carry capped "unknown" stats, so Catalyst plans every join as
+      // SMJ and AQE only discovers the tiny sides AFTER materializing
+      // each exchange as its own job — the measured floor was 663
+      // jobs/25 s for 3 levels of (vertex+community)-sized frames.
+      // The ENGINE knows the bound AQE can't see: when the level's
+      // vertex frame is measured small (contracted levels always are;
+      // a 100 TB level-1 graph exceeds the bound and keeps the
+      // shuffle plans), hint the vertex/community-sized join sides
+      // broadcast and the exchanges never exist. Results unchanged —
+      // hints only pick the physical join.
+      val degStats = deg.agg(sum(col("k")).as("m2"),
+        count(lit(1)).as("n")).head()
+      val m2v = degStats.getLong(0)
+      val bc: DataFrame => DataFrame =
+        if (degStats.getLong(1) <= 500000L) broadcast _ else identity
       for (r <- 1 to roundsPerLevel) {
         comm = rotate("comm",
           louvainMoveWeighted(g, comm, persistInputs = false,
-            pre = Some((deg, m2v)))
+            pre = Some((deg, m2v)), bc = bc)
             .select(col("_vid").as("x"),
               when(parityOf(col("_vid")) === lit((r % 2).toLong),
                 col("new_c")).otherwise(col("old_c")).as("c")))
       }
       val p = comm // the level's unrefined partition P
       // ---- phase 2: θ-sampled refinement inside each P-community ----
-      // intra-P non-self edges, annotated once. CHECKPOINTED, not
-      // persisted: each sweep embeds this frame ~6 times into a tree
-      // that itself nests — with a live join lineage Catalyst's
-      // sizeInBytes estimation multiplies down every cloned subtree
-      // and the BigInt products ground the driver for minutes
-      // (jstack: SizeInBytesOnlyStatsPlanVisitor in ToomCook3
-      // multiply). A LogicalRDD leaf pins the stats at the measured
-      // size and caps the recursion — the hits/ccBigStar lesson, now
-      // extended from plan GROWTH to stats ARITHMETIC.
-      val intraP = graft.CacheScope.persist(g
+      // intra-P non-self edges, annotated once and PERSISTED. This
+      // frame originally had to be checkpointed: each sweep embeds it
+      // ~6 times into a tree that itself nests, and with a live join
+      // lineage Catalyst's sizeInBytes estimation multiplied down
+      // every cloned subtree until the BigInt products ground the
+      // driver for minutes (jstack: SizeInBytesOnlyStatsPlanVisitor
+      // in ToomCook3 multiply). Since capCheckpointStats (wired into
+      // every rotateCheckpoint) caps the frozen leaf stats that fed
+      // that arithmetic, a plain persist suffices here — the sweep
+      // trees bottom out at the capped rotation leaves, so the
+      // products stay bounded, and persist avoids the extra
+      // materialization job a checkpoint would pay.
+      // r15 fusion: ONE community-annotated pass over g per level
+      // feeds BOTH the refinement's intra-P edge set AND the level
+      // readout's modularity numerator (gAnno replaces the separate
+      // gAnnoP the readout used to build from two more joins).
+      val gAnno = graft.CacheScope.persist(g
+        .join(bc(p.select(col("x").as("u"), col("c").as("cu"))), "u")
+        .join(bc(p.select(col("x").as("v"), col("c").as("cv"))), "v"))
+      val intraP = graft.CacheScope.persist(gAnno
         .filter(col("u") =!= col("v"))
-        .join(p.select(col("x").as("u"), col("c").as("cu")), "u")
-        .join(p.select(col("x").as("v"), col("c").as("cv")), "v")
         .filter(col("cu") === col("cv"))
         .select(col("u"), col("v"), col("w"), col("cu").as("pc")))
       val volP = p.join(deg, "x").groupBy(col("c"))
@@ -3543,21 +3579,26 @@ object GraphAnalytics {
         .unionByName(intraP.select(col("v").as("x"), col("w")))
         .groupBy("x").agg(sum(col("w")).as("wown"))
       val wellV = graft.CacheScope.persist(p
-        .join(deg, "x").join(volP, "c")
-        .join(wvOwn, Seq("x"), "left")
+        .join(bc(deg), "x").join(bc(volP), "c")
+        .join(bc(wvOwn), Seq("x"), "left")
         .select(col("x"),
           (lit(m2v) * coalesce(col("wown"), lit(0L)) >=
             col("k") * (col("volp") - col("k"))).as("well_v"),
           col("c").as("pc"), col("volp")))
       var ref = rotate("ref", verts.select(col("x"), col("x").as("rc")))
       for (s <- 1 to mergeSweeps) {
-        val rSize = ref.join(deg, "x").groupBy(col("rc"))
+        val rSize = ref.join(bc(deg), "x").groupBy(col("rc"))
           .agg(count(lit(1)).as("members"), sum(col("k")).as("volr"))
         // cut(D, C∖D): intra-P edges whose endpoints sit in different
-        // refined communities contribute w to BOTH sides
-        val eR = intraP
-          .join(ref.select(col("x").as("u"), col("rc").as("ru")), "u")
-          .join(ref.select(col("x").as("v"), col("rc").as("rv")), "v")
+        // refined communities contribute w to BOTH sides.
+        // r15 fusion: eR is embedded ~4× into the sweep plan (two
+        // unionByName clones each in cutR and wxD) — persist it so
+        // the intraP⋈ref⋈ref annotation runs once per sweep, not 4×.
+        val eR = graft.CacheScope.persist(intraP
+          .join(bc(ref.select(col("x").as("u"), col("rc").as("ru"))),
+            "u")
+          .join(bc(ref.select(col("x").as("v"), col("rc").as("rv"))),
+            "v"))
         val cutR = eR.filter(col("ru") =!= col("rv"))
           .select(col("ru").as("rc"), col("w"))
           .unionByName(eR.filter(col("ru") =!= col("rv"))
@@ -3566,15 +3607,15 @@ object GraphAnalytics {
         // refined-community well-connectedness; the community label is
         // a vertex id whose P-community is shared by all members
         val wellR = rSize
-          .join(wellV.select(col("x").as("rc"), col("volp")), "rc")
-          .join(cutR, Seq("rc"), "left")
+          .join(bc(wellV.select(col("x").as("rc"), col("volp"))), "rc")
+          .join(bc(cutR), Seq("rc"), "left")
           .select(col("rc"), col("members"), col("volr"),
             (lit(m2v) * coalesce(col("cutr"), lit(0L)) >=
               col("volr") * (col("volp") - col("volr"))).as("well_r"))
         // movers: still-singleton, well-connected, parity-gated
-        val movers = ref.join(rSize, "rc")
+        val movers = ref.join(bc(rSize), "rc")
           .filter(col("rc") === col("x") && col("members") === 1L)
-          .join(wellV.filter(col("well_v")), "x")
+          .join(bc(wellV.filter(col("well_v"))), "x")
           .filter(parityOf(col("x")) === lit((s % 2).toLong))
           .select(col("x"))
         // positive-gain, well-connected adjacent targets; uniform
@@ -3584,27 +3625,69 @@ object GraphAnalytics {
           .unionByName(eR.filter(col("ru") =!= col("rv"))
             .select(col("v").as("x"), col("ru").as("d"), col("w")))
           .groupBy("x", "d").agg(sum(col("w")).as("wxd"))
-        val chosen = movers.join(wxD, "x")
-          .join(deg, "x")
-          .join(wellR.select(col("rc").as("d"), col("volr"),
-            col("well_r")), "d")
+        val cands = bc(movers).join(wxD, "x")
+          .join(bc(deg), "x")
+          .join(bc(wellR.select(col("rc").as("d"), col("volr"),
+            col("well_r"))), "d")
           .filter(col("well_r") &&
             lit(m2v) * col("wxd") - col("k") * col("volr") > lit(0L))
-          .groupBy("x")
-          .agg(min(struct(
-            md5(concat(col("x").cast("string"), lit(":"),
-              col("d").cast("string"))).as("coin"),
-            col("d").as("d"))).as("b"))
-          .select(col("x"), col("b.d").as("new_rc"))
-        ref = rotate("ref", ref.join(chosen, Seq("x"), "left")
+        val chosen = theta match {
+          case None => cands
+            .groupBy("x")
+            .agg(min(struct(
+              md5(concat(col("x").cast("string"), lit(":"),
+                col("d").cast("string"))).as("coin"),
+              col("d").as("d"))).as("b"))
+            .select(col("x"), col("b.d").as("new_rc"))
+          case Some(t) =>
+            // finite-θ merge draw (Traag et al. 2019 eq. 4,
+            // Pr[D] ∝ exp(ΔQ/θ)) on the exact integer grid. Softmax
+            // is shift-invariant, so the dyadic realization anchors
+            // at the per-vertex MAX gain: e = (gmax − gain) div θ,
+            // weight = 2^(20 − min(20, e)) — the best candidate
+            // weighs 2^20 and every θ of gain deficit halves the
+            // weight (an absolute 2^(gain div θ) law measured DEAD
+            // on the gate fixture: gains cluster in a ±30 band
+            // ~1900, so any θ either capped every weight or zeroed
+            // every exponent — see PLANS.md r15 probe). The draw is
+            // a seeded md5 inverse-CDF over the (d asc) candidate
+            // order: u = md5('u:'x':'sweep) on the 2^20 grid,
+            // target = first d with cum·2^20 > u·tot. θ → ∞
+            // degenerates to gain-blind uniform (every weight 2^20);
+            // the θ→∞ GATE keeps its own argmin-md5 law — both are
+            // uniform draws, they just seed differently. Oracle
+            // replays this draw integer-for-integer.
+            val wOrd = Window.partitionBy(col("x")).orderBy(col("d"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val wAll = Window.partitionBy(col("x"))
+            cands
+              .withColumn("gain",
+                lit(m2v) * col("wxd") - col("k") * col("volr"))
+              .withColumn("gmax", max(col("gain")).over(wAll))
+              .withColumn("wgt", expr(
+                s"shiftleft(CAST(1 AS BIGINT), 20 - " +
+                  s"CAST(least(20L, (gmax - gain) div ${t}L) AS INT))"))
+              .withColumn("cum", sum(col("wgt")).over(wOrd))
+              .withColumn("tot", sum(col("wgt")).over(wAll))
+              .withColumn("u", pmod(conv(substring(md5(concat(
+                lit("u:"), col("x").cast("string"), lit(s":$s"))),
+                1, 8), 16, 10).cast("long"), lit(1048576L)))
+              .filter(col("cum") * lit(1048576L) >
+                col("u") * col("tot"))
+              .groupBy("x").agg(min(col("d")).as("new_rc"))
+        }
+        ref = rotate("ref", ref.join(bc(chosen), Seq("x"), "left")
           .select(col("x"), coalesce(col("new_rc"), col("rc")).as("rc")))
+        graft.CacheScope.unpersist(eR) // next sweep re-annotates
       }
       // connectivity split: synchronous merges could in principle chase
       // a vanished owner; CC over intra-refined edges restores
       // guarantee 1 unconditionally (min-member labels)
       val intraR = intraP
-        .join(ref.select(col("x").as("u"), col("rc").as("ru")), "u")
-        .join(ref.select(col("x").as("v"), col("rc").as("rv")), "v")
+        .join(bc(ref.select(col("x").as("u"), col("rc").as("ru"))),
+          "u")
+        .join(bc(ref.select(col("x").as("v"), col("rc").as("rv"))),
+          "v")
         .filter(col("ru") === col("rv"))
         .select(col("u").as("a"), col("v").as("b"))
       val (stars, ccTrace, ccId) = bigStarLoop(intraR, maxRounds = 30)
@@ -3617,19 +3700,18 @@ object GraphAnalytics {
         .unionByName(stars.select(col("u").as("x"), col("u").as("comp")))
         .groupBy("x").agg(min(col("comp")).as("comp"))
       ref = rotate("ref", ref.select(col("x"))
-        .join(comp, Seq("x"), "left")
+        .join(bc(comp), Seq("x"), "left")
         .select(col("x"), coalesce(col("comp"), col("x")).as("rc")))
       ccId.foreach(i => sc.getPersistentRDDs.get(i)
         .foreach(_.unpersist(blocking = false)))
       // ---- level readout on P; aggregation on the refined labels ----
-      val gAnnoP = graft.CacheScope.persist(g
-        .join(p.select(col("x").as("u"), col("c").as("cu")), "u")
-        .join(p.select(col("x").as("v"), col("c").as("cv")), "v"))
-      val volPQ = p.join(deg, "x").groupBy(col("c"))
-        .agg(sum(col("k")).as("vol"))
+      // (reads the level's shared gAnno annotation — self-loops kept:
+      // contracted levels carry intra weight on u == v rows — and
+      // reuses phase 2's volP aggregation instead of recomputing it)
+      val volPQ = volP.withColumnRenamed("volp", "vol")
       val qNum = volPQ
-        .join(gAnnoP.filter(col("cu") === col("cv"))
-          .groupBy(col("cu").as("c")).agg(sum(col("w")).as("wc")),
+        .join(bc(gAnno.filter(col("cu") === col("cv"))
+          .groupBy(col("cu").as("c")).agg(sum(col("w")).as("wc"))),
           Seq("c"), "left")
         .na.fill(0L, Seq("wc"))
         .agg(sum(lit(2L) * lit(m2v) * col("wc") -
@@ -3640,7 +3722,7 @@ object GraphAnalytics {
       else {
         prevQ = Some(qNum)
         val lvlRows = mapping
-          .join(p.select(col("x").as("node"), col("c")), "node")
+          .join(bc(p.select(col("x").as("node"), col("c"))), "node")
           .select(lit(level.toLong).as("level"), col("_vid"),
             col("c").as("community"), lit(qNum).as("q_num"),
             lit(qDen).as("q_den"))
@@ -3649,11 +3731,14 @@ object GraphAnalytics {
         if (level < maxLevels) {
           // next level: aggregate on REFINED labels, seed from P
           mapping = rotate("map", mapping
-            .join(ref.select(col("x").as("node"), col("rc")), "node")
+            .join(bc(ref.select(col("x").as("node"), col("rc"))),
+              "node")
             .select(col("_vid"), col("rc").as("node")))
           val gAnnoR = g
-            .join(ref.select(col("x").as("u"), col("rc").as("ru")), "u")
-            .join(ref.select(col("x").as("v"), col("rc").as("rv")), "v")
+            .join(bc(ref.select(col("x").as("u"), col("rc").as("ru"))),
+              "u")
+            .join(bc(ref.select(col("x").as("v"), col("rc").as("rv"))),
+              "v")
           g = rotate("g", gAnnoR
             .select(least(col("ru"), col("rv")).as("u"),
               greatest(col("ru"), col("rv")).as("v"), col("w"))
@@ -3662,13 +3747,13 @@ object GraphAnalytics {
           // seeds the aggregated node (guarantee-3 seeding)
           seed = Some(rotate("seed",
             ref.select(col("rc")).distinct()
-              .join(p.select(col("x").as("rc"), col("c")), "rc")
+              .join(bc(p.select(col("x").as("rc"), col("c"))), "rc")
               .select(col("rc").as("x"), col("c"))))
         }
       }
       intraP.unpersist(blocking = false)
       wellV.unpersist(blocking = false)
-      gAnnoP.unpersist(blocking = false)
+      gAnno.unpersist(blocking = false)
     }
     release()
     out.get

@@ -2155,35 +2155,7 @@ object TextAnalysis {
         (col("pos0") + 1).as("b"), col("ch").as("tok"),
         lit(0L).as("cnt"), octet_length(col("ch")).as("kc"),
         octet_length(col("ch")).cast("long").as("byc"))
-    val dp = expr(
-      """element_at(
-        |  aggregate(sequence(1, length(w)),
-        |    array(named_struct('k', 0, 's', CAST(0 AS BIGINT),
-        |      'by', CAST(0 AS BIGINT), 'path', '')),
-        |    (acc, i) -> concat(acc, array(
-        |      aggregate(filter(ms, m -> m.b = i),
-        |        named_struct('k', 999999, 's', CAST(0 AS BIGINT),
-        |          'by', CAST(0 AS BIGINT), 'path', ''),
-        |        (bb, m) -> CASE
-        |          WHEN element_at(acc, m.a).k >= 999999 THEN bb
-        |          WHEN bb.k >= 999999
-        |            OR element_at(acc, m.a).k + m.kc < bb.k
-        |            OR (element_at(acc, m.a).k + m.kc = bb.k
-        |              AND element_at(acc, m.a).s + m.cnt > bb.s)
-        |            OR (element_at(acc, m.a).k + m.kc = bb.k
-        |              AND element_at(acc, m.a).s + m.cnt = bb.s
-        |              AND concat(element_at(acc, m.a).path,
-        |                CASE WHEN element_at(acc, m.a).path = ''
-        |                  THEN '' ELSE ' ' END, m.tok) < bb.path)
-        |          THEN named_struct(
-        |            'k', element_at(acc, m.a).k + m.kc,
-        |            's', element_at(acc, m.a).s + m.cnt,
-        |            'by', element_at(acc, m.a).by + m.byc,
-        |            'path', concat(element_at(acc, m.a).path,
-        |              CASE WHEN element_at(acc, m.a).path = ''
-        |                THEN '' ELSE ' ' END, m.tok))
-        |          ELSE bb END)))),
-        |  length(w) + 1)""".stripMargin)
+    val dp = unigramByteDp
     val wstats = vp.unionByName(fb)
       .groupBy("w")
       .agg(collect_list(struct(col("a"), col("b"), col("tok"),
@@ -2202,6 +2174,44 @@ object TextAnalysis {
     out
   }
 
+  /** The byte-fallback Viterbi fold shared by [[unigramEncodeBytes]]
+    * and [[unigramRoundtrip]]: one pass over positions 1..length(w),
+    * each position taking the best (k asc, usage-sum desc, path asc)
+    * predecessor among the match rows collected in `ms`; returns the
+    * final-position struct (k, s, by, path) where `path` is the
+    * space-joined winning piece sequence (the tie-break key, so the
+    * sequence is already materialized — [[unigramRoundtrip]] merely
+    * surfaces it). */
+  private def unigramByteDp: Column = expr(
+    """element_at(
+      |  aggregate(sequence(1, length(w)),
+      |    array(named_struct('k', 0, 's', CAST(0 AS BIGINT),
+      |      'by', CAST(0 AS BIGINT), 'path', '')),
+      |    (acc, i) -> concat(acc, array(
+      |      aggregate(filter(ms, m -> m.b = i),
+      |        named_struct('k', 999999, 's', CAST(0 AS BIGINT),
+      |          'by', CAST(0 AS BIGINT), 'path', ''),
+      |        (bb, m) -> CASE
+      |          WHEN element_at(acc, m.a).k >= 999999 THEN bb
+      |          WHEN bb.k >= 999999
+      |            OR element_at(acc, m.a).k + m.kc < bb.k
+      |            OR (element_at(acc, m.a).k + m.kc = bb.k
+      |              AND element_at(acc, m.a).s + m.cnt > bb.s)
+      |            OR (element_at(acc, m.a).k + m.kc = bb.k
+      |              AND element_at(acc, m.a).s + m.cnt = bb.s
+      |              AND concat(element_at(acc, m.a).path,
+      |                CASE WHEN element_at(acc, m.a).path = ''
+      |                  THEN '' ELSE ' ' END, m.tok) < bb.path)
+      |          THEN named_struct(
+      |            'k', element_at(acc, m.a).k + m.kc,
+      |            's', element_at(acc, m.a).s + m.cnt,
+      |            'by', element_at(acc, m.a).by + m.byc,
+      |            'path', concat(element_at(acc, m.a).path,
+      |              CASE WHEN element_at(acc, m.a).path = ''
+      |                THEN '' ELSE ' ' END, m.tok))
+      |          ELSE bb END)))),
+      |  length(w) + 1)""".stripMargin)
+
   def unigramEncodeCounts(docs: DataFrame, idCol: String,
       textCol: String, maxPieceLen: Int, seedSize: Int, vocabSize: Int,
       nRounds: Int): DataFrame = {
@@ -2214,6 +2224,227 @@ object TextAnalysis {
       .join(segK, Seq("w"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_pieces"))
+    extras.foreach(graft.CacheScope.unpersist)
+    out
+  }
+
+  // ------- tokenizer decode / lossless round-trip (all 3 families) -------
+  //
+  // The production byte-fallback contract is decode(encode(x)) == x:
+  // counts-only encoders (the *_bytes family above) can hide
+  // segmentation bugs that happen to preserve counts, so these
+  // variants surface the actual PIECE SEQUENCES and verify
+  // reconstruction per document. Byte pieces use the SentencePiece
+  // surface "<0xHH>" (one per UTF-8 octet); decode maps a byte piece
+  // to its octet and any other piece to its own UTF-8 bytes, then
+  // UTF-8-decodes the concatenation. That surface is RESERVED: a
+  // corpus token matching ^<0x[0-9A-F]{2}>$ would be indistinguishable
+  // from a byte piece (SentencePiece has the same reservation — byte
+  // pieces are distinct vocab entries; a string surface can only
+  // reserve the pattern).
+  //
+  // Losslessness is at the TOKEN-STREAM level: the tokenizers
+  // pre-split on whitespace (the [[tokens]] law), so decode rejoins
+  // words with a single space and the gate compares against the
+  // whitespace-canonical text — the standard detokenization of a
+  // whitespace pre-tokenizer.
+
+  /** Byte pieces "<0xHH>" (uppercase hex) of `s`'s UTF-8 encoding,
+    * as array<string> — one piece per octet. */
+  private def bytePiecesSql(s: String): String =
+    s"transform(sequence(1, octet_length($s)), i -> " +
+      s"concat('<0x', substr(hex(encode($s, 'UTF-8')), 2 * i - 1, 2)," +
+      " '>'))"
+
+  /** Lambda predicate: is piece `p` a byte piece? */
+  private val isBytePiece = "p -> p rlike '^<0x[0-9A-F]{2}>$'"
+
+  /** Decode an array<string> of pieces back to text: byte pieces
+    * contribute their octet, everything else its own UTF-8 bytes;
+    * the octet concatenation is UTF-8-decoded in one step so
+    * multi-octet characters reassemble across consecutive byte
+    * pieces. */
+  private def decodePiecesSql(arr: String): String =
+    s"decode(unhex(aggregate($arr, '', (h, p) -> concat(h, " +
+      "CASE WHEN p rlike '^<0x[0-9A-F]{2}>$' " +
+      "THEN substring(p, 4, 2) " +
+      "ELSE hex(encode(p, 'UTF-8')) END))), 'UTF-8')"
+
+  /** Shared doc-level assembly: per-word piece sequences → per-doc
+    * (id, n_pieces, n_byte_pieces, decoded, ok). The corpus pays ONE
+    * ordered token explode against the broadcast word table; decode
+    * runs per DISTINCT word occurrence row (codegen'd fold), the
+    * per-doc reassembly is one combinable collect_list sorted by
+    * token position. */
+  private def roundtripAssemble(docs: DataFrame, idCol: String,
+      textCol: String, wpieces: DataFrame): DataFrame =
+    docs.select(col(idCol), col(textCol).as("__rt_text"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .join(broadcast(wpieces), Seq("w"))
+      .withColumn("dw", expr(decodePiecesSql("pieces")))
+      .groupBy(idCol)
+      .agg(sum(size(col("pieces"))).cast("long").as("n_pieces"),
+        sum(size(expr(s"filter(pieces, $isBytePiece)")))
+          .cast("long").as("n_byte_pieces"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(pos, dw))), x -> x.dw), ' ')").as("decoded"),
+        first(col("__rt_text")).as("__t"))
+      .select(col(idCol), col("n_pieces"), col("n_byte_pieces"),
+        col("decoded"),
+        (col("decoded") ===
+          array_join(tokens(col("__t")), " ")).as("ok"))
+
+  /**
+   * BPE round-trip: [[bpeEncodeBytes]]' law with the piece SEQUENCES
+   * surfaced and decoded back — a trained word emits its merge-final
+   * symbols, a fallback word emits per char either the char (trained
+   * inventory) or its byte pieces, and the gate verifies
+   * decode(encode(x)) == x per document. Output:
+   * (id, n_pieces, n_byte_pieces, decoded, ok); n_pieces and
+   * n_byte_pieces agree with [[bpeEncodeBytes]] by construction
+   * (spec-pinned).
+   *
+   * Scale shape: identical to [[bpeEncodeBytes]] — decomposition on
+   * the distinct-word table, corpus pays one ordered token explode.
+   */
+  def bpeRoundtrip(train: DataFrame, trainTextCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    val (_, vocab, _) = bpeTrainLoop(train, trainTextCol, nMerges)
+    val sy = vocab.select(
+      replace(col("w"), lit(" "), lit("")).as("w"),
+      split(col("w"), " ").as("syms"))
+    val chars = (c: Column) => filter(split(c, ""), ch => ch =!= "")
+    val inv = train.select(explode(tokens(col(trainTextCol))).as("tok"))
+      .select(explode(chars(col("tok"))).as("ch"))
+      .distinct()
+      .withColumn("cov", lit(1L))
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .distinct()
+    val fbp = words
+      .select(col("w"), posexplode(chars(col("w"))).as(Seq("cpos", "ch")))
+      .join(broadcast(inv), Seq("ch"), "left")
+      .withColumn("cp", when(col("cov").isNotNull, array(col("ch")))
+        .otherwise(expr(bytePiecesSql("ch"))))
+      .groupBy("w")
+      .agg(expr("flatten(transform(array_sort(collect_list(" +
+        "struct(cpos, cp))), x -> x.cp))").as("fbp"))
+    val wpieces = words
+      .join(broadcast(sy), Seq("w"), "left")
+      .join(fbp, Seq("w"))
+      .select(col("w"), coalesce(col("syms"), col("fbp")).as("pieces"))
+    roundtripAssemble(docs, idCol, textCol, wpieces)
+  }
+
+  /** [[greedyWalk]] with the winning pieces accumulated: st =
+    * (pos, path, unk) where path is the space-joined piece sequence
+    * of the longest-match walk (pieces are substrings of
+    * whitespace-split words, so the space join is unambiguous). Kept
+    * separate from [[greedyWalk]] so the counts-only encoders don't
+    * pay the per-step string concatenation. */
+  private def greedyWalkPieces(words: DataFrame,
+      matches: DataFrame): DataFrame = {
+    val jmap = matches.groupBy(col("w"), col("a"))
+      .agg(max(col("b")).as("mb"))
+      .groupBy("w")
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("a"), col("mb"))))).as("jm"))
+    words.join(jmap, Seq("w"), "left")
+      .select(col("w"), expr(
+        """aggregate(sequence(1, length(w)),
+          |  named_struct('pos', 1, 'path', '', 'unk', false),
+          |  (acc, i) -> CASE
+          |    WHEN acc.unk OR acc.pos > length(w) THEN acc
+          |    WHEN jm IS NULL OR element_at(jm, acc.pos) IS NULL
+          |      THEN named_struct('pos', acc.pos, 'path', acc.path,
+          |        'unk', true)
+          |    ELSE named_struct('pos', element_at(jm, acc.pos) + 1,
+          |      'path', concat(acc.path,
+          |        CASE WHEN acc.path = '' THEN '' ELSE ' ' END,
+          |        substring(w, acc.pos,
+          |          element_at(jm, acc.pos) - acc.pos + 1)),
+          |      'unk', false)
+          |  END)""".stripMargin).as("st"))
+  }
+
+  /**
+   * WordPiece round-trip: [[wordpieceEncodeBytes]]' law with pieces
+   * surfaced — a covered word emits its greedy longest-match pieces,
+   * an uncovered word emits its WHOLE-WORD byte decomposition
+   * (octet_length byte pieces, the byte-fallback dual of BERT's
+   * whole-word [UNK]) — and decode(encode(x)) == x verified per
+   * document. Output: (id, n_pieces, n_byte_pieces, decoded, ok).
+   */
+  def wordpieceRoundtrip(docs: DataFrame, idCol: String,
+      textCol: String, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 32,
+      "maxPieceLen in [1, 32]")
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .distinct()
+    val matches = wordpieceSpans(words, maxPieceLen)
+      .join(broadcast(vocab.select("tok")), Seq("tok"))
+    val wpieces = greedyWalkPieces(words, matches).select(col("w"),
+      when(col("st.unk"), expr(bytePiecesSql("w")))
+        .otherwise(split(col("st.path"), " ")).as("pieces"))
+    roundtripAssemble(docs, idCol, textCol, wpieces)
+  }
+
+  /**
+   * Unigram-LM round-trip: [[unigramEncodeBytes]]' Viterbi DP with
+   * the winning piece sequence surfaced (the DP already materializes
+   * it as the tie-break key) and byte pieces carried in their
+   * "<0xHH>" surface INSIDE the fold — fallback chars enter the path
+   * as their expanded byte pieces, so the path splits directly into
+   * the decodable sequence. decode(encode(x)) == x verified per
+   * document. Output: (id, n_pieces, n_byte_pieces, decoded, ok).
+   *
+   * NOTE the tie-break key is the piece-surface path, so ties between
+   * equal-(k, s) segmentations may resolve differently from
+   * [[unigramEncodeBytes]] (whose fallback path carries raw chars) —
+   * each law is internally consistent and each oracle replays its
+   * own; piece COUNTS are identical either way.
+   */
+  def unigramRoundtrip(train: DataFrame, trainTextCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      maxPieceLen: Int, seedSize: Int, vocabSize: Int,
+      nRounds: Int): DataFrame = {
+    val (_, vocab, _, extras) = unigramTrainLoop(train, trainTextCol,
+      maxPieceLen, seedSize, vocabSize, nRounds)
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .distinct()
+    val spans = words.select(col("w"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), a ->
+           |  transform(sequence(a, least(a + ${maxPieceLen - 1},
+           |      length(w))), b ->
+           |    named_struct('a', a, 'b', b,
+           |      'tok', substring(w, a, b - a + 1)))))""".stripMargin))
+        .as("p"))
+      .select(col("w"), col("p.a").as("a"), col("p.b").as("b"),
+        col("p.tok").as("tok"))
+    val vp = spans
+      .join(broadcast(vocab.select(col("tok"), col("cnt"))), Seq("tok"))
+      .select(col("w"), col("a"), col("b"), col("tok"), col("cnt"),
+        lit(1).as("kc"), lit(0L).as("byc"))
+    val singles = vocab.filter(length(col("tok")) === 1)
+      .select(col("tok").as("ch")).withColumn("cov", lit(1))
+    val fb = words
+      .select(col("w"), posexplode(filter(split(col("w"), ""),
+        c => c =!= "")).as(Seq("pos0", "ch")))
+      .join(broadcast(singles), Seq("ch"), "left")
+      .filter(col("cov").isNull)
+      .select(col("w"), (col("pos0") + 1).as("a"),
+        (col("pos0") + 1).as("b"),
+        expr(s"array_join(${bytePiecesSql("ch")}, ' ')").as("tok"),
+        lit(0L).as("cnt"), octet_length(col("ch")).as("kc"),
+        octet_length(col("ch")).cast("long").as("byc"))
+    val wpieces = vp.unionByName(fb)
+      .groupBy("w")
+      .agg(collect_list(struct(col("a"), col("b"), col("tok"),
+        col("cnt"), col("kc"), col("byc"))).as("ms"))
+      .withColumn("dp", unigramByteDp)
+      .select(col("w"), split(col("dp.path"), " ").as("pieces"))
+    val out = roundtripAssemble(docs, idCol, textCol, wpieces)
     extras.foreach(graft.CacheScope.unpersist)
     out
   }
