@@ -779,6 +779,41 @@ object ScaleSmoke {
         docs.select(col("doc_id"),
           concat_ws(" ", col("source"), col("text")).as("btext")),
         "doc_id", "btext", nMerges = 4).count())
+    // finite-theta Leiden: same frames as leiden full, the draw adds
+    // two window sums over the candidate frame per sweep
+    time(s"leiden theta ${factor}x")(
+      graft.analytics.GraphAnalytics.leidenFull(leidE,
+        maxLevels = 2, roundsPerLevel = 4, mergeSweeps = 2,
+        theta = Some(8L)).count())
+    // tokenizer round-trip: decode rides the distinct-word table's
+    // piece arrays; the corpus pays one ORDERED token explode + a
+    // per-doc sorted collect (the reassembly)
+    time(s"bpe roundtrip ${factor}x")(
+      graft.pipeline.TextAnalysis.bpeRoundtrip(docs, "text",
+        docs.select(col("doc_id"),
+          concat_ws(" ", col("source"), col("text"),
+            lit("café 中文 x😀y")).as("btext")),
+        "doc_id", "btext", nMerges = 4).count())
+    time(s"unigram roundtrip ${factor}x")(
+      graft.pipeline.TextAnalysis.unigramRoundtrip(docs, "text",
+        docs.select(col("doc_id"),
+          concat_ws(" ", col("source"), col("text"),
+            lit("café 中文 x😀y")).as("btext")),
+        "doc_id", "btext", maxPieceLen = 4, seedSize = 40,
+        vocabSize = 24, nRounds = 2).count())
+    // MoG two-layer ANN: fixture size scales with the factor; the
+    // exact substrate is the n^2 CONTROL (bounded by maxN, raised
+    // here deliberately to watch the quadratic term)
+    time(s"mog graph ann ivf ${factor}x")({
+      val mog = graft.pipeline.Similarity.mogEmbeddings(spark,
+        n = 512 * factor, dim = 16, nClusters = 8)
+      graft.pipeline.Similarity.graphAnnIvfTopK(mog, "vec_id",
+        "embedding",
+        graft.pipeline.Similarity.exactKnnEdges(mog, "vec_id",
+          "embedding", k = 8, maxN = 512 * factor),
+        queryIds = (0L to 15L), nCells = 32, nProbe = 6,
+        beam = 12, rounds = 6, k = 5).count()
+    })
     time(s"balanced partition ${factor}x")(
       graft.analytics.GraphAnalytics.balancedPartition(louvE,
         k = 8, rounds = 4, capPermille = 1250).count())

@@ -572,6 +572,18 @@ object SparkEntry {
           queryIds = (0L to 15L), nCells = 32, nProbe = 6,
           beam = 12, rounds = 6, k = 5))
     }),
+    // classic IVF (partition-probe, no graph) on the same clustered
+    // fixture — the other family the r14 verdict asked to certify
+    // where cluster structure exists for the coarse quantizer
+    "q_mog_ivf_flat_recall" -> ((s, dir) => {
+      val mog = Similarity.mogEmbeddings(s, n = 512, dim = 16,
+        nClusters = 8)
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopK(mog, "vec_id", "embedding",
+          queryIds = (0L to 15L), k = 5),
+        Similarity.ivfTopK(mog, "vec_id", "embedding",
+          queryIds = (0L to 15L), k = 5, nCells = 32, nProbe = 6))
+    }),
     "q_mog_fixed_recall" -> ((s, dir) => {
       val mog = Similarity.mogEmbeddings(s, n = 512, dim = 16,
         nClusters = 8)
@@ -5834,6 +5846,54 @@ object SparkEntry {
        |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
        |GROUP BY e.query_id""".stripMargin
 
+  /** Classic-IVF (partition-probe) recall oracle on the MoG fixture:
+    * mirrors [[IvfTopKSql]]'s assign/probe/rank over `mog` (cosine
+    * on INTEGER-valued doubles — dot products exact on both engines)
+    * plus the shared recall tail. */
+  private def mogIvfFlatRecallSql(n: Int, dim: Int, nClusters: Int,
+      nCells: Int, nProbe: Int, nQ: Int, topK: Int): String =
+    s"""WITH ${mogCtes(n, dim, nClusters)},
+       |ic AS (SELECT vec_id AS cell, embedding AS cvec
+       |  FROM mog WHERE vec_id < $nCells),
+       |iasg AS (SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, ic.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+       |          ic.cvec::DOUBLE[]) DESC, ic.cell) AS crk
+       |    FROM mog e CROSS JOIN ic) za WHERE crk = 1),
+       |iq AS (SELECT vec_id AS query_id, embedding AS qvec
+       |  FROM mog WHERE vec_id < $nQ),
+       |iprobed AS (SELECT query_id, qvec, cell FROM (
+       |    SELECT iq.query_id, iq.qvec, ic.cell,
+       |      row_number() OVER (PARTITION BY iq.query_id
+       |        ORDER BY list_cosine_similarity(iq.qvec::DOUBLE[],
+       |          ic.cvec::DOUBLE[]) DESC, ic.cell) AS crk
+       |    FROM iq CROSS JOIN ic) zp WHERE crk <= $nProbe),
+       |approx AS (SELECT query_id, cand_id FROM (
+       |    SELECT p.query_id, a.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY floor(list_cosine_similarity(p.qvec::DOUBLE[],
+       |          a.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0
+       |          DESC, a.vec_id) AS rk
+       |    FROM iprobed p JOIN iasg a ON a.cell = p.cell
+       |      AND a.vec_id <> p.query_id) zr WHERE rk <= $topK),
+       |exact AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY floor((list_cosine_similarity(
+       |        q.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+       |        * 1000000.0 + 0.5) / 1000000.0 DESC, c.vec_id) AS rk
+       |  FROM mog q JOIN mog c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $nQ) ze WHERE rk <= $topK)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  floor((sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |GROUP BY e.query_id""".stripMargin
+
   private def graphAnnTopKSql(beam: Int, rounds: Int, nQ: Int,
       topK: Int, entries: Seq[Long], graphK: Int,
       expandCap: Int, ivfEntry: Option[(Int, Int)] = None): String =
@@ -9643,6 +9703,8 @@ object SparkEntry {
     "q_graph_ann_ivf_recall" -> graphAnnRecallSql(beam = 12,
       rounds = 6, nQ = 10, topK = 5, entries = Seq.empty,
       graphK = 12, expandCap = 12, ivfEntry = Some((32, 6))),
+    "q_mog_ivf_flat_recall" -> mogIvfFlatRecallSql(n = 512, dim = 16,
+      nClusters = 8, nCells = 32, nProbe = 6, nQ = 16, topK = 5),
     "q_mog_ivf_recall" -> mogAnnRecallSql(n = 512, dim = 16,
       nClusters = 8, substrateK = 8, beam = 12, rounds = 6, nQ = 16,
       topK = 5, entries = Seq.empty, ivfEntry = Some((32, 6))),
@@ -11288,6 +11350,7 @@ object SparkEntry {
     "q_graph_ann_recall" -> Seq("recall"),
     "q_graph_ann_ivf_recall" -> Seq("recall"),
     "q_mog_ivf_recall" -> Seq("recall"),
+    "q_mog_ivf_flat_recall" -> Seq("recall"),
     "q_mog_fixed_recall" -> Seq("recall"),
     "q_ivfpq_topk" -> Seq("d2"),
     "q_ivfpq_residual" -> Seq("d2"),
