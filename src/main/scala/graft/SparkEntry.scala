@@ -2853,6 +2853,23 @@ object SparkEntry {
         vocabSize = 24, nRounds = 3)
     }),
 
+    // ---- BERT-WordPiece round-trip: the honest LOSSY dual — the
+    // BERT family emits whole-word [UNK], so decode(encode(x)) == x
+    // IFF no UNK; the gate verifies that biconditional per doc on a
+    // corpus alternating covered (even doc_id) and UNK-bearing (odd:
+    // source‖text‖probe) documents ----
+    "q_wordpiece_bert_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.wordpieceBertRoundtrip(
+        d.select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .otherwise(concat_ws(" ", col("source"), col("text"),
+              lit(RtProbe))).as("btext")),
+        "doc_id", "btext",
+        TextAnalysis.wordpieceBertVocab(d, "text", nMerges = 6),
+        maxPieceLen = 8)
+    }),
+
     // ---- k-core peeling (3 fixed rounds, k=3) over the part⋈supplier
     // bipartite graph — degeneracy summary; oracle replays the exact
     // peel rounds via a generated CTE chain ----
@@ -4655,17 +4672,20 @@ object SparkEntry {
   /** Encode-corpus text of the roundtrip gates: source‖text‖probe. */
   private val RtEncTextSql = s"source || ' ' || text || ' $RtProbe'"
 
-  /** Head CTEs shared by the three roundtrip oracles: the ordered
-    * token list per doc (`ptl`/`pt`) and the distinct word table. */
-  private val RtHeadSql: String =
+  /** Head CTEs shared by the roundtrip oracles: the ordered token
+    * list per doc (`ptl`/`pt`) and the distinct word table, over the
+    * given encode-text expression. */
+  private def rtHeadSql(encText: String): String =
     s"""ptl AS MATERIALIZED (SELECT doc_id, list_filter(
-       |    string_split_regex($RtEncTextSql, '\\s+'),
+       |    string_split_regex($encText, '\\s+'),
        |    x -> x <> '') AS lw
        |  FROM documents),
        |pt AS MATERIALIZED (SELECT doc_id, i.i AS pos, lw[i.i::INT] AS w
        |  FROM ptl CROSS JOIN LATERAL
        |    unnest(range(1, len(lw) + 1)) i(i)),
        |words AS MATERIALIZED (SELECT DISTINCT w FROM pt)""".stripMargin
+
+  private def RtHeadSql: String = rtHeadSql(RtEncTextSql)
 
   /** Tail shared by the three roundtrip oracles, over a family-built
     * `wt(w, pieces)` CTE: per-word decode (byte piece → its octet,
@@ -4785,6 +4805,99 @@ object SparkEntry {
        |      ELSE string_split(st.path, ' ') END AS pieces
        |  FROM walkedp),
        |$RtTailSql""".stripMargin
+  }
+
+  /** BERT-WordPiece roundtrip oracle — the honest LOSSY dual: pieces
+    * are the position-annotated surfaces (continuations ##-prefixed),
+    * an uncovered word is the literal [UNK] marker, decode strips ##
+    * and concatenates, and the gate verifies the biconditional
+    * lossless ⇔ n_unk == 0 per doc. Encode corpus alternates covered
+    * (even doc_id: plain text) and UNK-bearing (odd: source‖text‖the
+    * multibyte probe) so BOTH sides of the biconditional bind. */
+  private def wordpieceBertRoundtripSql(nMerges: Int,
+      maxPieceLen: Int): String = {
+    val mergeSyms = (1 to nMerges)
+      .map(t => s"SELECT replace(pair, ' ', '') AS sym FROM bb$t")
+      .mkString("\n    UNION ALL ")
+    val encText = "CASE WHEN doc_id % 2 = 0 THEN text ELSE " +
+      s"source || ' ' || text || ' $RtProbe' END"
+    s"""WITH ${wordpieceBertVocabCtes(nMerges)},
+       |${rtHeadSql(encText)},
+       |btokst AS MATERIALIZED (SELECT DISTINCT w AS tok FROM (
+       |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |    x -> x <> '')) AS w FROM documents) tw
+       |  WHERE w NOT LIKE '%#%'),
+       |msym AS ($mergeSyms),
+       |bvinit AS MATERIALIZED (SELECT DISTINCT tok FROM (
+       |  SELECT substr(tok, 1, 1) AS tok FROM btokst
+       |  UNION ALL
+       |  SELECT replace(sym, '#', '') FROM msym
+       |  WHERE sym NOT LIKE '##%') x),
+       |bvcont AS MATERIALIZED (SELECT DISTINCT tok FROM (
+       |  SELECT substr(tok, ci.i::INT, 1) AS tok FROM btokst
+       |    CROSS JOIN LATERAL unnest(range(2, length(tok) + 1)) ci(i)
+       |  UNION ALL
+       |  SELECT replace(sym, '#', '') FROM msym
+       |  WHERE sym LIKE '##%') x),
+       |sp AS MATERIALIZED (
+       |  SELECT words.w, ua.a::INT AS a, (ua.a + um.m - 1)::INT AS b,
+       |    substr(words.w, ua.a::INT, um.m::INT) AS sub
+       |  FROM words
+       |  CROSS JOIN LATERAL unnest(range(1, length(w) + 1)) ua(a)
+       |  CROSS JOIN LATERAL unnest(range(1, 1 + least($maxPieceLen,
+       |    length(w) - ua.a + 1))) um(m)),
+       |mm AS MATERIALIZED (
+       |  SELECT sp.w, sp.a, sp.b FROM sp
+       |  JOIN bvinit v ON sp.a = 1 AND v.tok = sp.sub
+       |  UNION ALL
+       |  SELECT sp.w, sp.a, sp.b FROM sp
+       |  JOIN bvcont v ON sp.a > 1 AND v.tok = sp.sub),
+       |jump AS MATERIALIZED (
+       |  SELECT w, map(list(a ORDER BY a), list(mb ORDER BY a)) AS jm
+       |  FROM (SELECT w, a, max(b) AS mb FROM mm GROUP BY w, a) jj
+       |  GROUP BY w),
+       |walkedp AS MATERIALIZED (
+       |  SELECT words.w, list_reduce(
+       |    list_concat([{'path': '', 'pos': 1, 'unk': false}],
+       |      list_transform(range(1, length(words.w) + 1),
+       |        i -> {'path': '', 'pos': 0, 'unk': false})),
+       |    (acc, x) -> CASE
+       |      WHEN acc.unk OR acc.pos > length(words.w) THEN acc
+       |      WHEN jump.jm IS NULL
+       |          OR len(map_extract(jump.jm, acc.pos)) = 0
+       |        THEN {'path': acc.path, 'pos': acc.pos, 'unk': true}
+       |      ELSE {'path': acc.path ||
+       |          (CASE WHEN acc.path = '' THEN '' ELSE ' ' END) ||
+       |          (CASE WHEN acc.pos = 1 THEN '' ELSE '##' END) ||
+       |          substr(words.w, acc.pos::INT,
+       |            (map_extract(jump.jm, acc.pos)[1] - acc.pos
+       |              + 1)::INT),
+       |        'pos': map_extract(jump.jm, acc.pos)[1] + 1,
+       |        'unk': false} END) AS st
+       |  FROM words LEFT JOIN jump ON jump.w = words.w),
+       |wt AS MATERIALIZED (SELECT w,
+       |    CASE WHEN st.unk THEN ['[UNK]']
+       |      ELSE string_split(st.path, ' ') END AS pieces
+       |  FROM walkedp),
+       |dwx AS MATERIALIZED (SELECT w,
+       |    CAST(len(pieces) AS BIGINT) AS np,
+       |    CAST(len(list_filter(pieces, p -> p = '[UNK]'))
+       |      AS BIGINT) AS nu,
+       |    decode(unhex(list_reduce(list_prepend('', pieces),
+       |      (h, p) -> h || hex(encode(CASE WHEN p LIKE '##%'
+       |        THEN substr(p, 3) ELSE p END))))) AS dw
+       |  FROM wt),
+       |rtagg AS (SELECT pt.doc_id,
+       |    CAST(sum(d.np) AS BIGINT) AS n_pieces,
+       |    CAST(sum(d.nu) AS BIGINT) AS n_unk,
+       |    string_agg(d.dw, ' ' ORDER BY pt.pos) AS decoded
+       |  FROM pt JOIN dwx d ON d.w = pt.w
+       |  GROUP BY pt.doc_id)
+       |SELECT rtagg.doc_id, n_pieces, n_unk, decoded,
+       |  (decoded = array_to_string(ptl.lw, ' ')) AS lossless,
+       |  ((decoded = array_to_string(ptl.lw, ' ')) = (n_unk = 0))
+       |    AS iff_ok
+       |FROM rtagg JOIN ptl ON ptl.doc_id = rtagg.doc_id""".stripMargin
   }
 
   /** Unigram roundtrip oracle: brute segmentation enumeration (the
@@ -9770,6 +9883,8 @@ object SparkEntry {
       maxPieceLen = 8),
     "q_unigram_roundtrip" -> unigramRoundtripSql(maxPieceLen = 4,
       seedSize = 40, vocabSize = 24, nRounds = 3),
+    "q_wordpiece_bert_roundtrip" -> wordpieceBertRoundtripSql(
+      nMerges = 6, maxPieceLen = 8),
     "q_unigram_encode" -> unigramEncodeSql(maxPieceLen = 4,
       seedSize = 40, vocabSize = 24, nRounds = 3),
 

@@ -2342,16 +2342,22 @@ object TextAnalysis {
     * whitespace-split words, so the space join is unambiguous). Kept
     * separate from [[greedyWalk]] so the counts-only encoders don't
     * pay the per-step string concatenation. */
-  private def greedyWalkPieces(words: DataFrame,
-      matches: DataFrame): DataFrame = {
+  private def greedyWalkPieces(words: DataFrame, matches: DataFrame,
+      contPrefix: Option[String] = None): DataFrame = {
     val jmap = matches.groupBy(col("w"), col("a"))
       .agg(max(col("b")).as("mb"))
       .groupBy("w")
       .agg(map_from_entries(sort_array(
         collect_list(struct(col("a"), col("mb"))))).as("jm"))
+    // continuation-surface annotation (the BERT ## convention): a
+    // piece starting past position 1 carries the prefix, so the
+    // sequence round-trips through the standard strip-##-and-concat
+    // detokenizer
+    val ann = contPrefix.fold("")(p =>
+      s"CASE WHEN acc.pos = 1 THEN '' ELSE '$p' END, ")
     words.join(jmap, Seq("w"), "left")
       .select(col("w"), expr(
-        """aggregate(sequence(1, length(w)),
+        s"""aggregate(sequence(1, length(w)),
           |  named_struct('pos', 1, 'path', '', 'unk', false),
           |  (acc, i) -> CASE
           |    WHEN acc.unk OR acc.pos > length(w) THEN acc
@@ -2361,10 +2367,73 @@ object TextAnalysis {
           |    ELSE named_struct('pos', element_at(jm, acc.pos) + 1,
           |      'path', concat(acc.path,
           |        CASE WHEN acc.path = '' THEN '' ELSE ' ' END,
+          |        $ann
           |        substring(w, acc.pos,
           |          element_at(jm, acc.pos) - acc.pos + 1)),
           |      'unk', false)
           |  END)""".stripMargin).as("st"))
+  }
+
+  /**
+   * BERT-WordPiece round-trip — the honest LOSSY dual of the three
+   * byte-fallback round-trips: the BERT family replaces an uncovered
+   * word with whole-word [UNK], so decode(encode(x)) == x holds IFF
+   * the document contains no [UNK]. The gate verifies exactly that
+   * biconditional per document: pieces are the greedy walk's
+   * position-annotated surfaces (first piece bare, continuations
+   * ##-prefixed — the real BERT vocab surface), decode strips ## and
+   * concatenates (the standard detokenizer), an UNK word decodes as
+   * the literal [UNK] marker, and the output carries
+   * (n_pieces, n_unk, decoded, lossless, iff_ok) with
+   * iff_ok = (lossless ⇔ n_unk == 0) — true on every doc when both
+   * laws are implemented correctly, WHICHEVER side of the
+   * biconditional the doc exercises.
+   *
+   * Scale shape: identical to [[wordpieceBertEncodeCounts]] plus the
+   * ordered doc reassembly (one ordered token explode vs the
+   * broadcast word table).
+   */
+  def wordpieceBertRoundtrip(docs: DataFrame, idCol: String,
+      textCol: String, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 32,
+      "maxPieceLen in [1, 32]")
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .distinct()
+    val spans = wordpieceSpans(words, maxPieceLen)
+      .transform(graft.CacheScope.persist(_))
+    val vinit = vocab.filter(col("is_cont") === 0L).select("tok")
+    val vcont = vocab.filter(col("is_cont") === 1L)
+      .select(expr("substring(tok, 3)").as("tok"))
+    val matches = spans.filter(col("a") === 1)
+      .join(broadcast(vinit), Seq("tok"))
+      .unionByName(spans.filter(col("a") > 1)
+        .join(broadcast(vcont), Seq("tok")))
+    val wpieces = greedyWalkPieces(words, matches,
+      contPrefix = Some("##")).select(col("w"),
+      when(col("st.unk"), array(lit("[UNK]")))
+        .otherwise(split(col("st.path"), " ")).as("pieces"))
+    val decodeSql =
+      "decode(unhex(aggregate(pieces, '', (h, p) -> concat(h, " +
+        "hex(encode(CASE WHEN p LIKE '##%' THEN substring(p, 3) " +
+        "ELSE p END, 'UTF-8'))))), 'UTF-8')"
+    docs.select(col(idCol), col(textCol).as("__rt_text"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .join(broadcast(wpieces), Seq("w"))
+      .withColumn("dw", expr(decodeSql))
+      .groupBy(idCol)
+      .agg(sum(size(col("pieces"))).cast("long").as("n_pieces"),
+        sum(expr("size(filter(pieces, p -> p = '[UNK]'))"))
+          .cast("long").as("n_unk"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(pos, dw))), x -> x.dw), ' ')").as("decoded"),
+        first(col("__rt_text")).as("__t"))
+      .select(col(idCol), col("n_pieces"), col("n_unk"),
+        col("decoded"),
+        (col("decoded") === array_join(tokens(col("__t")), " "))
+          .as("lossless"),
+        ((col("decoded") === array_join(tokens(col("__t")), " ")) ===
+          (col("n_unk") === lit(0L))).as("iff_ok"))
   }
 
   /**

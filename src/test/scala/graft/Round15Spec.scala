@@ -109,6 +109,35 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("wordpieceBertRoundtrip: lossless IFF no [UNK] — covered " +
+      "docs reconstruct through ##-stripping, uncovered words " +
+      "surface the [UNK] marker") {
+    val train = Seq("abab abab cd cd").toDF("text")
+    val vocab = TextAnalysis.wordpieceBertVocab(train, "text",
+      nMerges = 3)
+    val docs = Seq((1L, "abab cd"), (2L, "abab axé cd"))
+      .toDF("doc_id", "text")
+    val rt = TextAnalysis.wordpieceBertRoundtrip(docs, "doc_id",
+      "text", vocab, maxPieceLen = 8).orderBy("doc_id").collect()
+    // doc 1 fully covered: lossless, zero UNK
+    assert(rt(0).getAs[Boolean]("lossless") &&
+      rt(0).getAs[Long]("n_unk") == 0L, s"covered: ${rt(0)}")
+    assert(rt(0).getAs[String]("decoded") == "abab cd")
+    // doc 2: 'axé' has é outside both inventories -> whole-word UNK,
+    // NOT lossless — and the biconditional holds on both docs
+    assert(!rt(1).getAs[Boolean]("lossless") &&
+      rt(1).getAs[Long]("n_unk") == 1L, s"unk: ${rt(1)}")
+    assert(rt(1).getAs[String]("decoded") == "abab [UNK] cd")
+    assert(rt.forall(_.getAs[Boolean]("iff_ok")))
+    // piece counts agree with the counts encoder (UNK word = 1 piece)
+    val cnt = TextAnalysis.wordpieceBertEncodeCounts(docs, "doc_id",
+      "text", vocab, maxPieceLen = 8).orderBy("doc_id").collect()
+    rt.zip(cnt).foreach { case (r, c) =>
+      assert(r.getAs[Long]("n_pieces") == c.getAs[Long]("n_pieces"))
+      assert(r.getAs[Long]("n_unk") == c.getAs[Long]("n_unk"))
+    }
+  }
+
   // ---- clustered-corpus ANN recall certification ----
 
   test("mogEmbeddings is deterministic, clustered, and integer-valued") {
