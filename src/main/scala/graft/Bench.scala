@@ -323,12 +323,16 @@ object Bench {
         // the adj table for adjudication.
         val min2 = math.min(warm, timed)
         // Both-slot-stall valve (r13 q_eff_diameter): if even the min
-        // of the two runs exceeds 3x the committed local number (or,
+        // of the two runs exceeds 2x the committed local number (or,
         // for queries with no committed record yet, an absolute 10s
         // threshold), the slot is suspect — run up to 2 bounded
         // retries on the still-warm caches and take the overall best.
+        // r15 verdict (Missing #3): the old 3x trigger left a 2x-3x
+        // blind band (q_cms_registers drifted to 2.7x unflagged);
+        // retries now arm at 2x, and any row STILL above 2x after
+        // retries ships in an explicit "drift" field below.
         val suspectAbove = refTimes.get(name)
-          .map(r => math.max(1.0, 3.0 * r)).getOrElse(10.0)
+          .map(r => math.max(1.0, 2.0 * r)).getOrElse(10.0)
         var sec = min2
         var retries = 0
         while (err.isEmpty && sec > suspectAbove && retries < 2) {
@@ -382,6 +386,20 @@ object Bench {
           "," + fmt(a(6), 0) + "]"
       }.mkString(""","adj":{""", ",", "}")
     }
+    // Explicit drift marks (r15 verdict Missing #3): every successful
+    // row whose best-of-all-runs time STILL exceeds 2x its committed
+    // cooled-local record (above the 1s noise floor) ships with its
+    // multiplier — these rows already paid the bounded retries, so a
+    // mark here is adjudicated environment drift, never a silent
+    // headline pollutant. Empty field when nothing drifted.
+    val driftField: String = {
+      val rows = results.collect {
+        case (k, v, None, _) if refTimes.get(k)
+          .exists(r => v > math.max(1.0, 2.0 * r)) =>
+          "\"" + shortName(k) + "\":" + fmt(v / refTimes(k), 1)
+      }
+      if (rows.isEmpty) "" else rows.mkString(""","drift":{""", ",", "}")
+    }
     def render(dec: Int, dropPrefix: Boolean,
         abbrev: Boolean = false): String = {
       def nm(k: String) = {
@@ -396,7 +414,7 @@ object Bench {
       val nErr = results.count(_._3.isDefined)
       val sf = if (dropPrefix) sfDir.split('/').last else sfDir
       val errField = if (nErr > 0) s""","errors":$nErr""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField${adjField(6)},"sf":"$sf"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField${adjField(6)}$driftField,"sf":"$sf"}"""
     }
     // bench_local.json carries the FULL adjudication table (every
     // query: [startOff, warm, timed, gcTimed, gcSlot, pinned]) at
@@ -440,7 +458,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
         s""","fast_omitted":${omitted.length}""" +
         s""","fast_sum":${fmt(omitted.map(_._2).sum, 1)}$errField""" +
-        adjField(6) +
+        adjField(6) + driftField +
         s""","sf":"${sfDir.split('/').last}"}"""
     }
     // Pick the FINEST floor that fits: omit as few entries as the

@@ -3787,9 +3787,10 @@ object SparkEntry {
     // merge-target draw per sweep: θ→∞ = argmin md5(x:d) over the
     // candidates; finite θ = the max-anchored dyadic exp(ΔQ/θ)
     // inverse-CDF draw (weight 2^(20 − min(20, (gmax−gain) // θ)),
-    // u = md5('u:'x':'s) on the 2^20 grid, target = first d in d-asc
-    // order with cum·2^20 > u·tot) — integer-for-integer the
-    // engine's law
+    // u = md5('u:'level':'x':'s) on the 2^20 grid — the level is in
+    // the seed so draws are independent across levels (r16) —
+    // target = first d in d-asc order with cum·2^20 > u·tot) —
+    // integer-for-integer the engine's law
     def chSql(l: Int, s: Int): String = {
       val candJoin =
         s"""FROM mv_${l}_$s m
@@ -3823,7 +3824,7 @@ object SparkEntry {
              |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
              |      CAST(sum(wgt) OVER (PARTITION BY x) AS BIGINT)
              |        AS tot,
-             |      CAST('0x' || substr(md5('u:' ||
+             |      CAST('0x' || substr(md5('u:$l:' ||
              |        CAST(x AS VARCHAR) || ':$s'), 1, 8) AS BIGINT)
              |        % 1048576 AS u
              |    FROM cw_${l}_$s) __h$s
@@ -5905,19 +5906,27 @@ object SparkEntry {
 
   /** The deterministic mixture-of-Gaussians fixture as a CTE —
     * replays Similarity.mogEmbeddings' two md5 integer draws
-    * (center ∈ [-1000,1000] keyed by cluster=i%nClusters, noise ∈
-    * [-50,50] keyed by i) per dimension; integer-valued doubles. */
-  private def mogCtes(n: Int, dim: Int, nClusters: Int): String =
+    * (center ∈ [-1000,1000] keyed by the cluster law, noise ∈
+    * [-50,50] keyed by i) per dimension; integer-valued doubles.
+    * `block = true` swaps the interleaved cluster = i % nClusters
+    * for the adversarial BLOCK layout cluster = i // (n/nClusters)
+    * (ids arrive grouped — real ingest; low-id seed pools cover
+    * only cluster 0), mirroring mogEmbeddings' `block` flag. */
+  private def mogCtes(n: Int, dim: Int, nClusters: Int,
+      block: Boolean = false): String = {
+    val cluster =
+      if (block) s"(t.i // ${n / nClusters})" else s"(t.i % $nClusters)"
     s"""mog AS MATERIALIZED (SELECT CAST(t.i AS BIGINT) AS vec_id,
        |    list_transform(range(0, $dim), d -> CAST(
        |      ((CAST('0x' || substr(md5('c' ||
-       |          CAST(t.i % $nClusters AS VARCHAR) || ':' ||
+       |          CAST($cluster AS VARCHAR) || ':' ||
        |          CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2001) - 1000)
        |      + ((CAST('0x' || substr(md5('p' ||
        |          CAST(t.i AS VARCHAR) || ':' ||
        |          CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 101) - 50)
        |      AS DOUBLE)) AS embedding
        |  FROM range($n) t(i))""".stripMargin
+  }
 
   /** Clustered-fixture graph-ANN recall oracle: the MoG fixture, an
     * EXACT all-pairs kNN substrate (the control — recall differences
@@ -5962,7 +5971,13 @@ object SparkEntry {
   /** Classic-IVF (partition-probe) recall oracle on the MoG fixture:
     * mirrors [[IvfTopKSql]]'s assign/probe/rank over `mog` (cosine
     * on INTEGER-valued doubles — dot products exact on both engines)
-    * plus the shared recall tail. */
+    * plus the shared recall tail.
+    * PRECONDITION (r15 ADVICE): the assign/probe stages order by RAW
+    * list_cosine_similarity, mirroring ivfTopK's raw csim — exact
+    * here because the MoG fixture is integer-valued (every partial
+    * sum exact, see Similarity.mogEmbeddings' fixture contract);
+    * a non-integer corpus must quantize these ordering keys on both
+    * engines like the rank stage already does. */
   private def mogIvfFlatRecallSql(n: Int, dim: Int, nClusters: Int,
       nCells: Int, nProbe: Int, nQ: Int, topK: Int): String =
     s"""WITH ${mogCtes(n, dim, nClusters)},

@@ -2275,7 +2275,15 @@ object TextAnalysis {
     * ordered token explode against the broadcast word table; decode
     * runs per DISTINCT word occurrence row (codegen'd fold), the
     * per-doc reassembly is one combinable collect_list sorted by
-    * token position. */
+    * token position.
+    *
+    * EMPTY-DOC EXCLUSION (r15 ADVICE): a document whose text
+    * tokenizes to ZERO tokens (empty or whitespace-only) emits no
+    * exploded rows and therefore no output row — the round-trip
+    * gates compare token STREAMS, and an empty stream has nothing to
+    * round-trip. The oracles mirror the same inner-join law, so
+    * parity holds; a consumer counting ok=true rows against a doc
+    * count must pre-filter empty docs (or left-join this output). */
   private def roundtripAssemble(docs: DataFrame, idCol: String,
       textCol: String, wpieces: DataFrame): DataFrame =
     docs.select(col(idCol), col(textCol).as("__rt_text"),
@@ -2388,6 +2396,15 @@ object TextAnalysis {
    * iff_ok = (lossless ⇔ n_unk == 0) — true on every doc when both
    * laws are implemented correctly, WHICHEVER side of the
    * biconditional the doc exercises.
+   *
+   * RESERVED SURFACE (r15 ADVICE): the literal corpus word "[UNK]"
+   * is indistinguishable from the unknown-word marker — an UNCOVERED
+   * "[UNK]" token decodes to itself, yielding lossless=true with
+   * n_unk=1 and a spurious iff_ok=false on a correct implementation.
+   * This mirrors the "<0xHH>" reservation of the byte-fallback
+   * families: real BERT vocabs hold [UNK] as a distinct vocab ENTRY,
+   * a string surface can only reserve the pattern. Gate corpora must
+   * exclude the literal token (the shipped fixtures do).
    *
    * Scale shape: identical to [[wordpieceBertEncodeCounts]] plus the
    * ordered doc reassembly (one ordered token explode vs the
