@@ -187,6 +187,12 @@ object Bench {
     "spath_converged" -> "spconv", "earr_converged" -> "eaconv",
     "lprop_converged" -> "lpconv", "ivf_drift" -> "ivfdr",
     "lprop_stable_trace" -> "lpstt", "lprop_stable" -> "lpst",
+    // round-16 additions
+    "mog_block_untrained_recall" -> "mogbu",
+    "mog_block_fixed_recall" -> "mogbf",
+    "mog_trained_flat_recall" -> "mogtf",
+    "mog_trained_recall" -> "mogtr",
+    "mog_refine_recall" -> "mogrr",
     // round-14 additions
     "leiden_full" -> "leidf", "bpe_bytes" -> "bpeby",
     "wordpiece_bytes" -> "wpby", "unigram_bytes" -> "ugby",

@@ -597,6 +597,102 @@ object SparkEntry {
           beam = 12, rounds = 6, k = 5))
     }),
 
+    // ---- Block-layout MoG + TRAINED coarse layer (r15 verdict Next
+    // #1): the interleaved fixture's cluster = id % 8 guarantees any
+    // low-id seed pool covers every cluster — flattering untrained
+    // first-N-by-id seeding. The BLOCK layout (cluster = id div 64;
+    // ids arrive grouped, as real ingest produces) puts EVERY
+    // untrained seed in cluster 0. Measured on it (queries 2 per
+    // cluster, vec_id % 32 == 0): two-layer untrained craters to
+    // 0.125 mean recall@5 (all entries in cluster 0; the exact-kNN
+    // substrate has no cross-cluster edges to recover through) and
+    // same-budget fixed entries crater identically; ivfTrain — 3
+    // deterministic Lloyd rounds from the SAME degenerate cluster-0
+    // seeds — plus query-aware entries reaches 1.0 (min 1.0); flat
+    // IVF is layout-robust even untrained (0.975 — per-vector argmax
+    // assignment adapts to bad centroids) and trained lifts it to
+    // 1.0 (min 0.8 → 1.0). Oracles replay the Lloyd chain
+    // (ivfTrainCtes over the mog fixture) round for round. ----
+    "q_mog_block_untrained_recall" -> ((s, dir) => {
+      val mog = Similarity.mogEmbeddings(s, n = 512, dim = 16,
+        nClusters = 8, block = true)
+      val qids = (0 until 16).map(_ * 32L)
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopK(mog, "vec_id", "embedding",
+          queryIds = qids, k = 5),
+        Similarity.graphAnnIvfTopK(mog, "vec_id", "embedding",
+          Similarity.exactKnnEdges(mog, "vec_id", "embedding", k = 8),
+          queryIds = qids, nCells = 32, nProbe = 6,
+          beam = 12, rounds = 6, k = 5))
+    }),
+    "q_mog_block_fixed_recall" -> ((s, dir) => {
+      val mog = Similarity.mogEmbeddings(s, n = 512, dim = 16,
+        nClusters = 8, block = true)
+      val qids = (0 until 16).map(_ * 32L)
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopK(mog, "vec_id", "embedding",
+          queryIds = qids, k = 5),
+        Similarity.graphAnnTopK(mog, "vec_id", "embedding",
+          Similarity.exactKnnEdges(mog, "vec_id", "embedding", k = 8),
+          queryIds = qids, entryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L),
+          beam = 12, rounds = 6, k = 5))
+    }),
+    "q_mog_trained_recall" -> ((s, dir) => {
+      val mog = Similarity.mogEmbeddings(s, n = 512, dim = 16,
+        nClusters = 8, block = true)
+      val qids = (0 until 16).map(_ * 32L)
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopK(mog, "vec_id", "embedding",
+          queryIds = qids, k = 5),
+        Similarity.graphAnnIvfTopKWith(mog, "vec_id", "embedding",
+          Similarity.exactKnnEdges(mog, "vec_id", "embedding", k = 8),
+          queryIds = qids,
+          centroids = Similarity.ivfTrain(mog, "vec_id", "embedding",
+            nCells = 32, iters = 3),
+          nProbe = 6, beam = 12, rounds = 6, k = 5))
+    }),
+    "q_mog_trained_flat_recall" -> ((s, dir) => {
+      val mog = Similarity.mogEmbeddings(s, n = 512, dim = 16,
+        nClusters = 8, block = true)
+      val qids = (0 until 16).map(_ * 32L)
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopK(mog, "vec_id", "embedding",
+          queryIds = qids, k = 5),
+        Similarity.ivfTopKWith(mog, "vec_id", "embedding",
+          centroids = Similarity.ivfTrain(mog, "vec_id", "embedding",
+            nCells = 32, iters = 3),
+          queryIds = qids, k = 5, nProbe = 6))
+    }),
+    // ---- the PRODUCTION two-layer path on clustered data (r15
+    // verdict Next #2): LSH+NN-descent substrate (not the exact
+    // control), Lloyd-trained coarse layer, query-aware entries, on
+    // an 8×-amplified block MoG (n=4096 — clusters of 512 vs the
+    // 128 bucket cap). The r15-feared interaction was REAL and worse
+    // than feared: the hyperplane signature is center-dominated, so
+    // bucket ≈ cluster (8 buckets held 3958/4096 rows) and the old
+    // drop-the-bucket law erased every intra-cluster edge — recall
+    // 0.125. The r16 salted sub-bucket law (knnGraph) restores
+    // bounded intra-cluster pairing: one refine round → 0.625, the
+    // 3-round descent fixpoint at k=16 → 0.9625 (min 0.6), which is
+    // what this gate pins. Substrate numbers recorded in PLANS.md. ----
+    "q_mog_refine_recall" -> ((s, dir) => {
+      val mog = Similarity.mogEmbeddings(s, n = 4096, dim = 16,
+        nClusters = 8, block = true)
+      val qids = (0 until 16).map(_ * 256L)
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopK(mog, "vec_id", "embedding",
+          queryIds = qids, k = 5),
+        Similarity.graphAnnIvfTopKWith(mog, "vec_id", "embedding",
+          Similarity.knnDescent(mog, "vec_id", "embedding", k = 16,
+            numPlanes = 6, dim = 16, maxBucketSize = 128,
+            expandCap = 16, maxRounds = 3)
+            .select("vec_id", "nbr_id"),
+          queryIds = qids,
+          centroids = Similarity.ivfTrain(mog, "vec_id", "embedding",
+            nCells = 32, iters = 3),
+          nProbe = 6, beam = 12, rounds = 7, k = 5))
+    }),
+
     // ---- PCA rotation (OPQ-lite): top principal direction by power
     // iteration over the exact on-grid covariance — the pre-
     // quantization rotation step; + the corpus-wide projection ----
@@ -4956,7 +5052,8 @@ object SparkEntry {
     * rounds are no-ops (the round is a deterministic graph function),
     * so the unroll replays the early-exiting Spark loop verbatim. */
   private def knnDescentCtes(k: Int, expandCap: Int,
-      rounds: Int): String = {
+      rounds: Int, src: String = "embeddings", numPlanes: Int = 6,
+      dim: Int = 64, cap: Int = 128): String = {
     val roundsSql = (1 to rounds).map { t =>
       val pg = s"d${t - 1}"
       s"""und_$t AS MATERIALIZED (SELECT x, n, max(sim) AS sim FROM (
@@ -4973,8 +5070,8 @@ object SparkEntry {
          |      AS sim
          |  FROM (SELECT DISTINCT a.x, b.n AS n2 FROM cap_$t a
          |    JOIN cap_$t b ON b.x = a.n WHERE a.x <> b.n) q
-         |  JOIN embeddings e1 ON e1.vec_id = q.x
-         |  JOIN embeddings e2 ON e2.vec_id = q.n2),
+         |  JOIN $src e1 ON e1.vec_id = q.x
+         |  JOIN $src e2 ON e2.vec_id = q.n2),
          |d$t AS MATERIALIZED (SELECT x, nbr_id,
          |    CAST(rk AS BIGINT) AS rk, sim FROM (
          |    SELECT x, nbr_id, sim, row_number() OVER (PARTITION BY x
@@ -4985,10 +5082,10 @@ object SparkEntry {
          |      GROUP BY x, nbr_id) m_$t) r_$t
          |  WHERE rk <= $k)""".stripMargin
     }.mkString(",\n")
-    s"""$knnGraphCtes,
+    s"""${knnGraphCtes(src, numPlanes, dim, cap)},
        |lshg AS MATERIALIZED (SELECT vec_id AS x, nbr_id, sim
        |  FROM scored WHERE rk <= $k),
-       |$RingCtes,
+       |${ringCtes(src)},
        |d0 AS MATERIALIZED (SELECT x, nbr_id, CAST(rk AS BIGINT) AS rk,
        |    sim FROM (
        |    SELECT x, nbr_id, sim, row_number() OVER (PARTITION BY x
@@ -5628,22 +5725,26 @@ object SparkEntry {
 
   /** k-means IVF training oracle: unrolled iterations, mirroring
     * Similarity.ivfTrain (cosine argmax assignment with lowest-cell
-    * ties, element-wise mean, empty cells keep the prior centroid). */
+    * ties, element-wise mean, empty cells keep the prior centroid).
+    * Parameterized over source table / dim / seed count so the same
+    * chain trains on the MoG fixture (r16 trained-recall gates). */
   private def ivfTrainCtes(iters: Int,
-      where: String = "TRUE"): String = {
+      where: String = "TRUE", src: String = "embeddings",
+      dim: Int = 64, nCells: Int = 16): String = {
     val steps = (1 to iters).map { i =>
       s"""a$i AS (SELECT vec_id, embedding, cell FROM (
          |  SELECT e.vec_id, e.embedding, c.cell,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
          |        c.cvec) DESC, c.cell) AS crk
-         |  FROM (SELECT * FROM embeddings WHERE $where) e
+         |  FROM (SELECT * FROM $src WHERE $where) e
          |  CROSS JOIN c${i - 1} c) WHERE crk = 1),
          |m$i AS (SELECT cell, i AS pos,
          |    sum(${graft.functions.Portable.dyadicSql(
               "CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)")})
          |      / count(*) AS a
-         |  FROM a$i CROSS JOIN LATERAL unnest(range(1, 65)) u(i)
+         |  FROM a$i CROSS JOIN LATERAL unnest(range(1, ${dim + 1}))
+         |    u(i)
          |  GROUP BY cell, i),
          |l$i AS (SELECT cell, list(a ORDER BY pos) AS mvec
          |  FROM m$i GROUP BY cell),
@@ -5655,7 +5756,7 @@ object SparkEntry {
          |  LEFT JOIN n$i USING (cell))""".stripMargin
     }.mkString(",\n")
     s"""c0 AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
-       |  FROM embeddings WHERE vec_id < 16 AND ($where)),
+       |  FROM $src WHERE vec_id < $nCells AND ($where)),
        |$steps""".stripMargin
   }
 
@@ -5844,10 +5945,17 @@ object SparkEntry {
     * are its nProbe nearest cell seeds (vec_id < nCells) on the
     * exact simx grid, ties by cell asc — mirroring
     * [[graft.pipeline.Similarity.graphAnnIvfTopK]]. */
+  /** `qWhere` overrides the default `vec_id < nQ` query law;
+    * `entryOverride` supplies the complete entry CTE block (must
+    * define vis0(qid, v, simx); may add helper CTEs before it) for
+    * entry strategies beyond fixed/untrained-IVF — the r16 trained
+    * coarse layer uses it. */
   private def graphAnnCtes(beam: Int, rounds: Int, nQ: Int,
       entries: Seq[Long], gSql: String,
       ivfEntry: Option[(Int, Int)] = None,
-      emb: String = "embeddings"): String = {
+      emb: String = "embeddings",
+      qWhere: Option[String] = None,
+      entryOverride: Option[String] = None): String = {
     def simx(q: String, e: String) =
       s"""CAST(floor(list_cosine_similarity($q::DOUBLE[],
          |      $e::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
@@ -5868,7 +5976,7 @@ object SparkEntry {
          |    ORDER BY simx DESC, v) AS brk FROM gsc$r) z$r
          |  WHERE brk <= $beam)""".stripMargin
     }.mkString(",\n")
-    val entryCtes = ivfEntry match {
+    val entryCtes = entryOverride.getOrElse(ivfEntry match {
       case None =>
         s"""ent(ev) AS (VALUES ${entries.map(e => s"($e)")
           .mkString(", ")}),
@@ -5892,10 +6000,10 @@ object SparkEntry {
            |    ${simx("qv.embedding", "e.embedding")} AS simx
            |  FROM entq eq JOIN qv ON qv.qid = eq.qid
            |  JOIN $emb e ON e.vec_id = eq.cell)""".stripMargin
-    }
+    })
     s"""g AS MATERIALIZED ($gSql),
        |qv AS MATERIALIZED (SELECT vec_id AS qid, embedding
-       |  FROM $emb WHERE vec_id < $nQ),
+       |  FROM $emb WHERE ${qWhere.getOrElse(s"vec_id < $nQ")}),
        |$entryCtes,
        |fr0 AS (SELECT qid, v, simx FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid
@@ -5935,8 +6043,12 @@ object SparkEntry {
   private def mogAnnRecallSql(n: Int, dim: Int, nClusters: Int,
       substrateK: Int, beam: Int, rounds: Int, nQ: Int, topK: Int,
       entries: Seq[Long],
-      ivfEntry: Option[(Int, Int)] = None): String =
-    s"""WITH ${mogCtes(n, dim, nClusters)},
+      ivfEntry: Option[(Int, Int)] = None,
+      block: Boolean = false,
+      qWhere: Option[String] = None,
+      preCtes: String = "",
+      entryOverride: Option[String] = None): String =
+    s"""WITH ${mogCtes(n, dim, nClusters, block)},$preCtes
        |msc AS MATERIALIZED (SELECT z.x, z.n
        |  FROM (SELECT a.vec_id AS x, b.vec_id AS n,
        |      row_number() OVER (PARTITION BY a.vec_id
@@ -5946,7 +6058,8 @@ object SparkEntry {
        |    FROM mog a JOIN mog b ON a.vec_id <> b.vec_id) z
        |  WHERE z.rk <= $substrateK),
        |${graphAnnCtes(beam, rounds, nQ, entries,
-        "SELECT x AS v, n FROM msc", ivfEntry, emb = "mog")},
+        "SELECT x AS v, n FROM msc", ivfEntry, emb = "mog",
+        qWhere = qWhere, entryOverride = entryOverride)},
        |approx AS (SELECT qid AS query_id, v AS cand_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid
        |    ORDER BY simx DESC, v) AS rk
@@ -5958,7 +6071,8 @@ object SparkEntry {
        |        q.embedding::DOUBLE[], c.embedding::DOUBLE[]))
        |        * 1000000.0 + 0.5) / 1000000.0 DESC, c.vec_id) AS rk
        |  FROM mog q JOIN mog c ON q.vec_id <> c.vec_id
-       |  WHERE q.vec_id < $nQ) ze WHERE rk <= $topK)
+       |  WHERE q.${qWhere.getOrElse(s"vec_id < $nQ")}) ze
+       |  WHERE rk <= $topK)
        |SELECT e.query_id, count(*) AS n_exact,
        |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_hit,
@@ -5968,6 +6082,41 @@ object SparkEntry {
        |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
        |GROUP BY e.query_id""".stripMargin
 
+  /** Query-aware trained-entry CTE block for [[mogAnnRecallSql]]'s
+    * entryOverride (r16): assignment of the corpus against the
+    * Lloyd-final centroids c`iters` (raw csim, ties → lowest cell —
+    * the proven q_ivf_train law on bit-identical dyadic centroids),
+    * per-query top-nProbe probed cells on the QUANTIZED simx grid
+    * (ties → cell asc, mirroring graphAnnIvfTopKWith's esimx), and
+    * vis0 = per (query, probed cell) the assigned member nearest the
+    * query (quantized simx desc, id asc). */
+  private def mogTrainedEntryCtes(iters: Int, nProbe: Int): String =
+    s"""tasg AS MATERIALIZED (SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, t.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+       |          t.cvec) DESC, t.cell) AS crk
+       |    FROM mog e CROSS JOIN c$iters t) __ta WHERE crk = 1),
+       |entq AS MATERIALIZED (SELECT qid, qemb, cell FROM (
+       |    SELECT qv.qid, qv.embedding AS qemb, t.cell,
+       |      row_number() OVER (PARTITION BY qv.qid
+       |        ORDER BY CAST(floor(list_cosine_similarity(
+       |          qv.embedding::DOUBLE[], t.cvec) * 1000000.0 + 0.5)
+       |          AS BIGINT) DESC, t.cell) AS crk
+       |    FROM qv CROSS JOIN c$iters t) __eq WHERE crk <= $nProbe),
+       |vis0 AS MATERIALIZED (SELECT qid, v, simx FROM (
+       |    SELECT eq.qid, a.vec_id AS v,
+       |      CAST(floor(list_cosine_similarity(eq.qemb::DOUBLE[],
+       |        a.embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT)
+       |        AS simx,
+       |      row_number() OVER (PARTITION BY eq.qid, eq.cell
+       |        ORDER BY CAST(floor(list_cosine_similarity(
+       |          eq.qemb::DOUBLE[], a.embedding::DOUBLE[])
+       |          * 1000000.0 + 0.5) AS BIGINT) DESC, a.vec_id)
+       |        AS vrk
+       |    FROM entq eq JOIN tasg a ON a.cell = eq.cell) __v0
+       |  WHERE vrk = 1)""".stripMargin
+
   /** Classic-IVF (partition-probe) recall oracle on the MoG fixture:
     * mirrors [[IvfTopKSql]]'s assign/probe/rank over `mog` (cosine
     * on INTEGER-valued doubles — dot products exact on both engines)
@@ -5976,13 +6125,25 @@ object SparkEntry {
     * list_cosine_similarity, mirroring ivfTopK's raw csim — exact
     * here because the MoG fixture is integer-valued (every partial
     * sum exact, see Similarity.mogEmbeddings' fixture contract);
-    * a non-integer corpus must quantize these ordering keys on both
-    * engines like the rank stage already does. */
+    * with `trainedIters` set the centroids are the Lloyd chain's
+    * dyadic means — non-integer but bit-identical across engines
+    * (the proven q_ivf_train law), so raw ordering stays exact. */
   private def mogIvfFlatRecallSql(n: Int, dim: Int, nClusters: Int,
-      nCells: Int, nProbe: Int, nQ: Int, topK: Int): String =
-    s"""WITH ${mogCtes(n, dim, nClusters)},
-       |ic AS (SELECT vec_id AS cell, embedding AS cvec
-       |  FROM mog WHERE vec_id < $nCells),
+      nCells: Int, nProbe: Int, nQ: Int, topK: Int,
+      block: Boolean = false, qWhere: Option[String] = None,
+      trainedIters: Option[Int] = None): String = {
+    val lloyd = trainedIters.fold("")(i =>
+      "\n" + ivfTrainCtes(i, src = "mog", dim = dim,
+        nCells = nCells) + ",")
+    val icDef = trainedIters match {
+      case Some(i) => s"ic AS (SELECT cell, cvec FROM c$i)"
+      case None =>
+        s"""ic AS (SELECT vec_id AS cell, embedding AS cvec
+           |  FROM mog WHERE vec_id < $nCells)""".stripMargin
+    }
+    val qw = qWhere.getOrElse(s"vec_id < $nQ")
+    s"""WITH ${mogCtes(n, dim, nClusters, block)},$lloyd
+       |$icDef,
        |iasg AS (SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, ic.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -5990,7 +6151,7 @@ object SparkEntry {
        |          ic.cvec::DOUBLE[]) DESC, ic.cell) AS crk
        |    FROM mog e CROSS JOIN ic) za WHERE crk = 1),
        |iq AS (SELECT vec_id AS query_id, embedding AS qvec
-       |  FROM mog WHERE vec_id < $nQ),
+       |  FROM mog WHERE $qw),
        |iprobed AS (SELECT query_id, qvec, cell FROM (
        |    SELECT iq.query_id, iq.qvec, ic.cell,
        |      row_number() OVER (PARTITION BY iq.query_id
@@ -6012,7 +6173,7 @@ object SparkEntry {
        |        q.embedding::DOUBLE[], c.embedding::DOUBLE[]))
        |        * 1000000.0 + 0.5) / 1000000.0 DESC, c.vec_id) AS rk
        |  FROM mog q JOIN mog c ON q.vec_id <> c.vec_id
-       |  WHERE q.vec_id < $nQ) ze WHERE rk <= $topK)
+       |  WHERE q.$qw) ze WHERE rk <= $topK)
        |SELECT e.query_id, count(*) AS n_exact,
        |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_hit,
@@ -6021,6 +6182,46 @@ object SparkEntry {
        |FROM exact e LEFT JOIN approx a
        |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
        |GROUP BY e.query_id""".stripMargin
+  }
+
+  /** Production-path clustered recall oracle (q_mog_refine_recall):
+    * the 8×-amplified block MoG, the SALTED LSH + 3-round NN-descent
+    * substrate ([[knnDescentCtes]] over `mog`), the Lloyd chain
+    * ([[ivfTrainCtes]]), the query-aware trained entry block, and
+    * the shared beam + recall tail. Queries: vec_id % 256 = 0
+    * (2 per cluster). */
+  private def mogRefineRecallSql: String = {
+    val qw = "vec_id % 256 = 0"
+    s"""WITH ${mogCtes(4096, 16, 8, block = true)},
+       |${knnDescentCtes(k = 16, expandCap = 16, rounds = 3,
+        src = "mog", numPlanes = 6, dim = 16, cap = 128)},
+       |${ivfTrainCtes(3, src = "mog", dim = 16, nCells = 32)},
+       |${graphAnnCtes(beam = 12, rounds = 7, nQ = 16,
+        entries = Seq.empty,
+        gSql = "SELECT x AS v, nbr_id AS n FROM d3", emb = "mog",
+        qWhere = Some(qw),
+        entryOverride = Some(mogTrainedEntryCtes(3, 6)))},
+       |approx AS (SELECT qid AS query_id, v AS cand_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY simx DESC, v) AS rk
+       |  FROM vis7 WHERE v <> qid) za WHERE rk <= 5),
+       |exact AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY floor((list_cosine_similarity(
+       |        q.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+       |        * 1000000.0 + 0.5) / 1000000.0 DESC, c.vec_id) AS rk
+       |  FROM mog q JOIN mog c ON q.vec_id <> c.vec_id
+       |  WHERE q.$qw) ze WHERE rk <= 5)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  floor((sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+       |GROUP BY e.query_id""".stripMargin
+  }
 
   private def graphAnnTopKSql(beam: Int, rounds: Int, nQ: Int,
       topK: Int, entries: Seq[Long], graphK: Int,
@@ -6341,17 +6542,27 @@ object SparkEntry {
   /** kNN-graph oracle: same plane literals as [[lshAnnSql]]
     * (Similarity.hyperplanes(6, 64, 42)), bucket-size window [2, 128],
     * both-direction candidates, per-vector cosine top-3. */
-  private def knnGraphCtes: String = {
-    val planes = Similarity.hyperplanes(numPlanes = 6, dim = 64, seed = 42L)
+  /** Salted-bucket kNN-graph CTEs (mirrors Similarity.knnGraph's r16
+    * law: over-dense buckets split into ceil(bsz/cap) md5('s:'id)
+    * sub-buckets; nSub = 1 reproduces the old law byte-identically).
+    * Parameterized over source/planes/dim/cap so the same chain runs
+    * on the clustered MoG fixture. */
+  private def knnGraphCtes(src: String = "embeddings",
+      numPlanes: Int = 6, dim: Int = 64, cap: Int = 128): String = {
+    val planes = Similarity.hyperplanes(numPlanes, dim, seed = 42L)
     val bucket = planes.zipWithIndex.map { case (p, i) =>
       val lits = p.mkString("[", ", ", "]")
       s"CASE WHEN list_dot_product(embedding::DOUBLE[], $lits::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END"
     }.mkString("\n  + ")
     s"""sig AS MATERIALIZED (SELECT vec_id, embedding, $bucket AS bucket
-       |  FROM embeddings),
-       |ok AS (SELECT bucket FROM sig GROUP BY bucket
-       |       HAVING count(*) BETWEEN 2 AND 128),
-       |ib AS MATERIALIZED (SELECT s.* FROM sig s JOIN ok USING (bucket)),
+       |  FROM $src),
+       |bz AS (SELECT bucket, count(*) AS bsz FROM sig GROUP BY bucket
+       |       HAVING count(*) >= 2),
+       |ib AS MATERIALIZED (SELECT s.*,
+       |    CAST('0x' || substr(md5('s:' ||
+       |      CAST(s.vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |      % ((z.bsz + ${cap - 1}) // $cap) AS sub
+       |  FROM sig s JOIN bz z USING (bucket)),
        |scored AS MATERIALIZED (
        |  SELECT a.vec_id, b.vec_id AS nbr_id,
        |    floor((list_cosine_similarity(a.embedding::DOUBLE[],
@@ -6361,41 +6572,44 @@ object SparkEntry {
        |        b.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 DESC,
        |        b.vec_id) AS rk
        |  FROM ib a JOIN ib b
-       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)""".stripMargin
+       |    ON a.bucket = b.bucket AND a.sub = b.sub
+       |    AND a.vec_id <> b.vec_id)""".stripMargin
   }
 
   private def knnGraphSql: String =
-    s"""WITH $knnGraphCtes
+    s"""WITH ${knnGraphCtes()}
        |SELECT vec_id, nbr_id, CAST(rk AS BIGINT) AS rk, sim
        |FROM scored WHERE rk <= 3""".stripMargin
 
   /** The md5-ring bootstrap CTEs (ring0, ring) — shared by the
     * NN-descent oracle family; mirrors Similarity.ringEdges. */
-  private val RingCtes: String =
-    """ring0 AS MATERIALIZED (SELECT x, n FROM (
-      |    SELECT x, coalesce(lead(x, 1) OVER w16,
-      |      first_value(x) OVER w16) AS n
-      |    FROM (SELECT vec_id AS x, md5(CAST(vec_id AS VARCHAR)) AS p,
-      |        CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
-      |          AS BIGINT) % 16 AS b
-      |      FROM embeddings) __i
-      |    WINDOW w16 AS (PARTITION BY b ORDER BY p)) __r
-      |  WHERE x <> n),
-      |ring AS MATERIALIZED (SELECT r.x, r.n,
-      |    floor((list_cosine_similarity(e1.embedding::DOUBLE[],
-      |      e2.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS sim
-      |  FROM ring0 r JOIN embeddings e1 ON e1.vec_id = r.x
-      |  JOIN embeddings e2 ON e2.vec_id = r.n)""".stripMargin
+  private def ringCtes(src: String = "embeddings"): String =
+    s"""ring0 AS MATERIALIZED (SELECT x, n FROM (
+       |    SELECT x, coalesce(lead(x, 1) OVER w16,
+       |      first_value(x) OVER w16) AS n
+       |    FROM (SELECT vec_id AS x, md5(CAST(vec_id AS VARCHAR)) AS p,
+       |        CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+       |          AS BIGINT) % 16 AS b
+       |      FROM $src) __i
+       |    WINDOW w16 AS (PARTITION BY b ORDER BY p)) __r
+       |  WHERE x <> n),
+       |ring AS MATERIALIZED (SELECT r.x, r.n,
+       |    floor((list_cosine_similarity(e1.embedding::DOUBLE[],
+       |      e2.embedding::DOUBLE[])) * 1000000.0 + 0.5) / 1000000.0 AS sim
+       |  FROM ring0 r JOIN $src e1 ON e1.vec_id = r.x
+       |  JOIN $src e2 ON e2.vec_id = r.n)""".stripMargin
 
   /** NN-descent refinement CTEs on top of [[knnGraphCtes]] — capped
     * undirected 2-hop expansion, exact-cosine scoring of new pairs,
     * union + re-rank: [[graft.pipeline.Similarity.knnRefine]]'s law.
     * Ends at `g1(x, nbr_id, rk, sim)`. */
-  private def knnRefineCtes(k: Int, expandCap: Int): String =
-    s"""$knnGraphCtes,
+  private def knnRefineCtes(k: Int, expandCap: Int,
+      src: String = "embeddings", numPlanes: Int = 6, dim: Int = 64,
+      cap: Int = 128): String =
+    s"""${knnGraphCtes(src, numPlanes, dim, cap)},
        |g0 AS MATERIALIZED (SELECT vec_id, nbr_id, sim FROM scored
        |  WHERE rk <= $k),
-       |$RingCtes,
+       |${ringCtes(src)},
        |und AS MATERIALIZED (SELECT x, n, max(sim) AS sim FROM (
        |    SELECT vec_id AS x, nbr_id AS n, sim FROM g0
        |    UNION ALL SELECT nbr_id, vec_id, sim FROM g0
@@ -8560,7 +8774,7 @@ object SparkEntry {
     // MSF-then-cut must land on exactly these labels (dendrogram law)
     "q_single_linkage" -> {
       val cuts = Seq(300000L, 340000L, 400000L)
-      s"""WITH RECURSIVE ${knnGraphCtes},
+      s"""WITH RECURSIVE ${knnGraphCtes()},
          |kedges AS (SELECT vec_id AS a, nbr_id AS b,
          |    CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS simx
          |  FROM scored WHERE rk <= 3),
@@ -9840,6 +10054,30 @@ object SparkEntry {
       nClusters = 8, substrateK = 8, beam = 12, rounds = 6, nQ = 16,
       topK = 5, entries = Seq(0L, 1L, 2L, 3L, 4L, 5L),
       ivfEntry = None),
+    // ---- block-layout + trained-coarse-layer certification (r16):
+    // same fixture laws with cluster = id // 64, queries 2/cluster ----
+    "q_mog_block_untrained_recall" -> mogAnnRecallSql(n = 512,
+      dim = 16, nClusters = 8, substrateK = 8, beam = 12, rounds = 6,
+      nQ = 16, topK = 5, entries = Seq.empty,
+      ivfEntry = Some((32, 6)), block = true,
+      qWhere = Some("vec_id % 32 = 0")),
+    "q_mog_block_fixed_recall" -> mogAnnRecallSql(n = 512, dim = 16,
+      nClusters = 8, substrateK = 8, beam = 12, rounds = 6, nQ = 16,
+      topK = 5, entries = Seq(0L, 1L, 2L, 3L, 4L, 5L),
+      ivfEntry = None, block = true,
+      qWhere = Some("vec_id % 32 = 0")),
+    "q_mog_trained_recall" -> mogAnnRecallSql(n = 512, dim = 16,
+      nClusters = 8, substrateK = 8, beam = 12, rounds = 6, nQ = 16,
+      topK = 5, entries = Seq.empty, block = true,
+      qWhere = Some("vec_id % 32 = 0"),
+      preCtes = "\n" + ivfTrainCtes(3, src = "mog", dim = 16,
+        nCells = 32) + ",",
+      entryOverride = Some(mogTrainedEntryCtes(3, 6))),
+    "q_mog_trained_flat_recall" -> mogIvfFlatRecallSql(n = 512,
+      dim = 16, nClusters = 8, nCells = 32, nProbe = 6, nQ = 16,
+      topK = 5, block = true, qWhere = Some("vec_id % 32 = 0"),
+      trainedIters = Some(3)),
+    "q_mog_refine_recall" -> mogRefineRecallSql,
     // fertility rollup: the encode oracle as a derived table joined
     // to per-doc char counts; exact permille integer ratios
     "q_tokenizer_fertility" ->
@@ -11482,6 +11720,11 @@ object SparkEntry {
     "q_mog_ivf_recall" -> Seq("recall"),
     "q_mog_ivf_flat_recall" -> Seq("recall"),
     "q_mog_fixed_recall" -> Seq("recall"),
+    "q_mog_block_untrained_recall" -> Seq("recall"),
+    "q_mog_block_fixed_recall" -> Seq("recall"),
+    "q_mog_trained_recall" -> Seq("recall"),
+    "q_mog_trained_flat_recall" -> Seq("recall"),
+    "q_mog_refine_recall" -> Seq("recall"),
     "q_ivfpq_topk" -> Seq("d2"),
     "q_ivfpq_residual" -> Seq("d2"),
     "q_ivfpq_recall" -> Seq("recall"),

@@ -2878,7 +2878,12 @@ object GraphAnalytics {
    * if the budget exhausts unconverged instead of returning labels.
    * `rounds` is therefore a MAX budget — generous values cost nothing.
    */
-  private def bigStarLoop(edges: DataFrame, maxRounds: Int)
+  /** `bc` lets a caller that has MEASURED its graph small hint the
+    * per-round aggregate sides (mins/mins2 — community-sized frames)
+    * broadcast; the default keeps every public CC API's plans
+    * untouched (the r15 broadcast-hint law, extended r16). */
+  private def bigStarLoop(edges: DataFrame, maxRounds: Int,
+      bc: DataFrame => DataFrame = identity)
       : (DataFrame, Seq[(Long, Long)], Option[Int]) = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val sc = edges.sparkSession.sparkContext
@@ -2909,14 +2914,14 @@ object GraphAnalytics {
         .unionByName(cur.select(col("v").as("c"), col("u").as("n")))
       val mins = adj.groupBy("c").agg(min(col("n")).as("mn"))
         .select(col("c"), least(col("c"), col("mn")).as("m"))
-      val ls = adj.join(mins, "c").filter(col("n") > col("c"))
+      val ls = adj.join(bc(mins), "c").filter(col("n") > col("c"))
         .select(least(col("n"), col("m")).as("u"),
           greatest(col("n"), col("m")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
       // small-star on edges oriented n < c (u < v always holds here)
       val adj2 = ls.select(col("v").as("c"), col("u").as("n"))
       val mins2 = adj2.groupBy("c").agg(min(col("n")).as("m"))
-      val ss = adj2.join(mins2, "c")
+      val ss = adj2.join(bc(mins2), "c")
         .select(col("m").as("u"), col("n").as("v"))
         .filter(col("u") =!= col("v"))
         .unionByName(mins2.select(col("m").as("u"), col("c").as("v")))
@@ -3313,7 +3318,20 @@ object GraphAnalytics {
     var prevQ: Option[Long] = None
     var level = 0
     var stop = false
-    while (level < maxLevels && !stop) {
+    // AQE-off-when-measured-small — the r16 job-floor law; see
+    // leidenFull's scaladoc-length comment for the rationale (the
+    // measured 500 k bound arms it, restore on every exit path)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.getOption(aqeKey)
+    val shufPrev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    def aqeRestore(): Unit = {
+      aqePrev match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", shufPrev)
+    }
+    try { while (level < maxLevels && !stop) {
       level += 1
       var comm = rotate("comm",
         g.select(col("u").as("x")).union(g.select(col("v"))).distinct()
@@ -3332,8 +3350,13 @@ object GraphAnalytics {
       val degStats = deg.agg(sum(col("k")).as("m2"),
         count(lit(1)).as("n")).head()
       val m2v = degStats.getLong(0)
+      val levelSmall = degStats.getLong(1) <= 500000L
       val bc: DataFrame => DataFrame =
-        if (degStats.getLong(1) <= 500000L) broadcast _ else identity
+        if (levelSmall) broadcast _ else identity
+      spark.conf.set(aqeKey,
+        if (levelSmall) "false" else aqePrev.getOrElse("true"))
+      spark.conf.set("spark.sql.shuffle.partitions",
+        if (levelSmall) "1" else shufPrev)
       // parity alternation (see scaladoc): only one round's vertex
       // half applies its move; the other half keeps its community.
       // Parity = md5 window of the id, NOT id mod 2: contracted
@@ -3367,7 +3390,7 @@ object GraphAnalytics {
           .join(comm.select(col("x").as("v"), col("c").as("cv")), "v")
           .filter(col("cu") === col("cv"))
           .select(col("u").as("a"), col("v").as("b"))
-        val (stars, ccTrace, ccId) = bigStarLoop(intra, maxRounds = 30)
+        val (stars, ccTrace, ccId) = bigStarLoop(intra, maxRounds = 30, bc = bc)
         if (ccTrace.nonEmpty && ccTrace.last._2 != 0L)
           throw new IllegalStateException(
             "leidenLevels: refinement CC did not converge in 30 star " +
@@ -3426,7 +3449,7 @@ object GraphAnalytics {
         }
       }
       gAnno.unpersist(blocking = false)
-    }
+    } } finally aqeRestore()
     (slots.keySet - "out").foreach(k => slots(k).foreach(i =>
       sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false))))
     out.get
@@ -3515,7 +3538,31 @@ object GraphAnalytics {
     val parityOf = (c: org.apache.spark.sql.Column) =>
       pmod(conv(substring(
         md5(c.cast("string")), 1, 8), 16, 10).cast("long"), lit(2L))
-    while (level < maxLevels && !stop) {
+    // AQE-off-when-measured-small (r16, the job-floor cut the r15
+    // probe demanded): AQE's value is runtime re-planning of UNKNOWN-
+    // sized exchanges, and its cost here is one materialization JOB
+    // per exchange — the probe showed q_leiden_full's wall ≈ the sum
+    // of ~489 tiny sequential jobs. This loop's frames are MEASURED:
+    // when a level's vertex count is under the same 500 k bound that
+    // arms the broadcast hints, every join side is statically known
+    // broadcast-able, AQE has nothing left to discover, and static
+    // planning collapses each multi-exchange stage tree into one job.
+    // A 100 TB level-1 graph exceeds the bound and KEEPS AQE (skew
+    // joins, runtime coalescing — the cases AQE exists for). Results
+    // are identical either way — AQE never changes semantics. The
+    // prior value is restored on every exit path (the conf is session
+    // state; leaking "false" would strip AQE from unrelated queries).
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.getOption(aqeKey)
+    val shufPrev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    def aqeRestore(): Unit = {
+      aqePrev match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", shufPrev)
+    }
+    try { while (level < maxLevels && !stop) {
       level += 1
       val verts = g.select(col("u").as("x")).union(g.select(col("v")))
         .distinct()
@@ -3546,8 +3593,13 @@ object GraphAnalytics {
       val degStats = deg.agg(sum(col("k")).as("m2"),
         count(lit(1)).as("n")).head()
       val m2v = degStats.getLong(0)
+      val levelSmall = degStats.getLong(1) <= 500000L
       val bc: DataFrame => DataFrame =
-        if (degStats.getLong(1) <= 500000L) broadcast _ else identity
+        if (levelSmall) broadcast _ else identity
+      spark.conf.set(aqeKey,
+        if (levelSmall) "false" else aqePrev.getOrElse("true"))
+      spark.conf.set("spark.sql.shuffle.partitions",
+        if (levelSmall) "1" else shufPrev)
       for (r <- 1 to roundsPerLevel) {
         comm = rotate("comm",
           louvainMoveWeighted(g, comm, persistInputs = false,
@@ -3714,7 +3766,7 @@ object GraphAnalytics {
           "v")
         .filter(col("ru") === col("rv"))
         .select(col("u").as("a"), col("v").as("b"))
-      val (stars, ccTrace, ccId) = bigStarLoop(intraR, maxRounds = 30)
+      val (stars, ccTrace, ccId) = bigStarLoop(intraR, maxRounds = 30, bc = bc)
       if (ccTrace.nonEmpty && ccTrace.last._2 != 0L)
         throw new IllegalStateException(
           "leidenFull: refinement CC did not converge in 30 star " +
@@ -3778,7 +3830,7 @@ object GraphAnalytics {
       intraP.unpersist(blocking = false)
       wellV.unpersist(blocking = false)
       gAnno.unpersist(blocking = false)
-    }
+    } } finally aqeRestore()
     release()
     out.get
   }

@@ -502,17 +502,31 @@ object Similarity {
    * [[lshTopK]] (a bounded QUERY set against the corpus), every vector
    * is simultaneously a query, so the quadratic trap is the corpus
    * joining itself; the same hyperplane-signature bucketing bounds it:
-   * candidates share a bucket, and `maxBucketSize` drops over-dense
-   * buckets BEFORE pair generation (the deterministic hot-bucket law —
-   * LSH `maxBucketSize`, cooccurrence `maxPerLeft`). Per-bucket work is
-   * then ≤ C(cap, 2) exact cosines; vectors in dropped or singleton
-   * buckets emit no edges (documented recall trade of every
-   * single-table LSH index; more tables = union of several plane seeds).
+   * candidates share a bucket, and over-dense buckets are SALTED into
+   * ceil(bsz / maxBucketSize) md5 sub-buckets before pair generation
+   * (the house skew law). Per-vector work is then ≤ ~cap exact
+   * cosines; vectors in singleton buckets emit no edges (documented
+   * recall trade of every single-table LSH index; more tables = union
+   * of several plane seeds).
    *
-   * Scale shape: one signature scan, one groupBy-bucket shuffle for the
-   * cap, the intra-bucket pair explode (both directions — each vector
-   * ranks its OWN neighbors), one per-vector top-k window bounded by
-   * cap-1 candidates. No all-pairs term anywhere.
+   * The salting REPLACED the original drop-the-bucket law in r16: on
+   * CLUSTERED corpora the hyperplane signature is dominated by the
+   * cluster center, so bucket ≈ cluster — on the block MoG fixture 8
+   * buckets held 3958 of 4096 vectors, the old law dropped ALL of
+   * them, and the production two-layer walk cratered to 0.125 mean
+   * recall@5 (no intra-cluster edges to walk). Salted sub-buckets
+   * keep every member pairing against ~cap of its own cluster's
+   * vectors at the identical per-row cost bound; the NN-descent round
+   * then stitches sub-buckets (measured: 0.125 → see
+   * q_mog_refine_recall). For buckets at or under the cap nSub = 1
+   * and the law is byte-identical to the old one.
+   *
+   * Scale shape: one signature scan, one groupBy-bucket shuffle for
+   * the size, the intra-(bucket, sub) pair explode (both directions —
+   * each vector ranks its OWN neighbors), one per-vector top-k window
+   * bounded by ~cap candidates. No all-pairs term anywhere; a
+   * million-row hot bucket costs ceil(1e6/cap)·C(~cap,2) pairs — the
+   * same per-vector bound as a balanced corpus.
    */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, numPlanes: Int, dim: Int, maxBucketSize: Int,
@@ -521,14 +535,23 @@ object Similarity {
     val signed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         lshSignature(col(vecCol), planes).as("bucket"))
       .transform(graft.CacheScope.persist(_)) // feeds cap agg + both join sides
-    val okBuckets = signed.groupBy("bucket")
+    val sizes = signed.groupBy("bucket")
       .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz").between(2, maxBucketSize))
-      .select("bucket")
-    val inBucket = signed.join(okBuckets, Seq("bucket"))
+      .filter(col("bsz") >= 2)
+    // nSub = ceil(bsz / cap) in exact integer arithmetic; the member
+    // draw is the house md5 integer grid keyed 's:'id — deterministic,
+    // oracle-replayable, and independent of the signature planes
+    val inBucket = signed.join(broadcast(sizes), Seq("bucket"))
+      .withColumn("nsub",
+        expr(s"(bsz + ${maxBucketSize - 1}) div $maxBucketSize"))
+      .withColumn("sub", pmod(conv(substring(md5(concat(lit("s:"),
+        col("id").cast("string"))), 1, 8), 16, 10).cast("long"),
+        col("nsub")))
+      .select(col("bucket"), col("sub"), col("id"), col("v"))
     val scored = inBucket
-      .join(inBucket.select(col("bucket"), col("id").as("nbr_id"),
-        col("v").as("nv")), Seq("bucket"))
+      .join(inBucket.select(col("bucket"), col("sub"),
+        col("id").as("nbr_id"), col("v").as("nv")),
+        Seq("bucket", "sub"))
       .filter(col("id") =!= col("nbr_id"))
       .withColumn("sim",
         graft.functions.Portable.quant(cosine(col("v"), col("nv")), 6))

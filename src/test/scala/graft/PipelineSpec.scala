@@ -337,16 +337,36 @@ class SimilaritySpec extends SparkSpec {
       again.map(_.toString).sorted.toSeq)
   }
 
-  test("knnGraph: maxBucketSize drops over-dense buckets entirely") {
+  test("knnGraph: over-dense buckets are salted into sub-buckets, " +
+      "not dropped (r16 law); under-cap behavior unchanged") {
     // all four vectors share the all-positive orthant direction =>
-    // one bucket of 4 under any plane set; cap 3 must emit NO edges
+    // one bucket of 4 under any plane set. The pre-r16 law dropped
+    // the bucket at cap 3 (zero edges — on clustered corpora where
+    // bucket ≈ cluster this erased EVERY intra-cluster edge, the
+    // q_mog_refine_recall 0.125 crater); the salted law splits it
+    // into ceil(4/3) = 2 md5 sub-buckets, so edges still emit and
+    // no pair crosses a sub-bucket boundary.
     val tight = Seq(
       (0L, Array(1.0f, 0.9f, 1.1f)),
       (1L, Array(1.1f, 1.0f, 0.9f)),
       (2L, Array(0.9f, 1.1f, 1.0f)),
       (3L, Array(1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
-    assert(Similarity.knnGraph(tight, "vec_id", "embedding",
-      k = 2, numPlanes = 2, dim = 3, maxBucketSize = 3).count() == 0L)
+    val salted = Similarity.knnGraph(tight, "vec_id", "embedding",
+      k = 2, numPlanes = 2, dim = 3, maxBucketSize = 3)
+    assert(salted.count() > 0L,
+      "hot-bucket members must keep intra-sub-bucket edges")
+    // sub-bucket membership replays the engine's md5('s:'id) % 2 law
+    def sub(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s:$id".getBytes("UTF-8"))
+      val hex = h.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    salted.collect().foreach { r =>
+      assert(sub(r.getLong(0)) == sub(r.getLong(1)),
+        s"edge ${r.getLong(0)}-${r.getLong(1)} crosses sub-buckets")
+    }
+    // at cap >= bucket size nSub = 1: identical to the old law
     assert(Similarity.knnGraph(tight, "vec_id", "embedding",
       k = 2, numPlanes = 2, dim = 3, maxBucketSize = 4).count() > 0L)
   }
