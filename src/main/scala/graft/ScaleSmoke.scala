@@ -814,6 +814,27 @@ object ScaleSmoke {
         queryIds = (0L to 15L), nCells = 32, nProbe = 6,
         beam = 12, rounds = 6, k = 5).count()
     })
+    // r16: the PRODUCTION two-layer path on clustered data — salted
+    // LSH + 3-round NN-descent substrate (no n² control anywhere),
+    // Lloyd-trained coarse layer, query-aware entries. Everything is
+    // linear in n: the salting keeps per-vector pair work at ~cap
+    // regardless of cluster size, descent fan-out is expandCap²-
+    // bounded, training is nCells-broadcast passes, walk frames are
+    // query-sized.
+    time(s"mog refine trained ann ${factor}x")({
+      val mogB = graft.pipeline.Similarity.mogEmbeddings(spark,
+        n = 4096 * factor, dim = 16, nClusters = 8, block = true)
+      graft.pipeline.Similarity.graphAnnIvfTopKWith(mogB, "vec_id",
+        "embedding",
+        graft.pipeline.Similarity.knnDescent(mogB, "vec_id",
+          "embedding", k = 16, numPlanes = 6, dim = 16,
+          maxBucketSize = 128, expandCap = 16, maxRounds = 3)
+          .select("vec_id", "nbr_id"),
+        queryIds = (0 until 16).map(_ * 256L),
+        centroids = graft.pipeline.Similarity.ivfTrain(mogB,
+          "vec_id", "embedding", nCells = 32, iters = 3),
+        nProbe = 6, beam = 12, rounds = 7, k = 5).count()
+    })
     time(s"balanced partition ${factor}x")(
       graft.analytics.GraphAnalytics.balancedPartition(louvE,
         k = 8, rounds = 4, capPermille = 1250).count())
