@@ -193,6 +193,7 @@ object Bench {
     "mog_trained_flat_recall" -> "mogtf",
     "mog_trained_recall" -> "mogtr",
     "mog_refine_recall" -> "mogrr",
+    "mog_kmeanspar_recall" -> "mogkp",
     // round-14 additions
     "leiden_full" -> "leidf", "bpe_bytes" -> "bpeby",
     "wordpiece_bytes" -> "wpby", "unigram_bytes" -> "ugby",

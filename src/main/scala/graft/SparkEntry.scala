@@ -663,6 +663,24 @@ object SparkEntry {
             nCells = 32, iters = 3),
           queryIds = qids, k = 5, nProbe = 6))
     }),
+    // the COMPOSED k-means|| → Lloyd training path at k = the TRUE
+    // cluster count (the hard case: first-k-by-id init puts all 8
+    // seeds in cluster 0 and 4 Lloyd rounds still leave one cluster
+    // split — flat recall 0.975 mean / 0.6 MIN; the k-means|| draft
+    // covers every cluster and the worst query recovers to 1.0/1.0)
+    "q_mog_kmeanspar_recall" -> ((s, dir) => {
+      val mog = Similarity.mogEmbeddings(s, n = 512, dim = 16,
+        nClusters = 8, block = true)
+      val qids = (0 until 16).map(_ * 32L)
+      Similarity.recallPerQuery(
+        Similarity.bruteForceTopK(mog, "vec_id", "embedding",
+          queryIds = qids, k = 5),
+        Similarity.ivfTopKWith(mog, "vec_id", "embedding",
+          centroids = Similarity.kmeansParTrain(mog, "vec_id",
+            "embedding", nCells = 8, ell = 4, rounds = 3, iters = 4),
+          queryIds = qids, k = 5, nProbe = 2))
+    }),
+
     // ---- the PRODUCTION two-layer path on clustered data (r15
     // verdict Next #2): LSH+NN-descent substrate (not the exact
     // control), Lloyd-trained coarse layer, query-aware entries, on
@@ -5730,7 +5748,8 @@ object SparkEntry {
     * chain trains on the MoG fixture (r16 trained-recall gates). */
   private def ivfTrainCtes(iters: Int,
       where: String = "TRUE", src: String = "embeddings",
-      dim: Int = 64, nCells: Int = 16): String = {
+      dim: Int = 64, nCells: Int = 16,
+      c0Sql: Option[String] = None): String = {
     val steps = (1 to iters).map { i =>
       s"""a$i AS (SELECT vec_id, embedding, cell FROM (
          |  SELECT e.vec_id, e.embedding, c.cell,
@@ -5755,8 +5774,10 @@ object SparkEntry {
          |  FROM c${i - 1} LEFT JOIN l$i USING (cell)
          |  LEFT JOIN n$i USING (cell))""".stripMargin
     }.mkString(",\n")
-    s"""c0 AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
-       |  FROM $src WHERE vec_id < $nCells AND ($where)),
+    s"""c0 AS (${c0Sql.getOrElse(
+        s"""SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
+           |  FROM $src WHERE vec_id < $nCells AND ($where)"""
+          .stripMargin)}),
        |$steps""".stripMargin
   }
 
@@ -5803,7 +5824,12 @@ object SparkEntry {
     * h·φ < ℓ·d²·2⁷² (2⁷² embedded via its round-trip repr), then the
     * nearest-candidate weighting window. Spark's l2sq writes the 2
     * multiplier as 2.0 and this replay as integer 2 — both exact. */
-  private def kmeansParSql(ell: Int, rounds: Int): String = {
+  /** The k-means|| round CTEs (shared by [[kmeansParSql]] and the
+    * r16 composed-training oracle): replay rounds over `src`, ending
+    * at c_`rounds`(cand_id, cv, round_added) and
+    * kmw(cand_id, round_added, weight). */
+  private def kmeansParCtes(ell: Int, rounds: Int,
+      src: String = "embeddings"): String = {
     val p72 = s"CAST('${math.pow(2.0, 72)}' AS DOUBLE)"
     val d2 = pqD2Sql("p.v", "c.cv")
     val roundCtes = (1 to rounds).map { r =>
@@ -5822,8 +5848,8 @@ object SparkEntry {
          |  UNION ALL SELECT p.id, p.v, CAST($r AS BIGINT)
          |    FROM pts p JOIN s_$r ON s_$r.id = p.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pts AS MATERIALIZED (SELECT vec_id AS id,
-       |    embedding::DOUBLE[] AS v FROM embeddings),
+    s"""pts AS MATERIALIZED (SELECT vec_id AS id,
+       |    embedding::DOUBLE[] AS v FROM $src),
        |c_0 AS MATERIALIZED (SELECT id AS cand_id, v AS cv,
        |    CAST(0 AS BIGINT) AS round_added
        |  FROM pts WHERE id = (SELECT min(id) FROM pts)),
@@ -5832,12 +5858,16 @@ object SparkEntry {
        |  FROM (SELECT p.id, c.cand_id, row_number() OVER (
        |      PARTITION BY p.id ORDER BY $d2 ASC, c.cand_id ASC) AS rk
        |    FROM pts p CROSS JOIN c_$rounds c) __a
-       |  WHERE rk = 1 GROUP BY cand_id)
-       |SELECT c.cand_id, c.round_added,
-       |  CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
-       |FROM c_$rounds c LEFT JOIN asg w ON w.cand_id = c.cand_id"""
-      .stripMargin
+       |  WHERE rk = 1 GROUP BY cand_id),
+       |kmw AS (SELECT c.cand_id, c.round_added,
+       |    CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
+       |  FROM c_$rounds c LEFT JOIN asg w
+       |    ON w.cand_id = c.cand_id)""".stripMargin
   }
+
+  private def kmeansParSql(ell: Int, rounds: Int): String =
+    s"""WITH ${kmeansParCtes(ell, rounds)}
+       |SELECT cand_id, round_added, weight FROM kmw""".stripMargin
 
   /** Shared WITH-body for the PQ oracles: per subspace, the sliced
     * dyadic k-means chain (c{s}_{iters} = trained codebook) and the
@@ -6131,10 +6161,11 @@ object SparkEntry {
   private def mogIvfFlatRecallSql(n: Int, dim: Int, nClusters: Int,
       nCells: Int, nProbe: Int, nQ: Int, topK: Int,
       block: Boolean = false, qWhere: Option[String] = None,
-      trainedIters: Option[Int] = None): String = {
+      trainedIters: Option[Int] = None,
+      preCtes: String = "", c0Sql: Option[String] = None): String = {
     val lloyd = trainedIters.fold("")(i =>
       "\n" + ivfTrainCtes(i, src = "mog", dim = dim,
-        nCells = nCells) + ",")
+        nCells = nCells, c0Sql = c0Sql) + ",")
     val icDef = trainedIters match {
       case Some(i) => s"ic AS (SELECT cell, cvec FROM c$i)"
       case None =>
@@ -6142,7 +6173,7 @@ object SparkEntry {
            |  FROM mog WHERE vec_id < $nCells)""".stripMargin
     }
     val qw = qWhere.getOrElse(s"vec_id < $nQ")
-    s"""WITH ${mogCtes(n, dim, nClusters, block)},$lloyd
+    s"""WITH ${mogCtes(n, dim, nClusters, block)},$preCtes$lloyd
        |$icDef,
        |iasg AS (SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, ic.cell,
@@ -10078,6 +10109,20 @@ object SparkEntry {
       topK = 5, block = true, qWhere = Some("vec_id % 32 = 0"),
       trainedIters = Some(3)),
     "q_mog_refine_recall" -> mogRefineRecallSql,
+    // composed k-means|| -> top-k-by-weight init -> Lloyd -> flat IVF
+    "q_mog_kmeanspar_recall" -> mogIvfFlatRecallSql(n = 512,
+      dim = 16, nClusters = 8, nCells = 8, nProbe = 2, nQ = 16,
+      topK = 5, block = true, qWhere = Some("vec_id % 32 = 0"),
+      trainedIters = Some(4),
+      preCtes = "\n" + kmeansParCtes(ell = 4, rounds = 3,
+        src = "mog") + ",\n" +
+        """ci0 AS (SELECT cell, cvec FROM (
+          |    SELECT CAST(row_number() OVER (ORDER BY k.weight DESC,
+          |        k.cand_id) - 1 AS BIGINT) AS cell,
+          |      c.cv AS cvec
+          |    FROM kmw k JOIN c_3 c USING (cand_id)) __ci
+          |  WHERE cell < 8),""".stripMargin,
+      c0Sql = Some("SELECT cell, cvec FROM ci0")),
     // fertility rollup: the encode oracle as a derived table joined
     // to per-doc char counts; exact permille integer ratios
     "q_tokenizer_fertility" ->
@@ -11725,6 +11770,7 @@ object SparkEntry {
     "q_mog_trained_recall" -> Seq("recall"),
     "q_mog_trained_flat_recall" -> Seq("recall"),
     "q_mog_refine_recall" -> Seq("recall"),
+    "q_mog_kmeanspar_recall" -> Seq("recall"),
     "q_ivfpq_topk" -> Seq("d2"),
     "q_ivfpq_residual" -> Seq("d2"),
     "q_ivfpq_recall" -> Seq("recall"),

@@ -102,6 +102,36 @@ class Round16Spec extends SparkSpec {
     assert(gs.count() > 0L)
   }
 
+  test("kmeansParTrain at k = true cluster count: the k-means|| " +
+      "draft covers every cluster and lifts the worst query where " +
+      "degenerate-init Lloyd leaves a cluster split") {
+    val m = mog(512, block = true).transform(CacheScope.persist(_))
+    val qids: Seq[Long] = (0 until 16).map(_ * 32L)
+    val gt = Similarity.bruteForceTopK(m, "vec_id", "embedding",
+      queryIds = qids, k = 5).transform(CacheScope.persist(_))
+    val cFirst = Similarity.ivfTrain(m, "vec_id", "embedding",
+      nCells = 8, iters = 4)
+    val (muF, mnF) = meanMin(Similarity.recallPerQuery(gt,
+      Similarity.ivfTopKWith(m, "vec_id", "embedding", cFirst,
+        queryIds = qids, k = 5, nProbe = 2)))
+    val cPar = Similarity.kmeansParTrain(m, "vec_id", "embedding",
+      nCells = 8, ell = 4, rounds = 3, iters = 4)
+    val (muP, mnP) = meanMin(Similarity.recallPerQuery(gt,
+      Similarity.ivfTopKWith(m, "vec_id", "embedding", cPar,
+        queryIds = qids, k = 5, nProbe = 2)))
+    assert(mnF < 0.9, s"expected the degenerate init to hurt some " +
+      s"query (min=$mnF) — fixture no longer exercises the law")
+    assert(muP >= 0.99 && mnP >= 0.99,
+      s"kmeans|| + Lloyd must recover: mean=$muP min=$mnP")
+    assert(muP >= muF, s"composed init regressed: $muP < $muF")
+    // the draft must refuse loudly when it can't seed k cells
+    val tiny = mog(512, block = true).filter(col("vec_id") < 4)
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansParTrain(tiny, "vec_id", "embedding",
+        nCells = 8, ell = 1, rounds = 1, iters = 1)
+    }
+  }
+
   test("production two-layer path on clustered data: descent-3 " +
       "substrate + trained query-aware entries reach the gate bar") {
     val m = mog(4096, block = true).transform(CacheScope.persist(_))
