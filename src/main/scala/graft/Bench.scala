@@ -338,8 +338,17 @@ object Bench {
         // blind band (q_cms_registers drifted to 2.7x unflagged);
         // retries now arm at 2x, and any row STILL above 2x after
         // retries ships in an explicit "drift" field below.
+        // r16: a query with NO committed record only retries when
+        // its two runs DISAGREE (warm/timed ratio > 1.5 — the stall
+        // signature). warm ≈ timed is consistent engine cost, and
+        // the old unconditional 10 s trigger made every new heavy
+        // gate pay 2 pointless retries on its first benched round
+        // (q_mog_refine_recall at ~20 s would have cost +40 s/run).
+        val consistent =
+          math.max(warm, timed) <= 1.5 * math.min(warm, timed)
         val suspectAbove = refTimes.get(name)
-          .map(r => math.max(1.0, 2.0 * r)).getOrElse(10.0)
+          .map(r => math.max(1.0, 2.0 * r))
+          .getOrElse(if (consistent) Double.MaxValue else 10.0)
         var sec = min2
         var retries = 0
         while (err.isEmpty && sec > suspectAbove && retries < 2) {
