@@ -8,7 +8,20 @@ import graft.pipeline.Similarity
   * (Lloyd) coarse-layer certification for flat IVF and the two-layer
   * graph walk, the salted hot-bucket law in knnGraph, and the
   * production-path (LSH + NN-descent substrate) clustered recall. */
-class Round16Spec extends SparkSpec {
+class Round16Spec extends SparkSpec
+    with org.scalatest.BeforeAndAfterEach {
+
+  // This suite's fixtures are the largest in the test run (the
+  // production-path test walks 4096 vectors through descent +
+  // training + beam) and it executes AFTER ~60 other suites in the
+  // single shared test JVM — without per-test drains the accumulated
+  // persisted/broadcast debris OOMs the 8g heap (observed in the r16
+  // close run). Same valve shape as Bench's heap carry-over guard.
+  override def afterEach(): Unit = {
+    CacheScope.drain(spark)
+    val rt = Runtime.getRuntime
+    if (rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
+  }
 
   private def mog(n: Int, block: Boolean): DataFrame =
     Similarity.mogEmbeddings(spark, n = n, dim = 16, nClusters = 8,
