@@ -902,15 +902,29 @@ object Similarity {
     // init: explicit (cell, cvec) seed frame — [[kmeansParTrain]]'s
     // reclustered k-means|| candidates, or any caller-trained seed.
     // Default keeps the committed first-nCells-by-id law.
-    var centroids = init
+    //
+    // Rounds ROTATE through localCheckpoint rather than persist (r16):
+    // persist() reuses execution but leaves the LOGICAL lineage live,
+    // and each Lloyd round references the previous centroids ~3×
+    // (assignment, fallback, counts) — with a nontrivial init plan
+    // (the k-means|| draft DAG) the analyzed tree grew geometrically
+    // and q_mog_kmeanspar_recall measured 34 s wall over 3.3 s of
+    // actual job time, all of it driver-side Catalyst analysis. The
+    // checkpoint truncates lineage at an nCells-row leaf per round
+    // (and capCheckpointStats keeps the frozen stats sane).
+    val rotate = graft.analytics.GraphAnalytics.rotateCheckpoint _
+    var slot: Option[Int] = None
+    def roll(df: DataFrame): DataFrame = {
+      val (next, id) = rotate(df, slot); slot = id; next
+    }
+    var centroids = roll(init
       .map(_.select(col("cell").cast("long").as("cell"),
         col("cvec").cast("array<double>").as("cvec"),
         lit(0L).as("n")))
       .getOrElse(emb.filter(col(idCol) < nCells)
         .select(col(idCol).as("cell"),
           col(vecCol).cast("array<double>").as("cvec"),
-          lit(0L).as("n")))
-      .transform(graft.CacheScope.persist(_))
+          lit(0L).as("n"))))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("csim").desc, col("cell"))
     for (_ <- 1 to iters) {
@@ -933,20 +947,15 @@ object Similarity {
           sort_array(collect_list(struct(col("pos"), col("a")))),
           e => e.getField("a")).as("mvec"))
       val counts = assigned.groupBy("cell").agg(count(lit(1)).as("cnt"))
-      val next = centroids.select("cell", "cvec")
+      // the rotation materializes this round (nCells rows); then
+      // RELEASE the round's corpus-sized assignment — a long training
+      // run pins O(1) frames, not O(iterations)
+      centroids = roll(centroids.select("cell", "cvec")
         .join(means, Seq("cell"), "left")
         .join(counts, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("mvec"), col("cvec")).as("cvec"),
-          coalesce(col("cnt"), lit(0L)).as("n"))
-        .transform(graft.CacheScope.persist(_))
-      // Materialize this round (nCells rows), then RELEASE the round's
-      // corpus-sized assignment and the superseded centroids — a long
-      // training run pins O(1) frames, not O(iterations). This is the
-      // MLlib iteration pattern (action per round + unpersist previous).
-      next.count()
+          coalesce(col("cnt"), lit(0L)).as("n")))
       graft.CacheScope.unpersist(assigned)
-      graft.CacheScope.unpersist(centroids)
-      centroids = next
     }
     centroids
   }
