@@ -93,16 +93,19 @@ object GraphAnalytics {
       .transform(graft.CacheScope.persist(_))
     var ranks = verts.select(col("v"), lit(1.0).as("r"))
     var prev: Option[DataFrame] = None
+    // Measured gate for the static-planning law ([[graft.StaticPlan]])
+    val nEdges = weighted.count()
+    graft.StaticPlan.withMeasured(verts.sparkSession, nEdges) { bc =>
     for (_ <- 1 to iters) {
       // dyadic-floor each message BEFORE the sum: the aggregation is
       // then exact (order-independent), so the superstep is bit-
       // reproducible across partitionings and engines — the oracle
       // replays the identical recurrence (Portable.dyadic scaladoc)
-      val msgs = weighted.join(ranks, col("s") === col("v"))
+      val msgs = weighted.join(bc(ranks), col("s") === col("v"))
         .groupBy(col("d").as("mv"))
         .agg(sum(graft.functions.Portable.dyadic(
           col("r") / col("deg"))).as("ms"))
-      val next = verts.join(msgs, col("v") === col("mv"), "left")
+      val next = verts.join(bc(msgs), col("v") === col("mv"), "left")
         .select(col("v"),
           (lit(resetProb) + lit(1 - resetProb) *
             coalesce(col("ms"), lit(0.0))).as("r"))
@@ -116,6 +119,7 @@ object GraphAnalytics {
       prev = Some(next)
       ranks = next
     }
+    } // StaticPlan.withMeasured
     // The final ranks (already persisted) feed BOTH the normalization
     // scalar and the output rows — without the persist the crossJoin
     // would re-execute the whole iteration chain a second time
@@ -163,14 +167,17 @@ object GraphAnalytics {
       .transform(graft.CacheScope.persist(_))
     var ranks = verts.select(col("v"), lit(beta).as("r"))
     var prev: Option[DataFrame] = None
+    // Measured gate for the static-planning law ([[graft.StaticPlan]])
+    val nEdges = edges.count()
+    graft.StaticPlan.withMeasured(verts.sparkSession, nEdges) { bc =>
     for (_ <- 1 to iters) {
       // walk mass flows s -> d undiluted (no degree divide: Katz counts
       // walks, PageRank spreads probability) — dyadic-floor each
       // message so the sum is exact in any order on any engine
-      val msgs = edges.join(ranks, col("s") === col("v"))
+      val msgs = edges.join(bc(ranks), col("s") === col("v"))
         .groupBy(col("d").as("mv"))
         .agg(sum(graft.functions.Portable.dyadic(col("r"))).as("ms"))
-      val next = verts.join(msgs, col("v") === col("mv"), "left")
+      val next = verts.join(bc(msgs), col("v") === col("mv"), "left")
         .select(col("v"),
           (lit(beta) + lit(alpha) * coalesce(col("ms"), lit(0.0))).as("r"))
         .transform(graft.CacheScope.persist(_))
@@ -179,6 +186,7 @@ object GraphAnalytics {
       prev = Some(next)
       ranks = next
     }
+    } // StaticPlan.withMeasured
     ranks.select(col("v").as("_vid"),
       graft.functions.Portable.quant(col("r"), 6).as("katz"))
   }
@@ -216,8 +224,11 @@ object GraphAnalytics {
     // subtree out at a LogicalRDD
     var (x, xId) = rotateCheckpoint(
       verts.select(col("v"), lit(1.0).as("r")), None)
+    // Measured gate for the static-planning law ([[graft.StaticPlan]])
+    val nEdges = edges.count()
+    graft.StaticPlan.withMeasured(verts.sparkSession, nEdges) { bc =>
     for (_ <- 1 to iters) {
-      val raw = edges.join(x, col("s") === col("v"))
+      val raw = edges.join(bc(x), col("s") === col("v"))
         .groupBy(col("d").as("mv"))
         .agg(sum(dyadic(col("r"))).as("ms"))
         .transform(graft.CacheScope.persist(_))
@@ -225,7 +236,7 @@ object GraphAnalytics {
       // zero-mass guard (degenerate-input law): on a DAG the message
       // mass can drain to nothing — define the result as all-zero
       // scores instead of a NULL/NaN-poisoning division
-      val next = verts.join(raw, col("v") === col("mv"), "left")
+      val next = verts.join(bc(raw), col("v") === col("mv"), "left")
         .crossJoin(broadcast(tot))
         .select(col("v"),
           when(col("mt") > lit(0.0),
@@ -235,6 +246,7 @@ object GraphAnalytics {
       graft.CacheScope.unpersist(raw)
       x = x2; xId = id2
     }
+    } // StaticPlan.withMeasured
     x.select(col("v").as("_vid"),
       graft.functions.Portable.quant(col("r"), 6).as("score"))
   }
@@ -324,6 +336,9 @@ object GraphAnalytics {
     val verts = e.select(col("u").as("x")).union(e.select(col("v")))
       .distinct()
       .transform(graft.CacheScope.persist(_))
+    // Measured gate for the static-planning law ([[graft.StaticPlan]])
+    val nEdges = e.count()
+    graft.StaticPlan.withMeasured(e.sparkSession, nEdges) { bc =>
     var (comp, compId) = rotateCheckpoint(
       verts.select(col("x"), col("x").as("c")), None)
     var (mst, mstId) = rotateCheckpoint(e.limit(0).select("u", "v", "w"),
@@ -379,6 +394,7 @@ object GraphAnalytics {
             "answer")
     }
     mst
+    } // StaticPlan.withMeasured
   }
 
   /**
@@ -410,12 +426,15 @@ object GraphAnalytics {
     var ranks = verts.select(col("v"),
       when(isSeed, lit(1.0)).otherwise(lit(0.0)).as("r"))
     var prev: Option[DataFrame] = None
+    // Measured gate for the static-planning law ([[graft.StaticPlan]])
+    val nEdges = weighted.count()
+    graft.StaticPlan.withMeasured(verts.sparkSession, nEdges) { bc =>
     for (_ <- 1 to iters) {
-      val msgs = weighted.join(ranks, col("s") === col("v"))
+      val msgs = weighted.join(bc(ranks), col("s") === col("v"))
         .groupBy(col("d").as("mv"))
         .agg(sum(graft.functions.Portable.dyadic(
           col("r") / col("deg"))).as("ms"))
-      val next = verts.join(msgs, col("v") === col("mv"), "left")
+      val next = verts.join(bc(msgs), col("v") === col("mv"), "left")
         .select(col("v"),
           (when(isSeed, lit(resetProb)).otherwise(lit(0.0)) +
             lit(1 - resetProb) * coalesce(col("ms"), lit(0.0))).as("r"))
@@ -425,6 +444,7 @@ object GraphAnalytics {
       prev = Some(next)
       ranks = next
     }
+    } // StaticPlan.withMeasured
     ranks.select(col("v").as("_vid"),
       graft.functions.Portable.quant(
         graft.functions.Portable.dyadic(col("r")), 6).as("rank"))
@@ -492,6 +512,11 @@ object GraphAnalytics {
       .transform(graft.CacheScope.persist(_))
     val sc = verts.sparkSession.sparkContext
     var scores = verts.select(col("v"), lit(1.0).as("a"), lit(1.0).as("h"))
+    // Measured gate for the static-planning law ([[graft.StaticPlan]]):
+    // the edge frame bounds every per-round frame; the count's fill is
+    // paid anyway at round 1.
+    val nEdges = edgesBySrc.count()
+    graft.StaticPlan.withMeasured(verts.sparkSession, nEdges) { bc =>
     // Previous round's localCheckpoint RDD id: released per-round below,
     // so checkpoint blocks stay O(1) for the run instead of O(iters).
     var prevCkptId: Option[Int] = None
@@ -561,6 +586,7 @@ object GraphAnalytics {
     scores.select(col("v").as("_vid"),
       graft.functions.Portable.quant(col("a"), 6).as("auth"),
       graft.functions.Portable.quant(col("h"), 6).as("hub"))
+    } // StaticPlan.withMeasured
   }
 
   /**
@@ -982,6 +1008,11 @@ object GraphAnalytics {
         .distinct())
     var done = Seq.empty[(Long, Long)].toDF("v", "component")
     var nLeft = verts.count()
+    // Measured gate for the static-planning law ([[graft.StaticPlan]]):
+    // both the vertex and the working-edge frame must be small (a
+    // dense graph can exceed the bound on edges alone)
+    val nWork = work.count()
+    graft.StaticPlan.withMeasured(spark, math.max(nLeft, nWork)) { bc =>
     var peel = 0
     while (nLeft > 0) {
       peel += 1
@@ -994,8 +1025,14 @@ object GraphAnalytics {
         val keep = work.select(col("s").as("v")).distinct()
           .join(work.select(col("d").as("v")).distinct(),
             Seq("v"), "left_semi")
-        val trimmed = rotate("tmp", verts.join(keep, Seq("v"), "left_anti"))
-        val nTrim = trimmed.count()
+        // the trimmed count rides the rotation job as a CollectMetrics
+        // observation (the semiSyncLpa one-job-per-round law)
+        val obsT = org.apache.spark.sql.Observation()
+        val trimmed = rotate("tmp", verts.join(keep, Seq("v"), "left_anti")
+          .observe(obsT, count(lit(1)).as("n")))
+        val nTrim = scala.concurrent.Await
+          .result(obsT.future, scala.concurrent.duration.Duration(60,
+            java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
         if (nTrim == 0L) trimming = false
         else {
           done = rotate("done", done.unionByName(
@@ -1017,14 +1054,24 @@ object GraphAnalytics {
           if (prop > nLeft + 1) throw new IllegalStateException(
             "SCC: color propagation exceeded the vertex-count bound — " +
               "monotone-fixpoint invariant violated")
+          // the changed count rides the rotation job via CollectMetrics
+          // — the min-combine's v-set equals color's v-set, so the
+          // left join is total and the flag count matches the old
+          // separate inner-join-and-count job exactly
+          val obsP = org.apache.spark.sql.Observation()
           val (upd, updId) = rotateCheckpoint(
-            work.join(color.select(col("v").as("s"), col("c")), "s")
+            work.join(bc(color.select(col("v").as("s"), col("c"))), "s")
               .select(col("d").as("v"), col("c"))
               .unionByName(color.select(col("v"), col("c")))
-              .groupBy("v").agg(min(col("c")).as("c")), None)
-          propChanged = upd
-            .join(color.select(col("v"), col("c").as("c0")), "v")
-            .filter(col("c") =!= col("c0")).count()
+              .groupBy("v").agg(min(col("c")).as("c"))
+              .join(color.select(col("v"), col("c").as("c0")),
+                Seq("v"), "left")
+              .observe(obsP,
+                count(when(col("c") =!= col("c0"), lit(1))).as("n"))
+              .select(col("v"), col("c")), None)
+          propChanged = scala.concurrent.Await
+            .result(obsP.future, scala.concurrent.duration.Duration(60,
+              java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
           slots("color").foreach(i => sc.getPersistentRDDs.get(i)
             .foreach(_.unpersist(blocking = false)))
           slots("color") = updId
@@ -1040,13 +1087,17 @@ object GraphAnalytics {
           if (growRounds > nLeft + 1) throw new IllegalStateException(
             "SCC: backward mark exceeded the vertex-count bound — " +
               "monotone-fixpoint invariant violated")
+          val obsG = org.apache.spark.sql.Observation()
           val (grown, grownId) = rotateCheckpoint(
-            work.join(mark.select(col("v").as("d"), col("c")), "d")
+            work.join(bc(mark.select(col("v").as("d"), col("c"))), "d")
               .select(col("s").as("v"), col("c"))
               .join(color, Seq("v", "c"), "left_semi")
               .unionByName(mark.select(col("v"), col("c")))
-              .distinct(), None)
-          val nGrown = grown.count()
+              .distinct()
+              .observe(obsG, count(lit(1)).as("n")), None)
+          val nGrown = scala.concurrent.Await
+            .result(obsG.future, scala.concurrent.duration.Duration(60,
+              java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
           slots("mark").foreach(i => sc.getPersistentRDDs.get(i)
             .foreach(_.unpersist(blocking = false)))
           slots("mark") = grownId
@@ -1062,6 +1113,7 @@ object GraphAnalytics {
         nLeft -= nMark
       }
     }
+    } // StaticPlan.withMeasured
     // release every working slot; only the returned frame stays pinned
     (slots.keySet - "done").foreach(k => slots(k).foreach(i =>
       sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false))))
@@ -1735,6 +1787,9 @@ object GraphAnalytics {
     val arcs = undirAdj(simpleEdges(store, edgeTypes))
       .transform(graft.CacheScope.persist(_)) // re-filtered every round
     val verts = arcs.select(col("v")).distinct()
+    // Measured gate for the static-planning law ([[graft.StaticPlan]])
+    val nArcs = arcs.count()
+    graft.StaticPlan.withMeasured(arcs.sparkSession, nArcs) { bc =>
     var prevCkptId: Option[Int] = None
     var state = verts.select(col("v"), lit(0).as("st"),
       lit(0).as("round"))
@@ -1780,6 +1835,7 @@ object GraphAnalytics {
       state = next
     }
     state.select(col("v").as(GraphStore.VID), col("st"), col("round"))
+    } // StaticPlan.withMeasured
   }
 
   /**
@@ -1813,6 +1869,11 @@ object GraphAnalytics {
       .transform(graft.CacheScope.persist(_)) // re-filtered every round
     val prio = (c: org.apache.spark.sql.Column) =>
       md5(concat_ws("#", lit("c"), c))
+    // Measured gate for the static-planning law ([[graft.StaticPlan]]):
+    // the arc frame bounds every per-round frame; the count's fill is
+    // paid anyway at round 1's semi-joins.
+    val nArcs = arcs.count()
+    graft.StaticPlan.withMeasured(arcs.sparkSession, nArcs) { bc =>
     var prevCkptId: Option[Int] = None
     var state = arcs.select(col("v")).distinct()
       .select(col("v"), lit(-1).as("color"))
@@ -1856,6 +1917,7 @@ object GraphAnalytics {
       r += 1
     }
     state.select(col("v").as(GraphStore.VID), col("color"))
+    } // StaticPlan.withMeasured
   }
 
   /**
@@ -1926,15 +1988,43 @@ object GraphAnalytics {
     require(rounds >= 1, "rounds must be >= 1")
     var prevCkptId: Option[Int] = None
     var live = ep
-    val matchedRounds = scala.collection.mutable.ArrayBuffer
-      .empty[DataFrame]
+    // The matched output accumulates through its OWN checkpoint
+    // rotation (the boruvkaMst mst-slot shape) instead of a buffer of
+    // persisted per-round frames (r16-opt): the old shape left each
+    // round's `win` cache entry dependent on `vmin`, whose per-round
+    // unpersist drops the dependent's built data — the final union
+    // then recomputed early rounds through ALREADY-RELEASED live
+    // checkpoints (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND under static
+    // planning, latent before). A checkpointed accumulator is a leaf:
+    // nothing recomputes at output time.
+    var matched = ep.limit(0).select(col("s"), col("d"),
+      lit(0).as("round"))
+    var matchedId: Option[Int] = None
     // convergence-guarded (the r11 label-family law): "maximal" is a
     // CLAIM — a fixed budget that stops with live edges left returns a
     // non-maximal matching indistinguishable from a maximal one. Run
     // until the live frame empties (every round matches >= 1 edge —
     // the globally-minimum live edge always wins) or throw.
     var r = 0
-    var nLive = live.count()
+    // Materialize the input edge frame ONCE (r16-opt): round 1 used to
+    // reference the raw `ep` plan 4 times (vmin, win, and both
+    // accumulator/removal rotations), re-running the caller's
+    // edge-derivation aggregation per reference; the checkpoint is one
+    // pass, its count rides the job AND doubles as the static-planning
+    // gate ([[graft.StaticPlan]]). The big-input pass itself runs
+    // BEFORE the law arms, so it keeps the session's AQE plan.
+    val obs0 = org.apache.spark.sql.Observation()
+    val (live1, liveId1) = rotateCheckpoint(
+      ep.observe(obs0, count(lit(1)).as("n")), None)
+    live = live1
+    prevCkptId = liveId1
+    var nLive = scala.concurrent.Await
+      .result(obs0.future, scala.concurrent.duration.Duration(60,
+        java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
+    // per-round live counts ride the rotation job as a CollectMetrics
+    // observation (the semiSyncLpa one-job-per-round law) instead of a
+    // separate count job
+    graft.StaticPlan.withMeasured(ep.sparkSession, nLive) { bc =>
     while (nLive > 0L) {
       r += 1
       if (r > rounds) throw new IllegalStateException(
@@ -1945,12 +2035,16 @@ object GraphAnalytics {
       val vmin = inc.groupBy(col("v")).agg(min(col("p")).as("mn"))
         .transform(graft.CacheScope.persist(_)) // joined at both ends
       val win = live
-        .join(vmin.select(col("v").as("s"), col("mn").as("mns")), Seq("s"))
-        .join(vmin.select(col("v").as("d"), col("mn").as("mnd")), Seq("d"))
+        .join(vmin.select(col("v").as("s"), col("mn").as("mns")),
+          Seq("s"))
+        .join(vmin.select(col("v").as("d"), col("mn").as("mnd")),
+          Seq("d"))
         .filter(col("p") === col("mns") && col("p") === col("mnd"))
         .select(col("s"), col("d"), lit(r).as("round"))
-        .transform(graft.CacheScope.persist(_)) // output + removal
-      matchedRounds += win
+        .transform(graft.CacheScope.persist(_)) // accumulator + removal
+      val (m2, mId2) = rotateCheckpoint(
+        matched.unionByName(win), matchedId)
+      matched = m2; matchedId = mId2
       val mv = win.select(col("s").as("v"))
         .unionByName(win.select(col("d").as("v")))
       val next0 = live
@@ -1959,18 +2053,21 @@ object GraphAnalytics {
         .select(col("s"), col("d"), col("p"))
       // lineage break per round (lubyMIS law): the live frame feeds
       // 5 consumers next round; checkpoint + release superseded blocks
-      val (next, ckptId) = rotateCheckpoint(next0, prevCkptId)
+      val obs = org.apache.spark.sql.Observation()
+      val (next, ckptId) = rotateCheckpoint(
+        next0.observe(obs, count(lit(1)).as("n")), prevCkptId)
       prevCkptId = ckptId
       graft.CacheScope.unpersist(vmin)
+      graft.CacheScope.unpersist(win)
       live = next
-      nLive = live.count()
+      nLive = scala.concurrent.Await
+        .result(obs.future, scala.concurrent.duration.Duration(60,
+          java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
     }
-    // Edge-free input: the while loop never runs and matchedRounds is
-    // empty — the empty matching IS maximal, so return an empty typed
-    // frame instead of letting reduce throw on the empty buffer.
-    matchedRounds.reduceOption(_ unionByName _)
-      .getOrElse(ep.limit(0).select(col("s"), col("d"), lit(0).as("round")))
-      .select(col("s").as("v"), col("d").as("mate"), col("round"))
+    // Edge-free input: the while loop never runs and the empty
+    // accumulator IS the maximal matching.
+    matched.select(col("s").as("v"), col("d").as("mate"), col("round"))
+    } // StaticPlan.withMeasured
   }
 
   /**
@@ -2324,6 +2421,13 @@ object GraphAnalytics {
     val eByColor = e.join(colors.withColumnRenamed("v", "s"), Seq("s"))
       .select(col("s"), col("d"), col("color"))
       .transform(graft.CacheScope.persist(_))
+    // Measured gate for the static-planning law ([[graft.StaticPlan]],
+    // the generalized leiden AQE-off-when-measured-small law): the
+    // edge frame is the loop's largest, so its count bounds every
+    // frame a class step builds. One job over the persisted frame —
+    // the fill is paid anyway at the first class step.
+    val nEdges = eByColor.count()
+    graft.StaticPlan.withMeasured(e.sparkSession, nEdges) { bc =>
     // init from the coloring's vertex set — identical to e's source
     // set by the invariant above, and already materialized (saves the
     // distinct-over-edges shuffle the r12 code paid here)
@@ -2341,7 +2445,7 @@ object GraphAnalytics {
         // votes/argmax restricted to the class-c sources: only they
         // can change this step, so voting anyone else is waste
         val active = eByColor.filter(col("color") === c)
-        val votes = active.join(labels, active("d") === labels("v"))
+        val votes = active.join(bc(labels), active("d") === labels("v"))
           .groupBy(col("s"), col("label"))
           .agg(count(lit(1)).as("n"))
         // argmax by (n desc, label asc) as a combinable min-struct
@@ -2381,6 +2485,7 @@ object GraphAnalytics {
       }
     }
     (labels, trace.toSeq)
+    } // StaticPlan.withMeasured
   }
 
   private def labelPropagationLoop(store: GraphStore,
@@ -2398,6 +2503,9 @@ object GraphAnalytics {
       .distinct()
       .transform(graft.CacheScope.persist(_))
     val sc = e.sparkSession.sparkContext
+    // Measured gate for the static-planning law ([[graft.StaticPlan]])
+    val nEdges = e.count()
+    graft.StaticPlan.withMeasured(e.sparkSession, nEdges) { bc =>
     val (labels0, id0) = rotateCheckpoint(
       e.select(col("s").as("v")).distinct()
         .withColumn("label", col("v")), None)
@@ -2408,7 +2516,7 @@ object GraphAnalytics {
     var changed = -1L
     while (round < maxIters && changed != 0L) {
       round += 1
-      val votes = e.join(labels, e("d") === labels("v"))
+      val votes = e.join(bc(labels), e("d") === labels("v"))
         .groupBy(col("s"), col("label"))
         .agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("s"))
@@ -2436,6 +2544,7 @@ object GraphAnalytics {
       trace += ((round, changed))
     }
     (labels, trace.toSeq)
+    } // StaticPlan.withMeasured
   }
 
   /**
@@ -2488,6 +2597,9 @@ object GraphAnalytics {
     val trace = collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var round = 0L
     var changed = -1L
+    // Measured gate for the static-planning law ([[graft.StaticPlan]])
+    val nEdges = e.count()
+    graft.StaticPlan.withMeasured(spark, nEdges) { _ =>
     while (round < maxIters && changed != 0L) {
       round += 1
       // lineage break per round: the round references `dist` three
@@ -2520,6 +2632,7 @@ object GraphAnalytics {
       trace += ((round, changed))
     }
     (dist, trace.toSeq)
+    } // StaticPlan.withMeasured
   }
 
   /**
@@ -2571,10 +2684,13 @@ object GraphAnalytics {
       .transform(graft.CacheScope.persist(_))
     var arr = seeds.map(s => (s, s)).toDF("seed", "vid")
       .withColumn("arr_us", lit(0L))
+    // Measured gate for the static-planning law ([[graft.StaticPlan]])
+    val nEdges = e.count()
     var prevId: Option[Int] = None
     val trace = collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var round = 0L
     var changed = -1L
+    graft.StaticPlan.withMeasured(spark, nEdges) { _ =>
     while (round < maxRounds && changed != 0L) {
       round += 1
       // lineage break per round (3 references to `arr`: relax, union,
@@ -2604,6 +2720,7 @@ object GraphAnalytics {
       trace += ((round, changed))
     }
     (arr, trace.toSeq)
+    } // StaticPlan.withMeasured
   }
 
   /**
@@ -2907,6 +3024,11 @@ object GraphAnalytics {
     val trace = collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var round = 0L
     var changed = -1L
+    // The observed initial edge count doubles as the static-planning
+    // gate ([[graft.StaticPlan]]); the law's hint composes with the
+    // caller's (a double broadcast hint is idempotent).
+    graft.StaticPlan.withMeasured(edges.sparkSession, curCount) { lawBc =>
+    val hint: DataFrame => DataFrame = df => lawBc(bc(df))
     while (round < maxRounds && changed != 0L) {
       round += 1
       // large-star over both orientations
@@ -2914,14 +3036,14 @@ object GraphAnalytics {
         .unionByName(cur.select(col("v").as("c"), col("u").as("n")))
       val mins = adj.groupBy("c").agg(min(col("n")).as("mn"))
         .select(col("c"), least(col("c"), col("mn")).as("m"))
-      val ls = adj.join(bc(mins), "c").filter(col("n") > col("c"))
+      val ls = adj.join(hint(mins), "c").filter(col("n") > col("c"))
         .select(least(col("n"), col("m")).as("u"),
           greatest(col("n"), col("m")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
       // small-star on edges oriented n < c (u < v always holds here)
       val adj2 = ls.select(col("v").as("c"), col("u").as("n"))
       val mins2 = adj2.groupBy("c").agg(min(col("n")).as("m"))
-      val ss = adj2.join(bc(mins2), "c")
+      val ss = adj2.join(hint(mins2), "c")
         .select(col("m").as("u"), col("n").as("v"))
         .filter(col("u") =!= col("v"))
         .unionByName(mins2.select(col("m").as("u"), col("c").as("v")))
@@ -2956,6 +3078,7 @@ object GraphAnalytics {
       cur = next
       trace += ((round, changed))
     }
+    } // StaticPlan.withMeasured
     // the final frame stays pinned (callers consume it); its ckpt id is
     // returned so loop-embedded callers (leidenLevels) can release it
     // once the derived labels are materialized
@@ -3935,24 +4058,40 @@ object GraphAnalytics {
     var ranks = vs.select(col("v"), lit(1.0).as("r"))
       .transform(graft.CacheScope.persist(_))
     val out = collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    // Measured gate for the static-planning law ([[graft.StaticPlan]])
+    val nEdges = weighted.count()
+    graft.StaticPlan.withMeasured(spark, nEdges) { bc =>
     for (i <- 1 to iters) {
-      val msgs = weighted.join(ranks, col("s") === col("v"))
+      val msgs = weighted.join(bc(ranks), col("s") === col("v"))
         .groupBy(col("d").as("mv"))
         .agg(sum(dyadic(col("r") / col("ws"))).as("ms"))
-      val next = vs.join(msgs, col("v") === col("mv"), "left")
+      // The residual scalars ride the superstep's own materialization
+      // job as a CollectMetrics observation (the semiSyncLpa law) —
+      // the inner join against the previous ranks keeps every vertex
+      // (both frames carry the identical vertex set by construction),
+      // so the observed frame's (v, r) rows ARE the superstep result;
+      // r16-opt: this replaces a second per-iteration job that re-ran
+      // the vertex join for two scalars.
+      val obs = org.apache.spark.sql.Observation()
+      val next = vs.join(bc(msgs), col("v") === col("mv"), "left")
         .select(col("v"),
           (lit(resetProb) + lit(1 - resetProb) *
             coalesce(col("ms"), lit(0.0))).as("r"))
+        .join(bc(ranks.select(col("v"), col("r").as("r0"))), Seq("v"))
+        .observe(obs,
+          sum(dyadic(abs(col("r") - col("r0")))).as("l1"),
+          max(dyadic(abs(col("r") - col("r0")))).as("mx"))
+        .select(col("v"), col("r"))
         .transform(graft.CacheScope.persist(_))
       next.count()
-      val res = next.join(ranks.select(col("v"), col("r").as("r0")), "v")
-        .agg(sum(dyadic(abs(col("r") - col("r0")))).as("l1"),
-          max(dyadic(abs(col("r") - col("r0")))).as("mx"))
-        .head() // one aggregated scalar row per iteration
+      val res = scala.concurrent.Await
+        .result(obs.future, scala.concurrent.duration.Duration(60,
+          java.util.concurrent.TimeUnit.SECONDS))
       out += ((i.toLong, res.getDouble(0), res.getDouble(1)))
       graft.CacheScope.unpersist(ranks)
       ranks = next
     }
+    } // StaticPlan.withMeasured
     import spark.implicits._
     val df = out.toSeq.toDF("iter", "l1_residual", "max_delta")
     df.select(col("iter"), quant(col("l1_residual"), 6).as("l1_residual"),
