@@ -909,11 +909,14 @@ object GraphAnalytics {
       .transform(graft.CacheScope.persist(_))
     var ranks = verts.select(col("v"), lit(1.0).as("r"))
     var prev: Option[DataFrame] = None
+    // Measured gate for the static-planning law ([[graft.StaticPlan]])
+    val nEdges = weighted.count()
+    graft.StaticPlan.withMeasured(verts.sparkSession, nEdges) { bc =>
     for (_ <- 1 to iters) {
-      val msgs = weighted.join(ranks, col("s") === col("v"))
+      val msgs = weighted.join(bc(ranks), col("s") === col("v"))
         .groupBy(col("d").as("mv"))
         .agg(sum(dyadic(col("r") * col("w") / col("ws"))).as("ms"))
-      val next = verts.join(msgs, col("v") === col("mv"), "left")
+      val next = verts.join(bc(msgs), col("v") === col("mv"), "left")
         .select(col("v"),
           (lit(resetProb) + lit(1 - resetProb) *
             coalesce(col("ms"), lit(0.0))).as("r"))
@@ -923,6 +926,7 @@ object GraphAnalytics {
       prev = Some(next)
       ranks = next
     }
+    } // StaticPlan.withMeasured
     val rq = dyadic(col("r"))
     val totals = ranks.agg(sum(rq).as("sr"), count(lit(1)).as("nv"))
     ranks.crossJoin(broadcast(totals))
@@ -1282,9 +1286,17 @@ object GraphAnalytics {
     // rotateCheckpoint per round keeps the plan AND the pinned blocks
     // O(1) in peel depth (the kCore note)
     var prevCkptId: Option[Int] = None
-    val (e0, id0) = rotateCheckpoint(edges, None)
+    // the canonical-edge count rides the first rotation and doubles as
+    // the static-planning gate ([[graft.StaticPlan]])
+    val obs0 = org.apache.spark.sql.Observation()
+    val (e0, id0) = rotateCheckpoint(
+      edges.observe(obs0, count(lit(1)).as("n")), None)
     prevCkptId = id0
     edges = e0
+    val nEdges = scala.concurrent.Await
+      .result(obs0.future, scala.concurrent.duration.Duration(60,
+        java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
+    graft.StaticPlan.withMeasured(edges.sparkSession, nEdges) { _ =>
     var peels = 0
     var below = -1L
     while (below != 0L) {
@@ -1309,6 +1321,7 @@ object GraphAnalytics {
     edges.join(wedgeCounts(edges), Seq("s", "d"), "left")
       .select(col("s").as("a"), col("d").as("b"),
         coalesce(col("common"), lit(0L)).as("support"))
+    } // StaticPlan.withMeasured
   }
 
   /** Canonical simple undirected edge set (self-loops dropped,
@@ -1591,9 +1604,17 @@ object GraphAnalytics {
     // persist alone lets the analyzed plan grow 3^rounds (the HITS
     // law; OOM'd in plan STRINGIFICATION at depth 11 on a path spec)
     var prevCkptId: Option[Int] = None
-    val (e0, id0) = rotateCheckpoint(edges, None)
+    // the canonical-edge count rides the first rotation and doubles as
+    // the static-planning gate ([[graft.StaticPlan]])
+    val obs0 = org.apache.spark.sql.Observation()
+    val (e0, id0) = rotateCheckpoint(
+      edges.observe(obs0, count(lit(1)).as("n")), None)
     prevCkptId = id0
     edges = e0
+    val nEdges = scala.concurrent.Await
+      .result(obs0.future, scala.concurrent.duration.Duration(60,
+        java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
+    graft.StaticPlan.withMeasured(edges.sparkSession, nEdges) { _ =>
     var peels = 0
     var below = -1L
     while (below != 0L) {
@@ -1618,6 +1639,7 @@ object GraphAnalytics {
     }
     degrees(edges).filter(col("deg") >= k)
       .select(col("v").as("_vid"), col("deg"))
+    } // StaticPlan.withMeasured
   }
 
   /**
@@ -2903,6 +2925,16 @@ object GraphAnalytics {
       .unionByName(e.select(col("d").as("v"))).distinct()
     var regs = graft.operators.Stats
       .hllRegistersBy(verts, Seq("v"), "v", b)
+    // Measured gate for the static-planning law ([[graft.StaticPlan]]):
+    // the loop's largest frame is the register state, bounded by
+    // |V|·2^b (sparse — one row per present register); the edge frame
+    // can exceed it on dense graphs, so gate on both.
+    val scalars = e.agg(count(lit(1)).as("ne"),
+      (count_distinct(col("s")) + count_distinct(col("d"))).as("nvub"))
+      .head()
+    val gateRows = math.max(scalars.getLong(0),
+      scalars.getLong(1) << b)
+    graft.StaticPlan.withMeasured(e.sparkSession, gateRows) { _ =>
     var prevCkptId: Option[Int] = None
     for (_ <- 1 to rounds) {
       val prop = e.join(regs, regs("v") === e("d"))
@@ -2917,6 +2949,7 @@ object GraphAnalytics {
     }
     graft.operators.Stats.hllEstimateBy(regs, Seq("v"), b)
       .select(col("v"), col("n_regs"), col("est").as("est_ball"))
+    } // StaticPlan.withMeasured
   }
 
   /**
@@ -2948,6 +2981,14 @@ object GraphAnalytics {
       .hllEstimateBy(r, Seq("v"), b)
       .agg(sum(col("est")).as("nf")).head().getLong(0)
     val totals = collection.mutable.ArrayBuffer((0L, nf(regs)))
+    // Measured gate for the static-planning law (the hyperBall bound:
+    // register state ≤ |V|·2^b sparse rows; edge frame on both)
+    val scalars = e.agg(count(lit(1)).as("ne"),
+      (count_distinct(col("s")) + count_distinct(col("d"))).as("nvub"))
+      .head()
+    val gateRows = math.max(scalars.getLong(0),
+      scalars.getLong(1) << b)
+    graft.StaticPlan.withMeasured(e.sparkSession, gateRows) { _ =>
     for (t <- 1 to rounds) {
       val prop = e.join(regs, regs("v") === e("d"))
         .select(e("s").as("v"), col("reg"), col("max_rho"))
@@ -2960,6 +3001,7 @@ object GraphAnalytics {
       regs = next
       totals += ((t.toLong, nf(regs)))
     }
+    } // StaticPlan.withMeasured
     graft.CacheScope.unpersist(e)
     val last = totals.last._2
     val effT = totals.find(_._2 * 10L >= 9L * last).map(_._1).getOrElse(-1L)
@@ -4333,6 +4375,8 @@ object GraphAnalytics {
     out += ((0L, nv0, ne0))
     var r = 1
     var live = ne0 > 0
+    // the initial edge count doubles as the static-planning gate
+    graft.StaticPlan.withMeasured(spark, ne0) { _ =>
     while (r <= rounds && live) {
       val deg = e.select(explode(array(col("s"), col("d"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -4357,6 +4401,7 @@ object GraphAnalytics {
       live = ne > 0
       r += 1
     }
+    } // StaticPlan.withMeasured
     val rows = out.toSeq.map { case (rr, nv, ne) =>
       (rr, nv, ne, if (nv == 0) 0L else ne * 1000L / nv)
     }
@@ -4398,9 +4443,17 @@ object GraphAnalytics {
       .select(explode(array(col("s"), col("d"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     var prevCkptId: Option[Int] = None
-    val (e0, id0) = rotateCheckpoint(e, prevCkptId)
+    // the canonical-edge count rides the first rotation and doubles as
+    // the static-planning gate ([[graft.StaticPlan]])
+    val obs0 = org.apache.spark.sql.Observation()
+    val (e0, id0) = rotateCheckpoint(
+      e.observe(obs0, count(lit(1)).as("n")), prevCkptId)
     prevCkptId = id0
     e = e0
+    val nEdges = scala.concurrent.Await
+      .result(obs0.future, scala.concurrent.duration.Duration(60,
+        java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
+    graft.StaticPlan.withMeasured(e.sparkSession, nEdges) { _ =>
     // level-end vertex frames are persisted AND materialized before the
     // next level's rotation releases the checkpoint blocks they derive
     // from — a lazy reference would fault on the released block
@@ -4444,5 +4497,6 @@ object GraphAnalytics {
     (dropped :+ survivors.select(col("v").as("_vid"),
       lit(maxK.toLong).as("coreness")))
       .reduce(_ unionByName _)
+    } // StaticPlan.withMeasured
   }
 }

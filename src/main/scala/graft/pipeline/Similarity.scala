@@ -640,6 +640,12 @@ object Similarity {
     var prevId = gid
     var r = 0
     var changed = -1L
+    // Measured gate for the static-planning law ([[graft.StaticPlan]]):
+    // loop frames are bounded by the capped 2-hop expansion,
+    // n·expandCap² rows at worst (the scaladoc's bound).
+    val nEmb = emb.count()
+    graft.StaticPlan.withMeasured(emb.sparkSession,
+      nEmb * expandCap * expandCap) { _ =>
     while (r < maxRounds && changed != 0L) {
       r += 1
       val und = g.select(col("x"), col("nbr_id").as("n"), col("sim"))
@@ -662,12 +668,20 @@ object Similarity {
         .select(col("x"), col("n2").as("nbr_id"),
           graft.functions.Portable.quant(cosine(col("xv"), col("nv")),
             6).as("sim"))
+      // the changed-edge count rides the rotation job as a
+      // CollectMetrics observation (the semiSyncLpa one-job-per-round
+      // law) instead of a separate anti-join action
+      val obs = org.apache.spark.sql.Observation()
       val (next, nid) = rotate(topkGraph(scored.unionByName(
-        und.select(col("x"), col("n").as("nbr_id"), col("sim"))), k),
+        und.select(col("x"), col("n").as("nbr_id"), col("sim"))), k)
+        .join(g.select(col("x"), col("nbr_id"), lit(1).as("_old")),
+          Seq("x", "nbr_id"), "left")
+        .observe(obs, count(when(col("_old").isNull, lit(1))).as("n"))
+        .drop("_old"),
         None)
-      changed = next.select(col("x"), col("nbr_id"))
-        .join(g.select(col("x"), col("nbr_id")), Seq("x", "nbr_id"),
-          "left_anti").count()
+      changed = scala.concurrent.Await
+        .result(obs.future, scala.concurrent.duration.Duration(60,
+          java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
       prevId.foreach(i => emb.sparkSession.sparkContext
         .getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
       prevId = nid
@@ -675,6 +689,7 @@ object Similarity {
       graft.CacheScope.unpersist(capped)
       graft.CacheScope.unpersist(und)
     }
+    } // StaticPlan.withMeasured
     g.select(col("x").as(idCol), col("nbr_id"), col("rk"), col("sim"))
   }
 
@@ -1813,8 +1828,12 @@ object Similarity {
     val rotate = graft.analytics.GraphAnalytics.rotateCheckpoint _
     var (v, vId) = rotate((1 to dim).map(i => (i, 1.0)).toDF("j", "v"),
       None)
+    // Static gate for the static-planning law ([[graft.StaticPlan]]):
+    // every loop frame is bounded by the dim×dim matrix — known
+    // WITHOUT a job, the cheapest gate in the family.
+    graft.StaticPlan.withMeasured(spark, dim.toLong * dim) { bc =>
     for (_ <- 1 to iters) {
-      val y = cov.join(v, Seq("j"))
+      val y = cov.join(bc(v), Seq("j"))
         .groupBy(col("i"))
         .agg(sum(dyadic(col("c") * col("v"))).as("y"))
         .transform(graft.CacheScope.persist(_))
@@ -1827,6 +1846,7 @@ object Similarity {
       graft.CacheScope.unpersist(y)
       v = v2; vId = id2
     }
+    } // StaticPlan.withMeasured
     v
   }
 
@@ -2213,6 +2233,11 @@ object Similarity {
         .filter(col("rk") <= beam).drop("rk")
     }
     val entry = mkEntry(qvecs)
+    // Measured gate for the static-planning law ([[graft.StaticPlan]]):
+    // the adjacency is the loop's largest frame (visited/frontier are
+    // query-bounded); the count's fill is paid anyway at round 1.
+    val nAdj = adj.count()
+    graft.StaticPlan.withMeasured(emb.sparkSession, nAdj) { _ =>
     // visited carries the round tag: the next round's frontier is a
     // cheap window over the CHECKPOINTED frame's newest rows, so each
     // round pays exactly ONE rotation job (frontier needs no second
@@ -2239,6 +2264,7 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("qid").as("query_id"), col("v").as("cand_id"),
         col("simx"), col("rk").cast("long").as("rk"))
+    } // StaticPlan.withMeasured
   }
 
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -125,10 +125,19 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("f"))
       .select(trim(regexp_replace(col("tok"), "(.)", "$1 ")).as("w"),
         col("f"))
-    var (vocab, prevId) = rotate(init, None)
+    // the vocab count rides the init rotation and doubles as the
+    // static-planning gate ([[graft.StaticPlan]]): every step's frame
+    // (pairs, rewritten vocab) is vocab-bounded
+    val obs0 = org.apache.spark.sql.Observation()
+    var (vocab, prevId) = rotate(
+      init.observe(obs0, count(lit(1)).as("n")), None)
+    val nVocab = scala.concurrent.Await
+      .result(obs0.future, scala.concurrent.duration.Duration(60,
+        java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
     val merges = collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     var step = 0
     var exhausted = false
+    graft.StaticPlan.withMeasured(spark, nVocab) { _ =>
     while (step < nMerges && !exhausted) {
       step += 1
       val pairs = vocab.select(col("f"), split(col("w"), " ").as("l"))
@@ -162,6 +171,7 @@ object TextAnalysis {
         prevId = id2
       }
     }
+    } // StaticPlan.withMeasured
     (merges.toSeq, vocab, prevId)
   }
 
@@ -334,10 +344,18 @@ object TextAnalysis {
       nMerges: Int): (Seq[(Long, String, Long, Long)], Option[Int]) = {
     require(nMerges >= 1, "nMerges must be >= 1")
     val rotate = graft.analytics.GraphAnalytics.rotateCheckpoint _
-    var (vocab, prevId) = rotate(init, None)
+    // the vocab count rides the init rotation and doubles as the
+    // static-planning gate ([[graft.StaticPlan]])
+    val obs0 = org.apache.spark.sql.Observation()
+    var (vocab, prevId) = rotate(
+      init.observe(obs0, count(lit(1)).as("n")), None)
+    val nVocab = scala.concurrent.Await
+      .result(obs0.future, scala.concurrent.duration.Duration(60,
+        java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
     val merges = collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
     var step = 0
     var exhausted = false
+    graft.StaticPlan.withMeasured(init.sparkSession, nVocab) { _ =>
     while (step < nMerges && !exhausted) {
       step += 1
       val syms = vocab
@@ -390,6 +408,7 @@ object TextAnalysis {
         prevId = id2
       }
     }
+    } // StaticPlan.withMeasured
     (merges.toSeq, prevId)
   }
 
@@ -1988,7 +2007,19 @@ object TextAnalysis {
         .withColumn("rk", row_number().over(
           Window.orderBy(col("cnt").desc, col("tok"))))
         .filter(col("rk") <= seedSize).drop("rk"))
-    var (vocab, prevId) = rotate(seed, None)
+    // the seed-vocab count rides the init rotation and doubles as the
+    // static-planning gate ([[graft.StaticPlan]]): every round's frame
+    // is vocab- or word-table-sized, both bounded by the larger of the
+    // two counts (wf is persisted; its count fill is paid anyway).
+    val obs0 = org.apache.spark.sql.Observation()
+    var (vocab, prevId) = rotate(
+      seed.observe(obs0, count(lit(1)).as("n")), None)
+    val nSeed = scala.concurrent.Await
+      .result(obs0.future, scala.concurrent.duration.Duration(60,
+        java.util.concurrent.TimeUnit.SECONDS)).getLong(0)
+    val nWords = wf.count()
+    graft.StaticPlan.withMeasured(docs.sparkSession,
+      math.max(nSeed, nWords) * maxPieceLen) { _ =>
     for (r <- 1 to nRounds) {
       val usage = viterbiSegments(wf, vocab, maxPieceLen)
         .select(explode(split(col("path"), " ")).as("tok"), col("f"))
@@ -2033,6 +2064,7 @@ object TextAnalysis {
       prevId = id2
       graft.CacheScope.unpersist(usage)
     }
+    } // StaticPlan.withMeasured
     (wf, vocab, prevId, Seq(subs, chars))
   }
 
