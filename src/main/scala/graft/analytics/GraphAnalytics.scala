@@ -3187,7 +3187,14 @@ object GraphAnalytics {
       .unionByName(und.select(col("v").as("x"), col("u").as("n")))
     val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("k"))
       .transform(graft.CacheScope.persist(_))
+    // persist the caller's init frame (r16-opt): it is referenced 4×
+    // below (vol, wvc's relabel, own, ownZero) and callers pass
+    // corpus-DERIVED plans (q_graph_contract's verts comes from a
+    // 600 k-row scan+distinct) — without the persist each reference
+    // re-ran the derivation, measured 106 s of overlapping job time
+    // for a 10 s wall on the contract gate
     val comm = initComm.toDF("x", "c")
+      .transform(graft.CacheScope.persist(_))
     val vol = comm.join(deg, "x").groupBy(col("c"))
       .agg(sum(col("k")).as("vol"))
     val m2 = deg.agg(sum(col("k")).as("m2")) // 2|E|
@@ -3247,7 +3254,11 @@ object GraphAnalytics {
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .distinct()
+    // the label frame joins BOTH endpoints; callers pass derived plans
+    // (q_graph_contract: a full louvainMove tree) — persist, or each
+    // side re-runs the derivation (the louvainMove comm lesson)
     val cm = comm.toDF("x", "c")
+      .transform(graft.CacheScope.persist(_))
     und
       .join(cm.select(col("x").as("u"), col("c").as("cu")), "u")
       .join(cm.select(col("x").as("v"), col("c").as("cv")), "v")
@@ -4252,8 +4263,13 @@ object GraphAnalytics {
     prevId = id0
     var parts = parts0
     val nVerts = parts.count() // once; loads are k-row frames after
+    // Measured gate for the static-planning law ([[graft.StaticPlan]]):
+    // the adjacency (2·edges) bounds every per-round frame
+    val nUnd = und.count()
     val parity = pmod(conv(substring(md5(col("x").cast("string")),
       9, 8), 16, 10).cast("long"), lit(2L))
+    graft.StaticPlan.withMeasured(spark,
+      math.max(nVerts, 2L * nUnd)) { _ =>
     for (r <- 1 to rounds) {
       val load = parts.groupBy(col("p")).agg(count(lit(1)).as("load"))
       val nvp = adj.join(parts.select(col("x").as("n"), col("p")), "n")
@@ -4288,6 +4304,7 @@ object GraphAnalytics {
         pmod(conv(substring(md5(col("_vid").cast("string")), 1, 8),
           16, 10).cast("long"), lit(k.toLong)))
       .select(col("_vid"), col("part_init"), col("part"))
+    } // StaticPlan.withMeasured
   }
 
   /**
