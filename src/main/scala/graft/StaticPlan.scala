@@ -48,6 +48,7 @@ object StaticPlan {
 
   private val AqeKey = "spark.sql.adaptive.enabled"
   private val ShufKey = "spark.sql.shuffle.partitions"
+  private val CodegenKey = "spark.sql.codegen.wholeStage"
 
   /** Rows per post-shuffle partition under the law. Static planning
     * loses AQE's runtime coalescing, so the engine derives the
@@ -68,11 +69,20 @@ object StaticPlan {
     else {
       val aqePrev = spark.conf.getOption(AqeKey)
       val shufPrev = spark.conf.get(ShufKey, "200")
+      val cgPrev = spark.conf.getOption(CodegenKey)
       val parts = math.max(1L, math.min(
         spark.sparkContext.defaultParallelism.toLong,
         (measuredRows + RowsPerPartition - 1) / RowsPerPartition))
       spark.conf.set(AqeKey, "false")
       spark.conf.set(ShufKey, parts.toString)
+      // Whole-stage codegen compiles a fresh Janino class per DISTINCT
+      // generated source; bounded-round loops embed round-varying
+      // literals (round index, parity, level id), so every rotation
+      // job pays a compile that dwarfs the microseconds of measured-
+      // small data it runs on. Interpreted execution is strictly
+      // cheaper below the bound; at scale the law is unarmed and
+      // codegen stays on for the data that needs it.
+      spark.conf.set(CodegenKey, "false")
       try body(broadcast _)
       finally {
         aqePrev match {
@@ -80,6 +90,10 @@ object StaticPlan {
           case None => spark.conf.unset(AqeKey)
         }
         spark.conf.set(ShufKey, shufPrev)
+        cgPrev match {
+          case Some(v) => spark.conf.set(CodegenKey, v)
+          case None => spark.conf.unset(CodegenKey)
+        }
       }
     }
   }

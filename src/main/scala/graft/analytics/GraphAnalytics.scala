@@ -3494,20 +3494,13 @@ object GraphAnalytics {
     var prevQ: Option[Long] = None
     var level = 0
     var stop = false
-    // AQE-off-when-measured-small — the r16 job-floor law; see
-    // leidenFull's scaladoc-length comment for the rationale (the
-    // measured 500 k bound arms it, restore on every exit path)
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark.conf.getOption(aqeKey)
-    val shufPrev = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    def aqeRestore(): Unit = {
-      aqePrev match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None => spark.conf.unset(aqeKey)
-      }
-      spark.conf.set("spark.sql.shuffle.partitions", shufPrev)
-    }
-    try { while (level < maxLevels && !stop) {
+    // AQE-off-when-measured-small — the job-floor law, now the shared
+    // [[graft.StaticPlan]] helper (r16-opt): same measured 500 k bound
+    // arming per LEVEL, same restore-on-every-exit-path, plus the
+    // helper's codegen-off (round-varying literals defeat the Janino
+    // cache, so every tiny rotation job paid a compile) and measured-
+    // row-derived partition count.
+    while (level < maxLevels && !stop) {
       level += 1
       var comm = rotate("comm",
         g.select(col("u").as("x")).union(g.select(col("v"))).distinct()
@@ -3515,24 +3508,15 @@ object GraphAnalytics {
       // Level-invariant strengths + total weight, hoisted OUT of the
       // per-round move (r14: deg/m2 were rebuilt — 2 joins + 3 aggs +
       // a broadcast — inside every one of the 12 move rounds of a
-      // 3-level run; they depend only on g). One checkpoint rotation
-      // + one scalar job per level replaces all of it.
+      // 3-level run). One checkpoint rotation + one scalar job per
+      // level replaces all of it; the same scalar job reads m2 AND the
+      // node count arming the law (capped leaf stats force SMJ
+      // everywhere and AQE pays a materialization job per exchange).
       val deg = rotate("deg", strengthFrame(g, comm.select("x")))
-      // one scalar job reads m2 AND the node count arming the
-      // broadcast hints (the leidenFull r15 law — see its scaladoc:
-      // capped leaf stats force SMJ everywhere and AQE pays a
-      // materialization job per exchange; measured-small levels hint
-      // the vertex/community-sized sides broadcast instead)
       val degStats = deg.agg(sum(col("k")).as("m2"),
         count(lit(1)).as("n")).head()
       val m2v = degStats.getLong(0)
-      val levelSmall = degStats.getLong(1) <= 500000L
-      val bc: DataFrame => DataFrame =
-        if (levelSmall) broadcast _ else identity
-      spark.conf.set(aqeKey,
-        if (levelSmall) "false" else aqePrev.getOrElse("true"))
-      spark.conf.set("spark.sql.shuffle.partitions",
-        if (levelSmall) "1" else shufPrev)
+      graft.StaticPlan.withMeasured(spark, degStats.getLong(1)) { bc =>
       // parity alternation (see scaladoc): only one round's vertex
       // half applies its move; the other half keeps its community.
       // Parity = md5 window of the id, NOT id mod 2: contracted
@@ -3625,7 +3609,8 @@ object GraphAnalytics {
         }
       }
       gAnno.unpersist(blocking = false)
-    } } finally aqeRestore()
+      } // StaticPlan.withMeasured (per level)
+    }
     (slots.keySet - "out").foreach(k => slots(k).foreach(i =>
       sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false))))
     out.get
@@ -3728,17 +3713,11 @@ object GraphAnalytics {
     // are identical either way — AQE never changes semantics. The
     // prior value is restored on every exit path (the conf is session
     // state; leaking "false" would strip AQE from unrelated queries).
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark.conf.getOption(aqeKey)
-    val shufPrev = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    def aqeRestore(): Unit = {
-      aqePrev match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None => spark.conf.unset(aqeKey)
-      }
-      spark.conf.set("spark.sql.shuffle.partitions", shufPrev)
-    }
-    try { while (level < maxLevels && !stop) {
+    // (The law now lives in the shared [[graft.StaticPlan]] helper —
+    // r16-opt — which adds codegen-off for the round-varying-literal
+    // compile floor and a measured-row-derived partition count; the
+    // arming bound and restore discipline are unchanged.)
+    while (level < maxLevels && !stop) {
       level += 1
       val verts = g.select(col("u").as("x")).union(g.select(col("v")))
         .distinct()
@@ -3769,13 +3748,7 @@ object GraphAnalytics {
       val degStats = deg.agg(sum(col("k")).as("m2"),
         count(lit(1)).as("n")).head()
       val m2v = degStats.getLong(0)
-      val levelSmall = degStats.getLong(1) <= 500000L
-      val bc: DataFrame => DataFrame =
-        if (levelSmall) broadcast _ else identity
-      spark.conf.set(aqeKey,
-        if (levelSmall) "false" else aqePrev.getOrElse("true"))
-      spark.conf.set("spark.sql.shuffle.partitions",
-        if (levelSmall) "1" else shufPrev)
+      graft.StaticPlan.withMeasured(spark, degStats.getLong(1)) { bc =>
       for (r <- 1 to roundsPerLevel) {
         comm = rotate("comm",
           louvainMoveWeighted(g, comm, persistInputs = false,
@@ -4006,7 +3979,8 @@ object GraphAnalytics {
       intraP.unpersist(blocking = false)
       wellV.unpersist(blocking = false)
       gAnno.unpersist(blocking = false)
-    } } finally aqeRestore()
+      } // StaticPlan.withMeasured (per level)
+    }
     release()
     out.get
   }
