@@ -39,21 +39,24 @@ object ScratchJobs {
         t += ((j.jobId, s, System.nanoTime()))
       }
     })
-    def run(): Long = SparkEntry.queries(qname)(spark, sfDir).count()
-    run() // warm
-    CacheScope.drain(spark)
-    Thread.sleep(500)
-    jobs = 0; t.clear()
-    val t0 = System.nanoTime()
-    val n = run()
-    val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500)
-    val durs = t.map { case (id, s, e) => (id, (e - s) / 1e9) }
-      .sortBy(-_._2)
-    println(f"SCRATCH $qname jobs=$jobs wall=$wall%.1f rows=$n")
-    println("SCRATCH top15: " + durs.take(15).map { case (id, d) =>
-      f"j$id=$d%.2f" }.mkString(" "))
-    println(f"SCRATCH jobsum=${durs.map(_._2).sum}%.1f")
+    for (q <- qname.split(",").map(_.trim).filter(_.nonEmpty)) {
+      def run(): Long = SparkEntry.queries(q)(spark, sfDir).count()
+      CacheScope.drain(spark)
+      run() // warm
+      CacheScope.drain(spark)
+      Thread.sleep(500)
+      jobs = 0; t.clear()
+      val t0 = System.nanoTime()
+      val n = run()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val durs = t.map { case (id, s, e) => (id, (e - s) / 1e9) }
+        .sortBy(-_._2)
+      println(f"SCRATCH $q jobs=$jobs wall=$wall%.1f rows=$n " +
+        f"jobsum=${durs.map(_._2).sum}%.1f")
+      println("SCRATCH top15: " + durs.take(15).map { case (id, d) =>
+        f"j$id=$d%.2f" }.mkString(" "))
+    }
     spark.stop()
   }
 }

@@ -264,6 +264,11 @@ object Similarity {
       .transform(graft.CacheScope.persist(_))
     val w = Window.partitionBy(col("id"), col("sub"))
       .orderBy(col("d2").asc, col("cell"))
+    // Measured gate for the static-planning law ([[graft.StaticPlan]]):
+    // every round's frame is bounded by the exploded subvector table
+    // (n·m rows); the count's fill is paid anyway at round 1.
+    val nSv = sv.count()
+    graft.StaticPlan.withMeasured(emb.sparkSession, nSv) { _ =>
     for (_ <- 1 to iters) {
       val assigned = sv.join(broadcast(centroids), Seq("sub"))
         .withColumn("d2", l2sq(col("v"), col("cvec")))
@@ -290,6 +295,7 @@ object Similarity {
       graft.CacheScope.unpersist(centroids)
       centroids = next
     }
+    } // StaticPlan.withMeasured
     centroids
   }
 
@@ -942,6 +948,15 @@ object Similarity {
           lit(0L).as("n"))))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("csim").desc, col("cell"))
+    // Measured gate for the static-planning law ([[graft.StaticPlan]]):
+    // the per-round mean update explodes n·dim narrow rows, so the
+    // gate (and the derived partition count) uses rows × dims — one
+    // scalar job over the corpus.
+    val gateRow = emb.agg(count(lit(1)).as("n"),
+      max(size(col(vecCol))).as("d")).head()
+    val gateRows = gateRow.getLong(0) *
+      math.max(1L, if (gateRow.isNullAt(1)) 1L else gateRow.getInt(1).toLong)
+    graft.StaticPlan.withMeasured(emb.sparkSession, gateRows) { _ =>
     for (_ <- 1 to iters) {
       val assigned = emb.join(broadcast(centroids.select("cell", "cvec")))
         .withColumn("csim", cosine(col(vecCol), col("cvec")))
@@ -972,6 +987,7 @@ object Similarity {
           coalesce(col("cnt"), lit(0L)).as("n")))
       graft.CacheScope.unpersist(assigned)
     }
+    } // StaticPlan.withMeasured
     centroids
   }
 
