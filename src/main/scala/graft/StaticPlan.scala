@@ -78,11 +78,16 @@ object StaticPlan {
       // Whole-stage codegen compiles a fresh Janino class per DISTINCT
       // generated source; bounded-round loops embed round-varying
       // literals (round index, parity, level id), so every rotation
-      // job pays a compile that dwarfs the microseconds of measured-
-      // small data it runs on. Interpreted execution is strictly
-      // cheaper below the bound; at scale the law is unarmed and
-      // codegen stays on for the data that needs it.
-      spark.conf.set(CodegenKey, "false")
+      // job pays a compile that dwarfs the microseconds of data it
+      // runs on — WHEN the frame is tiny. The dial is row-derived like
+      // the partition count: at ≤ one partition's worth of rows the
+      // compile dominates and interpreted execution wins (measured:
+      // leiden_full job-time sum 17.9 → 12.3 s); in the mid band
+      // (tens of thousands to 500 k rows of real expression work per
+      // round) codegen's per-row speedup outweighs the compile, so it
+      // stays on. At scale the law is unarmed and nothing changes.
+      if (measuredRows <= RowsPerPartition)
+        spark.conf.set(CodegenKey, "false")
       try body(broadcast _)
       finally {
         aqePrev match {
