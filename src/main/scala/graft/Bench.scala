@@ -279,12 +279,18 @@ object Bench {
     // best of all runs. Only stalled outliers pay the retry cost.
     val refTimes: Map[String, Double] = try {
       import scala.jdk.CollectionConverters._
+      // optimization rounds commit cooled records as _optN suffixes of
+      // the same round number; the newest record (by round, then opt
+      // pass) carries the freshest per-query floors for the retry valve
       val files = java.nio.file.Files.list(java.nio.file.Paths.get("."))
         .iterator.asScala.map(_.getFileName.toString)
-        .filter(_.matches("BENCH_LOCAL_r\\d+\\.json")).toSeq
+        .filter(_.matches("BENCH_LOCAL_r\\d+(_opt\\d+)?\\.json")).toSeq
       if (files.isEmpty) Map.empty
       else {
-        val latest = files.maxBy(_.replaceAll("\\D", "").toInt)
+        val latest = files.maxBy { f =>
+          val ns = "\\d+".r.findAllIn(f).map(_.toInt).toSeq
+          (ns.head, ns.drop(1).headOption.getOrElse(0))
+        }
         val first = java.nio.file.Files
           .readString(java.nio.file.Paths.get(latest)).linesIterator.next()
         """"(q_[a-z0-9_]+)":([0-9][0-9.]*)""".r.findAllMatchIn(first)
