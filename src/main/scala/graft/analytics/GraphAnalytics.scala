@@ -2928,9 +2928,15 @@ object GraphAnalytics {
     // Measured gate for the static-planning law ([[graft.StaticPlan]]):
     // the loop's largest frame is the register state, bounded by
     // |V|·2^b (sparse — one row per present register); the edge frame
-    // can exceed it on dense graphs, so gate on both.
+    // can exceed it on dense graphs, so gate on both. approx_count_
+    // distinct, not count_distinct (r16 ADVICE): two exact distincts
+    // in one agg plan an Expand + an extra multi-shuffle pass paid
+    // purely to decide the planning mode; the sketch runs in the same
+    // single pass as the count, and the ±2% error only moves the
+    // (conservative) upper bound.
     val scalars = e.agg(count(lit(1)).as("ne"),
-      (count_distinct(col("s")) + count_distinct(col("d"))).as("nvub"))
+      (approx_count_distinct(col("s")) +
+        approx_count_distinct(col("d"))).as("nvub"))
       .head()
     val gateRows = math.max(scalars.getLong(0),
       scalars.getLong(1) << b)
@@ -2982,9 +2988,11 @@ object GraphAnalytics {
       .agg(sum(col("est")).as("nf")).head().getLong(0)
     val totals = collection.mutable.ArrayBuffer((0L, nf(regs)))
     // Measured gate for the static-planning law (the hyperBall bound:
-    // register state ≤ |V|·2^b sparse rows; edge frame on both)
+    // register state ≤ |V|·2^b sparse rows; edge frame on both;
+    // approx_count_distinct for the same one-pass reason as hyperBall)
     val scalars = e.agg(count(lit(1)).as("ne"),
-      (count_distinct(col("s")) + count_distinct(col("d"))).as("nvub"))
+      (approx_count_distinct(col("s")) +
+        approx_count_distinct(col("d"))).as("nvub"))
       .head()
     val gateRows = math.max(scalars.getLong(0),
       scalars.getLong(1) << b)
