@@ -44,9 +44,13 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "10").toInt
+    // r17 (VERDICT #7): the smoke honors the bench's core-count env so
+    // the 10x amplified rows can be swept at 8 vs 32 cores — the
+    // parallel-scaling shape sf0.1 itself cannot show (job floor).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toInt)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")

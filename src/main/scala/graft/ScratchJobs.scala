@@ -20,8 +20,10 @@ object ScratchJobs {
     val qname = sys.env.getOrElse("SPARK_GRAFT_PROBE", "q_leiden_full")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_SHUF", "32"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_AQE", "true"))
       .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -30,9 +32,15 @@ object ScratchJobs {
     @volatile var jobs = 0
     val t = collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     val starts = collection.mutable.Map.empty[Int, Long]
+    // r17: attribute each job to its submission call site so the
+    // per-operator job budget is readable (guide §1.5)
+    val sites = collection.mutable.Map.empty[Int, String]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         starts(j.jobId) = System.nanoTime(); jobs += 1
+        sites(j.jobId) =
+          if (j.stageInfos.nonEmpty) j.stageInfos.maxBy(_.stageId).name
+          else "?"
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
         val s = starts.getOrElse(j.jobId, System.nanoTime())
@@ -56,6 +64,12 @@ object ScratchJobs {
         f"jobsum=${durs.map(_._2).sum}%.1f")
       println("SCRATCH top15: " + durs.take(15).map { case (id, d) =>
         f"j$id=$d%.2f" }.mkString(" "))
+      // per-call-site rollup: job count + summed seconds, heaviest first
+      val bySite = durs.groupBy { case (id, _) => sites.getOrElse(id, "?") }
+        .map { case (s, ds) => (s, ds.size, ds.map(_._2).sum) }
+        .toSeq.sortBy(-_._3)
+      bySite.take(12).foreach { case (s, n, d) =>
+        println(f"SCRATCH site n=$n%3d sum=$d%6.2f  $s") }
     }
     spark.stop()
   }

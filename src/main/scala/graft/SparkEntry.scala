@@ -641,14 +641,17 @@ object SparkEntry {
       val mog = Similarity.mogEmbeddings(s, n = 512, dim = 16,
         nClusters = 8, block = true)
       val qids = (0 until 16).map(_ * 32L)
+      // independent substrates (exact-kNN control graph / Lloyd
+      // training), overlapped per guide §2.6 — same frames
+      val (knn, cents) = graft.Par.two(
+        Similarity.exactKnnEdges(mog, "vec_id", "embedding", k = 8),
+        Similarity.ivfTrain(mog, "vec_id", "embedding",
+          nCells = 32, iters = 3))
       Similarity.recallPerQuery(
         Similarity.bruteForceTopK(mog, "vec_id", "embedding",
           queryIds = qids, k = 5),
         Similarity.graphAnnIvfTopKWith(mog, "vec_id", "embedding",
-          Similarity.exactKnnEdges(mog, "vec_id", "embedding", k = 8),
-          queryIds = qids,
-          centroids = Similarity.ivfTrain(mog, "vec_id", "embedding",
-            nCells = 32, iters = 3),
+          knn, queryIds = qids, centroids = cents,
           nProbe = 6, beam = 12, rounds = 6, k = 5))
     }),
     "q_mog_trained_flat_recall" -> ((s, dir) => {
@@ -697,17 +700,21 @@ object SparkEntry {
       val mog = Similarity.mogEmbeddings(s, n = 4096, dim = 16,
         nClusters = 8, block = true)
       val qids = (0 until 16).map(_ * 256L)
+      // the descent-graph build and the centroid training are
+      // independent substrates whose loops run at construction time —
+      // overlap them (guide §2.6; same frames, same result)
+      val (knn, cents) = graft.Par.two(
+        Similarity.knnDescent(mog, "vec_id", "embedding", k = 16,
+          numPlanes = 6, dim = 16, maxBucketSize = 128,
+          expandCap = 16, maxRounds = 3)
+          .select("vec_id", "nbr_id"),
+        Similarity.ivfTrain(mog, "vec_id", "embedding",
+          nCells = 32, iters = 3))
       Similarity.recallPerQuery(
         Similarity.bruteForceTopK(mog, "vec_id", "embedding",
           queryIds = qids, k = 5),
         Similarity.graphAnnIvfTopKWith(mog, "vec_id", "embedding",
-          Similarity.knnDescent(mog, "vec_id", "embedding", k = 16,
-            numPlanes = 6, dim = 16, maxBucketSize = 128,
-            expandCap = 16, maxRounds = 3)
-            .select("vec_id", "nbr_id"),
-          queryIds = qids,
-          centroids = Similarity.ivfTrain(mog, "vec_id", "embedding",
-            nCells = 32, iters = 3),
+          knn, queryIds = qids, centroids = cents,
           nProbe = 6, beam = 12, rounds = 7, k = 5))
     }),
 

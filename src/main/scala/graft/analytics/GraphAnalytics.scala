@@ -2975,6 +2975,7 @@ object GraphAnalytics {
       b: Int = 8): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val spark = edges.sparkSession
+    val sc = spark.sparkContext
     val e = edges.toDF("s", "d")
       .filter(col("s") =!= col("d")).distinct()
       .transform(graft.CacheScope.persist(_))
@@ -2982,7 +2983,6 @@ object GraphAnalytics {
       .unionByName(e.select(col("d").as("v"))).distinct()
     var regs = graft.operators.Stats
       .hllRegistersBy(verts, Seq("v"), "v", b)
-    var prevCkptId: Option[Int] = None
     def nf(r: DataFrame): Long = graft.operators.Stats
       .hllEstimateBy(r, Seq("v"), b)
       .agg(sum(col("est")).as("nf")).head().getLong(0)
@@ -2996,19 +2996,42 @@ object GraphAnalytics {
       .head()
     val gateRows = math.max(scalars.getLong(0),
       scalars.getLong(1) << b)
+    // r17 (guide §2.6): radius t's neighborhood total nf(regs_t) is a
+    // 2-shuffle scalar job that nothing in the loop depends on — only
+    // the output table reads it. It now runs CONCURRENTLY with round
+    // t+1's propagation+rotation instead of serializing the loop
+    // (probe: the per-radius nf jobs were ~40% of the wall). Block-
+    // release discipline: regs_t's checkpoint blocks must outlive its
+    // in-flight nf, so the superseded round's release happens only
+    // AFTER its estimate is awaited — the loop pins at most TWO
+    // register frames instead of one (still O(1); localCheckpoint
+    // blocks are unrecoverable, so releasing under a running reader
+    // would fail the job, not recompute).
     graft.StaticPlan.withMeasured(e.sparkSession, gateRows) { _ =>
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    var pendingNf: Option[(Long, Future[Long], Option[Int])] = None
+    def harvest(): Unit = pendingNf.foreach { case (t, f, id) =>
+      totals += ((t, Await.result(f, Duration(600, "s"))))
+      id.foreach(i => sc.getPersistentRDDs.get(i)
+        .foreach(_.unpersist(blocking = false)))
+      pendingNf = None
+    }
     for (t <- 1 to rounds) {
       val prop = e.join(regs, regs("v") === e("d"))
         .select(e("s").as("v"), col("reg"), col("max_rho"))
         .unionByName(regs.select(col("v"), col("reg"), col("max_rho")))
         .groupBy("v", "reg").agg(max(col("max_rho")).as("max_rho"))
-      // lineage break per round (the HITS law); superseded register
-      // blocks release by RDD id — O(1) pinned frames
-      val (next, ckptId) = rotateCheckpoint(prop, prevCkptId)
-      prevCkptId = ckptId
+      // lineage break per round (the HITS law); release of the
+      // superseded round is deferred to harvest() (see above)
+      val (next, ckptId) = rotateCheckpoint(prop, None)
+      harvest() // waits for nf(regs_{t-1}), then releases its blocks
+      val cur = next
+      pendingNf = Some((t.toLong, Future(nf(cur)), ckptId))
       regs = next
-      totals += ((t.toLong, nf(regs)))
     }
+    harvest()
     } // StaticPlan.withMeasured
     graft.CacheScope.unpersist(e)
     val last = totals.last._2

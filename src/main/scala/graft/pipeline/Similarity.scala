@@ -2236,6 +2236,16 @@ object Similarity {
       .select(col("av").cast("long"), col("an").cast("long"))
       .distinct()
       .transform(graft.CacheScope.persist(_))
+    // NOTE (r17, measured): explicit broadcast hints on the query-
+    // bounded sides of these joins (cands here, frontier/visited in
+    // the loop) were tried per guide §3.1 and REVERTED — min-of-4 A/B
+    // read the beam family consistently WORSE with hints (mogrr
+    // 13.7 → 15.5 s, gaiv 2.55 → 3.04, gaivr 2.85 → 3.43 across 2
+    // JVMs each): with AQE on, runtime planning already broadcasts
+    // the genuinely smaller side per round (often `cand`, not the
+    // round-growing `visited`), and a static hint overrides that
+    // per-round choice with a fixed one. Same lesson as r16's hits
+    // hint revert.
     def score(cands: DataFrame): DataFrame = cands
       .join(vecs, col("v") === col("vid"))
       .join(broadcast(qvecs), Seq("qid"))
